@@ -1,13 +1,430 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator family from
+  * SURVEY.md §2 against the driver-generated synthetic tables; the
+  * matching `oracleSql` is ANSI SQL producing the identical result in
+  * DuckDB (same column names, same deterministic ORDER BY, and
+  * float-stable arithmetic: exact integer aggregates, or rounding
+  * applied identically on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores ns-precision timestamps, which Spark's
+    // parquet reader rejects by default; read ns as long and floor to
+    // the µs that DuckDB also sees (sub-µs is always zero in testdata).
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mini end-to-end slice: resample → dense grid → interpolate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q11_interpolate")(spark, "/root/testdata/sf0.001")
+
+  // ---- the per-operator query catalog --------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A14: hash aggregate w/ exact + rounded aggregates (partial agg
+    // map-side, 2-col grouping; scales via hash shuffle on group keys)
+    "q01_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"),
+             count(lit(1)).as("n"),
+             round(sum($"l_extendedprice"), 2).as("sum_price"),
+             min($"l_discount").as("min_disc"),
+             max($"l_discount").as("max_disc"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // P7/S: filter + projection, pushed down to the parquet scan
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"value" > 100)
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // J: multi-way join (broadcast dim × shuffle fact) + aggregate
+    "q03_join_agg" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(countDistinct($"o_orderkey").as("n_orders"),
+             round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // A11/A12: global sort + limit (TakeOrderedAndProject, no full sort)
+    "q04_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // window ranking (beyond-reference; partition-parallel)
+    "q05_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // A8: cumulative sum per key (lib/process_gpx_data.py:71)
+    "q06_cumsum" -> ((s, d) => {
+      TimeSeries.cumsum(t(s, d, "events"), "ts", "value",
+          Seq("user_id"), Seq("event_id"))
+        .select($"user_id", $"event_id", round($"cum_value", 2).as("cum_value"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // A10: adjacent-row diff via lag (lib/process_gpx_data.py:49-56)
+    "q07_lag_diff" -> ((s, d) => {
+      TimeSeries.lagDiff(t(s, d, "events"), "ts", "value",
+          Seq("user_id"), Seq("event_id"))
+        .select($"user_id", $"event_id", round($"diff_value", 2).as("diff_value"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // A2: tumbling-window resample + mean (lib/resampler.py:97-99)
+    "q08_resample" -> ((s, d) => {
+      TimeSeries.resampleAgg(t(s, d, "events"), "ts", 3600,
+          Seq("event_type"), "value")
+        .select($"event_type", $"bucket_ts", $"sum_value", $"n", $"mean_value")
+        .orderBy($"event_type", $"bucket_ts")
+    }),
+
+    // gap-based sessionization (beyond-reference training-pipeline op)
+    "q09_sessionize" -> ((s, d) => {
+      TimeSeries.sessionize(t(s, d, "events"), "ts", Seq("user_id"),
+          1800, Seq("event_id"))
+        .select($"user_id", $"event_id", $"session_id")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // J4: as-of (ffill) alignment via union trick (lib/process_gpx_data.py:165-169)
+    "q10_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val left = ev.filter($"event_type" === "purchase")
+      val right = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max_by($"value", $"event_id").as("rv"))
+      TimeSeries.asofJoin(left, right, "ts", Seq("user_id"), Seq("rv"))
+        .select($"event_id", $"user_id", round($"asof_rv", 2).as("asof_value"))
+        .orderBy($"event_id")
+    }),
+
+    // A3/J5/A4: dense grid + linear interpolation with both-side
+    // brackets (lib/resampler.py:63-66, lib/unifier_with_forecast_data.py:69-73)
+    "q11_interpolate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val b = TimeSeries.resampleAgg(ev, "ts", 3600, Seq("user_id"), "value")
+        .select($"user_id", $"bucket_ts", $"mean_value")
+      val bounds = b.agg(min($"bucket_ts").as("lo"), max($"bucket_ts").as("hi"))
+      val grid = bounds.select(explode(sequence($"lo", $"hi",
+          expr("INTERVAL 3600 SECONDS"))).as("bucket_ts"))
+        .crossJoin(ev.select($"user_id").distinct())
+      val joined = grid.join(b, Seq("user_id", "bucket_ts"), "left")
+      // no final rounding: every input (round(sum,2)/n means, exact µs
+      // fractions) is bit-identical across engines, so the interpolated
+      // doubles are too — rounding would only reintroduce half-way
+      // disagreements between BigDecimal and binary rounding.
+      TimeSeries.interpolateLinear(joined, "bucket_ts", "mean_value", Seq("user_id"))
+        .select($"user_id", $"bucket_ts", $"interp_value")
+        .orderBy($"user_id", $"bucket_ts")
+    }),
+
+    // A5/P12: IQR fences + outlier blanking (lib/resampler.py:40-56)
+    "q12_iqr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      TimeSeries.iqrBlank(ev, "value", Seq("event_type"), 0.25)
+        .groupBy($"event_type")
+        .agg(round(first($"__lo"), 6).as("lo_fence"),
+             round(first($"__hi"), 6).as("hi_fence"),
+             sum(when($"clean_value".isNull, 1L).otherwise(0L)).as("n_out"),
+             round(sum($"clean_value"), 2).as("sum_in"))
+        .orderBy($"event_type")
+    }),
+
+    // A9: cumulative trapezoidal integral (lib/process_solcast_historic_data.py:7-17)
+    "q13_cumtrapz" -> ((s, d) => {
+      TimeSeries.cumtrapz(t(s, d, "events"), "ts", "value",
+          Seq("user_id"), Seq("event_id"))
+        .select($"user_id", $"event_id", round($"integral", 6).as("energy"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // A1: pivot long→wide with schema-known values (lib/canparser.py:222-239)
+    "q14_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("DAY", $"ts").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum($"value"), 2))
+        .orderBy($"day")
+    }),
+
+    // exact dedup: keep-first representative per identical text
+    "q15_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
+    // text-quality stats (token/vowel counts; beyond-reference)
+    "q16_text_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select($"doc_id",
+          length($"text").as("len"),
+          (length($"text") - length(regexp_replace($"text", " ", "")) + 1).as("n_tokens"),
+          (length($"text") - length(regexp_replace($"text", "[aeiou]", ""))).as("n_vowels"))
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprint (md5 of normalized text; beyond-reference)
+    "q17_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select($"doc_id", md5(lower($"text")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // A4: asfreq dense grid, zero-filled counts
+    "q18_grid_asfreq" -> ((s, d) => {
+      val b = TimeSeries.resampleAgg(t(s, d, "events"), "ts", 3600, Nil, "value")
+        .select($"bucket_ts", $"n")
+      val bounds = b.agg(min($"bucket_ts").as("lo"), max($"bucket_ts").as("hi"))
+      bounds.select(explode(sequence($"lo", $"hi",
+          expr("INTERVAL 3600 SECONDS"))).as("bucket_ts"))
+        .join(b, Seq("bucket_ts"), "left")
+        .select($"bucket_ts", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"bucket_ts")
+    }),
+
+    // J1: time-range union-merge (lib/unify_parsed_candump.py:13-27)
+    "q19_unify_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val chunk = ev.filter($"event_type" === "error")
+        .select($"ts", $"event_id", $"user_id", $"value")
+      val ref = ev.filter($"event_type" === "click")
+        .select($"ts", $"event_id", $"user_id", $"value")
+      TimeSeries.unionMerge(chunk, ref, "ts")
+        .select($"event_id", $"user_id", $"value")
+    }),
+
+    // F1: haversine distance between consecutive synthetic GPS points
+    // (lib/process_gpx_data.py:26-37)
+    "q20_haversine" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = t(s, d, "events")
+        .withColumn("lat", lit(-26.0) + $"value" / 100.0)
+        .withColumn("lon", lit(-48.0) + ($"event_id" % 100).cast("double") / 100.0)
+        .withColumn("plat", lag($"lat", 1).over(w))
+        .withColumn("plon", lag($"lon", 1).over(w))
+      ev.select($"user_id", $"event_id",
+          round(graft.functions.Geo.haversineKm($"plat", $"plon", $"lat", $"lon"), 6)
+            .as("dist_km"))
+        .orderBy($"user_id", $"event_id")
+    })
+  )
+
+  // ---- DuckDB oracles -------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         count(*) AS n, round(sum(l_extendedprice),2) AS sum_price,
+         min(l_discount) AS min_disc, max(l_discount) AS max_disc
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q02_filter_project" ->
+      """SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id""",
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q04_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey, row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q06_cumsum" ->
+      """SELECT user_id, event_id, round(sum(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "q07_lag_diff" ->
+      """SELECT user_id, event_id, round(value - lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id),2) AS diff_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "q08_resample" ->
+      """SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS bucket_ts,
+         round(sum(value),2) AS sum_value, count(*) AS n,
+         round(sum(value),2)/count(*) AS mean_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q09_sessionize" ->
+      """WITH s AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS nw
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, sum(nw) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM s ORDER BY user_id, event_id""",
+
+    "q10_asof" ->
+      """WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, round(r.rv,2) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.ts
+         ORDER BY p.event_id""",
+
+    "q11_interpolate" ->
+      """WITH b AS (SELECT user_id,
+             make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS bucket_ts,
+             round(sum(value),2)/count(*) AS mv
+           FROM events GROUP BY 1,2),
+         bounds AS (SELECT min(bucket_ts) lo, max(bucket_ts) hi FROM b),
+         grid AS (SELECT u.user_id, g.bucket_ts
+           FROM (SELECT DISTINCT user_id FROM events) u
+           CROSS JOIN (SELECT unnest(generate_series(
+             (SELECT lo FROM bounds),(SELECT hi FROM bounds),
+             INTERVAL 1 HOUR)) AS bucket_ts) g),
+         j AS (SELECT grid.user_id, grid.bucket_ts, b.mv
+           FROM grid LEFT JOIN b USING (user_id, bucket_ts)),
+         sel AS (SELECT user_id, bucket_ts, mv,
+           last_value(mv IGNORE NULLS) OVER wp AS pv,
+           first_value(mv IGNORE NULLS) OVER wn AS nv,
+           last_value(CASE WHEN mv IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+             OVER wp AS pt,
+           first_value(CASE WHEN mv IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+             OVER wn AS nt
+         FROM j WINDOW
+           wp AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, bucket_ts,
+           CASE WHEN mv IS NOT NULL THEN mv
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv-pv) * ((epoch(bucket_ts)-epoch(pt)) / (epoch(nt)-epoch(pt)))
+             END AS interp_value
+         FROM sel ORDER BY user_id, bucket_ts""",
+
+    "q12_iqr" ->
+      """WITH q AS (SELECT event_type,
+             quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+         f AS (SELECT event_type, q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi
+           FROM q)
+         SELECT e.event_type, round(f.lo,6) AS lo_fence, round(f.hi,6) AS hi_fence,
+           count(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi) AS n_out,
+           round(sum(e.value) FILTER (WHERE e.value >= f.lo AND e.value <= f.hi),2) AS sum_in
+         FROM events e JOIN f USING (event_type)
+         GROUP BY 1, f.lo, f.hi ORDER BY 1""",
+
+    "q13_cumtrapz" ->
+      """WITH d AS (SELECT user_id, event_id, ts, value,
+           lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, round(coalesce(sum(
+             (value+pv)/2 * ((epoch_us(ts)-epoch_us(pt))/3600000000.0)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) AS energy
+         FROM d ORDER BY user_id, event_id""",
+
+    "q14_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+         round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+         round(sum(CASE WHEN event_type='error' THEN value END),2) AS error,
+         round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+         round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+         round(sum(CASE WHEN event_type='view' THEN value END),2) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q15_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+
+    "q16_text_stats" ->
+      """SELECT doc_id, length(text) AS len,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS n_tokens,
+         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+         FROM documents ORDER BY doc_id""",
+
+    "q17_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+
+    "q18_grid_asfreq" ->
+      """WITH b AS (SELECT
+             make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS bucket_ts,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(bucket_ts) lo, max(bucket_ts) hi FROM b)
+         SELECT g.bucket_ts, coalesce(b.n, 0) AS n
+         FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+               (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS bucket_ts) g
+         LEFT JOIN b USING (bucket_ts) ORDER BY bucket_ts""",
+
+    "q19_unify_merge" ->
+      """WITH bounds AS (SELECT min(ts) lo, max(ts) hi FROM events
+           WHERE event_type = 'error')
+         SELECT event_id, user_id, value FROM (
+           SELECT ts, event_id, user_id, value FROM events WHERE event_type='error'
+           UNION ALL
+           SELECT ts, event_id, user_id, value FROM events WHERE event_type='click'
+             AND ts BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds))
+         ORDER BY ts, event_id""",
+
+    "q20_haversine" ->
+      """WITH p AS (SELECT user_id, event_id,
+           -26.0 + value/100.0 AS lat, -48.0 + (event_id % 100)/100.0 AS lon,
+           lag(-26.0 + value/100.0) OVER w AS plat,
+           lag(-48.0 + (event_id % 100)/100.0) OVER w AS plon
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, round(
+           6371.0 * 2 * asin(sqrt(
+             pow(sin(radians(lat - plat)/2), 2) +
+             cos(radians(plat)) * cos(radians(lat)) *
+             pow(sin(radians(lon - plon)/2), 2))), 6) AS dist_km
+         FROM p ORDER BY user_id, event_id"""
+  )
+
+  // $"..." interpolator without importing a session's implicits
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
 }

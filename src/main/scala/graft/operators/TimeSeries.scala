@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series toolkit: the distributed re-expression of the reference
+  * pipeline's pandas time-series operations (SURVEY.md §2.4-§2.5).
+  *
+  * Everything here is expressed with built-in Column functions and
+  * window specs so Catalyst/Tungsten keep whole-stage codegen; every
+  * window is partitioned by user-supplied key columns so the work
+  * scales out (a window over `partitionBy(keys)` shuffles once on the
+  * keys and sorts within partitions — no driver-side loops).
+  *
+  * Scale note (100 TB): all operators take `keys: Seq[String]` and
+  * parallelize across keys (device/file/user). For a single global
+  * series, callers should pre-split by coarse time range (e.g. one
+  * key per day) and fix up boundaries; the reference itself operates
+  * per-file/per-chunk (lib/canparser.py:287-299), so per-file keys
+  * reproduce its semantics exactly while remaining parallel.
+  */
+object TimeSeries {
+
+  private def w(keys: Seq[String], order: Seq[Column]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+
+  /** A2 (lib/resampler.py:97-99): tumbling-window resample.
+    * Buckets are wall-clock aligned: floor(epoch/period)*period.
+    * Emits sum/count per value column; mean = round(sum,2)/count is
+    * derived exactly (deterministic across engines).
+    */
+  def resampleAgg(df: DataFrame, tsCol: String, periodSec: Long,
+                  keys: Seq[String], valueCol: String): DataFrame = {
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / periodSec) * periodSec)
+    df.groupBy((keys.map(col) :+ bucket.as("bucket_ts")): _*)
+      .agg(round(sum(col(valueCol)), 2).as("sum_value"),
+           count(lit(1)).as("n"))
+      .withColumn("mean_value", col("sum_value") / col("n"))
+  }
+
+  /** A4 (lib/unifier_with_forecast_data.py:42-46): asfreq — snap onto a
+    * constant-frequency dense grid, null where no data. Grid built with
+    * sequence+explode (distributed after explode; the sequence itself is
+    * bounded by gridStart/gridEnd, computed once).
+    */
+  def denseGrid(df: DataFrame, startTs: Column, endTs: Column,
+                stepSec: Long): DataFrame =
+    df.sparkSession.range(1).select(
+        explode(sequence(startTs.cast("timestamp"), endTs.cast("timestamp"),
+          expr(s"INTERVAL $stepSec SECONDS"))).as("grid_ts"))
+
+  /** A8 (lib/process_gpx_data.py:71): cumulative sum (nancumsum —
+    * nulls contribute 0 but rows are kept). */
+  def cumsum(df: DataFrame, tsCol: String, valueCol: String,
+             keys: Seq[String], orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val win = w(keys, (tsCol +: orderTieBreak).map(col))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_value", sum(coalesce(col(valueCol), lit(0.0))).over(win))
+  }
+
+  /** A9 (lib/process_solcast_historic_data.py:7-17): cumulative
+    * trapezoidal integral with non-uniform dx taken from the timestamp
+    * column, in hours (energy Wh from power W). First row integrates to
+    * 0 (cumtrapz initial=0). */
+  def cumtrapz(df: DataFrame, tsCol: String, valueCol: String,
+               keys: Seq[String], orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (tsCol +: orderTieBreak).map(col)
+    val lagW = w(keys, ord)
+    val cumW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol)
+    val dtH = (unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(lagW))).cast("double") / 3.6e9
+    val seg = (v + lag(v, 1).over(lagW)) / 2.0 * dtH
+    df.withColumn("integral", coalesce(sum(seg).over(cumW), lit(0.0)))
+  }
+
+  /** A10 (lib/process_gpx_data.py:49-56): adjacent-row diff via lag(1). */
+  def lagDiff(df: DataFrame, tsCol: String, valueCol: String,
+              keys: Seq[String], orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val win = w(keys, (tsCol +: orderTieBreak).map(col))
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(win))
+      .withColumn("diff_value", col(valueCol) - col("prev_value"))
+  }
+
+  /** P8 (lib/unifier_with_forecast_data.py:41): dedup on timestamp,
+    * keep-first in a deterministic order. */
+  def dedupKeepFirst(df: DataFrame, keyCols: Seq[String],
+                     orderCols: Seq[String]): DataFrame = {
+    val win = w(keyCols, orderCols.map(col))
+    df.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J4 (lib/process_gpx_data.py:165-169): as-of alignment (ffill
+    * reindex) via the union trick — tag both sides, union, and carry the
+    * right side's latest values forward onto left rows with
+    * last(ignoreNulls) over an unbounded-preceding window. One shuffle,
+    * co-partitioned on the join keys; never O(n^2).
+    *
+    * Left rows receive, for each `rightVals` column `c`, a column
+    * `asof_c` holding the most recent right-side value at-or-before the
+    * left timestamp. Right-side ties on ts: the last one in
+    * (ts, tieBreak) order wins — pass tieBreak to pin determinism.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
+               keys: Seq[String], rightVals: Seq[String],
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val l = rightVals.foldLeft(
+        left.withColumn("__side", lit(1)).withColumn("__tie", lit(null).cast("long"))
+      )((d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val tieCol = rightTieBreak.headOption.map(c => col(c).cast("long"))
+      .getOrElse(lit(0L))
+    val r0 = right.select(
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+ tieCol.as("__tie")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val lCols = l.columns
+    val r = lCols.foldLeft(r0) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)) }
+      .select(lCols.map(col): _*)
+    // __side=0 (right) sorts before __side=1 (left) at equal ts, so a
+    // right row AT the left timestamp is visible (at-or-before).
+    val win = w(keys, Seq(col(tsCol), col("__side"), col("__tie")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(win)) }
+    filled.filter(col("__side") === 1)
+      .drop(("__side" +: "__tie" +: rightVals.map(c => s"__r_$c")): _*)
+  }
+
+  /** J5/A3 (lib/unifier_with_forecast_data.py:69-73, lib/resampler.py:63-66):
+    * linear interpolation of null gaps between the bracketing non-null
+    * values, by time. `maxGap` (rows) bounds how many consecutive nulls
+    * get filled (pandas interpolate(limit=..., limit_area="inside"));
+    * maxGap<=0 means unlimited. "inside" semantics: both a previous and
+    * a next non-null value must exist.
+    */
+  def interpolateLinear(df: DataFrame, tsCol: String, valueCol: String,
+                        keys: Seq[String], maxGap: Int = 0): DataFrame = {
+    val ord = Seq(col(tsCol))
+    val prevW = w(keys, ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = w(keys, ord).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val t = unix_micros(col(tsCol)).cast("double")
+    val vTs = when(v.isNotNull, t)
+    val prevV = last(v, ignoreNulls = true).over(prevW)
+    val nextV = first(v, ignoreNulls = true).over(nextW)
+    val prevT = last(vTs, ignoreNulls = true).over(prevW)
+    val nextT = first(vTs, ignoreNulls = true).over(nextW)
+    val frac = (t - col("__pt")) / (col("__nt") - col("__pt"))
+    // Null-run bookkeeping: __grp = running count of non-nulls groups
+    // each null run with its preceding non-null row; position within
+    // the run = rn - min(rn of group). pandas interpolate(limit=n)
+    // fills only the first n nulls of a run, from the left.
+    val base = df
+      .withColumn("__rn", row_number().over(w(keys, ord)))
+      .withColumn("__grp", count(v).over(prevW))
+      .withColumn("__pv", prevV).withColumn("__nv", nextV)
+      .withColumn("__pt", prevT).withColumn("__nt", nextT)
+    val grpW = Window.partitionBy((keys :+ "__grp").map(col): _*)
+    val withGap = base.withColumn("__gap", col("__rn") - min(col("__rn")).over(grpW))
+    val interp = when(v.isNotNull, v).otherwise(
+      when(col("__pv").isNotNull && col("__nv").isNotNull &&
+           (lit(maxGap) <= 0 || col("__gap") <= maxGap),
+        col("__pv") + (col("__nv") - col("__pv")) * frac))
+    withGap.withColumn("interp_value", interp)
+      .drop("__rn", "__pv", "__nv", "__pt", "__nt", "__grp", "__gap")
+  }
+
+  /** A5/P12 (lib/resampler.py:40-56): IQR outlier fences — values
+    * outside [q1-1.5iqr, q3+1.5iqr] blanked to null. Quantiles are
+    * exact interpolated percentiles (matches pandas/DuckDB
+    * quantile_cont). Replicates quirk Q4: blanking only, no
+    * re-interpolation (the reference discards interpolate()'s result).
+    */
+  def iqrBlank(df: DataFrame, valueCol: String, keys: Seq[String],
+               p: Double = 0.25): DataFrame = {
+    val v = col(valueCol)
+    val q = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, ${p})").as("__q1"),
+           expr(s"percentile($valueCol, ${1 - p})").as("__q3"))
+      .withColumn("__lo", col("__q1") - (col("__q3") - col("__q1")) * 1.5)
+      .withColumn("__hi", col("__q3") + (col("__q3") - col("__q1")) * 1.5)
+    df.join(broadcast(q), keys)  // quantile table is tiny: one row per key
+      .withColumn("clean_value",
+        when(v < col("__lo") || v > col("__hi"), lit(null)).otherwise(v))
+      .drop("__q1", "__q3")
+  }
+
+  /** A6 (lib/canparser.py:244-260): lag-k timestamp-jump outlier filter.
+    * diff = ts[i] - ts[i-k] (first k rows: 0); drop rows where
+    * 1e11 < |diff| < 1e12 nanoseconds. Partitioned per file/key, as the
+    * reference operates per chunk. */
+  def timestampJumpFilter(df: DataFrame, tsCol: String, keys: Seq[String],
+                          k: Int = 10000, orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val win = w(keys, (tsCol +: orderTieBreak).map(col))
+    val diffNs = (unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), k).over(win))) * 1000L
+    val d = coalesce(diffNs, lit(0L))
+    df.withColumn("__d", abs(d))
+      .filter(!(col("__d") > 1e11.toLong && col("__d") < 1e12.toLong))
+      .drop("__d")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap from
+    * the previous event exceeds `gapSec`. Classic training-pipeline op;
+    * cumulative sum of new-session flags (exact integer arithmetic). */
+  def sessionize(df: DataFrame, tsCol: String, keys: Seq[String],
+                 gapSec: Long, orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (tsCol +: orderTieBreak).map(col)
+    val win = w(keys, ord)
+    val cumW = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(win))
+    val isNew = when(gap.isNull || gap > gapSec * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(isNew).over(cumW))
+  }
+
+  /** J1 (lib/unify_parsed_candump.py:13-27): union-merge — clip the
+    * reference dataset to the chunk's [min ts, max ts], concat, sort. */
+  def unionMerge(chunk: DataFrame, reference: DataFrame, tsCol: String): DataFrame = {
+    val Array(lo, hi) = chunk.agg(min(col(tsCol)), max(col(tsCol)))
+      .collect()(0).toSeq.toArray
+    chunk.unionByName(
+        reference.filter(col(tsCol).between(lit(lo), lit(hi))),
+        allowMissingColumns = true)
+      .orderBy(col(tsCol))
+  }
+}
