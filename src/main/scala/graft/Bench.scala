@@ -1,24 +1,77 @@
 package graft
+
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Besides the SparkEntry catalog, benchmarks the parse stage (E1) —
+  * the only reference-benchmarked path (BASELINE.md: ≈0.077 ms/line
+  * per worker) — over a candump corpus generated from the events
+  * table, and reports its ms/line rate for direct comparison.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // Headline: parse-stage throughput on a real candump text corpus.
+    val corpusDir = Files.createTempDirectory("graft_bench_candump")
+    val corpus = corpusDir.resolve("bench.log").toString
+    val nLines = writeCandumpCorpus(spark, sfDir, corpus)
+    val parseSec = time {
+      graft.pipeline.ParseStage.run(spark, corpus,
+        graft.sources.CanFixtures.schema).count()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    } :+ ("p00_canparse" -> parseSec)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val msPerLine = parseSec * 1000.0 / math.max(nLines, 1)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Deterministic candump corpus from the events table (same frame
+    * layout as SparkEntry's q21); ~40 frames per event to reach a
+    * parse-meaningful line count. Returns the line count. */
+  def writeCandumpCorpus(spark: SparkSession, sfDir: String, path: String): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val b = (c: org.apache.spark.sql.Column) => lpad(hex(c), 2, "0")
+    val lines = ev
+      .select(explode(sequence(lit(0), lit(39))).as("i"),
+        col("ts"), col("user_id"), col("event_id"))
+      .select(format_string("(%d.%06d) can0 021#%s",
+        expr("unix_micros(ts) div 1000000"),
+        expr("(unix_micros(ts) + i * 7) % 1000000"),
+        concat(lit("11"),
+          b(expr("user_id % 256")), b(expr("user_id div 256")),
+          b(expr("(event_id + i) % 256")), b(expr("(event_id + i) % 4")),
+          lit("00"))).as("value"))
+    val n = lines.count()
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    n
   }
 }

@@ -229,6 +229,26 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"value")
     }),
 
+    // §2.3 S1/P1-P6 + decoder: candump lines generated from `events`,
+    // run through the real regex scan + schema-driven decode (incl.
+    // quirks Q1/Q3); the oracle recomputes expected values straight
+    // from the source columns. Malformed/unknown/short frames injected
+    // and dropped on both sides.
+    "q21_can_decode" -> ((s, d) => {
+      canLong(t(s, d, "events"))
+        .select($"timestamp", $"module_name", $"topic_name", $"byte_name",
+          $"value", $"unit")
+        .orderBy($"timestamp", $"byte_name", $"value")
+    }),
+
+    // A1: long → wide pivot with schema-enumerated signal columns
+    // (lib/canparser.py:222-239)
+    "q22_can_pivot" -> ((s, d) => {
+      operators.CanDecode.pivotWide(canLong(t(s, d, "events")),
+          graft.sources.CanFixtures.schema)
+        .orderBy($"timestamp")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -244,6 +264,34 @@ object SparkEntry {
         .orderBy($"user_id", $"event_id")
     })
   )
+
+  /** events → synthetic candump corpus → frames → long decode.
+    * Payload layout mirrors [[graft.sources.CanFixtures]]: sig 0x11,
+    * CURR=user_id (u16le), DUTY=event_id%256, flags byte=event_id%4,
+    * one byte of padding to satisfy the Q3 over-counted length (6).
+    * Injected rejects: garbage text, unknown topic id (event_id%101),
+    * short 4-byte payload (event_id%103). */
+  private def canLong(events: DataFrame): DataFrame = {
+    val b = (c: Column) => lpad(hex(c), 2, "0")
+    val payloadOk = concat(lit("11"),
+      b(expr("user_id % 256")), b(expr("user_id div 256")),
+      b(expr("event_id % 256")), b(expr("event_id % 4")), lit("00"))
+    val payloadShort = concat(lit("11"),
+      b(expr("user_id % 256")), b(expr("user_id div 256")),
+      b(expr("event_id % 256")))
+    val topicStr = when(expr("event_id % 101 = 0"), lit("022")).otherwise(lit("021"))
+    val payload = when(expr("event_id % 103 = 0"), payloadShort).otherwise(payloadOk)
+    val lines = events.select(
+      format_string("(%d.%06d) can0 %s#%s",
+        expr("unix_micros(ts) div 1000000"), expr("unix_micros(ts) % 1000000"),
+        topicStr, payload).as("line"),
+      lit("gen.log").as("file"))
+    val garbage = events.sparkSession.range(1).select(
+      lit("(1580415599.609) can0 0z1#XYZW not-a-frame").as("line"),
+      lit("gen.log").as("file"))
+    val frames = graft.sources.Candump.framesFromLines(lines.unionByName(garbage))
+    operators.CanDecode.decodeLong(frames, graft.sources.CanFixtures.schema)
+  }
 
   // ---- DuckDB oracles -------------------------------------------------
 
@@ -408,6 +456,33 @@ object SparkEntry {
            SELECT ts, event_id, user_id, value FROM events WHERE event_type='click'
              AND ts BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds))
          ORDER BY ts, event_id""",
+
+    "q21_can_decode" ->
+      """WITH base AS (SELECT * FROM events
+           WHERE event_id % 101 != 0 AND event_id % 103 != 0),
+         fields AS (
+           SELECT ts AS timestamp, 'MOD17' AS module_name,
+                  'SENSOR' AS topic_name, 'SIGNATURE' AS byte_name,
+                  17.0 AS value, '' AS unit FROM base
+           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'CURR',
+             CAST(user_id AS DOUBLE)*(1.0/100), 'A' FROM base
+           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'DUTY',
+             CAST(event_id % 256 AS DOUBLE)*(1.0/100), 'V' FROM base
+           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG1',
+             CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255), '%' FROM base
+           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG2',
+             CAST(((event_id % 4) >> 1) & 1 AS DOUBLE), '' FROM base)
+         SELECT * FROM fields ORDER BY timestamp, byte_name, value""",
+
+    "q22_can_pivot" ->
+      """SELECT ts AS timestamp,
+           17.0 AS "MOD17__SENSOR__SIGNATURE",
+           CAST(user_id AS DOUBLE)*(1.0/100) AS "MOD17__SENSOR__CURR",
+           CAST(event_id % 256 AS DOUBLE)*(1.0/100) AS "MOD17__SENSOR__DUTY",
+           CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255) AS "MOD17__SENSOR__FLAG1",
+           CAST(((event_id % 4) >> 1) & 1 AS DOUBLE) AS "MOD17__SENSOR__FLAG2"
+         FROM events WHERE event_id % 101 != 0 AND event_id % 103 != 0
+         ORDER BY timestamp""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

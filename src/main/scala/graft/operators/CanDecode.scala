@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.CanSchema
+import graft.sources.CanSchema.{Bit, FieldSpec, Schema, U16LE, U8}
+
+/** §2.3 — the CAN payload decoder as a schema-driven *generated
+  * projection*: for every (signature, topic) in the can_ids schema the
+  * driver emits a branch of a flat `coalesce(when(...), ...)` producing
+  * `array(struct(module, topic, field, value, unit))`, followed by one
+  * `explode`. Everything is built-in Column expressions over the hex
+  * payload string (substring + conv + arithmetic), so the whole decode
+  * stays inside whole-stage codegen — no UDFs, no per-row Python-style
+  * interpretation (the reference's process_message + ctypes,
+  * lib/canparser.py:119-171, lib/canparser_generator.py:28-115).
+  *
+  * Replicated quirks (SURVEY.md §2.8): Q1 ordinal units, Q3 over-counted
+  * declared size (both baked into [[CanSchema]]), Q5 mab20 workaround.
+  */
+object CanDecode {
+
+  /** hex byte at 0-based offset `off` of the payload hex string. */
+  private def byteAt(payloadHex: Column, off: Int): Column =
+    conv(substring(payloadHex, off * 2 + 1, 2), 16, 10).cast("int")
+
+  private def fieldValue(payloadHex: Column, f: FieldSpec): Column = {
+    val raw = f.kind match {
+      case U8 => byteAt(payloadHex, f.byteOffset)
+      case U16LE =>
+        byteAt(payloadHex, f.byteOffset) +
+          byteAt(payloadHex, f.byteOffset + 1) * 256
+      case Bit(b) =>
+        shiftright(byteAt(payloadHex, f.byteOffset), b).bitwiseAND(lit(1))
+    }
+    raw.cast("double") * lit(f.scale)
+  }
+
+  /** Decode a frame table (from [[graft.sources.Candump.frames]]) into
+    * the long tidy form: one row per decoded field —
+    * (timestamp, module_name, topic_name, byte_name, value, unit),
+    * plus pass-through `carryCols` (e.g. file, line_id).
+    *
+    * Frames with unknown signature/topic or payload-length mismatch
+    * (against the Q3 declared size) decode to null arrays and are
+    * dropped by the explode, matching the reference's silent drops
+    * (lib/canparser.py:135-145, :81-90).
+    */
+  def decodeLong(frames: DataFrame, schema: Schema,
+                 mab20Workaround: Boolean = false,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val payload0 = col("payload_hex")
+    // Q5 — mab20 (lib/canparser.py:127-133): topic 65 → signature 230
+    // and payload truncated to 2 bytes; topic 64 → signature 230.
+    val payload =
+      if (mab20Workaround)
+        when(col("topic") === 65, substring(payload0, 1, 4)).otherwise(payload0)
+      else payload0
+    val sigRaw = byteAt(payload, 0)
+    val sig =
+      if (mab20Workaround)
+        when(col("topic") === 65 || col("topic") === 64, lit(230)).otherwise(sigRaw)
+      else sigRaw
+
+    val branches: Seq[Column] = schema.allTopics.map { case (m, t) =>
+      val cond = sig === m.signature && col("topic") === t.id &&
+        length(payload) === t.declaredSize * 2
+      when(cond, array(t.fields.map(f => struct(
+        lit(m.name).as("module_name"),
+        lit(t.name).as("topic_name"),
+        lit(f.name).as("byte_name"),
+        fieldValue(payload, f).as("value"),
+        lit(f.unitLabel).as("unit"))): _*))
+    }
+    // flat coalesce keeps codegen shallow vs. a 136-deep CaseWhen chain
+    val decoded = coalesce(branches: _*)
+    frames
+      .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+        explode(decoded).as("f")): _*)
+      .select((carryCols.map(col) :+ col("timestamp") :+
+        col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
+        col("f.value") :+ col("f.unit")): _*)
+  }
+
+  /** A1 (lib/canparser.py:222-239) — long → wide signal matrix:
+    * duplicate (signal, timestamp) pairs are averaged, then pivoted to
+    * one float column per `MODULE__TOPIC__FIELD`, with the pivot value
+    * list enumerated from the schema (no extra distinct scan).
+    *
+    * Two-step aggregation keeps the shuffle compact and
+    * partial-aggregatable: first a hash agg on (keys, ts, signal) —
+    * map-side combine shrinks duplicates before the exchange — then the
+    * pivot only reshapes the already-aggregated rows with `first`.
+    */
+  def pivotWide(long: DataFrame, schema: Schema,
+                keys: Seq[String] = Nil): DataFrame = {
+    val signal = concat_ws("__",
+      col("module_name"), col("topic_name"), col("byte_name"))
+    val agg = long
+      .groupBy((keys.map(col) :+ col("timestamp") :+ signal.as("signal")): _*)
+      .agg(avg(col("value")).as("avg_value"))
+    agg.groupBy((keys.map(col) :+ col("timestamp")): _*)
+      .pivot("signal", schema.wideColumns)
+      .agg(first(col("avg_value")))
+  }
+
+  /** Q6 parity helper — IEEE half-precision (float16) quantization the
+    * reference applies to the wide matrix (lib/canparser.py:234).
+    * Round-to-nearest-even at 10 mantissa bits, preserving subnormals,
+    * infinities and NaN. Pure Column math (no UDF) so it can be used in
+    * oracle-parity tests; the engine itself keeps float32+ (documented
+    * deviation, SURVEY.md §1.2).
+    */
+  def float16Round(c: Column): Column = {
+    val f = c.cast("float").cast("double")
+    val absF = abs(f)
+    // exponent of the half-precision representation
+    val e = floor(log2(absF))
+    val eClamped = greatest(e, lit(-14.0)) // subnormal floor
+    val step = pow(lit(2.0), eClamped - 10)
+    val q = rint(f / step) * step
+    val overflow = absF > lit(65519.5) // half-precision max rounding bound
+    when(f.isNull || f === 0.0 || f.isNaN, f)
+      .when(overflow, when(f > 0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(q)
+  }
+}
