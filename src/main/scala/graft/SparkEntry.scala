@@ -229,6 +229,23 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"value")
     }),
 
+    // F9-F11: solar scalar chain — Kasten-Young airmass, Spencer
+    // extraterrestrial DNI, isotropic POA transposition — over
+    // synthetic irradiance inputs (the PSA solar position itself is
+    // golden-validated in SolarSpec against the NREL SPA test vector)
+    "q23_solar" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("zen", (expr("event_id % 60") + lit(30)).cast("double"))
+        .withColumn("az", (expr("(event_id * 7) % 360")).cast("double"))
+      ev.select($"event_id",
+          round(graft.functions.Solar.poaGlobalIsotropic(
+            lit(15.0), lit(180.0), $"zen", $"az",
+            $"value", $"value" * 0.8, $"value" * 0.3, lit(0.08)), 6).as("poa"),
+          round(graft.functions.Solar.airmassRelative($"zen"), 6).as("airmass"),
+          round(graft.functions.Solar.extraRadiation($"ts"), 6).as("dni_extra"))
+        .orderBy($"event_id")
+    }),
+
     // §2.3 S1/P1-P6 + decoder: candump lines generated from `events`,
     // run through the real regex scan + schema-driven decode (incl.
     // quirks Q1/Q3); the oracle recomputes expected values straight
@@ -456,6 +473,28 @@ object SparkEntry {
            SELECT ts, event_id, user_id, value FROM events WHERE event_type='click'
              AND ts BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds))
          ORDER BY ts, event_id""",
+
+    "q23_solar" ->
+      """WITH s AS (SELECT event_id, ts, value,
+           CAST(event_id % 60 + 30 AS DOUBLE) AS zen,
+           CAST((event_id * 7) % 360 AS DOUBLE) AS az
+         FROM events)
+         SELECT event_id,
+           round(value * greatest(
+               cos(radians(15.0))*cos(radians(zen)) +
+               sin(radians(15.0))*sin(radians(zen))*cos(radians(az - 180.0)),
+               0.0)
+             + (value*0.3) * (1.0 + cos(radians(15.0))) / 2.0
+             + (value*0.8) * 0.08 * (1.0 - cos(radians(15.0))) / 2.0, 6) AS poa,
+           round(1.0 / (cos(radians(zen)) +
+             0.50572 * pow(96.07995 - zen, -1.6364)), 6) AS airmass,
+           round(1366.1 * (1.00011
+             + 0.034221 * cos(2*pi()/365.0 * (dayofyear(ts) - 1))
+             + 0.00128  * sin(2*pi()/365.0 * (dayofyear(ts) - 1))
+             + 0.000719 * cos(2 * (2*pi()/365.0 * (dayofyear(ts) - 1)))
+             + 0.000077 * sin(2 * (2*pi()/365.0 * (dayofyear(ts) - 1)))), 6)
+             AS dni_extra
+         FROM s ORDER BY event_id""",
 
     "q21_can_decode" ->
       """WITH base AS (SELECT * FROM events
