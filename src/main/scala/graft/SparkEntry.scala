@@ -266,6 +266,65 @@ object SparkEntry {
         .orderBy($"timestamp")
     }),
 
+    // MinHash+LSH near-dup detection (shingle → minhash → band →
+    // bucket-join → exact-Jaccard verify). Corpus = documents plus
+    // perturbed copies of every 7th doc; the oracle computes the TRUE
+    // exhaustive jaccard pairs in SQL, so this checks 100% recall of
+    // the LSH pipeline on this corpus (r=2 × 32 bands ⇒ miss
+    // probability ~1e-15 at j≥0.8) plus exact verification.
+    "q24_minhash_neardup" -> ((s, d) => {
+      operators.Dedup.minhashNearDups(dupCorpus(t(s, d, "documents")),
+          "doc_id", "text", shingleK = 5, numHashes = 64, bands = 32,
+          threshold = 0.8)
+        .select($"a", $"b")
+        .orderBy($"a", $"b")
+    }),
+
+    // SimHash near-dups (no SQL oracle — xxhash64 has no DuckDB
+    // equivalent; covered by DedupSpec instead → rows-only check)
+    "q25_simhash_neardup" -> ((s, d) => {
+      operators.Dedup.simhashNearDups(dupCorpus(t(s, d, "documents")),
+          "doc_id", "text", maxHamming = 3)
+        .select($"a", $"b", $"hamming")
+        .orderBy($"a", $"b")
+    }),
+
+    // Brute-force cosine top-k ANN baseline; ranking on bit-identical
+    // doubles (sequential fold == DuckDB list_dot_product)
+    "q26_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 3)
+        .select($"query_id", $"neighbor_id", $"rank",
+          round($"cosine", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Text curation profile: token counts, punctuation, case ratio,
+    // language-ID heuristic, composite quality score
+    "q27_text_profile" -> ((s, d) => {
+      operators.TextAnalysis.profile(t(s, d, "documents"), "text")
+        .select($"doc_id", $"n_tokens", $"n_tokens_bpeish", $"n_punct",
+          $"upper_ratio", $"pred_lang", $"quality")
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal plumbing: binary payloads → per-partition decode
+    // (stubbed codec) + frame sampling. Not SQL-expressible →
+    // rows-only check; exact values covered by MultimodalSpec.
+    "q28_multimodal" -> ((s, d) => {
+      val media = operators.Multimodal.syntheticMedia(t(s, d, "documents"))
+      val dec = operators.Multimodal.withDecodedFeatures(media, "payload",
+        "synthetic/raw", dim = 16)
+      val frames = operators.Multimodal.sampleFrames(dec, "payload", 64, 2)
+      frames.groupBy($"media_id")
+        .agg(first($"feat_dim").as("feat_dim"),
+             first($"meta.duration_ms").as("payload_len"),
+             count(lit(1)).as("n_frames"),
+             round(sum(abs(element_at($"feat", 1))), 6).as("feat_l1_head"))
+        .orderBy($"media_id")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -309,6 +368,14 @@ object SparkEntry {
     val frames = graft.sources.Candump.framesFromLines(lines.unionByName(garbage))
     operators.CanDecode.decodeLong(frames, graft.sources.CanFixtures.schema)
   }
+
+  /** documents ∪ perturbed copies of every 7th doc (ids +1,000,000) —
+    * the near-dup test corpus shared by q24/q25. */
+  private def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", $"text").unionByName(
+      docs.filter(expr("doc_id % 7 = 0"))
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" xyzzy qbf")).as("text")))
 
   // ---- DuckDB oracles -------------------------------------------------
 
@@ -473,6 +540,74 @@ object SparkEntry {
            SELECT ts, event_id, user_id, value FROM events WHERE event_type='click'
              AND ts BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds))
          ORDER BY ts, event_id""",
+
+    "q24_minhash_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, lower(text) tx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lower(text || ' xyzzy qbf')
+           FROM documents WHERE doc_id % 7 = 0),
+         sh AS (SELECT DISTINCT doc_id, substr(tx, i, 5) AS s
+           FROM corpus, LATERAL (SELECT unnest(generate_series(1,
+             greatest(length(tx)-4, 1))) AS i)),
+         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8 ORDER BY a, b""",
+
+    "q26_ann_topk" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos_raw, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q27_text_profile" ->
+      """WITH p AS (SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_tokens_bpeish,
+           length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+           (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))*1.0
+             / greatest(length(text), 1) AS upper_ratio,
+           len(regexp_extract_all(lower(text), '\bthe\b|\band\b|\bof\b|\bto\b|\bis\b')) AS s_en,
+           len(regexp_extract_all(lower(text), '\bder\b|\bdie\b|\bund\b|\bist\b|\bnicht\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\ble\b|\bla\b|\bet\b|\best\b|\bles\b')) AS s_fr,
+           len(regexp_extract_all(lower(text), '\bel\b|\bla\b|\by\b|\bes\b|\blos\b')) AS s_es,
+           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+         FROM documents),
+         q AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best,
+           length(text)*1.0 AS l,
+           len(regexp_split_to_array(trim(text), '\s+'))*1.0 AS tk
+         FROM p)
+         SELECT doc_id, n_tokens, n_tokens_bpeish, n_punct,
+           round(upper_ratio, 6) AS upper_ratio,
+           CASE WHEN cjk > 0 THEN 'zh' WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+                WHEN s_fr = best THEN 'fr' ELSE 'es' END AS pred_lang,
+           round(
+             (CASE WHEN l >= 100 AND l <= 10000 THEN 1.0
+                   WHEN l < 100 THEN l/100.0 ELSE 10000.0/l END) * 0.4 +
+             (CASE WHEN (l-(tk-1))/greatest(tk,1.0) >= 3
+                    AND (l-(tk-1))/greatest(tk,1.0) <= 10
+                   THEN 1.0 ELSE 0.5 END) * 0.3 +
+             (CASE WHEN (length(text) - length(regexp_replace(text,
+                     '[.,!?;:''"()\[\]{}-]', '', 'g')))*1.0/greatest(l,1.0) <= 0.1
+                   THEN 1.0 ELSE greatest(0.0, 1.0 -
+                     (length(text) - length(regexp_replace(text,
+                       '[.,!?;:''"()\[\]{}-]', '', 'g')))*1.0/greatest(l,1.0)*2)
+              END) * 0.3, 6) AS quality
+         FROM q ORDER BY doc_id""",
 
     "q23_solar" ->
       """WITH s AS (SELECT event_id, ts, value,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata structs, processed batch-wise with
+  * `mapPartitions` (the Scala analogue of `mapInPandas` — one
+  * iterator per partition, so a real decoder would amortize library
+  * init per batch, not per row).
+  *
+  * The actual media decoding is STUBBED — this container has no
+  * image/audio codecs — with a clearly-marked deterministic fake
+  * (seeded from the bytes) so the Spark-side plumbing (schemas,
+  * partitioning, batch iteration, feature shapes) is real and
+  * testable; swap [[decodeStub]] for a codec-backed implementation in
+  * production.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureSchemaFields: Seq[StructField] = Seq(
+    StructField("feat", ArrayType(FloatType)),
+    StructField("feat_dim", IntegerType))
+
+  /** STUB decoder — deterministic fake "features" derived from the
+    * payload bytes (xxhash-like mixing), standing in for a real
+    * image/audio decode + embed. Replace with a codec in production;
+    * the signature (bytes → fixed-dim float vector) is the real
+    * contract. */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 0x9E3779B97F4A7C15L
+    bytes.foreach { b => h = (h ^ (b & 0xFFL)) * 0xC2B2AE3D27D4EB4FL }
+    val out = new Array[Float](dim)
+    var s = h
+    var i = 0
+    while (i < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((s >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+      i += 1
+    }
+    out
+  }
+
+  /** Attach metadata + stub features to a binary media column,
+    * batch-wise per partition. Schema-preserving: appends
+    * (meta struct, feat array, feat_dim). */
+  def withDecodedFeatures(df: DataFrame, binaryCol: String, format: String,
+                          dim: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("meta", mediaMetaType)) ++ featureSchemaFields)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      // per-partition init happens HERE in a real decoder (codec setup)
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val n = if (bytes == null) 0 else bytes.length
+        val meta = Row(format, n % 1920, n % 1080, 3, n.toLong)
+        val feat = if (n == 0) Array.empty[Float] else decodeStub(bytes, dim)
+        Row.fromSeq(row.toSeq ++ Seq(meta, feat, feat.length))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * chunk of the binary becomes a frame row (posexplode — the real
+    * shape of a frame-sampling pipeline; the chunking stands in for
+    * keyframe extraction). */
+  def sampleFrames(df: DataFrame, binaryCol: String, frameBytes: Int,
+                   stride: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(expr(
+        s"transform(sequence(0, greatest(int(length($binaryCol)/$frameBytes) - 1, 0), $stride), " +
+          s"i -> substring($binaryCol, i*$frameBytes + 1, $frameBytes))"))
+        .as(Seq("frame_no", "frame_bytes")))
+
+  /** Build a synthetic media table from the documents table (text
+    * bytes as payload) — used by tests and the bench to exercise the
+    * plumbing with realistic row sizes. */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("synthetic/raw").as("container"))
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k — one scan of
+  * the corpus per query batch, queries broadcast (the small side), so
+  * the cost is O(|corpus| × |queries|) FLOPs with no shuffle of the
+  * corpus. Scale path: LSH-bucketed search via deterministic random
+  * hyperplanes — each corpus vector is hashed once, queries probe only
+  * their bucket (plus multi-probe neighbors), turning the scan into a
+  * bucket join.
+  */
+object Similarity {
+
+  /** element-wise dot product of two double arrays (codegen'd
+    * higher-order functions, array-order accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest
+    * corpus rows. `queries` must be small enough to broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): ±1 from a seeded hash — reproducible across runs and
+    * engines, no RNG state. */
+  private def planeSign(p: Int, d: Column): Column =
+    when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p).
+    * Planes are ±1-component vectors derived from xxhash64(p, dim). */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val vd = asDouble(vec)
+    val projections = (0 until planes).map { p =>
+      // v · plane_p via posexplode-free expression: aggregate over dims
+      aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, i) => x * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    projections.zipWithIndex.map { case (proj, i) =>
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: corpus hashed once into `planes`-bit buckets;
+    * each query probes its own bucket plus all 1-bit-flip neighbor
+    * buckets (multi-probe), then exact cosine ranks the bucket
+    * contents. Recall < 1 by construction (approximate); probe count
+    * bounds the cost at scale. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 12): DataFrame = {
+    val hashedCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val qh = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneSignature(col(vecCol), planes).as("__qb"))
+    // multi-probe: own bucket + 1-bit flips
+    val probes = qh.select(col("query_id"), col("__qv"),
+      explode(array((col("__qb") +:
+        (0 until planes).map(b => col("__qb").bitwiseXOR(lit(1L << b)))): _*))
+        .as("bucket"))
+    val scored = probes.join(hashedCorpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via the
+    * LSH buckets (no O(n²) cross join). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 10): DataFrame = {
+    val hashed = df.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val l = hashed.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("__va"))
+    val r = hashed.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("__vb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine").distinct()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All
+  * closed-form Column expressions (whole-stage codegen, trivially
+  * distributable; no shuffles except explicit aggregations).
+  */
+object TextAnalysis {
+
+  /** whitespace token count (split on runs of whitespace). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: word chunks + digits + punctuation as
+    * separate tokens (a regex approximation of byte-pair tokenizers:
+    * ~4 chars/token on English text). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** per-language stopword hit counts — the classic n-gram/stopword
+    * heuristic. Counts word-boundary occurrences of a few
+    * high-frequency function words per language. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+  )
+
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwords(lang).map { w =>
+      size(regexp_extract_all(lower(text), lit(s"\\b$w\\b"), lit(0)))
+    }.reduce(_ + _)
+
+  /** Language-ID heuristic: CJK characters → zh; otherwise the
+    * language with the most stopword hits (ties broken by fixed
+    * order en > de > fr > es; no hits → "und"). */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(text, l))
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(cjk > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length,
+    * high punctuation density, low stopword density — the usual
+    * cheap pre-filters for web-scraped corpora. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val meanTokLen = (len - (toks - 1)) / greatest(toks, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val lenScore = when(len >= 100 && len <= 10000, lit(1.0))
+      .when(len < 100, len / 100.0)
+      .otherwise(lit(10000.0) / len)
+    val tokScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0))
+      .otherwise(lit(0.5))
+    val punctScore = when(punctRatio <= 0.1, lit(1.0))
+      .otherwise(greatest(lit(0.0), lit(1.0) - punctRatio * 2))
+    round(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3, 6)
+  }
+
+  /** Rolling polynomial (Rabin-Karp-style) hash fingerprint over the
+    * normalized token stream: h = Σ tok_hash_i · 31^(n-1-i) mod p.
+    * Order-sensitive (unlike a bag-of-words hash) and incremental at
+    * scale. p < 2^57 keeps `acc*31 + tok` inside signed-64 range
+    * (Spark 4 runs ANSI mode — overflow would throw, not wrap). */
+  def rollingFingerprint(text: Column): Column = {
+    val m = lit(100000000000000003L) // prime ~1e17; 31·m < 2^63
+    val toks = split(lower(trim(text)), "\\s+")
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
+  }
+
+  /** One-call document profile used by the curation pipeline. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(col(textCol)))
+      .withColumn("n_punct", punctCount(col(textCol)))
+      .withColumn("upper_ratio", round(upperRatio(col(textCol)), 6))
+      .withColumn("pred_lang", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", rollingFingerprint(col(textCol)))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near dup
+    (4L, "completely different content about solar boats and battery telemetry"),
+    (5L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter($"doc_id" === 2).count() == 0)
+  }
+
+  test("minhash near-dups find exact+near pairs, skip distinct docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("identical docs have jaccard exactly 1.0") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val j = Dedup.jaccardVerify(Seq((1L, 2L)).toDF("a", "b"), sh, "doc_id")
+      .select("jaccard").collect()(0).getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical → hamming 0; near → small; distinct → large") {
+    val hs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 10)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 10)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard near-dups: word-level 4-grams") {
+    val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+        n = 4, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("embedding cosine near-dups via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // ~same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  test("brute-force top-k: self excluded, ranks deterministic, cosine in [-1,1]") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 4)
+    val rows = out.collect()
+    assert(rows.length == 20) // 5 queries × 4
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // ranks are 1..4 per query, cosine non-increasing
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4))
+      assert(sorted.sliding(2).forall(p =>
+        p(0).getDouble(2) >= p(1).getDouble(2) - 1e-12))
+    }
+  }
+
+  test("LSH top-k recall on planted near-duplicates (multi-probe)") {
+    // plant perturbed copies (cosine ≈ 0.9999 to their source): the
+    // true top-1 of each query IS its copy; LSH must find it through
+    // the bucket structure. Random-pair cosine here is ~0.3, so this
+    // is the regime hyperplane LSH is designed for.
+    val copies = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: top-1 of query q is its planted copy q+100000
+    assert(bf.forall { case (q, n) => n == q + 100000L }, s"bf $bf")
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 1,
+        planes = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = bf.count { case (q, n) => lsh.get(q).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.8, s"LSH top-1 recall $recall")
+  }
+
+  test("dot/cosine on hand vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c"))
+    val c = df.collect()(0).getDouble(0)
+    val want = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert(math.abs(c - want) < 1e-12)
+  }
+}

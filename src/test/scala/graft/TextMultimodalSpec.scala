@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId heuristic picks the right language on real phrases") {
+    val df = Seq(
+      ("en", "the cat and the dog went to the park and it is sunny"),
+      ("de", "der hund und die katze sind nicht im haus und das ist gut"),
+      ("fr", "le chat et la souris sont dans la maison et c'est les vacances"),
+      ("es", "el perro y la casa y los gatos es bonita y es grande"),
+      ("zh", "这是一个中文句子")
+    ).toDF("want", "text")
+    val got = df.select($"want", TextAnalysis.langId($"text").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token counts and quality bounds") {
+    val df = Seq(
+      "a clean well formed sentence with reasonable words here",
+      "!!! ??? ;;; ::: ,,, ... ((( )))",
+      "x"
+    ).toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.bpeishTokenCount($"text").as("nb"),
+      TextAnalysis.qualityScore($"text").as("q")).collect()
+    assert(out(0).getInt(0) == 9)
+    assert(out(0).getInt(1) >= 9) // subword ≥ word count
+    assert(out(0).getDouble(2) > out(1).getDouble(2)) // punct soup scores lower
+    assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("rolling fingerprint: order-sensitive, whitespace-normalized") {
+    val df = Seq(
+      ("a", "alpha beta gamma"),
+      ("b", "alpha  beta   gamma"), // extra whitespace → same tokens
+      ("c", "gamma beta alpha")     // different order → different hash
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.rollingFingerprint($"text").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b"))
+    assert(fp("a") != fp("c"))
+  }
+
+  test("multimodal: stub decode is deterministic, frame sampling shapes") {
+    val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs)
+    val dec = Multimodal.withDecodedFeatures(media, "payload", "img", dim = 8)
+    val rows = dec.select("media_id", "feat", "feat_dim").collect()
+    assert(rows.forall(_.getInt(2) == 8))
+    // deterministic: same payload → same features on re-run
+    val again = Multimodal.withDecodedFeatures(media, "payload", "img", dim = 8)
+      .select("media_id", "feat").collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSet ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toSet)
+    val frames = Multimodal.sampleFrames(dec, "payload", 50, 1)
+    // 200-byte payload → 4 frames of 50; 3-byte → 1 (clamped)
+    val counts = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 4 && counts(2L) == 1)
+  }
+}
