@@ -137,35 +137,53 @@ object TimeSeries {
     * a next non-null value must exist.
     */
   def interpolateLinear(df: DataFrame, tsCol: String, valueCol: String,
-                        keys: Seq[String], maxGap: Int = 0): DataFrame = {
-    val ord = Seq(col(tsCol))
-    val prevW = w(keys, ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nextW = w(keys, ord).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val v = col(valueCol)
+                        keys: Seq[String], maxGap: Int = 0,
+                        fillForward: Boolean = false): DataFrame = {
+    val out = interpolateMany(df, tsCol, Seq(valueCol), keys, maxGap,
+      fillForward, outPrefix = "interp__")
+    out.withColumnRenamed(s"interp__$valueCol", "interp_value")
+  }
+
+  /** Multi-column variant of [[interpolateLinear]]: all columns share
+    * ONE window pass (same partitioning/ordering spec → a single
+    * Window operator with many expressions), which keeps the plan
+    * linear when interpolating hundreds of telemetry signals
+    * (lib/resampler.py applies interpolate() to the whole wide frame).
+    * Adds `outPrefix+c` for each input column.
+    *
+    * Gap accounting without a second partitioning: the position of a
+    * null row within its run = rn − rn(last non-null at-or-before) —
+    * pandas interpolate(limit=n) fills only positions ≤ n.
+    */
+  def interpolateMany(df: DataFrame, tsCol: String, valueCols: Seq[String],
+                      keys: Seq[String], maxGap: Int = 0,
+                      fillForward: Boolean = false,
+                      outPrefix: String = "interp__",
+                      orderTieBreak: Seq[Column] = Nil): DataFrame = {
+    val ord = col(tsCol) +: orderTieBreak
+    val base = w(keys, ord)
+    val prevW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val t = unix_micros(col(tsCol)).cast("double")
-    val vTs = when(v.isNotNull, t)
-    val prevV = last(v, ignoreNulls = true).over(prevW)
-    val nextV = first(v, ignoreNulls = true).over(nextW)
-    val prevT = last(vTs, ignoreNulls = true).over(prevW)
-    val nextT = first(vTs, ignoreNulls = true).over(nextW)
-    val frac = (t - col("__pt")) / (col("__nt") - col("__pt"))
-    // Null-run bookkeeping: __grp = running count of non-nulls groups
-    // each null run with its preceding non-null row; position within
-    // the run = rn - min(rn of group). pandas interpolate(limit=n)
-    // fills only the first n nulls of a run, from the left.
-    val base = df
-      .withColumn("__rn", row_number().over(w(keys, ord)))
-      .withColumn("__grp", count(v).over(prevW))
-      .withColumn("__pv", prevV).withColumn("__nv", nextV)
-      .withColumn("__pt", prevT).withColumn("__nt", nextT)
-    val grpW = Window.partitionBy((keys :+ "__grp").map(col): _*)
-    val withGap = base.withColumn("__gap", col("__rn") - min(col("__rn")).over(grpW))
-    val interp = when(v.isNotNull, v).otherwise(
-      when(col("__pv").isNotNull && col("__nv").isNotNull &&
-           (lit(maxGap) <= 0 || col("__gap") <= maxGap),
-        col("__pv") + (col("__nv") - col("__pv")) * frac))
-    withGap.withColumn("interp_value", interp)
-      .drop("__rn", "__pv", "__nv", "__pt", "__nt", "__grp", "__gap")
+    val rn = row_number().over(base)
+    val withRn = df.withColumn("__rn", rn)
+    val interpCols = valueCols.map { c =>
+      val v = col(c)
+      val pv = last(v, ignoreNulls = true).over(prevW)
+      val nv = first(v, ignoreNulls = true).over(nextW)
+      val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(prevW)
+      val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(nextW)
+      val prevRn = last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(prevW)
+      val gap = col("__rn") - prevRn
+      val frac = (t - pt) / (nt - pt)
+      val trailing = if (fillForward) when(pv.isNotNull && nv.isNull, pv) else lit(null)
+      when(v.isNotNull, v).otherwise(
+        when(pv.isNotNull && nv.isNotNull &&
+             (lit(maxGap) <= 0 || gap <= maxGap),
+          pv + (nv - pv) * frac)
+          .otherwise(trailing)).as(s"$outPrefix$c")
+    }
+    withRn.select(col("*") +: interpCols: _*).drop("__rn")
   }
 
   /** A5/P12 (lib/resampler.py:40-56): IQR outlier fences — values

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Solar
+import graft.operators.TimeSeries
+
+/** E3 (solar side) — process_solcast_historic_data.process
+  * (lib/process_solcast_historic_data.py:74-106): Solcast historical
+  * CSV → renamed irradiance columns → POA at ts + period/2 → event
+  * time slice → cumulative trapezoidal energy (Wh) → sink.
+  */
+object SolarStage {
+
+  final case class Site(latitude: Double, longitude: Double,
+                        tz: String = "America/Sao_Paulo",
+                        surfaceTilt: Double = 0.0, surfaceAzimuth: Double = 0.0)
+
+  /** S5 — Solcast CSV scan + renames (P11). PeriodStart/PeriodEnd are
+    * ISO8601 with offset; parsed to UTC instants. */
+  def readSolcastCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        to_timestamp(col("PeriodStart")).as("timestamp"),
+        col("Dni").cast("double").as("dni"),
+        col("Ghi").cast("double").as("ghi"),
+        col("Dhi").cast("double").as("dhi"),
+        col("Airmass").cast("double").as("airmass"),
+        col("AlbedoDaily").cast("double").as("albedo"))
+
+  /** F8-F11 — add the POA column: solar position computed at
+    * ts + period/2 (the reference's timeshift), reported at ts. */
+  def withPoa(df: DataFrame, site: Site, periodSec: Long): DataFrame = {
+    val shifted = timestamp_micros(unix_micros(col("timestamp")) +
+      lit(periodSec * 500000L)) // +T/2
+    val pos = Solar.solarPosition(shifted,
+      lit(site.latitude), lit(site.longitude))
+    df.withColumn("__pos", pos)
+      .withColumn("poa", Solar.poaGlobalIsotropic(
+        lit(site.surfaceTilt), lit(site.surfaceAzimuth),
+        col("__pos.apparent_zenith"), col("__pos.azimuth"),
+        col("dni"), col("ghi"), col("dhi"), col("albedo")))
+      .drop("__pos")
+  }
+
+  /** Full stage: CSV → poa → inclusive event slice (P7) → energy (A9). */
+  def process(spark: SparkSession, inputCsv: String, site: Site,
+              eventStart: String, eventEnd: String,
+              periodSec: Long = 300): DataFrame = {
+    val df = withPoa(readSolcastCsv(spark, inputCsv), site, periodSec)
+      // P7: pandas label slice — inclusive on both ends
+      .filter(col("timestamp").between(lit(eventStart), lit(eventEnd)))
+      .withColumn("__k", lit(1))
+    TimeSeries.cumtrapz(df, "timestamp", "poa", Seq("__k"))
+      .withColumnRenamed("integral", "energy")
+      .drop("__k")
+  }
+}

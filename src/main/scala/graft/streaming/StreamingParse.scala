@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.CanDecode
+import graft.sources.{Candump, CanSchema}
+
+/** Streaming variant of the parse stage (SURVEY.md §2.7): the candump
+  * regex-decode pipeline is stateless per line, so it runs unchanged
+  * as a Structured Streaming file-source query — new .log files
+  * appearing under the input directory are parsed incrementally with
+  * checkpoint-backed exactly-once sinks (the scalable replacement for
+  * the reference's skip-if-exists restart logic, S9).
+  *
+  * A watermarked tumbling-window mean (the streaming face of the
+  * resample stage A2) is exposed as [[resampleStream]]; the
+  * interpolation stage stays batch (not streaming-friendly —
+  * documented in SURVEY.md).
+  */
+object StreamingParse {
+
+  /** Incremental candump → decoded long rows. */
+  def decodedStream(spark: SparkSession, inputDir: String,
+                    schema: CanSchema.Schema,
+                    mab20Workaround: Boolean = false): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(inputDir)
+      .withColumn("file", input_file_name())
+      .withColumnRenamed("value", "line")
+    // framesFromLines minus the batch-only monotonic id (streaming
+    // sources forbid it; order-dependent ops stay in the batch path)
+    val frames = lines
+      .select(col("file"),
+        explode(regexp_extract_all(col("line"), lit(Candump.frameRegex), lit(0)))
+          .as("frame"))
+      .select(col("file"),
+        regexp_extract(col("frame"), Candump.frameRegex, 1).as("ts_str"),
+        conv(regexp_extract(col("frame"), Candump.frameRegex, 3), 16, 10)
+          .cast("int").as("topic"),
+        upper(regexp_extract(col("frame"), Candump.frameRegex, 4)).as("payload_hex"))
+      .withColumn("ts", timestamp_micros(
+        expr("CAST(substring(ts_str, 1, 10) AS BIGINT) * 1000000L" +
+             " + CAST(substring(ts_str, 12, 6) AS BIGINT)")))
+      .drop("ts_str")
+    CanDecode.decodeLong(frames, schema, mab20Workaround, carryCols = Seq("file"))
+  }
+
+  /** Watermarked tumbling-window mean per signal — the streaming
+    * resample (append mode emits a bin once the watermark passes it). */
+  def resampleStream(decoded: DataFrame, periodSec: Long,
+                     watermark: String = "30 seconds"): DataFrame =
+    decoded
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        window(col("timestamp"), s"$periodSec seconds").as("bin"),
+        concat_ws("__", col("module_name"), col("topic_name"),
+          col("byte_name")).as("signal"))
+      .agg(avg(col("value")).as("mean_value"), count(lit(1)).as("n"))
+      .select(col("bin.start").as("timestamp"), col("signal"),
+        col("mean_value"), col("n"))
+
+  /** Wire a decoded stream to a parquet sink with checkpointing. */
+  def sinkParquet(df: DataFrame, outPath: String,
+                  checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .outputMode("append")
+}
