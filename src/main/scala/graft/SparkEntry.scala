@@ -138,8 +138,11 @@ object SparkEntry {
       val b = TimeSeries.resampleAgg(ev, "ts", 3600, Seq("user_id"), "value")
         .select($"user_id", $"bucket_ts", $"mean_value")
       val bounds = b.agg(min($"bucket_ts").as("lo"), max($"bucket_ts").as("hi"))
+      // repartition after the 1-row explode: without it the whole grid
+      // (users × hours) would stream through a single task
       val grid = bounds.select(explode(sequence($"lo", $"hi",
           expr("INTERVAL 3600 SECONDS"))).as("bucket_ts"))
+        .repartition(s.sparkContext.defaultParallelism)
         .crossJoin(ev.select($"user_id").distinct())
       val joined = grid.join(b, Seq("user_id", "bucket_ts"), "left")
       // no final rounding: every input (round(sum,2)/n means, exact µs
@@ -266,16 +269,18 @@ object SparkEntry {
         .orderBy($"timestamp")
     }),
 
-    // MinHash+LSH near-dup detection (shingle → minhash → band →
-    // bucket-join → exact-Jaccard verify). Corpus = documents plus
-    // perturbed copies of every 7th doc; the oracle computes the TRUE
-    // exhaustive jaccard pairs in SQL, so this checks 100% recall of
-    // the LSH pipeline on this corpus (r=2 × 32 bands ⇒ miss
-    // probability ~1e-15 at j≥0.8) plus exact verification.
+    // MinHash+LSH near-dup detection (word-trigram shingle → minhash
+    // → band → bucket-join → exact-Jaccard verify). Corpus = documents
+    // plus perturbed copies of every 7th doc; the oracle computes the
+    // TRUE exhaustive jaccard pairs in SQL, so this checks 100% recall
+    // of the LSH pipeline (r=4 × 32 bands ⇒ miss probability ~4e-8 at
+    // j≥0.8) plus exact verification. Word trigrams, not char 5-grams:
+    // this corpus's shared vocabulary puts random-pair char-gram
+    // Jaccard at 0.3-0.5, which floods any banding scheme.
     "q24_minhash_neardup" -> ((s, d) => {
       operators.Dedup.minhashNearDups(dupCorpus(t(s, d, "documents")),
-          "doc_id", "text", shingleK = 5, numHashes = 64, bands = 32,
-          threshold = 0.8)
+          "doc_id", "text", numHashes = 128, bands = 32,
+          threshold = 0.8, wordGrams = 3)
         .select($"a", $"b")
         .orderBy($"a", $"b")
     }),
@@ -547,9 +552,11 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 1000000, lower(text || ' xyzzy qbf')
            FROM documents WHERE doc_id % 7 = 0),
-         sh AS (SELECT DISTINCT doc_id, substr(tx, i, 5) AS s
-           FROM corpus, LATERAL (SELECT unnest(generate_series(1,
-             greatest(length(tx)-4, 1))) AS i)),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-2, 1))) AS i)),
          sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
            JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)

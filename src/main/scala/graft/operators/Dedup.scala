@@ -24,11 +24,22 @@ object Dedup {
 
   /** Character k-shingles of the normalized text, as one row per
     * distinct (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val n = lower(col(textCol))
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol),
         explode(expr(s"transform(sequence(1, greatest(length(lower($textCol))-${k - 1}, 1)), " +
           s"i -> substring(lower($textCol), i, $k))")).as("shingle"))
+      .distinct()
+
+  /** Word n-gram shingles. Prefer these over character shingles on
+    * corpora with a small shared vocabulary: random-pair character-
+    * 5-gram Jaccard can sit at 0.3-0.5 (every banding scheme then
+    * floods with candidates), while word-trigram Jaccard of unrelated
+    * docs stays near zero. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = s"split(lower(trim($textCol)), '\\\\s+')"
+    df.select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(size($toks)-${n - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice($toks, i, $n)))")).as("shingle"))
       .distinct()
   }
 
@@ -78,8 +89,10 @@ object Dedup {
     * pipeline. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleK)
+                      threshold: Double = 0.8, wordGrams: Int = 0): DataFrame = {
+    val sh =
+      if (wordGrams > 0) wordShingles(df, idCol, textCol, wordGrams)
+      else shingles(df, idCol, textCol, shingleK)
     val sigs = minhashSignatures(sh, idCol, numHashes)
     val cands = lshCandidates(sigs, idCol, numHashes, bands)
     jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= threshold)

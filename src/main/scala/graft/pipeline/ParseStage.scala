@@ -47,13 +47,18 @@ object ParseStage {
     val frames = Candump.cropToFileRange(
       Candump.frames(spark, inputGlob, offsetMicros))
     val long = CanDecode.decodeLong(frames, schema,
-      mab20Workaround, carryCols = Seq("file"))
-    val wide0 = CanDecode.pivotWide(long, schema, keys = Seq("file"))
-    // A6 + Q10: timestamp-jump outlier filter per file, skipped for
+      mab20Workaround, carryCols = Seq("file", "chunk"))
+    // per-(file, chunk) wide matrix — the reference pivots and exports
+    // each 1M-line chunk separately (lib/canparser.py:306-339), which
+    // is also our parallelism unit for the order-dependent window below
+    val wide0 = CanDecode.pivotWide(long, schema, keys = Seq("file", "chunk"))
+    // A6 + Q10: timestamp-jump outlier filter per chunk, skipped for
     // files whose name contains "db" (lib/canparser.py:335-336)
     val wide = TimeSeries.timestampJumpFilter(
-        wide0.filter(!col("file").contains("db")), "timestamp", Seq("file"))
+        wide0.filter(!col("file").contains("db")), "timestamp",
+        Seq("file", "chunk"))
       .unionByName(wide0.filter(col("file").contains("db")))
+      .drop("chunk")
     outputPath.foreach { out =>
       wide.write.mode(SaveMode.Overwrite).partitionBy("file").parquet(out)
     }

@@ -45,14 +45,20 @@ object Candump {
     * test corpora or a Structured Streaming text source). Expects
     * columns (line, file). */
   def framesFromLines(linesIn: DataFrame, offsetMicros: Long = 0L): DataFrame = {
-    val lines = linesIn.withColumn("line_id", monotonically_increasing_id())
+    // chunk = input split: the unit of the reference's per-chunk
+    // semantics (1M-line pandas chunks, lib/canparser.py:287-317) and
+    // our parallelism unit for the order-dependent windows (crop Q2,
+    // jump filter A6). Captured BEFORE any shuffle.
+    val lines = linesIn
+      .withColumn("chunk", spark_partition_id())
+      .withColumn("line_id", monotonically_increasing_id())
     // pandas extractall: every non-overlapping match in the line.
     val matches = lines
-      .select(col("file"), col("line_id"),
+      .select(col("file"), col("chunk"), col("line_id"),
         posexplode(regexp_extract_all(col("line"), lit(frameRegex), lit(0)))
           .as(Seq("match_no", "frame")))
     matches.select(
-        col("file"), col("line_id"), col("match_no"),
+        col("file"), col("chunk"), col("line_id"), col("match_no"),
         regexp_extract(col("frame"), frameRegex, 1).as("ts_str"),
         regexp_extract(col("frame"), frameRegex, 2).as("interface"),
         regexp_extract(col("frame"), frameRegex, 3).as("topic_hex"),
@@ -66,16 +72,21 @@ object Candump {
   }
 
   /** P2/Q2 — timestamp crop: keep rows between the FIRST and LAST
-    * frame's timestamps in file order (raw positions, not min/max —
-    * lib/canparser.py:209-212). Interleaved garbage outside that range
-    * is removed. Computed per file with one tiny aggregate joined back
-    * (broadcast — one row per file). */
+    * frame's timestamps in chunk order (raw positions, not min/max —
+    * lib/canparser.py:209-212, applied per 1M-line chunk in the
+    * reference). Interleaved garbage outside that range is removed.
+    *
+    * Whole-partition window (no ordering needed) instead of an
+    * aggregate+join-back: ONE scan of the frames — an agg would
+    * recompute the whole regex extraction for the bounds side. */
   def cropToFileRange(frames: DataFrame): DataFrame = {
-    val bounds = frames.groupBy(col("file"))
-      .agg(min_by(col("ts"), struct(col("line_id"), col("match_no"))).as("first_ts"),
-           max_by(col("ts"), struct(col("line_id"), col("match_no"))).as("last_ts"))
-    frames.join(broadcast(bounds), Seq("file"))
-      .filter(col("ts") >= col("first_ts") && col("ts") <= col("last_ts"))
-      .drop("first_ts", "last_ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file"), col("chunk"))
+    val ord = struct(col("line_id"), col("match_no"))
+    frames
+      .withColumn("__first_ts", min_by(col("ts"), ord).over(w))
+      .withColumn("__last_ts", max_by(col("ts"), ord).over(w))
+      .filter(col("ts") >= col("__first_ts") && col("ts") <= col("__last_ts"))
+      .drop("__first_ts", "__last_ts")
   }
 }
