@@ -95,6 +95,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned once to the
+    * nearest of `nCells` coarse centroids; each query probes only its
+    * `nProbe` closest cells and ranks those cells' contents exactly.
+    * Centroids are deterministic: the lowest-id corpus vectors refined
+    * by one Lloyd iteration (mean of assigned vectors). At scale the
+    * assignment is a broadcast argmax (centroid table is tiny) and the
+    * search is a co-partitioned join on cell id — the corpus is never
+    * re-scanned per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 32,
+              nProbe: Int = 4): DataFrame = {
+    val seedCentroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("cvec"))
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("sim", dot(asDouble(col(vecCol)), col("cvec")) /
+          (norm(asDouble(col(vecCol))) * norm(col("cvec"))))
+        .groupBy(col(idCol))
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+    // one Lloyd refinement: centroid = element-wise mean of its members
+    val assigned0 = assign(corpus, seedCentroids)
+    val refined = corpus.join(assigned0, idCol)
+      .select(col("cell"), posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg("x").as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m"))))
+        .as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
+    val cells = assign(corpus, refined)
+    val corpusCells = corpus.join(cells, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+    // queries rank centroids, probe the nProbe nearest cells
+    val qScores = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(refined))
+      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
+        (norm(asDouble(col("__qv"))) * norm(col("cvec"))))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = qScores.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val scored = probes.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

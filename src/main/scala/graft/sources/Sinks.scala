@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks + timezone display helpers rounding out the SURVEY.md §2.1
+  * checklist: S4 parquet (with S9 skip-if-exists), S6 CSV, and the P13
+  * tz localize/convert semantics — the engine computes on UTC
+  * instants; the reference renders them in America/Sao_Paulo
+  * (lib/unifier_with_forecast_data.py:44,59-61, lib/process_gpx_data.py:133-138).
+  */
+object Sinks {
+
+  val ReferenceTz = "America/Sao_Paulo"
+
+  /** P13: UTC instant → wall-clock column in `tz` (pandas
+    * tz_localize("UTC").tz_convert(tz) display parity). */
+  def displayInTz(ts: Column, tz: String = ReferenceTz): Column =
+    from_utc_timestamp(ts, tz)
+
+  /** P13 inverse: wall-clock in `tz` → UTC instant (tz_localize). */
+  def fromTz(ts: Column, tz: String = ReferenceTz): Column =
+    to_utc_timestamp(ts, tz)
+
+  /** S6: CSV sink (GPS track / solar dataset exports). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S4+S9: parquet sink with skip-if-exists incremental semantics. */
+  def writeParquetIfAbsent(df: DataFrame, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) false
+    else { df.write.parquet(path); true }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the optimizations the engine relies on at
+  * scale must actually appear in the executed plans — filter/column
+  * pushdown into the parquet scan, broadcast joins for small sides,
+  * partial aggregation, whole-stage codegen, and no cartesian products
+  * anywhere in the catalog.
+  */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicate and projection pushed to the parquet scan") {
+    val p = planOf("q02_filter_project")
+    Seq("IsNotNull(event_type)", "EqualTo(event_type,purchase)",
+        "GreaterThan(value,100.0)").foreach { f =>
+      assert(p.contains(f), s"filter $f not pushed in:\n${p.take(2000)}")
+    }
+    // column pruning: props (never used) must not be read
+    assert(p.contains("ReadSchema") && !p.contains("props"),
+      "props column should be pruned from the scan")
+  }
+
+  test("q03: dimension side broadcast, fact join shuffled, partial agg") {
+    val p = planOf("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "customer should broadcast")
+    assert(p.contains("HashAggregate"), "hash aggregate expected")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("q04: global sort+limit becomes TakeOrderedAndProject") {
+    val p = planOf("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n${p.take(1500)}")
+  }
+
+  test("q01: two-level hash aggregate with map-side partials") {
+    val p = planOf("q01_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "map-side combine expected")
+    // only the needed 5 columns are read
+    assert(!p.contains("l_orderkey"), "unused columns should be pruned")
+  }
+
+  test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
+    // the deliberate tiny cross joins (grid × users) must come in
+    // broadcast form; a CartesianProduct of two big sides would be a
+    // scale bug anywhere in the catalog
+    SparkEntry.queries.keys.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in $q")
+    }
+  }
+
+  test("parse stage: text scan parallelism preserved through decode") {
+    val dir = java.nio.file.Files.createTempDirectory("plan")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      "(1580415599.609366) can0 021#11E803110300".getBytes)
+    val wide = graft.pipeline.ParseStage.run(spark, dir.toString + "/*.log",
+      graft.sources.CanFixtures.schema)
+    val p = wide.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), "explode-based decode expected")
+    assert(!p.contains("CartesianProduct"))
+  }
+}

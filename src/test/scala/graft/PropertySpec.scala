@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{CanDecode, TimeSeries}
+import graft.sources.{Candump, CandumpConverter, CanFixtures}
+
+/** Property tests (SURVEY.md §5) driven by ScalaCheck generators with
+  * fixed seeds (deterministic — no scalatestplus bridge needed):
+  * decode round-trip through the S8 formatter → S1 parser → §2.3
+  * decoder on random frames, and interpolation invariants. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Frame(sec: Long, ms: Int, curr: Int, duty: Int, flags: Int, pad: Int)
+
+  val frameGen: Gen[List[Frame]] = Gen.listOfN(40, for {
+    sec <- Gen.choose(1500000000L, 1700000000L)
+    ms <- Gen.choose(0, 999)
+    curr <- Gen.choose(0, 65535)
+    duty <- Gen.choose(0, 255)
+    flags <- Gen.choose(0, 255)
+    pad <- Gen.choose(0, 255)
+  } yield Frame(sec, ms, curr, duty, flags, pad))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: S8 format → S1 parse → decode round-trips random frames") {
+    (1L to 3L).foreach { seed =>
+      // unique timestamps so the pivot's first() is unambiguous
+      val frames = sample(frameGen, seed)
+        .groupBy(f => (f.sec, f.ms)).map(_._2.head).toList
+      val recs = frames.map { f =>
+        (Seq((f.curr % 256).toString, (f.curr / 256).toString,
+          f.duty.toString, f.flags.toString, f.pad.toString),
+          new java.sql.Timestamp(f.sec * 1000 + f.ms).toString, 17, 33)
+      }.toDF("bytes", "date", "mod", "top")
+      val lines = CandumpConverter.toCandumpLines(recs)
+        .withColumn("file", lit("prop.log"))
+      val decoded = CanDecode.decodeLong(
+        Candump.framesFromLines(lines), CanFixtures.schema)
+        .groupBy("timestamp").pivot("byte_name",
+          Seq("SIGNATURE", "CURR", "DUTY", "FLAG1", "FLAG2"))
+        .agg(first("value"))
+        .collect()
+      assert(decoded.length == frames.length, s"seed $seed row count")
+      val expect = frames.map(f => (f.sec * 1000000L + f.ms * 1000L,
+        (f.curr * 0.01, f.duty * 0.01, (f.flags & 1) * (1.0 / 255),
+          ((f.flags >> 1) & 1).toDouble))).toMap
+      decoded.foreach { r =>
+        val ts = r.getTimestamp(0)
+        val tsUs = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+        val (c, d, f1, f2) = expect(tsUs)
+        assert(r.getDouble(1) == 17.0)
+        assert(r.getDouble(2) == c, s"CURR at $tsUs")
+        assert(r.getDouble(3) == d, s"DUTY at $tsUs")
+        assert(r.getDouble(4) == f1 && r.getDouble(5) == f2, s"flags at $tsUs")
+      }
+    }
+  }
+
+  val seriesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(30, Gen.option(Gen.choose(-100.0, 100.0)))
+
+  test("property: interpolation bounded by brackets, exact on non-nulls") {
+    (10L to 14L).foreach { seed =>
+      val vs = sample(seriesGen, seed)
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (new java.sql.Timestamp(1500000000000L + i * 1000L), v)
+      }.toDF("t", "v")
+      val out = TimeSeries.interpolateLinear(df, "t", "v", Nil)
+        .orderBy("t").select("v", "interp_value").collect()
+      val orig = out.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val interp = out.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      orig.zip(interp).foreach { case (o, i) => if (o.isDefined) assert(i == o) }
+      val defined = orig.flatten
+      if (defined.nonEmpty) {
+        val (lo, hi) = (defined.min, defined.max)
+        interp.flatten.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9))
+        val firstIdx = orig.indexWhere(_.isDefined)
+        val lastIdx = orig.lastIndexWhere(_.isDefined)
+        (firstIdx to lastIdx).foreach(i =>
+          assert(interp(i).isDefined, s"interior index $i not filled (seed $seed)"))
+        // outside the brackets nothing is invented (inside-only mode)
+        (0 until firstIdx).foreach(i => assert(interp(i).isEmpty))
+        (lastIdx + 1 until interp.length).foreach(i => assert(interp(i).isEmpty))
+      }
+    }
+  }
+}

@@ -151,4 +151,21 @@ class UnifyPipelineSpec extends SparkSpec {
     val energies = got.map(_.getAs[Double]("energy"))
     assert(energies.head == 0.0 && energies.last > energies.head)
   }
+
+  test("Sinks: tz display round-trip and CSV write (P13/S6)") {
+    import graft.sources.Sinks
+    val df = Seq(java.sql.Timestamp.valueOf("2020-02-01 12:00:00")).toDF("ts")
+    val r = df.select(
+      Sinks.displayInTz($"ts").as("local"),
+      Sinks.fromTz(Sinks.displayInTz($"ts")).as("back")).collect()(0)
+    // America/Sao_Paulo is UTC-3 in February (no DST since 2019)
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2020-02-01 09:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2020-02-01 12:00:00"))
+    val dir = java.nio.file.Files.createTempDirectory("csv")
+    Sinks.writeCsv(df.withColumn("v", lit(1)), dir.resolve("out.csv").toString)
+    val rt = spark.read.option("header", "true").csv(dir.resolve("out.csv").toString)
+    assert(rt.count() == 1 && rt.columns.toSeq == Seq("ts", "v"))
+    assert(Sinks.writeParquetIfAbsent(df, dir.resolve("p.parquet").toString))
+    assert(!Sinks.writeParquetIfAbsent(df, dir.resolve("p.parquet").toString))
+  }
 }
