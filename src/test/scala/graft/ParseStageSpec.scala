@@ -29,4 +29,32 @@ class ParseStageSpec extends SparkSpec {
     val rep = ParseStage.report(spark, dir.toString + "/*.log", wide, 1.0)
     assert(rep.map(r => (r.inputLines, r.outputRows)) == Seq((4L, 3L)))
   }
+
+  test("full 2020 schema stress: plan compiles and runs with all topics/columns") {
+    // SURVEY §7 hard-part 5: the generated decode for a real season
+    // schema (20 modules x 46 topics -> ~300 wide columns) must stay
+    // plannable and executable in reasonable time.
+    val t0 = System.nanoTime()
+    val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+    val dir = Files.createTempDirectory("stress")
+    // frames for two real topics + noise
+    Files.write(dir.resolve("s.log"), (0 until 200).map { i =>
+      if (i % 2 == 0) f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+      else f"(${1580515200L + i}%d.500000) can0 011#E33C0F00002C0D4C"
+    }.mkString("\n").getBytes)
+    val wide = ParseStage.run(spark, dir.toString + "/*.log", s20)
+    val n = wide.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 200)
+    assert(wide.columns.length == 2 + s20.wideColumns.length) // file, ts + all signals
+    assert(s20.wideColumns.length > 150, s"got ${s20.wideColumns.length} signals")
+    assert(sec < 120, f"full-schema parse took $sec%.1f s")
+    // decoded values land in the right modules' columns: sig 0xE4 →
+    // MCC19_4, sig 0xE3 → MCC19_3, 100 frames each
+    import org.apache.spark.sql.functions.col
+    assert(wide.filter(col("MCC19_4__MEASUREMENTS__OUTPUT_VOLTAGE").isNotNull)
+      .count() == 100)
+    assert(wide.filter(col("MCC19_3__MEASUREMENTS__OUTPUT_VOLTAGE").isNotNull)
+      .count() == 100)
+  }
 }
