@@ -330,6 +330,17 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // n-gram Jaccard near-dups: rare-gram bucket join + exact verify,
+    // vs the exhaustive word-4-gram Jaccard oracle (every qualifying
+    // pair shares ≥7 grams whose buckets are ≤5 docs on this corpus,
+    // so the skew guard can't cost recall)
+    "q29_ngram_jaccard" -> ((s, d) => {
+      operators.Dedup.ngramJaccardNearDups(dupCorpus(t(s, d, "documents")),
+          "doc_id", "text", n = 4, threshold = 0.5)
+        .select($"a", $"b")
+        .orderBy($"a", $"b")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -563,6 +574,24 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8 ORDER BY a, b""",
+
+    "q29_ngram_jaccard" ->
+      """WITH corpus AS (
+           SELECT doc_id, lower(text) tx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lower(text || ' xyzzy qbf')
+           FROM documents WHERE doc_id % 7 = 0),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
 
     "q26_ann_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
