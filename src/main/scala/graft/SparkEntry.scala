@@ -228,7 +228,7 @@ object SparkEntry {
         .select($"ts", $"event_id", $"user_id", $"value")
       val ref = ev.filter($"event_type" === "click")
         .select($"ts", $"event_id", $"user_id", $"value")
-      TimeSeries.unionMerge(chunk, ref, "ts")
+      TimeSeries.unionMerge(chunk, ref, "ts", orderTieBreak = Seq("event_id"))
         .select($"event_id", $"user_id", $"value")
     }),
 
@@ -447,9 +447,9 @@ object SparkEntry {
                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS nw
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id, event_id, sum(nw) OVER
+         SELECT user_id, event_id, CAST(sum(nw) OVER
            (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM s ORDER BY user_id, event_id""",
 
     "q10_asof" ->
@@ -686,13 +686,13 @@ object SparkEntry {
 
     "q22_can_pivot" ->
       """SELECT ts AS timestamp,
-           17.0 AS "MOD17__SENSOR__SIGNATURE",
-           CAST(user_id AS DOUBLE)*(1.0/100) AS "MOD17__SENSOR__CURR",
-           CAST(event_id % 256 AS DOUBLE)*(1.0/100) AS "MOD17__SENSOR__DUTY",
-           CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255) AS "MOD17__SENSOR__FLAG1",
-           CAST(((event_id % 4) >> 1) & 1 AS DOUBLE) AS "MOD17__SENSOR__FLAG2"
+           avg(17.0) AS "MOD17__SENSOR__SIGNATURE",
+           avg(CAST(user_id AS DOUBLE)*(1.0/100)) AS "MOD17__SENSOR__CURR",
+           avg(CAST(event_id % 256 AS DOUBLE)*(1.0/100)) AS "MOD17__SENSOR__DUTY",
+           avg(CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255)) AS "MOD17__SENSOR__FLAG1",
+           avg(CAST(((event_id % 4) >> 1) & 1 AS DOUBLE)) AS "MOD17__SENSOR__FLAG2"
          FROM events WHERE event_id % 101 != 0 AND event_id % 103 != 0
-         ORDER BY timestamp""",
+         GROUP BY ts ORDER BY timestamp""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

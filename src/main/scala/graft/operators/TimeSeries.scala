@@ -237,12 +237,13 @@ object TimeSeries {
 
   /** J1 (lib/unify_parsed_candump.py:13-27): union-merge — clip the
     * reference dataset to the chunk's [min ts, max ts], concat, sort. */
-  def unionMerge(chunk: DataFrame, reference: DataFrame, tsCol: String): DataFrame = {
+  def unionMerge(chunk: DataFrame, reference: DataFrame, tsCol: String,
+                 orderTieBreak: Seq[String] = Nil): DataFrame = {
     val Array(lo, hi) = chunk.agg(min(col(tsCol)), max(col(tsCol)))
       .collect()(0).toSeq.toArray
     chunk.unionByName(
         reference.filter(col(tsCol).between(lit(lo), lit(hi))),
         allowMissingColumns = true)
-      .orderBy(col(tsCol))
+      .orderBy((tsCol +: orderTieBreak).map(col): _*)
   }
 }

@@ -53,11 +53,12 @@ object ParseStage {
     // is also our parallelism unit for the order-dependent window below
     val wide0 = CanDecode.pivotWide(long, schema, keys = Seq("file", "chunk"))
     // A6 + Q10: timestamp-jump outlier filter per chunk, skipped for
-    // files whose name contains "db" (lib/canparser.py:335-336)
+    // files whose BASENAME contains "db" (lib/canparser.py:335-336
+    // tests the filename, not the directory path)
+    val isDb = element_at(split(col("file"), "/"), -1).contains("db")
     val wide = TimeSeries.timestampJumpFilter(
-        wide0.filter(!col("file").contains("db")), "timestamp",
-        Seq("file", "chunk"))
-      .unionByName(wide0.filter(col("file").contains("db")))
+        wide0.filter(!isDb), "timestamp", Seq("file", "chunk"))
+      .unionByName(wide0.filter(isDb))
       .drop("chunk")
     outputPath.foreach { out =>
       wide.write.mode(SaveMode.Overwrite).partitionBy("file").parquet(out)

@@ -23,13 +23,17 @@ object Gpx {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    // CHARACTERS events can otherwise split at parser buffer boundaries
+    // in large files, silently corrupting a parsed number
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
     val in = new FileInputStream(path)
     try {
       val r = f.createXMLStreamReader(in)
       val out = Seq.newBuilder[Point]
       var lat = 0.0; var lon = 0.0; var ele = 0.0
       var time: java.sql.Timestamp = null
-      var inPt = false; var tag = ""
+      var inPt = false
+      val text = new StringBuilder
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
@@ -38,20 +42,23 @@ object Gpx {
                 inPt = true; ele = 0.0; time = null
                 lat = r.getAttributeValue(null, "lat").toDouble
                 lon = r.getAttributeValue(null, "lon").toDouble
-              case t => tag = t
+              case _ => text.setLength(0)
             }
           case XMLStreamConstants.CHARACTERS if inPt =>
-            tag match {
-              case "ele" if r.getText.trim.nonEmpty =>
-                ele = r.getText.trim.toDouble
-              case "time" if r.getText.trim.nonEmpty =>
+            text.append(r.getText) // accumulate until END_ELEMENT
+          case XMLStreamConstants.END_ELEMENT =>
+            val s = text.toString.trim
+            r.getLocalName match {
+              case "trkpt" =>
+                inPt = false
+                out += Point(time, lat, lon, ele)
+              case "ele" if inPt && s.nonEmpty => ele = s.toDouble
+              case "time" if inPt && s.nonEmpty =>
                 time = java.sql.Timestamp.from(
-                  java.time.OffsetDateTime.parse(r.getText.trim).toInstant)
+                  java.time.OffsetDateTime.parse(s).toInstant)
               case _ =>
             }
-          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "trkpt" =>
-            inPt = false
-            out += Point(time, lat, lon, ele)
+            text.setLength(0)
           case _ =>
         }
       }
