@@ -47,12 +47,11 @@ object CanDecode {
     * dropped by the explode, matching the reference's silent drops
     * (lib/canparser.py:135-145, :81-90).
     */
-  def decodeLong(frames: DataFrame, schema: Schema,
-                 mab20Workaround: Boolean = false,
-                 carryCols: Seq[String] = Nil): DataFrame = {
+  /** Q5 — mab20 (lib/canparser.py:127-133): topic 65 → signature 230
+    * and payload truncated to 2 bytes; topic 64 → signature 230.
+    * Returns the (effective payload, effective signature) columns. */
+  private def effectivePayloadSig(mab20Workaround: Boolean): (Column, Column) = {
     val payload0 = col("payload_hex")
-    // Q5 — mab20 (lib/canparser.py:127-133): topic 65 → signature 230
-    // and payload truncated to 2 bytes; topic 64 → signature 230.
     val payload =
       if (mab20Workaround)
         when(col("topic") === 65, substring(payload0, 1, 4)).otherwise(payload0)
@@ -62,6 +61,13 @@ object CanDecode {
       if (mab20Workaround)
         when(col("topic") === 65 || col("topic") === 64, lit(230)).otherwise(sigRaw)
       else sigRaw
+    (payload, sig)
+  }
+
+  def decodeLong(frames: DataFrame, schema: Schema,
+                 mab20Workaround: Boolean = false,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val (payload, sig) = effectivePayloadSig(mab20Workaround)
 
     val branches: Seq[Column] = schema.allTopics.map { case (m, t) =>
       val cond = sig === m.signature && col("topic") === t.id &&
@@ -81,6 +87,47 @@ object CanDecode {
       .select((carryCols.map(col) :+ col("timestamp") :+
         col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
         col("f.value") :+ col("f.unit")): _*)
+  }
+
+  /** Direct frame → wide decode: the parse stage's hot path. Computes
+    * the same wide matrix as `decodeLong` + `pivotWide` but in ONE
+    * hash aggregate over the frame table — no 8x-row explode to long
+    * form, no string signal keys, no second pivot shuffle. Each wide
+    * column is `avg(when(frame owns this signal, decoded value))`,
+    * which partial-aggregates map-side, so the single exchange carries
+    * one (keys, timestamp)-row per group.
+    *
+    * Semantics match lib/canparser.py:222-239 — duplicate (signal,
+    * timestamp) values averaged, unknown/length-mismatched frames
+    * dropped (P5/P6 with quirk Q3), quirk Q5 honored.
+    */
+  def decodeWide(frames: DataFrame, schema: Schema,
+                 mab20Workaround: Boolean = false,
+                 keys: Seq[String] = Nil): DataFrame = {
+    val (payloadE, sigE) = effectivePayloadSig(mab20Workaround)
+    // materialize effective sig/payload once — 400+ agg expressions
+    // reference them and expression CSE doesn't cross agg boundaries
+    val prepped = frames
+      .withColumn("__pl", payloadE)
+      .withColumn("__sig", sigE)
+    val pl = col("__pl"); val sg = col("__sig")
+    // P5/P6: a frame survives iff some topic claims (sig, id) AND the
+    // payload length equals the Q3 declared size
+    val expectedLen = coalesce(schema.allTopics.map { case (m, t) =>
+      when(sg === m.signature && col("topic") === t.id,
+        lit(t.declaredSize * 2))
+    }: _*)
+    val aggs = schema.allTopics.flatMap { case (m, t) =>
+      val owns = sg === m.signature && col("topic") === t.id
+      t.fields.map { f =>
+        avg(when(owns, fieldValue(pl, f)))
+          .as(s"${m.name}__${t.name}__${f.name}")
+      }
+    }
+    prepped
+      .filter(length(pl) === expectedLen)
+      .groupBy((keys.map(col) :+ col("ts").as("timestamp")): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** A1 (lib/canparser.py:222-239) — long → wide signal matrix:

@@ -211,13 +211,16 @@ object TimeSeries {
     * 1e11 < |diff| < 1e12 nanoseconds. Partitioned per file/key, as the
     * reference operates per chunk. */
   def timestampJumpFilter(df: DataFrame, tsCol: String, keys: Seq[String],
-                          k: Int = 10000, orderTieBreak: Seq[String] = Nil): DataFrame = {
+                          k: Int = 10000, orderTieBreak: Seq[String] = Nil,
+                          exempt: Column = lit(false)): DataFrame = {
     val win = w(keys, (tsCol +: orderTieBreak).map(col))
     val diffNs = (unix_micros(col(tsCol)) -
       unix_micros(lag(col(tsCol), k).over(win))) * 1000L
     val d = coalesce(diffNs, lit(0L))
+    // `exempt` rows always pass (Q10: 'db' files skip the filter) —
+    // one window pass instead of a union of filtered/unfiltered branches
     df.withColumn("__d", abs(d))
-      .filter(!(col("__d") > 1e11.toLong && col("__d") < 1e12.toLong))
+      .filter(exempt || !(col("__d") > 1e11.toLong && col("__d") < 1e12.toLong))
       .drop("__d")
   }
 

@@ -46,19 +46,18 @@ object ParseStage {
     }
     val frames = Candump.cropToFileRange(
       Candump.frames(spark, inputGlob, offsetMicros))
-    val long = CanDecode.decodeLong(frames, schema,
-      mab20Workaround, carryCols = Seq("file", "chunk"))
-    // per-(file, chunk) wide matrix — the reference pivots and exports
+    // per-(file, chunk) wide matrix in ONE hash aggregate (frame →
+    // wide, no long-form explode) — the reference pivots and exports
     // each 1M-line chunk separately (lib/canparser.py:306-339), which
     // is also our parallelism unit for the order-dependent window below
-    val wide0 = CanDecode.pivotWide(long, schema, keys = Seq("file", "chunk"))
+    val wide0 = CanDecode.decodeWide(frames, schema,
+      mab20Workaround, keys = Seq("file", "chunk"))
     // A6 + Q10: timestamp-jump outlier filter per chunk, skipped for
     // files whose BASENAME contains "db" (lib/canparser.py:335-336
     // tests the filename, not the directory path)
     val isDb = element_at(split(col("file"), "/"), -1).contains("db")
     val wide = TimeSeries.timestampJumpFilter(
-        wide0.filter(!isDb), "timestamp", Seq("file", "chunk"))
-      .unionByName(wide0.filter(isDb))
+        wide0, "timestamp", Seq("file", "chunk"), exempt = isDb)
       .drop("chunk")
     outputPath.foreach { out =>
       wide.write.mode(SaveMode.Overwrite).partitionBy("file").parquet(out)

@@ -57,18 +57,21 @@ object Candump {
       .select(col("file"), col("chunk"), col("line_id"),
         posexplode(regexp_extract_all(col("line"), lit(frameRegex), lit(0)))
           .as(Seq("match_no", "frame")))
+    // A matched frame has a fixed-width timestamp prefix
+    // "(ssssssssss.uuuuuu) " and exactly one '#', so the remaining
+    // fields are substring arithmetic — the regex runs ONCE per line
+    // instead of once per extracted group (5x fewer regex executions
+    // on the hot path).
+    val head = substring_index(col("frame"), "#", 1) // "(…) iface 011"
     matches.select(
         col("file"), col("chunk"), col("line_id"), col("match_no"),
-        regexp_extract(col("frame"), frameRegex, 1).as("ts_str"),
-        regexp_extract(col("frame"), frameRegex, 2).as("interface"),
-        regexp_extract(col("frame"), frameRegex, 3).as("topic_hex"),
-        upper(regexp_extract(col("frame"), frameRegex, 4)).as("payload_hex"))
-      .withColumn("ts_micros",
-        expr("CAST(substring(ts_str, 1, 10) AS BIGINT) * 1000000L" +
-             " + CAST(substring(ts_str, 12, 6) AS BIGINT)") + lit(offsetMicros))
+        element_at(split(head, "\\s+"), 2).as("interface"),
+        upper(substring_index(col("frame"), "#", -1)).as("payload_hex"),
+        (expr("CAST(substring(frame, 2, 10) AS BIGINT) * 1000000L" +
+              " + CAST(substring(frame, 13, 6) AS BIGINT)")
+          + lit(offsetMicros)).as("ts_micros"),
+        conv(substring(head, -3, 3), 16, 10).cast("int").as("topic"))
       .withColumn("ts", timestamp_micros(col("ts_micros")))
-      .withColumn("topic", conv(col("topic_hex"), 16, 10).cast("int"))
-      .drop("ts_str", "topic_hex")
   }
 
   /** P2/Q2 — timestamp crop: keep rows between the FIRST and LAST
@@ -76,16 +79,24 @@ object Candump {
     * lib/canparser.py:209-212, applied per 1M-line chunk in the
     * reference). Interleaved garbage outside that range is removed.
     *
-    * Whole-partition window (no ordering needed) instead of an
-    * aggregate+join-back: ONE scan of the frames — an agg would
-    * recompute the whole regex extraction for the bounds side. */
-  def cropToFileRange(frames: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("file"), col("chunk"))
+    * Scale shape: `min_by/max_by` partially aggregate map-side, so the
+    * bounds exchange carries ONE row per (file, chunk) regardless of
+    * input size, and the join back is a broadcast hash join — the big
+    * side never shuffles (a whole-partition window here would
+    * shuffle+sort every frame). The bounds side recomputes the text
+    * scan + single-pass regex by default — cheaper than caching the
+    * whole frame table at scale; pass persist=true to materialize the
+    * frames instead when the input is expensive to re-read.
+    */
+  def cropToFileRange(frames: DataFrame, persist: Boolean = false): DataFrame = {
+    val f = if (persist)
+      frames.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else frames
     val ord = struct(col("line_id"), col("match_no"))
-    frames
-      .withColumn("__first_ts", min_by(col("ts"), ord).over(w))
-      .withColumn("__last_ts", max_by(col("ts"), ord).over(w))
+    val bounds = f.groupBy(col("file"), col("chunk"))
+      .agg(min_by(col("ts"), ord).as("__first_ts"),
+           max_by(col("ts"), ord).as("__last_ts"))
+    f.join(broadcast(bounds), Seq("file", "chunk"))
       .filter(col("ts") >= col("__first_ts") && col("ts") <= col("__last_ts"))
       .drop("__first_ts", "__last_ts")
   }
