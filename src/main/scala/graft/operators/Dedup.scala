@@ -23,11 +23,16 @@ object Dedup {
   }
 
   /** Character k-shingles of the normalized text, as one row per
-    * distinct (id, shingle). */
+    * distinct (id, shingle). The normalized text is projected ONCE
+    * before the per-shingle lambda — an expression inside a `transform`
+    * lambda is re-evaluated per element (no subexpression elimination
+    * across lambda iterations), which turns an O(len) normalize into
+    * O(len·shingles) if inlined. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
-        explode(expr(s"transform(sequence(1, greatest(length(lower($textCol))-${k - 1}, 1)), " +
-          s"i -> substring(lower($textCol), i, $k))")).as("shingle"))
+    df.select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(length(__lt)-${k - 1}, 1)), " +
+          s"i -> substring(__lt, i, $k))")).as("shingle"))
       .distinct()
 
   /** Word n-gram shingles. Prefer these over character shingles on
@@ -35,13 +40,13 @@ object Dedup {
     * 5-gram Jaccard can sit at 0.3-0.5 (every banding scheme then
     * floods with candidates), while word-trigram Jaccard of unrelated
     * docs stays near zero. */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = s"split(lower(trim($textCol)), '\\\\s+')"
-    df.select(col(idCol),
-        explode(expr(s"transform(sequence(1, greatest(size($toks)-${n - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice($toks, i, $n)))")).as("shingle"))
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // tokenize once per doc (see [[shingles]] on lambda re-evaluation)
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(__tk, i, $n)))")).as("shingle"))
       .distinct()
-  }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles. One groupBy over the shingle
@@ -53,35 +58,48 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands, hash each;
     * docs sharing any (band, hash) bucket become candidate pairs.
-    * Returns distinct (a, b) with a < b. The self-join is on the
-    * bucket key — co-partitioned, no cross product. */
+    * Returns distinct (a, b) with a < b. Pairs come from pair-exploding
+    * each bucket's sorted id list — no self-join — and `maxBucket` caps
+    * a degenerate bucket (identical boilerplate docs share EVERY band;
+    * uncapped that is quadratic in the duplicate count). Dropped-bucket
+    * counts surface through the observe metric; exact-dup flooding
+    * belongs to [[exact]], not the near-dup pass. */
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
-                    bands: Int): DataFrame = {
+                    bands: Int, maxBucket: Int = 200): DataFrame = {
     val rows = numHashes / bands
     val banded = sigs.select(col(idCol),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$rows + 1, $rows)))")).as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col(idCol).as("a"))
-    val r = banded.select(col("band"), col("bh"), col(idCol).as("b"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .observe(s"graft_lsh_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    explodePairs(buckets, "ids")
   }
 
   /** Exact Jaccard similarity of shingle sets for given candidate
-    * pairs (join-based intersection — only candidates are scored). */
+    * pairs. One aggregation packs each doc's shingles into a sorted
+    * array; each candidate pair then joins exactly two of those rows
+    * and intersects the arrays in-place (`array_intersect`) — no
+    * shingle-level re-join, so the shingle table is scanned once no
+    * matter how many candidates there are. */
   def jaccardVerify(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("a", "b"), "left")
-      .na.fill(0, Seq("inter"))
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+    val docSets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("shingle"))).as("gs"),
+           count(lit(1)).as("sz"))
+    cands
+      .join(docSets.select(col(idCol).as("a"), col("gs").as("__ga"),
+        col("sz").as("sza")), Seq("a"))
+      .join(docSets.select(col(idCol).as("b"), col("gs").as("__gb"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("__gb"), col("__ga"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"))
+      .drop("__ga", "__gb")
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
@@ -89,12 +107,13 @@ object Dedup {
     * pipeline. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8, wordGrams: Int = 0): DataFrame = {
+                      threshold: Double = 0.8, wordGrams: Int = 0,
+                      maxBucket: Int = 200): DataFrame = {
     val sh =
       if (wordGrams > 0) wordShingles(df, idCol, textCol, wordGrams)
       else shingles(df, idCol, textCol, shingleK)
     val sigs = minhashSignatures(sh, idCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, numHashes, bands)
+    val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucket)
     jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -123,50 +142,96 @@ object Dedup {
     * 16-bit bands (any pair within hamming ≤ 3 of each other shares at
     * least one identical band by pigeonhole), then verify hamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     val hs = simhash(df, idCol, textCol)
     val banded = hs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"),
-      col(idCol).as("a"), col("simhash").as("ha"))
-    val r = banded.select(col("band"), col("bh"),
-      col(idCol).as("b"), col("simhash").as("hb"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).as("hamming"))
+    // same capped pair-explode as lshCandidates (identical docs share
+    // all four bands — uncapped, a hot bucket is quadratic); sort_array
+    // on the struct orders by id, preserving a < b after explosion
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("simhash").as("h")))).as("ids"))
+      .observe(s"graft_simhash_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x.id AS a, y.id AS b, x.h AS ha, y.h AS hb))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        hamming(col("p.ha"), col("p.hb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** All in-bucket (a, b) pairs with a < b, generated WITHOUT a self
+    * join: the sorted id list is pair-exploded in place. Bucket size
+    * must already be capped by the caller — output is ≤ c·(c−1)/2 rows
+    * per bucket. */
+  private def explodePairs(buckets: DataFrame, idsCol: String): DataFrame =
+    buckets
+      .select(explode(expr(
+        s"flatten(transform($idsCol, (x, i) -> " +
+          s"transform(slice($idsCol, i + 2, size($idsCol)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
   /** Word n-gram Jaccard near-dups: candidates = pairs sharing a rare
-    * n-gram (bucket join), verified with exact n-gram-set Jaccard. */
+    * n-gram, verified with exact n-gram-set Jaccard.
+    *
+    * Scale shape: the gram table is computed ONCE (persisted — it fans
+    * out to the per-doc gram sets and the per-gram buckets, and
+    * re-deriving the tokenize/explode/distinct DAG per consumer was the
+    * dominant cost of the naive plan). Candidate generation pair-
+    * explodes each gram's sorted doc-id list in place — no gram-level
+    * self-join — and the `maxBucket` cap bounds every bucket's
+    * contribution at c²/2 pairs, so a degenerate stop-gram can never go
+    * quadratic in the corpus. Verification intersects the two per-doc
+    * gram ARRAYS (exact, over all grams including hot ones), touching
+    * only the candidate pairs. */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, threshold: Double = 0.5,
                            maxBucket: Int = 50): DataFrame = {
-    val toks = s"split(lower($textCol), '\\\\s+')"
-    val grams = df.select(col(idCol),
-      explode(expr(s"transform(sequence(1, greatest(size($toks)-${n - 1}, 1)), " +
-        s"i -> xxhash64(concat_ws(' ', slice($toks, i, $n))))")).as("gram"))
+    val grams = df
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tk"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
       .distinct()
-    // drop pathological buckets (stop-gram equivalent of skew guard)
-    val rare = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxBucket && col("c") > 1)
-    val g = grams.join(rare.select("gram"), Seq("gram"))
-    val cands = g.select(col("gram"), col(idCol).as("a"))
-      .join(g.select(col("gram"), col(idCol).as("b")), Seq("gram"))
-      .filter(col("a") < col("b")).select("a", "b").distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(grams.select(col(idCol).as("a"), col("gram")), Seq("a"))
-      .join(grams.select(col(idCol).as("b"), col("gram")), Seq("b", "gram"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("a", "b"))
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .persist()
+    val docGrams = grams.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("gram"))).as("gs"),
+           count(lit(1)).as("sz"))
+    // skew guard: pathological buckets (stop-grams) are dropped from
+    // CANDIDATE GENERATION only — verification still counts them.
+    // The dropped count is observable via the "__dropped" metric.
+    val buckets = grams.groupBy("gram")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .observe(s"graft_ngram_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cands = explodePairs(buckets, "ids")
+    cands
+      .join(docGrams.select(col(idCol).as("a"), col("gs").as("__ga"),
+        col("sz").as("sza")), Seq("a"))
+      .join(docGrams.select(col(idCol).as("b"), col("gs").as("__gb"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("__gb"), col("__ga"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Unique suffix for `observe` metric names (must be unique per
+    * query; one operator can appear twice in a composed plan). */
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
 }

@@ -57,6 +57,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("skew guard: 1000 identical docs stay bounded, real pairs kept") {
+    // A degenerate web-corpus bucket: 1,000 byte-identical boilerplate
+    // docs share EVERY minhash band and every simhash band — uncapped,
+    // candidate generation is ~500k pairs per band. The maxBucket guard
+    // must (a) keep the run bounded and (b) not cost recall on the
+    // non-degenerate near-dup pair that rides alongside.
+    val boiler = spark.range(1000).select(($"id" + 100L).as("doc_id"),
+      lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor").as("text"))
+    val corpus = docs.unionByName(boiler)
+
+    val mh = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5, maxBucket = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 2L)) && mh.contains((1L, 3L)))
+    assert(!mh.exists(p => p._1 >= 100L && p._1 < 1100L)) // hot bucket dropped
+
+    val sh = Dedup.simhashNearDups(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucket = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 2L)))
+    assert(!sh.exists(p => p._1 >= 100L && p._1 < 1100L))
+
+    val ng = Dedup.ngramJaccardNearDups(corpus, "doc_id", "text",
+        n = 4, threshold = 0.5, maxBucket = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.contains((1L, 2L)) && ng.contains((1L, 3L)))
+    assert(!ng.exists(p => p._1 >= 100L && p._1 < 1100L))
+  }
+
   test("embedding cosine near-dups via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
