@@ -285,12 +285,17 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
-    // SimHash near-dups (no SQL oracle — xxhash64 has no DuckDB
-    // equivalent; covered by DedupSpec instead → rows-only check)
+    // SimHash near-dups vs an EXHAUSTIVE oracle: the oracle recomputes
+    // every doc's simhash in SQL (possible because the gate uses the
+    // engine-neutral md5-derived token hash, Dedup.md5Hash60; xxhash64
+    // stays the production default) and scores ALL pairs — so this
+    // checks both the banding's 100% recall (pigeonhole: hamming ≤ 3
+    // pairs share ≥ 1 of 4 bands) and the packed-hash values.
     "q25_simhash_neardup" -> ((s, d) => {
       operators.Dedup.simhashNearDups(dupCorpus(t(s, d, "documents")),
-          "doc_id", "text", maxHamming = 3)
-        .select($"a", $"b", $"hamming")
+          "doc_id", "text", maxHamming = 3,
+          tokenHash = operators.Dedup.md5Hash60)
+        .select($"a", $"b", $"hamming".cast("long").as("hamming"))
         .orderBy($"a", $"b")
     }),
 
@@ -303,6 +308,31 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id", $"rank",
           round($"cosine", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Scale-path ANN gate: the LSH (hyperplane, multi-probe) and IVF
+    // (coarse-quantized, Lloyd-refined) indexes must return the TRUE
+    // nearest neighbor of planted near-duplicate queries (perturbed
+    // copies of the first 10 corpus vectors — the synthetic embeddings
+    // are near-orthogonal, so unplanted "neighbors" at cosine ≈ 0.3
+    // are information-free; a planted query at cosine ≈ 1 is the
+    // workload ANN indexes exist for). The oracle recomputes each
+    // query's brute-force argmax independently, so a value mismatch
+    // means the index missed the true top-1. Fully deterministic:
+    // seeded hashes, lowest-id IVF seeding, double arithmetic.
+    "q31_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      def top1(approx: DataFrame, m: String): DataFrame =
+        approx.filter($"rank" === 1)
+          .select(lit(m).as("method"), $"query_id", $"neighbor_id".as("top1"))
+      top1(operators.Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 3), "ivf")
+        .unionByName(
+          top1(operators.Similarity.lshTopK(emb, qs, "vec_id", "embedding", 3), "lsh"))
+        .orderBy($"method", $"query_id")
     }),
 
     // Text curation profile: token counts, punctuation, case ratio,
@@ -339,6 +369,16 @@ object SparkEntry {
           "doc_id", "text", n = 4, threshold = 0.5)
         .select($"a", $"b")
         .orderBy($"a", $"b")
+    }),
+
+    // A2 at sub-second granularity: 500 ms tumbling bins on µs bucket
+    // math (the reference's live period list includes "100ms",
+    // main_2020.py:140 — inexpressible with second-floored buckets)
+    "q30_resample_ms" -> ((s, d) => {
+      TimeSeries.resampleAgg(t(s, d, "events"), "ts", "500ms",
+          Seq("event_type"), "value")
+        .select($"event_type", $"bucket_ts", $"sum_value", $"n", $"mean_value")
+        .orderBy($"event_type", $"bucket_ts")
     }),
 
     // F1: haversine distance between consecutive synthetic GPS points
@@ -593,6 +633,8 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
 
+    "q25_simhash_neardup" -> simhashOracleSql,
+
     "q26_ann_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
@@ -606,6 +648,25 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q31_ann_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT method, query_id, neighbor_id AS top1 FROM
+           (SELECT 'ivf' AS method, query_id, neighbor_id FROM r WHERE rank = 1
+            UNION ALL
+            SELECT 'lsh', query_id, neighbor_id FROM r WHERE rank = 1)
+         ORDER BY method, query_id""",
 
     "q27_text_profile" ->
       """WITH p AS (SELECT doc_id, text,
@@ -694,6 +755,13 @@ object SparkEntry {
          FROM events WHERE event_id % 101 != 0 AND event_id % 103 != 0
          GROUP BY ts ORDER BY timestamp""",
 
+    "q30_resample_ms" ->
+      """SELECT event_type,
+         make_timestamp(epoch_us(ts) - (epoch_us(ts) % 500000)) AS bucket_ts,
+         round(sum(value),2) AS sum_value, count(*) AS n,
+         round(sum(value),2)/count(*) AS mean_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,
            -26.0 + value/100.0 AS lat, -48.0 + (event_id % 100)/100.0 AS lon,
@@ -707,6 +775,34 @@ object SparkEntry {
              pow(sin(radians(lon - plon)/2), 2))), 6) AS dist_km
          FROM p ORDER BY user_id, event_id"""
   )
+
+  /** q25's exhaustive DuckDB oracle, generated (64 per-bit vote sums +
+    * the 60-bit packing Dedup.md5Hash60 can set). Recomputes every
+    * doc's simhash from scratch and scores ALL O(n²) pairs — the gate
+    * therefore asserts the banding misses nothing. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val pack = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH corpus AS (
+         SELECT doc_id, lower(text) tx FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, lower(text || ' xyzzy qbf')
+         FROM documents WHERE doc_id % 7 = 0),
+       toks AS (SELECT doc_id, unnest(regexp_split_to_array(tx, '\\s+')) AS tok
+         FROM corpus),
+       hs AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         FROM toks),
+       votes AS (SELECT doc_id, $votes FROM hs GROUP BY 1),
+       sh AS (SELECT doc_id, $pack AS simhash FROM votes)
+       SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY a, b"""
+  }
 
   // $"..." interpolator without importing a session's implicits
   private implicit class Dollar(val sc: StringContext) {

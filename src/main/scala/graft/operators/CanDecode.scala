@@ -118,7 +118,12 @@ object CanDecode {
         lit(t.declaredSize * 2))
     }: _*)
     val aggs = schema.allTopics.flatMap { case (m, t) =>
-      val owns = sg === m.signature && col("topic") === t.id
+      // self-contained per-column predicate (includes the Q3 length
+      // check) so each branch is equivalent to decodeLong's by
+      // construction even if a schema carried duplicate (sig, topic)
+      // claims with different declared sizes
+      val owns = sg === m.signature && col("topic") === t.id &&
+        length(pl) === t.declaredSize * 2
       t.fields.map { f =>
         avg(when(owns, fieldValue(pl, f)))
           .as(s"${m.name}__${t.name}__${f.name}")

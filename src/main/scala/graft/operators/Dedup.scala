@@ -118,13 +118,23 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Engine-neutral 60-bit token hash: the first 15 hex digits of the
+    * md5 digest as a (positive) long. Slower than xxhash64 but
+    * reproducible in any engine with an md5 function — used to pin the
+    * simhash gate query against an external SQL oracle. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash (64-bit): per-token hash votes ±1 on each bit; the sign
     * vector packs into one long. Computed with 64 agg expressions in a
-    * single groupBy pass (no per-row loops). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * single groupBy pass (no per-row loops). `tokenHash` defaults to
+    * xxhash64 (fastest); pass [[md5Hash60]] for cross-engine
+    * reproducibility. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h = tokenHash(col("tok"))
     val voteCols = (0 until 64).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b"))
@@ -142,8 +152,9 @@ object Dedup {
     * 16-bit bands (any pair within hamming ≤ 3 of each other shares at
     * least one identical band by pigeonhole), then verify hamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val hs = simhash(df, idCol, textCol)
+                      maxHamming: Int = 3, maxBucket: Int = 200,
+                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val hs = simhash(df, idCol, textCol, tokenHash)
     val banded = hs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

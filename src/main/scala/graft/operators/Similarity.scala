@@ -29,16 +29,28 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** cosine from a precomputed-norm pair: dot product is the only
+    * O(d) work left per pair (norms are projected once per row BELOW
+    * the join — ~⅓ fewer FLOPs in every pairwise scorer here). The
+    * division order matches the norm-recomputing form bit-for-bit:
+    * dot / (na · nb). */
+  private def cosinePrenormed(qv: Column, cv: Column, qn: Column,
+                              cn: Column): Column =
+    dot(asDouble(qv), asDouble(cv)) / (qn * cn)
+
   /** Brute-force cosine top-k: for each query row, the k nearest
     * corpus rows. `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      col(vecCol).as("__qv"), norm(asDouble(col(vecCol))).as("__qn")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(asDouble(col(vecCol))).as("__cn"))
       .crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -76,18 +88,20 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12): DataFrame = {
     val hashedCorpus = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"),
+      col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn"),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
     val qh = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(asDouble(col(vecCol))).as("__qn"),
       hyperplaneSignature(col(vecCol), planes).as("__qb"))
     // multi-probe: own bucket + 1-bit flips
-    val probes = qh.select(col("query_id"), col("__qv"),
+    val probes = qh.select(col("query_id"), col("__qv"), col("__qn"),
       explode(array((col("__qb") +:
         (0 until planes).map(b => col("__qb").bitwiseXOR(lit(1L << b)))): _*))
         .as("bucket"))
     val scored = probes.join(hashedCorpus, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
       .select("query_id", "neighbor_id", "cosine").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -109,9 +123,11 @@ object Similarity {
     val seedCentroids = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("cvec"))
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
+      vecs.select(col(idCol), col(vecCol),
+          norm(asDouble(col(vecCol))).as("__vn"))
+        .crossJoin(broadcast(cents.withColumn("__cn", norm(col("cvec")))))
         .withColumn("sim", dot(asDouble(col(vecCol)), col("cvec")) /
-          (norm(asDouble(col(vecCol))) * norm(col("cvec"))))
+          (col("__vn") * col("__cn")))
         .groupBy(col(idCol))
         .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
     // one Lloyd refinement: centroid = element-wise mean of its members
@@ -124,20 +140,23 @@ object Similarity {
       .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
     val cells = assign(corpus, refined)
     val corpusCells = corpus.join(cells, idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
     // queries rank centroids, probe the nProbe nearest cells
-    val qScores = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(refined))
+    val qScores = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), norm(asDouble(col(vecCol))).as("__qn"))
+      .crossJoin(broadcast(refined.withColumn("__ctn", norm(col("cvec")))))
       .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
-        (norm(asDouble(col("__qv"))) * norm(col("cvec"))))
+        (col("__qn") * col("__ctn")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell"))
     val probes = qScores.withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("cell"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cell"))
     val scored = probes.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -150,11 +169,15 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 10): DataFrame = {
     val hashed = df.select(col(idCol), col(vecCol),
+      norm(asDouble(col(vecCol))).as("__n"),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
-    val l = hashed.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("__va"))
-    val r = hashed.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("__vb"))
+    val l = hashed.select(col("bucket"), col(idCol).as("a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val r = hashed.select(col("bucket"), col(idCol).as("b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", cosinePrenormed(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
   }

@@ -25,31 +25,50 @@ object TimeSeries {
   private def w(keys: Seq[String], order: Seq[Column]) =
     Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
 
-  /** A2 (lib/resampler.py:97-99): tumbling-window resample.
-    * Buckets are wall-clock aligned: floor(epoch/period)*period.
+  /** A2 (lib/resampler.py:97-99): tumbling-window resample at
+    * MICROSECOND granularity — the reference's live period list
+    * includes `"100ms"` (main_2020.py:140), so bucket math runs on
+    * `unix_micros`, exact integer arithmetic for any period ≥ 1 µs.
+    * Buckets are wall-clock aligned: ts − (ts mod period).
     * Emits sum/count per value column; mean = round(sum,2)/count is
     * derived exactly (deterministic across engines).
     */
-  def resampleAgg(df: DataFrame, tsCol: String, periodSec: Long,
-                  keys: Seq[String], valueCol: String): DataFrame = {
-    val bucket = timestamp_seconds(
-      floor(unix_timestamp(col(tsCol)) / periodSec) * periodSec)
+  def resampleAggMicros(df: DataFrame, tsCol: String, periodUs: Long,
+                        keys: Seq[String], valueCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val bucket = timestamp_micros(us - pmod(us, lit(periodUs)))
     df.groupBy((keys.map(col) :+ bucket.as("bucket_ts")): _*)
       .agg(round(sum(col(valueCol)), 2).as("sum_value"),
            count(lit(1)).as("n"))
       .withColumn("mean_value", col("sum_value") / col("n"))
   }
 
+  /** [[resampleAggMicros]] with the period in whole seconds. */
+  def resampleAgg(df: DataFrame, tsCol: String, periodSec: Long,
+                  keys: Seq[String], valueCol: String): DataFrame =
+    resampleAggMicros(df, tsCol, periodSec * 1000000L, keys, valueCol)
+
+  /** [[resampleAggMicros]] with a pandas-style period ("100ms"). */
+  def resampleAgg(df: DataFrame, tsCol: String, period: String,
+                  keys: Seq[String], valueCol: String): DataFrame =
+    resampleAggMicros(df, tsCol, Period.micros(period), keys, valueCol)
+
   /** A4 (lib/unifier_with_forecast_data.py:42-46): asfreq — snap onto a
     * constant-frequency dense grid, null where no data. Grid built with
     * sequence+explode (distributed after explode; the sequence itself is
-    * bounded by gridStart/gridEnd, computed once).
+    * bounded by gridStart/gridEnd, computed once). Step granularity:
+    * microseconds (sub-second grids are first-class).
     */
-  def denseGrid(df: DataFrame, startTs: Column, endTs: Column,
-                stepSec: Long): DataFrame =
+  def denseGridMicros(df: DataFrame, startTs: Column, endTs: Column,
+                      stepUs: Long): DataFrame =
     df.sparkSession.range(1).select(
         explode(sequence(startTs.cast("timestamp"), endTs.cast("timestamp"),
-          expr(s"INTERVAL $stepSec SECONDS"))).as("grid_ts"))
+          expr(s"INTERVAL $stepUs MICROSECOND"))).as("grid_ts"))
+
+  /** [[denseGridMicros]] with the step in whole seconds. */
+  def denseGrid(df: DataFrame, startTs: Column, endTs: Column,
+                stepSec: Long): DataFrame =
+    denseGridMicros(df, startTs, endTs, stepSec * 1000000L)
 
   /** A8 (lib/process_gpx_data.py:71): cumulative sum (nancumsum —
     * nulls contribute 0 but rows are kept). */
@@ -239,14 +258,16 @@ object TimeSeries {
   }
 
   /** J1 (lib/unify_parsed_candump.py:13-27): union-merge — clip the
-    * reference dataset to the chunk's [min ts, max ts], concat, sort. */
+    * reference dataset to the chunk's [min ts, max ts], concat, sort.
+    * The bounds stay a lazy 1-row aggregate broadcast onto the
+    * reference side (no driver collect, one plan). */
   def unionMerge(chunk: DataFrame, reference: DataFrame, tsCol: String,
                  orderTieBreak: Seq[String] = Nil): DataFrame = {
-    val Array(lo, hi) = chunk.agg(min(col(tsCol)), max(col(tsCol)))
-      .collect()(0).toSeq.toArray
-    chunk.unionByName(
-        reference.filter(col(tsCol).between(lit(lo), lit(hi))),
-        allowMissingColumns = true)
+    val bounds = chunk.agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val clipped = reference.crossJoin(broadcast(bounds))
+      .filter(col(tsCol).between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+    chunk.unionByName(clipped, allowMissingColumns = true)
       .orderBy((tsCol +: orderTieBreak).map(col): _*)
   }
 }

@@ -65,18 +65,24 @@ object ParseStage {
     wide
   }
 
-  /** Per-file report counters (console report operator, §2.7). Runs
-    * the counting aggregations in one pass each. */
+  /** Per-file report counters (console report operator, §2.7). Input
+    * line counts come from one aggregation pass; each file's elapsed
+    * time is measured around ITS OWN output count — the reference
+    * times every file's processing separately (lib/canparser.py:270,
+    * :346-356 accumulate per-chunk wall clock into a per-file report),
+    * so a shared global elapsed would misattribute. Diagnostics only —
+    * the per-file jobs are sequential by design, like the reference's
+    * per-file report loop. */
   def report(spark: SparkSession, inputGlob: String,
-             wide: DataFrame, elapsedSec: Double): Seq[Report] = {
+             wide: DataFrame): Seq[Report] = {
     val lineCounts = spark.read.textFile(inputGlob).toDF("line")
       .withColumn("file", input_file_name())
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val outCounts = wide.groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     lineCounts.keys.toSeq.sorted.map { f =>
-      Report(f, lineCounts(f), outCounts.getOrElse(f, 0L), elapsedSec)
+      val t0 = System.nanoTime()
+      val out = wide.filter(col("file") === f).count()
+      Report(f, lineCounts(f), out, (System.nanoTime() - t0) / 1e9)
     }
   }
 }

@@ -1,7 +1,11 @@
 package graft.pipeline
 
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.sources.{Candump, CanSchema}
+import org.apache.spark.sql.functions.lit
+import graft.sources.CanSchema
 
 /** The four season drivers as DATA (main_2020.py, main_2022.py,
   * main_2022_ita.py, main_2023_lic_01072023.py) — each wires the same
@@ -15,15 +19,34 @@ object Seasons {
       candumpGlob: String,
       /** per-dataset clock correction `to − from` in µs
         * (lib/canparser.py:63-66) */
-      offsetMicros: Long = 0L)
+      offsetMicros: Long = 0L,
+      /** reference-DB dump (main_2020.py `candump-from_db*`): parsed
+        * like any dataset but NOT resampled on its own — the unify
+        * stage merges it into every other dataset's time range
+        * (lib/unify_parsed_candump.py:13-27). Its basename carries
+        * "db", so the Q10 jump-filter skip applies automatically. */
+      isReferenceDb: Boolean = false)
+
+  object DatasetFiles {
+    /** lib/canparser.py:63-66: datasets declare naive `from`/`to`
+      * datetimes; the clock offset applied to every parsed timestamp
+      * is their difference. */
+    def withClockFix(glob: String, from: LocalDateTime,
+                     to: LocalDateTime): DatasetFiles =
+      DatasetFiles(glob, ChronoUnit.MICROS.between(from, to))
+  }
 
   final case class SeasonConfig(
       name: String,
       canIdsPath: String,
       mab20Workaround: Boolean,
       shiftBackLocalize: Boolean,
-      site: SolarStage.Site,
-      resamplePeriodsSec: Seq[Long],
+      /** site coordinates; None for seasons whose driver runs no
+        * forecast stage (main_2022_ita.py has neither site nor solar) */
+      site: Option[SolarStage.Site],
+      /** pandas-style resample periods (main_2020.py:137-146 loops
+        * over e.g. "100ms", "1s") */
+      resamplePeriods: Seq[String],
       datasets: Seq[DatasetFiles])
 
   /** Season configs mirroring the reference driver scripts (paths are
@@ -32,44 +55,114 @@ object Seasons {
     name = "2020",
     canIdsPath = s"$dataDir/can_ids_2020.json",
     mab20Workaround = true,              // main_2020.py:85
-    shiftBackLocalize = true,            // main_2020.py unify config
-    site = SolarStage.Site(-26.243602, -48.6417668), // main_2020.py:167-173
-    resamplePeriodsSec = Seq(1L, 60L),   // "100ms,1s" class; 1ms skipped (>25GB)
-    datasets = Seq(DatasetFiles(s"$dataDir/candump/*.log")))
+    shiftBackLocalize = true,            // main_2020.py:205
+    site = Some(SolarStage.Site(-26.243602, -48.6417668)), // main_2020.py:167-173
+    resamplePeriods = Seq("100ms", "1s"), // main_2020.py:137-146 ("1ms" skipped: >25 GB)
+    datasets = Seq(
+      // the five race logs with their clock fixes (main_2020.py:35-65)
+      DatasetFiles.withClockFix(s"$dataDir/candump/candump-2020-01-29_115602.log",
+        LocalDateTime.parse("2020-01-29T16:51:08.332"),
+        LocalDateTime.parse("2020-01-29T13:51:59")),
+      DatasetFiles.withClockFix(s"$dataDir/candump/candump-2020-01-30_054738.log",
+        LocalDateTime.parse("2020-01-30T10:02:30.771666"),
+        LocalDateTime.parse("2020-01-30T11:16:45")),
+      DatasetFiles.withClockFix(s"$dataDir/candump/candump-2020-01-30_172000.log",
+        LocalDateTime.parse("2020-01-30T23:33:04.398823"),
+        LocalDateTime.parse("2020-01-31T13:50:06.009")),
+      DatasetFiles.withClockFix(s"$dataDir/candump/candump-2020-02-01_064223.log",
+        LocalDateTime.parse("2020-02-01T09:51:05.881792"),
+        LocalDateTime.parse("2020-02-01T13:15:57.592")),
+      DatasetFiles.withClockFix(s"$dataDir/candump/candump-2020-02-01_064222.log",
+        LocalDateTime.parse("2020-02-01T11:47:39.382578"),
+        LocalDateTime.parse("2020-02-02T10:05:41.987")),
+      // reference-DB dumps merged in by the unify stage (main_2020.py:66-73)
+      DatasetFiles(s"$dataDir/candump/candump-from_db*.log", isReferenceDb = true)))
 
   def season2022(dataDir: String): SeasonConfig = SeasonConfig(
     name = "2022",
     canIdsPath = s"$dataDir/can_ids_2022.json",
     mab20Workaround = false,
     shiftBackLocalize = false,
-    site = SolarStage.Site(-22.924247, -43.097405), // main_2022.py:92-98
-    resamplePeriodsSec = Seq(1L, 60L),
+    site = Some(SolarStage.Site(-22.924247, -43.097405)), // main_2022.py:92-98
+    resamplePeriods = Seq("1s", "1min"),
     datasets = Seq(DatasetFiles(s"$dataDir/candump/*.log")))
 
-  /** Run one season end-to-end: the canonical stage order with the
-    * engine's operators. Returns the final unified wide table. */
+  /** main_2022_ita.py: generic 2022 schema, no clock fixes, no solar /
+    * gps stage; "1s" is the only live period (main_2022_ita.py:90-98). */
+  def season2022Ita(dataDir: String): SeasonConfig = SeasonConfig(
+    name = "2022_ita",
+    canIdsPath = s"$dataDir/can_ids_2022.json", // main_2022_ita.py:13 (can_ids.json)
+    mab20Workaround = false,
+    shiftBackLocalize = false,
+    site = None,
+    resamplePeriods = Seq("1s"),
+    datasets = Seq(
+      DatasetFiles(s"$dataDir/candump/candump-2022-10-15_234814.log"))) // main_2022_ita.py:40
+
+  /** main_2023_lic_01072023.py: its own schema file, gps unify with
+    * shift_back_localize (main_2023_lic_01072023.py:95-96). */
+  def season2023Lic(dataDir: String): SeasonConfig = SeasonConfig(
+    name = "2023_lic",
+    canIdsPath = s"$dataDir/can_ids_lic_01072023.json", // main_2023_lic_01072023.py:17
+    mab20Workaround = false,
+    shiftBackLocalize = true,
+    site = None,
+    resamplePeriods = Seq("1s"),
+    datasets = Seq(
+      DatasetFiles(s"$dataDir/candump/candump-2023-07-02_104810.log"))) // main_2023_lic_01072023.py:22
+
+  /** Run one season end-to-end at one resample period: the canonical
+    * stage order `parse → unify → resample → unify_forecast → unify_gps`
+    * (main_2020.py:209-213). Returns the final unified wide table.
+    *
+    * The unify stage (J1) merges the parsed reference-DB datasets into
+    * each other dataset's time range (lib/unify_parsed_candump.py:13-27
+    * does this per 1M-line chunk; one Spark dataset glob IS the chunk
+    * unit here — same clip-to-[min,max]-and-concat semantics, one
+    * bounds aggregate + broadcast per dataset, never a shuffle of the
+    * big side).
+    */
   def run(spark: SparkSession, cfg: SeasonConfig, outputDir: String,
           forecastCsv: Option[String] = None,
           gpxFiles: Seq[String] = Nil,
-          resamplePeriodSec: Long = 1L): DataFrame = {
+          resamplePeriod: String = "1s"): DataFrame = {
     val schema = CanSchema.load(cfg.canIdsPath)
-    // parse (E1)
-    val wide = cfg.datasets.map { d =>
+    def parse(d: DatasetFiles, tag: String) =
       ParseStage.run(spark, d.candumpGlob, schema,
-        outputPath = Some(s"$outputDir/parsed_${cfg.name}"),
+        outputPath = Some(s"$outputDir/parsed_${cfg.name}_$tag"),
         offsetMicros = d.offsetMicros,
         mab20Workaround = cfg.mab20Workaround)
-    }.reduce(_ unionByName _)
-    // resample (E2): tumbling mean per signal + limited interpolation
+    // parse (E1)
+    val (refSets, mainSets) = cfg.datasets.partition(_.isReferenceDb)
+    val wides = mainSets.zipWithIndex.map { case (d, i) => parse(d, s"d$i") }
+    // unify (J1): clip the reference-DB data to each dataset's range
+    val unified = refSets.zipWithIndex.map { case (d, i) => parse(d, s"db$i") }
+      .reduceOption(_ unionByName _) match {
+      case Some(refDb) =>
+        wides.map(w => graft.operators.TimeSeries.unionMerge(w, refDb, "timestamp"))
+      case None => wides
+    }
+    // resample (E2): tumbling mean per signal + limited interpolation,
+    // PER DATASET (the reference resamples each combined chunk file on
+    // its own, main_2020.py:150 — and the datasets' clock offsets can
+    // put them days apart, so one global dense grid would materialize
+    // millions of empty sub-second bins between them)
+    val wide = unified.zipWithIndex
+      .map { case (w, i) => w.withColumn("__dataset", lit(i)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val signals = schema.wideColumns.filter(wide.columns.contains)
-    val resampled = ResampleStage.run(wide, signals, resamplePeriodSec)
+    val resampled = ResampleStage
+      .run(wide, signals, resamplePeriod, keys = Seq("__dataset"))
+      .drop("__dataset")
     // unify forecast (E3)
     val withForecast = forecastCsv match {
       case Some(csv) =>
+        val site = cfg.site.getOrElse(throw new IllegalArgumentException(
+          s"season ${cfg.name} has no site coordinates for the forecast stage"))
         val f = SolarStage.withPoa(
-          SolarStage.readSolcastCsv(spark, csv), cfg.site, 300)
+          SolarStage.readSolcastCsv(spark, csv), site, 300)
         UnifyStages.unifyForecast(resampled, f, "timestamp",
-          resamplePeriodSec, cfg.shiftBackLocalize)
+          resamplePeriod, cfg.shiftBackLocalize)
       case None => resampled
     }
     // unify gps (E4)
@@ -80,4 +173,21 @@ object Seasons {
         cfg.shiftBackLocalize)
     } else withForecast
   }
+
+  /** The per-period driver loop (main_2020.py:137-147 iterates the
+    * period list writing `output/<period>/`): one [[run]] per period in
+    * `cfg.resamplePeriods`, each written under its own directory. */
+  def runAll(spark: SparkSession, cfg: SeasonConfig, outputDir: String,
+             forecastCsv: Option[String] = None,
+             gpxFiles: Seq[String] = Nil): Map[String, DataFrame] =
+    cfg.resamplePeriods.map { period =>
+      // parse outputs land under `outputDir` (period-independent), so
+      // the S9 skip-if-exists makes later periods reuse the first
+      // period's parsed parquet — the reference likewise parses once
+      // into `sparse/` and resamples per period (main_2020.py:78,150)
+      val out = run(spark, cfg, outputDir, forecastCsv, gpxFiles, period)
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outputDir/$period/final_${cfg.name}")
+      period -> out
+    }.toMap
 }

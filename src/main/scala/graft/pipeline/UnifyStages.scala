@@ -28,11 +28,12 @@ object UnifyStages {
   /** A4 + P8: dedup timestamps keep-first, then snap onto the dense
     * period grid from min to max ts (null-filled rows for missing
     * ticks — pandas asfreq). */
-  def telemetryGrid(telemetry: DataFrame, tsCol: String, periodSec: Long): DataFrame = {
+  def telemetryGrid(telemetry: DataFrame, tsCol: String, period: String): DataFrame = {
+    val stepUs = graft.operators.Period.micros(period)
     val dedup = TimeSeries.dedupKeepFirst(telemetry, Seq(tsCol), Seq(tsCol))
     val bounds = dedup.agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi"))
     val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
-      expr(s"INTERVAL $periodSec SECONDS"))).as(tsCol))
+      expr(s"INTERVAL $stepUs MICROSECOND"))).as(tsCol))
     grid.join(dedup, Seq(tsCol), "left")
   }
 
@@ -66,8 +67,8 @@ object UnifyStages {
   /** E3 — unify telemetry with the solar forecast. `forecast` columns
     * (beyond ts) are joined back with a `solcast_` prefix. */
   def unifyForecast(telemetry: DataFrame, forecast: DataFrame, tsCol: String,
-                    periodSec: Long, shiftBackLocalize: Boolean): DataFrame = {
-    val grid = telemetryGrid(telemetry, tsCol, periodSec)
+                    period: String, shiftBackLocalize: Boolean): DataFrame = {
+    val grid = telemetryGrid(telemetry, tsCol, period)
     val shiftH = if (shiftBackLocalize) 3 else 0
     val valueCols = forecast.columns.filterNot(_ == tsCol).toSeq
     val aligned = alignForecast(grid.select(tsCol), forecast, tsCol,

@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Candump {
 
+  /** Fixed widths shared by [[frameRegex]] and the substring-arithmetic
+    * field extraction in [[framesFromLines]] — change them TOGETHER
+    * (CandumpSpec locks the assembled pattern so a drive-by regex edit
+    * fails a test instead of silently mis-parsing). */
+  val TsSecondsWidth = 10
+  val TsMicrosWidth = 6
+  val TopicWidth = 3
+
   /** Java-regex port of the reference pattern. Python's re.ASCII is
     * Java's default for \d/\w; (?i) covers IGNORECASE. Named groups
     * become positional: 1=timestamp, 2=interface, 3=topic, 4=payload. */
   val frameRegex: String =
-    "(?i)\\((\\d{10}\\.\\d{6})\\)\\s(\\w+)\\s([0-9a-f]{3})#((?:[0-9a-f]{2}){2,8})(?!\\w)"
+    s"(?i)\\((\\d{$TsSecondsWidth}\\.\\d{$TsMicrosWidth})\\)\\s(\\w+)\\s" +
+      s"([0-9a-f]{$TopicWidth})#((?:[0-9a-f]{2}){2,8})(?!\\w)"
 
   /** Read candump files into a frame table:
     * (file, line_id, match_no, ts, interface, topic, payload_hex).
@@ -63,14 +72,17 @@ object Candump {
     // instead of once per extracted group (5x fewer regex executions
     // on the hot path).
     val head = substring_index(col("frame"), "#", 1) // "(…) iface 011"
+    val secStart = 2                                 // after '('
+    val usStart = secStart + TsSecondsWidth + 1      // after "ssssssssss."
     matches.select(
         col("file"), col("chunk"), col("line_id"), col("match_no"),
         element_at(split(head, "\\s+"), 2).as("interface"),
         upper(substring_index(col("frame"), "#", -1)).as("payload_hex"),
-        (expr("CAST(substring(frame, 2, 10) AS BIGINT) * 1000000L" +
-              " + CAST(substring(frame, 13, 6) AS BIGINT)")
+        (expr(s"CAST(substring(frame, $secStart, $TsSecondsWidth) AS BIGINT)" +
+              s" * 1000000L + CAST(substring(frame, $usStart, $TsMicrosWidth) AS BIGINT)")
           + lit(offsetMicros)).as("ts_micros"),
-        conv(substring(head, -3, 3), 16, 10).cast("int").as("topic"))
+        conv(substring(head, -TopicWidth, TopicWidth), 16, 10)
+          .cast("int").as("topic"))
       .withColumn("ts", timestamp_micros(col("ts_micros")))
   }
 
@@ -87,6 +99,14 @@ object Candump {
     * scan + single-pass regex by default — cheaper than caching the
     * whole frame table at scale; pass persist=true to materialize the
     * frames instead when the input is expensive to re-read.
+    *
+    * CAVEAT: the default double evaluation is only safe when `frames`'
+    * lineage is deterministic (a file scan + narrow projections, as in
+    * ParseStage). The lineage embeds `spark_partition_id`/
+    * `monotonically_increasing_id`; over a shuffled or streaming
+    * upstream the two subtrees could observe different row placement —
+    * pass persist=true there so bounds and probe read ONE
+    * materialization.
     */
   def cropToFileRange(frames: DataFrame, persist: Boolean = false): DataFrame = {
     val f = if (persist)

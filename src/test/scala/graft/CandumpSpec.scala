@@ -82,4 +82,14 @@ class CandumpSpec extends SparkSpec {
     val ts = cropped.selectExpr("unix_micros(ts)/1000000").collect().map(_.getDouble(0))
     assert(ts.sorted.toSeq == Seq(1.5000001e9, 1.50000015e9, 1.5000002e9))
   }
+
+  test("frameRegex lock: substring field extraction assumes this exact pattern") {
+    // framesFromLines slices fields by offsets derived from the widths
+    // below; if this assertion fires you changed the pattern — revisit
+    // the substring arithmetic (Candump.scala) together with it.
+    assert(Candump.frameRegex ==
+      "(?i)\\((\\d{10}\\.\\d{6})\\)\\s(\\w+)\\s([0-9a-f]{3})#((?:[0-9a-f]{2}){2,8})(?!\\w)")
+    assert((Candump.TsSecondsWidth, Candump.TsMicrosWidth, Candump.TopicWidth)
+      == ((10, 6, 3)))
+  }
 }

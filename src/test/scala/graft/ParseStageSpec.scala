@@ -26,8 +26,10 @@ class ParseStageSpec extends SparkSpec {
     val again = ParseStage.run(spark, dir.toString + "/*.log",
       CanFixtures.schema, Some(out))
     assert(again.count() == 3)
-    val rep = ParseStage.report(spark, dir.toString + "/*.log", wide, 1.0)
+    val rep = ParseStage.report(spark, dir.toString + "/*.log", wide)
     assert(rep.map(r => (r.inputLines, r.outputRows)) == Seq((4L, 3L)))
+    // per-file elapsed measured per file (reference report shape)
+    assert(rep.forall(_.elapsedSec > 0))
   }
 
   test("full 2020 schema stress: plan compiles and runs with all topics/columns") {

@@ -60,11 +60,11 @@ class StreamingSeasonSpec extends SparkSpec {
     val cfg = Seasons.SeasonConfig(
       name = "test", canIdsPath = dir.resolve("can_ids_test.json").toString,
       mab20Workaround = false, shiftBackLocalize = false,
-      site = graft.pipeline.SolarStage.Site(-26.243602, -48.6417668),
-      resamplePeriodsSec = Seq(10L),
+      site = Some(graft.pipeline.SolarStage.Site(-26.243602, -48.6417668)),
+      resamplePeriods = Seq("10s"),
       datasets = Seq(Seasons.DatasetFiles(s"$dataDir/*.log")))
     val out = Seasons.run(spark, cfg, dir.resolve("out").toString,
-      resamplePeriodSec = 10L)
+      resamplePeriod = "10s")
     val rows = out.orderBy("timestamp").collect()
     assert(rows.length == 12) // 120 s of frames → 12 ten-second bins
     val cols = out.columns
@@ -72,5 +72,85 @@ class StreamingSeasonSpec extends SparkSpec {
     // all bins populated: mean of CURR = 10.0 constant
     val currIdx = cols.indexOf("MOD17__SENSOR__CURR")
     assert(rows.forall(r => r.getDouble(currIdx) == 10.0))
+  }
+
+  test("unify stage (J1): reference-DB rows merged, clipped to range") {
+    val dir = Files.createTempDirectory("season_db")
+    Files.write(dir.resolve("ids.json"), CanFixtures.json.getBytes)
+    val dataDir = Files.createDirectory(dir.resolve("candump"))
+    val t0 = 1580515200L
+    // main run: CURR=10.0 for 120 s
+    Files.write(dataDir.resolve("run.log"), (0 until 120).map { i =>
+      f"(${t0 + i}%d.000000) can0 021#11E803110300"
+    }.mkString("\n").getBytes)
+    // db dump: CURR=20.0 at +30..+49 s (inside) and +300..+319 s (outside)
+    Files.write(dataDir.resolve("run-from_db0.log"),
+      ((30 until 50) ++ (300 until 320)).map { i =>
+        f"(${t0 + i}%d.000000) can0 021#11D00733FF00"
+      }.mkString("\n").getBytes)
+    val cfg = Seasons.SeasonConfig(
+      name = "db_test", canIdsPath = dir.resolve("ids.json").toString,
+      mab20Workaround = false, shiftBackLocalize = false,
+      site = None, resamplePeriods = Seq("10s"),
+      datasets = Seq(
+        Seasons.DatasetFiles(s"$dataDir/run.log"),
+        Seasons.DatasetFiles(s"$dataDir/run-from_db*.log", isReferenceDb = true)))
+    val out = Seasons.run(spark, cfg, dir.resolve("out").toString,
+      resamplePeriod = "10s")
+    val cols = out.columns
+    val currIdx = cols.indexOf("MOD17__SENSOR__CURR")
+    val rows = out.orderBy("timestamp").collect()
+    // db rows OUTSIDE the main range are clipped → still 12 bins
+    assert(rows.length == 12)
+    // bins 3 and 4 (+30..+49) blend 10 main rows @10.0 + 10 db rows @20.0
+    val means = rows.map(_.getDouble(currIdx))
+    assert(means(3) == 15.0 && means(4) == 15.0)
+    assert(means(0) == 10.0 && means(11) == 10.0)
+  }
+
+  test("all four season configs run end-to-end on their real schemas") {
+    val dir = Files.createTempDirectory("seasons4")
+    val dataDir = Files.createDirectory(dir.resolve("candump"))
+    // one synthetic log per dataset filename the configs reference,
+    // with frames valid for that season's real schema
+    def writeLog(name: String, schemaPath: String): Unit = {
+      val schema = CanSchema.load(schemaPath)
+      val (m, t) = schema.allTopics.maxBy { case (_, t) => t.fields.length }
+      val payload = f"${m.signature}%02x" + "00" * (t.declaredSize - 1)
+      val lines = (0 until 60).map { i =>
+        f"(${1580515200L + i}%d.000000) can0 ${t.id}%03x#$payload"
+      }
+      Files.write(dataDir.resolve(name), lines.mkString("\n").getBytes)
+    }
+    val ref = "/root/reference"
+    for (n <- Seq("candump-2020-01-29_115602.log", "candump-2020-01-30_054738.log",
+        "candump-2020-01-30_172000.log", "candump-2020-02-01_064223.log",
+        "candump-2020-02-01_064222.log", "candump-from_db0.log"))
+      writeLog(n, s"$ref/can_ids_2020.json")
+    for (n <- Seq("candump-2022-10-15_234814.log", "candump-2023-07-02_104810.log"))
+      writeLog(n, if (n.contains("2023")) s"$ref/can_ids_lic_01072023.json"
+                  else s"$ref/can_ids_2022.json")
+    // configs point at $dataDir; schema paths redirected to the real files
+    val cfgs = Seq(
+      Seasons.season2020(dir.toString).copy(
+        canIdsPath = s"$ref/can_ids_2020.json",
+        resamplePeriods = Seq("1s", "100ms")), // sub-second period live
+      Seasons.season2022(dir.toString).copy(
+        canIdsPath = s"$ref/can_ids_2022.json", resamplePeriods = Seq("1s")),
+      Seasons.season2022Ita(dir.toString).copy(
+        canIdsPath = s"$ref/can_ids_2022.json"),
+      Seasons.season2023Lic(dir.toString).copy(
+        canIdsPath = s"$ref/can_ids_lic_01072023.json"))
+    for (cfg <- cfgs) {
+      val byPeriod = Seasons.runAll(spark, cfg,
+        dir.resolve(s"out_${cfg.name}").toString)
+      assert(byPeriod.keySet == cfg.resamplePeriods.toSet)
+      for ((period, df) <- byPeriod) {
+        val n = spark.read.parquet(
+          dir.resolve(s"out_${cfg.name}/$period/final_${cfg.name}").toString).count()
+        assert(n > 0, s"${cfg.name}/$period produced no rows")
+        assert(df.columns.contains("timestamp"))
+      }
+    }
   }
 }

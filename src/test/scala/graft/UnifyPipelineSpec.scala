@@ -14,7 +14,7 @@ class UnifyPipelineSpec extends SparkSpec {
   test("telemetryGrid: dedup keep-first + asfreq null rows (A4/P8)") {
     val tel = Seq((ts(0), 1.0), (ts(0), 99.0), (ts(2), 3.0))
       .toDF("timestamp", "v")
-    val grid = UnifyStages.telemetryGrid(tel, "timestamp", 1)
+    val grid = UnifyStages.telemetryGrid(tel, "timestamp", "1s")
       .orderBy("timestamp").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000,
         if (r.isNullAt(1)) None else Some(r.getDouble(1))))
@@ -26,7 +26,7 @@ class UnifyPipelineSpec extends SparkSpec {
       .toDF("timestamp", "v")
     // forecast at 0 and 20 → grid ticks 10 interpolates, 30 ffills
     val fc = Seq((ts(0), 100.0), (ts(20), 300.0)).toDF("timestamp", "dni")
-    val out = UnifyStages.unifyForecast(tel, fc, "timestamp", 10, false)
+    val out = UnifyStages.unifyForecast(tel, fc, "timestamp", "10s", false)
       .orderBy("timestamp").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000,
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
@@ -43,7 +43,7 @@ class UnifyPipelineSpec extends SparkSpec {
     // last 3h of the grid get nulls.
     val tel = (0 to 8).map(i => (ts(i * h), i.toDouble)).toDF("timestamp", "v")
     val fc = (0 to 6).map(i => (ts(i * h), i.toDouble)).toDF("timestamp", "dni")
-    val out = UnifyStages.unifyForecast(tel, fc, "timestamp", h, true)
+    val out = UnifyStages.unifyForecast(tel, fc, "timestamp", "3600s", true)
       .orderBy("timestamp").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000 / h,
         Option(r.getAs[java.lang.Double]("solcast_dni")).map(_.toDouble)))
@@ -84,7 +84,7 @@ class UnifyPipelineSpec extends SparkSpec {
       // gap 2..119 empty; next value at 120
       (ts(120), Some(50.0)), (ts(121), Some(60.0)))
       .toDF("timestamp", "SIG__A__B")
-    val out = ResampleStage.run(wide, Seq("SIG__A__B"), 10)
+    val out = ResampleStage.run(wide, Seq("SIG__A__B"), "10s")
       .orderBy("timestamp").collect()
       .map(r => (r.getTimestamp(0).getTime / 1000,
         if (r.isNullAt(1)) None else Some(r.getDouble(1))))
