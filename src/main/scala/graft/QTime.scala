@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev utility: time individual catalog queries outside the full bench.
   * Usage: runMain graft.QTime <sfDir> <queryName> [queryName...]
+  * With SPARK_GRAFT_EXPLAIN=1, prints each query's formatted physical
+  * plan instead of executing it.
   */
 object QTime {
   def main(args: Array[String]): Unit = {
@@ -19,11 +21,17 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[qtime] $name: $n rows, $sec%.2f s")
+      if (explain) {
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[qtime] $name: $n rows, $sec%.2f s")
+      }
     }
     spark.stop()
   }

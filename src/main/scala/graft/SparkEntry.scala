@@ -345,8 +345,11 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: binary payloads → per-partition decode
-    // (stubbed codec) + frame sampling. Not SQL-expressible →
-    // rows-only check; exact values covered by MultimodalSpec.
+    // (stubbed codec) + frame sampling. The gate pins everything the
+    // pipeline derives from the payload BYTES (lengths, frame counts,
+    // feature dims) against SQL recomputed from the source text; the
+    // stub's feature VALUES (pure Scala hash-mix, not SQL-expressible)
+    // are pinned by TextMultimodalSpec's golden-value test instead.
     "q28_multimodal" -> ((s, d) => {
       val media = operators.Multimodal.syntheticMedia(t(s, d, "documents"))
       val dec = operators.Multimodal.withDecodedFeatures(media, "payload",
@@ -355,8 +358,7 @@ object SparkEntry {
       frames.groupBy($"media_id")
         .agg(first($"feat_dim").as("feat_dim"),
              first($"meta.duration_ms").as("payload_len"),
-             count(lit(1)).as("n_frames"),
-             round(sum(abs(element_at($"feat", 1))), 6).as("feat_l1_head"))
+             count(lit(1)).as("n_frames"))
         .orderBy($"media_id")
     }),
 
@@ -379,6 +381,19 @@ object SparkEntry {
           Seq("event_type"), "value")
         .select($"event_type", $"bucket_ts", $"sum_value", $"n", $"mean_value")
         .orderBy($"event_type", $"bucket_ts")
+    }),
+
+    // Order-sensitive rolling-hash document fingerprint (Rabin-Karp
+    // fold over the token stream) vs a DuckDB list_reduce oracle. The
+    // engine-neutral md5-derived token hash (Dedup.md5Hash60) makes
+    // the fold value-exact across engines; xxhash64 stays the
+    // production default.
+    "q32_rolling_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select($"doc_id",
+          operators.TextAnalysis.rollingFingerprint($"text",
+            operators.Dedup.md5Hash60).as("fingerprint"))
+        .orderBy($"doc_id")
     }),
 
     // F1: haversine distance between consecutive synthetic GPS points
@@ -615,6 +630,13 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8 ORDER BY a, b""",
 
+    "q28_multimodal" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN strlen(text) = 0 THEN 0 ELSE 16 END AS feat_dim,
+         strlen(text)::BIGINT AS payload_len,
+         (greatest(strlen(text)//64 - 1, 0)//2 + 1)::BIGINT AS n_frames
+         FROM documents ORDER BY media_id""",
+
     "q29_ngram_jaccard" ->
       """WITH corpus AS (
            SELECT doc_id, lower(text) tx FROM documents
@@ -761,6 +783,16 @@ object SparkEntry {
          round(sum(value),2) AS sum_value, count(*) AS n,
          round(sum(value),2)/count(*) AS mean_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q32_rolling_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+               t -> ('0x' || substring(md5(t),1,15))::BIGINT
+                    % 100000000000000003)),
+           (acc, h) -> (acc*31 + h) % 100000000000000003) AS fingerprint
+         FROM documents ORDER BY doc_id""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

@@ -78,12 +78,16 @@ object TextAnalysis {
     * normalized token stream: h = Σ tok_hash_i · 31^(n-1-i) mod p.
     * Order-sensitive (unlike a bag-of-words hash) and incremental at
     * scale. p < 2^57 keeps `acc*31 + tok` inside signed-64 range
-    * (Spark 4 runs ANSI mode — overflow would throw, not wrap). */
-  def rollingFingerprint(text: Column): Column = {
+    * (Spark 4 runs ANSI mode — overflow would throw, not wrap).
+    * `tokenHash` defaults to xxhash64 (fastest); pass
+    * [[Dedup.md5Hash60]] for cross-engine reproducibility (the gate
+    * query pins the fold against a DuckDB `list_reduce` oracle). */
+  def rollingFingerprint(text: Column,
+                         tokenHash: Column => Column = xxhash64(_)): Column = {
     val m = lit(100000000000000003L) // prime ~1e17; 31·m < 2^63
     val toks = split(lower(trim(text)), "\\s+")
     aggregate(toks, lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
+      (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }
 
   /** One-call document profile used by the curation pipeline. */

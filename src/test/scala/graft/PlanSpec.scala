@@ -49,6 +49,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns should be pruned")
   }
 
+  test("q30: sub-second resample is one partial-aggregated shuffle on a pruned scan") {
+    val p = planOf("q30_resample_ms")
+    assert(p.contains("partial_sum"), "map-side combine expected")
+    assert(p.contains("ReadSchema") && !p.contains("event_id"),
+      "unused columns should be pruned from the events scan")
+  }
+
+  test("q31: ANN index probes broadcast the small sides") {
+    val p = planOf("q31_ann_recall")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "centroids/queries should broadcast, never shuffle the corpus")
+  }
+
+  test("q32: fingerprint fold is a pure projection (no shuffle before the sort)") {
+    val p = planOf("q32_rolling_fingerprint")
+    assert(!p.contains("HashAggregate"), "no aggregation expected")
+    assert(p.split("Exchange").length <= 3, // output sort only
+      s"unexpected extra shuffles:\n${p.take(1500)}")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a

@@ -58,6 +58,14 @@ class TextMultimodalSpec extends SparkSpec {
       .select("media_id", "feat").collect()
     assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSet ==
       again.map(r => (r.getLong(0), r.getSeq[Float](1))).toSet)
+    // golden values: the distributed mapPartitions path must apply
+    // decodeStub to exactly the payload's UTF-8 bytes (q28's oracle
+    // covers the byte-derived counts; the feature VALUES are pinned
+    // here, where the stub is directly callable)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(2L) == Multimodal.decodeStub("abc".getBytes("UTF-8"), 8).toSeq)
+    assert(byId(1L) ==
+      Multimodal.decodeStub(("0123456789" * 20).getBytes("UTF-8"), 8).toSeq)
     val frames = Multimodal.sampleFrames(dec, "payload", 50, 1)
     // 200-byte payload → 4 frames of 50; 3-byte → 1 (clamped)
     val counts = frames.groupBy("media_id").count().collect()
