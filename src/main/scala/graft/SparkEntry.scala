@@ -335,6 +335,26 @@ object SparkEntry {
         .orderBy($"method", $"query_id")
     }),
 
+    // Embedding-cosine near-dup: corpus ∪ perturbed copies of every 7th
+    // vector, candidates from multi-probe hyperplane-LSH buckets, exact
+    // cosine verify. The oracle scores ALL pairs exhaustively, so this
+    // gate proves 100% recall of the bucketed path at the threshold —
+    // organic pairs top out near cosine 0.6 on this corpus, so 0.9
+    // admits exactly the planted near-identical pairs.
+    "q33_cosine_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select($"vec_id", expr(
+          "transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .unionByName(emb.filter($"vec_id" % 7 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+              .as("embedding")))
+      operators.Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+          threshold = 0.9)
+        .select($"a", $"b", round($"cosine", 6).as("cosine"))
+        .orderBy($"a", $"b")
+    }),
+
     // Text curation profile: token counts, punctuation, case ratio,
     // language-ID heuristic, composite quality score
     "q27_text_profile" -> ((s, d) => {
@@ -689,6 +709,20 @@ object SparkEntry {
             UNION ALL
             SELECT 'lsh', query_id, neighbor_id FROM r WHERE rank = 1)
          ORDER BY method, query_id""",
+
+    "q33_cosine_neardup" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c AS (SELECT vec_id, v FROM c0
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
+           FROM c0 WHERE vec_id % 7 = 0),
+         s AS (SELECT a.vec_id a, b.vec_id b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos_raw
+           FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         SELECT a, b, round(cos_raw, 6) AS cosine FROM s
+         WHERE cos_raw >= 0.9 ORDER BY a, b""",
 
     "q27_text_profile" ->
       """WITH p AS (SELECT doc_id, text,

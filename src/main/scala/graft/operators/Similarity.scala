@@ -165,20 +165,49 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
-    * LSH buckets (no O(n²) cross join). */
+    * LSH buckets (no O(n²) cross join). Each vector is hashed once and
+    * multi-probed into its own bucket plus every 1-bit flip, so any
+    * pair whose signatures differ by ≤ 1 bit shares a probe bucket —
+    * a near-identical vector can flip a plane whose projection sits
+    * near zero, and without the probes that single flip would cost the
+    * pair. Candidates come from pair-exploding each probe bucket's
+    * sorted id list (no self-join), with the same `maxBucket` skew
+    * guard + observe metric as the MinHash/SimHash band joins; exact
+    * cosine verifies only the candidates. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int = 10): DataFrame = {
+                     threshold: Double, planes: Int = 10,
+                     maxBucket: Int = 200): DataFrame = {
     val hashed = df.select(col(idCol), col(vecCol),
       norm(asDouble(col(vecCol))).as("__n"),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
-    val l = hashed.select(col("bucket"), col(idCol).as("a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val r = hashed.select(col("bucket"), col(idCol).as("b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      hyperplaneSignature(col(vecCol), planes).as("__sig"))
+    val probed = hashed.select(col(idCol),
+      explode(array((col("__sig") +:
+        (0 until planes).map(b => col("__sig").bitwiseXOR(lit(1L << b)))): _*))
+        .as("bucket"))
+    val buckets = probed.groupBy("bucket")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .observe(s"graft_cosine_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cands = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    cands
+      .join(hashed.select(col(idCol).as("a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("a"))
+      .join(hashed.select(col(idCol).as("b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("b"))
       .withColumn("cosine", cosinePrenormed(col("__va"), col("__vb"),
         col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine").distinct()
+      .select("a", "b", "cosine")
   }
+
+  /** Unique suffix for `observe` metric names. */
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
 }

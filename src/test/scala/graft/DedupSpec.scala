@@ -97,4 +97,36 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("cosine near-dups: multi-probe recovers 1-bit signature flips") {
+    // Perturbed twins of 50 random-ish vectors: cosine ≈ 1 but a plane
+    // whose projection sits near zero can flip between the twins. The
+    // 1-bit multi-probe must reach 100% recall regardless — every
+    // (i, i+1000) pair comes back at threshold 0.99.
+    val base = spark.range(50).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 15), d -> " +
+        "CAST(hash(id, d) % 1000 AS DOUBLE) / 250.0)").as("embedding"))
+    val twins = base.select(($"vec_id" + 1000L).as("vec_id"),
+      expr("transform(embedding, x -> x * 1.001 + 0.0005)").as("embedding"))
+    val pairs = Similarity.cosineNearDups(base.unionByName(twins),
+        "vec_id", "embedding", 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 50L).foreach { i => assert(pairs.contains((i, i + 1000L))) }
+  }
+
+  test("cosine near-dups: hot bucket capped, pairs elsewhere kept") {
+    // 500 identical vectors share every probe bucket — uncapped that is
+    // ~125k candidate pairs. With maxBucket they are dropped while a
+    // distinct near-dup pair in another bucket region survives.
+    val boiler = spark.range(500).select(($"id" + 100L).as("vec_id"),
+      expr("array(1.0D, 2.0D, 3.0D, 4.0D)").as("embedding"))
+    val real = Seq(
+      (1L, Array(-1.0, 0.5, -0.25, 0.125)),
+      (2L, Array(-1.001, 0.5005, -0.2502, 0.1251))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(boiler.unionByName(real),
+        "vec_id", "embedding", 0.999, maxBucket = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 100L))
+  }
 }
