@@ -82,6 +82,51 @@ object Multimodal {
           s"i -> substring($binaryCol, i*$frameBytes + 1, $frameBytes))"))
         .as(Seq("frame_no", "frame_bytes")))
 
+  /** Nearest-neighbor resize of a RAW row-major W×H×C byte image to
+    * (outW, outH) — pure index arithmetic over the payload bytes, so
+    * unlike [[decodeStub]] this op is REAL end-to-end: no codec needed
+    * for uncompressed frames (the shape raw video/image tensors arrive
+    * in after upstream decode). Truncated payloads yield null (the
+    * same admission discipline as the CAN length filter P6). Batch-wise
+    * per partition like the decoder; appends `resized` + out dims. */
+  def resizeRaw(df: DataFrame, binaryCol: String, inW: Int, inH: Int,
+                channels: Int, outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val resized =
+          if (bytes == null || bytes.length < inW * inH * channels) null
+          else {
+            val out = new Array[Byte](outW * outH * channels)
+            var y = 0
+            while (y < outH) {
+              val sy = y * inH / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * inW / outW
+                var c = 0
+                while (c < channels) {
+                  out((y * outW + x) * channels + c) =
+                    bytes((sy * inW + sx) * channels + c)
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        Row.fromSeq(row.toSeq ++ Seq(resized, outW, outH))
+      }
+    }(enc)
+  }
+
   /** Build a synthetic media table from the documents table (text
     * bytes as payload) — used by tests and the bench to exercise the
     * plumbing with realistic row sizes. */

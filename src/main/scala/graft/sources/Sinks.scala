@@ -34,4 +34,20 @@ object Sinks {
     if (fs.exists(p)) false
     else { df.write.parquet(path); true }
   }
+
+  /** Bucketed parquet table: pre-shuffles ONCE at write time so every
+    * later equi-join or aggregation on `bucketCols` is co-located —
+    * no Exchange in the join plan (SortMergeJoin reads matching
+    * buckets directly). This is the 100 TB shape for repeated joins on
+    * a stable key (e.g. telemetry ⋈ per-timestamp reference data, or
+    * doc-id joins across dedup passes): pay the shuffle once at ingest
+    * instead of per query. Requires a table (bucket metadata lives in
+    * the catalog), hence `saveAsTable` rather than a bare path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -79,6 +79,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables: equi-join on the bucket key is shuffle-free") {
+    import spark.implicits._
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+    graft.sources.Sinks.writeBucketed(a, "bk_a", Seq("k"), 4)
+    graft.sources.Sinks.writeBucketed(b, "bk_b", Seq("k"), 4)
+    // force the sort-merge path (tiny test tables would broadcast,
+    // which hides the property under test: bucket-layout reuse)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      // bucket co-location: the pre-shuffled layout must be reused —
+      // no Exchange on either join side (the one-time write-side
+      // shuffle replaced both query-time shuffles)
+      assert(!p.contains("Exchange"), s"join should be co-located:\n${p.take(2000)}")
+      assert(joined.count() == 1000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("parse stage: text scan parallelism preserved through decode") {
     val dir = java.nio.file.Files.createTempDirectory("plan")
     java.nio.file.Files.write(dir.resolve("a.log"),

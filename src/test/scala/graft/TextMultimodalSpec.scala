@@ -72,4 +72,24 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts(1L) == 4 && counts(2L) == 1)
   }
+
+  test("multimodal: raw resize is exact nearest-neighbor index math") {
+    // 4×4 single-channel "image" with bytes 0..15 row-major; 2×2
+    // nearest-neighbor downsample picks rows/cols 0 and 2:
+    //   [ 0  2 ]
+    //   [ 8 10 ]
+    val img = Array.tabulate(16)(_.toByte)
+    val df = Seq((1L, img), (2L, Array[Byte](1, 2, 3))) // 2 = truncated
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeRaw(df, "payload", 4, 4, 1, 2, 2)
+      .select("media_id", "resized", "out_w", "out_h").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out(1L).toSeq == Seq[Byte](0, 2, 8, 10))
+    assert(out(2L) == null) // truncated payload rejected, not garbled
+    // 3-channel upscale keeps channel interleaving: 1×1 RGB → 2×2
+    val rgb = Seq((3L, Array[Byte](10, 20, 30))).toDF("media_id", "payload")
+    val up = Multimodal.resizeRaw(rgb, "payload", 1, 1, 3, 2, 2)
+      .select("resized").collect()(0).getAs[Array[Byte]](0)
+    assert(up.toSeq == Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30, 10, 20, 30))
+  }
 }
