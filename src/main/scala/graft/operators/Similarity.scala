@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** element-wise dot product of two double arrays (codegen'd
-    * higher-order functions, array-order accumulation). */
+  /** element-wise dot product of two double arrays — a native Catalyst
+    * expression ([[graft.expressions.DotProduct]]) compiling to one
+    * primitive loop per row; ascending-index double accumulation, so
+    * results are bit-identical to the `aggregate(zip_with(...))`
+    * higher-order form (and to DuckDB's `list_dot_product`). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.DotProduct(
+        // cast is a no-op (analyzer-removed) on array<double> inputs,
+        // an ArrayCast on array<float> — same as the previous explicit
+        // per-element cast
+        org.apache.spark.sql.GraftExpressionBridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b.cast("array<double>"))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
