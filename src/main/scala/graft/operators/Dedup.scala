@@ -48,13 +48,31 @@ object Dedup {
           s"i -> concat_ws(' ', slice(__tk, i, $n)))")).as("shingle"))
       .distinct()
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles. One groupBy over the shingle
-    * table; `numHashes` agg buffers. */
-  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    sh.groupBy(col(idCol))
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+  /** MinHash signatures: for each of `numHashes` hash functions, the
+    * min over the doc's shingles. One groupBy over the shingle table;
+    * `numHashes` agg buffers. The hash family is double-hashing in the
+    * Kirsch–Mitzenmacher style: TWO seeded xxhash64 evaluations per
+    * shingle (projected once BELOW the aggregate), with
+    * g_i = h1 XOR rotl(h2, i mod 64) XOR K_i (K_i a per-i odd
+    * constant) — instead of `numHashes` independent xxhash64 calls per
+    * shingle row, the dominant cost of signature building (64× less
+    * hashing at 128 hashes). XOR/rotate rather than the classical
+    * h1 + i·h2 because ANSI mode (Spark 4 default) raises on wrapping
+    * long arithmetic; bitwise mixing has no overflow semantics. */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val h1 = col("__h1"); val h2 = col("__h2")
+    def g(i: Int): Column = {
+      val r = i % 64
+      val rot = if (r == 0) h2
+        else shiftleft(h2, r).bitwiseOR(shiftrightunsigned(h2, 64 - r))
+      // K_i computed in Scala (wrapping), a literal in the plan
+      h1.bitwiseXOR(rot).bitwiseXOR(lit(i.toLong * 0x9E3779B97F4A7C15L))
+    }
+    sh.select(col(idCol), xxhash64(lit(1), col("shingle")).as("__h1"),
+        xxhash64(lit(2), col("shingle")).as("__h2"))
+      .groupBy(col(idCol))
+      .agg(array((0 until numHashes).map(i => min(g(i))): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands, hash each;
     * docs sharing any (band, hash) bucket become candidate pairs.
@@ -132,9 +150,13 @@ object Dedup {
     * reproducibility. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    // token hash projected ONCE below the aggregate — as 64 per-bit agg
+    // expressions it would be re-evaluated per bit (64 hash calls per
+    // token; ruinous for the md5-based engine-neutral variant)
     val toks = df.select(col(idCol),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-    val h = tokenHash(col("tok"))
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .select(col(idCol), tokenHash(col("tok")).as("__h"))
+    val h = col("__h")
     val voteCols = (0 until 64).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b"))
