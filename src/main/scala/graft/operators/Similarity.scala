@@ -67,27 +67,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): ±1 from a seeded hash — reproducible across runs and
-    * engines, no RNG state. */
-  private def planeSign(p: Int, d: Column): Column =
-    when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p).
-    * Planes are ±1-component vectors derived from xxhash64(p, dim). */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val vd = asDouble(vec)
-    val projections = (0 until planes).map { p =>
-      // v · plane_p via posexplode-free expression: aggregate over dims
-      aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, i) => x * planeSign(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    projections.zipWithIndex.map { case (proj, i) =>
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * Planes are ±1-component vectors derived from xxhash64(p, dim) —
+    * deterministic, no RNG state. Native fused-loop expression
+    * ([[graft.expressions.HyperplaneSignature]]): per-plane hash seeds
+    * fold at plan build, one pass over the dimensions accumulates all
+    * projections — vs `planes` separate aggregate/zip_with chains with
+    * `planes × dims` interpreted hash calls per row. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HyperplaneSignature(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          vec.cast("array<double>")), planes))
 
   /** LSH-bucketed ANN: corpus hashed once into `planes`-bit buckets;
     * each query probes its own bucket plus all 1-bit-flip neighbor

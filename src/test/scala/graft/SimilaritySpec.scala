@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH top-1 recall $recall")
   }
 
+  test("native hyperplane signature matches the HOF formula bit-for-bit") {
+    // the original Column formulation, kept here as the reference
+    // semantics the fused-loop expression must reproduce exactly
+    def planeSign(p: Int, d: org.apache.spark.sql.Column) =
+      when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+        .otherwise(lit(-1.0))
+    def hofSignature(vec: org.apache.spark.sql.Column, planes: Int) = {
+      val projections = (0 until planes).map { p =>
+        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeSign(p, i)), lit(0.0), (acc, v) => acc + v)
+      }
+      projections.zipWithIndex.map { case (proj, i) =>
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val vecs = emb.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+    for (planes <- Seq(8, 12)) {
+      val mismatches = vecs.select(
+          Similarity.hyperplaneSignature($"v", planes).as("native"),
+          hofSignature($"v", planes).as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(mismatches == 0, s"planes=$planes")
+    }
+    // HOF null semantics: null vector and null element both → 0
+    val edge = spark.sql(
+        "SELECT array(1.0D, NULL, 3.0D) AS v " +
+          "UNION ALL SELECT CAST(NULL AS array<double>)")
+      .select(Similarity.hyperplaneSignature($"v", 8).as("s")).collect()
+    assert(edge.forall(r => r.getLong(0) == 0L))
+  }
+
   test("dot/cosine on hand vectors") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
