@@ -393,6 +393,20 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // Dedup decisions from near-dup pairs: connected components over
+    // the q29 pair graph (min-label propagation, one shuffle per
+    // round) — every paired doc labeled with its component's min id.
+    // The oracle recomputes the same pairs exhaustively and takes the
+    // transitive closure with a recursive CTE, so this pins both the
+    // component structure and the representative choice.
+    "q34_dedup_components" -> ((s, d) => {
+      val pairs = operators.Dedup.ngramJaccardNearDups(
+        dupCorpus(t(s, d, "documents")), "doc_id", "text", n = 4, threshold = 0.5)
+      operators.Dedup.connectedComponents(pairs)
+        .select($"node".as("doc_id"), $"comp".as("component"))
+        .orderBy($"doc_id")
+    }),
+
     // A2 at sub-second granularity: 500 ms tumbling bins on µs bucket
     // math (the reference's live period list includes "100ms",
     // main_2020.py:140 — inexpressible with second-floored buckets)
@@ -674,6 +688,33 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q34_dedup_components" ->
+      """WITH corpus AS (
+           SELECT doc_id, lower(text) tx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lower(text || ' xyzzy qbf')
+           FROM documents WHERE doc_id % 7 = 0),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5),
+         edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r)
+         SELECT x AS doc_id, least(x, min(y)) AS component
+         FROM reach GROUP BY x ORDER BY doc_id""",
 
     "q25_simhash_neardup" -> simhashOracleSql,
 

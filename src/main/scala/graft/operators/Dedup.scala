@@ -264,6 +264,61 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (columns `a`, `b`): the step that turns pairwise near-dup output
+    * into dedup DECISIONS — every document gets the min doc-id of its
+    * component as canonical representative.
+    *
+    * Min-label propagation: each iteration every node takes the min of
+    * its own label and its neighbors' labels — one shuffle (groupBy
+    * node) per iteration, converging in O(component diameter)
+    * iterations. Near-dup graphs are star/clique-shaped (diameter ≤
+    * a few hops), so this beats the O(log n) large-star/small-star
+    * alternation in constant factors while having the same per-round
+    * cost; iterates to a fixpoint detected by a changed-label count,
+    * with `maxIter` as a backstop. Labels persist per round and the
+    * previous round unpersists — lineage stays one round deep.
+    *
+    * Returns (node, component). Only nodes appearing in `pairs` are
+    * returned — singletons are their own component by definition. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("comp", col("node")).persist(MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("y"), col("comp").as("__nc")), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min("__nc").as("__nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
+          (col("__nmin") < col("comp")).as("__changed"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.filter(col("__changed")).count()
+      labels.unpersist()
+      labels = next.drop("__changed")
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup deduplication end-to-end: keep one representative (the
+    * min doc id) per connected component of the pair graph, plus every
+    * document in no pair. */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Unique suffix for `observe` metric names (must be unique per
     * query; one operator can appear twice in a composed plan). */
   private val obsId = new java.util.concurrent.atomic.AtomicInteger()

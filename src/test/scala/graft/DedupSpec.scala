@@ -86,6 +86,25 @@ class DedupSpec extends SparkSpec {
     assert(!ng.exists(p => p._1 >= 100L && p._1 < 1100L))
   }
 
+  test("connected components: chains converge past direct neighbors") {
+    // chain 1-2-3-4 (diameter 3: label 1 must propagate through two
+    // hops, proving the loop iterates past round one), plus a separate
+    // pair and an out-of-order edge direction
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDups keeps one representative and all singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 unpaired
+  }
+
   test("embedding cosine near-dups via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
