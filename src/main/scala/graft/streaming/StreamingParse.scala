@@ -63,6 +63,19 @@ object StreamingParse {
       .select(col("bin.start").as("timestamp"), col("signal"),
         col("mean_value"), col("n"))
 
+  /** Streaming exact dedup over a keyed stream: drop any row whose
+    * key was already seen, with state bounded by the event-time
+    * watermark (a row arriving later than `watermark` after the
+    * original is beyond the dedup horizon and admitted — the standard
+    * trade for bounded state at unbounded-stream scale; an unbounded
+    * `dropDuplicates` would grow state forever on a 100 TB ingest).
+    * The streaming face of [[graft.operators.Dedup.exact]] for
+    * incremental training-data ingestion. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,
                   checkpoint: String): DataStreamWriter[Row] =

@@ -50,6 +50,31 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys within the watermark dropped") {
+    val dir = Files.createTempDirectory("stream3")
+    // three frames, the second a byte-exact duplicate of the first
+    // (same timestamp + payload → same decoded keys)
+    Files.write(dir.resolve("a.log"), Seq(
+      "(1580415599.000000) can0 021#11E803110300",
+      "(1580415599.000000) can0 021#11E803110300",
+      "(1580415600.000000) can0 021#11D00733FF00").mkString("\n").getBytes)
+    val decoded = StreamingParse.decodedStream(spark, dir.toString,
+      CanFixtures.schema)
+    val deduped = StreamingParse.dedupStream(decoded,
+      Seq("timestamp", "module_name", "topic_name", "byte_name"), "timestamp")
+    val q = deduped.writeStream.format("memory").queryName("can_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // 3 lines × 5 fields = 15 decoded rows; 5 are duplicates
+      assert(spark.sql("select count(*) from can_dedup")
+        .collect()(0).getLong(0) == 10)
+      assert(spark.sql(
+          "select count(*) from can_dedup where timestamp = timestamp_micros(1580415599000000)")
+        .collect()(0).getLong(0) == 5)
+    } finally q.stop()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
