@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{DotProduct, HyperplaneSignature}
+
+/** SQL registration of the engine's native expressions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
+  * Column API:
+  *
+  *  - `graft_dot(array<double>, array<double>) → double`
+  *  - `graft_hyperplane_sig(array<double>, planes int literal) → bigint`
+  *
+  * Two entry points: `GraftFunctions.register(spark)` injects into an
+  * existing session's function registry; `GraftExtensions` is the
+  * `spark.sql.extensions=graft.GraftExtensions` route for sessions
+  * built from config (cluster deployments, spark-sql shells).
+  */
+object GraftFunctions {
+
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        info(classOf[DotProduct], "graft_dot"),
+        { args =>
+          require(args.size == 2, "graft_dot(vecA, vecB) takes 2 arguments")
+          DotProduct(args.head, args(1))
+        }),
+      (FunctionIdentifier("graft_hyperplane_sig"),
+        info(classOf[HyperplaneSignature], "graft_hyperplane_sig"),
+        { args =>
+          require(args.size == 2,
+            "graft_hyperplane_sig(vec, planes) takes 2 arguments")
+          val planes = args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "graft_hyperplane_sig: planes must be an integer literal " +
+                "(the plane count shapes the expression at plan build)")
+          }
+          HyperplaneSignature(args.head, planes)
+        }))
+
+  /** Imperative registration into a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}
