@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{CanDecode, TimeSeries}
+import graft.operators.{CanDecode, Dedup, TimeSeries}
 import graft.sources.{Candump, CandumpConverter, CanFixtures}
 
 /** Property tests (SURVEY.md §5) driven by ScalaCheck generators with
@@ -59,6 +59,31 @@ class PropertySpec extends SparkSpec {
         assert(r.getDouble(3) == d, s"DUTY at $tsUs")
         assert(r.getDouble(4) == f1 && r.getDouble(5) == f2, s"flags at $tsUs")
       }
+    }
+  }
+
+  val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(60, for {
+    a <- Gen.choose(0L, 39L)
+    b <- Gen.choose(0L, 39L) if a != b
+  } yield (a, b))
+
+  test("property: connected components match a union-find reference") {
+    (20L to 23L).foreach { seed =>
+      val edges = sample(edgesGen, seed)
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
     }
   }
 
