@@ -393,6 +393,27 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // TPC-H-Q5-shaped star join over all six relational tables: fact ⋈
+    // fact ⋈ four dimensions with a part-filter — exercises Catalyst
+    // join reordering and multi-way broadcast (every dimension side is
+    // broadcast-sized; only the lineitem⋈orders spine shuffles).
+    // Revenue rounded at 2 digits on both sides (the q03 float-parity
+    // pattern).
+    "q35_star_join" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(t(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, d, "region"), $"n_regionkey" === $"r_regionkey")
+        .join(t(s, d, "part").filter($"p_size" < 25), $"l_partkey" === $"p_partkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
     // Dedup decisions from near-dup pairs: connected components over
     // the q29 pair graph (min-label propagation, one shuffle per
     // round) — every paired doc labeled with its component's min id.
@@ -688,6 +709,20 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q35_star_join" ->
+      """SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN part ON l_partkey = p_partkey AND p_size < 25
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
 
     "q34_dedup_components" ->
       """WITH corpus AS (

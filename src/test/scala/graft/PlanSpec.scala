@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
       s"unexpected extra shuffles:\n${p.take(1500)}")
   }
 
+  test("q35: every dimension side broadcasts; only the fact spine shuffles") {
+    val p = planOf("q35_star_join")
+    // 5 dimension joins (customer/supplier/nation/region/part) must all
+    // be broadcast hash joins; a shuffle of a dimension would mean
+    // Catalyst lost the size estimate
+    assert(p.split("BroadcastHashJoin").length >= 6,
+      s"expected ≥5 broadcast joins:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), LessThan(p_size,25)"),
+      "part filter should push into the scan")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
