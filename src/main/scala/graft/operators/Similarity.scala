@@ -80,16 +80,26 @@ object Similarity {
         org.apache.spark.sql.GraftExpressionBridge.expression(
           vec.cast("array<double>")), planes))
 
-  /** LSH-bucketed ANN: corpus hashed once into `planes`-bit buckets;
-    * each query probes its own bucket plus all 1-bit-flip neighbor
-    * buckets (multi-probe), then exact cosine ranks the bucket
-    * contents. Recall < 1 by construction (approximate); probe count
-    * bounds the cost at scale. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 12): DataFrame = {
-    val hashedCorpus = corpus.select(col(idCol).as("neighbor_id"),
+  /** A built hyperplane-LSH index: the hashed corpus, ready to persist
+    * (or write bucketed on `bucket` via
+    * [[graft.sources.Sinks.writeBucketed]]) and search many times —
+    * the build-once/search-many split a production ANN service needs;
+    * the corpus is never re-hashed per query batch. */
+  final case class LshIndex(hashedCorpus: DataFrame, planes: Int)
+
+  def buildLsh(corpus: DataFrame, idCol: String, vecCol: String,
+               planes: Int = 12): LshIndex =
+    LshIndex(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn"),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      hyperplaneSignature(col(vecCol), planes).as("bucket")), planes)
+
+  /** Search a built LSH index: each query probes its own bucket plus
+    * all 1-bit-flip neighbor buckets (multi-probe), then exact cosine
+    * ranks the bucket contents. Recall < 1 by construction
+    * (approximate); probe count bounds the cost at scale. */
+  def searchLsh(index: LshIndex, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val planes = index.planes
     val qh = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(asDouble(col(vecCol))).as("__qn"),
       hyperplaneSignature(col(vecCol), planes).as("__qb"))
@@ -98,7 +108,7 @@ object Similarity {
       explode(array((col("__qb") +:
         (0 until planes).map(b => col("__qb").bitwiseXOR(lit(1L << b)))): _*))
         .as("bucket"))
-    val scored = probes.join(hashedCorpus, Seq("bucket"))
+    val scored = probes.join(index.hashedCorpus, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))
@@ -109,17 +119,21 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN: corpus vectors are assigned once to the
-    * nearest of `nCells` coarse centroids; each query probes only its
-    * `nProbe` closest cells and ranks those cells' contents exactly.
-    * Centroids are deterministic: the lowest-id corpus vectors refined
-    * by one Lloyd iteration (mean of assigned vectors). At scale the
-    * assignment is a broadcast argmax (centroid table is tiny) and the
-    * search is a co-partitioned join on cell id — the corpus is never
-    * re-scanned per query. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 32,
-              nProbe: Int = 4): DataFrame = {
+  /** Build + search in one call (the gate-query entry point). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 12): DataFrame =
+    searchLsh(buildLsh(corpus, idCol, vecCol, planes), queries, idCol, vecCol, k)
+
+  /** A built IVF (inverted-file) ANN index: Lloyd-refined
+    * deterministic centroids (seeded from the lowest-id corpus
+    * vectors) + the cell-assigned corpus, both plain DataFrames a
+    * caller persists (or writes bucketed on `cell`) once and searches
+    * many times. Assignment is a broadcast argmax — the centroid table
+    * is tiny — so the corpus never shuffles at build time either. */
+  final case class IvfIndex(centroids: DataFrame, corpusCells: DataFrame)
+
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 32): IvfIndex = {
     val seedCentroids = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("cvec"))
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -142,10 +156,18 @@ object Similarity {
     val corpusCells = corpus.join(cells, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
-    // queries rank centroids, probe the nProbe nearest cells
+    IvfIndex(refined, corpusCells)
+  }
+
+  /** Search a built IVF index: queries rank the (broadcast) centroid
+    * table, probe only their `nProbe` nearest cells, and exact cosine
+    * ranks those cells' contents — the corpus is never re-scanned per
+    * query. */
+  def searchIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val qScores = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), norm(asDouble(col(vecCol))).as("__qn"))
-      .crossJoin(broadcast(refined.withColumn("__ctn", norm(col("cvec")))))
+      .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
       .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
         (col("__qn") * col("__ctn")))
     val probeW = Window.partitionBy(col("query_id"))
@@ -153,7 +175,7 @@ object Similarity {
     val probes = qScores.withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__qn"), col("cell"))
-    val scored = probes.join(corpusCells, Seq("cell"))
+    val scored = probes.join(index.corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))
@@ -163,6 +185,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Build + search in one call (the gate-query entry point). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 32,
+              nProbe: Int = 4): DataFrame =
+    searchIvf(buildIvf(corpus, idCol, vecCol, nCells), queries, idCol,
+      vecCol, k, nProbe)
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and

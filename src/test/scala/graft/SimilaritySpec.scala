@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH top-1 recall $recall")
   }
 
+  test("ANN build/search split: one built index serves repeated queries") {
+    val corpus = emb.select("vec_id", "embedding")
+    val ivf = Similarity.buildIvf(corpus, "vec_id", "embedding", nCells = 8)
+    ivf.centroids.persist(); ivf.corpusCells.persist()
+    val lsh = Similarity.buildLsh(corpus, "vec_id", "embedding", planes = 8)
+    lsh.hashedCorpus.persist()
+    try {
+      for (qs <- Seq(emb.filter($"vec_id" < 5), emb.filter($"vec_id".between(5, 9)))) {
+        def key(df: org.apache.spark.sql.DataFrame) =
+          df.select("query_id", "neighbor_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(key(Similarity.searchIvf(ivf, qs, "vec_id", "embedding", 3)) ==
+          key(Similarity.ivfTopK(corpus, qs, "vec_id", "embedding", 3, nCells = 8)))
+        assert(key(Similarity.searchLsh(lsh, qs, "vec_id", "embedding", 3)) ==
+          key(Similarity.lshTopK(corpus, qs, "vec_id", "embedding", 3, planes = 8)))
+      }
+    } finally {
+      ivf.centroids.unpersist(); ivf.corpusCells.unpersist()
+      lsh.hashedCorpus.unpersist()
+    }
+  }
+
   test("native hyperplane signature matches the HOF formula bit-for-bit") {
     // the original Column formulation, kept here as the reference
     // semantics the fused-loop expression must reproduce exactly
