@@ -451,6 +451,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic train/val/test split: membership is a pure
+    // function of the key's hash bucket (no RNG state), so re-runs,
+    // repartitionings and other engines agree row-for-row — the gate
+    // uses the engine-neutral md5-derived hash and the oracle
+    // recomputes every row's label independently.
+    "q36_hash_split" -> ((s, d) => {
+      operators.TextAnalysis.hashSplit(t(s, d, "documents").select($"doc_id"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = operators.Dedup.md5Hash60)
+        .select($"doc_id", $"split")
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus vocabulary heavy-hitters: token frequency top-k with a
+    // deterministic tie-break — partial-aggregated token counts, one
+    // shuffle, TakeOrdered(k)
+    "q37_vocab_topk" -> ((s, d) => {
+      operators.TextAnalysis.topTokens(t(s, d, "documents"), "text", 50)
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -709,6 +729,23 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q36_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS bkt
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "q37_vocab_topk" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS token FROM documents)
+         SELECT token, count(*) AS cnt FROM toks WHERE token != ''
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
 
     "q35_star_join" ->
       """SELECT r_name, n_name,

@@ -90,6 +90,56 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }
 
+  /** Deterministic hash bucket in [0, buckets): the reproducible
+    * alternative to RNG sampling for training-data work — membership
+    * depends only on the key, so re-runs, different partitionings and
+    * different engines agree row-for-row (no RNG state, no
+    * per-partition seeds). `hashFn` defaults to xxhash64; pass
+    * [[Dedup.md5Hash60]] for cross-engine parity. */
+  def hashBucket(key: Column, buckets: Int,
+                 hashFn: Column => Column = xxhash64(_)): Column =
+    pmod(hashFn(key.cast("string")), lit(buckets.toLong))
+
+  /** Deterministic sample: keep rows whose hash bucket falls under
+    * `rate` (resolution 1/buckets). A row's membership never changes
+    * as the corpus grows — the property that makes held-out sets
+    * stable across dataset versions. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 buckets: Int = 1000000,
+                 hashFn: Column => Column = xxhash64(_)): DataFrame =
+    df.filter(hashBucket(col(keyCol), buckets, hashFn) <
+      lit((rate * buckets).toLong))
+
+  /** Deterministic train/validation/test split: weights are cumulative
+    * fractions over the hash-bucket space; returns the input plus a
+    * `split` label column. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                weights: Seq[(String, Double)],
+                buckets: Int = 1000000,
+                hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = hashBucket(col(keyCol), buckets, hashFn)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => (f * buckets).toLong)
+    val label = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens of the
+    * lowercased corpus (ties broken by token) — partial-aggregated
+    * heavy-hitter shape: one shuffle of (token, partial count), then a
+    * TakeOrdered of k. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** One-call document profile used by the curation pipeline. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

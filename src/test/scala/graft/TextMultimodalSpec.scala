@@ -47,6 +47,33 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp("a") != fp("c"))
   }
 
+  test("hash sampling: deterministic, growth-stable, split covers all rows") {
+    val big = spark.range(2000).toDF("id")
+    val small = spark.range(1000).toDF("id")
+    val sampleBig = TextAnalysis.hashSample(big, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val sampleSmall = TextAnalysis.hashSample(small, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    // growth stability: the smaller corpus's sample IS the restriction
+    // of the bigger one (membership is per-key, corpus-independent)
+    assert(sampleSmall == sampleBig.filter(_ < 1000))
+    assert(sampleBig.size > 400 && sampleBig.size < 800) // ~30% of 2000
+    val split = TextAnalysis.hashSplit(big, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 2000)
+    assert(split("train") > 1500 && split("val") > 100 && split("test") > 100)
+  }
+
+  test("topTokens: frequency-ranked with deterministic tie-break") {
+    val df = Seq("b b b a a c", "a c  d", "").toDF("text")
+    val top = TextAnalysis.topTokens(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3, b:3 tie → 'a' first; empty strings never counted
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
