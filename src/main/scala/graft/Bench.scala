@@ -56,6 +56,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // operators that persist intermediates for intra-query reuse
+      // (gram/signature/label tables) must not leak cache pressure
+      // into the next query's measurement
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name $sec%.1f s")
       name -> sec
     } :+ ("p00_canparse" -> parseSec)

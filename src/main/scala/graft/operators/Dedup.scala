@@ -88,13 +88,9 @@ object Dedup {
     val banded = sigs.select(col(idCol),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$rows + 1, $rows)))")).as(Seq("band", "bh")))
-    val buckets = banded.groupBy("band", "bh")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .observe(s"graft_lsh_guard_${obsId.incrementAndGet()}",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    explodePairs(buckets, "ids")
+    explodePairs(
+      guardedIdBuckets(banded, Seq("band", "bh"), idCol, maxBucket, "lsh"),
+      "ids")
   }
 
   /** Exact Jaccard similarity of shingle sets for given candidate
@@ -202,11 +198,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Sorted-id buckets with the standard skew guard shared by every
+    * band join here and in [[Similarity.cosineNearDups]]: buckets over
+    * `maxBucket` ids are dropped from candidate generation (a
+    * degenerate bucket of identical docs is otherwise quadratic) and
+    * the dropped count surfaces through an observe metric. */
+  private[operators] def guardedIdBuckets(keyed: DataFrame,
+      bucketCols: Seq[String], idCol: String, maxBucket: Int,
+      guard: String): DataFrame =
+    keyed.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .observe(s"graft_${guard}_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+
   /** All in-bucket (a, b) pairs with a < b, generated WITHOUT a self
     * join: the sorted id list is pair-exploded in place. Bucket size
     * must already be capped by the caller — output is ≤ c·(c−1)/2 rows
     * per bucket. */
-  private def explodePairs(buckets: DataFrame, idsCol: String): DataFrame =
+  private[operators] def explodePairs(buckets: DataFrame, idsCol: String): DataFrame =
     buckets
       .select(explode(expr(
         s"flatten(transform($idsCol, (x, i) -> " +
@@ -227,7 +238,13 @@ object Dedup {
     * contribution at c²/2 pairs, so a degenerate stop-gram can never go
     * quadratic in the corpus. Verification intersects the two per-doc
     * gram ARRAYS (exact, over all grams including hot ones), touching
-    * only the candidate pairs. */
+    * only the candidate pairs.
+    *
+    * Cache lifecycle: the gram table stays persisted for the session
+    * (the returned frame is lazy, so this function cannot know when
+    * its consumers finish). MEMORY_AND_DISK is LRU-evictable; a
+    * long-lived driver issuing many near-dup queries should
+    * `spark.catalog.clearCache()` between them (as Bench does). */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, threshold: Double = 0.5,
                            maxBucket: Int = 50): DataFrame = {
@@ -243,14 +260,8 @@ object Dedup {
            count(lit(1)).as("sz"))
     // skew guard: pathological buckets (stop-grams) are dropped from
     // CANDIDATE GENERATION only — verification still counts them.
-    // The dropped count is observable via the "__dropped" metric.
-    val buckets = grams.groupBy("gram")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .observe(s"graft_ngram_guard_${obsId.incrementAndGet()}",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val cands = explodePairs(buckets, "ids")
+    val cands = explodePairs(
+      guardedIdBuckets(grams, Seq("gram"), idCol, maxBucket, "ngram"), "ids")
     cands
       .join(docGrams.select(col(idCol).as("a"), col("gs").as("__ga"),
         col("sz").as("sza")), Seq("a"))
@@ -280,7 +291,11 @@ object Dedup {
     * previous round unpersists — lineage stays one round deep.
     *
     * Returns (node, component). Only nodes appearing in `pairs` are
-    * returned — singletons are their own component by definition. */
+    * returned — singletons are their own component by definition. The
+    * returned frame is the final round's persisted labels: unpersist
+    * it (or `spark.catalog.clearCache()`) when done. Throws if the
+    * fixpoint is not reached within `maxIter` rounds — a silent
+    * partial labeling would produce wrong dedup decisions. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
@@ -306,6 +321,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // a silent partial result would make dropNearDups keep extra
+    // "representatives" of one component — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

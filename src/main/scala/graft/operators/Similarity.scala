@@ -206,26 +206,22 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 10,
                      maxBucket: Int = 200): DataFrame = {
+    // persisted because it fans out to three consumers (probe explode,
+    // a-side and b-side verify joins) — unpersisted, each subtree
+    // would re-derive the O(planes·d) signature and norm per row.
+    // Stays cached for the session like Dedup's gram table; the
+    // MEMORY_AND_DISK level is LRU-evictable.
     val hashed = df.select(col(idCol), col(vecCol),
-      norm(asDouble(col(vecCol))).as("__n"),
-      hyperplaneSignature(col(vecCol), planes).as("__sig"))
+        norm(asDouble(col(vecCol))).as("__n"),
+        hyperplaneSignature(col(vecCol), planes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = hashed.select(col(idCol),
       explode(array((col("__sig") +:
         (0 until planes).map(b => col("__sig").bitwiseXOR(lit(1L << b)))): _*))
         .as("bucket"))
-    val buckets = probed.groupBy("bucket")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .observe(s"graft_cosine_guard_${obsId.incrementAndGet()}",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val cands = buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val cands = Dedup.explodePairs(
+      Dedup.guardedIdBuckets(probed, Seq("bucket"), idCol, maxBucket,
+        "cosine"), "ids")
     cands
       .join(hashed.select(col(idCol).as("a"), col(vecCol).as("__va"),
         col("__n").as("__na")), Seq("a"))
@@ -236,7 +232,4 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
-
-  /** Unique suffix for `observe` metric names. */
-  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
 }

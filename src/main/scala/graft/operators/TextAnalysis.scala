@@ -120,8 +120,11 @@ object TextAnalysis {
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
     val b = hashBucket(col(keyCol), buckets, hashFn)
+    // round, don't truncate: cumulative double sums land a hair under
+    // the exact fraction (0.3+0.3 = 0.5999999…) and truncation would
+    // shift a bucket's label off the documented boundary
     val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(f => (f * buckets).toLong)
+      .map(f => math.round(f * buckets))
     val label = weights.map(_._1).zip(cuts).reverse
       .foldLeft(lit(weights.last._1)) { case (acc, (name, hi)) =>
         when(b < hi, lit(name)).otherwise(acc)

@@ -65,24 +65,31 @@ object ParseStage {
     wide
   }
 
-  /** Per-file report counters (console report operator, §2.7). Input
-    * line counts come from one aggregation pass; each file's elapsed
-    * time is measured around ITS OWN output count — the reference
-    * times every file's processing separately (lib/canparser.py:270,
-    * :346-356 accumulate per-chunk wall clock into a per-file report),
-    * so a shared global elapsed would misattribute. Diagnostics only —
-    * the per-file jobs are sequential by design, like the reference's
-    * per-file report loop. */
+  /** Per-file report counters (console report operator, §2.7). TWO
+    * passes total, independent of file count: one text scan for input
+    * lines, one pipeline run grouped by file for output rows (a
+    * per-file `filter(file === f).count()` loop would re-execute the
+    * whole lineage per file — O(files × data)). The reference times
+    * each file's processing separately (lib/canparser.py:270,
+    * :346-356); Spark processes all files in one job, so the honest
+    * equivalent is the measured pipeline wall clock attributed
+    * proportionally by input lines — documented deviation: per-file
+    * elapsed is an attribution of shared work, not an independent
+    * measurement. */
   def report(spark: SparkSession, inputGlob: String,
              wide: DataFrame): Seq[Report] = {
     val lineCounts = spark.read.textFile(inputGlob).toDF("line")
       .withColumn("file", input_file_name())
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val outCounts = wide.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val totalLines = math.max(lineCounts.values.sum, 1L)
     lineCounts.keys.toSeq.sorted.map { f =>
-      val t0 = System.nanoTime()
-      val out = wide.filter(col("file") === f).count()
-      Report(f, lineCounts(f), out, (System.nanoTime() - t0) / 1e9)
+      Report(f, lineCounts(f), outCounts.getOrElse(f, 0L),
+        elapsed * lineCounts(f) / totalLines)
     }
   }
 }

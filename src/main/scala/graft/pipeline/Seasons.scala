@@ -134,6 +134,8 @@ object Seasons {
         mab20Workaround = cfg.mab20Workaround)
     // parse (E1)
     val (refSets, mainSets) = cfg.datasets.partition(_.isReferenceDb)
+    require(mainSets.nonEmpty,
+      s"season ${cfg.name} has no non-reference datasets to process")
     val wides = mainSets.zipWithIndex.map { case (d, i) => parse(d, s"d$i") }
     // unify (J1): clip the reference-DB data to each dataset's range
     val unified = refSets.zipWithIndex.map { case (d, i) => parse(d, s"db$i") }
@@ -151,8 +153,15 @@ object Seasons {
       .map { case (w, i) => w.withColumn("__dataset", lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val signals = schema.wideColumns.filter(wide.columns.contains)
-    val resampled = ResampleStage
-      .run(wide, signals, resamplePeriod, keys = Seq("__dataset"))
+    // per-dataset resample can emit the same bucket timestamp from two
+    // datasets whose clock-fixed ranges overlap (2020 has two logs on
+    // 2020-02-01); merging them must be DETERMINISTIC, so keep the
+    // lowest-index dataset's row per timestamp — the reference never
+    // faces this because it writes each dataset to its own file.
+    val resampled = graft.operators.TimeSeries.dedupKeepFirst(
+        ResampleStage.run(wide, signals, resamplePeriod,
+          keys = Seq("__dataset")),
+        Seq("timestamp"), Seq("__dataset"))
       .drop("__dataset")
     // unify forecast (E3)
     val withForecast = forecastCsv match {

@@ -28,7 +28,8 @@ class ParseStageSpec extends SparkSpec {
     assert(again.count() == 3)
     val rep = ParseStage.report(spark, dir.toString + "/*.log", wide)
     assert(rep.map(r => (r.inputLines, r.outputRows)) == Seq((4L, 3L)))
-    // per-file elapsed measured per file (reference report shape)
+    // per-file elapsed attributed proportionally by input lines
+    // (reference report shape; one pipeline pass, not one per file)
     assert(rep.forall(_.elapsedSec > 0))
   }
 
