@@ -464,6 +464,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Eval-set decontamination: broadcast LEFT ANTI join of the corpus
+    // against a blocklist of document fingerprints (every 13th doc
+    // plays the "benchmark" — its rolling fingerprint must knock the
+    // doc out of the training set). Uses the engine-neutral md5 token
+    // hash so the oracle recomputes both sides' fingerprints.
+    "q38_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        operators.TextAnalysis.rollingFingerprint($"text",
+          operators.Dedup.md5Hash60).as("fingerprint"))
+      val blocklist = docs.filter($"doc_id" % 13 === 0).select($"fingerprint")
+      operators.TextAnalysis.decontaminate(docs, blocklist, "fingerprint")
+        .select($"doc_id", $"fingerprint")
+        .orderBy($"doc_id")
+    }),
+
     // Corpus vocabulary heavy-hitters: token frequency top-k with a
     // deterministic tie-break — partial-aggregated token counts, one
     // shuffle, TakeOrdered(k)
@@ -729,6 +744,20 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q38_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> ('0x' || substring(md5(t),1,15))::BIGINT
+                      % 100000000000000003)),
+             (acc, h) -> (acc*31 + h) % 100000000000000003) AS fingerprint
+           FROM documents)
+         SELECT doc_id, fingerprint FROM fp d
+         WHERE NOT EXISTS (SELECT 1 FROM fp b
+           WHERE b.doc_id % 13 = 0 AND b.fingerprint = d.fingerprint)
+         ORDER BY doc_id""",
 
     "q36_hash_split" ->
       """WITH b AS (SELECT doc_id,

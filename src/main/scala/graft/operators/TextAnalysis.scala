@@ -143,6 +143,17 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Eval-set decontamination: drop documents whose `fingerprintCol`
+    * appears in the blocklist — a broadcast LEFT ANTI join (the
+    * blocklist is the small side: benchmark/eval fingerprints number
+    * thousands; the corpus never shuffles). Pair with
+    * [[rollingFingerprint]] for order-sensitive whole-doc matching or
+    * [[Dedup.shingles]]-based fingerprints for passage-level checks. */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame,
+                    fingerprintCol: String): DataFrame =
+    docs.join(broadcast(blocklist.select(fingerprintCol).distinct()),
+      Seq(fingerprintCol), "left_anti")
+
   /** One-call document profile used by the curation pipeline. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

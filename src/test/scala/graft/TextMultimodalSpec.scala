@@ -74,6 +74,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("decontaminate: blocklisted fingerprints drop, whitespace variants too") {
+    import graft.operators.TextAnalysis.{decontaminate, rollingFingerprint}
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the  quick   brown fox"), // whitespace variant → same fingerprint
+      (3L, "completely unrelated text")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", rollingFingerprint($"text").as("fingerprint"))
+    val block = Seq("the quick brown fox").toDF("text")
+      .select(rollingFingerprint($"text").as("fingerprint"))
+    val kept = decontaminate(docs, block, "fingerprint")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L)) // 1 exact, 2 by normalization
+    val plan = decontaminate(docs, block, "fingerprint")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n${plan.take(1000)}")
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
