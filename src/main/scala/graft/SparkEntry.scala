@@ -464,6 +464,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus curation dashboard: per-language stats with a ROLLUP
+    // grand-total row — grouping-set aggregation (Expand + partial
+    // agg), the one A-family shape the catalog lacked. Language labels
+    // come from the q27 stopword heuristic, recomputed by the oracle.
+    "q39_rollup_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"text",
+        operators.TextAnalysis.langId($"text").as("pred_lang"))
+      docs.rollup($"pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length($"text")).as("total_chars"),
+             round(avg(operators.TextAnalysis.tokenCount($"text")), 4)
+               .as("avg_tokens"))
+        .select(coalesce($"pred_lang", lit("ALL")).as("lang"),
+          $"n_docs", $"total_chars", $"avg_tokens")
+        .orderBy($"lang")
+    }),
+
     // Eval-set decontamination: broadcast LEFT ANTI join of the corpus
     // against a blocklist of document fingerprints (every 13th doc
     // plays the "benchmark" — its rolling fingerprint must knock the
@@ -744,6 +761,28 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q39_rollup_stats" ->
+      """WITH p AS (SELECT text,
+           len(regexp_extract_all(lower(text), '\bthe\b|\band\b|\bof\b|\bto\b|\bis\b')) AS s_en,
+           len(regexp_extract_all(lower(text), '\bder\b|\bdie\b|\bund\b|\bist\b|\bnicht\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\ble\b|\bla\b|\bet\b|\best\b|\bles\b')) AS s_fr,
+           len(regexp_extract_all(lower(text), '\bel\b|\bla\b|\by\b|\bes\b|\blos\b')) AS s_es,
+           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+         FROM documents),
+         q AS (SELECT text,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM p)
+         SELECT coalesce(pred_lang, 'ALL') AS lang, count(*) AS n_docs,
+           sum(length(text)) AS total_chars,
+           round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)
+             AS avg_tokens
+         FROM q GROUP BY ROLLUP(pred_lang) ORDER BY lang""",
 
     "q38_decontaminate" ->
       """WITH fp AS (SELECT doc_id,

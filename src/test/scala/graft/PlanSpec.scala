@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
       "part filter should push into the scan")
   }
 
+  test("q39: rollup compiles to Expand + partial-aggregated hash aggregate") {
+    val p = planOf("q39_rollup_stats")
+    assert(p.contains("Expand"), "grouping sets should use Expand")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
