@@ -464,6 +464,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Time-RANGE window frame: trailing 30-second mean per user — the
+    // rangeBetween shape (frame bounded by the ORDER BY value, not row
+    // offsets; tied timestamps are peers in both engines). Telemetry
+    // smoothing without resampling to a grid.
+    "q40_trailing_window" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-30000000L, 0L) // [ts − 30 s, ts], inclusive
+      t(s, d, "events")
+        .select($"event_id", $"user_id", $"ts",
+          round(avg($"value").over(w), 6).as("trail_mean_30s"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy($"event_id")
+    }),
+
     // Corpus curation dashboard: per-language stats with a ROLLUP
     // grand-total row — grouping-set aggregation (Expand + partial
     // agg), the one A-family shape the catalog lacked. Language labels
@@ -761,6 +775,15 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5 ORDER BY a, b""",
+
+    "q40_trailing_window" ->
+      """SELECT event_id, user_id, ts,
+           round(avg(value) OVER w, 6) AS trail_mean_30s,
+           count(*) OVER w AS n_in_window
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 30 SECONDS PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "q39_rollup_stats" ->
       """WITH p AS (SELECT text,
