@@ -107,8 +107,9 @@ object TextAnalysis {
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
                  buckets: Int = 1000000,
                  hashFn: Column => Column = xxhash64(_)): DataFrame =
+    // round, don't truncate: 0.3 × 1e6 is 299999.99…, see hashSplit
     df.filter(hashBucket(col(keyCol), buckets, hashFn) <
-      lit((rate * buckets).toLong))
+      lit(math.round(rate * buckets)))
 
   /** Deterministic train/validation/test split: weights are cumulative
     * fractions over the hash-bucket space; returns the input plus a
