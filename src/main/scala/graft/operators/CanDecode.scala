@@ -37,16 +37,6 @@ object CanDecode {
     raw.cast("double") * lit(f.scale)
   }
 
-  /** Decode a frame table (from [[graft.sources.Candump.frames]]) into
-    * the long tidy form: one row per decoded field —
-    * (timestamp, module_name, topic_name, byte_name, value, unit),
-    * plus pass-through `carryCols` (e.g. file, line_id).
-    *
-    * Frames with unknown signature/topic or payload-length mismatch
-    * (against the Q3 declared size) decode to null arrays and are
-    * dropped by the explode, matching the reference's silent drops
-    * (lib/canparser.py:135-145, :81-90).
-    */
   /** Q5 — mab20 (lib/canparser.py:127-133): topic 65 → signature 230
     * and payload truncated to 2 bytes; topic 64 → signature 230.
     * Returns the (effective payload, effective signature) columns. */
@@ -64,6 +54,16 @@ object CanDecode {
     (payload, sig)
   }
 
+  /** Decode a frame table (from [[graft.sources.Candump.frames]]) into
+    * the long tidy form: one row per decoded field —
+    * (timestamp, module_name, topic_name, byte_name, value, unit),
+    * plus pass-through `carryCols` (e.g. file, line_id).
+    *
+    * Frames with unknown signature/topic or payload-length mismatch
+    * (against the Q3 declared size) decode to null arrays and are
+    * dropped by the explode, matching the reference's silent drops
+    * (lib/canparser.py:135-145, :81-90).
+    */
   def decodeLong(frames: DataFrame, schema: Schema,
                  mab20Workaround: Boolean = false,
                  carryCols: Seq[String] = Nil): DataFrame = {
@@ -172,7 +172,10 @@ object CanDecode {
     val eClamped = greatest(e, lit(-14.0)) // subnormal floor
     val step = pow(lit(2.0), eClamped - 10)
     val q = rint(f / step) * step
-    val overflow = absF > lit(65519.5) // half-precision max rounding bound
+    // half-precision overflow boundary: the midpoint between the max
+    // finite value 65504 and 65536 — RNE sends [65520, ∞) to Infinity
+    // but (65504, 65520) DOWN to 65504 (the rint path handles those)
+    val overflow = absF >= lit(65520.0)
     when(f.isNull || f === 0.0 || f.isNaN, f)
       .when(overflow, when(f > 0, lit(Double.PositiveInfinity))
         .otherwise(lit(Double.NegativeInfinity)))

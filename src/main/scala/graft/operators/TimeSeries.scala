@@ -126,13 +126,24 @@ object TimeSeries {
   def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
                keys: Seq[String], rightVals: Seq[String],
                rightTieBreak: Seq[String] = Nil): DataFrame = {
+    // tie-break columns ride in a struct of their ORIGINAL types
+    // (structs order lexicographically) — a cast to one numeric type
+    // would null out string ids and truncate doubles, silently
+    // un-pinning the determinism this parameter exists for; the left
+    // side carries a typed null of the same struct for the union
+    val tieType = org.apache.spark.sql.types.StructType(rightTieBreak.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val lTie =
+      if (rightTieBreak.isEmpty) lit(null).cast("long")
+      else lit(null).cast(tieType)
+    val rTie =
+      if (rightTieBreak.isEmpty) lit(0L)
+      else struct(rightTieBreak.map(col): _*)
     val l = rightVals.foldLeft(
-        left.withColumn("__side", lit(1)).withColumn("__tie", lit(null).cast("long"))
+        left.withColumn("__side", lit(1)).withColumn("__tie", lTie)
       )((d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
-    val tieCol = rightTieBreak.headOption.map(c => col(c).cast("long"))
-      .getOrElse(lit(0L))
     val r0 = right.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+ tieCol.as("__tie")) ++
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+ rTie.as("__tie")) ++
         rightVals.map(c => col(c).as(s"__r_$c")): _*)
     val lCols = l.columns
     val r = lCols.foldLeft(r0) { (d, c) =>
@@ -195,7 +206,12 @@ object TimeSeries {
       val prevRn = last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(prevW)
       val gap = col("__rn") - prevRn
       val frac = (t - pt) / (nt - pt)
-      val trailing = if (fillForward) when(pv.isNotNull && nv.isNull, pv) else lit(null)
+      // pandas interpolate(limit=n) bounds trailing forward-fills too
+      val trailing =
+        if (fillForward)
+          when(pv.isNotNull && nv.isNull &&
+            (lit(maxGap) <= 0 || gap <= maxGap), pv)
+        else lit(null)
       when(v.isNotNull, v).otherwise(
         when(pv.isNotNull && nv.isNotNull &&
              (lit(maxGap) <= 0 || gap <= maxGap),

@@ -153,17 +153,13 @@ object Seasons {
       .map { case (w, i) => w.withColumn("__dataset", lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val signals = schema.wideColumns.filter(wide.columns.contains)
-    // per-dataset resample can emit the same bucket timestamp from two
-    // datasets whose clock-fixed ranges overlap (2020 has two logs on
-    // 2020-02-01); merging them must be DETERMINISTIC, so keep the
-    // lowest-index dataset's row per timestamp — the reference never
-    // faces this because it writes each dataset to its own file.
-    val resampled = graft.operators.TimeSeries.dedupKeepFirst(
-        ResampleStage.run(wide, signals, resamplePeriod,
-          keys = Seq("__dataset")),
-        Seq("timestamp"), Seq("__dataset"))
-      .drop("__dataset")
-    // unify forecast (E3)
+    val resampled = ResampleStage.run(wide, signals, resamplePeriod,
+      keys = Seq("__dataset"))
+    // unify forecast (E3) + gps (E4) run PER DATASET (keys) — the
+    // reference unifies each dataset file in its own pool task
+    // (lib/unifier_with_forecast_data.py:131-139), and per-key windows
+    // and grids are what scales: no global sort, no grid spanning the
+    // multi-day gaps between clock-shifted datasets.
     val withForecast = forecastCsv match {
       case Some(csv) =>
         val site = cfg.site.getOrElse(throw new IllegalArgumentException(
@@ -171,16 +167,24 @@ object Seasons {
         val f = SolarStage.withPoa(
           SolarStage.readSolcastCsv(spark, csv), site, 300)
         UnifyStages.unifyForecast(resampled, f, "timestamp",
-          resamplePeriod, cfg.shiftBackLocalize)
+          resamplePeriod, cfg.shiftBackLocalize, keys = Seq("__dataset"))
       case None => resampled
     }
-    // unify gps (E4)
-    if (gpxFiles.nonEmpty) {
-      val track = UnifyStages.processGpsTrack(
-        graft.sources.Gpx.read(spark, gpxFiles))
-      UnifyStages.unifyGps(withForecast, track, "timestamp",
-        cfg.shiftBackLocalize)
-    } else withForecast
+    val withGps =
+      if (gpxFiles.nonEmpty) {
+        val track = UnifyStages.processGpsTrack(
+          graft.sources.Gpx.read(spark, gpxFiles))
+        UnifyStages.unifyGps(withForecast, track, "timestamp",
+          cfg.shiftBackLocalize, keys = Seq("__dataset"))
+      } else withForecast
+    // two datasets whose clock-fixed ranges overlap (2020 has two logs
+    // on 2020-02-01) can emit the same bucket timestamp; the merged
+    // output must be DETERMINISTIC, so keep the lowest-index dataset's
+    // row per timestamp — the reference never faces this because it
+    // writes each dataset to its own file.
+    graft.operators.TimeSeries.dedupKeepFirst(withGps,
+        Seq("timestamp"), Seq("__dataset"))
+      .drop("__dataset")
   }
 
   /** The per-period driver loop (main_2020.py:137-147 iterates the

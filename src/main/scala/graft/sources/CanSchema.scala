@@ -58,7 +58,7 @@ object CanSchema {
         val unitsOrdinal = slots(i) match {
           case Some((_, _, u)) => u
           case None => throw new IllegalStateException(
-            s"units ordinal lookup hit a null slot (topic $name index $i) — " +
+            s"units ordinal lookup hit a null slot (field $name index $i) — " +
               "the reference would raise here too (lib/canparser.py:100)")
         }
         val (label, scale) = unitScale(unitsOrdinal)
