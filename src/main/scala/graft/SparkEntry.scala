@@ -517,6 +517,74 @@ object SparkEntry {
       operators.TextAnalysis.topTokens(t(s, d, "documents"), "text", 50)
     }),
 
+    // Sequence packing (concat-and-chunk): docs laid end-to-end in id
+    // order within a shard, cut every 2048 tokens — each doc tagged
+    // with the sequence it starts in and its offset. The shard key is
+    // the parallelism unit (real pipelines pack per output shard);
+    // the oracle recomputes the running token count as a window sum.
+    "q41_sequence_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        ($"doc_id" % 8).as("shard"),
+        operators.TextAnalysis.tokenCount($"text").as("n_tokens"))
+      operators.Curation.packSequences(docs, "doc_id", "n_tokens", 2048,
+          keys = Seq("shard"))
+        .select($"doc_id", $"shard", $"seq_id", $"seq_offset")
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction: deterministic synthetic emails/IPs appended to
+    // every doc, redacted by the shared RE2-portable patterns; the
+    // gate pins match counts AND the md5 of the redacted text.
+    "q42_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com from 10.0."),
+          pmod($"doc_id", lit(256)).cast("string"), lit(".7")).as("text"))
+      operators.Curation.redactPii(docs, "text")
+        .select($"doc_id", $"n_emails", $"n_ips",
+          md5($"redacted").as("red_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Stratified deterministic sampling (sampleBy without RNG): each
+    // event_type keeps its own hash-bucket fraction; membership is a
+    // pure function of event_id so the oracle recomputes every row.
+    "q43_stratified_sample" -> ((s, d) => {
+      operators.Curation.stratifiedHashSample(t(s, d, "events"),
+          "event_id", "event_type",
+          Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 1.0),
+          defaultRate = 0.05, hashFn = operators.Dedup.md5Hash60)
+        .select($"event_id", $"event_type")
+        .orderBy($"event_id")
+    }),
+
+    // Intra-document repetition removal: repeated lines dropped
+    // keep-first in original order (the boilerplate filter). Corpus =
+    // each doc tripled around a unique tail line, so ground truth is
+    // exactly (text, tail); the oracle still recomputes the full
+    // split→first-occurrence→reassemble pipeline in SQL.
+    "q44_repeat_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        concat_ws("\n", $"text", $"text",
+          concat(lit("tail "), $"doc_id".cast("string")), $"text").as("text"))
+      operators.Curation.dropRepeatedLines(docs, "doc_id", "text")
+        .select($"doc_id", $"n_lines", $"n_unique_lines",
+          md5($"dedup_text").as("dedup_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Weighted domain mixing: deterministic fractional upsampling —
+    // floor(w) copies plus one hash-selected extra for the fractional
+    // part, so realized multiplicity is a pure function of the key.
+    "q45_upsample_mix" -> ((s, d) => {
+      val w = when($"event_type" === "purchase", 2.5)
+        .when($"event_type" === "click", 0.5).otherwise(1.0)
+      operators.Curation.upsampleByWeight(t(s, d, "events"), "event_id", w,
+          hashFn = operators.Dedup.md5Hash60)
+        .select($"event_id", $"event_type", $"copy")
+        .orderBy($"event_id", $"copy")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1031,6 +1099,78 @@ object SparkEntry {
                     % 100000000000000003)),
            (acc, h) -> (acc*31 + h) % 100000000000000003) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    "q41_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         FROM documents),
+         p AS (SELECT doc_id, shard, coalesce(sum(n_tokens) OVER
+             (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS prior
+           FROM d)
+         SELECT doc_id, shard, prior // 2048 AS seq_id,
+           prior % 2048 AS seq_offset
+         FROM p ORDER BY doc_id""",
+
+    "q42_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+             AS red_md5
+         FROM d ORDER BY doc_id""",
+
+    "q43_stratified_sample" ->
+      """WITH b AS (SELECT event_id, event_type,
+           ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS bkt
+         FROM events)
+         SELECT event_id, event_type FROM b
+         WHERE bkt < CASE event_type WHEN 'click' THEN 200000
+                       WHEN 'view' THEN 100000 WHEN 'purchase' THEN 1000000
+                       ELSE 50000 END
+         ORDER BY event_id""",
+
+    "q44_repeat_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(
+           text || chr(10) || text || chr(10) || 'tail '
+                || CAST(doc_id AS VARCHAR) || chr(10) || text,
+           chr(10)) AS t FROM documents),
+         l AS (SELECT doc_id, t[i] AS line, i AS pos, len(t) AS n_lines
+           FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+         f AS (SELECT doc_id, any_value(n_lines) AS n_lines, line,
+             min(pos) AS pos
+           FROM l GROUP BY doc_id, line)
+         SELECT doc_id, any_value(n_lines) AS n_lines,
+           count(*) AS n_unique_lines,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_md5
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "q45_upsample_mix" ->
+      """WITH b AS (SELECT event_id, event_type,
+           ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS bkt
+         FROM events),
+         w AS (SELECT event_id, event_type,
+           CASE event_type WHEN 'purchase' THEN 2
+                           WHEN 'click' THEN 0 ELSE 1 END
+           + CASE WHEN bkt < (CASE event_type WHEN 'purchase' THEN 500000
+                                WHEN 'click' THEN 500000 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS copies
+         FROM b)
+         SELECT event_id, event_type,
+           unnest(generate_series(0, copies - 1)) AS copy
+         FROM w WHERE copies > 0 ORDER BY event_id, copy""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document analysis: sequence
+  * packing, PII redaction, stratified sampling, intra-document
+  * repetition removal, and weighted domain mixing. Like
+  * [[TextAnalysis]], everything is Column expressions or
+  * partition-parallel window work — no UDFs, no driver loops.
+  */
+object Curation {
+
+  /** Sequence packing — the concat-and-chunk discipline LLM
+    * pretraining uses: documents are laid end-to-end in `idCol` order
+    * and the stream is cut every `seqLen` tokens. Each doc gets the
+    * training sequence it STARTS in (`seq_id`) and its token offset
+    * within that sequence (`seq_offset`); a doc may spill into the
+    * following sequence(s) — that's the discipline's point (no padding
+    * waste, deterministic layout).
+    *
+    * Scale shape: the running token count is a window over `keys` —
+    * the packing shard. Real pipelines pack per output shard, never
+    * globally, so `keys` (e.g. a hash-derived shard id) is the
+    * parallelism unit; with `keys = Nil` the whole corpus is one
+    * sequential stream (single-partition window — fine for tests,
+    * wrong at scale, hence the require note in the scaladoc).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, keys: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    df.withColumn("seq_id", floor(prior / seqLen))
+      .withColumn("seq_offset", pmod(prior, lit(seqLen)))
+  }
+
+  /** Portable PII patterns (same RE2-compatible source strings the
+    * DuckDB oracle uses — no lookarounds, no Java-only syntax). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`.
+    * Pure regexp_replace chain (codegen'd, no shuffle). Returns the
+    * redacted text plus per-kind match counts — curation pipelines
+    * track redaction rates as a data-quality signal. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"))
+  }
+
+  /** Stratified deterministic sampling — `sampleBy` without RNG state:
+    * each stratum keeps rows whose hash bucket falls under its own
+    * rate, so membership is a pure function of (key, stratum rate) and
+    * survives re-runs, repartitioning and engine changes. Strata
+    * missing from `rates` get `defaultRate`. One codegen'd filter; no
+    * shuffle, no per-stratum jobs. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0,
+                           buckets: Int = 1000000,
+                           hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val b = TextAnalysis.hashBucket(col(keyCol), buckets, hashFn)
+    // round like hashSplit: 0.3 × 1e6 is 299999.99… in binary
+    val cut = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * buckets))) { case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(math.round(r * buckets))).otherwise(acc)
+      }
+    df.filter(b < cut)
+  }
+
+  /** Intra-document repetition removal: drop repeated lines (split on
+    * `sep`), keeping each line's FIRST occurrence and the original
+    * order — the boilerplate/chorus filter every web-corpus pipeline
+    * runs. One explode + one (doc, line) aggregate + one per-doc
+    * re-assembly aggregate; group keys carry the doc id, so the work
+    * hash-partitions across the cluster (no windows, no driver text).
+    * Empty lines are preserved-once like any other repeated line. */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val firsts = lines.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"))
+    val rebuilt = firsts.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .as("parts"))
+      .select(col(idCol),
+        concat_ws(sep, expr("transform(parts, p -> p.line)")).as("dedup_text"),
+        size(col("parts")).as("n_unique_lines"))
+    df.join(rebuilt, Seq(idCol))
+      .withColumn("n_lines",
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+  }
+
+  /** Weighted domain mixing — deterministic fractional upsampling:
+    * a row with weight w is repeated floor(w) times, plus once more
+    * for the hash-selected fraction of rows (bucket < frac(w)·buckets)
+    * — so the EXPECTED multiplicity is exactly w and the realized
+    * multiset is a pure function of the keys (re-runs and engines
+    * agree row-for-row, unlike RNG-based `sample`). Emits `copy`
+    * (0-based repeat index) so downstream packing/shuffling can
+    * distinguish repeats. The explode is the only row-growing step;
+    * weights ≥ 0, weight 0 drops the row. */
+  def upsampleByWeight(df: DataFrame, keyCol: String, weight: Column,
+                       buckets: Int = 1000000,
+                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val b = TextAnalysis.hashBucket(col(keyCol), buckets, hashFn)
+    val base = floor(weight).cast("long")
+    val frac = weight - base
+    val extra = (b < round(frac * buckets)).cast("long")
+    val copies = (base + extra).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+}

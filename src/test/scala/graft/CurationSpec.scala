@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: concat-and-chunk layout per shard") {
+    // one shard, seqLen 10, docs of 4/8/3/10/1 tokens in id order:
+    // priors 0,4,12,15,25 → seq 0,0,1,1,2; offsets 0,4,2,5,5
+    val docs = Seq((1L, 4L), (2L, 8L), (3L, 3L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0))
+    val got = Curation.packSequences(docs, "doc_id", "n_tokens", 10,
+        keys = Seq("shard"))
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)]
+      .collect()
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 1L, 2L),
+      (4L, 1L, 5L), (5L, 2L, 5L)))
+  }
+
+  test("packSequences: shards pack independently") {
+    val docs = Seq((1L, 0, 6L), (2L, 1, 6L), (3L, 0, 6L), (4L, 1, 6L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val got = Curation.packSequences(docs, "doc_id", "n_tokens", 10,
+        keys = Seq("shard"))
+      .orderBy("doc_id").select("seq_id").as[Long].collect()
+    // each shard: priors 0, 6 → seq 0, 0 (doc 3/4 start at offset 6)
+    assert(got.toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("redactPii replaces emails and IPs and counts matches") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, host 10.0.0.1 end"),
+      (2L, "clean text, version 1.2 stays, 999.999.999.999 is matched"),
+      (3L, "")).toDF("id", "text")
+    val got = Curation.redactPii(df, "text")
+      .orderBy("id").select("n_emails", "n_ips", "redacted")
+      .as[(Int, Int, String)].collect()
+    assert(got(0) === ((2, 1, "mail <EMAIL> and <EMAIL>, host <IP> end")))
+    // the pattern is syntactic (1-3 digit octets), not semantic
+    assert(got(1) === ((0, 1, "clean text, version 1.2 stays, <IP> is matched")))
+    assert(got(2) === ((0, 0, "")))
+  }
+
+  test("stratifiedHashSample keeps per-stratum hash fractions, deterministically") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "s")
+    val kept = Curation.stratifiedHashSample(df, "k", "s",
+      Map("a" -> 1.0, "b" -> 0.1), hashFn = Dedup.md5Hash60)
+    val byStratum = kept.groupBy("s").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStratum("a") === 1000L) // rate 1.0 keeps everything
+    assert(byStratum.getOrElse("b", 0L) > 40L &&
+      byStratum("b") < 200L) // ~10% of 1000
+    // determinism: a second run selects the identical rows
+    val again = Curation.stratifiedHashSample(df, "k", "s",
+      Map("a" -> 1.0, "b" -> 0.1), hashFn = Dedup.md5Hash60)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
+  test("stratifiedHashSample default rate drops unlisted strata at 0") {
+    val df = Seq((1L, "x"), (2L, "x")).toDF("k", "s")
+    assert(Curation.stratifiedHashSample(df, "k", "s", Map("y" -> 1.0))
+      .count() === 0L)
+  }
+
+  test("dropRepeatedLines keeps first occurrence in original order") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "solo"),
+      (3L, "dup\ndup\ndup")).toDF("doc_id", "text")
+    val got = Curation.dropRepeatedLines(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("dedup_text", "n_lines", "n_unique_lines")
+      .as[(String, Int, Int)].collect()
+    assert(got(0) === (("alpha\nbeta\ngamma", 5, 3)))
+    assert(got(1) === (("solo", 1, 1)))
+    assert(got(2) === (("dup", 3, 1)))
+  }
+
+  test("upsampleByWeight: integer weights repeat exactly, zero drops") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
+    val got = Curation.upsampleByWeight(df, "k", col("w"))
+      .orderBy("k", "copy").select("k", "copy").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 0L), (1L, 1L), (3L, 0L)))
+  }
+
+  test("upsampleByWeight: fractional part selects ~frac of keys by hash") {
+    val df = (0L until 1000L).map(i => (i, 1.5)).toDF("k", "w")
+    val n = Curation.upsampleByWeight(df, "k", col("w"),
+      hashFn = Dedup.md5Hash60).count()
+    // every key ≥ 1 copy; ~half get 2 → total in [1400, 1600]
+    assert(n > 1400L && n < 1600L)
+    // realized multiset is deterministic
+    val n2 = Curation.upsampleByWeight(df, "k", col("w"),
+      hashFn = Dedup.md5Hash60).count()
+    assert(n === n2)
+  }
+}
