@@ -585,6 +585,28 @@ object SparkEntry {
         .orderBy($"event_id", $"copy")
     }),
 
+    // TF-IDF top terms per document: corpus-level statistical term
+    // weighting — two hash aggregates + vocabulary join + per-doc
+    // top-k window; ranking on the ROUNDED score so both engines
+    // agree on ties (then token breaks them).
+    "q46_tfidf" -> ((s, d) => {
+      operators.TextAnalysis.tfidfTopTerms(t(s, d, "documents"),
+          "doc_id", "text", 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    // Sliding-window token chunking (50-token windows, 10-token
+    // overlap): the RAG/long-doc context splitter as a pure per-row
+    // generator. The gate pins chunk counts, per-chunk token counts
+    // and the md5 of every chunk's text.
+    "q47_chunk_overlap" -> ((s, d) => {
+      operators.Curation.chunkByTokens(t(s, d, "documents"),
+          "doc_id", "text", 50, 10)
+        .select($"doc_id", $"chunk_id", $"chunk_tokens",
+          md5($"chunk_text").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1171,6 +1193,35 @@ object SparkEntry {
          SELECT event_id, event_type,
            unnest(generate_series(0, copies - 1)) AS copy
          FROM w WHERE copies > 0 ORDER BY event_id, copy""",
+
+    "q46_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token != '' GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         s AS (SELECT doc_id, token,
+             round(tf * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf
+           FROM tf JOIN dfq USING (token)),
+         r AS (SELECT doc_id, token, tfidf, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+           FROM s)
+         SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+
+    "q47_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(
+             lower(trim(text)), '\s+') AS t FROM documents),
+         e AS (SELECT doc_id, t,
+             greatest(0, (len(t) - 50 + 40 - 1) // 40) AS extra FROM d),
+         c AS (SELECT doc_id, t,
+             unnest(generate_series(0, extra)) AS chunk_id FROM e)
+         SELECT doc_id, chunk_id,
+           len(t[chunk_id*40 + 1 : chunk_id*40 + 50]) AS chunk_tokens,
+           md5(array_to_string(t[chunk_id*40 + 1 : chunk_id*40 + 50], ' '))
+             AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

@@ -101,6 +101,39 @@ object Curation {
         size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
   }
 
+  /** Sliding-window token chunking with overlap — the
+    * context-window splitter for RAG / long-doc training prep: the
+    * token stream is cut into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap` (the stride), so consecutive chunks share
+    * `overlap` tokens. Emits one row per (doc, chunk) with the chunk
+    * index, its token count and text. Pure per-row generator (explode
+    * over index arithmetic — no shuffle, no window): a doc of n tokens
+    * yields 1 chunk when n ≤ chunkTokens, else
+    * 1 + ceil((n − chunkTokens) / stride), the last chunk possibly
+    * short. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.withColumn("__tk", toks)
+      .withColumn("__n", size(col("__tk")))
+      // chunk count: ceil((n - chunk) / stride) extra chunks past the
+      // first, in integer arithmetic (portable to the SQL oracle;
+      // `div`, not `/` — the Column `/` is double division)
+      .withColumn("__extra",
+        greatest(lit(0L), expr(
+          s"CAST(__n - $chunkTokens + $stride - 1 AS BIGINT) div $stride")))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, __extra), " +
+          s"c -> struct(c AS chunk_id, " +
+          s"slice(__tk, c * $stride + 1, $chunkTokens) AS toks))")).as("ch"))
+      .select(col(idCol), col("ch.chunk_id").as("chunk_id"),
+        size(col("ch.toks")).as("chunk_tokens"),
+        concat_ws(" ", col("ch.toks")).as("chunk_text"))
+  }
+
   /** Weighted domain mixing — deterministic fractional upsampling:
     * a row with weight w is repeated floor(w) times, plus once more
     * for the hash-selected fraction of rows (bucket < frac(w)·buckets)

@@ -144,6 +144,32 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N / df) over the corpus, the `k` highest-scoring terms per doc
+    * (ties broken by token). Two hash aggregates (doc-term counts,
+    * then document frequencies derived from them — no second corpus
+    * scan) + one broadcast of the 1-row corpus count + a per-doc
+    * top-k window. The df table joins back on `token`, hash-partitioned
+    * — vocabulary-sized, not broadcastable at web scale. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tfidf"))
+  }
+
   /** Eval-set decontamination: drop documents whose `fingerprintCol`
     * appears in the blocklist — a broadcast LEFT ANTI join (the
     * blocklist is the small side: benchmark/eval fingerprints number

@@ -80,6 +80,42 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === (("dup", 3, 1)))
   }
 
+  test("chunkByTokens: windows advance by stride, last chunk short") {
+    // 12 tokens, chunk 5, overlap 2 → stride 3, extra = ceil(7/3) = 3
+    // chunks: [1..5], [4..8], [7..11], [10..12]
+    val df = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(df, "doc_id", "text", 5, 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    assert(got.toSeq === Seq(
+      (0L, 5, "a b c d e"), (1L, 5, "d e f g h"),
+      (2L, 5, "g h i j k"), (3L, 3, "j k l")))
+  }
+
+  test("chunkByTokens: short doc is one whole chunk") {
+    val df = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(df, "doc_id", "text", 50, 10)
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    assert(got.toSeq === Seq((0L, 3, "only three tokens")))
+  }
+
+  test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "token").as[(Long, Int, String)].collect()
+    // "common" appears in all 3 docs → idf = ln(1) = 0; rare terms win
+    assert(got.filter(_._1 == 1L).map(_._3).head === "rare1")
+    assert(got.filter(_._1 == 2L).map(_._3).head === "rare2")
+    // zero-score terms still rank (by token) below positive scores
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq("rare1", "common"))
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
