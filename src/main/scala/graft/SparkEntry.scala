@@ -607,6 +607,19 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // Salted two-phase aggregation over hot keys (5 event types share
+    // all rows — maximal key skew): per-(key, salt) partials recombine
+    // exactly for algebraic aggregates, so the oracle is the PLAIN
+    // unsalted aggregate — the gate pins the decomposition's
+    // correctness, q01-style rounding absorbs double-sum order.
+    "q48_salted_agg" -> ((s, d) => {
+      operators.Skew.saltedSumStats(t(s, d, "events"),
+          Seq("event_type"), "value", salts = 16)
+        .select($"event_type", round($"sum_value", 2).as("sum_value"),
+          $"n", $"min_value", $"max_value")
+        .orderBy($"event_type")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1222,6 +1235,12 @@ object SparkEntry {
            md5(array_to_string(t[chunk_id*40 + 1 : chunk_id*40 + 50], ' '))
              AS chunk_md5
          FROM c ORDER BY doc_id, chunk_id""",
+
+    "q48_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+           count(value) AS n, min(value) AS min_value,
+           max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

@@ -298,8 +298,13 @@ object Dedup {
     * partial labeling would produce wrong dedup decisions. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    // both edge directions from ONE pass over `pairs` (a union of two
+    // projections would evaluate the upstream near-dup pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct().persist(MEMORY_AND_DISK)
     var labels = edges.select(col("x").as("node")).distinct()
       .withColumn("comp", col("node")).persist(MEMORY_AND_DISK)

@@ -116,6 +116,24 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq("rare1", "common"))
   }
 
+  test("saltedSumStats equals the plain aggregate on a skewed key") {
+    val df = (1L to 5000L).map(i => ("hot", i.toDouble)) ++
+      (1L to 50L).map(i => ("cold", i.toDouble)) match {
+      case rows => rows.toDF("k", "v")
+    }
+    val salted = operators.Skew.saltedSumStats(df, Seq("k"), "v", salts = 8)
+      .orderBy("k")
+      .select(col("k"), round(col("sum_v"), 6), col("n"),
+        col("min_v"), col("max_v"))
+      .as[(String, Double, Long, Double, Double)].collect()
+    val plain = df.groupBy("k")
+      .agg(round(sum("v"), 6).as("s"), count("v").as("n"),
+        min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k")
+      .as[(String, Double, Long, Double, Double)].collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
