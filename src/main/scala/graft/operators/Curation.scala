@@ -32,8 +32,12 @@ object Curation {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prior = coalesce(sum(col(tokensCol)).over(w), lit(0L))
-    df.withColumn("seq_id", floor(prior / seqLen))
-      .withColumn("seq_offset", pmod(prior, lit(seqLen)))
+    // `div`, not `/`: the Column `/` is double division, which loses
+    // exactness past 2^53 tokens per shard
+    df.withColumn("__prior", prior)
+      .withColumn("seq_id", expr(s"__prior div ${seqLen}L"))
+      .withColumn("seq_offset", pmod(col("__prior"), lit(seqLen)))
+      .drop("__prior")
   }
 
   /** Portable PII patterns (same RE2-compatible source strings the

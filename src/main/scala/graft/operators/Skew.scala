@@ -18,16 +18,21 @@ object Skew {
     * (keys, salt) — `salts` sub-groups per hot key, spreading one hot
     * key over `salts` reducers — then the per-salt partials recombine
     * on the true keys. Emits sum/count/min/max per `valueCol` (avg =
-    * sum/n downstream). The salt is derived from row content
+    * sum/n downstream). The default salt is derived from row content
     * (xxhash64 of the value column), not RNG or partition id, so the
     * plan is deterministic end-to-end and retries can't re-bucket a
-    * row. */
+    * row. CAVEAT: a hot key whose VALUES are also all identical
+    * defeats a content-derived salt (every row lands in one
+    * sub-group) — pass `saltOn` with a higher-cardinality column
+    * (e.g. a row id) for that shape. */
   def saltedSumStats(df: DataFrame, keys: Seq[String], valueCol: String,
-                     salts: Int = 16): DataFrame = {
+                     salts: Int = 16,
+                     saltOn: Option[Column] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     val k = keys.map(col)
+    val saltSrc = saltOn.getOrElse(col(valueCol))
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts.toLong)))
+      .withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)))
       .groupBy((k :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__n"),
            min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))

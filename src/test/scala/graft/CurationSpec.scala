@@ -134,6 +134,57 @@ class CurationSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("end-to-end curation pipeline: profile -> dedup -> decontaminate -> split -> pack") {
+    // the operators composed the way a corpus pipeline uses them; the
+    // invariants (not the exact rows) are the contract under test
+    val base = (0L until 120L).map { i =>
+      val body = s"unique document body number $i with some filler words " +
+        ("lorem ipsum dolor sit amet " * (i % 5 + 1).toInt)
+      (i, if (i % 10 == 0) "exact dup body shared by ten docs" else body)
+    }.toDF("doc_id", "text")
+
+    val profiled = operators.TextAnalysis.profile(base, "text")
+      .filter(col("quality") > 0.2)
+    // exact dedup keeps one representative per identical text
+    val exactDeduped = operators.Dedup.exact(profiled, Seq("text"), "doc_id")
+    assert(exactDeduped.filter(col("text").contains("exact dup")).count() === 1L)
+
+    // near-dup drop over n-gram pairs (none expected among survivors)
+    val pairs = operators.Dedup.ngramJaccardNearDups(
+      exactDeduped, "doc_id", "text", n = 4, threshold = 0.9)
+    val deduped = operators.Dedup.dropNearDups(exactDeduped, pairs, "doc_id")
+
+    // decontaminate against a 3-doc "benchmark" blocklist
+    val fp = deduped.withColumn("fingerprint",
+      operators.TextAnalysis.rollingFingerprint(col("text")))
+    val block = fp.filter(col("doc_id").isin(3L, 7L, 11L))
+      .select("fingerprint")
+    val clean = operators.TextAnalysis.decontaminate(fp, block, "fingerprint")
+    assert(clean.filter(col("doc_id").isin(3L, 7L, 11L)).count() === 0L)
+
+    // deterministic split, then pack each split shard independently
+    val split = operators.TextAnalysis.hashSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val packed = Curation.packSequences(
+      split.withColumn("n_tokens",
+        operators.TextAnalysis.tokenCount(col("text"))),
+      "doc_id", "n_tokens", 128, keys = Seq("split"))
+    // invariants: every surviving doc packed exactly once; offsets
+    // within bounds; seq ids contiguous from 0 per split
+    assert(packed.count() === clean.count())
+    assert(packed.filter(col("seq_offset") < 0 ||
+      col("seq_offset") >= 128).count() === 0L)
+    val perSplit = packed.groupBy("split")
+      .agg(min("seq_id").as("lo"), countDistinct("seq_id").as("nseq"),
+        max("seq_id").as("hi"))
+      .collect()
+    perSplit.foreach { r =>
+      assert(r.getLong(1) === 0L) // first doc of a shard starts sequence 0
+      assert(r.getLong(3) === r.getLong(2) - 1) // seq ids contiguous from 0
+    }
+    spark.catalog.clearCache() // near-dup gram table persists per session
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
