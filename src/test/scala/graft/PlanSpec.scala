@@ -86,6 +86,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
+  test("q48: salted aggregate runs two aggregate levels on the salt then the key") {
+    val p = planOf("q48_salted_agg")
+    assert(p.contains("__salt"), "salt grouping expected in the plan")
+    assert(p.contains("partial_sum"), "map-side combine expected")
+  }
+
+  test("q47: chunking is a pure generator — no shuffle but the output sort") {
+    val p = planOf("q47_chunk_overlap")
+    assert(p.contains("Generate"), "explode-based chunker expected")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "no aggregation or join expected")
+    assert(p.split("Exchange").length <= 2, // output range sort only
+      s"unexpected extra shuffles:\n${p.take(1500)}")
+  }
+
+  test("q41: packing shuffles once for the per-shard window") {
+    val p = planOf("q41_sequence_pack")
+    assert(p.contains("Window"), "running-count window expected")
+    // one hash exchange for the window partitioning + the output sort
+    assert(p.split("Exchange").length <= 3,
+      s"unexpected extra shuffles:\n${p.take(1500)}")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
