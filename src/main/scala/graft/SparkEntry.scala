@@ -620,6 +620,23 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // Cross-corpus fuzzy contamination pairs: training docs vs a
+    // lightly-edited benchmark set (every 13th doc + appended tokens)
+    // via the two-sided gram bucket join — the passage-level
+    // contamination the exact fingerprint anti-join (q38) cannot see.
+    // The oracle computes the exhaustive cross-Jaccard, so the gate
+    // pins 100% recall of the bucketed path at the threshold.
+    "q49_cross_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val bench = t(s, d, "documents").filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" extra trailing token")).as("text"))
+      operators.Dedup.crossJaccardNearDups(docs, bench, "doc_id", "text",
+          n = 4, threshold = 0.5)
+        .select($"a", $"b")
+        .orderBy($"a", $"b")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1241,6 +1258,29 @@ object SparkEntry {
            count(value) AS n, min(value) AS min_value,
            max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q49_cross_contamination" ->
+      """WITH lt AS (SELECT doc_id, lower(text) tx FROM documents),
+         rt AS (SELECT doc_id + 1000000 AS doc_id,
+             lower(text || ' extra trailing token') tx
+           FROM documents WHERE doc_id % 13 = 0),
+         ltoks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM lt),
+         rtoks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM rt),
+         lsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM ltoks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         rsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM rtoks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         lsz AS (SELECT doc_id, count(*) sz FROM lsh GROUP BY 1),
+         rsz AS (SELECT doc_id, count(*) sz FROM rsh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM lsh a
+           JOIN rsh b ON a.s = b.s GROUP BY 1,2)
+         SELECT a, b FROM inter
+         JOIN lsz ON lsz.doc_id = a JOIN rsz ON rsz.doc_id = b
+         WHERE i*1.0/(lsz.sz+rsz.sz-i) >= 0.5 ORDER BY a, b""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

@@ -275,6 +275,62 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Cross-corpus n-gram Jaccard near-dup pairs: candidates are
+    * (left, right) doc pairs sharing a word n-gram, verified with
+    * exact gram-set Jaccard — the fuzzy-decontamination primitive
+    * (training docs vs a benchmark set) where the whole-doc
+    * fingerprint anti-join can't catch lightly-edited contamination.
+    *
+    * Scale shape mirrors [[ngramJaccardNearDups]]: each side's gram
+    * table is computed once (persisted — it feeds both the per-doc
+    * gram arrays and the per-gram buckets), candidates come from the
+    * bucket join of the two sides' per-gram id lists with the
+    * `maxBucket` cap applied to EACH side (a hot gram contributes at
+    * most maxBucket² pairs), and verification intersects the two
+    * per-doc gram arrays for candidates only. Returns (a, b, jaccard)
+    * with `a` from `left`, `b` from `right`. */
+  def crossJaccardNearDups(left: DataFrame, right: DataFrame, idCol: String,
+                           textCol: String, n: Int = 8,
+                           threshold: Double = 0.5,
+                           maxBucket: Int = 50): DataFrame = {
+    def gramTable(df: DataFrame): DataFrame = df
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tk"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
+      .distinct()
+      .persist()
+    val gl = gramTable(left); val gr = gramTable(right)
+    def docSets(g: DataFrame, a: String) = g.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("gram"))).as(s"__g$a"),
+           count(lit(1)).as(s"sz$a"))
+      .withColumnRenamed(idCol, a)
+    val lb = gl.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col(idCol))).as("la"))
+    val rb = gr.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col(idCol))).as("ra"))
+    val cands = lb.join(rb, "gram")
+      .observe(s"graft_xngram_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("la")) > maxBucket ||
+                 size(col("ra")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("la")) <= maxBucket && size(col("ra")) <= maxBucket)
+      .select(explode(expr(
+        "flatten(transform(la, x -> transform(ra, y -> " +
+          "struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    cands
+      .join(docSets(gl, "a"), Seq("a"))
+      .join(docSets(gr, "b"), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("__gb"), col("__ga"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (columns `a`, `b`): the step that turns pairwise near-dup output
     * into dedup DECISIONS — every document gets the min doc-id of its

@@ -181,6 +181,21 @@ object TextAnalysis {
     docs.join(broadcast(blocklist.select(fingerprintCol).distinct()),
       Seq(fingerprintCol), "left_anti")
 
+  /** Fuzzy eval-set decontamination: drop documents NEAR-duplicating
+    * any benchmark doc (word n-gram Jaccard ≥ threshold via
+    * [[Dedup.crossJaccardNearDups]]) — catches the lightly-edited
+    * contamination the exact-fingerprint [[decontaminate]] misses.
+    * The contaminated-id set is aggregated from the pair table
+    * (benchmark-sized or smaller), so the anti join broadcasts. */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val hits = Dedup.crossJaccardNearDups(docs, benchmark, idCol, textCol,
+        n, threshold)
+      .select(col("a").as(idCol)).distinct()
+    docs.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+
   /** One-call document profile used by the curation pipeline. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

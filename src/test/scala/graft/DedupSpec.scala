@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
     (0L until 50L).foreach { i => assert(pairs.contains((i, i + 1000L))) }
   }
 
+  test("cross-corpus jaccard pairs + fuzzy decontamination") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about solar telemetry and boats"),
+      (3L, "unrelated third document with its own words entirely here")
+    ).toDF("doc_id", "text")
+    // benchmark: doc 1 lightly edited (near-dup), plus an unrelated doc
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (101L, "benchmark question about something else altogether now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardNearDups(docs, bench, "doc_id", "text",
+        n = 4, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 100L)))
+    val clean = operators.TextAnalysis.fuzzyDecontaminate(
+        docs, bench, "doc_id", "text", n = 4, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L, 3L))
+    spark.catalog.clearCache()
+  }
+
   test("cosine near-dups: hot bucket capped, pairs elsewhere kept") {
     // 500 identical vectors share every probe bucket — uncapped that is
     // ~125k candidate pairs. With maxBucket they are dropped while a
