@@ -185,6 +185,63 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache() // near-dup gram table persists per session
   }
 
+  test("property: packSequences invariants on random token streams") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 200L)
+        .map(i => (i, i % 4, rnd.nextInt(300).toLong))
+        .toDF("doc_id", "shard", "n_tokens")
+      val packed = Curation.packSequences(docs, "doc_id", "n_tokens", 256,
+          keys = Seq("shard"))
+        .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1)
+      packed.groupBy(_._2).values.foreach { shard =>
+        var prior = 0L
+        shard.sortBy(_._1).foreach { case (_, _, n, seqId, off) =>
+          // each doc starts exactly where the running count says
+          assert(seqId === prior / 256 && off === prior % 256, s"trial $trial")
+          prior += n
+        }
+      }
+    }
+  }
+
+  test("property: chunk reassembly reproduces the token stream") {
+    val rnd = new scala.util.Random(7)
+    val texts = (0L until 50L).map { i =>
+      (i, (0 until rnd.nextInt(120) + 1).map(j => s"t${rnd.nextInt(50)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = Curation.chunkByTokens(texts, "doc_id", "text", 16, 4)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    texts.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").toList
+      val cs = chunks(id)
+      // first chunk starts the stream; each later chunk drops the
+      // 4-token overlap; concatenation restores the original stream
+      val rebuilt = cs.head.split(" ").toList ++
+        cs.tail.flatMap(_.split(" ").drop(4))
+      assert(rebuilt === toks, s"doc $id")
+      // every chunk except the last is full-size
+      cs.init.foreach(c => assert(c.split(" ").length === 16, s"doc $id"))
+    }
+  }
+
+  test("property: upsample multiplicity is floor(w) or ceil(w) per key") {
+    val df = (0L until 500L).map(i => (i, 0.3 + (i % 7) * 0.4)).toDF("k", "w")
+    val counts = Curation.upsampleByWeight(df, "k", col("w"))
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    (0L until 500L).foreach { i =>
+      val wgt = 0.3 + (i % 7) * 0.4
+      val got = counts.getOrElse(i, 0L)
+      assert(got === math.floor(wgt).toLong || got === math.ceil(wgt).toLong,
+        s"key $i weight $wgt got $got")
+    }
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
