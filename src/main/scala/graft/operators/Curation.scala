@@ -12,6 +12,52 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** One-call corpus curation configuration: thresholds for the
+    * [[curate]] pipeline. Defaults mirror common web-corpus practice. */
+  final case class CurateConfig(
+      minQuality: Double = 0.3,
+      nearDupNgram: Int = 8,
+      nearDupThreshold: Double = 0.8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      seqLen: Long = 2048,
+      packShards: Int = 64)
+
+  /** The full curation pipeline in one call: quality filter → exact
+    * dedup → near-dup drop (n-gram Jaccard + connected components) →
+    * optional fuzzy benchmark decontamination → deterministic split →
+    * per-shard sequence packing. Returns the surviving docs with
+    * profile columns plus `split`, `shard`, `seq_id`, `seq_offset`.
+    *
+    * Composition of the individually-gated operators — each stage's
+    * scale shape (bucketed candidates, broadcast anti joins, per-shard
+    * windows) is documented and tested on its own; this entry point
+    * exists so a caller gets the canonical order without re-deriving
+    * it. Persisted intermediates (gram tables, component labels) stay
+    * cached for the session — `spark.catalog.clearCache()` when done. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: Option[DataFrame] = None,
+             cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val profiled = TextAnalysis.profile(docs, textCol)
+      .filter(col("quality") >= cfg.minQuality)
+    val exact = Dedup.exact(profiled, Seq(textCol), idCol)
+    val pairs = Dedup.ngramJaccardNearDups(exact, idCol, textCol,
+      n = cfg.nearDupNgram, threshold = cfg.nearDupThreshold)
+    val deduped = Dedup.dropNearDups(exact, pairs, idCol)
+    val clean = benchmark match {
+      case Some(b) => TextAnalysis.fuzzyDecontaminate(deduped, b, idCol,
+        textCol, n = cfg.nearDupNgram, threshold = cfg.nearDupThreshold)
+      case None => deduped
+    }
+    val split = TextAnalysis.hashSplit(clean, idCol, cfg.splits)
+      .withColumn("shard",
+        TextAnalysis.hashBucket(col(idCol), cfg.packShards))
+    packSequences(split.withColumn("__nt",
+        TextAnalysis.tokenCount(col(textCol))),
+      idCol, "__nt", cfg.seqLen, keys = Seq("split", "shard"))
+      .drop("__nt")
+  }
+
   /** Sequence packing — the concat-and-chunk discipline LLM
     * pretraining uses: documents are laid end-to-end in `idCol` order
     * and the stream is cut every `seqLen` tokens. Each doc gets the

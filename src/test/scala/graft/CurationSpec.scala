@@ -242,6 +242,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curate: one-call pipeline drops dups and contamination, packs the rest") {
+    val docs = (0L until 60L).map { i =>
+      val body = s"document body $i " +
+        (s"alpha beta gamma delta epsilon zeta eta theta iota kappa w$i " * 12)
+      (i, if (i % 10 == 0) "shared duplicate body repeated verbatim here ok"
+          else body)
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id") + 500L as "doc_id",
+        concat(col("text"), lit(" benchmark suffix")).as("text"))
+    val out = operators.Curation.curate(docs, "doc_id", "text",
+      benchmark = Some(bench),
+      cfg = operators.Curation.CurateConfig(minQuality = 0.0,
+        nearDupNgram = 4, nearDupThreshold = 0.5))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(7L), "benchmark near-dup should be decontaminated")
+    assert(ids.intersect((0L until 60L by 10L).toSet) === Set(0L),
+      "exact dups keep only the lowest id")
+    val cols = out.columns.toSet
+    assert(Set("split", "shard", "seq_id", "seq_offset").subsetOf(cols))
+    assert(out.filter(col("seq_offset") < 0).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
