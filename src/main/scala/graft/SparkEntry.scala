@@ -922,7 +922,7 @@ object SparkEntry {
                 ELSE 'es' END AS pred_lang
          FROM p)
          SELECT coalesce(pred_lang, 'ALL') AS lang, count(*) AS n_docs,
-           sum(length(text)) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)
              AS avg_tokens
          FROM q GROUP BY ROLLUP(pred_lang) ORDER BY lang""",

@@ -47,7 +47,15 @@ object Seasons {
       /** pandas-style resample periods (main_2020.py:137-146 loops
         * over e.g. "100ms", "1s") */
       resamplePeriods: Seq[String],
-      datasets: Seq[DatasetFiles])
+      datasets: Seq[DatasetFiles],
+      /** race event window (inclusive UTC instants) for the forecast
+        * stage: the reference driver passes an `event` dict of LOCAL
+        * date labels (main_2020.py:174-181) that
+        * process_solcast_historic_data slices to — and integrates
+        * cumulative energy over — BEFORE the unifier joins the table
+        * (lib/process_solcast_historic_data.py:102-104). None for
+        * seasons whose driver runs no forecast stage. */
+      event: Option[(String, String)] = None)
 
   /** Season configs mirroring the reference driver scripts (paths are
     * parameters — the recorded values document the reference wiring). */
@@ -57,6 +65,10 @@ object Seasons {
     mab20Workaround = true,              // main_2020.py:85
     shiftBackLocalize = true,            // main_2020.py:205
     site = Some(SolarStage.Site(-26.243602, -48.6417668)), // main_2020.py:167-173
+    // main_2020.py:174-181: local-date labels 2020-01-29..2020-02-02 in
+    // America/Sao_Paulo (UTC-3, no DST since 2019) — the UTC instants of
+    // that inclusive local-day span
+    event = Some(("2020-01-29 03:00:00Z", "2020-02-03 02:59:59.999999Z")),
     resamplePeriods = Seq("100ms", "1s"), // main_2020.py:137-146 ("1ms" skipped: >25 GB)
     datasets = Seq(
       // the five race logs with their clock fixes (main_2020.py:35-65)
@@ -84,6 +96,8 @@ object Seasons {
     mab20Workaround = false,
     shiftBackLocalize = false,
     site = Some(SolarStage.Site(-22.924247, -43.097405)), // main_2022.py:92-98
+    // main_2022.py:100-106: local dates 2022-03-16..2022-03-23 (UTC-3)
+    event = Some(("2022-03-16 03:00:00Z", "2022-03-24 02:59:59.999999Z")),
     resamplePeriods = Seq("1s", "1min"),
     datasets = Seq(DatasetFiles(s"$dataDir/candump/*.log")))
 
@@ -164,8 +178,16 @@ object Seasons {
       case Some(csv) =>
         val site = cfg.site.getOrElse(throw new IllegalArgumentException(
           s"season ${cfg.name} has no site coordinates for the forecast stage"))
-        val f = SolarStage.withPoa(
-          SolarStage.readSolcastCsv(spark, csv), site, 300)
+        val raw = SolarStage.readSolcastCsv(spark, csv)
+        // the reference processes the forecast BEFORE unifying: event
+        // slice + cumulative energy (main_2020.py:181 →
+        // lib/process_solcast_historic_data.py:102-104), so the unified
+        // table carries solcast_energy and joins no out-of-event rows
+        val f = cfg.event match {
+          case Some((start, end)) =>
+            SolarStage.withPoaEnergy(raw, site, start, end, 300)
+          case None => SolarStage.withPoa(raw, site, 300)
+        }
         UnifyStages.unifyForecast(resampled, f, "timestamp",
           resamplePeriod, cfg.shiftBackLocalize, keys = Seq("__dataset"))
       case None => resampled

@@ -44,16 +44,30 @@ object SolarStage {
       .drop("__pos")
   }
 
-  /** Full stage: CSV → poa → inclusive event slice (P7) → energy (A9). */
-  def process(spark: SparkSession, inputCsv: String, site: Site,
-              eventStart: String, eventEnd: String,
-              periodSec: Long = 300): DataFrame = {
-    val df = withPoa(readSolcastCsv(spark, inputCsv), site, periodSec)
+  /** POA → inclusive event slice (P7) → cumulative energy (A9) on an
+    * already-read forecast table. This is the full reference stage shape
+    * (lib/process_solcast_historic_data.py:102-104: `df[start:end]` then
+    * `df["energy"] = integrate(df, 3600)["poa"]`) minus the CSV I/O, so
+    * the season driver can reuse it on its own scan. `eventStart`/
+    * `eventEnd` are inclusive timestamp bounds in the forecast table's
+    * (UTC) frame — the reference slices by LOCAL date label after
+    * `tz_convert(site.tz)`, so callers record the UTC instants those
+    * local-date labels denote. */
+  def withPoaEnergy(df: DataFrame, site: Site, eventStart: String,
+                    eventEnd: String, periodSec: Long = 300): DataFrame = {
+    val sliced = withPoa(df, site, periodSec)
       // P7: pandas label slice — inclusive on both ends
       .filter(col("timestamp").between(lit(eventStart), lit(eventEnd)))
       .withColumn("__k", lit(1))
-    TimeSeries.cumtrapz(df, "timestamp", "poa", Seq("__k"))
+    TimeSeries.cumtrapz(sliced, "timestamp", "poa", Seq("__k"))
       .withColumnRenamed("integral", "energy")
       .drop("__k")
   }
+
+  /** Full stage: CSV → poa → inclusive event slice (P7) → energy (A9). */
+  def process(spark: SparkSession, inputCsv: String, site: Site,
+              eventStart: String, eventEnd: String,
+              periodSec: Long = 300): DataFrame =
+    withPoaEnergy(readSolcastCsv(spark, inputCsv), site,
+      eventStart, eventEnd, periodSec)
 }

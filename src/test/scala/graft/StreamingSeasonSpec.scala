@@ -99,6 +99,52 @@ class StreamingSeasonSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(currIdx) == 10.0))
   }
 
+  test("season forecast path: event slice + solcast_energy in final table") {
+    val dir = Files.createTempDirectory("season_fc")
+    Files.write(dir.resolve("ids.json"), CanFixtures.json.getBytes)
+    val dataDir = Files.createDirectory(dir.resolve("candump"))
+    val t0 = 1580515200L // 2020-02-01T00:00:00Z
+    Files.write(dataDir.resolve("run.log"), (0 until 120).map { i =>
+      f"(${t0 + i}%d.000000) can0 021#11E803110300"
+    }.mkString("\n").getBytes)
+    // forecast every 30 s spanning [23:59:00, 00:05:00] — wider than the
+    // event window, so the slice has something to cut on both sides
+    val fcsv = dir.resolve("solcast.csv")
+    val hdr = "PeriodStart,PeriodEnd,Period,Dni,Ghi,Dhi,Airmass,AlbedoDaily"
+    val fcRows = (0 until 13).map { i =>
+      val t = java.time.Instant.ofEpochSecond(t0 - 60 + i * 30)
+      s"$t,$t,PT5M,800,600,100,1.2,0.08"
+    }
+    Files.write(fcsv, (hdr +: fcRows).mkString("\n").getBytes)
+    val cfg = Seasons.SeasonConfig(
+      name = "fc_test", canIdsPath = dir.resolve("ids.json").toString,
+      mab20Workaround = false, shiftBackLocalize = false,
+      site = Some(graft.pipeline.SolarStage.Site(-26.243602, -48.6417668)),
+      resamplePeriods = Seq("10s"),
+      datasets = Seq(Seasons.DatasetFiles(s"$dataDir/run.log")),
+      // event starts 30 s into the telemetry range: the first three
+      // 10 s ticks precede every surviving forecast row
+      event = Some(("2020-02-01 00:00:30", "2020-02-01 00:10:00")))
+    val out = Seasons.run(spark, cfg, dir.resolve("out").toString,
+      forecastCsv = Some(fcsv.toString), resamplePeriod = "10s")
+    // main_2020.py:174-181 → process_solcast_historic_data.py:102-104:
+    // the unified table must carry the forecast's cumulative energy
+    assert(out.columns.contains("solcast_energy"))
+    assert(out.columns.contains("solcast_poa"))
+    val rows = out.orderBy("timestamp").collect()
+    assert(rows.length == 12)
+    val e = rows.map(r => Option(r.getAs[java.lang.Double]("solcast_energy"))
+      .map(_.toDouble))
+    // ticks before the event window joined NO forecast rows (leading
+    // nulls, not interpolated from pre-event data)
+    assert(e.take(3).forall(_.isEmpty), s"pre-event ticks carried forecast: ${e.toSeq}")
+    // in-window ticks carry the integral: starts at 0, non-decreasing
+    val inWin = e.drop(3).map(_.getOrElse(fail(s"in-event tick missing energy: ${e.toSeq}")))
+    assert(inWin.head == 0.0)
+    assert(inWin.sliding(2).forall(p => p(1) >= p(0)))
+    assert(inWin.last > 0.0)
+  }
+
   test("unify stage (J1): reference-DB rows merged, clipped to range") {
     val dir = Files.createTempDirectory("season_db")
     Files.write(dir.resolve("ids.json"), CanFixtures.json.getBytes)
