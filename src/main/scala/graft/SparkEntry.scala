@@ -622,10 +622,14 @@ object SparkEntry {
 
     // Cross-corpus fuzzy contamination pairs: training docs vs a
     // lightly-edited benchmark set (every 13th doc + appended tokens)
-    // via the two-sided gram bucket join — the passage-level
-    // contamination the exact fingerprint anti-join (q38) cannot see.
-    // The oracle computes the exhaustive cross-Jaccard, so the gate
-    // pins 100% recall of the bucketed path at the threshold.
+    // via the two-sided gram bucket join — the lightly-EDITED
+    // contamination the exact fingerprint anti-join (q38) cannot see
+    // (EMBEDDED passages are q51's containment mode — symmetric
+    // Jaccard misses those by construction). The oracle computes the
+    // exhaustive cross-Jaccard, so the gate pins full recall of the
+    // bucketed path ON THIS CORPUS — a production corpus with grams
+    // hotter than maxBucket trades recall, visible only through the
+    // dropped_buckets observe metric (surfaced by Verify's listener).
     "q49_cross_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents").select($"doc_id", $"text")
       val bench = t(s, d, "documents").filter($"doc_id" % 13 === 0)
@@ -635,6 +639,52 @@ object SparkEntry {
           n = 4, threshold = 0.5)
         .select($"a", $"b")
         .orderBy($"a", $"b")
+    }),
+
+    // The full curate() pipeline as ONE gate: quality filter → exact
+    // dedup → near-dup components → containment decontamination →
+    // hash split/shard → per-shard sequence packing, against an oracle
+    // that recomputes every stage in SQL (q27's quality formula, q15's
+    // keep-min dedup, q34's recursive-CTE closure, q36's md5 buckets,
+    // q41's window pack). A composition bug any single-stage gate
+    // can't see — the split column leaking into packing keys, the anti
+    // join dropping the wrong side — breaks the final
+    // (doc_id, split, shard, seq_id, seq_offset) tuple.
+    "q50_curate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 23 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 2, 20)).as("text"))
+      operators.Curation.curate(dupCorpus(t(s, d, "documents")), "doc_id",
+          "text", benchmark = Some(bench),
+          cfg = operators.Curation.CurateConfig(
+            minQuality = 0.3,
+            nearDupNgram = 4, nearDupThreshold = 0.5,
+            decontamNgram = 4, decontamThreshold = 0.8,
+            decontamContainment = true,
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            seqLen = 2048, packShards = 8,
+            hashFn = operators.Dedup.md5Hash60))
+        .select($"doc_id", $"split", $"shard", $"seq_id", $"seq_offset")
+        .orderBy($"doc_id")
+    }),
+
+    // Embedded-passage decontamination: benchmark items are 20-token
+    // passages lifted VERBATIM from every 17th doc — symmetric Jaccard
+    // scores a short passage near zero against its 100-token source
+    // (q49's mode misses embedded contamination by construction), so
+    // this gate pins the containment mode (|shared grams| / |benchmark
+    // grams| = 1.0 for a verbatim passage) against an exhaustive
+    // cross-containment oracle: the surviving doc set must match.
+    "q51_containment_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 20)).as("text"))
+      operators.TextAnalysis.fuzzyDecontaminate(docs, bench, "doc_id",
+          "text", n = 4, threshold = 0.8, containment = true)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // F1: haversine distance between consecutive synthetic GPS points
@@ -1281,6 +1331,124 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN lsz ON lsz.doc_id = a JOIN rsz ON rsz.doc_id = b
          WHERE i*1.0/(lsz.sz+rsz.sz-i) >= 0.5 ORDER BY a, b""",
+
+    // curate() end-to-end: every stage recomposed in SQL. Stage
+    // provenance: quality = q27's formula, exact dedup = q15's
+    // keep-min, near-dup closure = q34's recursive CTE, containment =
+    // q51's scoring, buckets = q36's md5 hash, packing = q41's window.
+    "q50_curate" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' xyzzy qbf'
+           FROM documents WHERE doc_id % 7 = 0),
+         qual AS (SELECT doc_id, text,
+           round(
+             (CASE WHEN length(text)*1.0 >= 100 AND length(text)*1.0 <= 10000
+                   THEN 1.0
+                   WHEN length(text)*1.0 < 100 THEN length(text)/100.0
+                   ELSE 10000.0/length(text) END) * 0.4 +
+             (CASE WHEN (length(text)*1.0 -
+                     (len(regexp_split_to_array(trim(text), '\s+'))*1.0 - 1))
+                     / greatest(len(regexp_split_to_array(trim(text), '\s+'))*1.0, 1.0)
+                     >= 3
+                    AND (length(text)*1.0 -
+                     (len(regexp_split_to_array(trim(text), '\s+'))*1.0 - 1))
+                     / greatest(len(regexp_split_to_array(trim(text), '\s+'))*1.0, 1.0)
+                     <= 10
+                   THEN 1.0 ELSE 0.5 END) * 0.3 +
+             (CASE WHEN (length(text) - length(regexp_replace(text,
+                     '[.,!?;:''"()\[\]{}-]', '', 'g')))*1.0
+                     / greatest(length(text)*1.0, 1.0) <= 0.1
+                   THEN 1.0 ELSE greatest(0.0, 1.0 -
+                     (length(text) - length(regexp_replace(text,
+                       '[.,!?;:''"()\[\]{}-]', '', 'g')))*1.0
+                       / greatest(length(text)*1.0, 1.0)*2)
+              END) * 0.3, 6) AS quality
+           FROM corpus),
+         filt AS (SELECT doc_id, text FROM qual WHERE quality >= 0.3),
+         ex AS (SELECT min(doc_id) AS doc_id, text FROM filt GROUP BY text),
+         toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') t
+           FROM ex),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.5),
+         edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS doc_id, least(x, min(y)) AS component
+           FROM reach GROUP BY x),
+         kept AS (SELECT e.doc_id, e.text FROM ex e
+           LEFT JOIN comp c ON e.doc_id = c.doc_id
+           WHERE c.doc_id IS NULL OR c.component = e.doc_id),
+         bench AS (SELECT doc_id + 3000000 AS doc_id,
+             array_to_string((regexp_split_to_array(trim(text), '\s+'))[2:21], ' ')
+               AS text
+           FROM documents WHERE doc_id % 23 = 0),
+         btoks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') t FROM bench),
+         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM btoks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+         ksh AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (doc_id)),
+         xinter AS (SELECT k.doc_id a, b.doc_id b, count(*) i FROM ksh k
+           JOIN bsh b ON k.s = b.s GROUP BY 1,2),
+         hits AS (SELECT DISTINCT a FROM xinter
+           JOIN bsz ON bsz.doc_id = b WHERE i*1.0/bsz.sz >= 0.8),
+         clean AS (SELECT doc_id, text FROM kept
+           WHERE doc_id NOT IN (SELECT a FROM hits)),
+         lab AS (SELECT doc_id, text,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS bkt,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS shard
+           FROM clean),
+         sp AS (SELECT doc_id, shard,
+             CASE WHEN bkt < 800000 THEN 'train'
+                  WHEN bkt < 900000 THEN 'val' ELSE 'test' END AS split,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM lab),
+         pk AS (SELECT doc_id, split, shard, coalesce(sum(n_tokens) OVER
+             (PARTITION BY split, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS prior
+           FROM sp)
+         SELECT doc_id, split, shard, prior // 2048 AS seq_id,
+           prior % 2048 AS seq_offset
+         FROM pk ORDER BY doc_id""",
+
+    "q51_containment_decontam" ->
+      """WITH lt AS (SELECT doc_id, lower(trim(text)) tx FROM documents),
+         bench AS (SELECT doc_id + 2000000 AS doc_id,
+             lower(trim(array_to_string(
+               (regexp_split_to_array(trim(text), '\s+'))[3:22], ' '))) tx
+           FROM documents WHERE doc_id % 17 = 0),
+         ltoks AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM lt),
+         rtoks AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM bench),
+         lsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM ltoks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         rsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+           FROM rtoks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         rsz AS (SELECT doc_id, count(*) sz FROM rsh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM lsh a
+           JOIN rsh b ON a.s = b.s GROUP BY 1,2),
+         hits AS (SELECT DISTINCT a FROM inter
+           JOIN rsz ON rsz.doc_id = b WHERE i*1.0/rsz.sz >= 0.8)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT a FROM hits) ORDER BY doc_id""",
 
     "q20_haversine" ->
       """WITH p AS (SELECT user_id, event_id,

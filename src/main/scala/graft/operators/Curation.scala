@@ -13,45 +13,91 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** One-call corpus curation configuration: thresholds for the
-    * [[curate]] pipeline. Defaults mirror common web-corpus practice. */
+    * [[curate]] pipeline. Defaults mirror common web-corpus practice.
+    * Decontamination has its OWN gram size and threshold: it is the
+    * safety-relevant stage, conventionally looser than near-dup
+    * dropping (0.8 Jaccard dedups aggressively-similar docs; a 0.8
+    * containment of benchmark grams is already heavy contamination),
+    * and it defaults to containment scoring so benchmark items
+    * embedded inside longer training docs are caught (symmetric
+    * Jaccard misses them by construction). */
   final case class CurateConfig(
       minQuality: Double = 0.3,
       nearDupNgram: Int = 8,
       nearDupThreshold: Double = 0.8,
+      decontamNgram: Int = 8,
+      decontamThreshold: Double = 0.5,
+      decontamContainment: Boolean = true,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       seqLen: Long = 2048,
-      packShards: Int = 64)
+      packShards: Int = 64,
+      /** hash for split/shard assignment: xxhash64 (fastest) by
+        * default; [[Dedup.md5Hash60]] for cross-engine parity (the
+        * q50 gate pins the whole pipeline against a DuckDB oracle
+        * that way) */
+      hashFn: Column => Column = xxhash64(_))
 
   /** The full curation pipeline in one call: quality filter → exact
     * dedup → near-dup drop (n-gram Jaccard + connected components) →
-    * optional fuzzy benchmark decontamination → deterministic split →
-    * per-shard sequence packing. Returns the surviving docs with
-    * profile columns plus `split`, `shard`, `seq_id`, `seq_offset`.
+    * optional fuzzy benchmark decontamination (containment scoring by
+    * default, see [[CurateConfig]]) → deterministic split → per-shard
+    * sequence packing. Returns the surviving docs with profile columns
+    * plus `split`, `shard`, `seq_id`, `seq_offset`.
     *
     * Composition of the individually-gated operators — each stage's
-    * scale shape (bucketed candidates, broadcast anti joins, per-shard
-    * windows) is documented and tested on its own; this entry point
-    * exists so a caller gets the canonical order without re-deriving
-    * it. Persisted intermediates (gram tables, component labels) stay
-    * cached for the session — `spark.catalog.clearCache()` when done. */
+    * scale shape (bucketed candidates, anti joins, per-shard windows)
+    * is documented and tested on its own; this entry point exists so a
+    * caller gets the canonical order without re-deriving it.
+    *
+    * Cache lifecycle: this call OWNS its intermediates. The gram
+    * tables are persisted for the duration of the decision they feed,
+    * the (small) component-label and contaminated-id sets are eagerly
+    * materialized via `localCheckpoint` — which also surfaces the
+    * skew-guard observe metrics of the candidate stages to any
+    * registered QueryExecutionListener — and every persisted
+    * intermediate is unpersisted before returning, so nothing leaks
+    * cache pressure into the caller's session. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
     val profiled = TextAnalysis.profile(docs, textCol)
       .filter(col("quality") >= cfg.minQuality)
     val exact = Dedup.exact(profiled, Seq(textCol), idCol)
-    val pairs = Dedup.ngramJaccardNearDups(exact, idCol, textCol,
-      n = cfg.nearDupNgram, threshold = cfg.nearDupThreshold)
-    val deduped = Dedup.dropNearDups(exact, pairs, idCol)
+    // near-dup drop, owning the persisted gram table: component labels
+    // are materialized (localCheckpoint severs the lineage back to the
+    // gram table), after which the gram cache is dead weight and is
+    // freed here rather than left for the caller's clearCache()
+    val grams = Dedup.gramTable(exact, idCol, textCol, cfg.nearDupNgram)
+      .persist()
+    val pairs = Dedup.ngramJaccardFromGrams(grams, idCol,
+      cfg.nearDupThreshold, maxBucket = 50)
+    val comps0 = Dedup.connectedComponents(pairs)
+    val comps = comps0.localCheckpoint()
+    comps0.unpersist()
+    grams.unpersist()
+    val deduped = Dedup.keepRepresentatives(exact, comps, idCol)
     val clean = benchmark match {
-      case Some(b) => TextAnalysis.fuzzyDecontaminate(deduped, b, idCol,
-        textCol, n = cfg.nearDupNgram, threshold = cfg.nearDupThreshold)
+      case Some(b) =>
+        val gl = Dedup.gramTable(deduped, idCol, textCol, cfg.decontamNgram)
+          .persist()
+        val gr = Dedup.gramTable(b, idCol, textCol, cfg.decontamNgram)
+          .persist()
+        // contaminated TRAINING ids — bounded by |docs|, not
+        // |benchmark|: no broadcast hint (AQE decides by measured size)
+        val hits = Dedup.crossJaccardFromGrams(gl, gr, idCol,
+            cfg.decontamThreshold, maxBucket = 50,
+            containment = cfg.decontamContainment)
+          .select(col("a").as(idCol)).distinct()
+          .localCheckpoint()
+        gl.unpersist(); gr.unpersist()
+        deduped.join(hits, Seq(idCol), "left_anti")
       case None => deduped
     }
-    val split = TextAnalysis.hashSplit(clean, idCol, cfg.splits)
+    val split = TextAnalysis.hashSplit(clean, idCol, cfg.splits,
+        hashFn = cfg.hashFn)
       .withColumn("shard",
-        TextAnalysis.hashBucket(col(idCol), cfg.packShards))
+        TextAnalysis.hashBucket(col(idCol), cfg.packShards, cfg.hashFn))
     packSequences(split.withColumn("__nt",
         TextAnalysis.tokenCount(col(textCol))),
       idCol, "__nt", cfg.seqLen, keys = Seq("split", "shard"))

@@ -247,14 +247,29 @@ object Dedup {
     * `spark.catalog.clearCache()` between them (as Bench does). */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, threshold: Double = 0.5,
-                           maxBucket: Int = 50): DataFrame = {
-    val grams = df
-      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tk"))
-      .select(col(idCol),
-        explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
-      .distinct()
-      .persist()
+                           maxBucket: Int = 50): DataFrame =
+    ngramJaccardFromGrams(
+      gramTable(df, idCol, textCol, n).persist(), idCol, threshold, maxBucket)
+
+  /** Hashed word n-gram table (one row per distinct (id, gram hash)) —
+    * the shared input of the Jaccard near-dup/decontamination family.
+    * NOT persisted: the caller owns the persist/unpersist lifecycle
+    * (it fans out to per-doc gram sets and per-gram buckets, so
+    * callers should persist before use). Tokenization matches
+    * [[wordShingles]] and the DuckDB oracles: trim first, else text
+    * with leading/trailing whitespace grows an empty leading token
+    * that shifts every gram. */
+  private[operators] def gramTable(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame = df
+    .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
+    .select(col(idCol),
+      explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+        s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
+    .distinct()
+
+  /** [[ngramJaccardNearDups]] body over a caller-persisted gram table. */
+  private[operators] def ngramJaccardFromGrams(grams: DataFrame, idCol: String,
+      threshold: Double, maxBucket: Int): DataFrame = {
     val docGrams = grams.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("gram"))).as("gs"),
            count(lit(1)).as("sz"))
@@ -275,11 +290,21 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Cross-corpus n-gram Jaccard near-dup pairs: candidates are
-    * (left, right) doc pairs sharing a word n-gram, verified with
-    * exact gram-set Jaccard — the fuzzy-decontamination primitive
-    * (training docs vs a benchmark set) where the whole-doc
-    * fingerprint anti-join can't catch lightly-edited contamination.
+  /** Cross-corpus n-gram near-dup pairs: candidates are (left, right)
+    * doc pairs sharing a word n-gram, verified with an exact gram-set
+    * score — the fuzzy-decontamination primitive (training docs vs a
+    * benchmark set) where the whole-doc fingerprint anti-join can't
+    * catch lightly-edited contamination.
+    *
+    * Two scoring modes:
+    *  - `containment = false`: symmetric Jaccard |A∩B| / |A∪B| —
+    *    right for whole-doc near-duplication, but an eval item
+    *    EMBEDDED in a much longer training doc scores near zero
+    *    (20 shared grams / 500-gram doc ≈ 0.04) and slips through.
+    *  - `containment = true`: |A∩B| / |B| — the fraction of the RIGHT
+    *    (benchmark) doc's grams found in the training doc, 1.0 for a
+    *    verbatim embedded passage regardless of the training doc's
+    *    length. Use this for decontamination.
     *
     * Scale shape mirrors [[ngramJaccardNearDups]]: each side's gram
     * table is computed once (persisted — it feeds both the per-doc
@@ -287,20 +312,22 @@ object Dedup {
     * bucket join of the two sides' per-gram id lists with the
     * `maxBucket` cap applied to EACH side (a hot gram contributes at
     * most maxBucket² pairs), and verification intersects the two
-    * per-doc gram arrays for candidates only. Returns (a, b, jaccard)
+    * per-doc gram arrays for candidates only. Returns (a, b, score)
     * with `a` from `left`, `b` from `right`. */
   def crossJaccardNearDups(left: DataFrame, right: DataFrame, idCol: String,
                            textCol: String, n: Int = 8,
                            threshold: Double = 0.5,
-                           maxBucket: Int = 50): DataFrame = {
-    def gramTable(df: DataFrame): DataFrame = df
-      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tk"))
-      .select(col(idCol),
-        explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
-      .distinct()
-      .persist()
-    val gl = gramTable(left); val gr = gramTable(right)
+                           maxBucket: Int = 50,
+                           containment: Boolean = false): DataFrame =
+    crossJaccardFromGrams(
+      gramTable(left, idCol, textCol, n).persist(),
+      gramTable(right, idCol, textCol, n).persist(),
+      idCol, threshold, maxBucket, containment)
+
+  /** [[crossJaccardNearDups]] body over caller-persisted gram tables. */
+  private[operators] def crossJaccardFromGrams(gl: DataFrame, gr: DataFrame,
+      idCol: String, threshold: Double, maxBucket: Int,
+      containment: Boolean): DataFrame = {
     def docSets(g: DataFrame, a: String) = g.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("gram"))).as(s"__g$a"),
            count(lit(1)).as(s"sz$a"))
@@ -320,15 +347,18 @@ object Dedup {
           "struct(x AS a, y AS b))))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+    val inter = size(array_intersect(col("__gb"), col("__ga"))).cast("long")
+    val denom =
+      if (containment) col("szb")
+      else col("sza") + col("szb") - col("inter")
     cands
       .join(docSets(gl, "a"), Seq("a"))
       .join(docSets(gr, "b"), Seq("b"))
-      .withColumn("inter",
-        size(array_intersect(col("__gb"), col("__ga"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      .withColumn("inter", inter)
+      .withColumn("score",
+        col("inter").cast("double") / denom.cast("double"))
+      .filter(col("score") >= threshold)
+      .select("a", "b", "score")
   }
 
   /** Connected components over an undirected near-dup pair graph
@@ -393,12 +423,16 @@ object Dedup {
   /** Near-dup deduplication end-to-end: keep one representative (the
     * min doc id) per connected component of the pair graph, plus every
     * document in no pair. */
-  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val comps = connectedComponents(pairs)
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    keepRepresentatives(docs, connectedComponents(pairs), idCol)
+
+  /** The dedup decision given materialized component labels: keep the
+    * min-id representative per component plus every unpaired doc. */
+  private[operators] def keepRepresentatives(docs: DataFrame, comps: DataFrame,
+                                             idCol: String): DataFrame =
     docs.join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
-  }
 
   /** Unique suffix for `observe` metric names (must be unique per
     * query; one operator can appear twice in a composed plan). */

@@ -181,19 +181,29 @@ object TextAnalysis {
     docs.join(broadcast(blocklist.select(fingerprintCol).distinct()),
       Seq(fingerprintCol), "left_anti")
 
-  /** Fuzzy eval-set decontamination: drop documents NEAR-duplicating
-    * any benchmark doc (word n-gram Jaccard ≥ threshold via
-    * [[Dedup.crossJaccardNearDups]]) — catches the lightly-edited
+  /** Fuzzy eval-set decontamination: drop documents scoring ≥
+    * `threshold` against any benchmark doc via
+    * [[Dedup.crossJaccardNearDups]] — catches the lightly-edited
     * contamination the exact-fingerprint [[decontaminate]] misses.
-    * The contaminated-id set is aggregated from the pair table
-    * (benchmark-sized or smaller), so the anti join broadcasts. */
+    * With `containment = true` (gram containment |A∩B| / |bench
+    * grams|) it also catches benchmark items EMBEDDED inside longer
+    * training docs, which symmetric Jaccard misses by construction —
+    * use containment for passage-level decontamination, Jaccard only
+    * for whole-doc matching.
+    *
+    * The hit set is the contaminated TRAINING doc ids — bounded by
+    * |docs|, not |benchmark| (one benchmark item duplicated across a
+    * scraped corpus can match millions of training docs), so no
+    * broadcast hint: AQE broadcasts the anti join only when the hit
+    * set actually measures small. */
   def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 8,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         containment: Boolean = false): DataFrame = {
     val hits = Dedup.crossJaccardNearDups(docs, benchmark, idCol, textCol,
-        n, threshold)
+        n, threshold, containment = containment)
       .select(col("a").as(idCol)).distinct()
-    docs.join(broadcast(hits), Seq(idCol), "left_anti")
+    docs.join(hits, Seq(idCol), "left_anti")
   }
 
   /** One-call document profile used by the curation pipeline. */

@@ -155,6 +155,33 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("containment mode catches embedded benchmark passages") {
+    // a short eval item EMBEDDED in a long training doc: symmetric
+    // Jaccard ≈ |passage grams| / |doc grams| ≈ 0, containment = 1.0
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$long the secret benchmark answer is forty two $long"),
+      (2L, "totally unrelated words nothing shared at all here friend")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.crossJaccardNearDups(docs, bench, "doc_id", "text",
+      n = 4, threshold = 0.5).count()
+    assert(jac === 0L, "symmetric Jaccard misses the embedded passage")
+    val cont = Dedup.crossJaccardNearDups(docs, bench, "doc_id", "text",
+        n = 4, threshold = 0.8, containment = true)
+      .collect()
+    assert(cont.length === 1)
+    assert(cont(0).getLong(0) === 1L && cont(0).getLong(1) === 100L)
+    assert(cont(0).getDouble(2) === 1.0) // every benchmark gram is in doc 1
+    val clean = operators.TextAnalysis.fuzzyDecontaminate(
+        docs, bench, "doc_id", "text", n = 4, threshold = 0.8,
+        containment = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L))
+    spark.catalog.clearCache()
+  }
+
   test("cosine near-dups: hot bucket capped, pairs elsewhere kept") {
     // 500 identical vectors share every probe bucket — uncapped that is
     // ~125k candidate pairs. With maxBucket they are dropped while a
