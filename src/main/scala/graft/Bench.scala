@@ -55,6 +55,11 @@ object Bench {
     }).min
 
     System.err.println(f"[bench] p00_canparse $parseSec%.1f s ($nLines lines)")
+    // skew-guard visibility (see GuardMetrics): logged per query so a
+    // hot-bucket cap trading recall at this SF is visible in the bench
+    // log, not just in correctness gates
+    val guards = GuardMetrics.register(spark)
+    GuardMetrics.excludeEmptyRelationRule(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // one UNTIMED warm pass at the TARGET scale factor: compiles the
       // query's codegen classes, first-touches its parquet readers and
@@ -87,6 +92,8 @@ object Bench {
         s
       }.min
       System.err.println(f"[bench] $name $sec%.1f s")
+      val drained = guards.drain(settleMs = 50L)
+      if (drained.nonEmpty) GuardMetrics.report("bench", name, drained)
       name -> sec
     } :+ ("p00_canparse" -> parseSec)
 

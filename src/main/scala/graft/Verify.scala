@@ -17,11 +17,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // skew-guard visibility: a capped hot bucket trades recall, so any
+    // non-zero dropped-bucket count on a gate corpus must be LOUD (the
+    // oracles are exhaustive — a drop that changes results fails the
+    // gate, but a drop that happens not to is still a warning sign)
+    val guards = GuardMetrics.register(spark)
+    GuardMetrics.excludeEmptyRelationRule(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val drained = guards.drain()
+        if (drained.nonEmpty) GuardMetrics.report("verify", name, drained)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,66 @@
+package graft
+
+/** The skew-guard observe metrics, end to end: the gate queries whose
+  * oracles are exhaustive must drop ZERO buckets on their gate corpora
+  * (q24/q25/q29/q33/q49/q51 recall claims rest on that), and the
+  * listener must actually SEE a drop when one happens.
+  */
+class GuardMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** session is shared across suites: restore the AQE rule exclusion
+    * after each test so other suites see default planning */
+  private def withGuardPlanning[A](body: => A): A = {
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val saved = spark.conf.getOption(key)
+    GuardMetrics.excludeEmptyRelationRule(spark)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("gate corpora run drop-free through every candidate guard") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val guards = GuardMetrics.register(spark)
+    // without the rule exclusion, a query whose guard drops EVERYTHING
+    // would lose its metric node to AQE empty propagation and pass
+    // vacuously
+    try withGuardPlanning {
+      for (q <- Seq("q24_minhash_neardup", "q25_simhash_neardup",
+          "q29_ngram_jaccard", "q33_cosine_neardup",
+          "q49_cross_contamination", "q51_containment_decontam")) {
+        SparkEntry.queries(q)(spark, sfDir).count()
+        val drained = guards.drain()
+        assert(drained.nonEmpty, s"$q emitted no guard metrics")
+        val nonZero = drained.filter(_._2 != 0L)
+        assert(nonZero.isEmpty, s"$q dropped buckets: $nonZero")
+        spark.catalog.clearCache()
+      }
+    } finally spark.listenerManager.unregister(guards)
+  }
+
+  test("listener surfaces a real drop from a hot bucket") {
+    val guards = GuardMetrics.register(spark)
+    // the all-dropped case is exactly the one AQE empty propagation
+    // would hide — with the rule active this drains Map()
+    try withGuardPlanning {
+      // 60 identical docs share every 4-gram: with maxBucket = 50 each
+      // gram bucket is hot and must be counted as dropped
+      val docs = (0L until 60L)
+        .map(i => (i, "all these documents share exactly the same words"))
+        .toDF("doc_id", "text")
+      val pairs = operators.Dedup.ngramJaccardNearDups(docs, "doc_id",
+        "text", n = 4, threshold = 0.5, maxBucket = 50)
+      assert(pairs.count() == 0L) // every candidate bucket was dropped
+      val drained = guards.drain(settleMs = 2000L)
+      assert(drained.exists { case (k, v) =>
+        k.startsWith("graft_ngram_guard_") && v > 0L },
+        s"expected a non-zero ngram guard metric, got $drained")
+      spark.catalog.clearCache()
+    } finally spark.listenerManager.unregister(guards)
+  }
+}
