@@ -384,31 +384,52 @@ object Dedup {
     * partial labeling would produce wrong dedup decisions. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // both edge directions from ONE pass over `pairs` (a union of two
-    // projections would evaluate the upstream near-dup pipeline twice)
+    // both edge directions PLUS self-loops from ONE pass over `pairs`
+    // (a union of projections would evaluate the upstream near-dup
+    // pipeline twice). The self-loop carries each node's OWN label
+    // through the aggregate, so a round is a single join + groupBy —
+    // min over {self} ∪ neighbors — instead of the join, groupBy,
+    // second-join shape that least(own, neighborMin) needs.
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
-        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+        struct(col("b").as("x"), col("a").as("y")),
+        struct(col("a").as("x"), col("a").as("y")),
+        struct(col("b").as("x"), col("b").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct().persist(MEMORY_AND_DISK)
     var labels = edges.select(col("x").as("node")).distinct()
       .withColumn("comp", col("node")).persist(MEMORY_AND_DISK)
+    // Convergence witness for numeric ids: labels are monotone
+    // non-increasing (min over a set containing the node's previous
+    // label), so the label SUM is stationary iff NO label changed —
+    // and the sum rides the same job that materializes the round's
+    // cache. Non-numeric ids (string keys) can't sum: they pay one
+    // changed-count join per round instead.
+    val numericIds = pairs.schema("a").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prev = if (numericIds) checksum(labels) else null
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("y"), col("comp").as("__nc")), Seq("y"))
-        .groupBy(col("x").as("node")).agg(min("__nc").as("__nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
-          (col("__nmin") < col("comp")).as("__changed"))
+      val next = edges
+        .join(labels.select(col("node").as("y"), col("comp")), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min("comp").as("comp"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.filter(col("__changed")).count()
+      if (numericIds) {
+        val cur = checksum(next)
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+      } else {
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.comp") < col("o.comp")).count() == 0
+      }
       labels.unpersist()
-      labels = next.drop("__changed")
-      converged = changed == 0
+      labels = next
       it += 1
     }
     edges.unpersist()

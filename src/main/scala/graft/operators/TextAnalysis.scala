@@ -39,9 +39,13 @@ object TextAnalysis {
   )
 
   def stopwordHits(text: Column, lang: String): Column =
-    stopwords(lang).map { w =>
-      size(regexp_extract_all(lower(text), lit(s"\\b$w\\b"), lit(0)))
-    }.reduce(_ + _)
+    // ONE alternation regex per language, not one regex per word: the
+    // counts are identical (word-boundary matches occupy disjoint
+    // positions, so alternation match count = sum of per-word counts)
+    // and the text is scanned 5× less — langId feeds every profile/
+    // curate call, so the constant matters
+    size(regexp_extract_all(lower(text),
+      lit(stopwords(lang).map(w => s"\\b$w\\b").mkString("|")), lit(0)))
 
   /** Language-ID heuristic: CJK characters → zh; otherwise the
     * language with the most stopword hits (ties broken by fixed

@@ -69,15 +69,22 @@ object ParseStage {
     * passes total, independent of file count: one text scan for input
     * lines, one pipeline run grouped by file for output rows (a
     * per-file `filter(file === f).count()` loop would re-execute the
-    * whole lineage per file — O(files × data)). The reference times
-    * each file's processing separately (lib/canparser.py:270,
-    * :346-356); Spark processes all files in one job, so the honest
-    * equivalent is the measured pipeline wall clock attributed
-    * proportionally by input lines — documented deviation: per-file
-    * elapsed is an attribution of shared work, not an independent
-    * measurement. */
-  def report(spark: SparkSession, inputGlob: String,
-             wide: DataFrame): Seq[Report] = {
+    * whole lineage per file — O(files × data)).
+    *
+    * Per-file ELAPSED, in the reference's semantics (each file timed
+    * independently, lib/canparser.py:270, :346-356): pass
+    * `perFilePipeline` — a file-path → single-file-pipeline factory —
+    * and files are timed with their own bounded runs when the file
+    * count is ≤ `maxTimedFiles` (a season has a handful of logs; the
+    * cap keeps a 10⁶-file corpus from degrading into O(files × data)).
+    * Without a factory, or above the cap, per-file elapsed falls back
+    * to the shared pipeline wall clock attributed proportionally by
+    * input lines — an attribution of shared work, not a measurement
+    * (the documented deviation, now opt-out rather than the only
+    * behavior). */
+  def report(spark: SparkSession, inputGlob: String, wide: DataFrame,
+             perFilePipeline: Option[String => DataFrame] = None,
+             maxTimedFiles: Int = 16): Seq[Report] = {
     val lineCounts = spark.read.textFile(inputGlob).toDF("line")
       .withColumn("file", input_file_name())
       .groupBy("file").count().collect()
@@ -86,10 +93,19 @@ object ParseStage {
     val outCounts = wide.groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val elapsed = (System.nanoTime() - t0) / 1e9
+    val measured: Map[String, Double] = perFilePipeline match {
+      case Some(mk) if lineCounts.size <= maxTimedFiles =>
+        lineCounts.keys.map { f =>
+          val s0 = System.nanoTime()
+          mk(f).count()
+          f -> (System.nanoTime() - s0) / 1e9
+        }.toMap
+      case _ => Map.empty
+    }
     val totalLines = math.max(lineCounts.values.sum, 1L)
     lineCounts.keys.toSeq.sorted.map { f =>
       Report(f, lineCounts(f), outCounts.getOrElse(f, 0L),
-        elapsed * lineCounts(f) / totalLines)
+        measured.getOrElse(f, elapsed * lineCounts(f) / totalLines))
     }
   }
 }

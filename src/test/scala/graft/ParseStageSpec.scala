@@ -33,6 +33,38 @@ class ParseStageSpec extends SparkSpec {
     assert(rep.forall(_.elapsedSec > 0))
   }
 
+  test("report: per-file elapsed measured independently when few files") {
+    val dir = Files.createTempDirectory("report_timed")
+    Files.write(dir.resolve("a.log"), (0 until 40).map { i =>
+      f"(${1580415599L + i}%d.000000) can0 021#11E803110300"
+    }.mkString("\n").getBytes)
+    Files.write(dir.resolve("b.log"), (0 until 10).map { i =>
+      f"(${1580415599L + i}%d.000000) can0 021#11D00733FF00"
+    }.mkString("\n").getBytes)
+    val glob = dir.toString + "/*.log"
+    val wide = ParseStage.run(spark, glob, CanFixtures.schema)
+    // measured path: each file's elapsed comes from its OWN bounded
+    // pipeline run (reference semantics, lib/canparser.py:346-356) —
+    // both files get a real positive measurement, line counts stay per
+    // file
+    val timed = ParseStage.report(spark, glob, wide,
+      perFilePipeline =
+        Some(f => ParseStage.run(spark, f, CanFixtures.schema)))
+    assert(timed.map(_.inputLines).sorted == Seq(10L, 40L))
+    assert(timed.forall(_.elapsedSec > 0))
+    assert(timed.forall(_.outputRows > 0))
+    // above the cap the fallback attribution still covers every file
+    val attributed = ParseStage.report(spark, glob, wide,
+      perFilePipeline =
+        Some(f => ParseStage.run(spark, f, CanFixtures.schema)),
+      maxTimedFiles = 1)
+    assert(attributed.length == 2 && attributed.forall(_.elapsedSec > 0))
+    // attribution is proportional to input lines: the 40-line file
+    // carries 4x the 10-line file's share of the shared wall clock
+    val byLines = attributed.map(r => r.inputLines -> r.elapsedSec).toMap
+    assert(math.abs(byLines(40L) / byLines(10L) - 4.0) < 1e-9)
+  }
+
   test("full 2020 schema stress: plan compiles and runs with all topics/columns") {
     // SURVEY §7 hard-part 5: the generated decode for a real season
     // schema (20 modules x 46 topics -> ~300 wide columns) must stay
