@@ -75,11 +75,16 @@ object Curation {
     val comps0 = Dedup.connectedComponents(pairs)
     val comps = comps0.localCheckpoint()
     comps0.unpersist()
-    grams.unpersist()
     val deduped = Dedup.keepRepresentatives(exact, comps, idCol)
     val clean = benchmark match {
       case Some(b) =>
-        val gl = Dedup.gramTable(deduped, idCol, textCol, cfg.decontamNgram)
+        // decontam gram table: when the gram size matches the dedup
+        // stage (the default), the survivors' grams are a semi join of
+        // the table already computed and cached — no second tokenize +
+        // hash + distinct pass over the corpus
+        val gl = (if (cfg.decontamNgram == cfg.nearDupNgram)
+            grams.join(deduped.select(col(idCol)), Seq(idCol), "left_semi")
+          else Dedup.gramTable(deduped, idCol, textCol, cfg.decontamNgram))
           .persist()
         val gr = Dedup.gramTable(b, idCol, textCol, cfg.decontamNgram)
           .persist()
@@ -94,6 +99,7 @@ object Curation {
         deduped.join(hits, Seq(idCol), "left_anti")
       case None => deduped
     }
+    grams.unpersist()
     val split = TextAnalysis.hashSplit(clean, idCol, cfg.splits,
         hashFn = cfg.hashFn)
       .withColumn("shard",
