@@ -98,7 +98,18 @@ object Dedup {
     * array; each candidate pair then joins exactly two of those rows
     * and intersects the arrays in-place (`array_intersect`) — no
     * shingle-level re-join, so the shingle table is scanned once no
-    * matter how many candidates there are. */
+    * matter how many candidates there are.
+    *
+    * Measured non-optimization (round 4, sf0.1): restricting the
+    * per-doc aggregation to candidate ids (semi join on the exploded
+    * pair ids, cands persisted for its then-three consumers) REGRESSED
+    * every gate query — q24 2.2→4.3 s, q49 2.0→2.8 s — because on
+    * near-dup-dense corpora the candidate set covers much of the
+    * corpus, and the extra candidate materialization + distinct +
+    * semi-join shuffles outweigh the trimmed aggregate. Revisit only
+    * for corpora where candidates are demonstrably a sliver (the
+    * restriction is then a big shuffle saving); the plain full
+    * aggregate is the right default shape. */
   def jaccardVerify(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val docSets = sh.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("shingle"))).as("gs"),
