@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, HyperplaneSignature}
+import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -13,6 +13,7 @@ import graft.expressions.{DotProduct, HyperplaneSignature}
   *
   *  - `graft_dot(array<double>, array<double>) → double`
   *  - `graft_hyperplane_sig(array<double>, planes int literal) → bigint`
+  *  - `graft_minhash_sig(array<string>, numHashes int literal) → array<bigint>`
   *
   * Two entry points: `GraftFunctions.register(spark)` injects into an
   * existing session's function registry; `GraftExtensions` is the
@@ -44,6 +45,19 @@ object GraftFunctions {
                 "(the plane count shapes the expression at plan build)")
           }
           HyperplaneSignature(args.head, planes)
+        }),
+      (FunctionIdentifier("graft_minhash_sig"),
+        info(classOf[MinhashSignature], "graft_minhash_sig"),
+        { args =>
+          require(args.size == 2,
+            "graft_minhash_sig(shingles, numHashes) takes 2 arguments")
+          val numHashes = args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "graft_minhash_sig: numHashes must be an integer literal " +
+                "(the signature width shapes the expression at plan build)")
+          }
+          MinhashSignature(args.head, numHashes)
         }))
 
   /** Imperative registration into a live session. */

@@ -127,9 +127,24 @@ object Dedup {
       .drop("__ga", "__gb")
   }
 
+  /** MinHash signature as a native single-pass expression over an
+    * in-row shingle ARRAY ([[graft.expressions.MinhashSignature]]) —
+    * bit-identical to [[minhashSignatures]]' aggregate form (min over
+    * duplicates is min over the set), but a pure PROJECTION: no
+    * shingle explode, no signature shuffle. */
+  def minhashSignatureCol(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.MinhashSignature(
+        org.apache.spark.sql.GraftExpressionBridge.expression(shingles),
+        numHashes))
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
     * the standard shingle → minhash → band → bucket-join → verify
-    * pipeline. */
+    * pipeline. Signatures come from the native per-row expression
+    * ([[minhashSignatureCol]]) over the in-row shingle array, so the
+    * pipeline's FIRST exchange is the (small) band-bucket aggregate —
+    * the exploded shingle table exists only on the verify branch,
+    * where the per-doc gram arrays genuinely need it. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8, wordGrams: Int = 0,
@@ -137,7 +152,22 @@ object Dedup {
     val sh =
       if (wordGrams > 0) wordShingles(df, idCol, textCol, wordGrams)
       else shingles(df, idCol, textCol, shingleK)
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // same shingle strings as `sh`, kept in-row (normalized text
+    // projected ONCE below the lambda — see [[shingles]] on lambda
+    // re-evaluation)
+    val withArr =
+      if (wordGrams > 0)
+        df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
+          .select(col(idCol), expr(
+            s"transform(sequence(1, greatest(size(__tk)-${wordGrams - 1}, 1)), " +
+              s"i -> concat_ws(' ', slice(__tk, i, $wordGrams)))").as("__sh"))
+      else
+        df.select(col(idCol), lower(col(textCol)).as("__lt"))
+          .select(col(idCol), expr(
+            s"transform(sequence(1, greatest(length(__lt)-${shingleK - 1}, 1)), " +
+              s"i -> substring(__lt, i, $shingleK))").as("__sh"))
+    val sigs = withArr.select(col(idCol),
+      minhashSignatureCol(col("__sh"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucket)
     jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

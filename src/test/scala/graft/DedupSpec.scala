@@ -155,6 +155,45 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("native minhash signature matches the aggregate form bit-for-bit") {
+    // mixed content: repeated tokens (duplicate shingles), unicode,
+    // single-char docs — the native per-row expression must reproduce
+    // the 64 aggregate-buffer mins exactly
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown"),
+      (2L, "solar boat telemetry päneln ünïcode 電池 data"),
+      (3L, "x"),
+      (4L, "a b a b a b a b")
+    ).toDF("doc_id", "text")
+    for (wordGrams <- Seq(0, 2)) {
+      val sh = if (wordGrams > 0) Dedup.wordShingles(docs, "doc_id", "text", wordGrams)
+               else Dedup.shingles(docs, "doc_id", "text", 5)
+      val viaAgg = Dedup.minhashSignatures(sh, "doc_id", 64)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val arr = if (wordGrams > 0)
+          docs.select(col("doc_id"),
+            split(lower(trim(col("text"))), "\\s+").as("__tk"))
+            .select(col("doc_id"), expr(
+              s"transform(sequence(1, greatest(size(__tk)-${wordGrams - 1}, 1)), " +
+                s"i -> concat_ws(' ', slice(__tk, i, $wordGrams)))").as("__sh"))
+        else
+          docs.select(col("doc_id"), lower(col("text")).as("__lt"))
+            .select(col("doc_id"), expr(
+              "transform(sequence(1, greatest(length(__lt)-4, 1)), " +
+                "i -> substring(__lt, i, 5))").as("__sh"))
+      val viaNative = arr.select(col("doc_id"),
+          Dedup.minhashSignatureCol(col("__sh"), 64).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaNative === viaAgg, s"wordGrams=$wordGrams")
+    }
+    // SQL registration route works too
+    graft.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_minhash_sig(array('abcde', 'bcdef'), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sql.length == 8 && sql.forall(_ != Long.MaxValue))
+  }
+
   test("containment mode catches embedded benchmark passages") {
     // a short eval item EMBEDDED in a long training doc: symmetric
     // Jaccard ≈ |passage grams| / |doc grams| ≈ 0, containment = 1.0
