@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature}
+import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, SimhashSignature}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -14,6 +14,7 @@ import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature}
   *  - `graft_dot(array<double>, array<double>) → double`
   *  - `graft_hyperplane_sig(array<double>, planes int literal) → bigint`
   *  - `graft_minhash_sig(array<string>, numHashes int literal) → array<bigint>`
+  *  - `graft_simhash(array<string>) → bigint`
   *
   * Two entry points: `GraftFunctions.register(spark)` injects into an
   * existing session's function registry; `GraftExtensions` is the
@@ -58,6 +59,12 @@ object GraftFunctions {
                 "(the signature width shapes the expression at plan build)")
           }
           MinhashSignature(args.head, numHashes)
+        }),
+      (FunctionIdentifier("graft_simhash"),
+        info(classOf[SimhashSignature], "graft_simhash"),
+        { args =>
+          require(args.size == 1, "graft_simhash(tokens) takes 1 argument")
+          SimhashSignature(args.head)
         }))
 
   /** Imperative registration into a live session. */

@@ -180,13 +180,32 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Stable reference for the default token hash, so the simhash
+    * entry points can RECOGNIZE the default and take the native
+    * shuffle-free path (a `xxhash64(_)` default parameter is a fresh
+    * lambda per call — unrecognizable). */
+  val DefaultTokenHash: Column => Column = xxhash64(_)
+
+  /** 64-bit SimHash as a native per-row expression over the in-row
+    * token array ([[graft.expressions.SimhashSignature]]) — bit-
+    * identical to [[simhash]] with the default hash, but a pure
+    * projection: no token explode, no 64-sum-buffer shuffle. */
+  def simhashCol(tokens: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SimhashSignature(
+        org.apache.spark.sql.GraftExpressionBridge.expression(tokens)))
+
   /** SimHash (64-bit): per-token hash votes ±1 on each bit; the sign
-    * vector packs into one long. Computed with 64 agg expressions in a
-    * single groupBy pass (no per-row loops). `tokenHash` defaults to
-    * xxhash64 (fastest); pass [[md5Hash60]] for cross-engine
-    * reproducibility. */
+    * vector packs into one long. With the default token hash this is
+    * the native projection ([[simhashCol]] — no explode, no shuffle);
+    * a custom `tokenHash` (e.g. [[md5Hash60]] for cross-engine
+    * reproducibility, pinning the q25 oracle) takes the 64-agg-buffer
+    * groupBy over the exploded token table. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+              tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
+    if (tokenHash eq DefaultTokenHash)
+      return df.select(col(idCol),
+        simhashCol(split(lower(col(textCol)), "\\s+")).as("simhash"))
     // token hash projected ONCE below the aggregate — as 64 per-bit agg
     // expressions it would be re-evaluated per bit (64 hash calls per
     // token; ruinous for the md5-based engine-neutral variant)
@@ -212,7 +231,7 @@ object Dedup {
     * least one identical band by pigeonhole), then verify hamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 200,
-                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                      tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
     val hs = simhash(df, idCol, textCol, tokenHash)
     val banded = hs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>

@@ -194,6 +194,32 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 8 && sql.forall(_ != Long.MaxValue))
   }
 
+  test("native simhash matches the aggregate form bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical
+      (3L, "a b a b a b"), // duplicate tokens MUST vote per occurrence
+      (4L, "päneln ünïcode 電池 mixed")
+    ).toDF("doc_id", "text")
+    // force the aggregate path with an explicitly-passed default-equal
+    // hash (a fresh lambda is not `eq` DefaultTokenHash)
+    val viaAgg = Dedup.simhash(docs, "doc_id", "text",
+        tokenHash = c => xxhash64(c))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaAgg)
+    assert(viaNative(1L) == viaNative(2L))
+    graft.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_simhash(array('a', 'b', 'a')) AS s").collect()(0).getLong(0)
+    assert(sql == viaNativeOf("a b a"))
+  }
+
+  private def viaNativeOf(text: String): Long =
+    Dedup.simhash(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getLong(1)
+
   test("containment mode catches embedded benchmark passages") {
     // a short eval item EMBEDDED in a long training doc: symmetric
     // Jaccard ≈ |passage grams| / |doc grams| ≈ 0, containment = 1.0
