@@ -76,6 +76,29 @@ object StreamingParse {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
+    * doc with the native single-pass SimHash
+    * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which
+    * is what makes this expressible in a stream at all; the
+    * 64-sum-buffer aggregate form cannot run per-row) and drop docs
+    * whose 64-bit sketch was already seen inside the watermark.
+    *
+    * Semantics, honestly stated: sketch-EXACT matching. Small edits
+    * usually leave every bit's token-vote majority unchanged (that is
+    * SimHash's point), so near-identical docs collide and drop; an
+    * edit that flips ≥1 bit passes the stream. This is the standard
+    * two-tier shape for 100 TB ingestion — a cheap bounded-state
+    * streaming pre-drop catching the flood of exact-and-near-exact
+    * repeats, with the batch pipeline ([[graft.operators.Dedup]]
+    * banding + verification) as the recall-complete second tier. */
+  def simhashDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                         watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash", graft.operators.Dedup.simhashCol(
+        split(lower(col(textCol)), "\\s+")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,
                   checkpoint: String): DataStreamWriter[Row] =

@@ -75,6 +75,38 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash pre-dedup drops sketch-identical near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split, lower}
+    val base = ("the " * 50).trim
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2020-02-01 00:00:00"), 1L, s"$base unique1"),
+      (java.sql.Timestamp.valueOf("2020-02-01 00:00:01"), 2L, s"$base unique2"),
+      (java.sql.Timestamp.valueOf("2020-02-01 00:00:02"), 3L,
+        "completely different content with its own words here"))
+      .toDF("ts", "doc_id", "text")
+    // precondition (batch): one differing token among 50 repeats can't
+    // flip any bit's vote majority → docs 1 and 2 share a sketch
+    val sk = docs.select(col("doc_id"), graft.operators.Dedup.simhashCol(
+        split(lower(col("text")), "\\s+")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L) && sk(1L) != sk(3L))
+    val dir = Files.createTempDirectory("stream_simdedup")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .simhashDedupStream(stream, "ts", "text")
+      .writeStream.format("memory").queryName("sim_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("select doc_id, simhash from sim_dedup").collect()
+      assert(out.length == 2) // one of {1,2} dropped, 3 kept
+      assert(out.map(_.getLong(1)).toSet == Set(sk(1L), sk(3L)))
+    } finally q.stop()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
