@@ -49,7 +49,16 @@ object TextAnalysis {
 
   /** Language-ID heuristic: CJK characters → zh; otherwise the
     * language with the most stopword hits (ties broken by fixed
-    * order en > de > fr > es; no hits → "und"). */
+    * order en > de > fr > es; no hits → "und").
+    *
+    * Measured non-optimization (round 4, sf0.1): fusing the four
+    * language alternations into ONE regex pass and recovering
+    * per-language counts with `filter(matches, _.isin(words))` ran
+    * 2.7× SLOWER (q39 1.5→4.1 s warm): the higher-order filter's
+    * interpreted lambda knocks the projection out of whole-stage
+    * codegen, which also defeats subexpression elimination — the
+    * shared extract subtree re-evaluates per language, interpreted.
+    * Four codegen'd alternation passes beat one interpreted pass. */
   def langId(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(text, l))
