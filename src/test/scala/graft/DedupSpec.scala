@@ -105,6 +105,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 unpaired
   }
 
+  test("dropNearDups with an empty pair table keeps every doc") {
+    // exercises connectedComponents' empty-edges convergence (the
+    // label-sum witness must terminate on the first round, not spin to
+    // maxIter or NPE on the null sum of an empty frame)
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("connectedComponents labels string-keyed graphs (non-numeric path)") {
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("docX", "docY"))
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"))
+  }
+
   test("embedding cosine near-dups via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
