@@ -61,9 +61,16 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
-    val profiled = TextAnalysis.profile(docs, textCol)
+    // quality gate on a LEAN projection: the full profile includes the
+    // rolling-fingerprint fold (a higher-order `aggregate` — its
+    // interpreted lambda disables whole-stage codegen for whatever
+    // projection hosts it), so only `quality` is computed here —
+    // codegen'd — and dropped docs never pay for language regexes or
+    // the fingerprint; the full profile is attached to SURVIVORS below
+    val filtered = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
-    val exact = Dedup.exact(profiled, Seq(textCol), idCol)
+    val exact = Dedup.exact(filtered, Seq(textCol), idCol)
     // near-dup drop, owning the persisted gram table: component labels
     // are materialized (localCheckpoint severs the lineage back to the
     // gram table), after which the gram cache is dead weight and is
@@ -100,7 +107,11 @@ object Curation {
       case None => deduped
     }
     grams.unpersist()
-    val split = TextAnalysis.hashSplit(clean, idCol, cfg.splits,
+    // survivors get the documented full profile (quality recomputed
+    // into the same column — identical values, codegen'd, cheap next
+    // to the fingerprint fold this stage hosts)
+    val profiled = TextAnalysis.profile(clean.drop("quality"), textCol)
+    val split = TextAnalysis.hashSplit(profiled, idCol, cfg.splits,
         hashFn = cfg.hashFn)
       .withColumn("shard",
         TextAnalysis.hashBucket(col(idCol), cfg.packShards, cfg.hashFn))
