@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, SimhashSignature}
+import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -15,6 +15,7 @@ import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, Sim
   *  - `graft_hyperplane_sig(array<double>, planes int literal) → bigint`
   *  - `graft_minhash_sig(array<string>, numHashes int literal) → array<bigint>`
   *  - `graft_simhash(array<string>) → bigint`
+  *  - `graft_rolling_fp(array<string>) → bigint`
   *
   * Two entry points: `GraftFunctions.register(spark)` injects into an
   * existing session's function registry; `GraftExtensions` is the
@@ -65,6 +66,12 @@ object GraftFunctions {
         { args =>
           require(args.size == 1, "graft_simhash(tokens) takes 1 argument")
           SimhashSignature(args.head)
+        }),
+      (FunctionIdentifier("graft_rolling_fp"),
+        info(classOf[RollingFingerprint], "graft_rolling_fp"),
+        { args =>
+          require(args.size == 1, "graft_rolling_fp(tokens) takes 1 argument")
+          RollingFingerprint(args.head)
         }))
 
   /** Imperative registration into a live session. */

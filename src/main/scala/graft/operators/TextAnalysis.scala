@@ -92,13 +92,24 @@ object TextAnalysis {
     * Order-sensitive (unlike a bag-of-words hash) and incremental at
     * scale. p < 2^57 keeps `acc*31 + tok` inside signed-64 range
     * (Spark 4 runs ANSI mode — overflow would throw, not wrap).
-    * `tokenHash` defaults to xxhash64 (fastest); pass
+    *
+    * With the default token hash the fold is the native primitive-loop
+    * expression ([[graft.expressions.RollingFingerprint]]) — value-
+    * identical, and it keeps the hosting projection inside whole-stage
+    * codegen, where the higher-order `aggregate`'s interpreted lambda
+    * would knock it (and everything beside it) out. Pass
     * [[Dedup.md5Hash60]] for cross-engine reproducibility (the gate
-    * query pins the fold against a DuckDB `list_reduce` oracle). */
+    * query pins the fold against a DuckDB `list_reduce` oracle) — the
+    * HOF route. */
   def rollingFingerprint(text: Column,
-                         tokenHash: Column => Column = xxhash64(_)): Column = {
-    val m = lit(100000000000000003L) // prime ~1e17; 31·m < 2^63
+                         tokenHash: Column => Column = Dedup.DefaultTokenHash)
+      : Column = {
     val toks = split(lower(trim(text)), "\\s+")
+    if (tokenHash eq Dedup.DefaultTokenHash)
+      return org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.expressions.RollingFingerprint(
+          org.apache.spark.sql.GraftExpressionBridge.expression(toks)))
+    val m = lit(100000000000000003L) // prime ~1e17; 31·m < 2^63
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }

@@ -213,6 +213,25 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 8 && sql.forall(_ != Long.MaxValue))
   }
 
+  test("native rolling fingerprint matches the HOF fold bit-for-bit") {
+    val docs = Seq(
+      (1L, "  the quick  brown fox "), // whitespace-normalized fold
+      (2L, "the quick brown fox"),     // must equal doc 1
+      (3L, "fox brown quick the"),     // order-sensitive: must differ
+      (4L, "päneln 電池 ünïcode")
+    ).toDF("doc_id", "text")
+    val viaHof = docs.select(col("doc_id"),
+        operators.TextAnalysis.rollingFingerprint(col("text"),
+          tokenHash = c => xxhash64(c)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = docs.select(col("doc_id"),
+        operators.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaHof)
+    assert(viaNative(1L) == viaNative(2L))
+    assert(viaNative(1L) != viaNative(3L))
+  }
+
   test("native simhash matches the aggregate form bit-for-bit") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
