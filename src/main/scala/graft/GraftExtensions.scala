@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature}
+import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -16,6 +16,7 @@ import graft.expressions.{DotProduct, HyperplaneSignature, MinhashSignature, Rol
   *  - `graft_minhash_sig(array<string>, numHashes int literal) → array<bigint>`
   *  - `graft_simhash(array<string>) → bigint`
   *  - `graft_rolling_fp(array<string>) → bigint`
+  *  - `graft_gram_hashes(array<string>, n int literal) → array<bigint>`
   *
   * Two entry points: `GraftFunctions.register(spark)` injects into an
   * existing session's function registry; `GraftExtensions` is the
@@ -72,6 +73,19 @@ object GraftFunctions {
         { args =>
           require(args.size == 1, "graft_rolling_fp(tokens) takes 1 argument")
           RollingFingerprint(args.head)
+        }),
+      (FunctionIdentifier("graft_gram_hashes"),
+        info(classOf[GramHashes], "graft_gram_hashes"),
+        { args =>
+          require(args.size == 2,
+            "graft_gram_hashes(tokens, n) takes 2 arguments")
+          val n = args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "graft_gram_hashes: n must be an integer literal " +
+                "(the gram size shapes the expression at plan build)")
+          }
+          GramHashes(args.head, n)
         }))
 
   /** Imperative registration into a live session. */

@@ -311,6 +311,17 @@ object Dedup {
     ngramJaccardFromGrams(
       gramTable(df, idCol, textCol, n).persist(), idCol, threshold, maxBucket)
 
+  /** Hashed word n-grams of a token array as a native single-pass
+    * expression ([[graft.expressions.GramHashes]]) — hash-identical to
+    * `transform(..., i -> xxhash64(concat_ws(' ', slice(tokens, i, n))))`
+    * but with the gram bytes assembled into a reused scratch buffer
+    * instead of a String allocation per gram, and no interpreted
+    * lambda. */
+  def gramHashesCol(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.GramHashes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(tokens), n))
+
   /** Hashed word n-gram table (one row per distinct (id, gram hash)) —
     * the shared input of the Jaccard near-dup/decontamination family.
     * NOT persisted: the caller owns the persist/unpersist lifecycle
@@ -322,9 +333,7 @@ object Dedup {
   private[operators] def gramTable(df: DataFrame, idCol: String,
                                    textCol: String, n: Int): DataFrame = df
     .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
-    .select(col(idCol),
-      explode(expr(s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
-        s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("gram"))
+    .select(col(idCol), explode(gramHashesCol(col("__tk"), n)).as("gram"))
     .distinct()
 
   /** [[ngramJaccardNearDups]] body over a caller-persisted gram table. */

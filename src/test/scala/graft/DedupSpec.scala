@@ -213,6 +213,27 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 8 && sql.forall(_ != Long.MaxValue))
   }
 
+  test("native gram hashes match the transform/concat_ws/xxhash64 form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "  padded   whitespace text  "),
+      (3L, "short"),                     // fewer tokens than n → 1 gram
+      (4L, "ünïcode 電池 bytes mixed in here")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 4, 8)) {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val viaColumns = docs.select(col("doc_id"), toks.as("__tk"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__tk, i, $n))))")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val viaNative = docs.select(col("doc_id"),
+          explode(Dedup.gramHashesCol(toks, n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(viaNative === viaColumns, s"n=$n")
+    }
+  }
+
   test("native rolling fingerprint matches the HOF fold bit-for-bit") {
     val docs = Seq(
       (1L, "  the quick  brown fox "), // whitespace-normalized fold
