@@ -152,22 +152,26 @@ object Dedup {
     val sh =
       if (wordGrams > 0) wordShingles(df, idCol, textCol, wordGrams)
       else shingles(df, idCol, textCol, shingleK)
-    // same shingle strings as `sh`, kept in-row (normalized text
-    // projected ONCE below the lambda — see [[shingles]] on lambda
-    // re-evaluation)
-    val withArr =
+    // signature input stays IN-ROW; for word grams the whole
+    // grams→hashes→mins chain fuses into one native pass
+    // ([[graft.expressions.MinhashWordGrams]] — no interpreted
+    // shingle-string transform, no per-gram allocation); char shingles
+    // keep the transform + [[minhashSignatureCol]] route
+    val sigs =
       if (wordGrams > 0)
         df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
-          .select(col(idCol), expr(
-            s"transform(sequence(1, greatest(size(__tk)-${wordGrams - 1}, 1)), " +
-              s"i -> concat_ws(' ', slice(__tk, i, $wordGrams)))").as("__sh"))
+          .select(col(idCol),
+            org.apache.spark.sql.GraftExpressionBridge.column(
+              graft.expressions.MinhashWordGrams(
+                org.apache.spark.sql.GraftExpressionBridge.expression(col("__tk")),
+                wordGrams, numHashes)).as("sig"))
       else
         df.select(col(idCol), lower(col(textCol)).as("__lt"))
           .select(col(idCol), expr(
             s"transform(sequence(1, greatest(length(__lt)-${shingleK - 1}, 1)), " +
               s"i -> substring(__lt, i, $shingleK))").as("__sh"))
-    val sigs = withArr.select(col(idCol),
-      minhashSignatureCol(col("__sh"), numHashes).as("sig"))
+          .select(col(idCol),
+            minhashSignatureCol(col("__sh"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucket)
     jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

@@ -213,6 +213,31 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 8 && sql.forall(_ != Long.MaxValue))
   }
 
+  test("fused word-gram minhash matches shingle-array + MinhashSignature") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  padded   text  "),
+      (3L, "short"),
+      (4L, "ünïcode 電池 bytes here")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val viaTwoStep = docs.select(col("doc_id"), toks.as("__tk"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(__tk, i, $n)))").as("__sh"))
+        .select(col("doc_id"), Dedup.minhashSignatureCol(col("__sh"), 64).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaFused = docs.select(col("doc_id"),
+          org.apache.spark.sql.GraftExpressionBridge.column(
+            graft.expressions.MinhashWordGrams(
+              org.apache.spark.sql.GraftExpressionBridge.expression(toks),
+              n, 64)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaFused === viaTwoStep, s"n=$n")
+    }
+  }
+
   test("native gram hashes match the transform/concat_ws/xxhash64 form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over"),
