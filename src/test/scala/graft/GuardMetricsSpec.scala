@@ -32,7 +32,8 @@ class GuardMetricsSpec extends SparkSpec {
     try withGuardPlanning {
       for (q <- Seq("q24_minhash_neardup", "q25_simhash_neardup",
           "q29_ngram_jaccard", "q33_cosine_neardup",
-          "q49_cross_contamination", "q51_containment_decontam")) {
+          "q49_cross_contamination", "q50_curate",
+          "q51_containment_decontam")) {
         SparkEntry.queries(q)(spark, sfDir).count()
         val drained = guards.drain()
         assert(drained.nonEmpty, s"$q emitted no guard metrics")
