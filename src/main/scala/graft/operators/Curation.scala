@@ -86,11 +86,16 @@ object Curation {
     val clean = benchmark match {
       case Some(b) =>
         // decontam gram table: when the gram size matches the dedup
-        // stage (the default), the survivors' grams are a semi join of
-        // the table already computed and cached — no second tokenize +
-        // hash + distinct pass over the corpus
+        // stage (the default), the survivors' grams come from the
+        // cached gram table by anti-joining the DROPPED ids — the
+        // (small, checkpointed) non-representative set — rather than
+        // semi-joining `deduped`, which would re-derive the whole
+        // quality-filter + dedup-window chain a second time
         val gl = (if (cfg.decontamNgram == cfg.nearDupNgram)
-            grams.join(deduped.select(col(idCol)), Seq(idCol), "left_semi")
+            grams.join(
+              comps.filter(col("comp") =!= col("node"))
+                .select(col("node").as(idCol)),
+              Seq(idCol), "left_anti")
           else Dedup.gramTable(deduped, idCol, textCol, cfg.decontamNgram))
           .persist()
         val gr = Dedup.gramTable(b, idCol, textCol, cfg.decontamNgram)

@@ -471,8 +471,13 @@ object Dedup {
         struct(col("b").as("x"), col("b").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct().persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("x").as("node")).distinct()
-      .withColumn("comp", col("node")).persist(MEMORY_AND_DISK)
+    // initial labels come from the self-loop rows — `edges` is already
+    // distinct, so (x, x) appears exactly once per node and the usual
+    // project-distinct over all endpoints would be a second shuffle of
+    // the same information
+    var labels = edges.filter(col("x") === col("y"))
+      .select(col("x").as("node"), col("x").as("comp"))
+      .persist(MEMORY_AND_DISK)
     // Convergence witness for numeric ids: labels are monotone
     // non-increasing (min over a set containing the node's previous
     // label), so the label SUM is stationary iff NO label changed —
