@@ -355,6 +355,30 @@ object SparkEntry {
         .orderBy($"a", $"b")
     }),
 
+    // Semantic dedup, SemDeDup-style: cluster-bucketed candidates
+    // (deterministic IVF k-means cells) + exact cosine verify + the
+    // connected-components keep-min decision, end-to-end. The oracle
+    // recomputes survivors from the EXHAUSTIVE pair set (all-pairs
+    // cosine ≥ 0.9 → recursive-CTE closure → min-id representative),
+    // so the gate pins both that the cell-bucketed generator finds
+    // every qualifying pair ON THIS CORPUS (planted near-identical
+    // copies co-cluster with their source by construction; a pair
+    // split across cells is SemDeDup's accepted recall trade) and
+    // that the dedup decision keeps exactly the right rows.
+    "q52_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select($"vec_id", expr(
+          "transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .unionByName(emb.filter($"vec_id" % 7 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+              .as("embedding")))
+      operators.Similarity.semanticDropNearDups(corpus, "vec_id",
+          "embedding", threshold = 0.9)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    }),
+
     // Text curation profile: token counts, punctuation, case ratio,
     // language-ID heuristic, composite quality score
     "q27_text_profile" -> ((s, d) => {
@@ -1097,6 +1121,30 @@ object SparkEntry {
            FROM c a JOIN c b ON a.vec_id < b.vec_id)
          SELECT a, b, round(cos_raw, 6) AS cosine FROM s
          WHERE cos_raw >= 0.9 ORDER BY a, b""",
+
+    "q52_semantic_dedup" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c AS (SELECT vec_id, v FROM c0
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
+           FROM c0 WHERE vec_id % 7 = 0),
+         s AS (SELECT a.vec_id a, b.vec_id b FROM c a
+           JOIN c b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+         edges AS (SELECT a x, b y FROM s UNION SELECT b, a FROM s),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS vec_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x)
+         SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
+         WHERE comp.comp IS NULL OR comp.comp = c.vec_id
+         ORDER BY c.vec_id""",
 
     "q27_text_profile" ->
       """WITH p AS (SELECT doc_id, text,

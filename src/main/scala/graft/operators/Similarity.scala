@@ -232,4 +232,53 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  /** Cluster-bucketed semantic near-duplicate pairs, in the SemDeDup
+    * discipline (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embeddings (the deterministic Lloyd-refined [[buildIvf]]
+    * coarse quantizer), generate candidate pairs only WITHIN a cluster
+    * cell, and exact-cosine verify the candidates. The alternative
+    * candidate generator to [[cosineNearDups]]' hyperplane buckets:
+    * clusters adapt to the corpus's density (hyperplanes are data-
+    * oblivious), at the cost of the one-time clustering pass.
+    *
+    * Scale shape: cell assignment is a broadcast-centroid argmax (the
+    * corpus never shuffles to cluster), candidates come from pair-
+    * exploding each cell's sorted id list under the shared `maxBucket`
+    * skew guard + observe metric, and verification joins vectors and
+    * precomputed norms for candidates only. Like SemDeDup itself the
+    * recall boundary is the clustering: a pair split across cells is
+    * never considered (the paper's accepted trade) — size `nCells` so
+    * an expected cell ≈ corpus/nCells stays under `maxBucket`, and
+    * watch the dropped-bucket metric for cells that outgrow it. */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nCells: Int = 32,
+                       maxBucket: Int = 200): DataFrame = {
+    // cell table persisted: it fans out to the bucket explode and both
+    // verify sides (same lifecycle note as cosineNearDups' signatures)
+    val cells = buildIvf(df, idCol, vecCol, nCells).corpusCells
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Dedup.explodePairs(
+      Dedup.guardedIdBuckets(
+        cells.select(col("neighbor_id").as(idCol), col("cell")),
+        Seq("cell"), idCol, maxBucket, "semantic"), "ids")
+    cands
+      .join(cells.select(col("neighbor_id").as("a"), col("__cv").as("__va"),
+        col("__cn").as("__na")), Seq("a"))
+      .join(cells.select(col("neighbor_id").as("b"), col("__cv").as("__vb"),
+        col("__cn").as("__nb")), Seq("b"))
+      .withColumn("cosine", cosinePrenormed(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Semantic deduplication end-to-end: [[semanticNearDups]] pairs →
+    * connected components → keep the min-id representative per
+    * component (plus every unpaired row). */
+  def semanticDropNearDups(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nCells: Int = 32,
+                           maxBucket: Int = 200): DataFrame =
+    Dedup.dropNearDups(df,
+      semanticNearDups(df, idCol, vecCol, threshold, nCells, maxBucket), idCol)
 }

@@ -128,6 +128,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: planted copies co-cluster and are dropped") {
+    // perturbed copies sit at cosine ≈ 1 to their source, so each must
+    // land in its source's IVF cell and the pair must verify ≥ 0.9;
+    // survivors = originals + nothing else (min-id representative)
+    val copies = emb.filter($"vec_id" % 5 === 0).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f) + lit(0.0005f))
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val pairs = Similarity.semanticNearDups(corpus, "vec_id", "embedding",
+      threshold = 0.9, nCells = 8)
+    val got = pairs.select("a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val want = emb.filter($"vec_id" % 5 === 0).select("vec_id").collect()
+      .map(r => r.getLong(0)).map(v => v -> (v + 100000L)).toSet
+    assert(got == want, s"pairs got=$got want=$want")
+    val survivors = Similarity.semanticDropNearDups(corpus, "vec_id",
+        "embedding", threshold = 0.9, nCells = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == emb.select("vec_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
   test("dot/cosine on hand vectors") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
