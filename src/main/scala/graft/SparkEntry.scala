@@ -379,6 +379,20 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // Corpus length-distribution profile: exact interpolating
+    // percentiles of char length and token count — Spark `percentile`
+    // and DuckDB `quantile_cont` share the rank-p·(n−1) linear-
+    // interpolation definition (identical double formula: lo·(1−g) +
+    // g·hi), so the gate pins values with NO rounding. The exact
+    // aggregate is the calibration path; the 100 TB path is the same
+    // operator with exact=false (approx_percentile's mergeable sketch,
+    // bounded executor memory), spec-pinned within rank error.
+    "q53_length_quantiles" -> ((s, d) => {
+      operators.TextAnalysis.lengthDistribution(t(s, d, "documents"),
+          "text", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy($"p")
+    }),
+
     // Text curation profile: token counts, punctuation, case ratio,
     // language-ID heuristic, composite quality score
     "q27_text_profile" -> ((s, d) => {
@@ -1145,6 +1159,17 @@ object SparkEntry {
          SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
          WHERE comp.comp IS NULL OR comp.comp = c.vec_id
          ORDER BY c.vec_id""",
+
+    "q53_length_quantiles" ->
+      """WITH s AS (SELECT length(text)::DOUBLE AS c,
+           len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS tk
+           FROM documents),
+         a AS (SELECT quantile_cont(c, [0.25, 0.5, 0.75, 0.9, 0.99]) cp,
+                      quantile_cont(tk, [0.25, 0.5, 0.75, 0.9, 0.99]) tp
+           FROM s)
+         SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+                unnest(cp) AS chars_p, unnest(tp) AS tokens_p
+         FROM a ORDER BY p""",
 
     "q27_text_profile" ->
       """WITH p AS (SELECT doc_id, text,

@@ -157,6 +157,38 @@ object TextAnalysis {
     df.withColumn("split", label)
   }
 
+  /** Corpus length-distribution profile: interpolating percentiles of
+    * character length and whitespace token count, one output row per
+    * requested percentile `(p, chars_p, tokens_p)`.
+    *
+    * `exact = true` uses the EXACT `percentile` aggregate — linear
+    * interpolation at rank p·(n−1), the same definition as standard
+    * SQL `quantile_cont`, which is what lets an external oracle pin it
+    * value-for-value. Exact percentile buffers per-value counts on the
+    * executors, so it's for gate-size corpora and for calibrating the
+    * sketch path. At 100 TB set `exact = false`: `approx_percentile`'s
+    * mergeable quantile sketch holds bounded memory per partition and
+    * one small merge at the driver — `accuracy` trades memory for
+    * rank error ≤ n/accuracy. */
+  def lengthDistribution(df: DataFrame, textCol: String, ps: Seq[Double],
+                         exact: Boolean = true,
+                         accuracy: Int = 10000): DataFrame = {
+    val psArr = s"array(${ps.mkString("D, ")}D)"
+    val pct = if (exact) s"percentile(%s, $psArr)"
+              else s"approx_percentile(%s, $psArr, $accuracy)"
+    val agg = df.select(length(col(textCol)).cast("double").as("__c"),
+        tokenCount(col(textCol)).cast("double").as("__t"))
+      .agg(expr(pct.format("__c")).as("__cp"),
+           expr(pct.format("__t")).as("__tp"))
+    agg.select(explode(expr(
+        s"transform(sequence(0, ${ps.length - 1}), i -> struct(" +
+          s"element_at($psArr, i + 1) AS p, " +
+          "element_at(__cp, i + 1) AS chars_p, " +
+          "element_at(__tp, i + 1) AS tokens_p))")).as("r"))
+      .select(col("r.p").as("p"), col("r.chars_p").as("chars_p"),
+        col("r.tokens_p").as("tokens_p"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens of the
     * lowercased corpus (ties broken by token) — partial-aggregated
     * heavy-hitter shape: one shuffle of (token, partial count), then a

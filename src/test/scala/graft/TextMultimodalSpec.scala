@@ -66,6 +66,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(split("train") > 1500 && split("val") > 100 && split("test") > 100)
   }
 
+  test("length distribution: approx sketch tracks the exact percentiles") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    def rows(exact: Boolean) =
+      TextAnalysis.lengthDistribution(docs, "text", ps, exact = exact)
+        .orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val ex = rows(exact = true); val ap = rows(exact = false)
+    assert(ex.map(_._1).toSeq == ps)
+    // exact percentiles are monotone in p
+    assert(ex.sliding(2).forall(w => w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3))
+    // the sketch at accuracy 10000 on a few hundred docs must land
+    // within a tight relative band of the exact answer
+    ex.zip(ap).foreach { case ((p, ec, et), (_, ac, at)) =>
+      assert(math.abs(ac - ec) <= math.max(2.0, ec * 0.05), s"chars p=$p")
+      assert(math.abs(at - et) <= math.max(2.0, et * 0.05), s"tokens p=$p")
+    }
+  }
+
   test("topTokens: frequency-ranked with deterministic tie-break") {
     val df = Seq("b b b a a c", "a c  d", "").toDF("text")
     val top = TextAnalysis.topTokens(df, "text", 3).collect()
