@@ -379,6 +379,39 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // Cross-document boilerplate removal: a banner line injected into
+    // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
+    // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
+    // line counts and the md5 of the reassembled text, so it catches
+    // both wrong threshold arithmetic and order-scrambled reassembly.
+    "q54_boilerplate_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        concat_ws("\n", lit("subscribe to our newsletter"), $"text",
+          when($"doc_id" % 3 === 0, lit("cookie policy applies")))
+          .as("text"))
+      operators.Curation.dropBoilerplateLines(docs, "doc_id", "text",
+          maxDocFrac = 0.5)
+        .select($"doc_id", $"n_lines", $"n_kept_lines",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic token-budget sampling: hash-ordered prefix until
+    // the per-shard running token total hits budget/shards. The
+    // engine-neutral md5 hash pins the EXACT kept set against the
+    // oracle's window recomputation — order, shard split, boundary
+    // rule (kept iff the PRIOR cumsum is under budget) all match.
+    "q55_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .withColumn("n_tokens",
+          operators.TextAnalysis.tokenCount($"text").cast("long"))
+      operators.Curation.sampleToTokenBudget(docs, "doc_id", "n_tokens",
+          budgetTokens = 20000L, shards = 8,
+          hashFn = operators.Dedup.md5Hash60)
+        .select($"doc_id", $"n_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // Corpus length-distribution profile: exact interpolating
     // percentiles of char length and token count — Spark `percentile`
     // and DuckDB `quantile_cont` share the rank-p·(n−1) linear-
@@ -1159,6 +1192,41 @@ object SparkEntry {
          SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
          WHERE comp.comp IS NULL OR comp.comp = c.vec_id
          ORDER BY c.vec_id""",
+
+    "q54_boilerplate_lines" ->
+      """WITH d0 AS (SELECT doc_id,
+           'subscribe to our newsletter' || chr(10) || text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'cookie policy applies' ELSE '' END AS text
+           FROM documents),
+         d AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM d0),
+         l AS (SELECT doc_id, t[i] AS line, i AS pos, len(t) AS n_lines
+           FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM d0),
+         bo AS (SELECT line FROM l, nd GROUP BY line, nd.n
+           HAVING count(DISTINCT doc_id) > 0.5 * nd.n),
+         rb AS (SELECT doc_id, count(*) AS n_kept_lines,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+           FROM l WHERE line NOT IN (SELECT line FROM bo)
+           GROUP BY doc_id)
+         SELECT d.doc_id, len(d.t) AS n_lines,
+           coalesce(rb.n_kept_lines, 0) AS n_kept_lines,
+           coalesce(rb.clean_md5, md5('')) AS clean_md5
+         FROM d LEFT JOIN rb USING (doc_id) ORDER BY doc_id""",
+
+    "q55_token_budget" ->
+      """WITH tok AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY h % 8
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           FROM tok)
+         SELECT doc_id, n_tokens FROM c WHERE prior < 2500
+         ORDER BY doc_id""",
 
     "q53_length_quantiles" ->
       """WITH s AS (SELECT length(text)::DOUBLE AS c,

@@ -219,6 +219,77 @@ object Curation {
         size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
   }
 
+  /** Cross-document boilerplate removal: drop every line whose
+    * DOCUMENT frequency exceeds `maxDocFrac` of the corpus — the
+    * cross-corpus complement of [[dropRepeatedLines]] (which dedups
+    * within one document): navigation chrome, cookie banners and
+    * subscription prompts repeat across a site's pages, not within one
+    * page, so no per-doc filter can see them.
+    *
+    * Scale shape: one explode + one (line → distinct-doc count) hash
+    * aggregate; the 1-row corpus count broadcasts; the boilerplate set
+    * joins back as a hash anti join on `line` — NOT broadcast-hinted
+    * (a template-heavy corpus can push the above-threshold line set
+    * past driver memory; AQE broadcasts when it measures small).
+    * Reassembly keeps every surviving line occurrence in original
+    * order; a doc whose every line is boilerplate survives with empty
+    * text (`n_kept_lines` 0) rather than vanishing. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFrac: Double, sep: String = "\n"): DataFrame = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sepQ)).as(Seq("pos", "line")))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__nd"))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df").cast("double") >
+        lit(maxDocFrac) * col("__nd").cast("double"))
+      .select("line")
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .as("parts"))
+      .select(col(idCol),
+        concat_ws(sep, expr("transform(parts, p -> p.line)")).as("clean_text"),
+        size(col("parts")).as("n_kept_lines"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0)))
+      .withColumn("n_lines", size(split(col(textCol), sepQ)))
+  }
+
+  /** Deterministic token-budget sampling — the mixing primitive for
+    * "take N tokens of domain X": documents are taken in hash order
+    * until the running token total reaches the budget, so membership
+    * is a pure function of the corpus (re-runs, engines, input order
+    * and partitioning all agree on the kept set). Unlike the
+    * rate-based [[TextAnalysis.hashSample]], membership is NOT stable
+    * under corpus growth: a new id can hash-sort ahead of old ones and
+    * push them past the budget — budget sampling fixes the token
+    * TOTAL, so growth must displace someone.
+    *
+    * The budget splits evenly over `shards` hash shards and the
+    * running total is a per-shard window — the same parallelism
+    * discipline as [[packSequences]]; a global ordered cumsum would be
+    * a single-partition window. A doc is kept iff the tokens BEFORE it
+    * in its shard are under the shard budget, so each shard overshoots
+    * by at most one document (and a doc larger than the whole shard
+    * budget can only be taken first). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                          budgetTokens: Long, shards: Int = 64,
+                          hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(shards > 0 && budgetTokens >= 0, "need shards > 0, budget >= 0")
+    val h = hashFn(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("__prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("__prior") < lit(budgetTokens / shards))
+      .drop("__h", "__shard", "__prior")
+  }
+
   /** Sliding-window token chunking with overlap — the
     * context-window splitter for RAG / long-doc training prep: the
     * token stream is cut into windows of `chunkTokens` advancing by

@@ -266,6 +266,53 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dropBoilerplateLines: cross-doc banner drops, per-doc lines stay") {
+    // banner in 3/4 docs (> 0.5), notice in 2/4 (≤ 0.5, stays), doc 4
+    // is ONLY the banner — must survive with empty text, not vanish
+    val docs = Seq(
+      (1L, "banner\nunique one\nnotice"),
+      (2L, "banner\nunique two"),
+      (3L, "unique three\nnotice"),
+      (4L, "banner")
+    ).toDF("doc_id", "text")
+    val got = Curation.dropBoilerplateLines(docs, "doc_id", "text", 0.5)
+      .select("doc_id", "clean_text", "n_kept_lines", "n_lines")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("unique one\nnotice", 2, 3)))
+    assert(got(2L) == (("unique two", 1, 2)))
+    assert(got(3L) == (("unique three\nnotice", 2, 2)))
+    assert(got(4L) == (("", 0, 1)))
+    // duplicate lines WITHIN one doc are occurrences, not boilerplate:
+    // a line repeated in a single doc keeps every copy
+    val solo = Seq((1L, "a\nb\na"), (2L, "c")).toDF("doc_id", "text")
+    val keep = Curation.dropBoilerplateLines(solo, "doc_id", "text", 0.6)
+      .filter($"doc_id" === 1L).select("clean_text").collect()(0).getString(0)
+    assert(keep == "a\nb\na")
+  }
+
+  test("sampleToTokenBudget: membership is a pure function of the corpus") {
+    val docs = spark.range(200).select($"id".as("doc_id"),
+      (pmod($"id" * 37L, lit(50L)) + 10L).as("n_tokens"))
+    val kept = Curation.sampleToTokenBudget(docs, "doc_id", "n_tokens",
+        budgetTokens = 2000L, shards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 200)
+    // the determinism contract: same corpus → same kept set, whatever
+    // the input order or partitioning (hash order, not row order)
+    val again = Curation.sampleToTokenBudget(
+        docs.orderBy($"doc_id".desc).repartition(7), "doc_id", "n_tokens",
+        budgetTokens = 2000L, shards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // budget below the smallest doc: each shard still takes its first
+    // doc (prior 0 < budget only when budget > 0)
+    val tiny = Curation.sampleToTokenBudget(docs, "doc_id", "n_tokens",
+        budgetTokens = 4L, shards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiny.size == 4)
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
