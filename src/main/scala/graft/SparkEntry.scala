@@ -379,6 +379,32 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // Incremental dedup: a new batch (odd docs + perturbed copies of
+    // INDEX docs + perturbed copies of BATCH docs) is admitted against
+    // an index built ONCE over the even docs. The oracle recomputes
+    // the full decision — index hits by exhaustive cross-Jaccard,
+    // within-batch components by recursive-CTE closure, tainted-
+    // component drop, min-id representative — so it catches a wrong
+    // threshold, a missed chain (new₂ ~ new₁ ~ indexed), and a
+    // representative picked on the wrong side.
+    "q56_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 14 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(docs.filter($"doc_id" % 14 === 7)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" plugh tail")).as("text")))
+      val idx = operators.Dedup.buildNgramIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4)
+      idx.grams.persist()
+      operators.Dedup.incrementalDropNearDups(idx, batch, "text",
+          threshold = 0.5)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -1192,6 +1218,57 @@ object SparkEntry {
          SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
          WHERE comp.comp IS NULL OR comp.comp = c.vec_id
          ORDER BY c.vec_id""",
+
+    "q56_incremental_dedup" ->
+      """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
+           FROM documents WHERE doc_id % 2 = 0),
+         batch AS (
+           SELECT doc_id, lower(trim(text)) tx
+           FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
+           FROM documents WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
+           FROM documents WHERE doc_id % 14 = 7),
+         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
+         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM bt, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         ot AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM olds),
+         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM ot, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+         hits AS (SELECT DISTINCT hx.bid AS doc_id FROM hx
+           JOIN bsz ON bsz.doc_id = hx.bid
+           JOIN osz ON osz.doc_id = hx.oid
+           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         wpairs AS (SELECT a, b FROM wx
+           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x),
+         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+           FROM batch b LEFT JOIN comp USING (doc_id)),
+         tainted AS (SELECT DISTINCT l.comp FROM labeled l
+           JOIN hits h ON l.doc_id = h.doc_id)
+         SELECT l.doc_id FROM labeled l
+         WHERE l.comp NOT IN (SELECT comp FROM tainted)
+           AND l.comp = l.doc_id
+         ORDER BY l.doc_id""",
 
     "q54_boilerplate_lines" ->
       """WITH d0 AS (SELECT doc_id,

@@ -525,6 +525,69 @@ object Dedup {
   def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     keepRepresentatives(docs, connectedComponents(pairs), idCol)
 
+  /** A built n-gram near-dup index over an ACCEPTED corpus — the
+    * build-once/search-many discipline for deduplication: a 100 TB
+    * pipeline ingests daily increments, and re-shingling the whole
+    * accepted corpus per batch would dwarf the batch's own cost. The
+    * gram table is a plain DataFrame the caller persists once (or
+    * writes bucketed on `gram` so every future batch's candidate join
+    * is co-located and shuffle-free on the index side). */
+  final case class NgramIndex(grams: DataFrame, idCol: String, n: Int)
+
+  def buildNgramIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): NgramIndex =
+    NgramIndex(gramTable(corpus, idCol, textCol, n), idCol, n)
+
+  /** Grow the index with accepted survivors (one gram pass over the
+    * BATCH only — the existing index is untouched). */
+  def appendToIndex(index: NgramIndex, accepted: DataFrame,
+                    textCol: String): NgramIndex =
+    NgramIndex(index.grams.unionByName(
+      gramTable(accepted, index.idCol, textCol, index.n)), index.idCol, index.n)
+
+  /** Incremental near-dup dedup of a NEW batch against an indexed
+    * corpus: a batch doc survives iff (a) its within-batch component —
+    * over batch-vs-batch near-dup pairs — contains NO doc that
+    * near-dup-matches the index, and (b) it is the min-id
+    * representative of that component (unpaired docs are their own
+    * component). Dropping the whole TAINTED component, not just the
+    * directly-matching doc, is what preserves the one-shot global
+    * dedup decision: a chain new₂ ~ new₁ ~ old must drop new₂ even
+    * though new₂ never matches the index itself. The decision equals
+    * re-running [[dropNearDups]] over (accepted ∪ batch) whenever the
+    * accepted corpus is itself dedup-clean (no accepted-accepted
+    * pairs) — which holds by induction when every increment is
+    * admitted through this gate.
+    *
+    * Cost shape per batch: one gram pass over the batch (the index is
+    * NOT re-shingled), one two-sided capped bucket join vs the index,
+    * one within-batch near-dup pass + component labeling. */
+  def incrementalDropNearDups(index: NgramIndex, batch: DataFrame,
+                              textCol: String, threshold: Double = 0.5,
+                              maxBucket: Int = 50): DataFrame = {
+    val idCol = index.idCol
+    val bg = gramTable(batch, idCol, textCol, index.n).persist()
+    val hits = crossJaccardFromGrams(bg, index.grams, idCol, threshold,
+        maxBucket, containment = false)
+      .select(col("a").as(idCol)).distinct().localCheckpoint()
+    val comps0 = connectedComponents(
+      ngramJaccardFromGrams(bg, idCol, threshold, maxBucket))
+    val comps = comps0.localCheckpoint()
+    comps0.unpersist(); bg.unpersist()
+    // tainted components: any component with a member matching the
+    // index (hits and comps are both batch-bounded and checkpointed)
+    val tainted = comps.join(hits.withColumnRenamed(idCol, "node"),
+        Seq("node"))
+      .select(col("comp")).distinct()
+    val untaintedReps = keepRepresentatives(batch, comps, idCol)
+      .join(hits, Seq(idCol), "left_anti")
+    untaintedReps.join(
+      comps.withColumnRenamed("node", idCol)
+        .join(tainted, Seq("comp"), "left_semi")
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** The dedup decision given materialized component labels: keep the
     * min-id representative per component plus every unpaired doc. */
   private[operators] def keepRepresentatives(docs: DataFrame, comps: DataFrame,

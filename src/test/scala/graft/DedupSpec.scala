@@ -331,6 +331,43 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental dedup: chains through the batch to the index drop") {
+    // unigram Jaccard, hand-sized overlaps:
+    //   old     = {a..j}
+    //   new1    = {a..h, x, y}      → vs old 8/12 ≈ 0.67 ≥ 0.5 (index hit)
+    //   new2    = {c..h, x, y, u, v}→ vs new1 8/12 ≥ 0.5, vs old 6/14 < 0.5
+    //   new3    = {p..?}            → unrelated, must survive
+    // new2 never matches the index itself, but its within-batch chain
+    // reaches new1 which does — the whole component is tainted, so the
+    // one-shot global decision (only `old` survives) is preserved.
+    val old = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "c d e f g h x y u v"),
+      (3L, "p q r s t u1 v1 w1 z1 k1")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildNgramIndex(old, "doc_id", "text", n = 1)
+    idx.grams.persist()
+    val kept = Dedup.incrementalDropNearDups(idx, batch, "text",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"kept $kept")
+    // admitting the survivors and re-checking a later batch: a dup of
+    // the NEWLY accepted doc 3 must now drop against the grown index
+    val idx2 = Dedup.appendToIndex(idx,
+      batch.filter($"doc_id" === 3L), "text")
+    idx2.grams.persist()
+    val batch2 = Seq(
+      (10L, "p q r s t u1 v1 w1 z1 zz"),   // near-dup of accepted 3
+      (11L, "totally fresh words nothing shared here at all ok fine")
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDropNearDups(idx2, batch2, "text",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L), s"kept2 $kept2")
+    idx.grams.unpersist(); idx2.grams.unpersist()
+  }
+
   test("cosine near-dups: hot bucket capped, pairs elsewhere kept") {
     // 500 identical vectors share every probe bucket — uncapped that is
     // ~125k candidate pairs. With maxBucket they are dropped while a
