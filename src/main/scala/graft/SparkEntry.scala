@@ -379,6 +379,29 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // Gopher quality rules: every flag column is an int/int division
+    // or regex count both engines compute identically, so the gate
+    // pins RAW doubles — no rounding anywhere. The fixture doctors
+    // every 5th doc into a bullet list and every 7th into an
+    // ellipsis-heavy fragment so each rule actually fires somewhere.
+    "q57_gopher_rules" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 5 === 0,
+            concat(lit("- item one\n- item two\n- "), $"text"))
+          .when($"doc_id" % 7 === 0,
+            concat($"text", lit(" trailing...\nshort line...\n# # # #")))
+          .when($"doc_id" % 3 === 0,
+            concat(lit("the point of that note have to be read with care "),
+              $"text"))
+          .otherwise($"text").as("text"))
+      operators.TextAnalysis.gopherQualityFlags(docs, "text", minWords = 20)
+        .select($"doc_id", $"n_words", $"mean_word_len",
+          $"symbol_word_ratio", $"bullet_line_ratio",
+          $"ellipsis_line_ratio", $"alpha_word_ratio",
+          $"req_stopword_hits", $"gopher_pass")
+        .orderBy($"doc_id")
+    }),
+
     // Incremental dedup: a new batch (odd docs + perturbed copies of
     // INDEX docs + perturbed copies of BATCH docs) is admitted against
     // an index built ONCE over the even docs. The oracle recomputes
@@ -1218,6 +1241,58 @@ object SparkEntry {
          SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
          WHERE comp.comp IS NULL OR comp.comp = c.vec_id
          ORDER BY c.vec_id""",
+
+    "q57_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN '- item one' || chr(10) || '- item two' || chr(10)
+                     || '- ' || text
+                WHEN doc_id % 7 = 0
+                THEN text || ' trailing...' || chr(10) || 'short line...'
+                     || chr(10) || '# # # #'
+                WHEN doc_id % 3 = 0
+                THEN 'the point of that note have to be read with care '
+                     || text
+                ELSE text END AS text
+           FROM documents),
+         m AS (SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::DOUBLE
+             AS wd,
+           len(string_split(text, chr(10)))::DOUBLE AS lines
+           FROM d),
+         f AS (SELECT doc_id, n_words,
+           length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / wd
+             AS mean_word_len,
+           len(regexp_extract_all(text, '#|\.\.\.|\x{2026}'))::DOUBLE / wd
+             AS symbol_word_ratio,
+           len(regexp_extract_all(chr(10) || text,
+             '\n\s*[-*\x{2022}]'))::DOUBLE / lines AS bullet_line_ratio,
+           len(regexp_extract_all(text || chr(10),
+             '(\.\.\.|\x{2026})\n'))::DOUBLE / lines AS ellipsis_line_ratio,
+           len(regexp_extract_all(' ' || text, '\s\S*[A-Za-z]'))::DOUBLE / wd
+             AS alpha_word_ratio,
+           (regexp_matches(lower(text), '\bthe\b')::INT +
+            regexp_matches(lower(text), '\bbe\b')::INT +
+            regexp_matches(lower(text), '\bto\b')::INT +
+            regexp_matches(lower(text), '\bof\b')::INT +
+            regexp_matches(lower(text), '\band\b')::INT +
+            regexp_matches(lower(text), '\bthat\b')::INT +
+            regexp_matches(lower(text), '\bhave\b')::INT +
+            regexp_matches(lower(text), '\bwith\b')::INT)
+             AS req_stopword_hits
+           FROM m)
+         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           req_stopword_hits,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND req_stopword_hits >= 2) AS gopher_pass
+         FROM f ORDER BY doc_id""",
 
     "q56_incremental_dedup" ->
       """WITH olds AS (SELECT doc_id, lower(trim(text)) tx

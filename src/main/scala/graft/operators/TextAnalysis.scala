@@ -87,6 +87,59 @@ object TextAnalysis {
     round(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.3, 6)
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix A
+    * — the heuristics Dolma/RefinedWeb-class web pipelines inherit):
+    * per-document flag columns plus a composite `gopher_pass`. Every
+    * rule is a closed-form regex/arithmetic expression over the text —
+    * one codegen'd projection, no tokenized intermediates:
+    *  - `n_words` in [minWords, maxWords]
+    *  - `mean_word_len` in [3, 10] (non-whitespace chars / words)
+    *  - `symbol_word_ratio` ≤ 0.1 (# and … per word)
+    *  - `bullet_line_ratio` ≤ 0.9 (lines starting -, *, •)
+    *  - `ellipsis_line_ratio` ≤ 0.3 (lines ending … or ...)
+    *  - `alpha_word_ratio` ≥ 0.8 (words containing a letter)
+    *  - `req_stopword_hits` ≥ 2 distinct of Gopher's 8 function words
+    */
+  def gopherQualityFlags(df: DataFrame, textCol: String,
+                         minWords: Int = 50,
+                         maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = tokenCount(t).cast("double")
+    val lines = size(split(t, "\n")).cast("double")
+    // non-overlapping `\s\S*[A-Za-z]` on ' '+text counts words with a
+    // letter: the match eats to the word's LAST letter and the leftover
+    // tail has no preceding whitespace, so no word double-counts
+    val alphaWords = size(regexp_extract_all(concat(lit(" "), t),
+      lit("\\s\\S*[A-Za-z]"), lit(0))).cast("double")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.withColumn("n_words", words.cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(t, "\\s", "")).cast("double") /
+          greatest(words, lit(1.0)))
+      .withColumn("symbol_word_ratio",
+        size(regexp_extract_all(t, lit("#|\\.\\.\\.|\\u2026"), lit(0)))
+          .cast("double") / greatest(words, lit(1.0)))
+      .withColumn("bullet_line_ratio",
+        size(regexp_extract_all(concat(lit("\n"), t),
+          lit("\\n\\s*[-*\\u2022]"), lit(0))).cast("double") / lines)
+      .withColumn("ellipsis_line_ratio",
+        size(regexp_extract_all(concat(t, lit("\n")),
+          lit("(\\.\\.\\.|\\u2026)\\n"), lit(0))).cast("double") / lines)
+      .withColumn("alpha_word_ratio", alphaWords / greatest(words, lit(1.0)))
+      .withColumn("req_stopword_hits",
+        gopherStops.map(w =>
+          when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("req_stopword_hits") >= 2)
+  }
+
   /** Rolling polynomial (Rabin-Karp-style) hash fingerprint over the
     * normalized token stream: h = Σ tok_hash_i · 31^(n-1-i) mod p.
     * Order-sensitive (unlike a bag-of-words hash) and incremental at

@@ -86,6 +86,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each flag fires on its own pathology") {
+    val stops = "the cat has to be one of note and that dogs have fun with"
+    val good = (stops + " plain words repeated here ") * 4   // > 20 words
+    val df = Seq(
+      (1L, good),                                         // passes all
+      (2L, "too short but " + stops),                     // n_words < 20
+      (3L, good + " aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 30), // mean len
+      (4L, good + " # # # # # # # # # # # # # # # # # # # #"), // symbols
+      (5L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n" + stops), // bullets
+      (6L, "end one...\nend two...\nend three...\n" + good), // ellipsis
+      (7L, good + (" 123 456 789 000" * 20)),             // alpha ratio
+      (8L, good.replaceAll(
+        "\\b(the|be|to|of|and|that|have|with)\\b", "x"))  // stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityFlags(df, "text", minWords = 20)
+      .select("doc_id", "gopher_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L), s"doc 1 should pass: $got")
+    (2L to 8L).foreach(i => assert(!got(i), s"doc $i should fail"))
+  }
+
   test("topTokens: frequency-ranked with deterministic tie-break") {
     val df = Seq("b b b a a c", "a c  d", "").toDF("text")
     val top = TextAnalysis.topTokens(df, "text", 3).collect()
