@@ -99,6 +99,26 @@ object StreamingParse {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming eval-set decontamination: drop streamed documents whose
+    * fingerprint appears in a STATIC blocklist — a stream-static
+    * LEFT ANTI join, the one join shape that needs no stream-side
+    * state at all (each micro-batch probes the static side
+    * independently; benchmark fingerprints number thousands, so the
+    * static side broadcasts). The streaming face of
+    * [[graft.operators.TextAnalysis.decontaminate]]: with the native
+    * [[graft.operators.TextAnalysis.rollingFingerprint]] projection
+    * the whole admission check is stateless per row, so contaminated
+    * docs never reach the (stateful, costlier) dedup stages behind it.
+    * Fuzzy/containment decontamination stays batch — it needs the
+    * two-sided gram bucket join. */
+  def decontaminateStream(docs: DataFrame, blocklist: DataFrame,
+                          textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.TextAnalysis
+        .rollingFingerprint(col(textCol)))
+      .join(broadcast(blocklist.select(col("fingerprint")).distinct()),
+        Seq("fingerprint"), "left_anti")
+
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,
                   checkpoint: String): DataStreamWriter[Row] =

@@ -107,6 +107,35 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: blocklisted fingerprints never emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the exact benchmark item text appears here"),
+      (2L, "an innocent training document with its own words"),
+      (3L, "  THE exact   benchmark item text appears here "))
+      .toDF("doc_id", "text")
+    // blocklist built from the benchmark text; doc 3 is a whitespace/
+    // case variant, which the normalized fingerprint must also catch
+    val block = Seq("the exact benchmark item text appears here").toDF("text")
+      .select(graft.operators.TextAnalysis.rollingFingerprint(col("text"))
+        .as("fingerprint"))
+    val dir = Files.createTempDirectory("stream_decontam")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .decontaminateStream(stream, block, "text")
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from decontam_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(2L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
