@@ -109,6 +109,30 @@ class PlanSpec extends SparkSpec {
       s"unexpected extra shuffles:\n${p.take(1500)}")
   }
 
+  test("q57: quality flags are one pure projection (no shuffle but the sort)") {
+    val p = planOf("q57_gopher_rules")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "no aggregation or join expected")
+    assert(p.split("Exchange").length <= 2, // output range sort only
+      s"unexpected extra shuffles:\n${p.take(1500)}")
+  }
+
+  test("q55: token-budget sample shuffles once for the per-shard window") {
+    val p = planOf("q55_token_budget")
+    assert(p.contains("Window"), "running-total window expected")
+    assert(!p.contains("Join"), "no join expected")
+    // the window's hash exchange + the output sort, nothing else
+    assert(p.split("Exchange").length <= 3,
+      s"unexpected extra shuffles:\n${p.take(1500)}")
+  }
+
+  test("q53: exact percentile partial-aggregates map-side") {
+    val p = planOf("q53_length_quantiles")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "percentile uses an object/sort aggregate")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
