@@ -23,6 +23,15 @@ object Curation {
     * Jaccard misses them by construction). */
   final case class CurateConfig(
       minQuality: Double = 0.3,
+      /** when set, [[dropRepeatedLines]]' cross-corpus sibling
+        * [[dropBoilerplateLines]] runs FIRST at this doc-frequency
+        * threshold, so banner lines don't distort quality scores,
+        * gram tables or token counts downstream */
+      dropBoilerplate: Option[Double] = None,
+      /** additionally require [[TextAnalysis.gopherQualityFlags]]'
+        * composite `gopher_pass` (flag columns are dropped after the
+        * filter — the output schema stays the same) */
+      gopherRules: Boolean = false,
       nearDupNgram: Int = 8,
       nearDupThreshold: Double = 0.8,
       decontamNgram: Int = 8,
@@ -61,15 +70,33 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // optional cross-corpus boilerplate strip BEFORE anything scores
+    // or shingles the text (a banner line in every doc would otherwise
+    // leak into quality ratios and gram buckets)
+    val pre = cfg.dropBoilerplate match {
+      case Some(frac) =>
+        dropBoilerplateLines(docs, idCol, textCol, frac)
+          .drop(textCol, "n_kept_lines", "n_lines")
+          .withColumnRenamed("clean_text", textCol)
+      case None => docs
+    }
     // quality gate on a LEAN projection: the full profile includes the
     // rolling-fingerprint fold (a higher-order `aggregate` — its
     // interpreted lambda disables whole-stage codegen for whatever
     // projection hosts it), so only `quality` is computed here —
     // codegen'd — and dropped docs never pay for language regexes or
-    // the fingerprint; the full profile is attached to SURVIVORS below
-    val filtered = docs
+    // the fingerprint; the full profile is attached to SURVIVORS below.
+    // The optional Gopher rules ride the same codegen'd projection.
+    val scored = pre
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
+    val filtered = if (cfg.gopherRules)
+        TextAnalysis.gopherQualityFlags(scored, textCol)
+          .filter(col("gopher_pass"))
+          .drop("n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+            "req_stopword_hits", "gopher_pass")
+      else scored
     val exact = Dedup.exact(filtered, Seq(textCol), idCol)
     // near-dup drop, owning the persisted gram table: component labels
     // are materialized (localCheckpoint severs the lineage back to the

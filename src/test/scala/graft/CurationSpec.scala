@@ -313,6 +313,30 @@ class CurationSpec extends SparkSpec {
     assert(tiny.size == 4)
   }
 
+  test("curate: boilerplate strip and gopher rules as optional stages") {
+    val stops = "the cat has to be one of note and that dogs have fun with"
+    def body(i: Int) = (1 to 4).map(k =>
+      s"$stops doc$i chunk$k carries its own distinct payload words")
+      .mkString(" ") // > 50 words, unique grams per doc
+    val docs = Seq(
+      (1L, s"subscribe banner\n${body(1)}"),
+      (2L, s"subscribe banner\n${body(2)}"),
+      (3L, s"subscribe banner\n${body(3)}"),
+      (4L, "subscribe banner\n# # # # # # # # # # # # # # # # # # # #")
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text",
+      cfg = Curation.CurateConfig(minQuality = 0.0,
+        dropBoilerplate = Some(0.9), gopherRules = true,
+        splits = Seq("train" -> 1.0), seqLen = 64, packShards = 1))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the banner (in 4/4 docs) strips BEFORE gopher scoring, so docs
+    // 1-3 pass the symbol rule; doc 4 is all symbols and fails it
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+    // stripped text flows to downstream stages: no banner in output
+    assert(out.columns.contains("seq_id"))
+    assert(!out.select("text").collect().exists(_.getString(0).contains("subscribe")))
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
