@@ -402,6 +402,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Gopher repetition rules: every fraction is a ratio of exact
+    // integer counts (occurrences × lengths), so the gate pins RAW
+    // doubles like q57. The fixture plants every repetition kind the
+    // rules measure: every 7th doc gets duplicate lines AND duplicate
+    // paragraphs (the %7 branch wins ties, same CASE order as the
+    // oracle), every 5th doc a 3×-repeated 60-char prefix (hot
+    // duplicate n-grams at every n); untouched docs exercise the
+    // near-zero path on the natural corpus.
+    "q58_gopher_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 0,
+            concat(lit("alpha beta gamma\ndelta line two\nalpha beta gamma\n\n"),
+              $"text", lit("\n\nalpha beta gamma\n\nalpha beta gamma")))
+          .when($"doc_id" % 5 === 0,
+            concat_ws(" ", substring($"text", 1, 60),
+              substring($"text", 1, 60), substring($"text", 1, 60), $"text"))
+          .otherwise($"text").as("text"))
+      operators.TextAnalysis.gopherRepetitionFlags(docs, "doc_id", "text")
+        .select($"doc_id", $"dup_line_frac", $"dup_line_char_frac",
+          $"dup_para_frac", $"dup_para_char_frac",
+          $"top_2gram_char_frac", $"top_3gram_char_frac",
+          $"top_4gram_char_frac", $"dup_5gram_char_frac",
+          $"dup_6gram_char_frac", $"dup_7gram_char_frac",
+          $"dup_8gram_char_frac", $"dup_9gram_char_frac",
+          $"dup_10gram_char_frac", $"repetition_pass")
+        .orderBy($"doc_id")
+    }),
+
     // Incremental dedup: a new batch (odd docs + perturbed copies of
     // INDEX docs + perturbed copies of BATCH docs) is admitted against
     // an index built ONCE over the even docs. The oracle recomputes
@@ -1293,6 +1321,80 @@ object SparkEntry {
             AND alpha_word_ratio >= 0.8
             AND req_stopword_hits >= 2) AS gopher_pass
          FROM f ORDER BY doc_id""",
+
+    "q58_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'alpha beta gamma' || chr(10) || 'delta line two'
+                     || chr(10) || 'alpha beta gamma' || chr(10) || chr(10)
+                     || text || chr(10) || chr(10) || 'alpha beta gamma'
+                     || chr(10) || chr(10) || 'alpha beta gamma'
+                WHEN doc_id % 5 = 0
+                THEN substr(text,1,60) || ' ' || substr(text,1,60) || ' '
+                     || substr(text,1,60) || ' ' || text
+                ELSE text END AS text
+           FROM documents),
+         lu AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS unit
+           FROM d),
+         pu AS (SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS unit
+           FROM d),
+         lcnt AS (SELECT doc_id, unit, count(*) cnt FROM lu GROUP BY 1,2),
+         pcnt AS (SELECT doc_id, unit, count(*) cnt FROM pu GROUP BY 1,2),
+         lstat AS (SELECT doc_id,
+             (sum(cnt)-count(*))*1.0/greatest(sum(cnt),1) AS dlf,
+             sum((cnt-1)*length(unit))*1.0
+               /greatest(sum(cnt*length(unit)),1) AS dlcf
+           FROM lcnt GROUP BY 1),
+         pstat AS (SELECT doc_id,
+             (sum(cnt)-count(*))*1.0/greatest(sum(cnt),1) AS dpf,
+             sum((cnt-1)*length(unit))*1.0
+               /greatest(sum(cnt*length(unit)),1) AS dpcf
+           FROM pcnt GROUP BY 1),
+         toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') tk,
+             greatest(length(text),1) AS L FROM d),
+         grams AS (SELECT doc_id, n, array_to_string(tk[i:i+n-1], ' ')
+               AS gram, L
+           FROM (SELECT doc_id, tk, L, n,
+                   unnest(generate_series(1, len(tk)-n+1)) AS i
+                 FROM toks,
+                   (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n))),
+         gcnt AS (SELECT doc_id, n, gram, count(*) cnt, max(L) L
+           FROM grams GROUP BY 1,2,3),
+         gstat AS (SELECT doc_id, n,
+             max(cnt*length(gram))*1.0/max(L) AS topf,
+             sum(CASE WHEN cnt>1 THEN cnt*length(gram) ELSE 0 END)*1.0/max(L)
+               AS dupf
+           FROM gcnt GROUP BY 1,2),
+         gp AS (SELECT doc_id,
+             coalesce(max(CASE WHEN n=2 THEN topf END),0) t2,
+             coalesce(max(CASE WHEN n=3 THEN topf END),0) t3,
+             coalesce(max(CASE WHEN n=4 THEN topf END),0) t4,
+             coalesce(max(CASE WHEN n=5 THEN dupf END),0) d5,
+             coalesce(max(CASE WHEN n=6 THEN dupf END),0) d6,
+             coalesce(max(CASE WHEN n=7 THEN dupf END),0) d7,
+             coalesce(max(CASE WHEN n=8 THEN dupf END),0) d8,
+             coalesce(max(CASE WHEN n=9 THEN dupf END),0) d9,
+             coalesce(max(CASE WHEN n=10 THEN dupf END),0) d10
+           FROM gstat GROUP BY 1)
+         SELECT d.doc_id,
+           lstat.dlf AS dup_line_frac, lstat.dlcf AS dup_line_char_frac,
+           pstat.dpf AS dup_para_frac, pstat.dpcf AS dup_para_char_frac,
+           gp.t2 AS top_2gram_char_frac, gp.t3 AS top_3gram_char_frac,
+           gp.t4 AS top_4gram_char_frac, gp.d5 AS dup_5gram_char_frac,
+           gp.d6 AS dup_6gram_char_frac, gp.d7 AS dup_7gram_char_frac,
+           gp.d8 AS dup_8gram_char_frac, gp.d9 AS dup_9gram_char_frac,
+           gp.d10 AS dup_10gram_char_frac,
+           (lstat.dlf <= 0.30 AND pstat.dpf <= 0.30
+            AND lstat.dlcf <= 0.20 AND pstat.dpcf <= 0.20
+            AND gp.t2 <= 0.20 AND gp.t3 <= 0.18 AND gp.t4 <= 0.16
+            AND gp.d5 <= 0.15 AND gp.d6 <= 0.14 AND gp.d7 <= 0.13
+            AND gp.d8 <= 0.12 AND gp.d9 <= 0.11 AND gp.d10 <= 0.10)
+             AS repetition_pass
+         FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+           JOIN gp USING (doc_id)
+         ORDER BY doc_id""",
 
     "q56_incremental_dedup" ->
       """WITH olds AS (SELECT doc_id, lower(trim(text)) tx

@@ -107,6 +107,32 @@ class TextMultimodalSpec extends SparkSpec {
     (2L to 8L).foreach(i => assert(!got(i), s"doc $i should fail"))
   }
 
+  test("gopher repetition: hand-computed fractions and pass composite") {
+    // doc 1: "x y\nx y\n\nz w" — lines [x y, x y, "", z w] → dup 1/4,
+    // dup chars 3/9; paragraphs [x y\nx y, z w] distinct → 0; tokens
+    // [x y x y z w] → top 2-gram "x y"×2 covers 6 of 12 text chars
+    val doc1 = "x y\nx y\n\nz w"
+    // doc 2: 30 distinct tokens — every repetition fraction 0, top
+    // n-gram coverage small → passes
+    val doc2 = (1 to 30).map("t" + _).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionFlags(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Double]("dup_line_frac") == 0.25)
+    assert(r1.getAs[Double]("dup_line_char_frac") == 3.0 / 9.0)
+    assert(r1.getAs[Double]("dup_para_frac") == 0.0)
+    assert(r1.getAs[Double]("dup_para_char_frac") == 0.0)
+    assert(r1.getAs[Double]("top_2gram_char_frac") == 6.0 / 12.0)
+    assert(r1.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(!r1.getAs[Boolean]("repetition_pass"))
+    val r2 = got(2L)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    // max 2-gram chars: "t10 t11"-shaped 7-char grams
+    assert(r2.getAs[Double]("top_2gram_char_frac") == 7.0 / doc2.length)
+    assert(r2.getAs[Boolean]("repetition_pass"))
+  }
+
   test("topTokens: frequency-ranked with deterministic tie-break") {
     val df = Seq("b b b a a c", "a c  d", "").toDF("text")
     val top = TextAnalysis.topTokens(df, "text", 3).collect()
