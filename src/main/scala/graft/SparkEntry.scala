@@ -430,6 +430,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Paragraph-level exact dedup: corpus-wide keep-first at paragraph
+    // granularity. The fixture plants a banner paragraph shared across
+    // the %6 and %9 docs (only the lowest (doc, pos) occurrence may
+    // survive), a footer shared across the %6 docs, and a whole-body
+    // self-repeat in the %8 docs (the intra-doc second occurrence must
+    // drop too). The oracle recomputes first occurrences with a
+    // row_number window and reassembles survivors with an ordered
+    // string_agg — md5 of the rebuilt text pins reassembly order and
+    // separator handling, not just counts.
+    "q59_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 6 === 0,
+            concat(lit("shared banner paragraph\n\n"), $"text",
+              lit("\n\nshared footer paragraph")))
+          .when($"doc_id" % 9 === 0,
+            concat($"text", lit("\n\nshared banner paragraph")))
+          .when($"doc_id" % 8 === 0,
+            concat($"text", lit("\n\n"), $"text"))
+          .otherwise($"text").as("text"))
+      operators.Curation.dropDuplicateParagraphs(docs, "doc_id", "text")
+        .select($"doc_id", $"n_paras", $"n_kept_paras",
+          md5($"clean_text".cast("binary")).as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental dedup: a new batch (odd docs + perturbed copies of
     // INDEX docs + perturbed copies of BATCH docs) is admitted against
     // an index built ONCE over the even docs. The oracle recomputes
@@ -1395,6 +1420,37 @@ object SparkEntry {
          FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
            JOIN gp USING (doc_id)
          ORDER BY doc_id""",
+
+    "q59_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN 'shared banner paragraph' || chr(10) || chr(10) || text
+                     || chr(10) || chr(10) || 'shared footer paragraph'
+                WHEN doc_id % 9 = 0
+                THEN text || chr(10) || chr(10) || 'shared banner paragraph'
+                WHEN doc_id % 8 = 0
+                THEN text || chr(10) || chr(10) || text
+                ELSE text END AS text
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+           FROM d),
+         p AS (SELECT doc_id, unnest(ps) AS para,
+             unnest(generate_series(0, len(ps) - 1)) AS pos
+           FROM sp),
+         k AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+               AS rn
+           FROM p),
+         rebuilt AS (SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept_paras
+           FROM k WHERE rn = 1 GROUP BY 1)
+         SELECT d.doc_id, len(sp.ps) AS n_paras,
+           coalesce(rebuilt.n_kept_paras, 0) AS n_kept_paras,
+           md5(coalesce(rebuilt.clean_text, '')) AS clean_md5
+         FROM d JOIN sp USING (doc_id)
+           LEFT JOIN rebuilt USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q56_incremental_dedup" ->
       """WITH olds AS (SELECT doc_id, lower(trim(text)) tx

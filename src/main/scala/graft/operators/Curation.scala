@@ -286,6 +286,45 @@ object Curation {
       .withColumn("n_lines", size(split(col(textCol), sepQ)))
   }
 
+  /** Cross-corpus paragraph-level exact deduplication, in the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") paragraph-granularity discipline: every
+    * paragraph occurrence after the corpus-wide FIRST (lowest
+    * (`idCol`, position)) is removed, including repeats within one
+    * document — finer-grained than document dedup (which misses a
+    * duplicated paragraph inside otherwise-distinct docs) and
+    * stricter than [[dropBoilerplateLines]] (which only drops units
+    * above a frequency threshold and keeps every occurrence of rare
+    * ones — here even the second occurrence drops).
+    *
+    * Scale shape: one explode + one hash aggregate keyed by the
+    * paragraph (min-struct first-occurrence — partial-aggregatable,
+    * no window over the corpus), one join back on the paragraph key
+    * (self-shaped, hash-partitioned — NOT broadcast: the distinct
+    * paragraph set is corpus-sized), one per-doc reassembly
+    * aggregate. A doc whose every paragraph drops survives with empty
+    * text (`n_kept_paras` 0) rather than vanishing. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n\n"): DataFrame = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), sepQ)).as(Seq("pos", "para")))
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
+    val kept = paras.join(firsts, Seq("para"))
+      .filter(col(idCol) === col("f.fid") && col("pos") === col("f.fpos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("para"))))
+        .as("parts"))
+      .select(col(idCol),
+        concat_ws(sep, expr("transform(parts, p -> p.para)")).as("clean_text"),
+        size(col("parts")).as("n_kept_paras"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept_paras", coalesce(col("n_kept_paras"), lit(0)))
+      .withColumn("n_paras", size(split(col(textCol), sepQ)))
+  }
+
   /** Deterministic token-budget sampling — the mixing primitive for
     * "take N tokens of domain X": documents are taken in hash order
     * until the running token total reaches the budget, so membership

@@ -80,6 +80,23 @@ class CurationSpec extends SparkSpec {
     assert(got(2) === (("dup", 3, 1)))
   }
 
+  test("dropDuplicateParagraphs: corpus-wide keep-first, incl. intra-doc") {
+    val docs = Seq(
+      (1L, "A\n\nB"),      // both first occurrences → kept whole
+      (2L, "B\n\nC\n\nB"), // B first seen in doc 1 → both drop; C kept
+      (3L, "A"),           // only paragraph already seen → empty survivor
+      (4L, "D\n\nD")       // intra-doc repeat: second D drops
+    ).toDF("doc_id", "text")
+    val got = Curation.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "clean_text", "n_kept_paras", "n_paras")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("A\n\nB", 2, 2)))
+    assert(got(2L) == (("C", 1, 3)))
+    assert(got(3L) == (("", 0, 1)))
+    assert(got(4L) == (("D", 1, 2)))
+  }
+
   test("chunkByTokens: windows advance by stride, last chunk short") {
     // 12 tokens, chunk 5, overlap 2 → stride 3, extra = ceil(7/3) = 3
     // chunks: [1..5], [4..8], [7..11], [10..12]
