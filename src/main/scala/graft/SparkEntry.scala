@@ -335,6 +335,24 @@ object SparkEntry {
         .orderBy($"method", $"query_id")
     }),
 
+    // Scalar-quantization ANN gate, same planted-query discipline as
+    // q31: int8 codes must surface the true nearest neighbor of each
+    // perturbed-copy query within the oversampled candidate set, and
+    // the exact float rerank must put it at rank 1. The oracle is the
+    // per-query brute-force argmax — quantization is invisible at
+    // rank 1 or the gate fails.
+    "q60_sq_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      operators.Similarity.sqTopK(emb, qs, "vec_id", "embedding", k = 3)
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1"))
+        .orderBy($"query_id")
+    }),
+
     // Embedding-cosine near-dup: corpus ∪ perturbed copies of every 7th
     // vector, candidates from multi-probe hyperplane-LSH buckets, exact
     // cosine verify. The oracle scores ALL pairs exhaustively, so this
@@ -1256,6 +1274,22 @@ object SparkEntry {
             UNION ALL
             SELECT 'lsh', query_id, neighbor_id FROM r WHERE rank = 1)
          ORDER BY method, query_id""",
+
+    "q60_sq_ann_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
+         ORDER BY query_id""",
 
     "q33_cosine_neardup" ->
       """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

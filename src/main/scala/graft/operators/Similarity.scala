@@ -193,6 +193,92 @@ object Similarity {
     searchIvf(buildIvf(corpus, idCol, vecCol, nCells), queries, idCol,
       vecCol, k, nProbe)
 
+  /** A built scalar-quantization (int8) ANN index: per-dimension
+    * min/max affine codes. `stats` is ONE row (`mins`, `scales` —
+    * dimension-sized, broadcastable); `codes` holds per vector the
+    * `array<tinyint>` code word plus the reconstruction norm — 4× less
+    * scan data than float32 embeddings (16× vs float64), which is the
+    * point at 100 TB: the approximate pass reads only codes, the exact
+    * pass fetches floats for candidates alone. */
+  final case class SqIndex(stats: DataFrame, codes: DataFrame)
+
+  /** Build the SQ index: one posexplode pass for per-dimension
+    * min/max (d-row aggregate → one broadcastable stats row), one
+    * projection for code words. code = round((x − min)/scale) − 128 ∈
+    * [−128, 127] with scale = (max − min)/255 (constant dimensions get
+    * scale 1 → code −128 everywhere, exactly reconstructed). */
+  def buildSq(corpus: DataFrame, idCol: String, vecCol: String): SqIndex = {
+    val stats = corpus
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("p"))
+      .select(expr("transform(p, d -> d.mn)").as("mins"),
+        expr("transform(p, d -> CASE WHEN d.mx > d.mn " +
+          "THEN (d.mx - d.mn) / 255.0D ELSE 1.0D END)").as("scales"))
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col(idCol).as("neighbor_id"),
+        expr(s"transform($vecCol, (x, i) -> " +
+          "CAST(round((CAST(x AS DOUBLE) - mins[i]) / scales[i]) - 128 " +
+          "AS TINYINT))").as("codes"),
+        col("mins"), col("scales"))
+      .withColumn("__dq", expr("transform(codes, (c, i) -> " +
+        "mins[i] + (CAST(c AS DOUBLE) + 128.0D) * scales[i])"))
+      .select(col("neighbor_id"), col("codes"), norm(col("__dq")).as("cnorm"))
+    SqIndex(stats, codes)
+  }
+
+  /** Search an SQ index with asymmetric scoring + exact rerank.
+    *
+    * The approximate pass never dequantizes per pair: with the query
+    * pre-transformed against the (broadcast) stats row —
+    * qs_i = q_i·scale_i, qmn = q·mins, sqs = Σqs_i — the
+    * reconstructed dot product q·x̂ collapses to
+    * `qmn + dot(qs, codes) + 128·sqs`, i.e. ONE native [[dot]] over
+    * the int8 code array per (query, vector). Top `k·oversample`
+    * candidates by approximate cosine (reconstruction norm from the
+    * index) then join the FLOAT vectors from `corpus` for candidates
+    * only and rank by exact cosine — quantization error moves the
+    * approximate ranking a few places; the oversampled exact rerank
+    * absorbs it. */
+  def searchSq(index: SqIndex, corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               oversample: Int = 4): DataFrame = {
+    val qp = queries.crossJoin(broadcast(index.stats))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(asDouble(col(vecCol))).as("__qn"),
+        expr(s"zip_with(CAST($vecCol AS ARRAY<DOUBLE>), scales, " +
+          "(x, s) -> x * s)").as("__qs"),
+        dot(asDouble(col(vecCol)), col("mins")).as("__qmn"))
+      .withColumn("__sqs", expr("aggregate(__qs, 0.0D, (a, x) -> a + x)"))
+    val scored = index.codes.crossJoin(broadcast(qp))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        (col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
+          + lit(128.0) * col("__sqs")) / (col("__qn") * col("cnorm")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cands = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * oversample)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Build + search in one call (the gate-query entry point). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, oversample: Int = 4): DataFrame =
+    searchSq(buildSq(corpus, idCol, vecCol), corpus, queries, idCol,
+      vecCol, k, oversample)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and
     * multi-probed into its own bucket plus every 1-bit flip, so any

@@ -73,6 +73,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ int8 codes: reconstruction within half a quantization step") {
+    val idx = Similarity.buildSq(emb, "vec_id", "embedding")
+    // worst-case |x - x̂| ≤ scale/2 per dimension; scales come from the
+    // one-row stats table
+    val scales = idx.stats.collect()(0).getSeq[Double](1)
+    val maxErr = idx.codes
+      .join(emb.select($"vec_id".as("neighbor_id"),
+        transform($"embedding", _.cast("double")).as("v")), Seq("neighbor_id"))
+      .crossJoin(broadcast(idx.stats))
+      .select(expr("aggregate(zip_with(v, transform(codes, (c, i) -> " +
+        "mins[i] + (CAST(c AS DOUBLE) + 128.0D) * scales[i]), " +
+        "(x, y) -> abs(x - y)), 0.0D, (a, e) -> greatest(a, e))").as("err"))
+      .agg(max($"err")).collect()(0).getDouble(0)
+    assert(maxErr <= scales.max / 2 + 1e-12, s"maxErr $maxErr")
+  }
+
+  test("SQ top-k recall: planted near-duplicates rerank to the true top-1") {
+    val copies = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq = Similarity.sqTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq == bf, s"sq top-1 diverged: ${sq.toSet -- bf.toSet}")
+  }
+
   test("native hyperplane signature matches the HOF formula bit-for-bit") {
     // the original Column formulation, kept here as the reference
     // semantics the fused-loop expression must reproduce exactly
