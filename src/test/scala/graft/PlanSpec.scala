@@ -133,6 +133,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
+  test("q58: repetition flags hash-aggregate map-side, equi-joins only") {
+    val p = planOf("q58_gopher_repetition")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(p.contains("Generate"), "explode of units/grams expected")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "doc-keyed equi joins expected, not a nested-loop join")
+  }
+
+  test("q59: paragraph dedup is explode + keyed aggregates, no window") {
+    val p = planOf("q59_paragraph_dedup")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(p.contains("Generate"), "posexplode of paragraphs expected")
+    // first-occurrence selection is a min-struct aggregate, NOT a
+    // row_number window over the corpus-wide paragraph partitioning
+    assert(!p.contains("Window"), "no corpus-wide window expected")
+  }
+
+  test("q60: SQ search broadcasts stats+queries; corpus codes never shuffle pre-rank") {
+    val p = planOf("q60_sq_ann_recall")
+    assert(p.contains("BroadcastExchange"),
+      "stats row and query batch must broadcast")
+    assert(p.contains("Window"), "per-query rank window expected")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
