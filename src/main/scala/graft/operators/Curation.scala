@@ -28,10 +28,19 @@ object Curation {
         * threshold, so banner lines don't distort quality scores,
         * gram tables or token counts downstream */
       dropBoilerplate: Option[Double] = None,
+      /** when true, [[dropDuplicateParagraphs]] runs after the
+        * boilerplate strip: corpus-wide keep-first paragraph dedup
+        * BEFORE any scoring/shingling, so a paragraph shared by many
+        * docs is counted (and token-budgeted, gram-bucketed) once */
+      paragraphDedup: Boolean = false,
       /** additionally require [[TextAnalysis.gopherQualityFlags]]'
         * composite `gopher_pass` (flag columns are dropped after the
         * filter — the output schema stays the same) */
       gopherRules: Boolean = false,
+      /** additionally require [[TextAnalysis.gopherRepetitionFlags]]'
+        * composite `repetition_pass` at the paper thresholds (flag
+        * columns dropped after the filter) */
+      repetitionRules: Boolean = false,
       nearDupNgram: Int = 8,
       nearDupThreshold: Double = 0.8,
       decontamNgram: Int = 8,
@@ -47,12 +56,15 @@ object Curation {
         * that way) */
       hashFn: Column => Column = xxhash64(_))
 
-  /** The full curation pipeline in one call: quality filter → exact
-    * dedup → near-dup drop (n-gram Jaccard + connected components) →
-    * optional fuzzy benchmark decontamination (containment scoring by
-    * default, see [[CurateConfig]]) → deterministic split → per-shard
-    * sequence packing. Returns the surviving docs with profile columns
-    * plus `split`, `shard`, `seq_id`, `seq_offset`.
+  /** The full curation pipeline in one call: (optional cross-corpus
+    * boilerplate strip → optional corpus-wide paragraph dedup) →
+    * quality filter (optionally + Gopher quality and repetition
+    * rules) → exact dedup → near-dup drop (n-gram Jaccard + connected
+    * components) → optional fuzzy benchmark decontamination
+    * (containment scoring by default, see [[CurateConfig]]) →
+    * deterministic split → per-shard sequence packing. Returns the
+    * surviving docs with profile columns plus `split`, `shard`,
+    * `seq_id`, `seq_offset`.
     *
     * Composition of the individually-gated operators — each stage's
     * scale shape (bucketed candidates, anti joins, per-shard windows)
@@ -73,13 +85,22 @@ object Curation {
     // optional cross-corpus boilerplate strip BEFORE anything scores
     // or shingles the text (a banner line in every doc would otherwise
     // leak into quality ratios and gram buckets)
-    val pre = cfg.dropBoilerplate match {
+    val pre0 = cfg.dropBoilerplate match {
       case Some(frac) =>
         dropBoilerplateLines(docs, idCol, textCol, frac)
           .drop(textCol, "n_kept_lines", "n_lines")
           .withColumnRenamed("clean_text", textCol)
       case None => docs
     }
+    // paragraph-level exact dedup rides the same pre-scoring slot:
+    // a paragraph shared across docs survives once corpus-wide, so
+    // downstream quality ratios, gram tables and token budgets never
+    // count it twice
+    val pre = if (cfg.paragraphDedup)
+        dropDuplicateParagraphs(pre0, idCol, textCol)
+          .drop(textCol, "n_kept_paras", "n_paras")
+          .withColumnRenamed("clean_text", textCol)
+      else pre0
     // quality gate on a LEAN projection: the full profile includes the
     // rolling-fingerprint fold (a higher-order `aggregate` — its
     // interpreted lambda disables whole-stage codegen for whatever
@@ -90,13 +111,22 @@ object Curation {
     val scored = pre
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
-    val filtered = if (cfg.gopherRules)
+    val filtered0 = if (cfg.gopherRules)
         TextAnalysis.gopherQualityFlags(scored, textCol)
           .filter(col("gopher_pass"))
           .drop("n_words", "mean_word_len", "symbol_word_ratio",
             "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
             "req_stopword_hits", "gopher_pass")
       else scored
+    val filtered = if (cfg.repetitionRules) {
+        val repCols = Seq("dup_line_frac", "dup_line_char_frac",
+          "dup_para_frac", "dup_para_char_frac") ++
+          Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac") ++
+          (5 to 10).map(n => s"dup_${n}gram_char_frac") :+ "repetition_pass"
+        TextAnalysis.gopherRepetitionFlags(filtered0, idCol, textCol)
+          .filter(col("repetition_pass"))
+          .drop(repCols: _*)
+      } else filtered0
     val exact = Dedup.exact(filtered, Seq(textCol), idCol)
     // near-dup drop, owning the persisted gram table: component labels
     // are materialized (localCheckpoint severs the lineage back to the

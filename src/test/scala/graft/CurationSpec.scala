@@ -354,6 +354,30 @@ class CurationSpec extends SparkSpec {
     assert(!out.select("text").collect().exists(_.getString(0).contains("subscribe")))
   }
 
+  test("curate: paragraph dedup and repetition rules as optional stages") {
+    // all-distinct tokens per doc: the repetition rules must pass the
+    // organic docs and fail only the planted self-repeat (doc 4)
+    def body(i: Int) = (1 to 60).map(k => s"w${i}x$k").mkString(" ")
+    val sharedPara = "shared paragraph appears in several docs verbatim"
+    val docs = Seq(
+      (1L, s"$sharedPara\n\n${body(1)}"),   // keeps the shared para
+      (2L, s"$sharedPara\n\n${body(2)}"),   // loses it (doc 1 was first)
+      (3L, body(3)),
+      (4L, s"${body(4)} ${body(4)} ${body(4)}") // repetition rules drop
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text",
+      cfg = Curation.CurateConfig(minQuality = 0.0,
+        paragraphDedup = true, repetitionRules = true,
+        splits = Seq("train" -> 1.0), seqLen = 64, packShards = 1))
+    val kept = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 3L), s"kept ${kept.keySet}")
+    assert(kept(1L).contains("shared paragraph"))
+    assert(!kept(2L).contains("shared paragraph"),
+      "doc 2's copy of the shared paragraph must dedup away")
+    spark.catalog.clearCache()
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
