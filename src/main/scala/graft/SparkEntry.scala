@@ -448,6 +448,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Unigram LM score: the per-doc fold runs over the token-SORTED
+    // term list on both sides (floating-point addition is order-
+    // sensitive; an unordered SUM would be engine-dependent in the
+    // last ulps), ln is correctly rounded in both engines, so the
+    // mean log-probability matches to the rounded 6 decimals.
+    "q61_unigram_logprob" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Paragraph-level exact dedup: corpus-wide keep-first at paragraph
     // granularity. The fixture plants a banner paragraph shared across
     // the %6 and %9 docs (only the lowest (doc, pos) occurrence may
@@ -1454,6 +1465,22 @@ object SparkEntry {
          FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
            JOIN gp USING (doc_id)
          ORDER BY doc_id""",
+
+    "q61_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) tf FROM toks
+           WHERE tok <> '' GROUP BY 1, 2),
+         c AS (SELECT tok, CAST(sum(tf) AS BIGINT) c FROM tf GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) T FROM c),
+         terms AS (SELECT doc_id, tok, tf,
+             tf * ln((c::DOUBLE) / (T::DOUBLE)) AS term
+           FROM tf JOIN c USING (tok) CROSS JOIN t)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b)
+             / CAST(sum(tf) AS DOUBLE), 6) AS logprob_per_token
+         FROM terms GROUP BY 1 ORDER BY doc_id""",
 
     "q59_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id,

@@ -386,6 +386,47 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tfidf"))
   }
 
+  /** Unigram language-model score: per-document mean log-probability
+    * of its tokens under the corpus's own unigram distribution — the
+    * cheap perplexity-proxy quality signal (the CCNet-style wiring
+    * scores against a KenLM n-gram model; the unigram variant needs no
+    * external model artifact and separates boilerplate/gibberish from
+    * ordinary prose the same way, just with less context). Low scores
+    * = rare-token-heavy docs (noise, code dumps, other languages);
+    * suspiciously high scores = stopword soup.
+    *
+    * Scale shape: one explode + two hash aggregates (doc-term counts,
+    * then global term counts derived from them — one corpus scan), a
+    * vocabulary-sized join back on `token` (hash-partitioned, NOT
+    * broadcast), the 1-row total broadcast, and a per-doc aggregate.
+    * The per-doc sum folds over the token-sorted term array — a
+    * deterministic summation order, so the result is bit-stable across
+    * partitionings AND reproducible by an external engine folding the
+    * same sorted list (floating-point addition is order-sensitive; an
+    * unordered SUM would differ run-to-run in the last ulps). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val c = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val tot = c.agg(sum(col("c")).as("__t"))
+    val scored = tf.join(c, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        col("tf") * log(col("c").cast("double") / col("__t").cast("double")))
+    scored.groupBy(col(idCol)).agg(
+        sum(col("tf")).as("n_tokens"),
+        aggregate(
+          expr("array_sort(collect_list(struct(token, term)))"),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("__lp"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lp") / col("n_tokens").cast("double"), 6)
+          .as("logprob_per_token"))
+  }
+
   /** Eval-set decontamination: drop documents whose `fingerprintCol`
     * appears in the blocklist — a broadcast LEFT ANTI join (the
     * blocklist is the small side: benchmark/eval fingerprints number

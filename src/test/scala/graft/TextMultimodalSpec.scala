@@ -133,6 +133,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("repetition_pass"))
   }
 
+  test("unigramLogProb: hand-computed corpus distribution") {
+    // counts: a=2, b=2, c=1, T=5; doc1 = [a a b] → mean ln(2/5);
+    // doc2 = [b c] → (ln(2/5) + ln(1/5)) / 2
+    val df = Seq((1L, "a a b"), (2L, "b  c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - math.log(0.4)) < 1e-6)
+    assert(math.abs(got(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
+  }
+
   test("topTokens: frequency-ranked with deterministic tie-break") {
     val df = Seq("b b b a a c", "a c  d", "").toDF("text")
     val top = TextAnalysis.topTokens(df, "text", 3).collect()
