@@ -448,6 +448,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Contamination report: per benchmark doc, worst-case containment
+    // against the corpus + hit counts. The fixture mixes truly
+    // contaminated benchmark items (every 13th doc + trailing tokens,
+    // containment ≈ 1) with synthetic zero-overlap items that share no
+    // 4-gram with the corpus — the report must carry those as explicit
+    // (0.0, null, 0, 0) rows, not drop them. The oracle recomputes the
+    // exhaustive pair scores and the (score DESC, id DESC) argmax.
+    "q62_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" extra trailing token")).as("text"))
+        .unionByName(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat(lit("zz"), $"doc_id".cast("string"),
+              lit(" yy qq ww ee rr tt")).as("text")))
+      operators.TextAnalysis.contaminationReport(docs, bench, "doc_id",
+          "text", n = 4, threshold = 0.5)
+        .orderBy($"bench_id")
+    }),
+
     // Unigram LM score: the per-doc fold runs over the token-SORTED
     // term list on both sides (floating-point addition is order-
     // sensitive; an unordered SUM would be engine-dependent in the
@@ -1465,6 +1486,45 @@ object SparkEntry {
          FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
            JOIN gp USING (doc_id)
          ORDER BY doc_id""",
+
+    "q62_contamination_report" ->
+      """WITH corpus AS (SELECT doc_id, lower(trim(text)) tx FROM documents),
+         bench AS (SELECT doc_id + 1000000 AS doc_id,
+             lower(trim(text || ' extra trailing token')) tx
+           FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+             lower('zz' || doc_id || ' yy qq ww ee rr tt')
+           FROM documents WHERE doc_id < 5),
+         tl AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM corpus),
+         tr AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM bench),
+         shl AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM tl, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         shr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM tr, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         szr AS (SELECT doc_id, count(*) sz FROM shr GROUP BY 1),
+         inter AS (SELECT l.doc_id a, r.doc_id b, count(*) i
+           FROM shl l JOIN shr r ON l.s = r.s GROUP BY 1, 2),
+         sc AS (SELECT a, b, i*1.0/sz AS score FROM inter
+           JOIN szr ON szr.doc_id = b),
+         rep AS (SELECT b, max(score) ms, count(*) nc,
+             sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) nh
+           FROM sc GROUP BY 1),
+         top AS (SELECT b, a FROM (SELECT b, a, row_number() OVER
+             (PARTITION BY b ORDER BY score DESC, a DESC) rn FROM sc)
+           WHERE rn = 1)
+         SELECT bench.doc_id AS bench_id,
+           round(coalesce(rep.ms, 0), 6) AS max_score,
+           top.a AS top_match,
+           CAST(coalesce(rep.nh, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(rep.nc, 0) AS BIGINT) AS n_candidates
+         FROM bench LEFT JOIN rep ON rep.b = bench.doc_id
+           LEFT JOIN top ON top.b = bench.doc_id
+         ORDER BY bench_id""",
 
     "q61_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,

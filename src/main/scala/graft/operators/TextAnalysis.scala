@@ -463,6 +463,43 @@ object TextAnalysis {
     docs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the auditing complement of
+    * [[fuzzyDecontaminate]] (which silently drops): one row per
+    * benchmark document with its worst-case overlap against the
+    * training corpus — `max_score` (0.0 when no candidate shares a
+    * single n-gram), the `top_match` training doc id behind that score
+    * (null when none; score ties resolve to the highest id on both
+    * sides), `n_hits` at or above `threshold`, and `n_candidates`
+    * (training docs sharing ≥ 1 gram within unguarded buckets).
+    * Benchmark release notes and leakage audits need exactly this
+    * table; a pipeline that only drops can't answer "HOW contaminated
+    * was the eval set, and by which documents?".
+    *
+    * Scale shape: [[Dedup.crossJaccardNearDups]]' two-sided capped
+    * gram buckets generate the candidates (threshold 0 — scoring
+    * everything a bucket admits), then one benchmark-keyed aggregate;
+    * the benchmark side left-joins the aggregate so zero-overlap rows
+    * survive with explicit zeros. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int = 8,
+                          threshold: Double = 0.5,
+                          containment: Boolean = true,
+                          maxBucket: Int = 50): DataFrame = {
+    val pairs = Dedup.crossJaccardNearDups(docs, benchmark, idCol, textCol,
+      n, threshold = 0.0, maxBucket = maxBucket, containment = containment)
+    val agg = pairs.groupBy(col("b").as("bench_id")).agg(
+      max(struct(col("score"), col("a"))).as("m"),
+      sum(when(col("score") >= threshold, 1L).otherwise(0L)).as("n_hits"),
+      count(lit(1)).as("n_candidates"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        round(coalesce(col("m.score"), lit(0.0)), 6).as("max_score"),
+        col("m.a").as("top_match"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
   /** One-call document profile used by the curation pipeline. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

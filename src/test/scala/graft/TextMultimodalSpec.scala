@@ -133,6 +133,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("repetition_pass"))
   }
 
+  test("contaminationReport: embedded passage scores 1.0; zero-overlap row survives") {
+    val docs = Seq(
+      (1L, "intro words alpha beta gamma delta closing words"),
+      (2L, "a completely different document body here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"),  // embedded in doc 1 verbatim
+      (11L, "zz yy xx ww")              // shares no 2-gram with anything
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationReport(docs, bench, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val hit = got(10L)
+    assert(hit.getAs[Double]("max_score") == 1.0)
+    assert(hit.getAs[Long]("top_match") == 1L)
+    assert(hit.getAs[Long]("n_hits") == 1L && hit.getAs[Long]("n_candidates") == 1L)
+    val miss = got(11L)
+    assert(miss.getAs[Double]("max_score") == 0.0)
+    assert(miss.isNullAt(miss.fieldIndex("top_match")))
+    assert(miss.getAs[Long]("n_hits") == 0L && miss.getAs[Long]("n_candidates") == 0L)
+  }
+
   test("unigramLogProb: hand-computed corpus distribution") {
     // counts: a=2, b=2, c=1, T=5; doc1 = [a a b] → mean ln(2/5);
     // doc2 = [b c] → (ln(2/5) + ln(1/5)) / 2
