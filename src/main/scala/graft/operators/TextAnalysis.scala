@@ -403,7 +403,12 @@ object TextAnalysis {
     * deterministic summation order, so the result is bit-stable across
     * partitionings AND reproducible by an external engine folding the
     * same sorted list (floating-point addition is order-sensitive; an
-    * unordered SUM would differ run-to-run in the last ulps). */
+    * unordered SUM would differ run-to-run in the last ulps).
+    *
+    * Documents with no tokens (empty or whitespace-only text) have no
+    * defined mean log-probability and are ABSENT from the output —
+    * callers scoring a corpus for filtering should treat a missing row
+    * as minimum quality, not as a pass. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tf = df.select(col(idCol),

@@ -167,6 +167,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(got(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
   }
 
+  test("edge cases: empty/whitespace docs through the new analyzers") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real content words here"))
+      .toDF("doc_id", "text")
+    // repetition flags: no units beyond the single empty line, no
+    // grams → all fractions 0, composite passes, nothing crashes
+    val rep = TextAnalysis.gopherRepetitionFlags(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { i =>
+      assert(rep(i).getAs[Double]("dup_line_frac") == 0.0)
+      assert(rep(i).getAs[Double]("dup_5gram_char_frac") == 0.0)
+      assert(rep(i).getAs[Boolean]("repetition_pass"))
+    }
+    // unigram scores: token-less docs are documented-absent
+    val lp = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lp == Set(3L))
+    // paragraph dedup: an empty doc's single empty paragraph is a unit
+    // like any other — first empty doc keeps it, second loses it
+    val pd = graft.operators.Curation.dropDuplicateParagraphs(df, "doc_id", "text")
+      .select("doc_id", "n_kept_paras").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pd(1L) == 1 && pd(3L) == 1)
+  }
+
   test("topTokens: frequency-ranked with deterministic tie-break") {
     val df = Seq("b b b a a c", "a c  d", "").toDF("text")
     val top = TextAnalysis.topTokens(df, "text", 3).collect()
