@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{CanDecode, Dedup, TimeSeries}
+import graft.operators.{CanDecode, Curation, Dedup, TextAnalysis, TimeSeries}
 import graft.sources.{Candump, CandumpConverter, CanFixtures}
 
 /** Property tests (SURVEY.md §5) driven by ScalaCheck generators with
@@ -84,6 +84,104 @@ class PropertySpec extends SparkSpec {
       val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"seed $seed")
+    }
+  }
+
+  // ---- round-5 curation/analysis operators ----
+
+  val paraPool: Vector[String] = Vector.tabulate(8)(i => s"para body $i")
+  val paraDocsGen: Gen[List[List[String]]] =
+    Gen.choose(3, 10).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(1, 5).flatMap(np =>
+        Gen.listOfN(np, Gen.choose(0, paraPool.size - 1).map(paraPool)))))
+
+  test("property: paragraph dedup equals the sequential keep-first reference") {
+    (20L to 24L).foreach { seed =>
+      val docs = sample(paraDocsGen, seed).zipWithIndex
+        .map { case (ps, i) => (i.toLong, ps) }
+      val df = docs.map { case (id, ps) => (id, ps.mkString("\n\n")) }
+        .toDF("doc_id", "text")
+      // reference: walk occurrences in (doc, pos) order with a seen-set
+      var seen = Set.empty[String]
+      val want = docs.map { case (id, ps) =>
+        val kept = ps.filter { p =>
+          val fresh = !seen(p); seen += p; fresh
+        }
+        id -> kept.mkString("\n\n")
+      }.toMap
+      val got = Curation.dropDuplicateParagraphs(df, "doc_id", "text")
+        .select("doc_id", "clean_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  val tokenDocsGen: Gen[List[String]] =
+    Gen.choose(3, 8).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(2, 30).flatMap(nt =>
+        Gen.listOfN(nt, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+          .map(_.mkString(" ")))))
+
+  test("property: unigram log-prob matches the closed-form reference") {
+    (30L to 33L).foreach { seed =>
+      val texts = sample(tokenDocsGen, seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val all = texts.flatMap(_.split("\\s+"))
+      val c = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = all.size.toDouble
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split("\\s+")
+        i.toLong -> toks.map(tk => math.log(c(tk) / total)).sum / toks.length
+      }.toMap
+      val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      want.foreach { case (id, w) =>
+        assert(math.abs(got(id) - w) < 1e-6, s"seed $seed doc $id")
+        assert(got(id) <= 0.0, "log-probabilities are never positive")
+      }
+    }
+  }
+
+  val repTextGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(nl => Gen.listOfN(nl,
+      Gen.choose(1, 12).flatMap(nt =>
+        Gen.listOfN(nt, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+      .map(_.mkString("\n")))
+
+  test("property: repetition fractions bounded, composite equals re-derived conjunction") {
+    (40L to 42L).foreach { seed =>
+      val texts = (0 until 6).map(i => sample(repTextGen, seed * 10 + i))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = TextAnalysis.gopherRepetitionFlags(df, "doc_id", "text")
+        .collect()
+      rows.foreach { r =>
+        val fracCols = Seq("dup_line_frac", "dup_line_char_frac",
+          "dup_para_frac", "dup_para_char_frac") ++
+          Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac") ++
+          (5 to 10).map(n => s"dup_${n}gram_char_frac")
+        fracCols.foreach { cName =>
+          val v = r.getAs[Double](cName)
+          assert(v >= 0.0, s"$cName negative (seed $seed)")
+        }
+        // unit-count fractions are true fractions; char-coverage ones
+        // can exceed 1 only via overlapping gram repeats (documented)
+        Seq("dup_line_frac", "dup_para_frac").foreach(cName =>
+          assert(r.getAs[Double](cName) <= 1.0))
+        val thresholds =
+          Seq("dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+              "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+              "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+              "top_4gram_char_frac" -> 0.16) ++
+          Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+              10 -> 0.10).map { case (n, th) =>
+            s"dup_${n}gram_char_frac" -> th }
+        val want = thresholds.forall { case (cName, th) =>
+          r.getAs[Double](cName) <= th }
+        assert(r.getAs[Boolean]("repetition_pass") == want,
+          s"composite mismatch (seed $seed doc ${r.getAs[Long]("doc_id")})")
+      }
     }
   }
 
