@@ -448,6 +448,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Split-leakage audit: the corpus carries its own split labels;
+    // planted val-side near-copies of train docs must surface as
+    // leaking pairs, the disjoint test-side docs must not. The oracle
+    // recomputes the exhaustive cross-partition Jaccard.
+    "q63_split_leakage" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select($"doc_id", $"text", lit("train").as("split"))
+      val leaks = t(s, d, "documents").filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat($"text", lit(" shifted tail words")).as("text"),
+          lit("val").as("split"))
+      val clean = t(s, d, "documents").filter($"doc_id" < 8)
+        .select(($"doc_id" + 4000000L).as("doc_id"),
+          concat(lit("qq"), $"doc_id".cast("string"),
+            lit(" ww ee rr tt yy uu")).as("text"),
+          lit("test").as("split"))
+      val df = base.unionByName(leaks).unionByName(clean)
+      operators.TextAnalysis.auditSplitLeakage(df, "doc_id", "text",
+          "split", n = 4, threshold = 0.5)
+        .orderBy($"eval_id", $"train_id")
+    }),
+
     // Contamination report: per benchmark doc, worst-case containment
     // against the corpus + hit counts. The fixture mixes truly
     // contaminated benchmark items (every 13th doc + trailing tokens,
@@ -1486,6 +1508,36 @@ object SparkEntry {
          FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
            JOIN gp USING (doc_id)
          ORDER BY doc_id""",
+
+    "q63_split_leakage" ->
+      """WITH train AS (SELECT doc_id, lower(trim(text)) tx FROM documents),
+         ev AS (SELECT doc_id + 3000000 AS doc_id, 'val' AS sp,
+             lower(trim(text || ' shifted tail words')) tx
+           FROM documents WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 4000000, 'test',
+             lower('qq' || doc_id || ' ww ee rr tt yy uu')
+           FROM documents WHERE doc_id < 8),
+         tl AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM train),
+         tr AS (SELECT doc_id, sp, regexp_split_to_array(trim(tx), '\s+') t
+           FROM ev),
+         shl AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM tl, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         shr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM tr, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         szl AS (SELECT doc_id, count(*) sz FROM shl GROUP BY 1),
+         szr AS (SELECT doc_id, count(*) sz FROM shr GROUP BY 1),
+         inter AS (SELECT l.doc_id a, r.doc_id b, count(*) i
+           FROM shl l JOIN shr r ON l.s = r.s GROUP BY 1, 2),
+         sc AS (SELECT a, b, i*1.0/(szl.sz + szr.sz - i) AS score
+           FROM inter JOIN szl ON szl.doc_id = a JOIN szr ON szr.doc_id = b)
+         SELECT b AS eval_id, ev.sp AS eval_split, a AS train_id,
+           round(score, 6) AS score
+         FROM sc JOIN ev ON ev.doc_id = b
+         WHERE score >= 0.5 ORDER BY eval_id, train_id""",
 
     "q62_contamination_report" ->
       """WITH corpus AS (SELECT doc_id, lower(trim(text)) tx FROM documents),

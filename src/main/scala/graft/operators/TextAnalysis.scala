@@ -505,6 +505,35 @@ object TextAnalysis {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
+  /** Split-hygiene audit: near-duplicate pairs that CROSS the
+    * train/eval boundary of an already-split corpus — the check that a
+    * deterministic split ([[hashSplit]]) alone cannot give, because
+    * hashing assigns near-identical DOCUMENTS independently: a train
+    * doc and its lightly-edited copy can land in different splits, and
+    * evaluating on the copy leaks training data. One row per leaking
+    * (eval doc, train doc) pair with the overlap score and the eval
+    * doc's split label; an empty result is the hygiene certificate.
+    *
+    * Scale shape: the same two-sided capped gram buckets as
+    * [[Dedup.crossJaccardNearDups]] — the corpus is scanned once per
+    * side off one filter each, never joined all-pairs; the eval side
+    * is typically a sliver, so its gram table is the small bucket
+    * side. */
+  def auditSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+                        splitCol: String, trainSplit: String = "train",
+                        n: Int = 8, threshold: Double = 0.5,
+                        containment: Boolean = false,
+                        maxBucket: Int = 50): DataFrame = {
+    val train = df.filter(col(splitCol) === trainSplit)
+    val evalSide = df.filter(col(splitCol) =!= trainSplit)
+    Dedup.crossJaccardNearDups(train, evalSide, idCol, textCol, n,
+        threshold, maxBucket, containment)
+      .join(evalSide.select(col(idCol).as("b"),
+        col(splitCol).as("eval_split")), Seq("b"))
+      .select(col("b").as("eval_id"), col("eval_split"),
+        col("a").as("train_id"), round(col("score"), 6).as("score"))
+  }
+
   /** One-call document profile used by the curation pipeline. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

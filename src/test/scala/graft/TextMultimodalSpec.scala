@@ -155,6 +155,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(miss.getAs[Long]("n_hits") == 0L && miss.getAs[Long]("n_candidates") == 0L)
   }
 
+  test("auditSplitLeakage: cross-boundary near-copy surfaces, disjoint doc silent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "train"),
+      (2L, "one two three four five six seven eight", "train"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta extra", "val"),
+      (4L, "pp qq rr ss tt uu vv ww", "test")
+    ).toDF("doc_id", "text", "split")
+    val got = TextAnalysis.auditSplitLeakage(df, "doc_id", "text", "split",
+        n = 3, threshold = 0.5)
+      .select("eval_id", "eval_split", "train_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((3L, "val", 1L)), s"got $got")
+  }
+
   test("unigramLogProb: hand-computed corpus distribution") {
     // counts: a=2, b=2, c=1, T=5; doc1 = [a a b] → mean ln(2/5);
     // doc2 = [b c] → (ln(2/5) + ln(1/5)) / 2
