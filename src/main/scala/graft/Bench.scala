@@ -68,8 +68,13 @@ object Bench {
       // 2.15 s standalone-warm because both timed runs ate the cold
       // target-SF scan + a major GC; with the warm pass at sfDir the
       // timed loop measures steady-state engine throughput.
+      // noop write, not count(): a count can let the optimizer DELETE
+      // subtrees whose columns it never references (q62's report left
+      // join loses its whole pair-generation side that way) — the
+      // write consumes every column, so the timed work is the query's
+      // real work
       spark.sparkContext.setJobDescription(s"warmup_$name")
-      try fn(spark, sfDir).count()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
       // drain accumulated garbage OUTSIDE the timed window so a major
@@ -85,7 +90,8 @@ object Bench {
       // into the next measurement either
       val sec = Seq.fill(2) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()

@@ -33,8 +33,15 @@ class GuardMetricsSpec extends SparkSpec {
       for (q <- Seq("q24_minhash_neardup", "q25_simhash_neardup",
           "q29_ngram_jaccard", "q33_cosine_neardup",
           "q49_cross_contamination", "q50_curate",
-          "q51_containment_decontam")) {
-        SparkEntry.queries(q)(spark, sfDir).count()
+          "q51_containment_decontam", "q62_contamination_report",
+          "q63_split_leakage")) {
+        // noop write, not count(): count() lets the optimizer DELETE
+        // a left join whose (unique-keyed, unreferenced) right side
+        // carries the guard metrics — q62's report shape — and the
+        // pruned subtree never emits; the write consumes every column,
+        // like Verify's parquet dump
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
         val drained = guards.drain()
         assert(drained.nonEmpty, s"$q emitted no guard metrics")
         val nonZero = drained.filter(_._2 != 0L)

@@ -157,6 +157,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "per-query rank window expected")
   }
 
+  test("q61: unigram scoring partial-aggregates; only the 1-row total broadcasts") {
+    val p = planOf("q61_unigram_logprob")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(p.contains("BroadcastExchange"), "1-row corpus total broadcasts")
+  }
+
+  test("q62/q63: gram-bucket audits generate candidates, never all-pairs") {
+    Seq("q62_contamination_report", "q63_split_leakage").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("Generate"), s"$q: bucket pair-explode expected")
+      assert(p.contains("partial_"), s"$q: partial aggregation expected")
+    }
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
