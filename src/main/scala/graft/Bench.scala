@@ -31,36 +31,46 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Headline: parse-stage throughput on a real candump text corpus.
-    val corpusDir = Files.createTempDirectory("graft_bench_candump")
-    val corpus = corpusDir.resolve("bench.log").toString
-    val nLines = writeCandumpCorpus(spark, sfDir, corpus)
-    // untimed warm-up on a slice: compiles/JITs the whole parse path
-    // (codegen classes, parquet/text readers) so the measured run
-    // reflects engine throughput, not first-query JVM warm-up — the
-    // reference's ms/line likewise excludes interpreter start-up.
-    val warmup = corpusDir.resolve("warmup.log").toString
-    spark.read.text(corpus).limit(50000).write.mode("overwrite").text(warmup)
-    graft.pipeline.ParseStage.run(spark, warmup,
-      graft.sources.CanFixtures.schema).count()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // min of two runs: the shared local JVM's GC pauses add seconds of
-    // run-to-run noise (observed 33 s vs 126 s for identical work); the
-    // min is the steady-state engine cost — a real pathology (e.g. a
-    // quadratic candidate blowup) inflates EVERY run, so nothing real
-    // hides
-    val parseSec = Seq.fill(2)(time {
-      graft.pipeline.ParseStage.run(spark, corpus,
-        graft.sources.CanFixtures.schema).count()
-    }).min
+    // optional comma-separated query-name filter for standalone
+    // re-timing of a few queries without paying for the whole catalog
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
-    System.err.println(f"[bench] p00_canparse $parseSec%.1f s ($nLines lines)")
+    // Headline: parse-stage throughput on a real candump text corpus.
+    val (parseSec, nLines) = if (!wanted("p00_canparse")) (-1.0, 0L) else {
+      val corpusDir = Files.createTempDirectory("graft_bench_candump")
+      val corpus = corpusDir.resolve("bench.log").toString
+      val n = writeCandumpCorpus(spark, sfDir, corpus)
+      // untimed warm-up on a slice: compiles/JITs the whole parse path
+      // (codegen classes, parquet/text readers) so the measured run
+      // reflects engine throughput, not first-query JVM warm-up — the
+      // reference's ms/line likewise excludes interpreter start-up.
+      val warmup = corpusDir.resolve("warmup.log").toString
+      spark.read.text(corpus).limit(50000).write.mode("overwrite").text(warmup)
+      graft.pipeline.ParseStage.run(spark, warmup,
+        graft.sources.CanFixtures.schema).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // min of two runs: the shared local JVM's GC pauses add seconds
+      // of run-to-run noise (observed 33 s vs 126 s for identical
+      // work); the min is the steady-state engine cost — a real
+      // pathology (e.g. a quadratic candidate blowup) inflates EVERY
+      // run, so nothing real hides
+      val sec = Seq.fill(2)(time {
+        graft.pipeline.ParseStage.run(spark, corpus,
+          graft.sources.CanFixtures.schema).count()
+      }).min
+      System.err.println(f"[bench] p00_canparse $sec%.1f s ($n lines)")
+      (sec, n)
+    }
     // skew-guard visibility (see GuardMetrics): logged per query so a
     // hot-bucket cap trading recall at this SF is visible in the bench
     // log, not just in correctness gates
     val guards = GuardMetrics.register(spark)
     GuardMetrics.excludeEmptyRelationRule(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => wanted(name) }
+        .map { case (name, fn) =>
       // one UNTIMED warm pass at the TARGET scale factor: compiles the
       // query's codegen classes, first-touches its parquet readers and
       // pulls its inputs into the page cache. Warming at a smaller SF
@@ -101,12 +111,13 @@ object Bench {
       val drained = guards.drain(settleMs = 50L)
       if (drained.nonEmpty) GuardMetrics.report("bench", name, drained)
       name -> sec
-    } :+ ("p00_canparse" -> parseSec)
+    } ++ (if (parseSec >= 0) Seq("p00_canparse" -> parseSec) else Nil)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val msPerLine = parseSec * 1000.0 / math.max(nLines, 1)
+    val msPerLine =
+      if (nLines > 0) parseSec * 1000.0 / nLines else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}""")
     spark.stop()

@@ -193,16 +193,24 @@ object TimeSeries {
     val ord = col(tsCol) +: orderTieBreak
     val base = w(keys, ord)
     val prevW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nextW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next non-null at-or-after" is evaluated as a RUNNING window over
+    // the REVERSED ordering, not as [currentRow, unboundedFollowing]:
+    // aggregates can't retract, so Spark's unbounded-following frame
+    // re-scans the rest of the partition for every row — O(n²) per
+    // partition (measured: 70 s vs 3.7 s on q11 at sf0.1). The
+    // descending running frame uses the O(n) incremental evaluator and
+    // costs one extra in-partition sort under the same shuffle.
+    val nextW = w(keys, ord.map(_.desc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = unix_micros(col(tsCol)).cast("double")
     val rn = row_number().over(base)
     val withRn = df.withColumn("__rn", rn)
     val interpCols = valueCols.map { c =>
       val v = col(c)
       val pv = last(v, ignoreNulls = true).over(prevW)
-      val nv = first(v, ignoreNulls = true).over(nextW)
+      val nv = last(v, ignoreNulls = true).over(nextW)
       val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(prevW)
-      val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(nextW)
+      val nt = last(when(v.isNotNull, t), ignoreNulls = true).over(nextW)
       val prevRn = last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(prevW)
       val gap = col("__rn") - prevRn
       val frac = (t - pt) / (nt - pt)
