@@ -163,76 +163,57 @@ object TextAnalysis {
     * Thresholds (Table A1): dup lines/paras ≤ 0.30, dup chars ≤ 0.20,
     * top-gram 0.20/0.18/0.16, dup-gram 0.15 down to 0.10.
     *
-    * Scale shape: two explode → hash-aggregate chains, both keyed by
-    * the document id (so the work hash-partitions with the corpus —
-    * no windows, no driver state); all n-gram sizes ride ONE explode
-    * tagged by `n`, so the gram pass costs one shuffle regardless of
-    * how many sizes are configured. */
+    * Scale shape: every statistic is INTRA-document, so the whole
+    * operator is a pure projection over the native
+    * [[graft.expressions.RepetitionStats]] expression — units and
+    * grams are grouped inside the row (exact string grouping: hash
+    * table with collision verification), no explode, no shuffle, no
+    * join, regardless of how many gram sizes are configured. The
+    * earlier explode → two corpus-wide hash aggregates → join-back
+    * form computed the same numbers through ~9 gram-string
+    * allocations per token position and a gram-string shuffle
+    * (measured 12.0 s vs 0.9 s at sf0.1). */
   def gopherRepetitionFlags(df: DataFrame, idCol: String, textCol: String,
       topGramThresholds: Map[Int, Double] =
         Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
       dupGramThresholds: Map[Int, Double] =
         Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
             10 -> 0.10)): DataFrame = {
-    val id = col(idCol); val t = col(textCol)
+    val t = col(textCol)
     def q(s: String) = java.util.regex.Pattern.quote(s)
-    // lines + paragraphs in ONE explode, tagged by kind
-    def units(kind: String, sep: String): Column =
-      transform(split(t, q(sep)),
-        u => struct(lit(kind).as("kind"), u.as("unit")))
-    val unitCnt = df
-      .select(id, explode(flatten(array(
-        units("line", "\n"), units("para", "\n\n")))).as("ku"))
-      .groupBy(id, col("ku.kind").as("kind"), col("ku.unit").as("unit"))
-      .agg(count(lit(1)).as("cnt"))
+    def stats(units: Column, ns: Seq[Int]): Column =
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.expressions.RepetitionStats(
+          org.apache.spark.sql.GraftExpressionBridge.expression(units), ns))
     def frac(n: Column, d: Column): Column =
       n.cast("double") / greatest(d, lit(1L)).cast("double")
-    val kindStats = unitCnt.groupBy(id, col("kind")).agg(
-      frac(sum(col("cnt")) - count(lit(1)), sum(col("cnt"))).as("dupFrac"),
-      frac(sum((col("cnt") - 1) * length(col("unit"))),
-           sum(col("cnt") * length(col("unit")))).as("dupCharFrac"))
-    val lineParaStats = kindStats.groupBy(id).agg(
-      sum(when(col("kind") === "line", col("dupFrac"))).as("dup_line_frac"),
-      sum(when(col("kind") === "line", col("dupCharFrac")))
-        .as("dup_line_char_frac"),
-      sum(when(col("kind") === "para", col("dupFrac"))).as("dup_para_frac"),
-      sum(when(col("kind") === "para", col("dupCharFrac")))
-        .as("dup_para_char_frac"))
-    // all n-gram sizes in ONE explode, tagged by n; a doc shorter than
-    // n tokens contributes no n-grams (the `n <= __sz` filter drops the
-    // single short gram the greatest(...,1) guard emits)
+    // 1-grams over the line / paragraph arrays ARE the unit stats
+    def unitFracs(st: Column): (Column, Column) = (
+      frac(st.getField("n_grams") - st.getField("n_distinct"),
+        st.getField("n_grams")),
+      frac(st.getField("rep_chars"), st.getField("all_chars")))
     val allNs = (topGramThresholds.keySet ++ dupGramThresholds.keySet)
       .toSeq.sorted
-    val gramArrs = allNs.map(n => expr(
-      s"transform(sequence(1, greatest(size(__tk) - ${n - 1}, 1)), " +
-      s"i -> struct($n AS n, concat_ws(' ', slice(__tk, i, $n)) AS gram))"))
-    val gramStats = df
-      .select(id, split(lower(trim(t)), "\\s+").as("__tk"))
-      .withColumn("__sz", size(col("__tk")))
-      .select(id, col("__sz"),
-        explode(flatten(array(gramArrs: _*))).as("g"))
-      .filter(col("g.n") <= col("__sz"))
-      .groupBy(id, col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(id, col("n")).agg(
-        max(col("cnt") * length(col("gram"))).as("topChars"),
-        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
-          .otherwise(lit(0L))).as("dupChars"))
-    val gramAggs = allNs.flatMap { n =>
-      Seq(sum(when(col("n") === n, col("topChars"))).as(s"__top$n"),
-          sum(when(col("n") === n, col("dupChars"))).as(s"__dup$n"))
-    }
-    val gramCols = gramStats.groupBy(id)
-      .agg(gramAggs.head, gramAggs.tail: _*)
-    val joined = df.join(lineParaStats, Seq(idCol), "left")
-      .join(gramCols, Seq(idCol), "left")
-    val withTop = topGramThresholds.keys.toSeq.sorted.foldLeft(joined) {
+    val base = df
+      .withColumn("__ls", stats(split(t, q("\n")), Seq(1)).getItem(0))
+      .withColumn("__ps", stats(split(t, q("\n\n")), Seq(1)).getItem(0))
+      .withColumn("__gs", stats(split(lower(trim(t)), "\\s+"), allNs))
+    val (lineDup, lineDupChar) = unitFracs(col("__ls"))
+    val (paraDup, paraDupChar) = unitFracs(col("__ps"))
+    val withUnits = base
+      .withColumn("dup_line_frac", lineDup)
+      .withColumn("dup_line_char_frac", lineDupChar)
+      .withColumn("dup_para_frac", paraDup)
+      .withColumn("dup_para_char_frac", paraDupChar)
+    def gramStat(n: Int, field: String): Column =
+      col("__gs").getItem(allNs.indexOf(n)).getField(field)
+    val withTop = topGramThresholds.keys.toSeq.sorted.foldLeft(withUnits) {
       (acc, n) => acc.withColumn(s"top_${n}gram_char_frac",
-        frac(coalesce(col(s"__top$n"), lit(0L)), length(t)))
+        frac(gramStat(n, "top_chars"), length(t)))
     }
     val withDup = dupGramThresholds.keys.toSeq.sorted.foldLeft(withTop) {
       (acc, n) => acc.withColumn(s"dup_${n}gram_char_frac",
-        frac(coalesce(col(s"__dup$n"), lit(0L)), length(t)))
+        frac(gramStat(n, "dup_chars"), length(t)))
     }
     val pass =
       Seq(col("dup_line_frac") <= 0.30, col("dup_para_frac") <= 0.30,
@@ -244,7 +225,7 @@ object TextAnalysis {
         col(s"dup_${n}gram_char_frac") <= th }
     withDup
       .withColumn("repetition_pass", pass.reduce(_ && _))
-      .drop(allNs.flatMap(n => Seq(s"__top$n", s"__dup$n")): _*)
+      .drop("__ls", "__ps", "__gs")
   }
 
   /** Rolling polynomial (Rabin-Karp-style) hash fingerprint over the
