@@ -1,0 +1,102 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The language-ID pick — CJK chars → `zh`, otherwise the language
+  * whose stopword alternation hits most (first listed wins ties, no
+  * hits → `und`) — as ONE native expression over the (lowercased)
+  * text.
+  *
+  * Why not Column logic over a count array: the when-chain references
+  * the counts ~10×, and codegen's subexpression elimination excludes
+  * CONDITIONALLY evaluated subtrees, so the multi-pattern scan
+  * re-runs per branch — measured 6.4 s vs 1.7 s for the old four
+  * separate extracts at sf0.1, an anti-optimization. Here the counts
+  * and the pick run once per row inside the expression, so the cost
+  * is one string conversion plus one allocation-free find loop per
+  * pattern (measured 0.9 s).
+  *
+  * `langs` pairs each language code with its alternation pattern;
+  * `cjkPattern` counts CJK characters. The caller lowercases the
+  * child (CJK characters don't case-fold, so the CJK count is
+  * unaffected).
+  */
+case class LangIdPick(child: Expression, cjkPattern: String,
+                      langs: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(langs.nonEmpty, "at least one language required")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  @transient private lazy val compiled: Array[Pattern] =
+    (cjkPattern +: langs.map(_._2)).map(Pattern.compile).toArray
+  @transient private lazy val codes: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    LangIdPick.compute(v.asInstanceOf[UTF8String], compiled, codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pats = ctx.addMutableState("java.util.regex.Pattern[]", "langPats",
+      forceInline = true)
+    val src = ctx.addReferenceObj("langPatternSrc",
+      (cjkPattern +: langs.map(_._2)).toArray, "java.lang.String[]")
+    val codesRef = ctx.addReferenceObj("langCodes", codes,
+      classOf[Array[UTF8String]].getName.stripSuffix("[]") + "[]")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+        if ($pats == null) {
+          $pats = new java.util.regex.Pattern[$src.length];
+          for (int i = 0; i < $src.length; i++) {
+            $pats[i] = java.util.regex.Pattern.compile($src[i]);
+          }
+        }
+        ${ev.value} = graft.expressions.LangIdPick$$.MODULE$$
+          .compute($s, $pats, $codesRef);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdPick =
+    copy(child = newChild)
+}
+
+object LangIdPick {
+
+  private val ZH = UTF8String.fromString("zh")
+  private val UND = UTF8String.fromString("und")
+
+  /** pats(0) counts CJK; pats(i+1) pairs with codes(i). */
+  def compute(s: UTF8String, pats: Array[Pattern],
+              codes: Array[UTF8String]): UTF8String = {
+    val str = s.toString
+    val cjk = pats(0).matcher(str)
+    if (cjk.find()) return ZH
+    var best = 0
+    var bestIdx = -1
+    var i = 1
+    while (i < pats.length) {
+      val m = pats(i).matcher(str)
+      var c = 0
+      while (m.find()) c += 1
+      // strict >: the FIRST language listed wins ties
+      if (c > best) { best = c; bestIdx = i - 1 }
+      i += 1
+    }
+    if (bestIdx < 0) UND else codes(bestIdx)
+  }
+}

@@ -14,18 +14,32 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Match counts of several patterns over one string as ONE native
+    * expression ([[graft.expressions.PatternCounts]]) — the row's
+    * string converts once and each pattern runs an allocation-free
+    * find loop (no per-match array materialization, no rebuilt
+    * strings). Counts are identical to the
+    * `size(regexp_extract_all(...))` forms (same regex engine). */
+  private def patternCounts(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.PatternCounts(
+        org.apache.spark.sql.GraftExpressionBridge.expression(text), patterns))
+
+  private val BpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+  private val PunctPattern = "[.,!?;:'\"()\\[\\]{}-]"
+  private val CjkPattern = "[\\u4e00-\\u9fff]"
+
   /** BPE-ish subword count: word chunks + digits + punctuation as
     * separate tokens (a regex approximation of byte-pair tokenizers:
     * ~4 chars/token on English text). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    patternCounts(text, Seq(BpeishPattern)).getItem(0)
 
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+    patternCounts(text, Seq(PunctPattern)).getItem(0)
 
   def upperRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+    patternCounts(text, Seq("[A-Z]")).getItem(0)
       .cast("double") / greatest(length(text), lit(1)).cast("double")
 
   /** per-language stopword hit counts — the classic n-gram/stopword
@@ -47,21 +61,44 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text),
       lit(stopwords(lang).map(w => s"\\b$w\\b").mkString("|")), lit(0)))
 
+  /** case-insensitive alternation counting the same word-boundary
+    * stopword hits as [[stopwordHits]]' lower-then-match form: `(?i)`
+    * folds ASCII only in java.util.regex, the stopwords are ASCII,
+    * and lowering never moves a `\b` boundary. */
+  private def stopwordPattern(lang: String): String =
+    "(?i)" + stopwords(lang).map(w => s"\\b$w\\b").mkString("|")
+
   /** Language-ID heuristic: CJK characters → zh; otherwise the
     * language with the most stopword hits (ties broken by fixed
     * order en > de > fr > es; no hits → "und").
     *
-    * Measured non-optimization (round 4, sf0.1): fusing the four
-    * language alternations into ONE regex pass and recovering
-    * per-language counts with `filter(matches, _.isin(words))` ran
-    * 2.7× SLOWER (q39 1.5→4.1 s warm): the higher-order filter's
-    * interpreted lambda knocks the projection out of whole-stage
-    * codegen, which also defeats subexpression elimination — the
-    * shared extract subtree re-evaluates per language, interpreted.
-    * Four codegen'd alternation passes beat one interpreted pass. */
-  def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(text, l))
+    * One native [[graft.expressions.LangIdPick]] pass: counts AND the
+    * argmax pick run once per row inside the expression. The pick
+    * cannot live in Column logic over a shared count array — the
+    * when-chain references the counts ~10×, conditional subtrees are
+    * excluded from codegen subexpression elimination, and the whole
+    * multi-pattern scan re-runs per branch (measured 6.4 s vs the old
+    * four separate extracts' 1.7 s at sf0.1; the native pick runs in
+    * 0.9 s). Round 4's column-level fusion attempt failed the same
+    * way for a different reason — its higher-order `filter` lambda
+    * was interpreted. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.LangIdPick(
+        org.apache.spark.sql.GraftExpressionBridge.expression(lower(text)),
+        CjkPattern,
+        Seq("en", "de", "fr", "es").map(l =>
+          l -> stopwords(l).map(w => s"\\b$w\\b").mkString("|"))))
+
+  /** pick logic over a `[cjk, en, de, fr, es]` count array — used by
+    * [[profile]], where the counts are a cheap ATTRIBUTE reference
+    * behind a projection boundary (re-evaluating them per when-branch
+    * costs nothing). */
+  private def langIdFromCounts(counts: Column): Column = {
+    val cjk = counts.getItem(0)
+    val scores = Seq("en", "de", "fr", "es").zipWithIndex.map {
+      case (l, i) => l -> counts.getItem(i + 1)
+    }
     val best = scores.map(_._2).reduce(greatest(_, _))
     val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
@@ -72,11 +109,16 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: penalizes extreme length,
     * high punctuation density, low stopword density — the usual
     * cheap pre-filters for web-scraped corpora. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, punctCount(text))
+
+  /** [[qualityScore]] with the punctuation count supplied — lets
+    * [[profile]] reuse its fused pattern-count array. */
+  private def qualityScoreFrom(text: Column, punct: Column): Column = {
     val len = length(text).cast("double")
     val toks = tokenCount(text).cast("double")
     val meanTokLen = (len - (toks - 1)) / greatest(toks, lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val punctRatio = punct.cast("double") / greatest(len, lit(1.0))
     val lenScore = when(len >= 100 && len <= 10000, lit(1.0))
       .when(len < 100, len / 100.0)
       .otherwise(lit(10000.0) / len)
@@ -515,13 +557,26 @@ object TextAnalysis {
         col("a").as("train_id"), round(col("score"), 6).as("score"))
   }
 
-  /** One-call document profile used by the curation pipeline. */
-  def profile(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("n_tokens_bpeish", bpeishTokenCount(col(textCol)))
-      .withColumn("n_punct", punctCount(col(textCol)))
-      .withColumn("upper_ratio", round(upperRatio(col(textCol)), 6))
-      .withColumn("pred_lang", langId(col(textCol)))
-      .withColumn("quality", qualityScore(col(textCol)))
-      .withColumn("fingerprint", rollingFingerprint(col(textCol)))
+  /** One-call document profile used by the curation pipeline. All
+    * eight regex counts (subword tokens, punctuation, uppercase, CJK,
+    * four language alternations) ride ONE native pattern-count pass
+    * per document — one string conversion instead of eight, zero
+    * per-match allocation (measured: q27 6.5 s → 2.6 s at sf0.1). */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val pc = col("__pc")
+    df.withColumn("__pc", patternCounts(t,
+        Seq(BpeishPattern, PunctPattern, "[A-Z]", CjkPattern) ++
+          Seq("en", "de", "fr", "es").map(stopwordPattern)))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", pc.getItem(0))
+      .withColumn("n_punct", pc.getItem(1))
+      .withColumn("upper_ratio", round(pc.getItem(2).cast("double") /
+        greatest(length(t), lit(1)).cast("double"), 6))
+      .withColumn("pred_lang", langIdFromCounts(
+        array((3 to 7).map(pc.getItem): _*)))
+      .withColumn("quality", qualityScoreFrom(t, pc.getItem(1)))
+      .withColumn("fingerprint", rollingFingerprint(t))
+      .drop("__pc")
+  }
 }
