@@ -448,6 +448,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram log-likelihood-ratio weights vs a target corpus,
+    // Gumbel-top-k selection. The fixture appends a marker phrase to
+    // the target docs AND to every 31st source doc — the planted
+    // source docs share target-only bigrams and must rank high — and
+    // the oracle recomputes the whole chain (feature hash, smoothed
+    // ratios, bucket-sorted fold, deterministic Gumbel keys) in SQL.
+    // Engine-neutral md5 hash; 512 buckets keep the oracle tractable.
+    "q64_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val source = docs.select($"doc_id",
+        when($"doc_id" % 31 === 0, concat($"text", lit(" zz qq zz qq")))
+          .otherwise($"text").as("text"))
+      val target = docs.filter($"doc_id" % 17 === 0)
+        .select($"doc_id", concat($"text", lit(" zz qq zz qq")).as("text"))
+      operators.Curation.dsirSelect(source, target, "doc_id", "text",
+          k = 100, buckets = 512, hashFn = operators.Dedup.md5Hash60)
+        .orderBy($"sel_key".desc, $"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1577,6 +1597,58 @@ object SparkEntry {
          FROM bench LEFT JOIN rep ON rep.b = bench.doc_id
            LEFT JOIN top ON top.b = bench.doc_id
          ORDER BY bench_id""",
+
+    "q64_dsir_select" ->
+      """WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN text || ' zz qq zz qq'
+                ELSE text END AS text
+         FROM documents),
+         tgt AS (SELECT doc_id, text || ' zz qq zz qq' AS text
+           FROM documents WHERE doc_id % 17 = 0),
+         stoks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') t FROM src),
+         ttoks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') t FROM tgt),
+         sfeat AS (
+           SELECT doc_id, unnest(t) AS feat FROM stoks
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM stoks,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         tfeat AS (
+           SELECT doc_id, unnest(t) AS feat FROM ttoks
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM ttoks,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         sbk AS (SELECT doc_id,
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket
+           FROM sfeat WHERE feat <> ''),
+         tbk AS (SELECT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket
+           FROM tfeat WHERE feat <> ''),
+         srcdoc AS (SELECT doc_id, bucket, count(*) c FROM sbk GROUP BY 1, 2),
+         srcb AS (SELECT bucket, CAST(sum(c) AS BIGINT) cs
+           FROM srcdoc GROUP BY 1),
+         tgtb AS (SELECT bucket, count(*) ct FROM tbk GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM srcb) ns,
+                        (SELECT CAST(sum(ct) AS BIGINT) FROM tgtb) nt),
+         ratio AS (SELECT bucket,
+             ln((coalesce(ct, 0)::DOUBLE + 1.0) / (nt::DOUBLE + 512.0)) -
+             ln((cs::DOUBLE + 1.0) / (ns::DOUBLE + 512.0)) AS lr
+           FROM srcb LEFT JOIN tgtb USING (bucket) CROSS JOIN tot),
+         terms AS (SELECT doc_id, bucket, c, c::DOUBLE * lr AS term
+           FROM srcdoc JOIN ratio USING (bucket)),
+         wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+             round(list_reduce(list(term ORDER BY bucket), (a, b) -> a + b),
+               6) AS logw
+           FROM terms GROUP BY 1),
+         keyed AS (SELECT doc_id, n_feats, logw,
+             round(logw - ln(-ln(
+               ((('0x' || substring(md5(doc_id::VARCHAR || ':dsir'), 1, 15))
+                  ::BIGINT % 1048576)::DOUBLE + 0.5) / 1048576.0)),
+               6) AS sel_key
+           FROM wts)
+         SELECT doc_id, n_feats, logw, sel_key FROM keyed
+         ORDER BY sel_key DESC, doc_id LIMIT 100""",
 
     "q61_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,

@@ -441,4 +441,105 @@ object Curation {
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling",
+    * arXiv:2302.03169): each SOURCE document scores the
+    * log-likelihood ratio of its hashed n-gram features under
+    * bag-of-ngrams models fit on the TARGET corpus vs the source
+    * itself — the published recipe for selecting pretraining data
+    * that "looks like" a high-quality target set. Features are
+    * whitespace unigrams + bigrams hashed into `buckets` buckets
+    * (the paper's hashed n-gram parameterization); both models use
+    * add-`smoothing` estimates, so buckets unseen in the target score
+    * negatively rather than −∞.
+    *
+    * Returns (id, n_feats, logw):
+    *   logw = Σ_b c_b · [ln((ct_b + a)/(Nt + aB)) − ln((cs_b + a)/(Ns + aB))]
+    * with c_b the doc's bucket counts, ct/cs the target/source bucket
+    * totals, Nt/Ns the corpus feature totals, B = `buckets`,
+    * a = `smoothing`. Documents with no features (empty text) are
+    * absent, as in [[TextAnalysis.unigramLogProb]].
+    *
+    * Scale shape: one explode + hash aggregate per corpus (the
+    * per-doc count table's exchange is REUSED by the bucket-total
+    * aggregate — one source scan); the log-ratio table is bounded by
+    * `buckets` rows BY CONSTRUCTION, so its join back to per-doc
+    * counts broadcasts no matter how large the corpora are; the
+    * per-doc sum folds over the bucket-sorted term list (the
+    * order-stable summation discipline of
+    * [[TextAnalysis.unigramLogProb]], reproducible by an external
+    * engine folding the same sorted list). */
+  def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1 << 16,
+                  smoothing: Double = 1.0,
+                  hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    def features(df: DataFrame): DataFrame = {
+      val tk = split(lower(trim(col(textCol))), "\\s+")
+      // bigrams: zip the token array with itself shifted by one —
+      // zip_with pads the shorter side with null and concat propagates
+      // it, so the trailing (t_n, null) pair drops in the filter
+      df.select(col(idCol), tk.as("__tk"))
+        .select(col(idCol), explode(concat(col("__tk"),
+          zip_with(col("__tk"),
+            slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y)))).as("feat"))
+        .filter(col("feat").isNotNull && col("feat") =!= "")
+        .select(col(idCol),
+          pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
+    }
+    val srcDoc = features(source).groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val srcB = srcDoc.groupBy(col("bucket")).agg(sum(col("c")).as("cs"))
+    val tgtB = features(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = srcB.agg(sum(col("cs")).as("__ns"))
+      .crossJoin(tgtB.agg(sum(col("ct")).as("__nt")))
+    val aB = smoothing * buckets
+    val ratio = srcB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((coalesce(col("ct"), lit(0L)).cast("double") + smoothing) /
+            (col("__nt").cast("double") + aB)) -
+        log((col("cs").cast("double") + smoothing) /
+            (col("__ns").cast("double") + aB)))
+      .select(col("bucket"), col("lr"))
+    srcDoc.join(broadcast(ratio), Seq("bucket"))
+      .withColumn("term", col("c").cast("double") * col("lr"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_feats"),
+        aggregate(expr("array_sort(collect_list(struct(bucket, term)))"),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("__w"))
+      .select(col(idCol), col("n_feats"), round(col("__w"), 6).as("logw"))
+  }
+
+  /** DSIR selection: the top `k` source documents by importance
+    * weight, by default through the Gumbel-top-k identity — adding
+    * G_i = −ln(−ln(u_i)) to each log-weight and taking the top k IS
+    * sampling without replacement with probability ∝ exp(logw)
+    * (Efraimidis & Spirakis 2006 in Gumbel form, the paper's
+    * resampling step). u_i is a DETERMINISTIC hash of the id, so the
+    * "sample" is reproducible across runs and engines; `gumbel =
+    * false` gives plain argmax-k selection. The selection key is
+    * rounded to 6 decimals before ranking (ties broken by id), so the
+    * rank order carries no engine-dependent last-ulp sensitivity.
+    *
+    * Scale shape: weights as [[dsirWeights]]; the k-selection is an
+    * orderBy + limit — Spark's distributed top-k
+    * (TakeOrderedAndProject), never a global sort or single-partition
+    * window. */
+  def dsirSelect(source: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 1 << 16,
+                 smoothing: Double = 1.0, gumbel: Boolean = true,
+                 hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val m = 1 << 20
+    val u = (pmod(hashFn(concat(col(idCol).cast("string"), lit(":dsir"))),
+      lit(m.toLong)).cast("double") + 0.5) / m
+    val key =
+      if (gumbel) col("logw") - log(-log(u)) else col("logw") + lit(0.0)
+    dsirWeights(source, target, idCol, textCol, buckets, smoothing, hashFn)
+      .withColumn("sel_key", round(key, 6))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

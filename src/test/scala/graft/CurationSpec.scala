@@ -396,4 +396,40 @@ class CurationSpec extends SparkSpec {
       hashFn = Dedup.md5Hash60).count()
     assert(n === n2)
   }
+
+  test("dsir: target-like source docs outrank the background corpus") {
+    // background docs share a vocabulary; the "target-like" source
+    // docs carry the target's marker phrase (bigrams unseen anywhere
+    // else in the source), so their log-likelihood ratio must win
+    val bg = (0L until 40L).map(i =>
+      (i, s"common words number $i filler text and more filler"))
+    val planted = (100L until 105L).map(i =>
+      (i, s"common words rare marker phrase here index $i"))
+    val source = (bg ++ planted).toDF("doc_id", "text")
+    val target = (200L until 210L).map(i =>
+      (i, s"rare marker phrase here sample $i")).toDF("doc_id", "text")
+    val top = Curation.dsirSelect(source, target, "doc_id", "text",
+        k = 5, buckets = 256, gumbel = false).select("doc_id")
+      .as[Long].collect().toSet
+    assert(top == Set(100L, 101L, 102L, 103L, 104L),
+      s"expected the planted docs on top, got $top")
+  }
+
+  test("dsir: weights are deterministic and gumbel keys reproducible") {
+    val docs = (0L until 30L).map(i => (i, s"text body $i with words"))
+      .toDF("doc_id", "text")
+    val tgt = docs.filter($"doc_id" % 3 === 0)
+    def run() = Curation.dsirSelect(docs, tgt, "doc_id", "text", k = 10,
+        buckets = 128, hashFn = Dedup.md5Hash60)
+      .select("doc_id", "sel_key").as[(Long, Double)].collect().toSeq
+    assert(run() === run(), "same inputs must select the same sample")
+    // empty text contributes no features and is absent from weights
+    val withEmpty = docs.union(Seq((999L, "   ")).toDF("doc_id", "text"))
+    val w = Curation.dsirWeights(withEmpty, tgt, "doc_id", "text",
+      buckets = 128)
+    assert(w.filter($"doc_id" === 999L).count() === 0L)
+    // n_feats = unigrams + bigrams = tokens + (tokens - 1)
+    val nf = w.filter($"doc_id" === 1L).select("n_feats").as[Long].head()
+    assert(nf === 5L + 4L, s"expected 9 features, got $nf")
+  }
 }

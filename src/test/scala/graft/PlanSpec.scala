@@ -174,6 +174,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q64: DSIR ratio table broadcasts; selection is distributed top-k") {
+    val p = planOf("q64_dsir_select")
+    assert(p.contains("BroadcastExchange"),
+      "bucket-bounded ratio table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k-selection must be distributed top-k, not a global sort")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
