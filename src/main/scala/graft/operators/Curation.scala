@@ -542,4 +542,72 @@ object Curation {
       .orderBy(col("sel_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** A fitted DSIR model: the DENSE per-bucket log-likelihood-ratio
+    * table (`table(b)` = lr of hash bucket b; buckets unseen in both
+    * corpora carry the smoothed default), ready for O(1) per-feature
+    * scoring of NEW documents — the deployable artifact the batch
+    * [[dsirWeights]] (which only ever scores its own source docs)
+    * doesn't need. Size = `buckets` doubles (512 KB at the default
+    * 2¹⁶), a broadcast-friendly plan constant. */
+  final case class DsirModel(table: Array[Double]) {
+    def buckets: Int = table.length
+  }
+
+  /** Fit a [[DsirModel]] from source and target corpora: the same
+    * hashed unigram+bigram bucket counts and add-`smoothing` ratio as
+    * [[dsirWeights]], but over the FULL OUTER bucket domain (a new
+    * document can hit target-only or never-seen buckets) and
+    * collected into a dense driver-side array — bounded by `buckets`
+    * rows by construction, the same bound that lets dsirWeights
+    * broadcast its ratio table. Default xxhash64 feature hash only:
+    * that is what the native scorer reproduces. */
+  def fitDsir(source: DataFrame, target: DataFrame, textCol: String,
+              buckets: Int = 1 << 16, smoothing: Double = 1.0): DsirModel = {
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame = {
+      val tk = split(lower(trim(col(textCol))), "\\s+")
+      df.select(tk.as("__tk"))
+        .select(explode(concat(col("__tk"),
+          zip_with(col("__tk"),
+            slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y)))).as("feat"))
+        .filter(col("feat").isNotNull && col("feat") =!= "")
+        .groupBy(pmod(xxhash64(col("feat")), lit(buckets.toLong)).as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val srcB = bucketCounts(source, "cs")
+    val tgtB = bucketCounts(target, "ct")
+    val rows = srcB.join(tgtB, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .collect()
+    val ns = rows.map(_.getLong(1)).sum.toDouble
+    val nt = rows.map(_.getLong(2)).sum.toDouble
+    val aB = smoothing * buckets
+    def lr(ct: Double, cs: Double): Double =
+      math.log((ct + smoothing) / (nt + aB)) -
+        math.log((cs + smoothing) / (ns + aB))
+    val table = Array.fill(buckets)(lr(0.0, 0.0))
+    rows.foreach { r =>
+      table(r.getLong(0).toInt) = lr(r.getLong(2).toDouble, r.getLong(1).toDouble)
+    }
+    DsirModel(table)
+  }
+
+  /** Importance score of a text column under a fitted [[DsirModel]],
+    * as ONE native per-row expression
+    * ([[graft.expressions.DsirScore]]): whitespace-tokenize, hash
+    * unigrams+bigrams (xxhash64, bit-identical to the batch
+    * operator's feature hash), sum the dense table's per-bucket
+    * ratios. A pure projection — usable verbatim in a STREAMING
+    * ingest filter (no state, no join); documents with no features
+    * (empty text) score null. Scores agree with [[dsirWeights]] up to
+    * float-addition order (different summation order, same terms) —
+    * round before comparing across the two. */
+  def dsirScore(text: Column, model: DsirModel): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.DsirScore(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          split(lower(trim(text)), "\\s+")),
+        model.table))
 }

@@ -397,34 +397,49 @@ object Dedup {
       gramTable(right, idCol, textCol, n).persist(),
       idCol, threshold, maxBucket, containment)
 
-  /** [[crossJaccardNearDups]] body over caller-persisted gram tables. */
+  /** [[crossJaccardNearDups]] body over caller-persisted gram tables.
+    *
+    * `smallSide` names the side whose gram SET is small enough to
+    * broadcast, enabling a semi-join prune of the OTHER side before
+    * its bucket groupBy — the inner bucket join keeps only shared
+    * grams anyway, but without the prune every gram of the big side
+    * pays its groupBy shuffle first. Decontamination passes "right"
+    * (the benchmark is the only small thing in the query);
+    * [[incrementalDropNearDups]] passes "left" (the BATCH is small,
+    * the index huge — pruning the index's bucket aggregation by the
+    * batch gram set is what makes per-batch cost proportional to the
+    * batch). In "left" mode the index side's per-doc verify arrays
+    * are additionally restricted to candidate ids (full-array
+    * semantics preserved — the semi-join is on the DOC id, so sizes
+    * and intersections are computed over the docs' complete gram
+    * sets): a per-batch operation must never aggregate the whole
+    * accepted corpus. Id lists of surviving grams are unchanged
+    * either way, so buckets, guard counts, and scores are identical.
+    * At sf0.1 the prune's distinct+broadcast costs ~0.5 s against
+    * corpora whose whole gram table fits in one shuffle; the trade
+    * exists for the real setting. In "left" mode the candidate table
+    * is persisted (MEMORY_AND_DISK, LRU-evictable — same session
+    * lifecycle as the gram tables; `clearCache()` when done). */
   private[operators] def crossJaccardFromGrams(gl: DataFrame, gr: DataFrame,
       idCol: String, threshold: Double, maxBucket: Int,
-      containment: Boolean): DataFrame = {
+      containment: Boolean, smallSide: String = "right"): DataFrame = {
     def docSets(g: DataFrame, a: String) = g.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("gram"))).as(s"__g$a"),
            count(lit(1)).as(s"sz$a"))
       .withColumnRenamed(idCol, a)
-    // semi-join the (corpus-sized) left gram table against the
-    // (benchmark-sized) right gram SET before grouping: the inner
-    // bucket join below keeps only shared grams anyway, but without
-    // the pre-filter every left gram — the overwhelming majority of a
-    // real corpus — pays the groupBy shuffle first. The right gram set
-    // broadcasts, so the prune is map-side and the left aggregation
-    // only ever shuffles grams that can produce a candidate. Left-id
-    // lists of surviving grams are unchanged, so buckets, guard
-    // counts, and scores are identical. At sf0.1 the extra
-    // distinct+broadcast costs ~0.5 s against a corpus whose whole
-    // gram table fits in one shuffle; the trade exists for the real
-    // setting, where the left shuffle is corpus-sized and the
-    // benchmark gram set is the only small thing in the query.
-    val lb = gl.join(gr.select(col("gram")).distinct(), Seq("gram"),
-        "left_semi")
-      .groupBy(col("gram"))
+    val glF =
+      if (smallSide == "right")
+        gl.join(gr.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+      else gl
+    val grF =
+      if (smallSide == "left")
+        gr.join(gl.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+      else gr
+    val lb = glF.groupBy(col("gram"))
       .agg(sort_array(collect_list(col(idCol))).as("la"))
-    val rb = gr.groupBy(col("gram"))
+    val rb = grF.groupBy(col("gram"))
       .agg(sort_array(collect_list(col(idCol))).as("ra"))
-    val cands = lb.join(rb, "gram")
+    val cands0 = lb.join(rb, "gram")
       .observe(s"graft_xngram_guard_${obsId.incrementAndGet()}",
         sum(when(size(col("la")) > maxBucket ||
                  size(col("ra")) > maxBucket, 1L).otherwise(0L))
@@ -435,13 +450,22 @@ object Dedup {
           "struct(x AS a, y AS b))))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+    val cands =
+      if (smallSide == "left")
+        cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cands0
+    val rightDocs =
+      if (smallSide == "left")
+        gr.join(cands.select(col("b").as(idCol)).distinct(),
+          Seq(idCol), "left_semi")
+      else gr
     val inter = size(array_intersect(col("__gb"), col("__ga"))).cast("long")
     val denom =
       if (containment) col("szb")
       else col("sza") + col("szb") - col("inter")
     cands
       .join(docSets(gl, "a"), Seq("a"))
-      .join(docSets(gr, "b"), Seq("b"))
+      .join(docSets(rightDocs, "b"), Seq("b"))
       .withColumn("inter", inter)
       .withColumn("score",
         col("inter").cast("double") / denom.cast("double"))
@@ -582,8 +606,12 @@ object Dedup {
                               maxBucket: Int = 50): DataFrame = {
     val idCol = index.idCol
     val bg = gramTable(batch, idCol, textCol, index.n).persist()
+    // smallSide = "left": the BATCH gram set broadcasts, the index's
+    // bucket aggregation and verify arrays restrict to batch-relevant
+    // grams/docs — per-batch cost stays proportional to the batch,
+    // never to the accepted corpus
     val hits = crossJaccardFromGrams(bg, index.grams, idCol, threshold,
-        maxBucket, containment = false)
+        maxBucket, containment = false, smallSide = "left")
       .select(col("a").as(idCol)).distinct().localCheckpoint()
     val comps0 = connectedComponents(
       ngramJaccardFromGrams(bg, idCol, threshold, maxBucket))
