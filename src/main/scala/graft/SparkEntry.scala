@@ -952,6 +952,55 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // §3 E1-E4 — the season pipeline END-TO-END in the canonical stage
+    // order of main_2020.py:209-213: parse → unify(reference-DB clip)
+    // → resample(1min) → unify_forecast (−3h shift_back_localize,
+    // event slice, POA, trapezoidal energy) → unify_gps (as-of ffill).
+    // The mini-season is generated deterministically from `events`
+    // (sorted candump logs with unknown-topic/short-frame rejects, a
+    // 300 s Solcast CSV, a 10-point GPX track), and the oracle
+    // recomputes EVERY stage in SQL: the Q1/Q3 decode quirks, bucket
+    // means, the dense grid, gap-limited interpolation, the shifted
+    // forecast alignment, the full PSA solar-position closed forms,
+    // cumtrapz energy, GPS speed/heading/distance (incl. quirk Q7) and
+    // the as-of join — the composition-level gate VERDICT r5 asked for.
+    "q65_season_e2e" -> ((s, d) => {
+      val tmp = q65Fixtures(s, d)
+      val cfg = graft.pipeline.Seasons.SeasonConfig(
+        name = "q65", canIdsPath = s"$tmp/can_ids.json",
+        mab20Workaround = false, shiftBackLocalize = true,
+        site = Some(graft.pipeline.SolarStage.Site(-26.243602, -48.6417668)),
+        event = Some(("2024-01-10 11:00:00", "2024-01-10 16:00:00")),
+        resamplePeriods = Seq("1min"),
+        datasets = Seq(
+          graft.pipeline.Seasons.DatasetFiles(s"$tmp/main_log/part-*"),
+          graft.pipeline.Seasons.DatasetFiles(s"$tmp/db_log/part-*",
+            isReferenceDb = true)))
+      val out = graft.pipeline.Seasons.run(s, cfg, s"$tmp/out",
+        forecastCsv = Some(s"$tmp/solcast.csv"),
+        gpxFiles = Seq(s"$tmp/track.gpx"), resamplePeriod = "1min")
+      out.select(col("timestamp"),
+        round(col("MOD17__SENSOR__SIGNATURE"), 6).as("s_signature"),
+        round(col("MOD17__SENSOR__CURR"), 6).as("s_curr"),
+        round(col("MOD17__SENSOR__DUTY"), 6).as("s_duty"),
+        round(col("MOD17__SENSOR__FLAG1"), 6).as("s_flag1"),
+        round(col("MOD17__SENSOR__FLAG2"), 6).as("s_flag2"),
+        round(col("solcast_dni"), 6).as("solcast_dni"),
+        round(col("solcast_ghi"), 6).as("solcast_ghi"),
+        round(col("solcast_dhi"), 6).as("solcast_dhi"),
+        round(col("solcast_airmass"), 6).as("solcast_airmass"),
+        round(col("solcast_albedo"), 6).as("solcast_albedo"),
+        round(col("solcast_poa"), 6).as("solcast_poa"),
+        round(col("solcast_energy"), 6).as("solcast_energy"),
+        round(col("gps_latitude"), 6).as("gps_latitude"),
+        round(col("gps_longitude"), 6).as("gps_longitude"),
+        round(col("gps_altitude"), 6).as("gps_altitude"),
+        round(col("gps_speed"), 6).as("gps_speed"),
+        round(col("gps_heading"), 6).as("gps_heading"),
+        round(col("gps_distance"), 6).as("gps_distance"))
+        .orderBy($"timestamp")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -994,6 +1043,70 @@ object SparkEntry {
       lit("gen.log").as("file"))
     val frames = graft.sources.Candump.framesFromLines(lines.unionByName(garbage))
     operators.CanDecode.decodeLong(frames, graft.sources.CanFixtures.schema)
+  }
+
+  /** q65 mini-season fixtures (can_ids JSON, sorted main/reference-DB
+    * candump logs derived from `events`, a 300 s Solcast CSV, a
+    * 10-point GPX track) written into a fresh temp dir; returns its
+    * path. Every value is a literal or a deterministic function of
+    * `events` columns so the DuckDB oracle regenerates it exactly.
+    * The main log injects the q21 rejects (unknown topic 0x22 every
+    * 101st event, short 4-byte frame every 103rd); the reference-DB
+    * log spans a WIDER time range than the main log so the unify
+    * stage's clip-to-[min,max] (J1) actually removes rows. */
+  private def q65Fixtures(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_q65").toString
+    Files.writeString(Paths.get(s"$tmp/can_ids.json"),
+      graft.sources.CanFixtures.json)
+    val ev = t(s, d, "events")
+    val b = (c: Column) => lpad(hex(c), 2, "0")
+    val payloadOk = concat(lit("11"),
+      b(expr("user_id % 256")), b(expr("user_id div 256")),
+      b(expr("event_id % 256")), b(expr("event_id % 4")), lit("00"))
+    val payloadShort = concat(lit("11"),
+      b(expr("user_id % 256")), b(expr("user_id div 256")),
+      b(expr("event_id % 256")))
+    // file-order-dependent semantics (crop Q2) need a deterministic
+    // file: one sorted part per log
+    def dump(df: DataFrame, topic: Column, payload: Column, path: String): Unit =
+      df.select(format_string("(%d.%06d) can0 %s#%s",
+          expr("unix_micros(ts) div 1000000"), expr("unix_micros(ts) % 1000000"),
+          topic, payload).as("value"), col("ts"), col("event_id"))
+        .repartition(1).sortWithinPartitions("ts", "event_id").select("value")
+        .write.mode("overwrite").text(path)
+    dump(ev.filter(expr(
+        "ts BETWEEN TIMESTAMP'2024-01-08 09:00:00' AND TIMESTAMP'2024-01-11 21:00:00'" +
+          " AND event_id % 3 != 0")),
+      when(expr("event_id % 101 = 0"), lit("022")).otherwise(lit("021")),
+      when(expr("event_id % 103 = 0"), payloadShort).otherwise(payloadOk),
+      s"$tmp/main_log")
+    dump(ev.filter(expr(
+        "ts BETWEEN TIMESTAMP'2024-01-08 00:00:00' AND TIMESTAMP'2024-01-12 00:00:00'" +
+          " AND event_id % 3 = 0")),
+      lit("021"), payloadOk, s"$tmp/db_log")
+    // Solcast CSV: 300 s ticks 10:00→17:00 UTC; values are exact
+    // binary doubles (20.0/10.0/5.0/0.125 steps) so CSV round-trip and
+    // the oracle's regeneration are bit-identical
+    val fcBase = java.time.Instant.parse("2024-01-10T10:00:00Z")
+    val fcRows = (0 to 84).map { i =>
+      s"${fcBase.plusSeconds(i * 300L)},${500.0 + (i % 7) * 20.0}," +
+        s"${300.0 + (i % 5) * 10.0},${100.0 + (i % 3) * 5.0}," +
+        s"${1.5 + (i % 4) * 0.125},0.06"
+    }
+    Files.writeString(Paths.get(s"$tmp/solcast.csv"),
+      ("PeriodStart,Dni,Ghi,Dhi,Airmass,AlbedoDaily" +: fcRows).mkString("\n"))
+    // GPX: 10 points every 25 min from 09:30; %.3f-printed literals so
+    // the oracle's VALUES list parses to the same doubles
+    val gpxBase = java.time.Instant.parse("2024-01-10T09:30:00Z")
+    val pts = (0 to 9).map { k =>
+      f"""<trkpt lat="${-26.240 + 0.003 * k}%.3f" lon="${-48.640 + 0.002 * k}%.3f">""" +
+        s"<ele>${5.0 + k}</ele><time>${gpxBase.plusSeconds(k * 1500L)}</time></trkpt>"
+    }
+    Files.writeString(Paths.get(s"$tmp/track.gpx"),
+      "<?xml version=\"1.0\"?><gpx><trk><trkseg>" + pts.mkString +
+        "</trkseg></trk></gpx>")
+    tmp
   }
 
   /** documents ∪ perturbed copies of every 7th doc (ids +1,000,000) —
@@ -1880,6 +1993,240 @@ object SparkEntry {
            avg(CAST(((event_id % 4) >> 1) & 1 AS DOUBLE)) AS "MOD17__SENSOR__FLAG2"
          FROM events WHERE event_id % 101 != 0 AND event_id % 103 != 0
          GROUP BY ts ORDER BY timestamp""",
+
+    // The season end-to-end oracle recomputes every stage: decode
+    // (q21/q22 semantics incl. Q1 ordinal scaling), the reference-DB
+    // time-range clip, 1-min bucket means, the dense grid, the
+    // gap-limited (1 row) interior interpolation, the −3h-shifted
+    // forecast alignment (exact at ticks, linear between, flat-filled
+    // after the last tick, null before the first and beyond the shift
+    // horizon), the PSA solar position (Blanco-Muriel 2001 — identical
+    // operation order to functions/Solar.scala so IEEE doubles agree),
+    // cumtrapz energy, GPS speed/heading/distance with quirk Q7, and
+    // the as-of ffill join.
+    "q65_season_e2e" ->
+      """WITH
+         mainE AS (SELECT ts, user_id, event_id FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-08 09:00:00'
+                        AND TIMESTAMP '2024-01-11 21:00:00'
+             AND event_id % 3 != 0 AND event_id % 101 != 0
+             AND event_id % 103 != 0),
+         dbE AS (SELECT ts, user_id, event_id FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                        AND TIMESTAMP '2024-01-12 00:00:00'
+             AND event_id % 3 = 0),
+         mwide AS (SELECT ts,
+             avg(17.0) v_sig,
+             avg(CAST(user_id AS DOUBLE)*(1.0/100)) v_curr,
+             avg(CAST(event_id % 256 AS DOUBLE)*(1.0/100)) v_duty,
+             avg(CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255)) v_f1,
+             avg(CAST(((event_id % 4) >> 1) & 1 AS DOUBLE)) v_f2
+           FROM mainE GROUP BY ts),
+         dwide AS (SELECT ts,
+             avg(17.0) v_sig,
+             avg(CAST(user_id AS DOUBLE)*(1.0/100)) v_curr,
+             avg(CAST(event_id % 256 AS DOUBLE)*(1.0/100)) v_duty,
+             avg(CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255)) v_f1,
+             avg(CAST(((event_id % 4) >> 1) & 1 AS DOUBLE)) v_f2
+           FROM dbE GROUP BY ts),
+         mb AS (SELECT min(ts) lo, max(ts) hi FROM mwide),
+         uni AS (SELECT * FROM mwide
+           UNION ALL SELECT * FROM dwide
+             WHERE ts BETWEEN (SELECT lo FROM mb) AND (SELECT hi FROM mb)),
+         lf AS (
+           SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) b,
+             'MOD17__SENSOR__SIGNATURE' signal, v_sig vv FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MOD17__SENSOR__CURR', v_curr FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MOD17__SENSOR__DUTY', v_duty FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MOD17__SENSOR__FLAG1', v_f1 FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MOD17__SENSOR__FLAG2', v_f2 FROM uni),
+         binned AS (SELECT signal, b, avg(vv) v FROM lf GROUP BY 1, 2),
+         bnds AS (SELECT min(b) lo, max(b) hi FROM binned),
+         grid AS (SELECT s.signal, g.b
+           FROM (SELECT unnest(['MOD17__SENSOR__SIGNATURE',
+             'MOD17__SENSOR__CURR', 'MOD17__SENSOR__DUTY',
+             'MOD17__SENSOR__FLAG1', 'MOD17__SENSOR__FLAG2']) signal) s
+           CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bnds),
+             (SELECT hi FROM bnds), INTERVAL 1 MINUTE)) b) g),
+         dense AS (SELECT grid.signal, grid.b, binned.v
+           FROM grid LEFT JOIN binned USING (signal, b)),
+         selx AS (SELECT signal, b, v,
+             last_value(v IGNORE NULLS) OVER wp pv,
+             first_value(v IGNORE NULLS) OVER wn nv,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wp pt,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wn nt
+           FROM dense WINDOW
+             wp AS (PARTITION BY signal ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY signal ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         resam AS (SELECT signal, b, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               AND epoch_us(b) - epoch_us(pt) <= 60000000 THEN
+               pv + (nv - pv) * (CAST(epoch_us(b) - epoch_us(pt) AS DOUBLE)
+                 / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+             END val FROM selx),
+         rs AS (SELECT b ts,
+             max(CASE WHEN signal = 'MOD17__SENSOR__SIGNATURE' THEN val END) s_signature,
+             max(CASE WHEN signal = 'MOD17__SENSOR__CURR' THEN val END) s_curr,
+             max(CASE WHEN signal = 'MOD17__SENSOR__DUTY' THEN val END) s_duty,
+             max(CASE WHEN signal = 'MOD17__SENSOR__FLAG1' THEN val END) s_flag1,
+             max(CASE WHEN signal = 'MOD17__SENSOR__FLAG2' THEN val END) s_flag2
+           FROM resam GROUP BY b),
+         fc AS (SELECT t, (epoch_us(t) -
+             epoch_us(TIMESTAMP '2024-01-10 10:00:00')) // 300000000 i
+           FROM (SELECT unnest(generate_series(
+             TIMESTAMP '2024-01-10 10:00:00', TIMESTAMP '2024-01-10 17:00:00',
+             INTERVAL 300 SECOND)) t)),
+         fcv AS (SELECT t,
+             500.0 + (i % 7) * 20.0 dni, 300.0 + (i % 5) * 10.0 ghi,
+             100.0 + (i % 3) * 5.0 dhi, 1.5 + (i % 4) * 0.125 airmass,
+             0.06 albedo FROM fc),
+         sp1 AS (SELECT *,
+             CAST(epoch_us(t + INTERVAL 150 SECOND) AS DOUBLE)
+               / 86400000000.0 + 2440587.5 - 2451545.0 AS n,
+             (CAST(epoch_us(t + INTERVAL 150 SECOND) AS DOUBLE)
+               / 3600000000.0) % 24.0 AS hr
+           FROM fcv),
+         sp2 AS (SELECT *,
+             2.1429 - 0.0010394594 * n AS omega,
+             4.8950630 + 0.017202791698 * n AS mlon,
+             6.2400600 + 0.0172019699 * n AS manom FROM sp1),
+         sp3 AS (SELECT *,
+             mlon + 0.03341607 * sin(manom) + 0.00034894 * sin(2.0 * manom)
+               - 0.0001134 - 0.0000203 * sin(omega) AS elon,
+             0.4090928 - 6.2140e-9 * n + 0.0000396 * cos(omega) AS eobl
+           FROM sp2),
+         sp4 AS (SELECT *,
+             CASE WHEN atan2(cos(eobl) * sin(elon), cos(elon)) < 0
+                  THEN atan2(cos(eobl) * sin(elon), cos(elon)) + 2 * pi()
+                  ELSE atan2(cos(eobl) * sin(elon), cos(elon)) END AS ra,
+             asin(sin(eobl) * sin(elon)) AS sdec FROM sp3),
+         sp5 AS (SELECT *,
+             ((6.6974243242 + 0.0657098283 * n + hr) * 15.0
+               + (-48.6417668)) * (pi() / 180.0) - ra AS ha FROM sp4),
+         sp6 AS (SELECT *,
+             acos(cos((-26.243602) * (pi() / 180.0)) * cos(ha) * cos(sdec)
+               + sin(sdec) * sin((-26.243602) * (pi() / 180.0))) AS zen0
+           FROM sp5),
+         sp7 AS (SELECT *,
+             90.0 - ((zen0 + (6371.01 / 149597890.0) * sin(zen0))
+               * 180.0 / pi()) AS elev FROM sp6),
+         sp8 AS (SELECT *,
+             CASE WHEN elev >= -1.0 * (0.26667 + 0.5667) THEN
+               ((101325.0 / 100.0) / 1010.0) * (283.0 / (273.0 + 12.0)) * 1.02
+                 / (60.0 * tan((elev + 10.3 / (elev + 5.11)) / 180.0 * pi()))
+             ELSE 0.0 END AS refr FROM sp7),
+         spz AS (SELECT t, dni, ghi, dhi, airmass, albedo,
+             dni * greatest(cos((90.0 - (elev + refr)) / 180.0 * pi()), 0.0)
+               + dhi AS poa
+           FROM sp8),
+         fsl AS (SELECT * FROM spz
+           WHERE t BETWEEN TIMESTAMP '2024-01-10 11:00:00'
+                       AND TIMESTAMP '2024-01-10 16:00:00'),
+         fen0 AS (SELECT *, lag(poa) OVER w ppoa, lag(t) OVER w plt
+           FROM fsl WINDOW w AS (ORDER BY t)),
+         fen AS (SELECT t, dni, ghi, dhi, airmass, albedo, poa,
+             coalesce(sum((poa + ppoa) / 2.0 *
+               (CAST(epoch_us(t) - epoch_us(plt) AS DOUBLE)
+                 / 3600000000.0)) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) energy
+           FROM fen0),
+         cutoff AS (SELECT max(ts) - INTERVAL 3 HOUR c FROM rs),
+         solp AS (SELECT r.ts,
+             CASE WHEN r.ts >= TIMESTAMP '2024-01-10 16:00:00'
+               THEN TIMESTAMP '2024-01-10 16:00:00'
+               ELSE make_timestamp(epoch_us(TIMESTAMP '2024-01-10 11:00:00')
+                 + ((epoch_us(r.ts) - epoch_us(TIMESTAMP '2024-01-10 11:00:00'))
+                    // 300000000) * 300000000) END pt
+           FROM rs r
+           WHERE r.ts >= TIMESTAMP '2024-01-10 11:00:00'
+             AND r.ts <= (SELECT c FROM cutoff)),
+         soli AS (SELECT p.ts, p.pt,
+             CASE WHEN p.ts >= TIMESTAMP '2024-01-10 16:00:00' THEN 0.0
+               ELSE CAST(epoch_us(p.ts) - epoch_us(p.pt) AS DOUBLE)
+                 / 300000000.0 END frac
+           FROM solp p),
+         sol AS (SELECT p.ts,
+             a.dni + (coalesce(b.dni, a.dni) - a.dni) * p.frac dni,
+             a.ghi + (coalesce(b.ghi, a.ghi) - a.ghi) * p.frac ghi,
+             a.dhi + (coalesce(b.dhi, a.dhi) - a.dhi) * p.frac dhi,
+             a.airmass + (coalesce(b.airmass, a.airmass) - a.airmass)
+               * p.frac airmass,
+             a.albedo + (coalesce(b.albedo, a.albedo) - a.albedo)
+               * p.frac albedo,
+             a.poa + (coalesce(b.poa, a.poa) - a.poa) * p.frac poa,
+             a.energy + (coalesce(b.energy, a.energy) - a.energy)
+               * p.frac energy
+           FROM soli p JOIN fen a ON a.t = p.pt
+           LEFT JOIN fen b ON b.t = p.pt + INTERVAL 300 SECOND),
+         trkraw AS (SELECT * FROM (VALUES
+             (TIMESTAMP '2024-01-10 09:30:00', -26.240, -48.640, 5.0),
+             (TIMESTAMP '2024-01-10 09:55:00', -26.237, -48.638, 6.0),
+             (TIMESTAMP '2024-01-10 10:20:00', -26.234, -48.636, 7.0),
+             (TIMESTAMP '2024-01-10 10:45:00', -26.231, -48.634, 8.0),
+             (TIMESTAMP '2024-01-10 11:10:00', -26.228, -48.632, 9.0),
+             (TIMESTAMP '2024-01-10 11:35:00', -26.225, -48.630, 10.0),
+             (TIMESTAMP '2024-01-10 12:00:00', -26.222, -48.628, 11.0),
+             (TIMESTAMP '2024-01-10 12:25:00', -26.219, -48.626, 12.0),
+             (TIMESTAMP '2024-01-10 12:50:00', -26.216, -48.624, 13.0),
+             (TIMESTAMP '2024-01-10 13:15:00', -26.213, -48.622, 14.0)
+           ) v(g_ts, lat, lon, ele)),
+         trk1 AS (SELECT *, lag(lat) OVER w plat, lag(lon) OVER w plon,
+             lag(g_ts) OVER w ptt
+           FROM trkraw WINDOW w AS (ORDER BY g_ts)),
+         trk2 AS (SELECT *,
+             6371.0 * 2 * asin(sqrt(
+               pow(sin(((lat - plat) / 180.0 * pi()) / 2), 2)
+               + cos(plat / 180.0 * pi()) * cos(lat / 180.0 * pi())
+                 * pow(sin(((lon - plon) / 180.0 * pi()) / 2), 2))) dist,
+             (atan2(cos(plat / 180.0 * pi()) * sin((lon - plon) / 180.0 * pi()),
+                sin(plat / 180.0 * pi()) * (cos(plat / 180.0 * pi())
+                  - cos(lat / 180.0 * pi()) * cos((lon - plon) / 180.0 * pi())))
+               * 180.0 / pi()) + 180.0 heading,
+             ((epoch_us(g_ts) - epoch_us(ptt)) // 1000000) % 86400 dts
+           FROM trk1),
+         trk3 AS (SELECT g_ts, lat, lon, ele, heading,
+             CASE WHEN dts = 0 THEN NULL
+                  ELSE dist / (CAST(dts AS DOUBLE) / 3600.0) END speed,
+             sum(coalesce(dist, 0.0)) OVER (ORDER BY g_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) distance
+           FROM trk2),
+         trkf AS (SELECT * FROM trk3
+           WHERE speed IS NOT NULL AND heading IS NOT NULL),
+         gpsj AS (SELECT g.ts, k.lat, k.lon, k.ele, k.speed, k.heading,
+             k.distance
+           FROM (SELECT ts FROM rs WHERE ts <= (SELECT c FROM cutoff)) g
+           ASOF LEFT JOIN trkf k ON g.ts >= k.g_ts)
+         SELECT r.ts AS timestamp,
+           round(r.s_signature, 6) AS s_signature,
+           round(r.s_curr, 6) AS s_curr,
+           round(r.s_duty, 6) AS s_duty,
+           round(r.s_flag1, 6) AS s_flag1,
+           round(r.s_flag2, 6) AS s_flag2,
+           round(s.dni, 6) AS solcast_dni,
+           round(s.ghi, 6) AS solcast_ghi,
+           round(s.dhi, 6) AS solcast_dhi,
+           round(s.airmass, 6) AS solcast_airmass,
+           round(s.albedo, 6) AS solcast_albedo,
+           round(s.poa, 6) AS solcast_poa,
+           round(s.energy, 6) AS solcast_energy,
+           round(j.lat, 6) AS gps_latitude,
+           round(j.lon, 6) AS gps_longitude,
+           round(j.ele, 6) AS gps_altitude,
+           round(j.speed, 6) AS gps_speed,
+           round(j.heading, 6) AS gps_heading,
+           round(j.distance, 6) AS gps_distance
+         FROM rs r LEFT JOIN sol s ON s.ts = r.ts
+         LEFT JOIN gpsj j ON j.ts = r.ts
+         ORDER BY timestamp""",
 
     "q30_resample_ms" ->
       """SELECT event_type,

@@ -179,14 +179,18 @@ object Seasons {
         val site = cfg.site.getOrElse(throw new IllegalArgumentException(
           s"season ${cfg.name} has no site coordinates for the forecast stage"))
         val raw = SolarStage.readSolcastCsv(spark, csv)
+        // the forecast frequency is INFERRED from the data
+        // (pd.infer_freq, lib/process_solcast_historic_data.py:12-16,93)
+        // — a 30-min export gets its +15-min POA shift automatically
+        val periodSec = SolarStage.inferPeriodSec(raw)
         // the reference processes the forecast BEFORE unifying: event
         // slice + cumulative energy (main_2020.py:181 →
         // lib/process_solcast_historic_data.py:102-104), so the unified
         // table carries solcast_energy and joins no out-of-event rows
         val f = cfg.event match {
           case Some((start, end)) =>
-            SolarStage.withPoaEnergy(raw, site, start, end, 300)
-          case None => SolarStage.withPoa(raw, site, 300)
+            SolarStage.withPoaEnergy(raw, site, start, end, periodSec)
+          case None => SolarStage.withPoa(raw, site, periodSec)
         }
         UnifyStages.unifyForecast(resampled, f, "timestamp",
           resamplePeriod, cfg.shiftBackLocalize, keys = Seq("__dataset"))

@@ -29,6 +29,28 @@ object SolarStage {
         col("Airmass").cast("double").as("airmass"),
         col("AlbedoDaily").cast("double").as("albedo"))
 
+  /** `pd.infer_freq` equivalent (lib/process_solcast_historic_data.py:
+    * 12-16,93): the forecast period = the MODE of adjacent PeriodStart
+    * diffs, smallest period winning ties — so a 30-min Solcast export
+    * gets its POA at the +15-min mid-period shift without caller
+    * config. One aggregate over the (tiny, 10³-row) forecast table;
+    * the single-partition window is deliberate at that size. Explicit
+    * `periodSec` arguments remain as overrides. */
+  def inferPeriodSec(df: DataFrame, tsCol: String = "timestamp"): Long = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
+    val top = df.select(col(tsCol))
+      .withColumn("__d",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .filter(col("__d").isNotNull && col("__d") > 0)
+      .groupBy("__d").count()
+      .orderBy(col("count").desc, col("__d"))
+      .limit(1).collect()
+    require(top.nonEmpty, "cannot infer forecast period from < 2 rows")
+    val us = top.head.getLong(0)
+    require(us % 1000000L == 0, s"non-whole-second forecast period: $us µs")
+    us / 1000000L
+  }
+
   /** F8-F11 — add the POA column: solar position computed at
     * ts + period/2 (the reference's timeshift), reported at ts. */
   def withPoa(df: DataFrame, site: Site, periodSec: Long): DataFrame = {

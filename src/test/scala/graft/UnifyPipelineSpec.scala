@@ -152,6 +152,32 @@ class UnifyPipelineSpec extends SparkSpec {
     assert(energies.head == 0.0 && energies.last > energies.head)
   }
 
+  test("SolarStage: period inferred from data (pd.infer_freq) — 30-min " +
+      "CSV gets POA at the +15-min mid-period shift without caller config") {
+    val dir = Files.createTempDirectory("solcast30")
+    val f = dir.resolve("solcast.csv")
+    val hdr = "PeriodStart,Dni,Ghi,Dhi,Airmass,AlbedoDaily"
+    val rows = (0 until 12).map { i =>
+      val t = java.time.Instant.parse("2020-02-01T12:00:00Z")
+        .plusSeconds(i * 1800L)
+      s"$t,800,600,100,1.2,0.08"
+    }
+    Files.write(f, (hdr +: rows).mkString("\n").getBytes)
+    val raw = SolarStage.readSolcastCsv(spark, f.toString)
+    // mode of adjacent PeriodStart diffs
+    // (lib/process_solcast_historic_data.py:12-16,93)
+    assert(SolarStage.inferPeriodSec(raw) == 1800L)
+    val site = SolarStage.Site(-26.243602, -48.6417668)
+    val inferred = SolarStage.withPoa(raw, site,
+      SolarStage.inferPeriodSec(raw))
+    val at15 = SolarStage.withPoa(raw, site, 1800)      // +15 min shift
+    val at150 = SolarStage.withPoa(raw, site, 300)      // wrong 5-min default
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("timestamp").collect().map(_.getAs[Double]("poa")).toSeq
+    assert(key(inferred) == key(at15))
+    assert(key(inferred) != key(at150)) // the shift is load-bearing
+  }
+
   test("Sinks: tz display round-trip and CSV write (P13/S6)") {
     import graft.sources.Sinks
     val df = Seq(java.sql.Timestamp.valueOf("2020-02-01 12:00:00")).toDF("ts")
