@@ -55,14 +55,18 @@ case class LangIdPick(child: Expression, cjkPattern: String,
       forceInline = true)
     val src = ctx.addReferenceObj("langPatternSrc",
       (cjkPattern +: langs.map(_._2)).toArray, "java.lang.String[]")
+    // NB: classOf[Array[T]].getName is the JVM name ("[L...;"), which is
+    // not valid Java source — spell the element class + "[]" instead.
     val codesRef = ctx.addReferenceObj("langCodes", codes,
-      classOf[Array[UTF8String]].getName.stripSuffix("[]") + "[]")
+      classOf[UTF8String].getName + "[]")
+    // fresh loop var: the generated method's InternalRow param is `i`
+    val j = ctx.freshName("pIdx")
     nullSafeCodeGen(ctx, ev, s => {
       s"""
         if ($pats == null) {
           $pats = new java.util.regex.Pattern[$src.length];
-          for (int i = 0; i < $src.length; i++) {
-            $pats[i] = java.util.regex.Pattern.compile($src[i]);
+          for (int $j = 0; $j < $src.length; $j++) {
+            $pats[$j] = java.util.regex.Pattern.compile($src[$j]);
           }
         }
         ${ev.value} = graft.expressions.LangIdPick$$.MODULE$$

@@ -56,12 +56,14 @@ case class PatternCounts(child: Expression, patterns: Seq[String])
       forceInline = true)
     val src = ctx.addReferenceObj("patternSrc", patterns.toArray,
       "java.lang.String[]")
+    // fresh loop var: the generated method's InternalRow param is `i`
+    val j = ctx.freshName("pIdx")
     nullSafeCodeGen(ctx, ev, s => {
       s"""
         if ($pats == null) {
           $pats = new java.util.regex.Pattern[$src.length];
-          for (int i = 0; i < $src.length; i++) {
-            $pats[i] = java.util.regex.Pattern.compile($src[i]);
+          for (int $j = 0; $j < $src.length; $j++) {
+            $pats[$j] = java.util.regex.Pattern.compile($src[$j]);
           }
         }
         ${ev.value} = graft.expressions.PatternCounts$$.MODULE$$
