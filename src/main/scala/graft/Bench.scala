@@ -31,6 +31,19 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // total GC time across all collectors, for attributing run-to-run
+    // variance: a query whose two raw runs disagree 10× with a matching
+    // gc_ms spike is JVM noise, not an engine regression (round 5's
+    // p00 64.2 s-vs-3.4 s mystery was undiagnosable from the artifact)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // per-query raw run times and GC delta, reported alongside the min
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val gcDeltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
     // optional comma-separated query-name filter for standalone
     // re-timing of a few queries without paying for the whole catalog
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -56,10 +69,14 @@ object Bench {
       // work); the min is the steady-state engine cost — a real
       // pathology (e.g. a quadratic candidate blowup) inflates EVERY
       // run, so nothing real hides
-      val sec = Seq.fill(2)(time {
+      val gc0 = gcMs()
+      val runs = Seq.fill(2)(time {
         graft.pipeline.ParseStage.run(spark, corpus,
           graft.sources.CanFixtures.schema).count()
-      }).min
+      })
+      rawRuns("p00_canparse") = runs
+      gcDeltas("p00_canparse") = gcMs() - gc0
+      val sec = runs.min
       System.err.println(f"[bench] p00_canparse $sec%.1f s ($n lines)")
       (sec, n)
     }
@@ -98,7 +115,8 @@ object Bench {
       // operators that persist intermediates for intra-query reuse
       // (gram/signature/label tables) must not leak cache pressure
       // into the next measurement either
-      val sec = Seq.fill(2) {
+      val gc0 = gcMs()
+      val runs = Seq.fill(2) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
@@ -106,7 +124,10 @@ object Bench {
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         s
-      }.min
+      }
+      rawRuns(name) = runs
+      gcDeltas(name) = gcMs() - gc0
+      val sec = runs.min
       System.err.println(f"[bench] $name $sec%.1f s")
       val drained = guards.drain(settleMs = 50L)
       if (drained.nonEmpty) GuardMetrics.report("bench", name, drained)
@@ -115,11 +136,22 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = rawRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
+    val gcJson = gcDeltas.map { case (k, ms) => "\"" + k + "\":" + ms }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val msPerLine =
       if (nLines > 0) parseSec * 1000.0 / nLines else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runsJson,"gc_ms":$gcJson,""" +
+      s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver captures the stdout tail, which
+    // round 5 showed can truncate mid-JSON when Spark logs interleave
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(Paths.get(outFile), json.getBytes("UTF-8"))
     spark.stop()
   }
 
