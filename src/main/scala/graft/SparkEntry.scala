@@ -353,6 +353,26 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Composed IVF × SQ ANN gate — the 100 TB production shape: the
+    // approximate pass is cell-pruned (nProbe of nCells cells) AND
+    // reads only int8 codes; floats appear only at the exact rerank.
+    // Same planted-query discipline as q31/q60, same brute-force
+    // argmax oracle: the coarse quantizer must route each perturbed
+    // query to its source's cell, quantization must keep the true
+    // neighbor inside the oversampled candidate set, and the rerank
+    // must put it at rank 1.
+    "q66_ivfsq_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      operators.Similarity.ivfSqTopK(emb, qs, "vec_id", "embedding", k = 3)
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1"))
+        .orderBy($"query_id")
+    }),
+
     // Embedding-cosine near-dup: corpus ∪ perturbed copies of every 7th
     // vector, candidates from multi-probe hyperplane-LSH buckets, exact
     // cosine verify. The oracle scores ALL pairs exhaustively, so this
@@ -1463,6 +1483,22 @@ object SparkEntry {
          ORDER BY method, query_id""",
 
     "q60_sq_ann_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
+         ORDER BY query_id""",
+
+    "q66_ivfsq_ann_recall" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          q AS (SELECT vec_id + 10000 AS query_id,
              list_transform(v, x -> x * 1.001 + 0.0005) AS qv

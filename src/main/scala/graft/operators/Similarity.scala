@@ -279,6 +279,93 @@ object Similarity {
     searchSq(buildSq(corpus, idCol, vecCol), corpus, queries, idCol,
       vecCol, k, oversample)
 
+  /** A composed IVF × SQ ANN index — the production shape at 100 TB.
+    *
+    * [[searchSq]] scans every int8 code per query batch (4× cheaper
+    * than floats, still O(corpus)); [[searchIvf]] prunes to nProbe
+    * cells but scans float vectors inside them. The composition takes
+    * both savings: `cellCodes` stores ONLY the int8 code word, its
+    * reconstruction norm, and the IVF cell per vector — no floats —
+    * so the approximate pass reads nProbe cells' worth of codes
+    * (cell-pruned AND 4×-compressed) and the floats are fetched for
+    * the oversampled candidates alone at rerank. `cellCodes` is a
+    * plain DataFrame a caller persists or writes bucketed on `cell`
+    * once and searches many times. */
+  final case class IvfSqIndex(centroids: DataFrame, stats: DataFrame,
+                              cellCodes: DataFrame)
+
+  def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 32): IvfSqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nCells)
+    val sq = buildSq(corpus, idCol, vecCol)
+    // one build-time equi join (codes ⋈ cell assignment); floats never
+    // enter the index table
+    val cellCodes = sq.codes.join(
+      ivf.corpusCells.select(col("neighbor_id"), col("cell")),
+      Seq("neighbor_id"))
+    IvfSqIndex(ivf.centroids, sq.stats, cellCodes)
+  }
+
+  /** Search the composed index: rank the (broadcast) centroid table →
+    * probe nProbe cells → asymmetric int8 scoring over those cells'
+    * codes only (same one-dot-per-pair collapse as [[searchSq]]) →
+    * exact float rerank of the oversampled candidates. Recall is
+    * bounded by the coarse quantizer exactly as in [[searchIvf]]; the
+    * quantization error inside probed cells is absorbed by the
+    * oversampled rerank exactly as in [[searchSq]]. */
+  def searchIvfSq(index: IvfSqIndex, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                  oversample: Int = 4): DataFrame = {
+    // query-side prep: asymmetric-scoring constants vs the stats row
+    // (qs_i = q_i·scale_i, qmn = q·mins, sqs = Σqs_i) + centroid probes
+    val qp = queries.crossJoin(broadcast(index.stats))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(asDouble(col(vecCol))).as("__qn"),
+        expr(s"zip_with(CAST($vecCol AS ARRAY<DOUBLE>), scales, " +
+          "(x, s) -> x * s)").as("__qs"),
+        dot(asDouble(col(vecCol)), col("mins")).as("__qmn"))
+      .withColumn("__sqs", expr("aggregate(__qs, 0.0D, (a, x) -> a + x)"))
+    val qScores = qp
+      .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
+      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
+        (col("__qn") * col("__ctn")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = qScores.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__qs"),
+        col("__qmn"), col("__sqs"), col("cell"))
+    // approximate pass: touches only probed cells, reads only codes
+    val scored = probes.join(index.cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        (col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
+          + lit(128.0) * col("__sqs")) / (col("__qn") * col("cnorm")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cands = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * oversample)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+    // exact rerank: floats for candidates only
+    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Build + search in one call (the gate-query entry point). */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 32, nProbe: Int = 4,
+                oversample: Int = 4): DataFrame =
+    searchIvfSq(buildIvfSq(corpus, idCol, vecCol, nCells), corpus, queries,
+      idCol, vecCol, k, nProbe, oversample)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and
     * multi-probed into its own bucket plus every 1-bit flip, so any

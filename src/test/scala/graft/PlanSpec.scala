@@ -160,6 +160,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "per-query rank window expected")
   }
 
+  test("q66: IVF×SQ approx pass joins probed cells to int8 codes, floats only at rerank") {
+    val p = planOf("q66_ivfsq_ann_recall")
+    assert(p.contains("BroadcastExchange"),
+      "stats row, centroids and query batch must broadcast")
+    // the candidate generator is the probe→cell equi join (cell-pruned),
+    // never a scan of the whole code table per query
+    assert(p.contains("cell#"), "probe join on the IVF cell key expected")
+    // the approximate scorer reads the int8 code column
+    assert(p.contains("codes#"), "code-word column expected in the approx pass")
+    assert(p.contains("Window"), "per-query rank windows expected")
+  }
+
   test("q61: unigram scoring partial-aggregates; only the 1-row total broadcasts") {
     val p = planOf("q61_unigram_logprob")
     assert(p.contains("partial_"), "map-side partial aggregation expected")

@@ -102,6 +102,43 @@ class SimilaritySpec extends SparkSpec {
     assert(sq == bf, s"sq top-1 diverged: ${sq.toSet -- bf.toSet}")
   }
 
+  test("IVF×SQ composed index: code-typed cells, float-free until rerank, full recall") {
+    val idx = Similarity.buildIvfSq(emb, "vec_id", "embedding", nCells = 8)
+    // the index table the approximate pass scans holds ONLY the int8
+    // code word, its reconstruction norm, and the cell — no floats
+    assert(idx.cellCodes.columns.sorted.toSeq ==
+      Seq("cell", "cnorm", "codes", "neighbor_id"))
+    val codesType = idx.cellCodes.schema("codes").dataType
+    assert(codesType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"codes must stay int8, got $codesType")
+    // planted-copy recall: same discipline as the SQ and IVF tests —
+    // the composed path must route each query to its source's cell AND
+    // keep the true neighbor through quantization + rerank
+    val copies = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Similarity.ivfSqTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nCells = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(composed == bf, s"ivf×sq top-1 diverged: ${composed.toSet -- bf.toSet}")
+    // build/search split: the built index serves a second query batch
+    val qs2 = emb.filter($"vec_id".between(20, 24)).select("vec_id", "embedding")
+    val idx2 = Similarity.buildIvfSq(corpus, "vec_id", "embedding", nCells = 8)
+    val viaIndex = Similarity.searchIvfSq(idx2, corpus, qs2, "vec_id",
+        "embedding", 3).select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaOneShot = Similarity.ivfSqTopK(corpus, qs2, "vec_id", "embedding",
+        3, nCells = 8).select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == viaOneShot)
+  }
+
   test("native hyperplane signature matches the HOF formula bit-for-bit") {
     // the original Column formulation, kept here as the reference
     // semantics the fused-loop expression must reproduce exactly
