@@ -488,6 +488,35 @@ object SparkEntry {
         .orderBy($"sel_key".desc, $"doc_id")
     }),
 
+    // Fitted-DSIR scorer gate: fit a dense ratio table on source and
+    // target corpora, then score NEW documents disjoint from both —
+    // including a marker-only doc hitting TARGET-ONLY buckets (the
+    // full-outer ratio domain that dsirWeights' source-led join never
+    // exercises) and a gibberish doc landing in NEVER-SEEN buckets
+    // (the smoothed default fill), plus an empty doc that must score
+    // null. The oracle rebuilds the dense table (full-outer bucket
+    // domain + default lr) and refolds each new doc's bucket-sorted
+    // feature list in SQL. Engine-neutral md5 hash, 512 buckets.
+    "q67_dsir_fitted_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val source = docs.filter($"doc_id" % 3 === 0)
+      val target = docs.filter($"doc_id" % 17 === 0)
+        .select($"doc_id", concat($"text", lit(" zz qq zz qq")).as("text"))
+      def one(id: Long, text: String) =
+        s.range(1).select(lit(id).as("doc_id"), lit(text).as("text"))
+      val fresh = docs.filter($"doc_id" % 3 === 1 && $"doc_id" % 17 =!= 0)
+        .unionByName(one(9000001L, "zz qq zz qq"))
+        .unionByName(one(9000002L, "kxqv wzzyx vvqk jjxw qqzv"))
+        .unionByName(one(9000003L, ""))
+      val model = operators.Curation.fitDsir(source, target, "text",
+        buckets = 512, hashFn = operators.Dedup.md5Hash60)
+      fresh.select($"doc_id",
+          operators.Curation.dsirScoreCol($"text", model,
+            operators.Dedup.md5Hash60).as("raw"))
+        .select($"doc_id", round($"raw", 6).as("dsir_score"))
+        .orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1798,6 +1827,67 @@ object SparkEntry {
            FROM wts)
          SELECT doc_id, n_feats, logw, sel_key FROM keyed
          ORDER BY sel_key DESC, doc_id LIMIT 100""",
+
+    "q67_dsir_fitted_score" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         tgt AS (SELECT doc_id, text || ' zz qq zz qq' AS text
+           FROM documents WHERE doc_id % 17 = 0),
+         fresh AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 3 = 1 AND doc_id % 17 <> 0
+           UNION ALL SELECT 9000001, 'zz qq zz qq'
+           UNION ALL SELECT 9000002, 'kxqv wzzyx vvqk jjxw qqzv'
+           UNION ALL SELECT 9000003, ''),
+         stoks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') t FROM src),
+         ttoks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') t FROM tgt),
+         ftoks AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') t FROM fresh),
+         sfeat AS (
+           SELECT doc_id, unnest(t) AS feat FROM stoks
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM stoks,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         tfeat AS (
+           SELECT doc_id, unnest(t) AS feat FROM ttoks
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM ttoks,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         ffeat AS (
+           SELECT doc_id, unnest(t) AS feat FROM ftoks
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM ftoks,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         sbk AS (SELECT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket,
+             count(*) cs
+           FROM sfeat WHERE feat <> '' GROUP BY 1),
+         tbk AS (SELECT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket,
+             count(*) ct
+           FROM tfeat WHERE feat <> '' GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM sbk) ns,
+                        (SELECT CAST(sum(ct) AS BIGINT) FROM tbk) nt),
+         ratio AS (SELECT coalesce(s.bucket, tb.bucket) AS bucket,
+             ln((coalesce(tb.ct, 0)::DOUBLE + 1.0) / (nt::DOUBLE + 512.0)) -
+             ln((coalesce(s.cs, 0)::DOUBLE + 1.0) / (ns::DOUBLE + 512.0)) AS lr
+           FROM sbk s FULL OUTER JOIN tbk tb ON s.bucket = tb.bucket
+           CROSS JOIN tot),
+         fbk AS (SELECT doc_id,
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket
+           FROM ffeat WHERE feat <> ''),
+         terms AS (SELECT doc_id, f.bucket,
+             coalesce(lr, ln(1.0 / (nt::DOUBLE + 512.0)) -
+                          ln(1.0 / (ns::DOUBLE + 512.0))) AS lr
+           FROM fbk f LEFT JOIN ratio r ON f.bucket = r.bucket
+           CROSS JOIN tot),
+         scored AS (SELECT doc_id,
+             round(list_reduce(list(lr ORDER BY bucket), (a, b) -> a + b),
+               6) AS dsir_score
+           FROM terms GROUP BY doc_id)
+         SELECT f.doc_id, s.dsir_score
+         FROM fresh f LEFT JOIN scored s ON f.doc_id = s.doc_id
+         ORDER BY f.doc_id""",
 
     "q61_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,

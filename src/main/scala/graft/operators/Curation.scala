@@ -560,10 +560,13 @@ object Curation {
     * document can hit target-only or never-seen buckets) and
     * collected into a dense driver-side array — bounded by `buckets`
     * rows by construction, the same bound that lets dsirWeights
-    * broadcast its ratio table. Default xxhash64 feature hash only:
-    * that is what the native scorer reproduces. */
+    * broadcast its ratio table. The default xxhash64 feature hash is
+    * what the native [[dsirScore]] expression reproduces; a custom
+    * `hashFn` (e.g. [[Dedup.md5Hash60]] for cross-engine oracles)
+    * pairs with the Column-form [[dsirScoreCol]]. */
   def fitDsir(source: DataFrame, target: DataFrame, textCol: String,
-              buckets: Int = 1 << 16, smoothing: Double = 1.0): DsirModel = {
+              buckets: Int = 1 << 16, smoothing: Double = 1.0,
+              hashFn: Column => Column = xxhash64(_)): DsirModel = {
     def bucketCounts(df: DataFrame, cnt: String): DataFrame = {
       val tk = split(lower(trim(col(textCol))), "\\s+")
       df.select(tk.as("__tk"))
@@ -572,7 +575,7 @@ object Curation {
             slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
             (x, y) => concat(x, lit(" "), y)))).as("feat"))
         .filter(col("feat").isNotNull && col("feat") =!= "")
-        .groupBy(pmod(xxhash64(col("feat")), lit(buckets.toLong)).as("bucket"))
+        .groupBy(pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
         .agg(count(lit(1)).as(cnt))
     }
     val srcB = bucketCounts(source, "cs")
@@ -610,4 +613,31 @@ object Curation {
         org.apache.spark.sql.GraftExpressionBridge.expression(
           split(lower(trim(text)), "\\s+")),
         model.table))
+
+  /** The same fitted-model score as [[dsirScore]] in plain Column
+    * form, with a caller-chosen feature hash — the cross-engine-
+    * verifiable path (an md5-hashed model's scores are reproducible
+    * by any SQL engine; the native expression is xxhash64-only).
+    *
+    * The fold runs over the BUCKET-SORTED feature list, so the float
+    * addition order is defined by the data, not the engine — an
+    * external oracle folding the same sorted list reproduces the sum
+    * exactly (the discipline of [[dsirWeights]]' bucket-sorted
+    * terms). Still a pure projection: the dense table enters the plan
+    * as a `buckets`-sized literal array, no join, no state. */
+  def dsirScoreCol(text: Column, model: DsirModel,
+                   hashFn: Column => Column = xxhash64(_)): Column = {
+    val tk = split(lower(trim(text)), "\\s+")
+    val feats = filter(
+      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))),
+      f => f.isNotNull && f =!= "")
+    val tbl = lit(model.table)
+    val bks = sort_array(transform(feats,
+      f => pmod(hashFn(f), lit(model.buckets.toLong))))
+    when(size(feats) > 0,
+      aggregate(bks, lit(0.0),
+        (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int"))))
+      .otherwise(lit(null).cast("double"))
+  }
 }

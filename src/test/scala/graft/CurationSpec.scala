@@ -415,6 +415,45 @@ class CurationSpec extends SparkSpec {
       s"expected the planted docs on top, got $top")
   }
 
+  test("dsir: fitted model scores new docs; native and Column scorers agree") {
+    val source = (0L until 40L).map(i =>
+      (i, s"common words number $i filler text and more filler"))
+      .toDF("doc_id", "text")
+    val target = (200L until 210L).map(i =>
+      (i, s"rare marker phrase here sample $i")).toDF("doc_id", "text")
+    val model = Curation.fitDsir(source, target, "text", buckets = 256)
+    // new docs disjoint from both corpora: target-like must outscore
+    // source-like; gibberish exercises never-seen buckets; empty → null
+    val fresh = Seq(
+      (500L, "rare marker phrase here brand new"),
+      (501L, "common words filler text again"),
+      (502L, "qqxzv wvvkj zzryx"),
+      (503L, "")).toDF("doc_id", "text")
+    val scored = fresh.select($"doc_id",
+        Curation.dsirScore($"text", model).as("native"),
+        Curation.dsirScoreCol($"text", model).as("col"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // parity up to float-addition order (different summation order,
+    // same terms): round both at 6
+    scored.foreach { case (id, (n, c)) =>
+      assert(n.isDefined == c.isDefined, s"doc $id null mismatch")
+      for (nv <- n; cv <- c)
+        assert(math.abs(nv - cv) < 1e-9, s"doc $id native=$nv col=$cv")
+    }
+    assert(scored(503L)._1.isEmpty, "empty text must score null")
+    assert(scored(500L)._1.get > scored(501L)._1.get,
+      "target-like doc must outscore source-like doc")
+    // the md5-hashed model pairs with the Column scorer the same way
+    val m2 = Curation.fitDsir(source, target, "text", buckets = 256,
+      hashFn = Dedup.md5Hash60)
+    val s2 = fresh.select($"doc_id",
+        Curation.dsirScoreCol($"text", m2, Dedup.md5Hash60).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(s2(500L).isDefined && s2(503L).isEmpty)
+  }
+
   test("dsir: weights are deterministic and gumbel keys reproducible") {
     val docs = (0L until 30L).map(i => (i, s"text body $i with words"))
       .toDF("doc_id", "text")
