@@ -23,7 +23,12 @@ import graft.sources.{Candump, CanSchema}
 object ParseStage {
 
   final case class Report(
-      inputFile: String, inputLines: Long, outputRows: Long, elapsedSec: Double) {
+      inputFile: String, inputLines: Long, outputRows: Long,
+      elapsedSec: Double,
+      /** true when elapsedSec is the file's OWN timed run (reference
+        * semantics); false when it is the shared wall clock attributed
+        * proportionally by input lines */
+      measured: Boolean = false) {
     def msPerLine: Double =
       if (inputLines > 0) elapsedSec * 1000 / inputLines else 0.0
     def render: String =
@@ -105,7 +110,8 @@ object ParseStage {
     val totalLines = math.max(lineCounts.values.sum, 1L)
     lineCounts.keys.toSeq.sorted.map { f =>
       Report(f, lineCounts(f), outCounts.getOrElse(f, 0L),
-        measured.getOrElse(f, elapsed * lineCounts(f) / totalLines))
+        measured.getOrElse(f, elapsed * lineCounts(f) / totalLines),
+        measured.contains(f))
     }
   }
 }

@@ -139,7 +139,14 @@ object Seasons {
   def run(spark: SparkSession, cfg: SeasonConfig, outputDir: String,
           forecastCsv: Option[String] = None,
           gpxFiles: Seq[String] = Nil,
-          resamplePeriod: String = "1s"): DataFrame = {
+          resamplePeriod: String = "1s",
+          /** when set, receives the per-file parse reports — each file
+            * timed with its OWN bounded run (canparser_sparse_report.txt
+            * semantics, lib/canparser.py:346-356) while the dataset has
+            * ≤ `maxTimedFiles` files; [[writeParseReport]] is the
+            * file-writing sink matching the reference's report file */
+          reportSink: Option[Seq[ParseStage.Report] => Unit] = None,
+          maxTimedFiles: Int = 16): DataFrame = {
     val schema = CanSchema.load(cfg.canIdsPath)
     def parse(d: DatasetFiles, tag: String) =
       ParseStage.run(spark, d.candumpGlob, schema,
@@ -150,9 +157,25 @@ object Seasons {
     val (refSets, mainSets) = cfg.datasets.partition(_.isReferenceDb)
     require(mainSets.nonEmpty,
       s"season ${cfg.name} has no non-reference datasets to process")
-    val wides = mainSets.zipWithIndex.map { case (d, i) => parse(d, s"d$i") }
+    val mainParsed = mainSets.zipWithIndex.map { case (d, i) =>
+      d -> parse(d, s"d$i") }
+    val refParsed = refSets.zipWithIndex.map { case (d, i) =>
+      d -> parse(d, s"db$i") }
+    reportSink.foreach { sink =>
+      sink((mainParsed ++ refParsed).flatMap { case (d, wide) =>
+        ParseStage.report(spark, d.candumpGlob, wide,
+          // measured per-file elapsed: re-run the single-file pipeline
+          // WITHOUT the output path (a run with outputPath would hit
+          // the S9 skip-if-exists and time a parquet read instead)
+          perFilePipeline = Some(f => ParseStage.run(spark, f, schema,
+            offsetMicros = d.offsetMicros,
+            mab20Workaround = cfg.mab20Workaround)),
+          maxTimedFiles = maxTimedFiles)
+      })
+    }
+    val wides = mainParsed.map(_._2)
     // unify (J1): clip the reference-DB data to each dataset's range
-    val unified = refSets.zipWithIndex.map { case (d, i) => parse(d, s"db$i") }
+    val unified = refParsed.map(_._2)
       .reduceOption(_ unionByName _) match {
       case Some(refDb) =>
         wides.map(w => graft.operators.TimeSeries.unionMerge(w, refDb, "timestamp"))
@@ -211,6 +234,19 @@ object Seasons {
     graft.operators.TimeSeries.dedupKeepFirst(withGps,
         Seq("timestamp"), Seq("__dataset"))
       .drop("__dataset")
+  }
+
+  /** File-writing report sink: renders the per-file reports in the
+    * reference's `canparser_sparse_report.txt` shape
+    * (lib/canparser.py:377-392) to `path` through the Hadoop
+    * filesystem API, so it lands next to cluster output too. */
+  def writeParseReport(spark: SparkSession, path: String)
+                      (reports: Seq[ParseStage.Report]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(reports.map(_.render).mkString("\n\n").getBytes("UTF-8"))
+    finally os.close()
   }
 
   /** The per-period driver loop (main_2020.py:137-147 iterates the

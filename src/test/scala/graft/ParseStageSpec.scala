@@ -65,6 +65,40 @@ class ParseStageSpec extends SparkSpec {
     assert(math.abs(byLines(40L) / byLines(10L) - 4.0) < 1e-9)
   }
 
+  test("Seasons.run emits MEASURED per-file parse reports for a 2-file season") {
+    import graft.pipeline.Seasons
+    val dir = Files.createTempDirectory("season_report")
+    Files.write(dir.resolve("ids.json"), CanFixtures.json.getBytes)
+    val dataDir = Files.createDirectory(dir.resolve("candump"))
+    Files.write(dataDir.resolve("a.log"), (0 until 40).map { i =>
+      f"(${1580515200L + i}%d.000000) can0 021#11E803110300"
+    }.mkString("\n").getBytes)
+    Files.write(dataDir.resolve("b.log"), (0 until 10).map { i =>
+      f"(${1580515300L + i}%d.000000) can0 021#11D00733FF00"
+    }.mkString("\n").getBytes)
+    val cfg = Seasons.SeasonConfig(
+      name = "rep", canIdsPath = dir.resolve("ids.json").toString,
+      mab20Workaround = false, shiftBackLocalize = false,
+      site = None, resamplePeriods = Seq("10s"),
+      datasets = Seq(Seasons.DatasetFiles(s"$dataDir/*.log")))
+    var got: Seq[ParseStage.Report] = Nil
+    Seasons.run(spark, cfg, dir.resolve("out").toString,
+      resamplePeriod = "10s", reportSink = Some(r => got = r))
+    assert(got.length == 2)
+    // the season path must deliver the reference's per-file timing
+    // semantics (each file timed by its own run), not the proportional
+    // attribution fallback
+    assert(got.forall(_.measured), s"expected measured elapsed, got $got")
+    assert(got.forall(_.elapsedSec > 0))
+    assert(got.map(_.inputLines).sorted == Seq(10L, 40L))
+    assert(got.forall(_.outputRows > 0))
+    // the file sink writes the reference-shaped report text
+    val repPath = dir.resolve("report.txt")
+    Seasons.writeParseReport(spark, repPath.toString)(got)
+    val txt = new String(Files.readAllBytes(repPath), "UTF-8")
+    assert(txt.contains("Conversion rate") && txt.contains("a.log"))
+  }
+
   test("full 2020 schema stress: plan compiles and runs with all topics/columns") {
     // SURVEY §7 hard-part 5: the generated decode for a real season
     // schema (20 modules x 46 topics -> ~300 wide columns) must stay
