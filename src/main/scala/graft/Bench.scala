@@ -160,8 +160,13 @@ object Bench {
     * parse-meaningful line count. Returns the line count. */
   def writeCandumpCorpus(spark: SparkSession, sfDir: String, path: String): Long = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // tolerate both testdata timestamp layouts (see SparkEntry.t)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val b = (c: org.apache.spark.sql.Column) => lpad(hex(c), 2, "0")
     val lines = ev
       .select(explode(sequence(lit(0), lit(39))).as("i"),

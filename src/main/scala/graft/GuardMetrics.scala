@@ -51,6 +51,16 @@ object GuardMetrics {
           // (AQE re-execution, min-of-N bench runs): keep the MAX per
           // metric, not the sum — the metric is per-evaluation truth
           drops.merge(name, v, (a, b) => math.max(a, b))
+        } else if (name.startsWith("graft_") && name.contains("_rescue_")) {
+          // hot-bucket reroute accounting (Dedup.minhashNearDups
+          // rescueHot): one key per metric column so the report line
+          // shows members and groups separately
+          row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (f.dataType == org.apache.spark.sql.types.LongType) {
+              val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+              drops.merge(s"$name.${f.name}", v, (a, b) => math.max(a, b))
+            }
+          }
         }
       }
 
@@ -92,7 +102,10 @@ object GuardMetrics {
     val detail = if (nonZero.isEmpty) ""
       else nonZero.toSeq.sortBy(_._1)
         .map { case (k, v) => s" $k=$v" }.mkString(" —", "", "")
+    // the headline number counts only recall-losing DROPS; rescue
+    // reroutes (recall-preserving) appear in the detail list only
+    val dropSum = nonZero.filter(_._1.contains("_guard_")).values.sum
     System.err.println(
-      s"[$tag] $name guard_drops=${nonZero.values.sum}$detail")
+      s"[$tag] $name guard_drops=$dropSum$detail")
   }
 }

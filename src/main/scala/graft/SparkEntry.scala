@@ -18,13 +18,21 @@ import graft.operators.TimeSeries
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores ns-precision timestamps, which Spark's
-    // parquet reader rejects by default; read ns as long and floor to
-    // the µs that DuckDB also sees (sub-µs is always zero in testdata).
+    // events.parquet has shipped with TWO timestamp physical layouts
+    // across testdata generations: ns-precision TIMESTAMP(NANOS)
+    // (rejected by Spark's reader unless read as long — floor to the
+    // µs DuckDB also sees) and plain µs TIMESTAMP (inferred as NTZ).
+    // Branch on the ACTUAL column type so either layout loads; the
+    // NTZ→timestamp cast is wall-clock-preserving under the session's
+    // UTC zone, matching DuckDB's naive read.
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw.withColumn("ts", $"ts".cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -515,6 +523,29 @@ object SparkEntry {
             operators.Dedup.md5Hash60).as("raw"))
         .select($"doc_id", round($"raw", 6).as("dsir_score"))
         .orderBy($"doc_id")
+    }),
+
+    // Hot-bucket rescue gate: 100 byte-identical copies of doc 0 are
+    // planted; with maxBucket = 50 every band bucket holding the copy
+    // cluster is hot, and the plain guard would DROP it — losing every
+    // copy pair, so dropNearDups would keep all 100 copies. With
+    // rescueHot the identical-signature collapse reroutes the cluster
+    // through exact-dup star pairs (Dedup.scala minhashNearDups) and
+    // bands only the representatives, so near-dup recall stays 100%
+    // with the guard ON. The oracle recomputes the exhaustive
+    // threshold closure (recursive CTE over true word-trigram Jaccard
+    // pairs) and the survivor sets must match exactly.
+    "q68_hot_bucket_rescue" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val boiler = docs.filter($"doc_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
+        .select(($"i" + 2000000L).as("doc_id"), $"text")
+      val corpus = docs.unionByName(boiler)
+      val pairs = operators.Dedup.minhashNearDups(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.8, wordGrams = 3,
+        maxBucket = 50, rescueHot = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
     }),
 
     // Split-leakage audit: the corpus carries its own split labels;
@@ -1888,6 +1919,37 @@ object SparkEntry {
          SELECT f.doc_id, s.dsir_score
          FROM fresh f LEFT JOIN scored s ON f.doc_id = s.doc_id
          ORDER BY f.doc_id""",
+
+    "q68_hot_bucket_rescue" ->
+      """WITH corpus AS (
+           SELECT doc_id, lower(text) tx FROM documents
+           UNION ALL
+           SELECT 2000000 + r.range AS doc_id,
+             (SELECT lower(text) FROM documents WHERE doc_id = 0) AS tx
+           FROM range(0, 100) r),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+           FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-2, 1))) AS i)),
+         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
+         edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x, least(x, min(y)) c FROM reach GROUP BY x)
+         SELECT c.doc_id FROM corpus c
+         LEFT JOIN comp ON comp.x = c.doc_id
+         WHERE comp.x IS NULL OR comp.c = c.doc_id
+         ORDER BY doc_id""",
 
     "q61_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,

@@ -148,7 +148,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8, wordGrams: Int = 0,
-                      maxBucket: Int = 200): DataFrame = {
+                      maxBucket: Int = 200,
+                      rescueHot: Boolean = false): DataFrame = {
     val sh =
       if (wordGrams > 0) wordShingles(df, idCol, textCol, wordGrams)
       else shingles(df, idCol, textCol, shingleK)
@@ -172,7 +173,39 @@ object Dedup {
               s"i -> substring(__lt, i, $shingleK))").as("__sh"))
           .select(col(idCol),
             minhashSignatureCol(col("__sh"), numHashes).as("sig"))
-    val cands = lshCandidates(sigs, idCol, numHashes, bands, maxBucket)
+    val cands =
+      if (!rescueHot) lshCandidates(sigs, idCol, numHashes, bands, maxBucket)
+      else {
+        // Hot-bucket escape hatch: the maxBucket guard trades RECALL
+        // when a bucket is genuinely hot, and the usual cause is
+        // thousands of byte-identical boilerplate docs (which share
+        // EVERY band). Collapse identical-signature docs to one
+        // representative BEFORE banding: per signature group emit
+        // star pairs (rep = min id → member) — linear in the group,
+        // diameter 2 for connectedComponents — and band only the
+        // representatives, so exact-dup flooding can never form a hot
+        // bucket in the first place. Star pairs still go through the
+        // exact-Jaccard verify below (identical text ⇒ jaccard = 1,
+        // and a pathological signature collision is filtered out
+        // rather than silently merged). The collapse surfaces through
+        // a `graft_lsh_rescue_*` observe metric (rescued_members /
+        // rescued_groups) so the reroute is visible in Verify/Bench.
+        val keyed = sigs.withColumn("__ck", xxhash64(col("sig")))
+        val groups = keyed.groupBy(col("__ck"))
+          .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+          .observe(s"graft_lsh_rescue_${obsId.incrementAndGet()}",
+            sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
+              .as("rescued_members"),
+            sum(when(col("__n") > 1, 1L).otherwise(0L))
+              .as("rescued_groups"))
+        val withRep = keyed.join(groups.select("__ck", "__rep"), Seq("__ck"))
+        val star = withRep.filter(col(idCol) =!= col("__rep"))
+          .select(col("__rep").as("a"), col(idCol).as("b"))
+        val repSigs = withRep.filter(col(idCol) === col("__rep"))
+          .select(col(idCol), col("sig"))
+        lshCandidates(repSigs, idCol, numHashes, bands, maxBucket)
+          .unionByName(star)
+      }
     jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -119,6 +119,31 @@ object StreamingParse {
       .join(broadcast(blocklist.select(col("fingerprint")).distinct()),
         Seq("fingerprint"), "left_anti")
 
+  /** Streaming curation admission filter: score each streamed
+    * document with the quality heuristic
+    * ([[graft.operators.TextAnalysis.qualityScore]]) and a fitted
+    * DSIR model ([[graft.operators.Curation.dsirScore]] — the native
+    * per-row expression over the dense ratio table fitted OFFLINE by
+    * `fitDsir`) and admit rows passing both thresholds. Both scorers
+    * are pure projections — no watermark, no state, no join — so
+    * this is the cheapest possible first tier of a streaming ingest
+    * pipeline, in front of the stateful dedup stages: at 100 TB the
+    * flood of low-quality / off-domain documents is rejected at the
+    * codec boundary before it ever costs a shuffle or state lookup.
+    * Documents with no features (empty text) score null and are
+    * rejected. The score columns stay on the admitted rows for
+    * downstream sampling/audit. */
+  def scoreFilterStream(docs: DataFrame, textCol: String,
+                        model: graft.operators.Curation.DsirModel,
+                        minQuality: Double = 0.5,
+                        minDsir: Double = 0.0): DataFrame =
+    docs
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("dsir_score",
+        graft.operators.Curation.dsirScore(col(textCol), model))
+      .filter(col("quality") >= minQuality && col("dsir_score") >= minDsir)
+
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,
                   checkpoint: String): DataStreamWriter[Row] =

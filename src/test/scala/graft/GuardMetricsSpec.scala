@@ -34,7 +34,7 @@ class GuardMetricsSpec extends SparkSpec {
           "q29_ngram_jaccard", "q33_cosine_neardup",
           "q49_cross_contamination", "q50_curate",
           "q51_containment_decontam", "q62_contamination_report",
-          "q63_split_leakage")) {
+          "q63_split_leakage", "q68_hot_bucket_rescue")) {
         // noop write, not count(): count() lets the optimizer DELETE
         // a left join whose (unique-keyed, unreferenced) right side
         // carries the guard metrics — q62's report shape — and the
@@ -44,10 +44,51 @@ class GuardMetricsSpec extends SparkSpec {
           .write.mode("overwrite").format("noop").save()
         val drained = guards.drain()
         assert(drained.nonEmpty, s"$q emitted no guard metrics")
-        val nonZero = drained.filter(_._2 != 0L)
+        // rescue reroutes (graft_*_rescue_*) are recall-PRESERVING and
+        // expected non-zero on q68's planted corpus; only drops fail
+        val nonZero = drained.filter { case (k, v) =>
+          v != 0L && k.contains("_guard_") }
         assert(nonZero.isEmpty, s"$q dropped buckets: $nonZero")
         spark.catalog.clearCache()
       }
+    } finally spark.listenerManager.unregister(guards)
+  }
+
+  test("hot-bucket rescue keeps near-dup recall with the guard ON") {
+    val guards = GuardMetrics.register(spark)
+    try withGuardPlanning {
+      // 1000 byte-identical boilerplate copies + 5 distinct docs. Every
+      // band bucket holding the copy cluster blows maxBucket = 50, so
+      // the plain guard drops it and finds NOTHING; the rescue path
+      // must collapse the cluster to star pairs, keep exactly one
+      // representative, and report the reroute through the metric.
+      val boiler = (0L until 1000L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog again and again"))
+      val distinctDocs = (0L until 5L).map(i =>
+        (5000L + i, s"unique document number $i with its own words ".repeat(3)))
+      val docs = (boiler ++ distinctDocs).toDF("doc_id", "text")
+      val guarded = operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.8, wordGrams = 3,
+        maxBucket = 50)
+      assert(guarded.count() == 0L,
+        "without rescue the hot cluster must be dropped (the guard bites)")
+      guards.drain(settleMs = 2000L) // discard the no-rescue run's drops
+      val rescued = operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.8, wordGrams = 3,
+        maxBucket = 50, rescueHot = true)
+      val kept = operators.Dedup.dropNearDups(docs, rescued, "doc_id")
+        .select("doc_id").as[Long].collect().sorted
+      // 100% recall: all 1000 copies collapse to representative id 0
+      assert(kept.toSeq == (0L +: (5000L until 5005L)),
+        s"expected one boilerplate survivor + 5 distinct docs, got ${kept.toSeq}")
+      val drained = guards.drain(settleMs = 2000L)
+      assert(drained.exists { case (k, v) =>
+        k.contains("_rescue_") && k.endsWith("rescued_members") && v == 999L },
+        s"expected rescued_members=999, got $drained")
+      assert(!drained.exists { case (k, v) =>
+        k.contains("_guard_") && v > 0L },
+        s"rescue run must be drop-free, got $drained")
+      spark.catalog.clearCache()
     } finally spark.listenerManager.unregister(guards)
   }
 

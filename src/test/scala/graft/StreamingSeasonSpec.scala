@@ -136,6 +136,50 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality + DSIR admission filter (stateless projections)") {
+    import spark.implicits._
+    val dom = "solar boat telemetry battery current voltage panel energy motor speed"
+    val gen = "market stock price trading bond yield finance quarterly report earnings"
+    val source = (0 until 40).map(i => (i.toLong, gen)).toDF("doc_id", "text")
+    val target = (0 until 40).map(i => (i.toLong, dom)).toDF("doc_id", "text")
+    val model = graft.operators.Curation.fitDsir(source, target, "text",
+      buckets = 4096)
+    val docs = Seq(
+      (1L, (dom + " ") * 3),      // on-domain, quality 1.0 → admitted
+      (2L, (gen + " ") * 3),      // good quality but off-domain → DSIR rejects
+      (3L, "!!! ??? !!! ### $$$"), // punct junk → quality rejects
+      (4L, ""))                   // empty: null score → rejected
+      .toDF("doc_id", "text")
+    // precondition (batch): each threshold bites independently — doc 2
+    // fails ONLY the DSIR gate, doc 3 fails the quality gate, doc 4
+    // scores null
+    val scored = docs.select($"doc_id",
+        graft.operators.TextAnalysis.qualityScore($"text").as("q"),
+        graft.operators.Curation.dsirScore($"text", model).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(scored(1L)._1 >= 0.5 && scored(1L)._2.get > 0.0)
+    assert(scored(2L)._1 >= 0.5 && scored(2L)._2.get < 0.0)
+    assert(scored(3L)._1 < 0.5)
+    assert(scored(4L)._2.isEmpty)
+    val dir = Files.createTempDirectory("stream_scorefilter")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .scoreFilterStream(stream, "text", model,
+        minQuality = 0.5, minDsir = 0.0)
+      .writeStream.format("memory").queryName("score_filter")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from score_filter").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
