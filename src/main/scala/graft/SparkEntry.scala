@@ -1056,7 +1056,12 @@ object SparkEntry {
           graft.pipeline.Seasons.DatasetFiles(s"$tmp/main_log/part-*"),
           graft.pipeline.Seasons.DatasetFiles(s"$tmp/db_log/part-*",
             isReferenceDb = true)))
-      val out = graft.pipeline.Seasons.run(s, cfg, s"$tmp/out",
+      // fresh output dir per invocation: the parse stage's S9
+      // skip-if-exists would otherwise turn a repeat run (bench run 2)
+      // into a parquet re-read instead of a full parse
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q65_out").toString
+      val out = graft.pipeline.Seasons.run(s, cfg, outDir,
         forecastCsv = Some(s"$tmp/solcast.csv"),
         gpxFiles = Seq(s"$tmp/track.gpx"), resamplePeriod = "1min")
       out.select(col("timestamp"),
@@ -1134,7 +1139,19 @@ object SparkEntry {
     * 101st event, short 4-byte frame every 103rd); the reference-DB
     * log spans a WIDER time range than the main log so the unify
     * stage's clip-to-[min,max] (J1) actually removes rows. */
-  private def q65Fixtures(s: SparkSession, d: String): String = {
+  private val q65FixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized per sfDir for the JVM's lifetime: the fixtures are
+    * INPUT data (a deterministic function of `events`), so
+    * regenerating them on every invocation would bill two Spark
+    * sort+write jobs to each timed bench run of the season pipeline
+    * itself. Verify calls once either way; Bench's warm-up pays the
+    * build and the timed runs measure parse→unify→forecast→gps. */
+  private def q65Fixtures(s: SparkSession, d: String): String =
+    q65FixtureCache.computeIfAbsent(d, dir => buildQ65Fixtures(s, dir))
+
+  private def buildQ65Fixtures(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_q65").toString
     Files.writeString(Paths.get(s"$tmp/can_ids.json"),
