@@ -344,9 +344,42 @@ object Dedup {
     * `spark.catalog.clearCache()` between them (as Bench does). */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, threshold: Double = 0.5,
-                           maxBucket: Int = 50): DataFrame =
-    ngramJaccardFromGrams(
-      gramTable(df, idCol, textCol, n).persist(), idCol, threshold, maxBucket)
+                           maxBucket: Int = 50,
+                           rescueHot: Boolean = false): DataFrame =
+    if (!rescueHot)
+      ngramJaccardFromGrams(
+        gramTable(df, idCol, textCol, n).persist(), idCol, threshold, maxBucket)
+    else {
+      // Hot-bucket escape hatch, same discipline as
+      // [[minhashNearDups]]' rescueHot: identical-TEXT docs (the usual
+      // cause of a gram bucket blowing `maxBucket`) collapse to one
+      // representative before gramming; members attach via star pairs
+      // (rep = min id → member, diameter 2 for connectedComponents).
+      // The key hashes the NORMALIZED text (lower+trim — exactly the
+      // projection [[gramTable]] tokenizes), so equal keys mean equal
+      // gram sets and the star pairs carry jaccard = 1.0 by
+      // construction; no sketch is involved, so there is nothing to
+      // re-verify. The reroute surfaces through a
+      // `graft_ngram_rescue_*` observe metric.
+      val keyed = df.select(col(idCol), col(textCol))
+        .withColumn("__ck", xxhash64(lower(trim(col(textCol)))))
+      val groups = keyed.groupBy(col("__ck"))
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+        .observe(s"graft_ngram_rescue_${obsId.incrementAndGet()}",
+          sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
+            .as("rescued_members"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L))
+            .as("rescued_groups"))
+      val withRep = keyed.join(groups.select("__ck", "__rep"), Seq("__ck"))
+      val star = withRep.filter(col(idCol) =!= col("__rep"))
+        .select(col("__rep").as("a"), col(idCol).as("b"),
+          lit(1.0).as("jaccard"))
+      val reps = withRep.filter(col(idCol) === col("__rep"))
+        .select(col(idCol), col(textCol))
+      ngramJaccardFromGrams(gramTable(reps, idCol, textCol, n).persist(),
+          idCol, threshold, maxBucket)
+        .unionByName(star)
+    }
 
   /** Hashed word n-grams of a token array as a native single-pass
     * expression ([[graft.expressions.GramHashes]]) — hash-identical to

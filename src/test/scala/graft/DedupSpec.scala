@@ -14,6 +14,26 @@ class DedupSpec extends SparkSpec {
     (5L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg")
   ).toDF("doc_id", "text")
 
+  test("ngram rescueHot recovers an identical-doc flood past the bucket guard") {
+    val flood = ((0L until 60L).map(i =>
+      (i, "all these documents share exactly the same words")) :+
+      (100L, "a completely different document about other things entirely"))
+      .toDF("doc_id", "text")
+    // 60 identical docs share every 4-gram: with maxBucket = 50 the
+    // plain guard drops every candidate bucket and finds nothing
+    val guarded = Dedup.ngramJaccardNearDups(flood, "doc_id", "text",
+      n = 4, threshold = 0.5, maxBucket = 50)
+    assert(guarded.count() == 0L)
+    // rescueHot collapses the identical-text group before gramming:
+    // star pairs at jaccard 1.0, full recall, one survivor
+    val rescued = Dedup.ngramJaccardNearDups(flood, "doc_id", "text",
+      n = 4, threshold = 0.5, maxBucket = 50, rescueHot = true)
+    assert(rescued.filter($"jaccard" =!= 1.0).count() == 0L)
+    val kept = Dedup.dropNearDups(flood, rescued, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 100L), s"got ${kept.toSeq}")
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.count() == 4)
