@@ -190,8 +190,23 @@ object Seasons {
       .map { case (w, i) => w.withColumn("__dataset", lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val signals = schema.wideColumns.filter(wide.columns.contains)
+    // STAGE BOUNDARY persist — the season-pipeline analogue of the
+    // reference writing each stage's output to disk before the next
+    // reads it (sparse → resampled → unified files). The unify stages
+    // reference their telemetry input several times (grid bounds,
+    // dedup, the alignment select, the final join), and every lazy
+    // reference duplicates the ENTIRE upstream subtree in the plan:
+    // unpersisted, this 5-signal pipeline plans 300+ Exchange nodes
+    // (measured) and Catalyst/AQE re-optimization of the duplicated
+    // tree dominates wall time. Persisted, each stage downstream of
+    // the boundary plans against one InMemoryRelation scan.
+    // MEMORY_AND_DISK (LRU-evictable, spill-safe); session-lifecycle
+    // like the dedup gram tables — drivers issuing many season runs
+    // should clearCache between them (Bench does).
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val resampled = ResampleStage.run(wide, signals, resamplePeriod,
-      keys = Seq("__dataset"))
+        keys = Seq("__dataset"))
+      .persist(MEMORY_AND_DISK)
     // unify forecast (E3) + gps (E4) run PER DATASET (keys) — the
     // reference unifies each dataset file in its own pool task
     // (lib/unifier_with_forecast_data.py:131-139), and per-key windows
@@ -223,7 +238,10 @@ object Seasons {
       if (gpxFiles.nonEmpty) {
         val track = UnifyStages.processGpsTrack(
           graft.sources.Gpx.read(spark, gpxFiles))
-        UnifyStages.unifyGps(withForecast, track, "timestamp",
+        // same stage-boundary persist: unifyGps references its
+        // telemetry input three times (shift, key-distinct, final join)
+        UnifyStages.unifyGps(withForecast.persist(MEMORY_AND_DISK),
+          track, "timestamp",
           cfg.shiftBackLocalize, keys = Seq("__dataset"))
       } else withForecast
     // two datasets whose clock-fixed ranges overlap (2020 has two logs
