@@ -281,6 +281,11 @@ object Seasons {
       val out = run(spark, cfg, outputDir, forecastCsv, gpxFiles, period)
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outputDir/$period/final_${cfg.name}")
+      // the period's stage-boundary caches (see run) are dead once its
+      // output is written — periods share work through the parsed
+      // parquet on disk (S9), not the cache, so clearing keeps a long
+      // period list from accumulating stage caches
+      spark.catalog.clearCache()
       period -> out
     }.toMap
 }

@@ -195,6 +195,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
+  test("q65: unify stages plan against the persisted stage boundary") {
+    // the season pipeline persists the resampled and forecast-unified
+    // tables (Seasons.run) — without the boundary, every unify-stage
+    // reference duplicates the whole upstream subtree (measured: 300+
+    // Exchange nodes on a 5-signal fixture) and driver-side
+    // re-optimization dominates wall time
+    val p = planOf("q65_season_e2e")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation")
+        || p.contains("TableCacheQueryStage"),
+      "expected the unify stages to scan the persisted stage boundary")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
