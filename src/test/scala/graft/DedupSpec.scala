@@ -34,6 +34,41 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 100L), s"got ${kept.toSeq}")
   }
 
+  test("rescueHot is semantics-preserving when no bucket is hot") {
+    // mixed corpus: exact-dup groups, a near-dup pair, distinct docs.
+    // With maxBucket large enough that the plain guard never bites,
+    // both modes must produce the SAME dedup decisions (the collapse
+    // only reroutes work; star pairs + rep banding must not change
+    // connected components).
+    val mixed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "totally different words live in this document here today"),
+      (5L, "totally different words live in this document here today"),
+      (6L, "mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+      (7L, "one more standalone document with entirely unshared tokens")
+    ).toDF("doc_id", "text")
+    def survivors(rescue: Boolean, minhash: Boolean): Seq[Long] = {
+      val pairs =
+        if (minhash) Dedup.minhashNearDups(mixed, "doc_id", "text",
+          numHashes = 128, bands = 32, threshold = 0.5, wordGrams = 3,
+          maxBucket = 1000, rescueHot = rescue)
+        else Dedup.ngramJaccardNearDups(mixed, "doc_id", "text",
+          n = 3, threshold = 0.5, maxBucket = 1000, rescueHot = rescue)
+      Dedup.dropNearDups(mixed, pairs, "doc_id")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(survivors(rescue = false, minhash = true) ==
+           survivors(rescue = true, minhash = true))
+    assert(survivors(rescue = false, minhash = false) ==
+           survivors(rescue = true, minhash = false))
+    // and the decisions are the expected ones: 2 drops behind 1
+    // (exact+near cluster), 5 behind 4, singletons stay
+    assert(survivors(rescue = true, minhash = false) ==
+      Seq(1L, 4L, 6L, 7L))
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.count() == 4)
