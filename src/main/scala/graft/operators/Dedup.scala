@@ -265,11 +265,37 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs: bucket the 64-bit hash into 4
     * 16-bit bands (any pair within hamming ≤ 3 of each other shares at
-    * least one identical band by pigeonhole), then verify hamming. */
+    * least one identical band by pigeonhole), then verify hamming.
+    *
+    * `rescueHot` is the hot-bucket escape hatch shared with
+    * [[minhashNearDups]]/[[ngramJaccardNearDups]], and for SimHash the
+    * collapse is exactly LOSSLESS: docs are grouped by the full 64-bit
+    * sketch, so a member pair is hamming 0 (the star pairs emitted)
+    * and any cross-group pair's hamming equals its representatives' —
+    * candidate generation over representatives plus star pairs yields
+    * the identical pair-graph components as the uncapped form. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 200,
-                      tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
-    val hs = simhash(df, idCol, textCol, tokenHash)
+                      tokenHash: Column => Column = DefaultTokenHash,
+                      rescueHot: Boolean = false): DataFrame = {
+    val hs0 = simhash(df, idCol, textCol, tokenHash)
+    val (hs, star) =
+      if (!rescueHot) (hs0, None)
+      else {
+        val groups = hs0.groupBy(col("simhash"))
+          .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+          .observe(s"graft_simhash_rescue_${obsId.incrementAndGet()}",
+            sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
+              .as("rescued_members"),
+            sum(when(col("__n") > 1, 1L).otherwise(0L))
+              .as("rescued_groups"))
+        val withRep = hs0.join(groups.select("simhash", "__rep"), Seq("simhash"))
+        val s = withRep.filter(col(idCol) =!= col("__rep"))
+          .select(col("__rep").as("a"), col(idCol).as("b"),
+            lit(0).as("hamming"))
+        (withRep.filter(col(idCol) === col("__rep"))
+          .select(col(idCol), col("simhash")), Some(s))
+      }
     val banded = hs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -284,7 +310,7 @@ object Dedup {
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
           .as("dropped_buckets"))
       .filter(size(col("ids")).between(2, maxBucket))
-    buckets
+    val banded0 = buckets
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), " +
@@ -293,6 +319,12 @@ object Dedup {
         hamming(col("p.ha"), col("p.hb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    star match {
+      case Some(s) => banded0
+        .withColumn("hamming", col("hamming").cast("int"))
+        .unionByName(s)
+      case None => banded0
+    }
   }
 
   /** Sorted-id buckets with the standard skew guard shared by every

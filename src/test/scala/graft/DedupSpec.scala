@@ -49,24 +49,42 @@ class DedupSpec extends SparkSpec {
       (6L, "mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
       (7L, "one more standalone document with entirely unshared tokens")
     ).toDF("doc_id", "text")
-    def survivors(rescue: Boolean, minhash: Boolean): Seq[Long] = {
-      val pairs =
-        if (minhash) Dedup.minhashNearDups(mixed, "doc_id", "text",
+    def survivors(rescue: Boolean, path: String): Seq[Long] = {
+      val pairs = path match {
+        case "minhash" => Dedup.minhashNearDups(mixed, "doc_id", "text",
           numHashes = 128, bands = 32, threshold = 0.5, wordGrams = 3,
           maxBucket = 1000, rescueHot = rescue)
-        else Dedup.ngramJaccardNearDups(mixed, "doc_id", "text",
+        case "ngram" => Dedup.ngramJaccardNearDups(mixed, "doc_id", "text",
           n = 3, threshold = 0.5, maxBucket = 1000, rescueHot = rescue)
+        case "simhash" => Dedup.simhashNearDups(mixed, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000, rescueHot = rescue)
+      }
       Dedup.dropNearDups(mixed, pairs, "doc_id")
         .select("doc_id").as[Long].collect().sorted.toSeq
     }
-    assert(survivors(rescue = false, minhash = true) ==
-           survivors(rescue = true, minhash = true))
-    assert(survivors(rescue = false, minhash = false) ==
-           survivors(rescue = true, minhash = false))
+    for (p <- Seq("minhash", "ngram", "simhash"))
+      assert(survivors(rescue = false, p) == survivors(rescue = true, p),
+        s"$p decisions changed under rescueHot")
     // and the decisions are the expected ones: 2 drops behind 1
     // (exact+near cluster), 5 behind 4, singletons stay
-    assert(survivors(rescue = true, minhash = false) ==
-      Seq(1L, 4L, 6L, 7L))
+    assert(survivors(rescue = true, "ngram") == Seq(1L, 4L, 6L, 7L))
+  }
+
+  test("simhash rescueHot recovers an identical-doc flood losslessly") {
+    val flood = ((0L until 60L).map(i =>
+      (i, "all these documents share exactly the same words")) :+
+      (100L, "a completely different document about other things entirely"))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.simhashNearDups(flood, "doc_id", "text",
+      maxHamming = 3, maxBucket = 50)
+    assert(guarded.count() == 0L) // every bucket hot → dropped
+    val rescued = Dedup.simhashNearDups(flood, "doc_id", "text",
+      maxHamming = 3, maxBucket = 50, rescueHot = true)
+    // sketch-identical members pair at hamming 0 via star pairs
+    assert(rescued.filter($"hamming" =!= 0).count() == 0L)
+    val kept = Dedup.dropNearDups(flood, rescued, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 100L), s"got ${kept.toSeq}")
   }
 
   test("exact dedup keeps lowest id per identical text") {
