@@ -738,6 +738,7 @@ object Dedup {
       .drop("comp")
 
   /** Unique suffix for `observe` metric names (must be unique per
-    * query; one operator can appear twice in a composed plan). */
-  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
+    * query; one operator can appear twice in a composed plan). Shared
+    * with [[Similarity]]'s guard/rescue metrics. */
+  private[operators] val obsId = new java.util.concurrent.atomic.AtomicInteger()
 }

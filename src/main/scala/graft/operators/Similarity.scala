@@ -378,7 +378,8 @@ object Similarity {
     * cosine verifies only the candidates. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 10,
-                     maxBucket: Int = 200): DataFrame = {
+                     maxBucket: Int = 200,
+                     rescueHot: Boolean = false): DataFrame = {
     // persisted because it fans out to three consumers (probe explode,
     // a-side and b-side verify joins) — unpersisted, each subtree
     // would re-derive the O(planes·d) signature and norm per row.
@@ -388,13 +389,38 @@ object Similarity {
         norm(asDouble(col(vecCol))).as("__n"),
         hyperplaneSignature(col(vecCol), planes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed = hashed.select(col(idCol),
+    // hot-bucket escape hatch, same discipline as the Dedup family:
+    // byte-identical vectors (duplicated docs re-embedded) collapse to
+    // one representative before probing, members attach via star
+    // pairs; star pairs still go through the exact-cosine verify below
+    // (identical vectors score ~1 to the ulp), so the threshold
+    // semantics are unchanged. Reroute surfaces via
+    // `graft_cosine_rescue_*` (rescued_members / rescued_groups).
+    val (toProbe, star) =
+      if (!rescueHot) (hashed, None)
+      else {
+        val keyed = hashed.withColumn("__ck", xxhash64(col(vecCol)))
+        val groups = keyed.groupBy(col("__ck"))
+          .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n2"))
+          .observe(s"graft_cosine_rescue_${Dedup.obsId.incrementAndGet()}",
+            sum(when(col("__n2") > 1, col("__n2") - 1).otherwise(0L))
+              .as("rescued_members"),
+            sum(when(col("__n2") > 1, 1L).otherwise(0L))
+              .as("rescued_groups"))
+        val withRep = keyed.join(groups.select("__ck", "__rep"), Seq("__ck"))
+        (withRep.filter(col(idCol) === col("__rep"))
+           .select(col(idCol), col(vecCol), col("__n"), col("__sig")),
+         Some(withRep.filter(col(idCol) =!= col("__rep"))
+           .select(col("__rep").as("a"), col(idCol).as("b"))))
+      }
+    val probed = toProbe.select(col(idCol),
       explode(array((col("__sig") +:
         (0 until planes).map(b => col("__sig").bitwiseXOR(lit(1L << b)))): _*))
         .as("bucket"))
-    val cands = Dedup.explodePairs(
+    val cands0 = Dedup.explodePairs(
       Dedup.guardedIdBuckets(probed, Seq("bucket"), idCol, maxBucket,
         "cosine"), "ids")
+    val cands = star.map(cands0.unionByName(_)).getOrElse(cands0)
     cands
       .join(hashed.select(col(idCol).as("a"), col(vecCol).as("__va"),
         col("__n").as("__na")), Seq("a"))

@@ -455,5 +455,13 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 >= 100L))
+    // rescueHot: the identical-vector flood collapses to rep 100 and
+    // every copy attaches via a verified star pair — full recall with
+    // the guard still ON, and the distinct near-dup pair still found
+    val rescued = Similarity.cosineNearDups(boiler.unionByName(real),
+        "vec_id", "embedding", 0.999, maxBucket = 100, rescueHot = true)
+    val kept = Dedup.dropNearDups(boiler.unionByName(real), rescued, "vec_id")
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 100L), s"got ${kept.toSeq}")
   }
 }
