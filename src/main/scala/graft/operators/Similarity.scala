@@ -452,15 +452,41 @@ object Similarity {
     * watch the dropped-bucket metric for cells that outgrow it. */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nCells: Int = 32,
-                       maxBucket: Int = 200): DataFrame = {
+                       maxBucket: Int = 200,
+                       rescueHot: Boolean = false): DataFrame = {
     // cell table persisted: it fans out to the bucket explode and both
     // verify sides (same lifecycle note as cosineNearDups' signatures)
     val cells = buildIvf(df, idCol, vecCol, nCells).corpusCells
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = Dedup.explodePairs(
-      Dedup.guardedIdBuckets(
-        cells.select(col("neighbor_id").as(idCol), col("cell")),
+    // hot-CELL escape hatch (the dedup-family rescueHot discipline):
+    // byte-identical vectors collapse to one representative per cell
+    // key before the pair-explode; members attach via star pairs that
+    // still pass the exact-cosine verify. Identical vectors always
+    // land in the same cell (same argmax), so the collapse never
+    // crosses the clustering's recall boundary.
+    val keyedBase = cells.select(col("neighbor_id").as(idCol),
+      col("cell"), col("__cv"))
+    val (toPair, star) =
+      if (!rescueHot) (keyedBase.select(col(idCol), col("cell")), None)
+      else {
+        val keyed = keyedBase.withColumn("__ck", xxhash64(col("__cv")))
+        val groups = keyed.groupBy(col("__ck"))
+          .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n2"))
+          .observe(s"graft_semantic_rescue_${Dedup.obsId.incrementAndGet()}",
+            sum(when(col("__n2") > 1, col("__n2") - 1).otherwise(0L))
+              .as("rescued_members"),
+            sum(when(col("__n2") > 1, 1L).otherwise(0L))
+              .as("rescued_groups"))
+        val withRep = keyed.join(groups.select("__ck", "__rep"), Seq("__ck"))
+        (withRep.filter(col(idCol) === col("__rep"))
+           .select(col(idCol), col("cell")),
+         Some(withRep.filter(col(idCol) =!= col("__rep"))
+           .select(col("__rep").as("a"), col(idCol).as("b"))))
+      }
+    val cands0 = Dedup.explodePairs(
+      Dedup.guardedIdBuckets(toPair,
         Seq("cell"), idCol, maxBucket, "semantic"), "ids")
+    val cands = star.map(cands0.unionByName(_)).getOrElse(cands0)
     cands
       .join(cells.select(col("neighbor_id").as("a"), col("__cv").as("__va"),
         col("__cn").as("__na")), Seq("a"))
@@ -477,7 +503,9 @@ object Similarity {
     * component (plus every unpaired row). */
   def semanticDropNearDups(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, nCells: Int = 32,
-                           maxBucket: Int = 200): DataFrame =
+                           maxBucket: Int = 200,
+                           rescueHot: Boolean = false): DataFrame =
     Dedup.dropNearDups(df,
-      semanticNearDups(df, idCol, vecCol, threshold, nCells, maxBucket), idCol)
+      semanticNearDups(df, idCol, vecCol, threshold, nCells, maxBucket,
+        rescueHot), idCol)
 }

@@ -217,6 +217,31 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(0)).toSet)
   }
 
+  test("semantic dedup rescueHot recovers an identical-vector flood") {
+    // 300 byte-identical vectors land in ONE cell; with maxBucket = 100
+    // the plain guard drops that cell and every copy survives dedup.
+    // rescueHot collapses them to the min-id representative first.
+    val boiler = spark.range(300).select(($"id" + 500000L).as("vec_id"),
+      $"id".cast("int").as("__i"))
+      .select($"vec_id",
+        expr("transform(array(0.9D, 1.8D, -0.4D, 0.2D), x -> CAST(x AS FLOAT))")
+          .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(
+      boiler.select("vec_id", "embedding"))
+    val plain = Similarity.semanticDropNearDups(corpus, "vec_id",
+        "embedding", threshold = 0.99, nCells = 8, maxBucket = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain.count(_ >= 500000L) == 300,
+      "without rescue the flooded cell is dropped and every copy survives")
+    val rescued = Similarity.semanticDropNearDups(corpus, "vec_id",
+        "embedding", threshold = 0.99, nCells = 8, maxBucket = 100,
+        rescueHot = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rescued.count(_ >= 500000L) == 1,
+      s"expected one flood survivor, got ${rescued.count(_ >= 500000L)}")
+    spark.catalog.clearCache()
+  }
+
   test("dot/cosine on hand vectors") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
