@@ -548,6 +548,28 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // Cosine-rescue gate (the embedding-side q68): 300 byte-identical
+    // copies of vec 0's embedding land in every probe bucket of that
+    // signature, blowing maxBucket = 150 — the plain guard would drop
+    // them all and dedup would keep every copy. rescueHot collapses
+    // identical vectors to one representative before probing; the
+    // oracle recomputes the exhaustive cosine threshold closure and
+    // the survivor sets must match exactly (cosine scoring is
+    // bit-identical to DuckDB's list_dot_product, pinned by q26/q33).
+    "q69_cosine_rescue" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val copies = base.filter($"vec_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(299L))).as("i"), $"embedding")
+        .select(($"i" + 2000000L).as("vec_id"), $"embedding")
+      val corpus = base.unionByName(copies)
+      val pairs = operators.Similarity.cosineNearDups(corpus, "vec_id",
+        "embedding", threshold = 0.9, maxBucket = 150, rescueHot = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "vec_id")
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1967,6 +1989,31 @@ object SparkEntry {
          LEFT JOIN comp ON comp.x = c.doc_id
          WHERE comp.x IS NULL OR comp.c = c.doc_id
          ORDER BY doc_id""",
+
+    "q69_cosine_rescue" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c AS (SELECT vec_id, v FROM c0
+           UNION ALL
+           SELECT 2000000 + r.range AS vec_id,
+             (SELECT v FROM c0 WHERE vec_id = 0) AS v
+           FROM range(0, 300) r),
+         s AS (SELECT a.vec_id a, b.vec_id b FROM c a JOIN c b
+           ON a.vec_id < b.vec_id
+           AND list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+         edges AS (SELECT a x, b y FROM s UNION SELECT b, a FROM s),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x, least(x, min(y)) cm FROM reach GROUP BY x)
+         SELECT c.vec_id FROM c
+         LEFT JOIN comp ON comp.x = c.vec_id
+         WHERE comp.x IS NULL OR comp.cm = c.vec_id
+         ORDER BY vec_id""",
 
     "q61_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
