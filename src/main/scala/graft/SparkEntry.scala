@@ -548,6 +548,30 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // SemDeDup-rescue gate: q52's corpus (perturbed copies co-cluster
+    // with their sources) plus a 300-copy identical-vector flood that
+    // blows the cell cap. rescueHot collapses the flood to one
+    // representative per vector value — identical vectors share an
+    // argmax cell, so the collapse never crosses SemDeDup's clustering
+    // recall boundary — and the exhaustive closure oracle pins the
+    // survivor set.
+    "q70_semantic_rescue" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.select($"vec_id", expr(
+          "transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .unionByName(emb.filter($"vec_id" % 7 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+              .as("embedding")))
+      val copies = base.filter($"vec_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(299L))).as("i"), $"embedding")
+        .select(($"i" + 2000000L).as("vec_id"), $"embedding")
+      val corpus = base.unionByName(copies)
+      operators.Similarity.semanticDropNearDups(corpus, "vec_id",
+          "embedding", threshold = 0.9, maxBucket = 150, rescueHot = true)
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
     // Cosine-rescue gate (the embedding-side q68): 300 byte-identical
     // copies of vec 0's embedding land in every probe bucket of that
     // signature, blowing maxBucket = 150 — the plain guard would drop
@@ -1989,6 +2013,35 @@ object SparkEntry {
          LEFT JOIN comp ON comp.x = c.doc_id
          WHERE comp.x IS NULL OR comp.c = c.doc_id
          ORDER BY doc_id""",
+
+    "q70_semantic_rescue" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cb AS (SELECT vec_id, v FROM c0
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
+           FROM c0 WHERE vec_id % 7 = 0),
+         c AS (SELECT vec_id, v FROM cb
+           UNION ALL
+           SELECT 2000000 + r.range AS vec_id,
+             (SELECT v FROM cb WHERE vec_id = 0) AS v
+           FROM range(0, 300) r),
+         s AS (SELECT a.vec_id a, b.vec_id b FROM c a
+           JOIN c b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+         edges AS (SELECT a x, b y FROM s UNION SELECT b, a FROM s),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS vec_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x)
+         SELECT c.vec_id FROM c LEFT JOIN comp USING (vec_id)
+         WHERE comp.comp IS NULL OR comp.comp = c.vec_id
+         ORDER BY c.vec_id""",
 
     "q69_cosine_rescue" ->
       """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
