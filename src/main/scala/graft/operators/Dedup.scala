@@ -703,7 +703,18 @@ object Dedup {
                               textCol: String, threshold: Double = 0.5,
                               maxBucket: Int = 50): DataFrame = {
     val idCol = index.idCol
-    val bg = gramTable(batch, idCol, textCol, index.n).persist()
+    // Exact-dup collapse FIRST — the hot-bucket discipline of the
+    // rescueHot family, always on here: identical docs share every
+    // gram, so a batch flooded with copies would blow every bucket on
+    // BOTH the within-batch and the cross-index join and the whole
+    // flood would be silently ADMITTED. Collapsing to the min-id doc
+    // per identical text preserves the decision exactly (identical
+    // text ⇒ identical gram set ⇒ identical near-dup relations), and
+    // the non-representative copies are exact dups by definition —
+    // never admissible regardless of their rep's fate. Grouping is on
+    // the raw text (no hash), so a collision can't mis-drop a doc.
+    val collapsed = exact(batch, Seq(textCol), idCol)
+    val bg = gramTable(collapsed, idCol, textCol, index.n).persist()
     // smallSide = "left": the BATCH gram set broadcasts, the index's
     // bucket aggregation and verify arrays restrict to batch-relevant
     // grams/docs — per-batch cost stays proportional to the batch,
@@ -720,7 +731,7 @@ object Dedup {
     val tainted = comps.join(hits.withColumnRenamed(idCol, "node"),
         Seq("node"))
       .select(col("comp")).distinct()
-    val untaintedReps = keepRepresentatives(batch, comps, idCol)
+    val untaintedReps = keepRepresentatives(collapsed, comps, idCol)
       .join(hits, Seq(idCol), "left_anti")
     untaintedReps.join(
       comps.withColumnRenamed("node", idCol)

@@ -404,6 +404,28 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental dedup: a within-batch identical flood cannot swamp the guard") {
+    // 200 identical new docs + 1 doc matching the index + 1 fresh doc,
+    // with maxBucket = 50: ungated, the flood blows every bucket on
+    // both the within-batch and cross-index joins and ALL copies would
+    // be admitted. The exact-dup collapse must admit exactly one flood
+    // representative and the fresh doc, and still drop the index hit.
+    val old = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val flood = (0L until 200L).map(i =>
+      (i, "m n o p q r s t u v"))            // novel content, 200 copies
+    val batch = (flood :+
+      (500L, "a b c d e f g h x y") :+        // 8/12 vs old → index hit
+      (501L, "zz yy xx ww vv uu tt ss rr qq") // fresh, must survive
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildNgramIndex(old, "doc_id", "text", n = 1)
+    idx.grams.persist()
+    val kept = Dedup.incrementalDropNearDups(idx, batch, "text",
+        threshold = 0.5, maxBucket = 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 501L), s"kept ${kept.toSeq}")
+    idx.grams.unpersist()
+  }
+
   test("incremental dedup: chains through the batch to the index drop") {
     // unigram Jaccard, hand-sized overlaps:
     //   old     = {a..j}
