@@ -485,10 +485,24 @@ object TextAnalysis {
                          idCol: String, textCol: String, n: Int = 8,
                          threshold: Double = 0.5,
                          containment: Boolean = false): DataFrame = {
-    val hits = Dedup.crossJaccardNearDups(docs, benchmark, idCol, textCol,
+    // Exact-dup collapse before scoring — the hot-bucket discipline
+    // (see Dedup.incrementalDropNearDups): a scraped corpus carrying
+    // thousands of identical copies of ONE contaminated doc would blow
+    // the two-sided gram bucket cap, the guard would drop the buckets,
+    // and the whole flood would be silently ADMITTED. Identical text
+    // scores identically, so scoring one representative per text and
+    // dropping every doc whose representative is hit is the exact same
+    // decision, with buckets at their natural size. Grouping is on the
+    // raw text (no hash), so a collision can't mis-drop a doc.
+    val byText = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol))
+    val withRep = docs.withColumn("__rep", min(col(idCol)).over(byText))
+    val reps = withRep.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val hits = Dedup.crossJaccardNearDups(reps, benchmark, idCol, textCol,
         n, threshold, containment = containment)
-      .select(col("a").as(idCol)).distinct()
-    docs.join(hits, Seq(idCol), "left_anti")
+      .select(col("a").as("__rep")).distinct()
+    withRep.join(hits, Seq("__rep"), "left_anti").drop("__rep")
   }
 
   /** Contamination REPORT — the auditing complement of
@@ -502,6 +516,15 @@ object TextAnalysis {
     * Benchmark release notes and leakage audits need exactly this
     * table; a pipeline that only drops can't answer "HOW contaminated
     * was the eval set, and by which documents?".
+    *
+    * Flood caveat: unlike [[fuzzyDecontaminate]] (which collapses
+    * identical training docs before scoring, so copy floods cannot
+    * swamp the bucket cap), the report counts every training doc
+    * individually — its `n_hits`/`top_match` tie semantics depend on
+    * the uncollapsed ids. A corpus with over-`maxBucket` identical
+    * copies of a contaminated doc under-reports here; the dropped-
+    * bucket observe metric flags exactly that case, and the DECISION
+    * path is unaffected.
     *
     * Scale shape: [[Dedup.crossJaccardNearDups]]' two-sided capped
     * gram buckets generate the candidates (threshold 0 — scoring

@@ -404,6 +404,24 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fuzzy decontamination: an identical-copy flood cannot swamp the guard") {
+    // 200 identical copies of a contaminated doc + 1 clean doc, with
+    // the default maxBucket = 50: ungated, the flood blows every gram
+    // bucket and ALL contaminated copies would be admitted. The
+    // exact-dup collapse scores one representative and the whole flood
+    // must drop.
+    val bench = Seq((9000L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val docs = ((0L until 200L).map(i =>
+      (i, "a b c d e f g h x y")) :+          // 8/12 vs bench ≥ 0.5
+      (500L, "zz yy xx ww vv uu tt ss rr qq") // clean, must survive
+    ).toDF("doc_id", "text")
+    val clean = operators.TextAnalysis.fuzzyDecontaminate(
+        docs, bench, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq == Seq(500L), s"kept ${clean.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("incremental dedup: a within-batch identical flood cannot swamp the guard") {
     // 200 identical new docs + 1 doc matching the index + 1 fresh doc,
     // with maxBucket = 50: ungated, the flood blows every bucket on
