@@ -564,7 +564,15 @@ object TextAnalysis {
     * [[Dedup.crossJaccardNearDups]] — the corpus is scanned once per
     * side off one filter each, never joined all-pairs; the eval side
     * is typically a sliver, so its gram table is the small bucket
-    * side. */
+    * side.
+    *
+    * Flood caveat (same as [[contaminationReport]]): the audit keeps
+    * per-doc ids, so an over-`maxBucket` flood of IDENTICAL train docs
+    * under-reports their leak pairs — flagged by the dropped-bucket
+    * observe metric. Dedup the corpus first (identical docs should
+    * never co-exist across splits anyway); the decision-tier
+    * operators ([[fuzzyDecontaminate]],
+    * [[Dedup.incrementalDropNearDups]]) collapse floods themselves. */
   def auditSplitLeakage(df: DataFrame, idCol: String, textCol: String,
                         splitCol: String, trainSplit: String = "train",
                         n: Int = 8, threshold: Double = 0.5,
