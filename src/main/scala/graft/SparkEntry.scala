@@ -594,6 +594,41 @@ object SparkEntry {
         .select($"vec_id").orderBy($"vec_id")
     }),
 
+    // n-gram-path rescue gate: q68's corpus and oracle (the closure is
+    // over true word-trigram Jaccard either way — only the candidate
+    // generator differs), driven through ngramJaccardNearDups'
+    // rescueHot: identical-TEXT collapse instead of the minhash
+    // signature collapse, same survivor contract.
+    "q71_ngram_rescue" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val boiler = docs.filter($"doc_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
+        .select(($"i" + 2000000L).as("doc_id"), $"text")
+      val corpus = docs.unionByName(boiler)
+      val pairs = operators.Dedup.ngramJaccardNearDups(corpus, "doc_id",
+        "text", n = 3, threshold = 0.8, maxBucket = 50, rescueHot = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // SimHash-path rescue gate: the engine-neutral md5 token hash lets
+    // the oracle recompute every sketch in SQL (q25's machinery), and
+    // the rescue's full-sketch grouping is exactly lossless — the
+    // survivor closure over oracle-computed hamming ≤ 3 pairs must
+    // match bit-for-bit.
+    "q72_simhash_rescue" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val boiler = docs.filter($"doc_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
+        .select(($"i" + 2000000L).as("doc_id"), $"text")
+      val corpus = docs.unionByName(boiler)
+      val pairs = operators.Dedup.simhashNearDups(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucket = 50,
+        tokenHash = operators.Dedup.md5Hash60, rescueHot = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1983,36 +2018,12 @@ object SparkEntry {
          FROM fresh f LEFT JOIN scored s ON f.doc_id = s.doc_id
          ORDER BY f.doc_id""",
 
-    "q68_hot_bucket_rescue" ->
-      """WITH corpus AS (
-           SELECT doc_id, lower(text) tx FROM documents
-           UNION ALL
-           SELECT 2000000 + r.range AS doc_id,
-             (SELECT lower(text) FROM documents WHERE doc_id = 0) AS tx
-           FROM range(0, 100) r),
-         toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
-           FROM corpus),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-           FROM toks, LATERAL (SELECT unnest(generate_series(1,
-             greatest(len(t)-2, 1))) AS i)),
-         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
-           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-         pairs AS (SELECT a, b FROM inter
-           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-           WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
-         edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
-         reach AS (
-           WITH RECURSIVE r(x, y) AS (
-             SELECT x, y FROM edges
-             UNION
-             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
-           SELECT x, y FROM r),
-         comp AS (SELECT x, least(x, min(y)) c FROM reach GROUP BY x)
-         SELECT c.doc_id FROM corpus c
-         LEFT JOIN comp ON comp.x = c.doc_id
-         WHERE comp.x IS NULL OR comp.c = c.doc_id
-         ORDER BY doc_id""",
+    // q68 and q71 share this oracle: the survivor closure is over TRUE
+    // word-trigram Jaccard pairs, independent of whether the engine's
+    // candidate generator was minhash banding or gram buckets
+    "q68_hot_bucket_rescue" -> floodClosureOracleSql,
+    "q71_ngram_rescue" -> floodClosureOracleSql,
+    "q72_simhash_rescue" -> simhashRescueOracleSql,
 
     "q70_semantic_rescue" ->
       """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -2816,6 +2827,77 @@ object SparkEntry {
     * the 60-bit packing Dedup.md5Hash60 can set). Recomputes every
     * doc's simhash from scratch and scores ALL O(n²) pairs — the gate
     * therefore asserts the banding misses nothing. */
+  /** Shared q68/q71 oracle: 100 planted copies of doc 0, exhaustive
+    * word-trigram Jaccard pairs at 0.8, recursive closure, min-id
+    * survivors. */
+  private def floodClosureOracleSql: String =
+    """WITH corpus AS (
+         SELECT doc_id, lower(text) tx FROM documents
+         UNION ALL
+         SELECT 2000000 + r.range AS doc_id,
+           (SELECT lower(text) FROM documents WHERE doc_id = 0) AS tx
+         FROM range(0, 100) r),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\s+') t
+         FROM corpus),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           greatest(len(t)-2, 1))) AS i)),
+       sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM sh a
+         JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       pairs AS (SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
+       edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(x, y) AS (
+           SELECT x, y FROM edges
+           UNION
+           SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+         SELECT x, y FROM r),
+       comp AS (SELECT x, least(x, min(y)) c FROM reach GROUP BY x)
+       SELECT c.doc_id FROM corpus c
+       LEFT JOIN comp ON comp.x = c.doc_id
+       WHERE comp.x IS NULL OR comp.c = c.doc_id
+       ORDER BY doc_id"""
+
+  /** q72 oracle: the q25 md5-hash simhash recomputation over the
+    * flood corpus, hamming ≤ 3 pairs, closure, min-id survivors. */
+  private def simhashRescueOracleSql: String = {
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val pack = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH corpus AS (
+         SELECT doc_id, lower(text) tx FROM documents
+         UNION ALL
+         SELECT 2000000 + r.range AS doc_id,
+           (SELECT lower(text) FROM documents WHERE doc_id = 0) AS tx
+         FROM range(0, 100) r),
+       toks AS (SELECT doc_id, unnest(regexp_split_to_array(tx, '\\s+')) AS tok
+         FROM corpus),
+       hs AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         FROM toks),
+       votes AS (SELECT doc_id, $votes FROM hs GROUP BY 1),
+       sh AS (SELECT doc_id, $pack AS simhash FROM votes),
+       pairs AS (SELECT a.doc_id a, b.doc_id b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       edges AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(x, y) AS (
+           SELECT x, y FROM edges
+           UNION
+           SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+         SELECT x, y FROM r),
+       comp AS (SELECT x, least(x, min(y)) cm FROM reach GROUP BY x)
+       SELECT c.doc_id FROM corpus c
+       LEFT JOIN comp ON comp.x = c.doc_id
+       WHERE comp.x IS NULL OR comp.cm = c.doc_id
+       ORDER BY doc_id"""
+  }
+
   private def simhashOracleSql: String = {
     val votes = (0 until 64).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")

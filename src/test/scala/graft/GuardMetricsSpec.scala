@@ -35,7 +35,8 @@ class GuardMetricsSpec extends SparkSpec {
           "q49_cross_contamination", "q50_curate",
           "q51_containment_decontam", "q62_contamination_report",
           "q63_split_leakage", "q68_hot_bucket_rescue",
-          "q69_cosine_rescue", "q70_semantic_rescue")) {
+          "q69_cosine_rescue", "q70_semantic_rescue",
+          "q71_ngram_rescue", "q72_simhash_rescue")) {
         // noop write, not count(): count() lets the optimizer DELETE
         // a left join whose (unique-keyed, unreferenced) right side
         // carries the guard metrics — q62's report shape — and the
