@@ -282,14 +282,23 @@ object Dedup {
     val (hs, star) =
       if (!rescueHot) (hs0, None)
       else {
-        val groups = hs0.groupBy(col("simhash"))
+        // the sketch table is referenced by the group aggregate, the
+        // rep join and (through them) the star/rep splits — without a
+        // persist each reference RE-RUNS the sketch computation, which
+        // for the md5 token-hash variant is a 64-sum-buffer aggregate
+        // over exploded tokens (measured 93 s vs 7 s at sf0.1).
+        // Session-lifecycle cache like the gram tables; MEMORY_AND_DISK
+        // is LRU-evictable and drivers clearCache between queries.
+        val hsC = hs0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val groups = hsC.groupBy(col("simhash"))
           .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
           .observe(s"graft_simhash_rescue_${obsId.incrementAndGet()}",
             sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
               .as("rescued_members"),
             sum(when(col("__n") > 1, 1L).otherwise(0L))
               .as("rescued_groups"))
-        val withRep = hs0.join(groups.select("simhash", "__rep"), Seq("simhash"))
+        val withRep = hsC.join(groups.select("simhash", "__rep"), Seq("simhash"))
         val s = withRep.filter(col(idCol) =!= col("__rep"))
           .select(col("__rep").as("a"), col(idCol).as("b"),
             lit(0).as("hamming"))
@@ -600,6 +609,18 @@ object Dedup {
     // through the aggregate, so a round is a single join + groupBy —
     // min over {self} ∪ neighbors — instead of the join, groupBy,
     // second-join shape that least(own, neighborMin) needs.
+    // localCheckpoint, not persist: the edge table is the loop
+    // invariant of an ITERATIVE algorithm, and every round's action
+    // re-serializes its plan into the SQL-execution event string
+    // (explainString — emitted even with the UI off). A persist keeps
+    // the candidate pipeline's whole lineage in that plan, and for
+    // upstream DAGs that embed wide aggregates several times (the
+    // md5-token simhash rescue measured 90+ s of pure driver
+    // tree-printing across CC rounds at sf0.1), the string dominates
+    // the query. Checkpointing truncates the lineage so each round
+    // plans — and prints — against a flat scan. The standard trade:
+    // checkpoint blocks are not recomputable on executor loss, which
+    // is acceptable for the (pair-count-sized) edge table.
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
@@ -607,7 +628,7 @@ object Dedup {
         struct(col("a").as("x"), col("a").as("y")),
         struct(col("b").as("x"), col("b").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct().localCheckpoint()
     // initial labels come from the self-loop rows — `edges` is already
     // distinct, so (x, x) appears exactly once per node and the usual
     // project-distinct over all endpoints would be a second shuffle of
