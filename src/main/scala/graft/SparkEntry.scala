@@ -622,8 +622,14 @@ object SparkEntry {
         .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
         .select(($"i" + 2000000L).as("doc_id"), $"text")
       val corpus = docs.unionByName(boiler)
+      // maxBucket 200 (the operator default): measured natural
+      // rep-band buckets reach 169 at sf0.1 (template-generated docs
+      // share 16-bit bands), and the gate must stay drop-free for the
+      // exhaustive oracle to pin 100% recall; the flood itself never
+      // reaches the banding — rescueHot collapses sketch-identical
+      // docs first, which is the behavior under test
       val pairs = operators.Dedup.simhashNearDups(corpus, "doc_id", "text",
-        maxHamming = 3, maxBucket = 50,
+        maxHamming = 3, maxBucket = 200,
         tokenHash = operators.Dedup.md5Hash60, rescueHot = true)
       operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
         .select($"doc_id").orderBy($"doc_id")
