@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature}
+import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature, SimhashSignatureMd5}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -15,6 +15,7 @@ import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSi
   *  - `graft_hyperplane_sig(array<double>, planes int literal) → bigint`
   *  - `graft_minhash_sig(array<string>, numHashes int literal) → array<bigint>`
   *  - `graft_simhash(array<string>) → bigint`
+  *  - `graft_simhash_md5(array<string>) → bigint` (engine-neutral md5 token hash)
   *  - `graft_rolling_fp(array<string>) → bigint`
   *  - `graft_gram_hashes(array<string>, n int literal) → array<bigint>`
   *
@@ -67,6 +68,12 @@ object GraftFunctions {
         { args =>
           require(args.size == 1, "graft_simhash(tokens) takes 1 argument")
           SimhashSignature(args.head)
+        }),
+      (FunctionIdentifier("graft_simhash_md5"),
+        info(classOf[SimhashSignatureMd5], "graft_simhash_md5"),
+        { args =>
+          require(args.size == 1, "graft_simhash_md5(tokens) takes 1 argument")
+          SimhashSignatureMd5(args.head)
         }),
       (FunctionIdentifier("graft_rolling_fp"),
         info(classOf[RollingFingerprint], "graft_rolling_fp"),

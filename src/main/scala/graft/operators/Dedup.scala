@@ -190,7 +190,12 @@ object Dedup {
         // rather than silently merged). The collapse surfaces through
         // a `graft_lsh_rescue_*` observe metric (rescued_members /
         // rescued_groups) so the reroute is visible in Verify/Bench.
-        val keyed = sigs.withColumn("__ck", xxhash64(col("sig")))
+        // The group key is the signature VALUE (arrays are exact-
+        // equality groupable) — hashing it to 64 bits would open a
+        // birthday-collision channel at billions of docs where a doc
+        // attaches to the wrong group and is never banded itself (a
+        // silent recall loss the downstream verify can't repair).
+        val keyed = sigs.withColumn("__ck", col("sig"))
         val groups = keyed.groupBy(col("__ck"))
           .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
           .observe(s"graft_lsh_rescue_${obsId.incrementAndGet()}",
@@ -213,8 +218,12 @@ object Dedup {
   /** Engine-neutral 60-bit token hash: the first 15 hex digits of the
     * md5 digest as a (positive) long. Slower than xxhash64 but
     * reproducible in any engine with an md5 function — used to pin the
-    * simhash gate query against an external SQL oracle. */
-  def md5Hash60(c: Column): Column =
+    * simhash gate query against an external SQL oracle. A stable `val`
+    * (not a `def`) so [[simhash]] can RECOGNIZE it by reference and
+    * take the native single-pass projection
+    * ([[graft.expressions.SimhashSignatureMd5]]) instead of the
+    * exploded-token aggregate. */
+  val md5Hash60: Column => Column = c =>
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Stable reference for the default token hash, so the simhash
@@ -232,17 +241,32 @@ object Dedup {
       graft.expressions.SimhashSignature(
         org.apache.spark.sql.GraftExpressionBridge.expression(tokens)))
 
+  /** 64-bit SimHash under the engine-neutral md5 token hash as a
+    * native per-row expression ([[graft.expressions.SimhashSignatureMd5]])
+    * — bit-identical to [[simhash]] with `tokenHash = md5Hash60`, but
+    * a pure projection: no token explode, no 64-sum-buffer shuffle.
+    * The sketch stays SQL-recomputable (the q25/q72 oracle contract);
+    * only the execution route changes. */
+  def simhashMd5Col(tokens: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SimhashSignatureMd5(
+        org.apache.spark.sql.GraftExpressionBridge.expression(tokens)))
+
   /** SimHash (64-bit): per-token hash votes ±1 on each bit; the sign
-    * vector packs into one long. With the default token hash this is
-    * the native projection ([[simhashCol]] — no explode, no shuffle);
-    * a custom `tokenHash` (e.g. [[md5Hash60]] for cross-engine
-    * reproducibility, pinning the q25 oracle) takes the 64-agg-buffer
-    * groupBy over the exploded token table. */
+    * vector packs into one long. Both the default token hash and the
+    * engine-neutral [[md5Hash60]] (pinning the q25/q72 oracles) run as
+    * native projections ([[simhashCol]] / [[simhashMd5Col]] — no
+    * explode, no shuffle); any OTHER custom `tokenHash` takes the
+    * 64-agg-buffer groupBy over the exploded token table, which also
+    * serves as the bit-parity reference for the native forms. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               tokenHash: Column => Column = DefaultTokenHash): DataFrame = {
     if (tokenHash eq DefaultTokenHash)
       return df.select(col(idCol),
         simhashCol(split(lower(col(textCol)), "\\s+")).as("simhash"))
+    if (tokenHash eq md5Hash60)
+      return df.select(col(idCol),
+        simhashMd5Col(split(lower(col(textCol)), "\\s+")).as("simhash"))
     // token hash projected ONCE below the aggregate — as 64 per-bit agg
     // expressions it would be re-evaluated per bit (64 hash calls per
     // token; ruinous for the md5-based engine-neutral variant)
@@ -396,14 +420,21 @@ object Dedup {
       // cause of a gram bucket blowing `maxBucket`) collapse to one
       // representative before gramming; members attach via star pairs
       // (rep = min id → member, diameter 2 for connectedComponents).
-      // The key hashes the NORMALIZED text (lower+trim — exactly the
+      // The key IS the NORMALIZED text (lower+trim — exactly the
       // projection [[gramTable]] tokenizes), so equal keys mean equal
       // gram sets and the star pairs carry jaccard = 1.0 by
       // construction; no sketch is involved, so there is nothing to
-      // re-verify. The reroute surfaces through a
+      // re-verify. Grouping on the text itself, not a 64-bit hash of
+      // it: the star pairs are asserted (never re-verified), so a
+      // hash collision between two DIFFERENT texts would silently
+      // merge unrelated docs into one component and dropNearDups
+      // would then delete a non-duplicate — the same reasoning that
+      // has [[incrementalDropNearDups]] and fuzzyDecontaminate group
+      // on raw text. The shuffle carries the full text once, same as
+      // any exact-dedup pass. The reroute surfaces through a
       // `graft_ngram_rescue_*` observe metric.
       val keyed = df.select(col(idCol), col(textCol))
-        .withColumn("__ck", xxhash64(lower(trim(col(textCol)))))
+        .withColumn("__ck", lower(trim(col(textCol))))
       val groups = keyed.groupBy(col("__ck"))
         .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
         .observe(s"graft_ngram_rescue_${obsId.incrementAndGet()}",
@@ -592,15 +623,18 @@ object Dedup {
     * a few hops), so this beats the O(log n) large-star/small-star
     * alternation in constant factors while having the same per-round
     * cost; iterates to a fixpoint detected by a changed-label count,
-    * with `maxIter` as a backstop. Labels persist per round and the
-    * previous round unpersists — lineage stays one round deep.
+    * with `maxIter` as a backstop. Labels are localCheckpointed per
+    * round (lineage stays FLAT — see the in-loop comment) and the
+    * previous round's blocks are released explicitly.
     *
     * Returns (node, component). Only nodes appearing in `pairs` are
     * returned — singletons are their own component by definition. The
-    * returned frame is the final round's persisted labels: unpersist
-    * it (or `spark.catalog.clearCache()`) when done. Throws if the
-    * fixpoint is not reached within `maxIter` rounds — a silent
-    * partial labeling would produce wrong dedup decisions. */
+    * returned frame is the final round's checkpointed labels: its
+    * blocks are freed when the frame is garbage-collected (the plan
+    * is flat, so nothing upstream pins them); consume it before
+    * discarding — a checkpointed frame cannot be recomputed. Throws
+    * if the fixpoint is not reached within `maxIter` rounds — a
+    * silent partial labeling would produce wrong dedup decisions. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both edge directions PLUS self-loops from ONE pass over `pairs`
@@ -609,39 +643,69 @@ object Dedup {
     // through the aggregate, so a round is a single join + groupBy —
     // min over {self} ∪ neighbors — instead of the join, groupBy,
     // second-join shape that least(own, neighborMin) needs.
-    // localCheckpoint, not persist: the edge table is the loop
-    // invariant of an ITERATIVE algorithm, and every round's action
+    //
+    // Lineage strategy for the loop invariant — ADAPTIVE. The edge
+    // table is referenced by every round's action, and each action
     // re-serializes its plan into the SQL-execution event string
     // (explainString — emitted even with the UI off). A persist keeps
     // the candidate pipeline's whole lineage in that plan, and for
     // upstream DAGs that embed wide aggregates several times (the
     // md5-token simhash rescue measured 90+ s of pure driver
     // tree-printing across CC rounds at sf0.1), the string dominates
-    // the query. Checkpointing truncates the lineage so each round
-    // plans — and prints — against a flat scan. The standard trade:
-    // checkpoint blocks are not recomputable on executor loss, which
-    // is acceptable for the (pair-count-sized) edge table.
-    val edges = pairs
+    // the query — there, localCheckpoint truncates the lineage so
+    // each round plans (and prints) against a flat scan. But a
+    // checkpoint MATERIALIZES eagerly through a row round-trip, which
+    // for a SHALLOW upstream (q34's plain near-dup pairs: measured
+    // 3.9 s → 5.4 s regression in round 6) costs more than the
+    // plan-printing it saves. Decide by the upstream optimized-plan
+    // node count: duplicated subtrees count multiply (logical plans
+    // are trees), so the count tracks exactly the pathology —
+    // plan-string size — that checkpointing exists to kill.
+    // Checkpoint trade: blocks are not recomputable on executor loss
+    // (acceptable for the pair-count-sized edge table) and are freed
+    // explicitly below once the final labels are materialized.
+    val deepUpstream = pairs.queryExecution.optimizedPlan
+      .collect { case p => p }.length > CheckpointUpstreamNodes
+    if (sys.env.contains("GRAFT_CC_LOG")) System.err.println(
+      s"[cc] upstream nodes = ${pairs.queryExecution.optimizedPlan
+        .collect { case p => p }.length}, checkpoint = $deepUpstream")
+    val edgesPlan = pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
         struct(col("b").as("x"), col("a").as("y")),
         struct(col("a").as("x"), col("a").as("y")),
         struct(col("b").as("x"), col("b").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
-      .distinct().localCheckpoint()
+      .distinct()
+    val edges =
+      if (deepUpstream) edgesPlan.localCheckpoint()
+      else edgesPlan.persist(MEMORY_AND_DISK)
     // initial labels come from the self-loop rows — `edges` is already
     // distinct, so (x, x) appears exactly once per node and the usual
     // project-distinct over all endpoints would be a second shuffle of
-    // the same information
+    // the same information.
+    //
+    // Labels are LAZILY localCheckpointed every round, whatever the
+    // edge strategy: round N's logical plan nests round N−1's (the
+    // join references the previous labels frame), so an un-truncated
+    // loop re-embeds the EDGES plan once per round — and every
+    // round's action re-serializes that accumulated tree into the
+    // SQL-execution event string. With a deep persisted upstream the
+    // string grows to rounds × pipeline-size and has measurably
+    // OOM'd an 8 GB driver inside `explainString` (round-7 probe of
+    // the simhash rescue). The lazy checkpoint adds NO extra pass —
+    // the convergence action below is what materializes (and stores)
+    // each round's labels; it just makes every round plan against a
+    // flat scan of the previous round's few-rows-per-node table.
     var labels = edges.filter(col("x") === col("y"))
       .select(col("x").as("node"), col("x").as("comp"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // Convergence witness for numeric ids: labels are monotone
     // non-increasing (min over a set containing the node's previous
     // label), so the label SUM is stationary iff NO label changed —
     // and the sum rides the same job that materializes the round's
-    // cache. Non-numeric ids (string keys) can't sum: they pay one
-    // changed-count join per round instead.
+    // checkpoint blocks. Non-numeric ids (string keys) can't sum:
+    // they pay one changed-count join per round instead.
     val numericIds = pairs.schema("a").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def checksum(l: DataFrame): java.math.BigDecimal =
@@ -654,7 +718,7 @@ object Dedup {
       val next = edges
         .join(labels.select(col("node").as("y"), col("comp")), Seq("y"))
         .groupBy(col("x").as("node")).agg(min("comp").as("comp"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(eager = false)
       if (numericIds) {
         val cur = checksum(next)
         converged = cur.compareTo(prev) == 0
@@ -664,11 +728,24 @@ object Dedup {
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.comp") < col("o.comp")).count() == 0
       }
-      labels.unpersist()
+      // the previous round's blocks are dead once `next` is stored —
+      // Dataset.unpersist is a no-op on checkpointed RDDs, so release
+      // the blocks explicitly (otherwise they live until the RDD is
+      // GC'd, accumulating executor storage across rounds)
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(labels)
       labels = next
       it += 1
     }
-    edges.unpersist()
+    // The final labels are fully materialized in their own storage by
+    // the convergence action above, so the edge blocks can be freed
+    // NOW — for the persist branch the usual unpersist; for the
+    // checkpoint branch an explicit block release. After release, an
+    // unpersist-then-re-execute of the returned frame recomputes fine
+    // in the persist branch but fails loudly in the checkpoint branch
+    // — consume the labels before discarding them.
+    if (deepUpstream)
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(edges)
+    else edges.unpersist()
     // a silent partial result would make dropNearDups keep extra
     // "representatives" of one component — fail loudly instead
     if (!converged) throw new IllegalStateException(
@@ -743,10 +820,11 @@ object Dedup {
     val hits = crossJaccardFromGrams(bg, index.grams, idCol, threshold,
         maxBucket, containment = false, smallSide = "left")
       .select(col("a").as(idCol)).distinct().localCheckpoint()
-    val comps0 = connectedComponents(
+    // already flat and block-backed: connectedComponents checkpoints
+    // its labels every round, so no re-checkpoint is needed here
+    val comps = connectedComponents(
       ngramJaccardFromGrams(bg, idCol, threshold, maxBucket))
-    val comps = comps0.localCheckpoint()
-    comps0.unpersist(); bg.unpersist()
+    bg.unpersist()
     // tainted components: any component with a member matching the
     // index (hits and comps are both batch-bounded and checkpointed)
     val tainted = comps.join(hits.withColumnRenamed(idCol, "node"),
@@ -773,4 +851,14 @@ object Dedup {
     * query; one operator can appear twice in a composed plan). Shared
     * with [[Similarity]]'s guard/rescue metrics. */
   private[operators] val obsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Upstream optimized-plan node count above which
+    * [[connectedComponents]] switches its edge table from persist to
+    * localCheckpoint. Calibrated at sf0.1: the plain near-dup pair
+    * pipelines (q34's ngram path) optimize to ~15–25 nodes and are
+    * cheaper persisted; the rescue compositions that motivated
+    * checkpointing (md5-sketch collapse + banding + union) exceed 40
+    * — and the per-round plan-string cost the checkpoint kills grows
+    * with exactly this count. */
+  private[operators] val CheckpointUpstreamNodes = sys.env.get("GRAFT_CC_NODES").map(_.toInt).getOrElse(32)
 }

@@ -396,10 +396,15 @@ object Similarity {
     // (identical vectors score ~1 to the ulp), so the threshold
     // semantics are unchanged. Reroute surfaces via
     // `graft_cosine_rescue_*` (rescued_members / rescued_groups).
+    // The group key is the vector VALUE (arrays are exact-equality
+    // groupable), not a 64-bit hash of it — a hash collision would
+    // attach a doc to the wrong group so its own vector is never
+    // probed, a silent recall loss the exact-cosine verify can't
+    // repair.
     val (toProbe, star) =
       if (!rescueHot) (hashed, None)
       else {
-        val keyed = hashed.withColumn("__ck", xxhash64(col(vecCol)))
+        val keyed = hashed.withColumn("__ck", col(vecCol))
         val groups = keyed.groupBy(col("__ck"))
           .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n2"))
           .observe(s"graft_cosine_rescue_${Dedup.obsId.incrementAndGet()}",
@@ -463,13 +468,15 @@ object Similarity {
     // key before the pair-explode; members attach via star pairs that
     // still pass the exact-cosine verify. Identical vectors always
     // land in the same cell (same argmax), so the collapse never
-    // crosses the clustering's recall boundary.
+    // crosses the clustering's recall boundary. The group key is the
+    // vector VALUE, not a hash of it (see cosineNearDups — a
+    // collision would silently bypass a doc's own pair generation).
     val keyedBase = cells.select(col("neighbor_id").as(idCol),
       col("cell"), col("__cv"))
     val (toPair, star) =
       if (!rescueHot) (keyedBase.select(col(idCol), col("cell")), None)
       else {
-        val keyed = keyedBase.withColumn("__ck", xxhash64(col("__cv")))
+        val keyed = keyedBase.withColumn("__ck", col("__cv"))
         val groups = keyed.groupBy(col("__ck"))
           .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n2"))
           .observe(s"graft_semantic_rescue_${Dedup.obsId.incrementAndGet()}",

@@ -11,4 +11,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries, so a local
+    * checkpoint's blocks otherwise live until the backing RDD is
+    * GC'd — and the RDD stays strongly referenced for as long as ANY
+    * downstream plan holds its lineage, which for an iterative
+    * operator's loop invariant can be the whole session. Walks the
+    * analyzed plan for `LogicalRDD` leaves and unpersists their RDDs
+    * (non-blocking). After this call the checkpointed data is GONE:
+    * re-executing a plan that reads it fails rather than recomputes,
+    * so callers must only release once every consumer either finished
+    * or holds its results in its own storage. */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

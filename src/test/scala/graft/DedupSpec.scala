@@ -377,6 +377,44 @@ class DedupSpec extends SparkSpec {
     Dedup.simhash(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text")
       .collect()(0).getLong(1)
 
+  test("native md5 simhash matches the aggregate form bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical
+      (3L, "a b a b a b"), // duplicate tokens MUST vote per occurrence
+      (4L, "päneln ünïcode 電池 mixed"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    // force the aggregate path with a fresh md5 lambda (not `eq`
+    // Dedup.md5Hash60) — the SQL-recomputable reference semantics
+    val viaAgg = Dedup.simhash(docs, "doc_id", "text",
+        tokenHash = c => conv(substring(md5(c), 1, 15), 16, 10).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the stable-reference val takes the native projection
+    val viaNative = Dedup.simhash(docs, "doc_id", "text",
+        tokenHash = Dedup.md5Hash60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaAgg)
+    assert(viaNative(1L) == viaNative(2L))
+    // the scalar hash itself is value-identical to the SQL conv form
+    val hashes = docs.filter(col("doc_id") === 1L)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("tok"), Dedup.md5Hash60(col("tok")).as("sqlh"))
+      .collect()
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+    hashes.foreach { r =>
+      val viaJdk = graft.expressions.SimhashSignatureMd5.hash60(
+        jdk, r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) === viaJdk, s"token ${r.getString(0)}")
+    }
+    graft.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_simhash_md5(array('a', 'b', 'a')) AS s")
+      .collect()(0).getLong(0)
+    assert(sql == Dedup.simhash(Seq((0L, "a b a")).toDF("doc_id", "text"),
+      "doc_id", "text", tokenHash = Dedup.md5Hash60).collect()(0).getLong(1))
+  }
+
   test("containment mode catches embedded benchmark passages") {
     // a short eval item EMBEDDED in a long training doc: symmetric
     // Jaccard ≈ |passage grams| / |doc grams| ≈ 0, containment = 1.0
