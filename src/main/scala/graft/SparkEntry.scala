@@ -1143,11 +1143,13 @@ object SparkEntry {
           graft.pipeline.Seasons.DatasetFiles(s"$tmp/main_log/part-*"),
           graft.pipeline.Seasons.DatasetFiles(s"$tmp/db_log/part-*",
             isReferenceDb = true)))
-      // fresh output dir per invocation: the parse stage's S9
+      // EMPTIED output dir per invocation: the parse stage's S9
       // skip-if-exists would otherwise turn a repeat run (bench run 2)
-      // into a parquet re-read instead of a full parse
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q65_out").toString
+      // into a parquet re-read instead of a full parse — and a fresh
+      // createTempDirectory per run would leak season output into
+      // /tmp across bench/verify invocations (one reusable dir per
+      // query, wiped on entry and deleted on JVM exit)
+      val outDir = seasonOutDir("q65")
       val out = graft.pipeline.Seasons.run(s, cfg, outDir,
         forecastCsv = Some(s"$tmp/solcast.csv"),
         gpxFiles = Seq(s"$tmp/track.gpx"), resamplePeriod = "1min")
@@ -1169,6 +1171,53 @@ object SparkEntry {
         round(col("gps_altitude"), 6).as("gps_altitude"),
         round(col("gps_speed"), 6).as("gps_speed"),
         round(col("gps_heading"), 6).as("gps_heading"),
+        round(col("gps_distance"), 6).as("gps_distance"))
+        .orderBy($"timestamp")
+    }),
+
+    // Q5 + clock-offset composition gate (VERDICT r6 gap #1): the q65
+    // mini-season re-run with `mab20Workaround = true` and a nonzero
+    // `to − from` clock fix (+45 min 30.123456 s, derived through
+    // DatasetFiles.withClockFix exactly as main_2020.py:35-65 declares
+    // its datasets). The main log carries topic 0x41 frames with a
+    // WRONG raw signature byte + 6 junk tail bytes (decodable only
+    // through the forced-signature + 2-byte truncation of
+    // lib/canparser.py:127-133) and topic 0x40 frames with a wrong
+    // signature byte (forced to 230) — without the workaround every
+    // one is silently dropped and the MAB19 columns come out empty.
+    // The reference-DB log keeps offset 0, so the unify clip runs
+    // against SHIFTED main bounds (the cross-dataset interaction an
+    // offset-vs-crop ordering bug would corrupt), and the µs-odd
+    // offset moves every value to a different minute bucket than
+    // q65's. The oracle recomputes the shifted decode and all five
+    // stages in SQL.
+    "q73_season_mab20" -> ((s, d) => {
+      val tmp = q65Fixtures(s, d)
+      val cfg = graft.pipeline.Seasons.SeasonConfig(
+        name = "q73", canIdsPath = s"$tmp/can_ids_mab.json",
+        mab20Workaround = true, shiftBackLocalize = true,
+        site = Some(graft.pipeline.SolarStage.Site(-26.243602, -48.6417668)),
+        event = Some(("2024-01-10 11:00:00", "2024-01-10 16:00:00")),
+        resamplePeriods = Seq("1min"),
+        datasets = Seq(
+          graft.pipeline.Seasons.DatasetFiles.withClockFix(
+            s"$tmp/main_mab_log/part-*",
+            java.time.LocalDateTime.parse("2024-01-10T10:00:00"),
+            java.time.LocalDateTime.parse("2024-01-10T10:45:30.123456")),
+          graft.pipeline.Seasons.DatasetFiles(s"$tmp/db_log/part-*",
+            isReferenceDb = true)))
+      val outDir = seasonOutDir("q73")
+      val out = graft.pipeline.Seasons.run(s, cfg, outDir,
+        forecastCsv = Some(s"$tmp/solcast.csv"),
+        gpxFiles = Seq(s"$tmp/track.gpx"), resamplePeriod = "1min")
+      out.select(col("timestamp"),
+        round(col("MOD17__SENSOR__CURR"), 6).as("s_curr"),
+        round(col("MAB19__STATE__STATE"), 6).as("mab_state"),
+        round(col("MAB19__STATE__ERROR"), 6).as("mab_error"),
+        round(col("MAB19__PUMPS__PUMPS"), 6).as("mab_pumps"),
+        round(col("solcast_poa"), 6).as("solcast_poa"),
+        round(col("solcast_energy"), 6).as("solcast_energy"),
+        round(col("gps_speed"), 6).as("gps_speed"),
         round(col("gps_distance"), 6).as("gps_distance"))
         .orderBy($"timestamp")
     }),
@@ -1217,10 +1266,39 @@ object SparkEntry {
     operators.CanDecode.decodeLong(frames, graft.sources.CanFixtures.schema)
   }
 
+  /** Reusable season-pipeline output dir, one per query tag: created
+    * once per JVM, WIPED on every call (so the S9 skip-if-exists never
+    * short-circuits a timed re-run) and deleted on JVM exit — repeated
+    * bench/verify runs must not accumulate season parquet in /tmp. */
+  private val seasonOutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def seasonOutDir(tag: String): String = {
+    val p = seasonOutDirs.computeIfAbsent(tag, t => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_${t}_out")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+      dir
+    })
+    // wipe contents, keep the dir itself
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.filterNot(_ == p)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** q65 mini-season fixtures (can_ids JSON, sorted main/reference-DB
     * candump logs derived from `events`, a 300 s Solcast CSV, a
     * 10-point GPX track) written into a fresh temp dir; returns its
-    * path. Every value is a literal or a deterministic function of
+    * path (registered for deletion at JVM exit). Every value is a
+    * literal or a deterministic function of
     * `events` columns so the DuckDB oracle regenerates it exactly.
     * The main log injects the q21 rejects (unknown topic 0x22 every
     * 101st event, short 4-byte frame every 103rd); the reference-DB
@@ -1241,6 +1319,8 @@ object SparkEntry {
   private def buildQ65Fixtures(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_q65").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteTree(Paths.get(tmp))))
     Files.writeString(Paths.get(s"$tmp/can_ids.json"),
       graft.sources.CanFixtures.json)
     val ev = t(s, d, "events")
@@ -1269,6 +1349,35 @@ object SparkEntry {
         "ts BETWEEN TIMESTAMP'2024-01-08 00:00:00' AND TIMESTAMP'2024-01-12 00:00:00'" +
           " AND event_id % 3 = 0")),
       lit("021"), payloadOk, s"$tmp/db_log")
+    // q73 main log: the q65 MOD17 lines (same rejects) PLUS the Q5
+    // mab20 traps — topic 041 frames with a WRONG raw signature byte
+    // (0x22) and 6 junk tail bytes (decodable only through the forced
+    // signature + 2-byte truncation) on every 5k+1th event, and topic
+    // 040 frames with raw signature byte 0x11 (forced to 230) on every
+    // 5k+2th. Without the workaround every one of these frames is
+    // silently dropped; with it they decode as MAB19 STATE/PUMPS.
+    Files.writeString(Paths.get(s"$tmp/can_ids_mab.json"),
+      graft.sources.CanFixtures.jsonMab)
+    val mabBase = ev.filter(expr(
+      "ts BETWEEN TIMESTAMP'2024-01-08 09:00:00' AND TIMESTAMP'2024-01-11 21:00:00'" +
+        " AND event_id % 3 != 0"))
+    def mabLines(df: DataFrame, topic: Column, payload: Column): DataFrame =
+      df.select(format_string("(%d.%06d) can0 %s#%s",
+        expr("unix_micros(ts) div 1000000"), expr("unix_micros(ts) % 1000000"),
+        topic, payload).as("value"), col("ts"), col("event_id"))
+    val mod17Lines = mabLines(mabBase,
+      when(expr("event_id % 101 = 0"), lit("022")).otherwise(lit("021")),
+      when(expr("event_id % 103 = 0"), payloadShort).otherwise(payloadOk))
+    val pumpsLines = mabLines(mabBase.filter(expr("event_id % 5 = 1")),
+      lit("041"), concat(lit("22"), b(expr("event_id % 256")),
+        lit("AABBCCDDEE00")))
+    val stateLines = mabLines(mabBase.filter(expr("event_id % 5 = 2")),
+      lit("040"), concat(lit("11"), b(expr("user_id % 256")),
+        b(expr("event_id % 7"))))
+    mod17Lines.unionByName(pumpsLines).unionByName(stateLines)
+      .repartition(1).sortWithinPartitions("ts", "event_id", "value")
+      .select("value")
+      .write.mode("overwrite").text(s"$tmp/main_mab_log")
     // Solcast CSV: 300 s ticks 10:00→17:00 UTC; values are exact
     // binary doubles (20.0/10.0/5.0/0.125 steps) so CSV round-trip and
     // the oracle's regeneration are bit-identical
@@ -2545,6 +2654,221 @@ object SparkEntry {
            round(j.ele, 6) AS gps_altitude,
            round(j.speed, 6) AS gps_speed,
            round(j.heading, 6) AS gps_heading,
+           round(j.distance, 6) AS gps_distance
+         FROM rs r LEFT JOIN sol s ON s.ts = r.ts
+         LEFT JOIN gpsj j ON j.ts = r.ts
+         ORDER BY timestamp""",
+
+    // q65's machinery with (a) every main timestamp shifted by the
+    // clock fix +2,730,123,456 µs BEFORE bucketing (the reference
+    // applies `to − from` to parsed timestamps, lib/canparser.py:205),
+    // (b) the reference-DB rows UNSHIFTED and clipped against the
+    // shifted main bounds, and (c) the mab20-forced MAB19 decode:
+    // topic-65 frames contribute PUMPS (payload truncated to 2 bytes —
+    // junk tail ignored), topic-64 frames STATE/ERROR; MOD17 rejects
+    // (%101 unknown topic, %103 short frame) still drop while the SAME
+    // events' MAB19 frames survive.
+    "q73_season_mab20" ->
+      """WITH
+         mainE AS (SELECT make_timestamp(epoch_us(ts) + 2730123456) ts,
+             user_id, event_id FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-08 09:00:00'
+                        AND TIMESTAMP '2024-01-11 21:00:00'
+             AND event_id % 3 != 0
+             AND ((event_id % 101 != 0 AND event_id % 103 != 0)
+                  OR event_id % 5 IN (1, 2))),
+         dbE AS (SELECT ts, user_id, event_id FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                        AND TIMESTAMP '2024-01-12 00:00:00'
+             AND event_id % 3 = 0),
+         mwide AS (SELECT ts,
+             avg(CASE WHEN event_id % 101 != 0 AND event_id % 103 != 0
+                 THEN CAST(user_id AS DOUBLE)*(1.0/100) END) v_curr,
+             avg(CASE WHEN event_id % 5 = 2
+                 THEN CAST(user_id % 256 AS DOUBLE) END) v_state,
+             avg(CASE WHEN event_id % 5 = 2
+                 THEN CAST(event_id % 7 AS DOUBLE) END) v_error,
+             avg(CASE WHEN event_id % 5 = 1
+                 THEN CAST(event_id % 256 AS DOUBLE) END) v_pumps
+           FROM mainE GROUP BY ts),
+         dwide AS (SELECT ts,
+             avg(CAST(user_id AS DOUBLE)*(1.0/100)) v_curr,
+             CAST(NULL AS DOUBLE) v_state, CAST(NULL AS DOUBLE) v_error,
+             CAST(NULL AS DOUBLE) v_pumps
+           FROM dbE GROUP BY ts),
+         mb AS (SELECT min(ts) lo, max(ts) hi FROM mwide),
+         uni AS (SELECT * FROM mwide
+           UNION ALL SELECT * FROM dwide
+             WHERE ts BETWEEN (SELECT lo FROM mb) AND (SELECT hi FROM mb)),
+         lf AS (
+           SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) b,
+             'MOD17__SENSOR__CURR' signal, v_curr vv FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MAB19__STATE__STATE', v_state FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MAB19__STATE__ERROR', v_error FROM uni
+           UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000),
+             'MAB19__PUMPS__PUMPS', v_pumps FROM uni),
+         binned AS (SELECT signal, b, avg(vv) v FROM lf GROUP BY 1, 2),
+         bnds AS (SELECT min(b) lo, max(b) hi FROM binned WHERE v IS NOT NULL),
+         grid AS (SELECT s.signal, g.b
+           FROM (SELECT unnest(['MOD17__SENSOR__CURR',
+             'MAB19__STATE__STATE', 'MAB19__STATE__ERROR',
+             'MAB19__PUMPS__PUMPS']) signal) s
+           CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bnds),
+             (SELECT hi FROM bnds), INTERVAL 1 MINUTE)) b) g),
+         dense AS (SELECT grid.signal, grid.b, binned.v
+           FROM grid LEFT JOIN binned USING (signal, b)),
+         selx AS (SELECT signal, b, v,
+             last_value(v IGNORE NULLS) OVER wp pv,
+             first_value(v IGNORE NULLS) OVER wn nv,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wp pt,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wn nt
+           FROM dense WINDOW
+             wp AS (PARTITION BY signal ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY signal ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         resam AS (SELECT signal, b, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               AND epoch_us(b) - epoch_us(pt) <= 60000000 THEN
+               pv + (nv - pv) * (CAST(epoch_us(b) - epoch_us(pt) AS DOUBLE)
+                 / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+             END val FROM selx),
+         rs AS (SELECT b ts,
+             max(CASE WHEN signal = 'MOD17__SENSOR__CURR' THEN val END) s_curr,
+             max(CASE WHEN signal = 'MAB19__STATE__STATE' THEN val END) m_state,
+             max(CASE WHEN signal = 'MAB19__STATE__ERROR' THEN val END) m_error,
+             max(CASE WHEN signal = 'MAB19__PUMPS__PUMPS' THEN val END) m_pumps
+           FROM resam GROUP BY b),
+         fc AS (SELECT t, (epoch_us(t) -
+             epoch_us(TIMESTAMP '2024-01-10 10:00:00')) // 300000000 i
+           FROM (SELECT unnest(generate_series(
+             TIMESTAMP '2024-01-10 10:00:00', TIMESTAMP '2024-01-10 17:00:00',
+             INTERVAL 300 SECOND)) t)),
+         fcv AS (SELECT t,
+             500.0 + (i % 7) * 20.0 dni, 300.0 + (i % 5) * 10.0 ghi,
+             100.0 + (i % 3) * 5.0 dhi, 1.5 + (i % 4) * 0.125 airmass,
+             0.06 albedo FROM fc),
+         sp1 AS (SELECT *,
+             CAST(epoch_us(t + INTERVAL 150 SECOND) AS DOUBLE)
+               / 86400000000.0 + 2440587.5 - 2451545.0 AS n,
+             (CAST(epoch_us(t + INTERVAL 150 SECOND) AS DOUBLE)
+               / 3600000000.0) % 24.0 AS hr
+           FROM fcv),
+         sp2 AS (SELECT *,
+             2.1429 - 0.0010394594 * n AS omega,
+             4.8950630 + 0.017202791698 * n AS mlon,
+             6.2400600 + 0.0172019699 * n AS manom FROM sp1),
+         sp3 AS (SELECT *,
+             mlon + 0.03341607 * sin(manom) + 0.00034894 * sin(2.0 * manom)
+               - 0.0001134 - 0.0000203 * sin(omega) AS elon,
+             0.4090928 - 6.2140e-9 * n + 0.0000396 * cos(omega) AS eobl
+           FROM sp2),
+         sp4 AS (SELECT *,
+             CASE WHEN atan2(cos(eobl) * sin(elon), cos(elon)) < 0
+                  THEN atan2(cos(eobl) * sin(elon), cos(elon)) + 2 * pi()
+                  ELSE atan2(cos(eobl) * sin(elon), cos(elon)) END AS ra,
+             asin(sin(eobl) * sin(elon)) AS sdec FROM sp3),
+         sp5 AS (SELECT *,
+             ((6.6974243242 + 0.0657098283 * n + hr) * 15.0
+               + (-48.6417668)) * (pi() / 180.0) - ra AS ha FROM sp4),
+         sp6 AS (SELECT *,
+             acos(cos((-26.243602) * (pi() / 180.0)) * cos(ha) * cos(sdec)
+               + sin(sdec) * sin((-26.243602) * (pi() / 180.0))) AS zen0
+           FROM sp5),
+         sp7 AS (SELECT *,
+             90.0 - ((zen0 + (6371.01 / 149597890.0) * sin(zen0))
+               * 180.0 / pi()) AS elev FROM sp6),
+         sp8 AS (SELECT *,
+             CASE WHEN elev >= -1.0 * (0.26667 + 0.5667) THEN
+               ((101325.0 / 100.0) / 1010.0) * (283.0 / (273.0 + 12.0)) * 1.02
+                 / (60.0 * tan((elev + 10.3 / (elev + 5.11)) / 180.0 * pi()))
+             ELSE 0.0 END AS refr FROM sp7),
+         spz AS (SELECT t, dni, ghi, dhi, airmass, albedo,
+             dni * greatest(cos((90.0 - (elev + refr)) / 180.0 * pi()), 0.0)
+               + dhi AS poa
+           FROM sp8),
+         fsl AS (SELECT * FROM spz
+           WHERE t BETWEEN TIMESTAMP '2024-01-10 11:00:00'
+                       AND TIMESTAMP '2024-01-10 16:00:00'),
+         fen0 AS (SELECT *, lag(poa) OVER w ppoa, lag(t) OVER w plt
+           FROM fsl WINDOW w AS (ORDER BY t)),
+         fen AS (SELECT t, poa,
+             coalesce(sum((poa + ppoa) / 2.0 *
+               (CAST(epoch_us(t) - epoch_us(plt) AS DOUBLE)
+                 / 3600000000.0)) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) energy
+           FROM fen0),
+         cutoff AS (SELECT max(ts) - INTERVAL 3 HOUR c FROM rs),
+         solp AS (SELECT r.ts,
+             CASE WHEN r.ts >= TIMESTAMP '2024-01-10 16:00:00'
+               THEN TIMESTAMP '2024-01-10 16:00:00'
+               ELSE make_timestamp(epoch_us(TIMESTAMP '2024-01-10 11:00:00')
+                 + ((epoch_us(r.ts) - epoch_us(TIMESTAMP '2024-01-10 11:00:00'))
+                    // 300000000) * 300000000) END pt
+           FROM rs r
+           WHERE r.ts >= TIMESTAMP '2024-01-10 11:00:00'
+             AND r.ts <= (SELECT c FROM cutoff)),
+         soli AS (SELECT p.ts, p.pt,
+             CASE WHEN p.ts >= TIMESTAMP '2024-01-10 16:00:00' THEN 0.0
+               ELSE CAST(epoch_us(p.ts) - epoch_us(p.pt) AS DOUBLE)
+                 / 300000000.0 END frac
+           FROM solp p),
+         sol AS (SELECT p.ts,
+             a.poa + (coalesce(b.poa, a.poa) - a.poa) * p.frac poa,
+             a.energy + (coalesce(b.energy, a.energy) - a.energy)
+               * p.frac energy
+           FROM soli p JOIN fen a ON a.t = p.pt
+           LEFT JOIN fen b ON b.t = p.pt + INTERVAL 300 SECOND),
+         trkraw AS (SELECT * FROM (VALUES
+             (TIMESTAMP '2024-01-10 09:30:00', -26.240, -48.640, 5.0),
+             (TIMESTAMP '2024-01-10 09:55:00', -26.237, -48.638, 6.0),
+             (TIMESTAMP '2024-01-10 10:20:00', -26.234, -48.636, 7.0),
+             (TIMESTAMP '2024-01-10 10:45:00', -26.231, -48.634, 8.0),
+             (TIMESTAMP '2024-01-10 11:10:00', -26.228, -48.632, 9.0),
+             (TIMESTAMP '2024-01-10 11:35:00', -26.225, -48.630, 10.0),
+             (TIMESTAMP '2024-01-10 12:00:00', -26.222, -48.628, 11.0),
+             (TIMESTAMP '2024-01-10 12:25:00', -26.219, -48.626, 12.0),
+             (TIMESTAMP '2024-01-10 12:50:00', -26.216, -48.624, 13.0),
+             (TIMESTAMP '2024-01-10 13:15:00', -26.213, -48.622, 14.0)
+           ) v(g_ts, lat, lon, ele)),
+         trk1 AS (SELECT *, lag(lat) OVER w plat, lag(lon) OVER w plon,
+             lag(g_ts) OVER w ptt
+           FROM trkraw WINDOW w AS (ORDER BY g_ts)),
+         trk2 AS (SELECT *,
+             6371.0 * 2 * asin(sqrt(
+               pow(sin(((lat - plat) / 180.0 * pi()) / 2), 2)
+               + cos(plat / 180.0 * pi()) * cos(lat / 180.0 * pi())
+                 * pow(sin(((lon - plon) / 180.0 * pi()) / 2), 2))) dist,
+             (atan2(cos(plat / 180.0 * pi()) * sin((lon - plon) / 180.0 * pi()),
+                sin(plat / 180.0 * pi()) * (cos(plat / 180.0 * pi())
+                  - cos(lat / 180.0 * pi()) * cos((lon - plon) / 180.0 * pi())))
+               * 180.0 / pi()) + 180.0 heading,
+             ((epoch_us(g_ts) - epoch_us(ptt)) // 1000000) % 86400 dts
+           FROM trk1),
+         trk3 AS (SELECT g_ts, lat, lon, ele, heading,
+             CASE WHEN dts = 0 THEN NULL
+                  ELSE dist / (CAST(dts AS DOUBLE) / 3600.0) END speed,
+             sum(coalesce(dist, 0.0)) OVER (ORDER BY g_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) distance
+           FROM trk2),
+         trkf AS (SELECT * FROM trk3
+           WHERE speed IS NOT NULL AND heading IS NOT NULL),
+         gpsj AS (SELECT g.ts, k.speed, k.distance
+           FROM (SELECT ts FROM rs WHERE ts <= (SELECT c FROM cutoff)) g
+           ASOF LEFT JOIN trkf k ON g.ts >= k.g_ts)
+         SELECT r.ts AS timestamp,
+           round(r.s_curr, 6) AS s_curr,
+           round(r.m_state, 6) AS mab_state,
+           round(r.m_error, 6) AS mab_error,
+           round(r.m_pumps, 6) AS mab_pumps,
+           round(s.poa, 6) AS solcast_poa,
+           round(s.energy, 6) AS solcast_energy,
+           round(j.speed, 6) AS gps_speed,
            round(j.distance, 6) AS gps_distance
          FROM rs r LEFT JOIN sol s ON s.ts = r.ts
          LEFT JOIN gpsj j ON j.ts = r.ts
