@@ -740,6 +740,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // q56's decision contract over the PERSISTED index: the gram table
+    // is written as a parquet table bucketed on `gram` and re-read, so
+    // the batch probe aggregates the index side with no Exchange (the
+    // bucket layout pre-pays the shuffle — the 100 TB
+    // build-once/search-many claim, plan-pinned in PlanSpec) and the
+    // oracle proves the round-trip loses nothing: the kept set must
+    // equal q56's exactly.
+    "q74_bucketed_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 14 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(docs.filter($"doc_id" % 14 === 7)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" plugh tail")).as("text")))
+      val built = operators.Dedup.buildNgramIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4)
+      operators.Dedup.writeNgramIndexBucketed(built, "graft_q74_ngram_idx",
+        numBuckets = 32)
+      val idx = operators.Dedup.readNgramIndex(s, "graft_q74_ngram_idx",
+        "doc_id", 4)
+      operators.Dedup.incrementalDropNearDups(idx, batch, "text",
+          threshold = 0.5)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2241,56 +2269,13 @@ object SparkEntry {
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
 
-    "q56_incremental_dedup" ->
-      """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
-           FROM documents WHERE doc_id % 2 = 0),
-         batch AS (
-           SELECT doc_id, lower(trim(text)) tx
-           FROM documents WHERE doc_id % 2 = 1
-           UNION ALL
-           SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
-           FROM documents WHERE doc_id % 14 = 0
-           UNION ALL
-           SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
-           FROM documents WHERE doc_id % 14 = 7),
-         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
-         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
-           FROM bt, LATERAL (SELECT unnest(generate_series(1,
-             greatest(len(t)-3, 1))) AS i)),
-         ot AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM olds),
-         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
-           FROM ot, LATERAL (SELECT unnest(generate_series(1,
-             greatest(len(t)-3, 1))) AS i)),
-         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
-         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
-         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
-           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
-         hits AS (SELECT DISTINCT hx.bid AS doc_id FROM hx
-           JOIN bsz ON bsz.doc_id = hx.bid
-           JOIN osz ON osz.doc_id = hx.oid
-           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
-         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
-           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         wpairs AS (SELECT a, b FROM wx
-           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
-           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
-         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
-         reach AS (
-           WITH RECURSIVE r(x, y) AS (
-             SELECT x, y FROM edges
-             UNION
-             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
-           SELECT x, y FROM r),
-         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
-           FROM reach GROUP BY x),
-         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
-           FROM batch b LEFT JOIN comp USING (doc_id)),
-         tainted AS (SELECT DISTINCT l.comp FROM labeled l
-           JOIN hits h ON l.doc_id = h.doc_id)
-         SELECT l.doc_id FROM labeled l
-         WHERE l.comp NOT IN (SELECT comp FROM tainted)
-           AND l.comp = l.doc_id
-         ORDER BY l.doc_id""",
+    "q56_incremental_dedup" -> incrementalDedupOracleSql,
+
+    // identical DECISION contract: the only difference on the Spark
+    // side is that the index is round-tripped through a bucketed
+    // parquet table (build-once/search-many) before probing
+    "q74_bucketed_incremental" -> incrementalDedupOracleSql,
+
 
     "q54_boilerplate_lines" ->
       """WITH d0 AS (SELECT doc_id,
@@ -3157,6 +3142,61 @@ object SparkEntry {
     * the 60-bit packing Dedup.md5Hash60 can set). Recomputes every
     * doc's simhash from scratch and scores ALL O(n²) pairs — the gate
     * therefore asserts the banding misses nothing. */
+  /** Shared q56/q74 oracle: exhaustive batch-vs-index 4-gram Jaccard
+    * hits + within-batch recursive closure; survivors are untainted
+    * min-id representatives. q74 runs the SAME decision over an index
+    * round-tripped through a bucketed parquet table. */
+  private def incrementalDedupOracleSql: String =
+    """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
+           FROM documents WHERE doc_id % 2 = 0),
+         batch AS (
+           SELECT doc_id, lower(trim(text)) tx
+           FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
+           FROM documents WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
+           FROM documents WHERE doc_id % 14 = 7),
+         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
+         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM bt, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         ot AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM olds),
+         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM ot, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+         hits AS (SELECT DISTINCT hx.bid AS doc_id FROM hx
+           JOIN bsz ON bsz.doc_id = hx.bid
+           JOIN osz ON osz.doc_id = hx.oid
+           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         wpairs AS (SELECT a, b FROM wx
+           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x),
+         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+           FROM batch b LEFT JOIN comp USING (doc_id)),
+         tainted AS (SELECT DISTINCT l.comp FROM labeled l
+           JOIN hits h ON l.doc_id = h.doc_id)
+         SELECT l.doc_id FROM labeled l
+         WHERE l.comp NOT IN (SELECT comp FROM tainted)
+           AND l.comp = l.doc_id
+         ORDER BY l.doc_id"""
+
   /** Shared q68/q71 oracle: 100 planted copies of doc 0, exhaustive
     * word-trigram Jaccard pairs at 0.8, recursive closure, min-id
     * survivors. */

@@ -472,7 +472,7 @@ object Dedup {
     * [[wordShingles]] and the DuckDB oracles: trim first, else text
     * with leading/trailing whitespace grows an empty leading token
     * that shifts every gram. */
-  private[operators] def gramTable(df: DataFrame, idCol: String,
+  private[graft] def gramTable(df: DataFrame, idCol: String,
                                    textCol: String, n: Int): DataFrame = df
     .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__tk"))
     .select(col(idCol), explode(gramHashesCol(col("__tk"), n)).as("gram"))
@@ -558,7 +558,7 @@ object Dedup {
     * exists for the real setting. In "left" mode the candidate table
     * is persisted (MEMORY_AND_DISK, LRU-evictable — same session
     * lifecycle as the gram tables; `clearCache()` when done). */
-  private[operators] def crossJaccardFromGrams(gl: DataFrame, gr: DataFrame,
+  private[graft] def crossJaccardFromGrams(gl: DataFrame, gr: DataFrame,
       idCol: String, threshold: Double, maxBucket: Int,
       containment: Boolean, smallSide: String = "right"): DataFrame = {
     def docSets(g: DataFrame, a: String) = g.groupBy(col(idCol))
@@ -772,6 +772,27 @@ object Dedup {
   def buildNgramIndex(corpus: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): NgramIndex =
     NgramIndex(gramTable(corpus, idCol, textCol, n), idCol, n)
+
+  /** Persist an [[NgramIndex]] as a parquet table BUCKETED on `gram` —
+    * the build-once/search-many discipline at 100 TB: the write pays
+    * the gram shuffle once, and every future batch's probe
+    * ([[incrementalDropNearDups]]) aggregates the index side per gram
+    * with NO Exchange (the bucket layout already satisfies the
+    * clustered distribution), so per-batch cost never includes
+    * re-shuffling the accepted corpus. Pinned by PlanSpec ("ngram
+    * index bucketed on gram..."). */
+  def writeNgramIndexBucketed(index: NgramIndex, table: String,
+                              numBuckets: Int = 64): Unit =
+    graft.sources.Sinks.writeBucketed(index.grams, table, Seq("gram"),
+      numBuckets)
+
+  /** Reopen a bucketed index table written by
+    * [[writeNgramIndexBucketed]]. `idCol`/`n` must match the build —
+    * the table stores (idCol, gram) rows; n is the gram width used to
+    * shingle future batches against it. */
+  def readNgramIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     idCol: String, n: Int): NgramIndex =
+    NgramIndex(spark.table(table), idCol, n)
 
   /** Grow the index with accepted survivors (one gram pass over the
     * BATCH only — the existing index is untouched). */

@@ -366,6 +366,30 @@ object Similarity {
     searchIvfSq(buildIvfSq(corpus, idCol, vecCol, nCells), corpus, queries,
       idCol, vecCol, k, nProbe, oversample)
 
+  /** Persist an [[IvfSqIndex]] as tables — `cellCodes` BUCKETED on
+    * `cell` (the probe-join key: a big query batch then sort-merge
+    * joins the index WITHOUT shuffling it — pinned by PlanSpec), the
+    * one-row `stats` and nCells-row `centroids` as plain tables. The
+    * build-once/search-many shape: the cell shuffle is paid at write
+    * time, every future search pays only its own query-side work. */
+  def writeIvfSqIndexBucketed(index: IvfSqIndex, prefix: String,
+                              numBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.SaveMode
+    index.centroids.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${prefix}_centroids")
+    index.stats.write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${prefix}_stats")
+    graft.sources.Sinks.writeBucketed(index.cellCodes,
+      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
+  }
+
+  /** Reopen an index written by [[writeIvfSqIndexBucketed]]. */
+  def readIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): IvfSqIndex =
+    IvfSqIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_stats"),
+      spark.table(s"${prefix}_cell_codes"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and
     * multi-probed into its own bucket plus every 1-bit flip, so any

@@ -237,6 +237,76 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("ngram index bucketed on gram: batch probe runs without an index-side shuffle") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = (1L to 300L).map(i =>
+      (i, s"corpus doc $i with shared words w${i % 9} w${i % 7} w${i % 5} tail"))
+      .toDF("doc_id", "text")
+    val batch = (1000L to 1040L).map(i =>
+      (i, s"batch doc $i with shared words w${i % 9} w${i % 7} w${i % 5} tail"))
+      .toDF("doc_id", "text")
+    val mem = Dedup.buildNgramIndex(corpus, "doc_id", "text", n = 3)
+    Dedup.writeNgramIndexBucketed(mem, "ngram_idx_plan", numBuckets = 4)
+    val disk = Dedup.readNgramIndex(spark, "ngram_idx_plan", "doc_id", 3)
+    val bg = Dedup.gramTable(batch, "doc_id", "text", 3)
+    def exchanges(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    // the load-bearing claim of build-once/search-many: the index
+    // side's per-gram aggregation reads the bucket layout directly —
+    // the probe join plans with one FEWER hash exchange against the
+    // bucketed table than against the same grams in memory (that
+    // missing exchange is the one that would re-shuffle the ACCEPTED
+    // CORPUS per batch)
+    val viaDisk = Dedup.crossJaccardFromGrams(bg, disk.grams, "doc_id",
+      0.5, 50, containment = false, smallSide = "left")
+    val viaMem = Dedup.crossJaccardFromGrams(bg, mem.grams, "doc_id",
+      0.5, 50, containment = false, smallSide = "left")
+    assert(exchanges(viaDisk) < exchanges(viaMem),
+      s"bucketed index side should skip its gram shuffle: " +
+        s"disk=${exchanges(viaDisk)} mem=${exchanges(viaMem)}")
+    // and the table-backed index makes the SAME decisions
+    val memKept = Dedup.incrementalDropNearDups(mem, batch, "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val diskKept = Dedup.incrementalDropNearDups(disk, batch, "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(diskKept === memKept)
+  }
+
+  test("IVF×SQ cellCodes bucketed on cell: probe join leaves the index unshuffled") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 5)
+    val mem = Similarity.buildIvfSq(corpus, "vec_id", "embedding", nCells = 4)
+    Similarity.writeIvfSqIndexBucketed(mem, "ivfsq_plan", numBuckets = 4)
+    val disk = Similarity.readIvfSqIndex(spark, "ivfsq_plan")
+    // force the sort-merge path (a tiny probe side would broadcast,
+    // hiding the bucket-layout reuse under test)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (0 to 3).map(c => (c, c.toLong)).toDF("cell", "query_id")
+      val j = disk.cellCodes.join(probe, "cell")
+      val p = j.queryExecution.executedPlan.toString
+      // exactly one exchange — the probe side; the bucketed index
+      // side reads its layout directly
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected only the probe-side shuffle:\n${p.take(2000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // table-backed search returns the same ranked neighbors
+    val memTop = Similarity.searchIvfSq(mem, corpus, queries, "vec_id",
+      "embedding", k = 3).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(3))).toSet
+    val diskTop = Similarity.searchIvfSq(disk, corpus, queries, "vec_id",
+      "embedding", k = 3).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(3))).toSet
+    assert(diskTop === memTop)
+  }
+
   test("parse stage: text scan parallelism preserved through decode") {
     val dir = java.nio.file.Files.createTempDirectory("plan")
     java.nio.file.Files.write(dir.resolve("a.log"),
