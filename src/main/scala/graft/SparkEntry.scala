@@ -1250,6 +1250,36 @@ object SparkEntry {
         .orderBy($"timestamp")
     }),
 
+    // runAll multi-period reuse gate (VERDICT r6 gap #3): the per-period
+    // driver loop (main_2020.py:137-150) parses once into
+    // `parsed_<name>_*` and resamples per period through the S9
+    // skip-if-exists — period 2 READS period 1's parsed parquet
+    // instead of re-parsing (the write-once/read-twice contract is
+    // spec-pinned via a QueryExecutionListener in StreamingSeasonSpec;
+    // this row pins that the reuse also loses NOTHING: both periods'
+    // final tables match an oracle that re-derives each period from
+    // the raw events independently).
+    "q75_multi_period" -> ((s, d) => {
+      val tmp = q65Fixtures(s, d)
+      val cfg = graft.pipeline.Seasons.SeasonConfig(
+        name = "q75", canIdsPath = s"$tmp/can_ids.json",
+        mab20Workaround = false, shiftBackLocalize = false,
+        site = None, resamplePeriods = Seq("1min", "2min"),
+        datasets = Seq(
+          graft.pipeline.Seasons.DatasetFiles(s"$tmp/main_log/part-*"),
+          graft.pipeline.Seasons.DatasetFiles(s"$tmp/db_log/part-*",
+            isReferenceDb = true)))
+      val outDir = seasonOutDir("q75")
+      graft.pipeline.Seasons.runAll(s, cfg, outDir)
+      Seq("1min", "2min").map { p =>
+        s.read.parquet(s"$outDir/$p/final_q75")
+          .select(lit(p).as("period"), col("timestamp"),
+            round(col("MOD17__SENSOR__CURR"), 6).as("s_curr"),
+            round(col("MOD17__SENSOR__DUTY"), 6).as("s_duty"),
+            round(col("MOD17__SENSOR__FLAG1"), 6).as("s_flag1"))
+      }.reduce(_ unionByName _).orderBy($"period", $"timestamp")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -2276,6 +2306,10 @@ object SparkEntry {
     // parquet table (build-once/search-many) before probing
     "q74_bucketed_incremental" -> incrementalDedupOracleSql,
 
+    "q75_multi_period" ->
+      (q75PeriodSql("1min", 60000000L) + " UNION ALL " +
+        q75PeriodSql("2min", 120000000L) + " ORDER BY period, timestamp"),
+
 
     "q54_boilerplate_lines" ->
       """WITH d0 AS (SELECT doc_id,
@@ -3142,6 +3176,80 @@ object SparkEntry {
     * the 60-bit packing Dedup.md5Hash60 can set). Recomputes every
     * doc's simhash from scratch and scores ALL O(n²) pairs — the gate
     * therefore asserts the banding misses nothing. */
+  /** One period's slice of the q75 oracle: the q65 decode + unify-clip
+    * + resample + gap-limited interpolation machinery parameterized by
+    * the bucket width (µs). The interpolation gap limit replicates
+    * lib/resampler.py:66 — max(1, 60 s / period) ticks. */
+  private def q75PeriodSql(label: String, periodUs: Long): String = {
+    val gapUs = math.max(1L, 60000000L / periodUs) * periodUs
+    s"""SELECT * FROM (WITH
+       mainE AS (SELECT ts, user_id, event_id FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-08 09:00:00'
+                      AND TIMESTAMP '2024-01-11 21:00:00'
+           AND event_id % 3 != 0 AND event_id % 101 != 0
+           AND event_id % 103 != 0),
+       dbE AS (SELECT ts, user_id, event_id FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                      AND TIMESTAMP '2024-01-12 00:00:00'
+           AND event_id % 3 = 0),
+       mwide AS (SELECT ts,
+           avg(CAST(user_id AS DOUBLE)*(1.0/100)) v_curr,
+           avg(CAST(event_id % 256 AS DOUBLE)*(1.0/100)) v_duty,
+           avg(CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255)) v_f1
+         FROM mainE GROUP BY ts),
+       dwide AS (SELECT ts,
+           avg(CAST(user_id AS DOUBLE)*(1.0/100)) v_curr,
+           avg(CAST(event_id % 256 AS DOUBLE)*(1.0/100)) v_duty,
+           avg(CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255)) v_f1
+         FROM dbE GROUP BY ts),
+       mb AS (SELECT min(ts) lo, max(ts) hi FROM mwide),
+       uni AS (SELECT * FROM mwide
+         UNION ALL SELECT * FROM dwide
+           WHERE ts BETWEEN (SELECT lo FROM mb) AND (SELECT hi FROM mb)),
+       lf AS (
+         SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % $periodUs) b,
+           'MOD17__SENSOR__CURR' signal, v_curr vv FROM uni
+         UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % $periodUs),
+           'MOD17__SENSOR__DUTY', v_duty FROM uni
+         UNION ALL SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % $periodUs),
+           'MOD17__SENSOR__FLAG1', v_f1 FROM uni),
+       binned AS (SELECT signal, b, avg(vv) v FROM lf GROUP BY 1, 2),
+       bnds AS (SELECT min(b) lo, max(b) hi FROM binned),
+       grid AS (SELECT s.signal, g.b
+         FROM (SELECT unnest(['MOD17__SENSOR__CURR',
+           'MOD17__SENSOR__DUTY', 'MOD17__SENSOR__FLAG1']) signal) s
+         CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bnds),
+           (SELECT hi FROM bnds), to_microseconds($periodUs))) b) g),
+       dense AS (SELECT grid.signal, grid.b, binned.v
+         FROM grid LEFT JOIN binned USING (signal, b)),
+       selx AS (SELECT signal, b, v,
+           last_value(v IGNORE NULLS) OVER wp pv,
+           first_value(v IGNORE NULLS) OVER wn nv,
+           last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+             OVER wp pt,
+           first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+             OVER wn nt
+         FROM dense WINDOW
+           wp AS (PARTITION BY signal ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY signal ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       resam AS (SELECT signal, b, CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+             AND epoch_us(b) - epoch_us(pt) <= $gapUs THEN
+             pv + (nv - pv) * (CAST(epoch_us(b) - epoch_us(pt) AS DOUBLE)
+               / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+           END val FROM selx)
+       SELECT '$label' AS period, b AS timestamp,
+         round(max(CASE WHEN signal = 'MOD17__SENSOR__CURR' THEN val END), 6)
+           AS s_curr,
+         round(max(CASE WHEN signal = 'MOD17__SENSOR__DUTY' THEN val END), 6)
+           AS s_duty,
+         round(max(CASE WHEN signal = 'MOD17__SENSOR__FLAG1' THEN val END), 6)
+           AS s_flag1
+       FROM resam GROUP BY b)"""
+  }
+
   /** Shared q56/q74 oracle: exhaustive batch-vs-index 4-gram Jaccard
     * hits + within-batch recursive closure; survivors are untainted
     * min-id representatives. q74 runs the SAME decision over an index

@@ -284,6 +284,78 @@ class StreamingSeasonSpec extends SparkSpec {
     assert(means(0) == 10.0 && means(11) == 10.0)
   }
 
+  test("runAll parses once: period 2 reads period 1's parsed parquet (S9)") {
+    val dir = Files.createTempDirectory("season_reuse")
+    Files.write(dir.resolve("ids.json"), CanFixtures.json.getBytes)
+    val dataDir = Files.createDirectory(dir.resolve("candump"))
+    val t0 = 1580515200L
+    Files.write(dataDir.resolve("run.log"), (0 until 120).map { i =>
+      f"(${t0 + i}%d.000000) can0 021#11E803110300"
+    }.mkString("\n").getBytes)
+    Files.write(dataDir.resolve("run-from_db0.log"), (30 until 50).map { i =>
+      f"(${t0 + i}%d.000000) can0 021#11D00733FF00"
+    }.mkString("\n").getBytes)
+    val cfg = Seasons.SeasonConfig(
+      name = "reuse", canIdsPath = dir.resolve("ids.json").toString,
+      mab20Workaround = false, shiftBackLocalize = false,
+      site = None, resamplePeriods = Seq("10s", "20s"),
+      datasets = Seq(
+        Seasons.DatasetFiles(s"$dataDir/run.log"),
+        Seasons.DatasetFiles(s"$dataDir/run-from_db*.log", isReferenceDb = true)))
+    // count parquet WRITES into the parse output dirs via the SQL
+    // execution listener: the S9 reuse contract is that each dataset
+    // is parsed (written) exactly once even with two periods
+    val writes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = qe.analyzed match {
+        case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+          writes.add(c.outputPath.toString); ()
+        case _ => ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = dir.resolve("out").toString
+      val byPeriod = Seasons.runAll(spark, cfg, out)
+      // listener events are delivered asynchronously — wait for the
+      // expected write count to stabilize
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def parseWrites = { import scala.jdk.CollectionConverters._
+        writes.asScala.toSeq.filter(_.contains("parsed_reuse_")) }
+      def finalWrites = { import scala.jdk.CollectionConverters._
+        writes.asScala.toSeq.filter(_.contains("final_reuse")) }
+      while (System.nanoTime() < deadline &&
+             (parseWrites.size < 2 || finalWrites.size < 2)) Thread.sleep(50)
+      // exactly one parse write per dataset (d0 + db0) — NOT per period
+      assert(parseWrites.sorted == Seq(s"file:$out/parsed_reuse_d0",
+        s"file:$out/parsed_reuse_db0"),
+        s"expected one parse write per dataset, got $parseWrites")
+      assert(finalWrites.size == 2, s"expected two final writes: $finalWrites")
+      // period 2 READ the parsed parquet: its plan scans the parse
+      // output path (period 1's plan is the in-memory parse pipeline)
+      val plan2 = byPeriod("20s").queryExecution.executedPlan.toString
+      assert(plan2.contains("parsed_reuse_d0"),
+        "period 2 should scan period 1's parsed parquet")
+      assert(!byPeriod("10s").queryExecution.executedPlan.toString
+        .contains("parsed_reuse_d0"),
+        "period 1 parses in-pipeline, not from its own output")
+      // and the reuse loses nothing: period 2's table equals a fresh
+      // single-period run that parses from scratch
+      val fresh = Seasons.run(spark, cfg, dir.resolve("fresh").toString,
+        resamplePeriod = "20s")
+      val got = spark.read.parquet(s"$out/20s/final_reuse")
+        .orderBy("timestamp").collect().map(_.toString).toSeq
+      val want = fresh.orderBy("timestamp").collect().map(_.toString).toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("all four season configs run end-to-end on their real schemas") {
     val dir = Files.createTempDirectory("seasons4")
     val dataDir = Files.createDirectory(dir.resolve("candump"))
