@@ -635,6 +635,26 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // The PRODUCTION simhash-rescue configuration (native xxhash64
+    // token hash — what a user actually runs; q72's md5 token hash
+    // exists only so the oracle can recompute sketches in SQL). Same
+    // flood corpus and rescue semantics as q72, benched as the
+    // headline timing for the path; no SQL oracle (xxhash64 is not
+    // reproducible in DuckDB), so the driver records the rows-only
+    // check and correctness stays pinned by q72's md5 gate plus the
+    // native/aggregate bit-parity specs.
+    "q76_simhash_rescue_native" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val boiler = docs.filter($"doc_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
+        .select(($"i" + 2000000L).as("doc_id"), $"text")
+      val corpus = docs.unionByName(boiler)
+      val pairs = operators.Dedup.simhashNearDups(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucket = 200, rescueHot = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle

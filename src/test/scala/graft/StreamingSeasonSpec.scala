@@ -107,6 +107,60 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pre-drop agrees with the batch rescue on a planted flood") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 byte-identical copies of doc 0 (the flood that blows a
+    // maxBucket = 20 guard) + distinct docs pairwise far apart in
+    // hamming. The flood case is exactly where a streaming sketch
+    // pre-drop could diverge from batch CC decisions: the guard
+    // would DROP the hot bucket (batch keeps all copies) while the
+    // stream drops the repeats — rescueHot is what re-aligns them.
+    val distinct = Seq(
+      (0L, "all these documents share exactly the same words today"),
+      (200L, "completely different content about solar boats and batteries"),
+      (201L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa"),
+      (202L, "the weather in joinville is variable during race week"))
+    val flood = (1L to 99L).map(i => (i, distinct.head._2))
+    val corpus = (distinct ++ flood).sortBy(_._1)
+      .toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp_micros(1700000000000000 + doc_id)"))
+    // premise check: distinct docs are pairwise > 3 apart, so batch
+    // components coincide with sketch-equality classes and the parity
+    // claim below is exact (not vacuously order-dependent)
+    val sk = graft.operators.Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (Seq(a, b) <- Seq(0L, 200L, 201L, 202L).combinations(2))
+      assert(java.lang.Long.bitCount(sk(a) ^ sk(b)) > 3, s"docs $a/$b too close")
+    // batch: guarded banding WITH the rescue — decisions must survive
+    // the flood (maxBucket 20 << 100 copies)
+    val pairs = graft.operators.Dedup.simhashNearDups(corpus, "doc_id",
+      "text", maxHamming = 3, maxBucket = 20, rescueHot = true)
+    val batchKept = graft.operators.Dedup
+      .dropNearDups(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stream: single sorted file so within-batch "first seen" is the
+    // min doc id, matching the batch's min-id representative choice
+    val dir = Files.createTempDirectory("stream_flood")
+    corpus.orderBy("doc_id").coalesce(1)
+      .write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .simhashDedupStream(stream, "ts", "text")
+      .writeStream.format("memory").queryName("flood_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.sql("select doc_id from flood_dedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamKept === batchKept,
+        s"stream admitted $streamKept, batch admitted $batchKept")
+      // and the flood collapsed to exactly its min-id representative
+      assert(batchKept.count(_ < 100L) == 1 && batchKept.contains(0L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination: blocklisted fingerprints never emit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
