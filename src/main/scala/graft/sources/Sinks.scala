@@ -44,10 +44,29 @@ object Sinks {
     * instead of per query. Requires a table (bucket metadata lives in
     * the catalog), hence `saveAsTable` rather than a bare path. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    dropStaleManagedLocation(df, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** saveAsTable refuses a managed-table name whose warehouse
+    * LOCATION survives from an earlier session (the default
+    * in-memory catalog forgets tables across JVMs; the filesystem
+    * does not). If the table is unknown to this session's catalog
+    * but its default location exists, remove the orphan so an
+    * Overwrite write is re-runnable across driver restarts. */
+  private[graft] def dropStaleManagedLocation(df: DataFrame,
+                                              table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
 }
