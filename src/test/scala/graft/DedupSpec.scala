@@ -377,6 +377,28 @@ class DedupSpec extends SparkSpec {
     Dedup.simhash(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text")
       .collect()(0).getLong(1)
 
+  test("connectedComponents: flat labels plan, loop blocks released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+    val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the returned labels are FLAT (one LogicalRDD leaf): each round
+    // checkpoints its labels, so round N's plan can never re-embed the
+    // edges pipeline — the growth that OOM'd an 8 GB driver inside
+    // explainString when the upstream was a deep rescue composition
+    assert(comps.queryExecution.analyzed
+      .collect { case p => p }.length == 1,
+      s"labels plan not flat:\n${comps.queryExecution.analyzed}")
+    // the loop invariants' storage is released eagerly: at most the
+    // final labels' own RDD remains persisted (edge table + prior
+    // rounds' labels are freed explicitly — Dataset.unpersist is a
+    // no-op on checkpointed RDDs, so a leak here accumulates executor
+    // storage across every dedup call in a session)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+  }
+
   test("native md5 simhash matches the aggregate form bit-for-bit") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

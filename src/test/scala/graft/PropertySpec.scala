@@ -87,6 +87,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  val tokenGen: Gen[List[String]] = Gen.listOfN(30,
+    Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("päneln", "電池", "ünïcode", "", "word", "WORD", "a"),
+      Gen.listOfN(6, Gen.choose(33.toChar, 126.toChar)).map(_.mkString)))
+
+  test("property: native md5 simhash matches the SQL aggregate bit-for-bit") {
+    // random (incl. unicode / punctuation / empty) token streams: the
+    // native SimhashSignatureMd5 projection must agree with the
+    // exploded-token 64-sum-buffer aggregate over the SQL
+    // conv(substring(md5(tok),1,15),16,10) hash on every bit
+    (40L to 42L).foreach { seed =>
+      val docs = sample(Gen.listOfN(12, tokenGen), seed).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val viaAgg = Dedup.simhash(docs, "doc_id", "text",
+          tokenHash = c => conv(substring(md5(c), 1, 15), 16, 10).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaNative = Dedup.simhash(docs, "doc_id", "text",
+          tokenHash = Dedup.md5Hash60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaNative === viaAgg, s"seed $seed")
+    }
+  }
+
   // ---- round-5 curation/analysis operators ----
 
   val paraPool: Vector[String] = Vector.tabulate(8)(i => s"para body $i")
