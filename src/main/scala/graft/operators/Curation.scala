@@ -128,17 +128,17 @@ object Curation {
           .drop(repCols: _*)
       } else filtered0
     val exact = Dedup.exact(filtered, Seq(textCol), idCol)
-    // near-dup drop, owning the persisted gram table: component labels
-    // are materialized (localCheckpoint severs the lineage back to the
-    // gram table), after which the gram cache is dead weight and is
-    // freed here rather than left for the caller's clearCache()
+    // near-dup drop, owning the persisted gram table: the component
+    // labels come back already flat and block-backed
+    // (connectedComponents checkpoints its labels every round), so
+    // their lineage is severed from the gram table and the gram cache
+    // is dead weight after the labels materialize — freed here rather
+    // than left for the caller's clearCache()
     val grams = Dedup.gramTable(exact, idCol, textCol, cfg.nearDupNgram)
       .persist()
     val pairs = Dedup.ngramJaccardFromGrams(grams, idCol,
       cfg.nearDupThreshold, maxBucket = 50)
-    val comps0 = Dedup.connectedComponents(pairs)
-    val comps = comps0.localCheckpoint()
-    comps0.unpersist()
+    val comps = Dedup.connectedComponents(pairs)
     val deduped = Dedup.keepRepresentatives(exact, comps, idCol)
     val clean = benchmark match {
       case Some(b) =>

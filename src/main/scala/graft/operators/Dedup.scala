@@ -881,5 +881,13 @@ object Dedup {
     * checkpointing (md5-sketch collapse + banding + union) exceed 40
     * — and the per-round plan-string cost the checkpoint kills grows
     * with exactly this count. */
-  private[operators] val CheckpointUpstreamNodes = sys.env.get("GRAFT_CC_NODES").map(_.toInt).getOrElse(32)
+  private[operators] val CheckpointUpstreamNodes =
+    sys.env.get("GRAFT_CC_NODES")
+      .flatMap(v => scala.util.Try(v.toInt).toOption.orElse {
+        // a malformed override must not become an
+        // ExceptionInInitializerError poisoning every Dedup call
+        System.err.println(s"[graft] ignoring malformed GRAFT_CC_NODES='$v'")
+        None
+      })
+      .getOrElse(32)
 }

@@ -63,8 +63,10 @@ object Sinks {
                                               table: String): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new Path(wh, table.toLowerCase)
+      // resolve through the session catalog (current database + name
+      // normalization), not a hand-built <warehouse>/<name> guess
+      val loc = new Path(org.apache.spark.sql.GraftExpressionBridge
+        .defaultManagedTablePath(spark, table))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

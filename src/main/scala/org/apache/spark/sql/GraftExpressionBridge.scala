@@ -29,4 +29,13 @@ object GraftExpressionBridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The catalog-resolved default location of a managed table — what
+    * `saveAsTable` will use. Resolves the current database and name
+    * normalization through the session catalog itself, rather than
+    * guessing `<warehouse>/<lowercased-name>` (wrong outside the
+    * default database and under locale-sensitive lowercasing). */
+  def defaultManagedTablePath(spark: SparkSession, table: String): java.net.URI =
+    spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
 }
