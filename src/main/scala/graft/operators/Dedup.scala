@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for large-scale training-data pipelines —
@@ -15,11 +14,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the first (lowest orderCol) row per identical
-    * value of `on`; hash-groupBy, one shuffle. */
+    * value of `on`. A `min_by(struct(rest), orderCol)` hash aggregate,
+    * NOT a row_number window: the aggregate partial-combines map-side,
+    * so on a duplicate-heavy corpus (the operator's whole purpose) the
+    * exchange carries one row per distinct key instead of every input
+    * row shuffled AND sorted. Ties on `orderCol` pick an arbitrary
+    * winner, same as the window form; pass a unique order column (the
+    * doc id, as every caller here does) for a deterministic result.
+    * Column order is preserved. */
   def exact(df: DataFrame, on: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(on.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = df.columns.filterNot(on.contains)
+    if (others.isEmpty) return df.distinct() // every column is a key
+    df.groupBy(on.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(orderCol)).as("__r"))
+      .select(df.columns.map(c =>
+        if (on.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
   }
 
   /** Character k-shingles of the normalized text, as one row per
