@@ -237,6 +237,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q26: per-query top-k gets a map-side WindowGroupLimit") {
+    // the rank()<=k filter must become a PARTIAL WindowGroupLimit
+    // below the exchange — only k rows per partition shuffle, which is
+    // what keeps the brute-force ANN baseline's window from carrying
+    // the full query×corpus score table
+    val p = planOf("q26_ann_topk")
+    assert(p.contains("WindowGroupLimit"), s"got:\n${p.take(1500)}")
+    assert(p.contains("Partial"), "expected a map-side partial group limit")
+  }
+
+  test("Dedup.exact is a partial-aggregated min_by, not a window sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"t${i % 10}", i * 2))
+      .toDF("doc_id", "text", "extra")
+    val p = graft.operators.Dedup.exact(df, Seq("text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min_by"),
+      s"map-side combine expected in:\n${p.take(2000)}")
+    assert(!p.contains("row_number"),
+      "exact dedup must not shuffle+sort every row through a window")
+  }
+
   test("ngram index bucketed on gram: batch probe runs without an index-side shuffle") {
     import spark.implicits._
     import graft.operators.Dedup
