@@ -104,12 +104,23 @@ object TimeSeries {
   }
 
   /** P8 (lib/unifier_with_forecast_data.py:41): dedup on timestamp,
-    * keep-first in a deterministic order. */
+    * keep-first in a deterministic order. Like [[Dedup.exact]], a
+    * `min_by` hash aggregate rather than a row_number window — the
+    * partial combine collapses duplicate keys map-side instead of
+    * shuffling AND sorting every row; the order key is the struct of
+    * `orderCols` (lexicographic struct ordering = the window's
+    * multi-column sort). Ties across identical `orderCols` pick an
+    * arbitrary winner, same as the window form — callers pass
+    * tie-breaking order columns for determinism. */
   def dedupKeepFirst(df: DataFrame, keyCols: Seq[String],
                      orderCols: Seq[String]): DataFrame = {
-    val win = w(keyCols, orderCols.map(col))
-    df.withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = df.columns.filterNot(keyCols.contains)
+    if (others.isEmpty) return df.distinct()
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__r"))
+      .select(df.columns.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
   }
 
   /** J4 (lib/process_gpx_data.py:165-169): as-of alignment (ffill
