@@ -40,6 +40,14 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // 1-min system load average (whole host, not this JVM): co-tenant
+    // CPU pressure inflates every wall-clock uniformly, and without
+    // recording it a cross-round comparison can't tell a code
+    // regression from a busy machine (round 7 measured untouched
+    // queries ~1.6× slower under load-5 than round 6's records)
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     // per-query raw run times and GC delta, reported alongside the min
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val gcDeltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -205,6 +213,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"gc_ms":$gcJson,""" +
       s""""unstable":$unstableJson,"spread":$spreadJson,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: the driver captures the stdout tail, which
