@@ -25,8 +25,13 @@ object Dedup {
   def exact(df: DataFrame, on: Seq[String], orderCol: String): DataFrame = {
     val others = df.columns.filterNot(on.contains)
     if (others.isEmpty) return df.distinct() // every column is a key
+    // ordering wrapped in a (never-null) struct: min_by SKIPS rows
+    // whose ordering expression is null, but the window form this
+    // replaced kept them (NULLS FIRST) — the struct's field-level
+    // null-first comparison reproduces that exactly
     df.groupBy(on.map(col): _*)
-      .agg(min_by(struct(others.map(col): _*), col(orderCol)).as("__r"))
+      .agg(min_by(struct(others.map(col): _*), struct(col(orderCol)))
+        .as("__r"))
       .select(df.columns.map(c =>
         if (on.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
   }

@@ -377,6 +377,18 @@ class DedupSpec extends SparkSpec {
     Dedup.simhash(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text")
       .collect()(0).getLong(1)
 
+  test("exact dedup: null order keys sort first, rows never dropped") {
+    // min_by skips rows whose ORDERING expression is null — the
+    // struct wrap must neutralize that (window parity: NULLS FIRST)
+    val df = Seq[(java.lang.Long, String)](
+      (null, "dup"), (5L, "dup"), (3L, "dup"), (7L, "solo"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, Seq("text"), "doc_id")
+      .collect().map(r => r.getString(1) ->
+        Option(r.get(0)).map(_.asInstanceOf[Long])).toMap
+    assert(kept === Map("dup" -> None, "solo" -> Some(7L)))
+  }
+
   test("connectedComponents: flat labels plan, loop blocks released") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
