@@ -30,9 +30,9 @@ object Dedup {
     // replaced kept them (NULLS FIRST) — the struct's field-level
     // null-first comparison reproduces that exactly
     df.groupBy(on.map(col): _*)
-      .agg(min_by(struct(others.map(col): _*), struct(col(orderCol)))
+      .agg(min_by(struct(others.toIndexedSeq.map(col): _*), struct(col(orderCol)))
         .as("__r"))
-      .select(df.columns.map(c =>
+      .select(df.columns.toIndexedSeq.map(c =>
         if (on.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
   }
 

@@ -117,9 +117,9 @@ object TimeSeries {
     val others = df.columns.filterNot(keyCols.contains)
     if (others.isEmpty) return df.distinct()
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(others.map(col): _*),
+      .agg(min_by(struct(others.toIndexedSeq.map(col): _*),
         struct(orderCols.map(col): _*)).as("__r"))
-      .select(df.columns.map(c =>
+      .select(df.columns.toIndexedSeq.map(c =>
         if (keyCols.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
   }
 
@@ -159,7 +159,7 @@ object TimeSeries {
     val lCols = l.columns
     val r = lCols.foldLeft(r0) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null)) }
-      .select(lCols.map(col): _*)
+      .select(lCols.toIndexedSeq.map(col): _*)
     // __side=0 (right) sorts before __side=1 (left) at equal ts, so a
     // right row AT the left timestamp is visible (at-or-before).
     val win = w(keys, Seq(col(tsCol), col("__side"), col("__tie")))

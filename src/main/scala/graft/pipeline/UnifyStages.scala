@@ -75,7 +75,7 @@ object UnifyStages {
       else f0.crossJoin(broadcast(gridTs.select(keys.map(col): _*).distinct()))
     val g = valueCols.foldLeft(shifted.withColumn("__src", lit(0)))(
       (d, c) => d.withColumn(c, lit(null).cast("double")))
-    val merged = g.unionByName(f.select(g.columns.map(col): _*))
+    val merged = g.unionByName(f.select(g.columns.toIndexedSeq.map(col): _*))
     // at equal ts the forecast row must sort BEFORE the grid row so an
     // exact index match returns the exact value (pandas reindex)
     val interped0 = TimeSeries.interpolateMany(merged, tsCol, valueCols, keys,
