@@ -655,6 +655,66 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // §2.7 STREAMING gates — each runs a real Structured Streaming
+    // query to completion (file source, several micro-batches via
+    // maxFilesPerTrigger, Trigger.AvailableNow) and returns the memory
+    // sink's table, so the DuckDB oracle pins the STREAM's semantics
+    // against the batch SQL. q77 gates the production append-mode
+    // path end-to-end: bins emit only when the watermark passes them,
+    // and the planted far-future sentinel (arriving last by file
+    // mtime) drives the closing watermark past every real bin — the
+    // sentinel's own bin stays in state and correctly never emits, so
+    // the streamed output must equal the batch tumbling resample
+    // (q08's oracle) exactly.
+    "q77_stream_resample" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val sch = s.read.parquet(s"$fix/events").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 2).parquet(s"$fix/events")
+      val agg = streaming.StreamingParse.resampleEventsStream(
+        stream, "ts", 3600, Seq("event_type"), "value",
+        watermark = "365 days")
+      runStreamToTable(s, agg, "append")
+        .filter($"event_type" =!= "__sentinel")
+        .select($"event_type", $"bucket_ts", $"sum_value", $"n",
+          $"mean_value")
+        .orderBy($"event_type", $"bucket_ts")
+    }),
+
+    // Streaming exact dedup (bounded state via
+    // dropDuplicatesWithinWatermark): one admitted row per key across
+    // ALL micro-batches — the output projected to its keys must equal
+    // the batch DISTINCT. The sentinel is filtered BEFORE the
+    // watermark so it can't fast-forward the horizon and late-drop
+    // real rows; the 365-day delay exceeds the corpus span, so
+    // nothing real is ever beyond the dedup horizon.
+    "q78_stream_dedup" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val sch = s.read.parquet(s"$fix/events").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 2).parquet(s"$fix/events")
+        .filter($"event_type" =!= "__sentinel")
+      val dd = streaming.StreamingParse.dedupStream(stream,
+        Seq("user_id", "event_type"), "ts", watermark = "365 days")
+      runStreamToTable(s, dd, "append")
+        .select($"user_id", $"event_type")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // Streaming candump parse→decode (stateless): the q21 fixture
+    // lines (incl. the reject cases and the garbage non-frame line)
+    // streamed through decodedStream must produce exactly the batch
+    // decode — q21's oracle verbatim.
+    "q79_stream_decode" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val decoded = streaming.StreamingParse.decodedStream(s,
+        s"$fix/candump", graft.sources.CanFixtures.schema)
+      runStreamToTable(s, decoded, "append")
+        .select($"timestamp", $"module_name", $"topic_name", $"byte_name",
+          $"value", $"unit")
+        .orderBy($"timestamp", $"byte_name", $"value")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1322,7 +1382,14 @@ object SparkEntry {
     * one byte of padding to satisfy the Q3 over-counted length (6).
     * Injected rejects: garbage text, unknown topic id (event_id%101),
     * short 4-byte payload (event_id%103). */
-  private def canLong(events: DataFrame): DataFrame = {
+  /** The q21 candump fixture LINES (valid frames derived from
+    * `events`, plus the q21 reject cases — unknown topic 0x22 every
+    * 101st event, short 4-byte frame every 103rd — and one garbage
+    * non-frame line). Shared by the batch decode gates (q21/q22, via
+    * [[canLong]]) and the streaming decode gate (q79, which writes
+    * these lines as text files and parses them through
+    * [[graft.streaming.StreamingParse.decodedStream]]). */
+  private def canLines(events: DataFrame): DataFrame = {
     val b = (c: Column) => lpad(hex(c), 2, "0")
     val payloadOk = concat(lit("11"),
       b(expr("user_id % 256")), b(expr("user_id div 256")),
@@ -1340,7 +1407,11 @@ object SparkEntry {
     val garbage = events.sparkSession.range(1).select(
       lit("(1580415599.609) can0 0z1#XYZW not-a-frame").as("line"),
       lit("gen.log").as("file"))
-    val frames = graft.sources.Candump.framesFromLines(lines.unionByName(garbage))
+    lines.unionByName(garbage)
+  }
+
+  private def canLong(events: DataFrame): DataFrame = {
+    val frames = graft.sources.Candump.framesFromLines(canLines(events))
     operators.CanDecode.decodeLong(frames, graft.sources.CanFixtures.schema)
   }
 
@@ -1371,6 +1442,68 @@ object SparkEntry {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+
+  /** Streaming-gate fixtures (q77–q79), memoized per sfDir like
+    * [[q65Fixtures]]: `events/` holds the events table as several
+    * parquet files (so `maxFilesPerTrigger` yields several
+    * micro-batches and cross-batch watermark/state is actually
+    * exercised) PLUS one sentinel row 400 days past the real range,
+    * written as a separate file whose mtime is forced 60 s later —
+    * the file source processes oldest-mtime first, so the sentinel
+    * arrives in the FINAL micro-batch, driving the closing watermark
+    * past every real bin (append-mode aggregations then flush them
+    * all, while the sentinel's own bin stays in state and never
+    * emits). `candump/` holds the q21 fixture lines as text files
+    * for the streaming decode gate. */
+  private val streamFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamFixtures(s: SparkSession, d: String): String =
+    streamFixtureCache.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Path}
+      val dir = Files.createTempDirectory("graft_stream_fix")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("user_id"), col("event_id"), col("value"),
+          col("event_type"))
+      val evDir = dir.resolve("events")
+      ev.repartition(4).write.parquet(evDir.toString)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs =
+        new java.sql.Timestamp(maxTs.getTime + 400L * 24 * 3600 * 1000)
+      val sentinel = s.range(1).select(
+        lit(sentinelTs).as("ts"),
+        lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+        lit(-1L).cast(ev.schema("event_id").dataType).as("event_id"),
+        lit(0.0).as("value"), lit("__sentinel").as("event_type"))
+      val stage = dir.resolve("sentinel_stage")
+      sentinel.coalesce(1).write.parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = evDir.resolve("part-99999-sentinel.snappy.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 60000L))
+      canLines(t(s, d, "events")).select(col("line"))
+        .repartition(2).write.text(dir.resolve("candump").toString)
+      dir.toString
+    })
+
+  /** Run a streaming frame to completion (Trigger.AvailableNow) into a
+    * uniquely-named memory sink and return the materialized table —
+    * the harness that lets a `queries` entry gate a STREAMING operator
+    * against the batch DuckDB oracle. */
+  private val streamSinkId = new java.util.concurrent.atomic.AtomicInteger()
+  private def runStreamToTable(s: SparkSession, df: DataFrame,
+                               mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
 
   /** q65 mini-season fixtures (can_ids JSON, sorted main/reference-DB
     * candump logs derived from `events`, a 300 s Solcast CSV, a
@@ -1529,12 +1662,18 @@ object SparkEntry {
            (PARTITION BY user_id ORDER BY ts, event_id),2) AS diff_value
          FROM events ORDER BY user_id, event_id""",
 
-    "q08_resample" ->
-      """SELECT event_type,
-         make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS bucket_ts,
-         round(sum(value),2) AS sum_value, count(*) AS n,
-         round(sum(value),2)/count(*) AS mean_value
-         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q08_resample" -> resampleOracleSql,
+
+    // q77 streams the SAME tumbling resample through a watermarked
+    // append-mode aggregation (sentinel-flushed); the oracle is the
+    // batch SQL verbatim — stream ≡ batch is the whole claim
+    "q77_stream_resample" -> resampleOracleSql,
+
+    // q78: streaming dedup admits exactly one row per key; projected
+    // to keys, that is the batch DISTINCT
+    "q78_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
 
     "q09_sessionize" ->
       """WITH s AS (SELECT user_id, event_id, ts,
@@ -2437,22 +2576,11 @@ object SparkEntry {
              AS dni_extra
          FROM s ORDER BY event_id""",
 
-    "q21_can_decode" ->
-      """WITH base AS (SELECT * FROM events
-           WHERE event_id % 101 != 0 AND event_id % 103 != 0),
-         fields AS (
-           SELECT ts AS timestamp, 'MOD17' AS module_name,
-                  'SENSOR' AS topic_name, 'SIGNATURE' AS byte_name,
-                  17.0 AS value, '' AS unit FROM base
-           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'CURR',
-             CAST(user_id AS DOUBLE)*(1.0/100), 'A' FROM base
-           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'DUTY',
-             CAST(event_id % 256 AS DOUBLE)*(1.0/100), 'V' FROM base
-           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG1',
-             CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255), '%' FROM base
-           UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG2',
-             CAST(((event_id % 4) >> 1) & 1 AS DOUBLE), '' FROM base)
-         SELECT * FROM fields ORDER BY timestamp, byte_name, value""",
+    "q21_can_decode" -> canDecodeOracleSql,
+
+    // q79 streams the SAME fixture lines through decodedStream; the
+    // stateless decode must reproduce the batch oracle verbatim
+    "q79_stream_decode" -> canDecodeOracleSql,
 
     "q22_can_pivot" ->
       """SELECT ts AS timestamp,
@@ -3328,6 +3456,34 @@ object SparkEntry {
   /** Shared q68/q71 oracle: 100 planted copies of doc 0, exhaustive
     * word-trigram Jaccard pairs at 0.8, recursive closure, min-id
     * survivors. */
+  /** Shared by q08 (batch tumbling resample) and q77 (its streaming
+    * face): the stream's flushed bins must equal the batch SQL. */
+  private def resampleOracleSql: String =
+    """SELECT event_type,
+       make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS bucket_ts,
+       round(sum(value),2) AS sum_value, count(*) AS n,
+       round(sum(value),2)/count(*) AS mean_value
+       FROM events GROUP BY 1,2 ORDER BY 1,2"""
+
+  /** Shared by q21 (batch candump decode) and q79 (its streaming
+    * face over the same fixture lines). */
+  private def canDecodeOracleSql: String =
+    """WITH base AS (SELECT * FROM events
+         WHERE event_id % 101 != 0 AND event_id % 103 != 0),
+       fields AS (
+         SELECT ts AS timestamp, 'MOD17' AS module_name,
+                'SENSOR' AS topic_name, 'SIGNATURE' AS byte_name,
+                17.0 AS value, '' AS unit FROM base
+         UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'CURR',
+           CAST(user_id AS DOUBLE)*(1.0/100), 'A' FROM base
+         UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'DUTY',
+           CAST(event_id % 256 AS DOUBLE)*(1.0/100), 'V' FROM base
+         UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG1',
+           CAST((event_id % 4) & 1 AS DOUBLE)*(1.0/255), '%' FROM base
+         UNION ALL SELECT ts, 'MOD17', 'SENSOR', 'FLAG2',
+           CAST(((event_id % 4) >> 1) & 1 AS DOUBLE), '' FROM base)
+       SELECT * FROM fields ORDER BY timestamp, byte_name, value"""
+
   private def floodClosureOracleSql: String =
     """WITH corpus AS (
          SELECT doc_id, lower(text) tx FROM documents

@@ -63,6 +63,30 @@ object StreamingParse {
       .select(col("bin.start").as("timestamp"), col("signal"),
         col("mean_value"), col("n"))
 
+  /** Watermarked tumbling sum/count/mean over a GENERIC keyed event
+    * stream — the streaming face of
+    * [[graft.operators.TimeSeries.resampleAgg]] (same aggregate
+    * expressions: sum rounded to 2 decimals, mean derived as
+    * sum/count, so batch and stream agree bit-for-bit on the same
+    * bins). Grouping uses `window()` rather than the batch form's
+    * floor-arithmetic bucket: streaming state eviction requires the
+    * event-time window in the grouping key, and for epoch-aligned
+    * periods `window.start` equals the batch bucket exactly. In
+    * append mode a bin emits once the watermark passes its end —
+    * the production shape for an unbounded ingest, gated end-to-end
+    * (stream ≡ DuckDB batch SQL) by q77. */
+  def resampleEventsStream(df: DataFrame, tsCol: String, periodSec: Long,
+                           keys: Seq[String], valueCol: String,
+                           watermark: String = "30 days"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy((keys.map(col) :+
+        window(col(tsCol), s"$periodSec seconds").as("__w")).toIndexedSeq: _*)
+      .agg(round(sum(col(valueCol)), 2).as("sum_value"),
+           count(lit(1)).as("n"))
+      .select((keys.map(col) :+ col("__w.start").as("bucket_ts") :+
+        col("sum_value") :+ col("n") :+
+        (col("sum_value") / col("n")).as("mean_value")).toIndexedSeq: _*)
+
   /** Streaming exact dedup over a keyed stream: drop any row whose
     * key was already seen, with state bounded by the event-time
     * watermark (a row arriving later than `watermark` after the

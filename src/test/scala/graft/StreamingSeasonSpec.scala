@@ -50,6 +50,40 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("resampleEventsStream: streamed bins equal the batch resampleAgg") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2 keys × 90 minutes of events → two 1 h bins per key, fractional
+    // means (sum-rounding parity matters, not just integer luck)
+    val ev = (0 until 180).map { i =>
+      (new java.sql.Timestamp(1580515200000L + (i % 90) * 60000L),
+        if (i < 90) "a" else "b", 0.015 + i * 0.01)
+    }.toDF("ts", "k", "v")
+    val dir = Files.createTempDirectory("stream_resample_parity")
+    ev.repartition(3).write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.resolve("in").toString)
+    // complete mode: every bin emits regardless of watermark, so the
+    // parity check needs no sentinel mechanics (q77 gates the
+    // append-mode flush path end-to-end against DuckDB)
+    val q = StreamingParse.resampleEventsStream(stream, "ts", 3600,
+        Seq("k"), "v")
+      .writeStream.format("memory").queryName("resample_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "select k, bucket_ts, sum_value, n, mean_value from resample_parity")
+        .orderBy("k", "bucket_ts").collect().map(_.toString).toSeq
+      val want = graft.operators.TimeSeries.resampleAgg(ev, "ts", 3600L,
+          Seq("k"), "v")
+        .select(col("k"), col("bucket_ts"), col("sum_value"), col("n"),
+          col("mean_value"))
+        .orderBy("k", "bucket_ts").collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark dropped") {
     val dir = Files.createTempDirectory("stream3")
     // three frames, the second a byte-exact duplicate of the first
