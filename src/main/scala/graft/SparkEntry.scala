@@ -715,6 +715,23 @@ object SparkEntry {
         .orderBy($"timestamp", $"byte_name", $"value")
     }),
 
+    // Stateful streaming sessionization: per-user (lastTs, counter)
+    // state carried across FOUR micro-batches (maxFilesPerTrigger=1
+    // over the four time-range-partitioned files), gap > 30 min opens
+    // a new session — the flatMapGroupsWithState path, pinned against
+    // the batch window-SQL oracle (q09's verbatim).
+    "q80_stream_sessionize" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val sch = s.read.parquet(s"$fix/events_sorted").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/events_sorted")
+      val sess = streaming.StatefulSessionize.sessionize(
+        streaming.StatefulSessionize.fromDF(stream), gapSec = 1800L)
+      runStreamToTable(s, sess.toDF(), "append")
+        .select($"user_id", $"event_id", $"session_id")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -1449,8 +1466,10 @@ object SparkEntry {
     * micro-batches and cross-batch watermark/state is actually
     * exercised) PLUS one sentinel row 400 days past the real range,
     * written as a separate file whose mtime is forced 60 s later —
-    * the file source processes oldest-mtime first, so the sentinel
-    * arrives in the FINAL micro-batch, driving the closing watermark
+    * the file source processes oldest-mtime first (FileStreamSource
+    * sorts fetched files by modification timestamp unless
+    * `latestFirst` is set), so the sentinel arrives in the FINAL
+    * micro-batch, driving the closing watermark
     * past every real bin (append-mode aggregations then flush them
     * all, while the sentinel's own bin stays in state and never
     * emits). `candump/` holds the q21 fixture lines as text files
@@ -1486,6 +1505,22 @@ object SparkEntry {
         .fromMillis(System.currentTimeMillis() + 60000L))
       canLines(t(s, d, "events")).select(col("line"))
         .repartition(2).write.text(dir.resolve("candump").toString)
+      // events_sorted/: time-RANGE-partitioned files with ascending
+      // mtimes, so the file source (oldest-mtime first) delivers each
+      // user's events in event-time order ACROSS micro-batches — the
+      // in-order-source premise StatefulSessionize documents (its
+      // per-batch sort handles intra-batch disorder; q80 gates the
+      // cross-batch state machine against the batch window SQL)
+      val sortedDir = dir.resolve("events_sorted")
+      ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(sortedDir.toString)
+      Files.list(sortedDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis() + i * 1000L))
+        }
       dir.toString
     })
 
@@ -1675,16 +1710,12 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
 
-    "q09_sessionize" ->
-      """WITH s AS (SELECT user_id, event_id, ts,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                THEN 1 ELSE 0 END AS nw
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id, event_id, CAST(sum(nw) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         FROM s ORDER BY user_id, event_id""",
+    "q09_sessionize" -> sessionizeOracleSql,
+
+    // q80 runs the SAME gap sessionization as a stateful stream
+    // (flatMapGroupsWithState across four micro-batches); its session
+    // assignment must equal the batch window SQL
+    "q80_stream_sessionize" -> sessionizeOracleSql,
 
     "q10_asof" ->
       """WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv
@@ -3456,6 +3487,19 @@ object SparkEntry {
   /** Shared q68/q71 oracle: 100 planted copies of doc 0, exhaustive
     * word-trigram Jaccard pairs at 0.8, recursive closure, min-id
     * survivors. */
+  /** Shared by q09 (batch gap sessionization) and q80 (its stateful
+    * streaming face): identical session assignment. */
+  private def sessionizeOracleSql: String =
+    """WITH s AS (SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS nw
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, event_id, CAST(sum(nw) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       FROM s ORDER BY user_id, event_id"""
+
   /** Shared by q08 (batch tumbling resample) and q77 (its streaming
     * face): the stream's flushed bins must equal the batch SQL. */
   private def resampleOracleSql: String =
