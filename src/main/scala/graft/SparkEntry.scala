@@ -674,7 +674,7 @@ object SparkEntry {
       val agg = streaming.StreamingParse.resampleEventsStream(
         stream, "ts", 3600, Seq("event_type"), "value",
         watermark = "365 days")
-      runStreamToTable(s, agg, "append")
+      runStreamToTable(s, agg, "append", "resample")
         .filter($"event_type" =!= "__sentinel")
         .select($"event_type", $"bucket_ts", $"sum_value", $"n",
           $"mean_value")
@@ -696,7 +696,7 @@ object SparkEntry {
         .filter($"event_type" =!= "__sentinel")
       val dd = streaming.StreamingParse.dedupStream(stream,
         Seq("user_id", "event_type"), "ts", watermark = "365 days")
-      runStreamToTable(s, dd, "append")
+      runStreamToTable(s, dd, "append", "dedup")
         .select($"user_id", $"event_type")
         .orderBy($"user_id", $"event_type")
     }),
@@ -709,7 +709,7 @@ object SparkEntry {
       val fix = streamFixtures(s, d)
       val decoded = streaming.StreamingParse.decodedStream(s,
         s"$fix/candump", graft.sources.CanFixtures.schema)
-      runStreamToTable(s, decoded, "append")
+      runStreamToTable(s, decoded, "append", "decode")
         .select($"timestamp", $"module_name", $"topic_name", $"byte_name",
           $"value", $"unit")
         .orderBy($"timestamp", $"byte_name", $"value")
@@ -727,7 +727,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(s"$fix/events_sorted")
       val sess = streaming.StatefulSessionize.sessionize(
         streaming.StatefulSessionize.fromDF(stream), gapSec = 1800L)
-      runStreamToTable(s, sess.toDF(), "append")
+      runStreamToTable(s, sess.toDF(), "append", "sessionize")
         .select($"user_id", $"event_id", $"session_id")
         .orderBy($"user_id", $"event_id")
     }),
@@ -1393,18 +1393,15 @@ object SparkEntry {
     })
   )
 
-  /** events → synthetic candump corpus → frames → long decode.
-    * Payload layout mirrors [[graft.sources.CanFixtures]]: sig 0x11,
-    * CURR=user_id (u16le), DUTY=event_id%256, flags byte=event_id%4,
-    * one byte of padding to satisfy the Q3 over-counted length (6).
-    * Injected rejects: garbage text, unknown topic id (event_id%101),
-    * short 4-byte payload (event_id%103). */
-  /** The q21 candump fixture LINES (valid frames derived from
-    * `events`, plus the q21 reject cases — unknown topic 0x22 every
-    * 101st event, short 4-byte frame every 103rd — and one garbage
-    * non-frame line). Shared by the batch decode gates (q21/q22, via
-    * [[canLong]]) and the streaming decode gate (q79, which writes
-    * these lines as text files and parses them through
+  /** The q21 candump fixture LINES — a synthetic candump corpus
+    * derived from `events`. Payload layout mirrors
+    * [[graft.sources.CanFixtures]]: sig 0x11, CURR=user_id (u16le),
+    * DUTY=event_id%256, flags byte=event_id%4, one byte of padding to
+    * satisfy the Q3 over-counted length (6). Injected rejects:
+    * garbage non-frame text, unknown topic 0x22 every 101st event,
+    * short 4-byte frame every 103rd. Shared by the batch decode gates
+    * (q21/q22, via [[canLong]]) and the streaming decode gate (q79,
+    * which writes these lines as text files and parses them through
     * [[graft.streaming.StreamingParse.decodedStream]]). */
   private def canLines(events: DataFrame): DataFrame = {
     val b = (c: Column) => lpad(hex(c), 2, "0")
@@ -1525,13 +1522,19 @@ object SparkEntry {
     })
 
   /** Run a streaming frame to completion (Trigger.AvailableNow) into a
-    * uniquely-named memory sink and return the materialized table —
-    * the harness that lets a `queries` entry gate a STREAMING operator
-    * against the batch DuckDB oracle. */
-  private val streamSinkId = new java.util.concurrent.atomic.AtomicInteger()
+    * memory sink and return the materialized table — the harness that
+    * lets a `queries` entry gate a STREAMING operator against the
+    * batch DuckDB oracle. The sink name is deterministic per gate
+    * (`tag`) and the previous run's temp view is dropped first:
+    * memory-sink rows live on the driver heap, so unique-per-
+    * invocation names would accumulate a full output copy per bench
+    * warm/timed/retry run (q79 holds ~half a million decoded rows at
+    * sf0.1 — four stranded copies is real GC pressure for every
+    * query benched after it). */
   private def runStreamToTable(s: SparkSession, df: DataFrame,
-                               mode: String): DataFrame = {
-    val name = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+                               mode: String, tag: String): DataFrame = {
+    val name = s"graft_stream_$tag"
+    s.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
