@@ -170,6 +170,11 @@ object Bench {
     flagged.foreach { name =>
       spark.catalog.clearCache(); System.gc()
       spark.sparkContext.setJobDescription(s"retry_$name")
+      // the retry can become the headline min (often does — it runs on
+      // a warmed page cache), so its GC time must fold into the same
+      // query's gc_ms or the artifact misattributes GC pressure for
+      // exactly the flagged queries
+      val gcR0 = gcMs()
       val t0 = System.nanoTime()
       val ok =
         try { fnByName(name)(spark, sfDir)
@@ -183,6 +188,7 @@ object Bench {
       // failed retries record negative (see the main loop) so they can
       // never become the headline min
       rawRuns(name) = rawRuns(name) :+ (if (ok) sec else -sec)
+      gcDeltas(name) = gcDeltas.getOrElse(name, 0L) + (gcMs() - gcR0)
       System.err.println(f"[bench] retry $name $sec%.1f s")
       val drained = guards.drain(settleMs = 50L)
       if (drained.nonEmpty) GuardMetrics.report("bench", s"retry_$name", drained)

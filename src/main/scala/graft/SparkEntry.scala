@@ -642,7 +642,11 @@ object SparkEntry {
     // headline timing for the path; no SQL oracle (xxhash64 is not
     // reproducible in DuckDB), so the driver records the rows-only
     // check and correctness stays pinned by q72's md5 gate plus the
-    // native/aggregate bit-parity specs.
+    // native/aggregate bit-parity specs. The +2000000 flood-id offset
+    // (shared with the q68-q72 rescue family AND their oracles, which
+    // regenerate the same corpus in SQL) assumes the gate corpus stays
+    // under 2M docs — true at every driver SF; both sides shift
+    // together if that ever changes.
     "q76_simhash_rescue_native" -> ((s, d) => {
       val docs = t(s, d, "documents").select($"doc_id", $"text")
       val boiler = docs.filter($"doc_id" === 0L)

@@ -22,19 +22,12 @@ object Dedup {
     * winner, same as the window form; pass a unique order column (the
     * doc id, as every caller here does) for a deterministic result.
     * Column order is preserved. */
-  def exact(df: DataFrame, on: Seq[String], orderCol: String): DataFrame = {
-    val others = df.columns.filterNot(on.contains)
-    if (others.isEmpty) return df.distinct() // every column is a key
-    // ordering wrapped in a (never-null) struct: min_by SKIPS rows
-    // whose ordering expression is null, but the window form this
-    // replaced kept them (NULLS FIRST) — the struct's field-level
-    // null-first comparison reproduces that exactly
-    df.groupBy(on.map(col): _*)
-      .agg(min_by(struct(others.toIndexedSeq.map(col): _*), struct(col(orderCol)))
-        .as("__r"))
-      .select(df.columns.toIndexedSeq.map(c =>
-        if (on.contains(c)) col(c) else col(s"__r.`$c`").as(c)): _*)
-  }
+  def exact(df: DataFrame, on: Seq[String], orderCol: String): DataFrame =
+    // the single-order-column case of [[TimeSeries.dedupKeepFirst]] —
+    // one shared implementation so the NULLS-FIRST struct-wrap
+    // subtlety and the all-columns-are-keys distinct() fallback live
+    // in exactly one place
+    TimeSeries.dedupKeepFirst(df, on, Seq(orderCol))
 
   /** Character k-shingles of the normalized text, as one row per
     * distinct (id, shingle). The normalized text is projected ONCE

@@ -374,15 +374,8 @@ object Similarity {
     * time, every future search pays only its own query-side work. */
   def writeIvfSqIndexBucketed(index: IvfSqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
-    import org.apache.spark.sql.SaveMode
-    graft.sources.Sinks.dropStaleManagedLocation(index.centroids,
-      s"${prefix}_centroids")
-    index.centroids.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${prefix}_centroids")
-    graft.sources.Sinks.dropStaleManagedLocation(index.stats,
-      s"${prefix}_stats")
-    index.stats.write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${prefix}_stats")
+    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+    graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats")
     graft.sources.Sinks.writeBucketed(index.cellCodes,
       s"${prefix}_cell_codes", Seq("cell"), numBuckets)
   }

@@ -116,6 +116,10 @@ object TimeSeries {
                      orderCols: Seq[String]): DataFrame = {
     val others = df.columns.filterNot(keyCols.contains)
     if (others.isEmpty) return df.distinct()
+    // ordering wrapped in a (never-null) struct: min_by SKIPS rows
+    // whose ordering expression is null, but the window form this
+    // replaced kept them (NULLS FIRST) — the struct's field-level
+    // null-first comparison reproduces that exactly
     df.groupBy(keyCols.map(col): _*)
       .agg(min_by(struct(others.toIndexedSeq.map(col): _*),
         struct(orderCols.map(col): _*)).as("__r"))

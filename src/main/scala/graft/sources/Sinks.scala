@@ -53,12 +53,30 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Plain (unbucketed) managed-table overwrite with the same
+    * cross-restart re-runnability as [[writeBucketed]] — the one
+    * place the stale-location discipline lives for non-bucketed
+    * index tables (IVF centroids/stats). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropStaleManagedLocation(df, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
   /** saveAsTable refuses a managed-table name whose warehouse
     * LOCATION survives from an earlier session (the default
     * in-memory catalog forgets tables across JVMs; the filesystem
     * does not). If the table is unknown to this session's catalog
     * but its default location exists, remove the orphan so an
-    * Overwrite write is re-runnable across driver restarts. */
+    * Overwrite write is re-runnable across driver restarts.
+    *
+    * SINGLE-WRITER assumption, stated loudly: the deletion treats a
+    * location the session catalog doesn't know as an orphan of a DEAD
+    * session. Two live JVMs sharing one spark-warehouse would see
+    * each other's managed tables as orphans — don't point concurrent
+    * drivers at the same warehouse dir (Spark's default in-memory
+    * catalog offers no cross-JVM coordination either way). As a
+    * guard, only paths under this session's own warehouse dir are
+    * ever deleted, and every deletion is logged. */
   private[graft] def dropStaleManagedLocation(df: DataFrame,
                                               table: String): Unit = {
     val spark = df.sparkSession
@@ -67,8 +85,15 @@ object Sinks {
       // normalization), not a hand-built <warehouse>/<name> guess
       val loc = new Path(org.apache.spark.sql.GraftExpressionBridge
         .defaultManagedTablePath(spark, table))
+      val warehouse = new Path(
+        spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (loc.toUri.getPath.startsWith(warehouse) && fs.exists(loc)) {
+        System.err.println(
+          s"[graft] removing stale managed-table location $loc " +
+            s"(catalog has no table '$table'; prior-session orphan)")
+        fs.delete(loc, true)
+      }
     }
   }
 }

@@ -217,6 +217,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("writeTable: a prior-session orphan location is replaced, not fatal") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // simulate a dead session's leftovers: files at the table's default
+    // managed location while THIS session's catalog knows no such
+    // table (the in-memory catalog forgets across JVMs; the
+    // filesystem does not) — saveAsTable alone would refuse with
+    // LOCATION_ALREADY_EXISTS; writeTable must clear the orphan and
+    // succeed (single-writer discipline documented on
+    // dropStaleManagedLocation)
+    val name = "graft_orphan_test"
+    val loc = new Path(org.apache.spark.sql.GraftExpressionBridge
+      .defaultManagedTablePath(spark, name))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new Path(loc, "part-orphan.parquet")).close()
+    assert(!spark.catalog.tableExists(name))
+    graft.sources.Sinks.writeTable(Seq((1L, "a")).toDF("k", "v"), name)
+    assert(spark.table(name).count() == 1)
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("bucketed tables: equi-join on the bucket key is shuffle-free") {
     import spark.implicits._
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
