@@ -1381,6 +1381,26 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy($"period", $"timestamp")
     }),
 
+    // S8/F6: the Mongo-dump → candump converter
+    // (convert_json_to_candump.py:45-162) as a value gate — records
+    // built from `events` (decimal-STRING byte arrays, exactly the
+    // dump's shape; every 59th record gets an empty bytes array and
+    // must be skipped), converted through toCandumpLines; the oracle
+    // recomputes the 10.6-digit epoch prefix and the lowercase
+    // zero-padded hex payload with printf. `ts` is globally unique in
+    // the testdata, so the reference's sort-by-date is a total order.
+    "q81_candump_convert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val recs = ev.select(
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("date"),
+        ($"user_id" % 256).cast("int").as("mod"),
+        ($"event_id" % 1024).cast("int").as("top"),
+        when($"event_id" % 59 === 0, array().cast("array<string>"))
+          .otherwise(array(($"event_id" % 256).cast("string"),
+            ($"user_id" % 256).cast("string"), lit("7"))).as("bytes"))
+      sources.CandumpConverter.toCandumpLines(recs)
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1716,6 +1736,17 @@ object SparkEntry {
     "q78_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    // q81: the converter's epoch arithmetic and hex formatting
+    // recomputed with printf; WHERE mirrors the empty-bytes skip
+    "q81_candump_convert" ->
+      """SELECT printf('(%d.%06d) can0 %s#%s',
+           epoch_us(ts)//1000000, epoch_us(ts)%1000000,
+           printf('%03x', event_id % 1024),
+           printf('%02x', user_id % 256) ||
+           printf('%02x', event_id % 256) ||
+           printf('%02x', user_id % 256) || '07') AS line
+         FROM events WHERE event_id % 59 != 0 ORDER BY ts""",
 
     "q09_sessionize" -> sessionizeOracleSql,
 
