@@ -1401,6 +1401,28 @@ object SparkEntry {
       sources.CandumpConverter.toCandumpLines(recs)
     }),
 
+    // A6/Q10: the lag-k timestamp-jump outlier filter
+    // (lib/canparser.py:244-260) as a value gate. Synthetic per-key
+    // spacing straddles the (1e11, 1e12) ns drop band at k=50 — even
+    // user parities step 3 s (lag-50 diff lands IN the band → rows
+    // beyond the first window drop), odd parities step 30 s (diff
+    // beyond the band → all kept) — and `click` rows are exempt (the
+    // Q10 'db'-file skip, as a predicate). The oracle recomputes the
+    // lag window and band test.
+    "q82_jump_filter" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val fix = ev.select(($"user_id" % 4).as("k"), $"event_id",
+        expr("timestamp_micros(1704067200000000 + event_id * " +
+          "(CASE WHEN user_id % 2 = 0 THEN 3000000 ELSE 30000000 END))")
+          .as("tsx"),
+        $"event_type")
+      TimeSeries.timestampJumpFilter(fix, "tsx", Seq("k"), k = 50,
+          orderTieBreak = Seq("event_id"),
+          exempt = $"event_type" === "click")
+        .select($"k", $"event_id")
+        .orderBy($"k", $"event_id")
+    }),
+
     // F1: haversine distance between consecutive synthetic GPS points
     // (lib/process_gpx_data.py:26-37)
     "q20_haversine" -> ((s, d) => {
@@ -1736,6 +1758,21 @@ object SparkEntry {
     "q78_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    // q82: the jump filter's lag-50 window and ns band recomputed
+    "q82_jump_filter" ->
+      """WITH f AS (SELECT user_id % 4 AS k, event_id, event_type,
+           make_timestamp(1704067200000000 + event_id *
+             (CASE WHEN user_id % 2 = 0 THEN 3000000 ELSE 30000000 END)) AS tsx
+         FROM events),
+         d AS (SELECT k, event_id, event_type,
+           coalesce(epoch_us(tsx) - lag(epoch_us(tsx), 50)
+             OVER (PARTITION BY k ORDER BY tsx, event_id), 0) AS du
+         FROM f)
+         SELECT k, event_id FROM d
+         WHERE event_type = 'click'
+            OR NOT (abs(du)*1000 > 100000000000 AND abs(du)*1000 < 1000000000000)
+         ORDER BY k, event_id""",
 
     // q81: the converter's epoch arithmetic and hex formatting
     // recomputed with printf; WHERE mirrors the empty-bytes skip
