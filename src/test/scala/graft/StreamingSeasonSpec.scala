@@ -84,6 +84,51 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode flush: a late-mtime sentinel emits every real bin, not its own") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the q77 gate mechanism in miniature: real events span 3 hours;
+    // a sentinel 400 days out, in its own file with a FORCED later
+    // mtime, must drive the closing watermark past every real bin so
+    // append mode flushes them all — while the sentinel's own bin
+    // stays in state and never emits
+    val real = (0 until 180).map { i =>
+      (new java.sql.Timestamp(1580515200000L + i * 60000L), "a", 1.0)
+    }.toDF("ts", "k", "v")
+    val sentinel = Seq((new java.sql.Timestamp(
+      1580515200000L + 400L * 24 * 3600 * 1000), "__sentinel", 0.0))
+      .toDF("ts", "k", "v")
+    val dir = Files.createTempDirectory("stream_sentinel_flush")
+    val in = dir.resolve("in")
+    real.repartition(2).write.parquet(in.toString)
+    val stage = dir.resolve("stage")
+    sentinel.coalesce(1).write.parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val dst = in.resolve("part-99999-sentinel.snappy.parquet")
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 60000L))
+    val stream = spark.readStream.schema(real.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = StreamingParse.resampleEventsStream(stream, "ts", 3600,
+        Seq("k"), "v", watermark = "365 days")
+      .writeStream.format("memory").queryName("sentinel_flush")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val rows = spark.sql("select k, n from sentinel_flush").collect()
+      // all three real 1 h bins flushed, 60 events each
+      assert(rows.count(_.getString(0) == "a") == 3)
+      assert(rows.filter(_.getString(0) == "a").forall(_.getLong(1) == 60))
+      // the sentinel's bin is beyond the final watermark — withheld
+      assert(!rows.exists(_.getString(0) == "__sentinel"))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark dropped") {
     val dir = Files.createTempDirectory("stream3")
     // three frames, the second a byte-exact duplicate of the first
