@@ -23,11 +23,12 @@ object Dedup {
     * doc id, as every caller here does) for a deterministic result.
     * Column order is preserved. */
   def exact(df: DataFrame, on: Seq[String], orderCol: String): DataFrame =
-    // the single-order-column case of [[TimeSeries.dedupKeepFirst]] —
-    // one shared implementation so the NULLS-FIRST struct-wrap
-    // subtlety and the all-columns-are-keys distinct() fallback live
-    // in exactly one place
-    TimeSeries.dedupKeepFirst(df, on, Seq(orderCol))
+    // the single-order-column case of
+    // [[TimeSeries.dedupKeepFirstMinBy]] — the min_by shape belongs
+    // HERE (duplicate-heavy doc corpora, narrow rows: the partial
+    // combine collapses the shuffle), while telemetry keep-first
+    // stays on the windowed form (see dedupKeepFirst's strategy note)
+    TimeSeries.dedupKeepFirstMinBy(df, on, Seq(orderCol))
 
   /** Character k-shingles of the normalized text, as one row per
     * distinct (id, shingle). The normalized text is projected ONCE

@@ -104,22 +104,38 @@ object TimeSeries {
   }
 
   /** P8 (lib/unifier_with_forecast_data.py:41): dedup on timestamp,
-    * keep-first in a deterministic order. Like [[Dedup.exact]], a
-    * `min_by` hash aggregate rather than a row_number window — the
-    * partial combine collapses duplicate keys map-side instead of
-    * shuffling AND sorting every row; the order key is the struct of
-    * `orderCols` (lexicographic struct ordering = the window's
-    * multi-column sort). Ties across identical `orderCols` pick an
-    * arbitrary winner, same as the window form — callers pass
-    * tie-breaking order columns for determinism. */
+    * keep-first in a deterministic order — the row_number window form.
+    *
+    * Strategy note (round-7 measurement): the min_by hash-aggregate
+    * form ([[dedupKeepFirstMinBy]]) wins ONLY on duplicate-heavy
+    * NARROW inputs, where the map-side partial combine collapses the
+    * shuffle. Telemetry tables are the opposite — mostly-unique keys
+    * (no combine win) ordered by EVERY data column, so the aggregate
+    * builds a ~45-field struct buffer per input row and falls out of
+    * whole-stage codegen: switching this path to min_by cost the
+    * season e2e +4 s and 5× GC at sf0.1 (bisected to that commit).
+    * The codegen'd window sort is the right default here. */
   def dedupKeepFirst(df: DataFrame, keyCols: Seq[String],
                      orderCols: Seq[String]): DataFrame = {
+    val win = w(keyCols, orderCols.map(col))
+    df.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[dedupKeepFirst]] as a `min_by` hash aggregate — the shape for
+    * duplicate-HEAVY, narrow inputs (exact document dedup): the
+    * partial combine sends one row per distinct key to the exchange
+    * instead of shuffling and sorting every duplicate. Value-identical
+    * to the window form (lexicographic struct ordering = the
+    * multi-column sort; ties pick an arbitrary winner either way). */
+  def dedupKeepFirstMinBy(df: DataFrame, keyCols: Seq[String],
+                          orderCols: Seq[String]): DataFrame = {
     val others = df.columns.filterNot(keyCols.contains)
     if (others.isEmpty) return df.distinct()
     // ordering wrapped in a (never-null) struct: min_by SKIPS rows
-    // whose ordering expression is null, but the window form this
-    // replaced kept them (NULLS FIRST) — the struct's field-level
-    // null-first comparison reproduces that exactly
+    // whose ordering expression is null, but the window form kept
+    // them (NULLS FIRST) — the struct's field-level null-first
+    // comparison reproduces that exactly
     df.groupBy(keyCols.map(col): _*)
       .agg(min_by(struct(others.toIndexedSeq.map(col): _*),
         struct(orderCols.map(col): _*)).as("__r"))
