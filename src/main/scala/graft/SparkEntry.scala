@@ -863,7 +863,9 @@ object SparkEntry {
           .select(($"doc_id" + 2000000L).as("doc_id"),
             concat($"text", lit(" plugh tail")).as("text")))
       val table = q74IndexTables.computeIfAbsent(d, _ => {
-        val name = s"graft_q74_ngram_idx_${q74IndexTables.size()}"
+        // name derived from the DIR (not the map size — two dirs
+        // racing computeIfAbsent could read the same size)
+        val name = s"graft_q74_ngram_idx_${math.abs(d.hashCode.toLong)}"
         val built = operators.Dedup.buildNgramIndex(
           docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4)
         operators.Dedup.writeNgramIndexBucketed(built, name,
