@@ -86,4 +86,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter(col("clean_value") === 10000.0).count() == 0)
     assert(out.count() == 101) // rows kept, only blanked
   }
+
+  test("keep-first strategies agree: window form ≡ min_by form (incl. null orders)") {
+    // the two implementations exist for different WORKLOADS (see
+    // dedupKeepFirst's strategy note) but must make identical picks
+    // whenever the order columns form a total order within each key —
+    // including null order values, where min_by's naive form would
+    // diverge (NULLS FIRST parity is the subtle bit under test)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(40).toLong,                       // duplicate-heavy key
+       if (rnd.nextInt(10) == 0) null
+       else java.lang.Double.valueOf(rnd.nextInt(1000) * 1.0 + i * 1e-3),
+       i.toLong,                                     // unique tiebreak
+       s"p$i")
+    }
+    val df = rows.toDF("k", "ord", "tb", "payload")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toString).toSeq
+    val win = canon(TimeSeries.dedupKeepFirst(df, Seq("k"), Seq("ord", "tb")))
+    val agg = canon(TimeSeries.dedupKeepFirstMinBy(df, Seq("k"), Seq("ord", "tb")))
+    assert(win.nonEmpty && win == agg)
+  }
 }
