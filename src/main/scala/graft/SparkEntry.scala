@@ -863,9 +863,11 @@ object SparkEntry {
           .select(($"doc_id" + 2000000L).as("doc_id"),
             concat($"text", lit(" plugh tail")).as("text")))
       val table = q74IndexTables.computeIfAbsent(d, _ => {
-        // name derived from the DIR (not the map size — two dirs
-        // racing computeIfAbsent could read the same size)
-        val name = s"graft_q74_ngram_idx_${math.abs(d.hashCode.toLong)}"
+        // name embeds the sanitized dir itself — collision-free by
+        // construction (a 32-bit hash could alias two dirs onto one
+        // table; map size could race)
+        val name = "graft_q74_ngram_idx_" +
+          d.replaceAll("[^A-Za-z0-9]", "_").takeRight(64)
         val built = operators.Dedup.buildNgramIndex(
           docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4)
         operators.Dedup.writeNgramIndexBucketed(built, name,
@@ -1527,12 +1529,6 @@ object SparkEntry {
     * all, while the sentinel's own bin stays in state and never
     * emits). `candump/` holds the q21 fixture lines as text files
     * for the streaming decode gate. */
-  /** q74's bucketed index table, built once per sfDir (table name
-    * disambiguated per dir so specs at sf0.001 and a bench at sf0.1
-    * never share one). */
-  private val q74IndexTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private val streamFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamFixtures(s: SparkSession, d: String): String =
@@ -1593,6 +1589,14 @@ object SparkEntry {
     * warm/timed/retry run (q79 holds ~half a million decoded rows at
     * sf0.1 — four stranded copies is real GC pressure for every
     * query benched after it). */
+  /** q74's bucketed index table, built once per sfDir (table name
+    * embeds the SANITIZED dir — not a 32-bit hash, whose collisions
+    * would alias two dirs onto one table and silently serve the wrong
+    * corpus's index — so specs at sf0.001 and a bench at sf0.1 never
+    * share one). */
+  private val q74IndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def runStreamToTable(s: SparkSession, df: DataFrame,
                                mode: String, tag: String): DataFrame = {
     val name = s"graft_stream_$tag"

@@ -118,8 +118,12 @@ object TimeSeries {
   def dedupKeepFirst(df: DataFrame, keyCols: Seq[String],
                      orderCols: Seq[String]): DataFrame = {
     val win = w(keyCols, orderCols.map(col))
-    df.withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") === 1).drop("__rn")
+    // collision-free working column: an input that already carries a
+    // __rn column must not have it clobbered and silently dropped
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(win))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** [[dedupKeepFirst]] as a `min_by` hash aggregate — the shape for
