@@ -815,6 +815,51 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Hashed-feature logistic-regression quality classifier, fitted
+    // by full-batch GD from a zero model (round 1's predictions are
+    // exactly 0.5, which lets the oracle unroll BOTH fit rounds in
+    // closed form — a wrong gradient sign, a mis-ordered fold, a
+    // bias/weight update mixed up, or a drifted feature hash all
+    // land in the final per-doc probabilities). Labels: lang = 'en'.
+    "q84_quality_lr" -> ((s, d) => {
+      val labeled = t(s, d, "documents")
+        .select($"doc_id", $"text", ($"lang" === "en").cast("int").as("is_en"))
+      val model = operators.Curation.fitQualityLr(labeled,
+        "doc_id", "text", "is_en", buckets = 512, iters = 2,
+        stepSize = 0.5, hashFn = operators.Dedup.md5Hash60)
+      operators.Curation.lrScore(labeled, "doc_id", "text", model,
+          hashFn = operators.Dedup.md5Hash60)
+        .select($"doc_id", $"n_feats", round($"score", 6).as("score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Substring-span dedup (Lee et al. exact-substring discipline at
+    // word-gram resolution): the fixture plants a shared licence
+    // TAIL, a shared boilerplate HEAD, and a whole-doc SELF-repeat —
+    // tail/head test cross-doc spans at both ends of documents,
+    // self-repeat tests intra-doc removal where every duplicated
+    // gram's first occurrence lives in the same doc. The oracle
+    // recomputes the whole chain (gram tiling, global first
+    // occurrence, covered-word union, reassembly) in SQL, so a wrong
+    // anchor stride, an off-by-one in span coverage, or a
+    // keep-position picked on the wrong side all fail the md5.
+    "q83_substring_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 5 === 0,
+            concat($"text", lit(" every duplicated span longer than" +
+              " eight words must survive exactly once corpus wide")))
+          .when($"doc_id" % 7 === 0,
+            concat(lit("this shared preamble sentence has more than" +
+              " eight words of pure boilerplate "), $"text"))
+          .when($"doc_id" % 11 === 0,
+            concat($"text", lit(" "), $"text"))
+          .otherwise($"text").as("text"))
+      operators.Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_words", $"n_kept_words",
+          md5($"clean_text".cast("binary")).as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental dedup: a new batch (odd docs + perturbed copies of
     // INDEX docs + perturbed copies of BATCH docs) is admitted against
     // an index built ONCE over the even docs. The oracle recomputes
@@ -2583,6 +2628,90 @@ object SparkEntry {
          FROM d JOIN sp USING (doc_id)
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "q84_quality_lr" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           regexp_split_to_array(trim(lower(text)), '\s+') t
+         FROM documents),
+         feat AS (
+           SELECT doc_id, unnest(t) AS feat FROM d
+           UNION ALL
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         xb AS (SELECT doc_id,
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket,
+             count(*)::DOUBLE AS c
+           FROM feat WHERE feat <> '' GROUP BY 1, 2),
+         n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM xb),
+         e0 AS (SELECT doc_id, 0.5 - y AS e FROM d
+           WHERE doc_id IN (SELECT doc_id FROM xb)),
+         w1 AS (SELECT bucket,
+             -0.5 * list_reduce(list(e * c ORDER BY doc_id),
+               (a, b) -> a + b) / (SELECT n FROM n) AS w
+           FROM xb JOIN e0 USING (doc_id) GROUP BY bucket),
+         b1 AS (SELECT -0.5 * list_reduce(list(e ORDER BY doc_id),
+             (a, b) -> a + b) / (SELECT n FROM n) AS b FROM e0),
+         z1 AS (SELECT xb.doc_id,
+             list_reduce(list(xb.c * w1.w ORDER BY xb.bucket),
+               (a, b) -> a + b) AS z
+           FROM xb JOIN w1 USING (bucket) GROUP BY xb.doc_id),
+         e1 AS (SELECT z1.doc_id,
+             1.0 / (1.0 + exp(-(b1.b + z1.z))) - d.y AS e
+           FROM z1 JOIN d USING (doc_id) CROSS JOIN b1),
+         w2 AS (SELECT bucket, w1w - 0.5 *
+             list_reduce(list(gt ORDER BY doc_id), (a, b) -> a + b)
+               / (SELECT n FROM n) AS w
+           FROM (SELECT xb.bucket, w1.w AS w1w, xb.doc_id,
+                   e1.e * xb.c AS gt
+                 FROM xb JOIN e1 USING (doc_id) JOIN w1 USING (bucket)) s
+           GROUP BY bucket, w1w),
+         b2 AS (SELECT b1.b - 0.5 * list_reduce(list(e ORDER BY doc_id),
+             (a, b) -> a + b) / (SELECT n FROM n) AS b
+           FROM e1 CROSS JOIN b1 GROUP BY b1.b),
+         sc AS (SELECT xb.doc_id, CAST(sum(xb.c) AS BIGINT) AS n_feats,
+             list_reduce(list(xb.c * w2.w ORDER BY xb.bucket),
+               (a, b) -> a + b) AS z
+           FROM xb JOIN w2 USING (bucket) GROUP BY xb.doc_id)
+         SELECT doc_id, n_feats,
+           round(1.0 / (1.0 + exp(-(b2.b + sc.z))), 6) AS score
+         FROM sc CROSS JOIN b2 ORDER BY doc_id""",
+
+    "q83_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' every duplicated span longer than eight words must survive exactly once corpus wide'
+                WHEN doc_id % 7 = 0
+                THEN 'this shared preamble sentence has more than eight words of pure boilerplate ' || text
+                WHEN doc_id % 11 = 0
+                THEN text || ' ' || text
+                ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+             AS t FROM d),
+         g AS (SELECT doc_id, p, array_to_string(t[p : p + 7], ' ') AS k
+           FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))
+             AS p)
+           WHERE len(t) >= 8),
+         m AS (SELECT doc_id, p,
+             count(*) OVER (PARTITION BY k) AS c,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+           FROM g),
+         del AS (SELECT doc_id, p FROM m WHERE c > 1 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, w FROM del,
+           LATERAL (SELECT unnest(generate_series(p, p + 7)) AS w)),
+         w AS (SELECT doc_id, unnest(t) AS word,
+             unnest(generate_series(1, len(t))) AS wp FROM tk),
+         kept AS (SELECT w.doc_id, w.wp, w.word FROM w
+           LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wp = cov.w
+           WHERE cov.w IS NULL),
+         rb AS (SELECT doc_id, count(*) AS n_kept_words,
+             md5(string_agg(word, ' ' ORDER BY wp)) AS clean_md5
+           FROM kept GROUP BY doc_id)
+         SELECT tk.doc_id, len(tk.t) AS n_words,
+           coalesce(rb.n_kept_words, 0) AS n_kept_words,
+           coalesce(rb.clean_md5, md5('')) AS clean_md5
+         FROM tk LEFT JOIN rb USING (doc_id) ORDER BY doc_id""",
 
     "q56_incremental_dedup" -> incrementalDedupOracleSql,
 

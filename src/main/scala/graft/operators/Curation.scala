@@ -355,6 +355,93 @@ object Curation {
       .withColumn("n_paras", size(split(col(textCol), sepQ)))
   }
 
+  /** Corpus-wide exact substring-span deduplication — the
+    * finest-grained member of the exact-dedup family (document →
+    * paragraph → SPAN), in the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring
+    * discipline, word-anchored: every word `n`-gram occurrence after
+    * the corpus-wide FIRST (lowest (`idCol`, position)) marks its `n`
+    * covered words for removal, so any repeated run of ≥ `n` words —
+    * licence blocks, quoted passages, templated sentences — survives
+    * exactly once, at arbitrary positions inside otherwise-distinct
+    * documents (including repeats within ONE document). Unlike the
+    * suffix-array construction of the paper this needs no global
+    * order: overlapping duplicated grams tile a duplicated run of
+    * length L ≥ n and mark all of it; runs shorter than `n` words are
+    * below the anchor resolution and are kept (the paper's `min
+    * match` serves the same role). The globally-first occurrence of a
+    * duplicated gram keeps its words UNLESS an overlapping different
+    * gram (first seen elsewhere) removes them — deterministic, if not
+    * order-independent in the keep-position sense; decisions are a
+    * pure function of the corpus.
+    *
+    * Output text is rebuilt from the surviving words joined by single
+    * spaces (whitespace-normalised — same contract as
+    * [[dropBoilerplateLines]]' line reassembly), plus
+    * `n_kept_words`/`n_words` so callers can filter gutted docs.
+    *
+    * Scale shape: one gram explode (each word enters `n` gram rows),
+    * one partial-aggregatable min-struct/count aggregate keyed by the
+    * gram, one big-big hash join of occurrences against the
+    * DUPLICATED grams only (a semi-join-shaped fraction of the gram
+    * table), a distinct on covered (doc, wordpos) pairs bounded by
+    * corpus word count, one anti join and one per-doc reassembly
+    * aggregate. Nothing is quadratic and nothing is a window over the
+    * corpus. By default grams are keyed on the gram STRING — exact,
+    * no collision channel, the gate-able configuration — at the cost
+    * of shuffling ~`n`× the text bytes through the aggregate;
+    * `hashGrams = true` keys on a 128-bit double xxhash64 instead
+    * (16-byte fixed-width shuffle rows — the 100 TB path), which can
+    * wrongly delete a span only on a 128-bit collision
+    * (~`grams²/2^129`: negligible even at 10^13 grams, and the blast
+    * radius is one n-word span, not a document). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 10,
+                         hashGrams: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__tk"))
+      .withColumn("__W", size(col("__tk")))
+    // grams at every word position (1-based): docs shorter than n
+    // words contribute none (sequence() would count DOWN for a
+    // negative span, so the filter is load-bearing)
+    val occ = toks.filter(col("__W") >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, __W - ${n - 1}), " +
+          s"p -> named_struct('p', p, 'g', concat_ws(' ', slice(__tk, p, $n))))"))
+        .as("e"))
+      .select(col(idCol), col("e.p").as("p"), col("e.g").as("g"))
+    val keyed =
+      if (hashGrams)
+        occ.select(col(idCol), col("p"),
+          struct(xxhash64(lit(1), col("g")), xxhash64(lit(2), col("g")))
+            .as("k"))
+      else occ.withColumnRenamed("g", "k")
+    val dupFirsts = keyed.groupBy(col("k"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("fid"), col("p").as("fp"))).as("f"))
+      .filter(col("__c") > 1)
+      .select(col("k"), col("f"))
+    val del = keyed.join(dupFirsts, Seq("k"))
+      .filter(!(col(idCol) === col("f.fid") && col("p") === col("f.fp")))
+    val covered = del
+      .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
+      .distinct()
+    val words = toks
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("w0", "word")))
+      .select(col(idCol), (col("w0") + 1).as("w"), col("word"))
+    val rebuilt = words.join(covered, Seq(idCol, "w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("w"), col("word"))))
+        .as("parts"))
+      .select(col(idCol),
+        concat_ws(" ", expr("transform(parts, x -> x.word)")).as("clean_text"),
+        size(col("parts")).as("n_kept_words"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept_words", coalesce(col("n_kept_words"), lit(0)))
+      .withColumn("n_words", size(split(trim(col(textCol)), "\\s+")))
+  }
+
   /** Deterministic token-budget sampling — the mixing primitive for
     * "take N tokens of domain X": documents are taken in hash order
     * until the running token total reaches the budget, so membership
@@ -638,6 +725,158 @@ object Curation {
     when(size(feats) > 0,
       aggregate(bks, lit(0.0),
         (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int"))))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** A fitted hashed-feature logistic-regression quality classifier
+    * (the fastText/CCNet-style discriminative complement of the
+    * generative [[DsirModel]]): `table(b)` is the weight of feature
+    * hash bucket b, `bias` the intercept; `score = σ(bias + Σ_b
+    * count_b · w_b)` over the same hashed unigram+bigram features as
+    * DSIR. Size = `buckets` doubles — a broadcast-friendly plan
+    * constant, same bound as [[DsirModel]]. */
+  final case class LrModel(bias: Double, table: Array[Double]) {
+    def buckets: Int = table.length
+  }
+
+  /** Per-document hashed-feature bucket counts — the shared feature
+    * extraction of the DSIR family ([[dsirWeights]]): whitespace
+    * unigrams + bigrams of the lowercased text, hashed into
+    * `buckets`. One explode + one partial-aggregatable count. */
+  private def lrFeatures(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int,
+                         hashFn: Column => Column): DataFrame = {
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("__id"), tk.as("__tk"))
+      .select(col("__id"), explode(concat(col("__tk"),
+        zip_with(col("__tk"),
+          slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)))).as("feat"))
+      .filter(col("feat").isNotNull && col("feat") =!= "")
+      .groupBy(col("__id"),
+        pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).cast("double").as("c"))
+  }
+
+  /** Order-stable sum: fold the `term` column in `ord` order (the
+    * [[dsirWeights]] discipline — float addition order is defined by
+    * the data, so an external engine folding the same sorted list
+    * reproduces the sum bit-for-bit). `ord` must be unique within the
+    * group. */
+  private def sortedFold(ord: String, term: String): Column =
+    aggregate(expr(s"array_sort(collect_list(struct($ord, $term)))"),
+      lit(0.0), (acc, x) => acc + x.getField(term))
+
+  /** Fit an [[LrModel]] by full-batch gradient descent: `iters`
+    * rounds of `w ← w − η · Σ_i (σ(z_i) − y_i) x_i / n` from a zero
+    * initial model (so round 1's predictions are exactly 0.5 — the
+    * property that lets an external oracle unroll the fit in closed
+    * form). Labels are `labelCol` cast to double (0/1).
+    *
+    * Deterministic by construction: per-document scores fold weight
+    * terms in BUCKET order and per-bucket gradients fold error terms
+    * in DOCUMENT order (`exactFold = true`, the gate configuration) —
+    * reproducible across runs, partitionings and engines.
+    * `exactFold = false` replaces the folds with plain `sum` — the
+    * 100 TB path (partial-aggregatable, no per-group arrays) whose
+    * result differs only by float-addition order.
+    *
+    * Scale shape per round: the weight table enters the plan as a
+    * `buckets`-sized literal (same trick as [[dsirScoreCol]] — no
+    * join against a weight table at all), so scoring is one hash
+    * aggregate over the persisted (doc, bucket, count) table, and the
+    * gradient is one join of that table against the n-row score frame
+    * plus one aggregate keyed by bucket, collected at ≤ `buckets`
+    * rows — the same driver-side bound as [[fitDsir]]. Documents with
+    * zero features (empty text) carry no gradient signal and are
+    * excluded from `n`. */
+  def fitQualityLr(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, buckets: Int = 1 << 16,
+                   iters: Int = 2, stepSize: Double = 0.5,
+                   hashFn: Column => Column = xxhash64(_),
+                   exactFold: Boolean = true): LrModel = {
+    val xb = lrFeatures(docs, idCol, textCol, buckets, hashFn)
+      .join(docs.select(col(idCol).as("__id"),
+        col(labelCol).cast("double").as("__y")), Seq("__id"))
+      .persist()
+    val n = xb.select(col("__id")).distinct().count().toDouble
+    require(n > 0, "fitQualityLr: no documents with features")
+    var bias = 0.0
+    val w = Array.fill(buckets)(0.0)
+    for (_ <- 1 to iters) {
+      val zc = col("c") * element_at(lit(w), (col("bucket") + 1).cast("int"))
+      val scored = xb.withColumn("__term", zc)
+        .groupBy(col("__id"), col("__y"))
+        .agg((if (exactFold) sortedFold("bucket", "__term")
+              else sum(col("__term"))).as("__z"))
+        .select(col("__id"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("__z")))) -
+            col("__y")).as("__e"))
+        .persist()
+      val grad = xb.join(scored, Seq("__id"))
+        .withColumn("__gt", col("__e") * col("c"))
+        .groupBy(col("bucket"))
+        .agg((if (exactFold) sortedFold("__id", "__gt")
+              else sum(col("__gt"))).as("g"))
+        .collect()
+      val gBias = scored.agg(
+          (if (exactFold) sortedFold("__id", "__e")
+           else sum(col("__e"))).as("g"))
+        .head().getDouble(0)
+      scored.unpersist()
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) -= stepSize * r.getDouble(1) / n
+      }
+      bias -= stepSize * gBias / n
+    }
+    xb.unpersist()
+    LrModel(bias, w)
+  }
+
+  /** Batch scores under a fitted [[LrModel]], with EXACTLY the fit's
+    * arithmetic (per-doc bucket counts × weights folded in bucket
+    * order) — the frame to gate against an external oracle. Documents
+    * with zero features produce no row (they have no defined feature
+    * score; callers left-join and decide). One aggregate keyed by
+    * `idCol`; the model is a plan literal, so this is join-free. */
+  def lrScore(docs: DataFrame, idCol: String, textCol: String,
+              model: LrModel,
+              hashFn: Column => Column = xxhash64(_),
+              exactFold: Boolean = true): DataFrame =
+    lrFeatures(docs, idCol, textCol, model.buckets, hashFn)
+      .withColumn("__term",
+        col("c") * element_at(lit(model.table), (col("bucket") + 1).cast("int")))
+      .groupBy(col("__id"))
+      .agg(sum(col("c")).cast("long").as("n_feats"),
+        (if (exactFold) sortedFold("bucket", "__term")
+         else sum(col("__term"))).as("__z"))
+      .select(col("__id").as(idCol), col("n_feats"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) + col("__z")))))
+          .as("score"))
+
+  /** The same fitted-classifier score as ONE pure projection (no
+    * explode, no aggregate) — the STREAMING admission-filter form,
+    * shaped like [[dsirScoreCol]]: fold the per-occurrence weights
+    * over the bucket-sorted feature list. Occurrence-at-a-time
+    * addition (w+w+…) differs from the batch form's count×weight
+    * products in float order only — agreement is to ~1e-12, not
+    * bit-exact; gate the BATCH form, spec-pin this one against it.
+    * Documents with no features score null. */
+  def lrScoreCol(text: Column, model: LrModel,
+                 hashFn: Column => Column = xxhash64(_)): Column = {
+    val tk = split(lower(trim(text)), "\\s+")
+    val feats = filter(
+      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))),
+      f => f.isNotNull && f =!= "")
+    val tbl = lit(model.table)
+    val bks = sort_array(transform(feats,
+      f => pmod(hashFn(f), lit(model.buckets.toLong))))
+    when(size(feats) > 0,
+      lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) +
+        aggregate(bks, lit(0.0),
+          (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int")))))))
       .otherwise(lit(null).cast("double"))
   }
 }

@@ -97,6 +97,100 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == (("D", 1, 2)))
   }
 
+  test("fitQualityLr: one GD round from zero matches hand arithmetic") {
+    // two single-token docs, step 1: round-1 errors are ±0.5, so the
+    // token weights land at ±0.25 and the bias gradient cancels to 0
+    val docs = Seq((1L, "alpha", 1), (2L, "bravo", 0))
+      .toDF("doc_id", "text", "y")
+    val m = Curation.fitQualityLr(docs, "doc_id", "text", "y",
+      buckets = 1 << 16, iters = 1, stepSize = 1.0)
+    assert(m.bias === 0.0)
+    val got = Curation.lrScore(docs, "doc_id", "text", m)
+      .orderBy("doc_id").select("score").as[Double].collect()
+    assert(math.abs(got(0) - 1.0 / (1.0 + math.exp(-0.25))) < 1e-12)
+    assert(math.abs(got(1) - 1.0 / (1.0 + math.exp(0.25))) < 1e-12)
+  }
+
+  test("fitQualityLr: separates two vocabularies after a few rounds") {
+    val docs = ((1L to 10L).map(i => (i, s"good clean prose number $i", 1)) ++
+      (11L to 20L).map(i => (i, s"zz qq vv ww item $i", 0))).toDF(
+      "doc_id", "text", "y")
+    val m = Curation.fitQualityLr(docs, "doc_id", "text", "y", iters = 3)
+    val sc = Curation.lrScore(docs, "doc_id", "text", m)
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .groupBy("y").agg(avg("score").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sc(1) > sc(0) + 0.2,
+      s"positive class should score clearly higher: $sc")
+  }
+
+  test("lrScoreCol projection agrees with the batch lrScore") {
+    // repeated tokens exercise the count×weight vs per-occurrence
+    // float-order difference the Scaladoc documents
+    val docs = Seq((1L, "spam spam spam ham", 0), (2L, "ham and eggs", 1),
+      (3L, "", 1)).toDF("doc_id", "text", "y")
+    val m = Curation.fitQualityLr(docs, "doc_id", "text", "y", iters = 2)
+    val batch = Curation.lrScore(docs, "doc_id", "text", m)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val proj = docs.select(col("doc_id"),
+        Curation.lrScoreCol(col("text"), m).as("score"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(proj(3L).isEmpty && !batch.contains(3L)) // featureless doc
+    for (id <- Seq(1L, 2L))
+      assert(math.abs(batch(id) - proj(id).get) < 1e-9)
+  }
+
+  test("fitQualityLr: plain-sum fold agrees with the exact fold") {
+    val docs = (1L to 30L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} filler words",
+        (i % 2).toInt)).toDF("doc_id", "text", "y")
+    def fit(e: Boolean) = Curation.fitQualityLr(docs, "doc_id", "text",
+      "y", iters = 2, exactFold = e)
+    val (a, b) = (fit(true), fit(false))
+    assert(math.abs(a.bias - b.bias) < 1e-9)
+    assert(a.table.zip(b.table).forall { case (x, y) =>
+      math.abs(x - y) < 1e-9 })
+  }
+
+  test("dropDuplicateSpans: gram tiling, keep-first, intra-doc runs") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // all grams first occurrences → kept whole
+      (2L, "x a b c d e y"), // embeds doc 1's span → a..e removed, x y kept
+      (3L, "t t t t t t"),   // intra-doc run: anchors p=2..4 cover words 2..6
+      (4L, "a b"),           // below anchor resolution → untouched
+      (5L, "a b c d e"),     // exact copy of doc 1 → gutted to empty
+      (6L, "  p   q r s  ")  // unique; reassembly normalises whitespace
+    ).toDF("doc_id", "text")
+    val got = Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text", "n_kept_words", "n_words")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("a b c d e", 5, 5)))
+    assert(got(2L) == (("x y", 2, 7)))
+    assert(got(3L) == (("t", 1, 6)))
+    assert(got(4L) == (("a b", 2, 2)))
+    assert(got(5L) == (("", 0, 5)))
+    assert(got(6L) == (("p q r s", 4, 4)))
+  }
+
+  test("dropDuplicateSpans: hashGrams path agrees with the exact path") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four five six seven"),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine seven eight nine seven eight nine")
+    ).toDF("doc_id", "text")
+    def run(h: Boolean) =
+      Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 3,
+          hashGrams = h)
+        .select("doc_id", "clean_text", "n_kept_words", "n_words")
+        .orderBy("doc_id")
+        .as[(Long, String, Int, Int)].collect().toSeq
+    assert(run(true) === run(false))
+  }
+
   test("chunkByTokens: windows advance by stride, last chunk short") {
     // 12 tokens, chunk 5, overlap 2 → stride 3, extra = ceil(7/3) = 3
     // chunks: [1..5], [4..8], [7..11], [10..12]
