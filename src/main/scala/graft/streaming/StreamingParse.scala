@@ -168,6 +168,21 @@ object StreamingParse {
         graft.operators.Curation.dsirScore(col(textCol), model))
       .filter(col("quality") >= minQuality && col("dsir_score") >= minDsir)
 
+  /** The discriminative variant of [[scoreFilterStream]]: admission by
+    * a fitted logistic-regression quality classifier
+    * ([[graft.operators.Curation.fitQualityLr]]) instead of the
+    * generative DSIR ratio. Same zero-state shape — the model is a
+    * plan literal and [[graft.operators.Curation.lrScoreCol]] is a
+    * pure projection, so the filter runs before any shuffle or state.
+    * Featureless documents score null and are rejected. */
+  def classifierFilterStream(docs: DataFrame, textCol: String,
+                             model: graft.operators.Curation.LrModel,
+                             minScore: Double = 0.5): DataFrame =
+    docs
+      .withColumn("lr_score",
+        graft.operators.Curation.lrScoreCol(col(textCol), model))
+      .filter(col("lr_score") >= minScore)
+
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,
                   checkpoint: String): DataStreamWriter[Row] =

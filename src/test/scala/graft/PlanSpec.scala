@@ -153,6 +153,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no corpus-wide window expected")
   }
 
+  test("q83: span dedup is explode + keyed aggregates + anti join, no window") {
+    val p = planOf("q83_substring_dedup")
+    assert(p.contains("Generate"), "gram/word explodes expected")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(p.contains("LeftAnti"), "covered-word removal is an anti join")
+    // first-occurrence selection is a min-struct aggregate, NOT a
+    // row_number window over the corpus-wide gram partitioning
+    assert(!p.contains("Window"), "no corpus-wide window expected")
+  }
+
+  test("q84: LR scoring is join-free over a plan-literal weight table") {
+    val p = planOf("q84_quality_lr")
+    // the fitted model enters as a literal array: scoring is feature
+    // explode + one aggregate keyed by doc — no weight-table join, no
+    // window, and nothing non-broadcast beyond the keyed aggregates
+    assert(p.contains("Generate"), "feature explode expected")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("Window"), "no window expected")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join expected in scoring (model is a plan literal)")
+  }
+
   test("q60: SQ search broadcasts stats+queries; corpus codes never shuffle pre-rank") {
     val p = planOf("q60_sq_ann_recall")
     assert(p.contains("BroadcastExchange"),

@@ -313,6 +313,42 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LR-classifier admission filter (stateless projection)") {
+    import spark.implicits._
+    val good = "clear readable prose about solar boats and telemetry data"
+    val bad = "zz qq vv ww xx yy zz qq vv ww"
+    val train = ((1L to 20L).map(i => (i, s"$good sample $i", 1)) ++
+      (21L to 40L).map(i => (i, s"$bad item $i", 0)))
+      .toDF("doc_id", "text", "y")
+    val model = graft.operators.Curation.fitQualityLr(train,
+      "doc_id", "text", "y", iters = 3)
+    val docs = Seq(
+      (1L, good + " fresh document"), // positive-vocab → admitted
+      (2L, bad + " fresh junk"),      // negative-vocab → rejected
+      (3L, ""))                       // featureless: null → rejected
+      .toDF("doc_id", "text")
+    // precondition (batch): the projection separates the classes
+    val sc = docs.select($"doc_id",
+        graft.operators.Curation.lrScoreCol($"text", model).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(sc(1L).get >= 0.5 && sc(2L).get < 0.5 && sc(3L).isEmpty)
+    val dir = Files.createTempDirectory("stream_lrfilter")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .classifierFilterStream(stream, "text", model, minScore = 0.5)
+      .writeStream.format("memory").queryName("lr_filter")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from lr_filter").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
