@@ -318,6 +318,19 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Cluster-balanced semantic sampling: strata are nearest-anchor
+    // cells (first 16 ids as anchors), membership capped at 5 per
+    // stratum in md5-hash order. The oracle recomputes the full
+    // assignment (bit-identical cosines via list_dot_product) and the
+    // per-stratum hash ranking, so a flipped argmax tie, a wrong
+    // anchor set, or a drifted hash order all change the kept rows.
+    "q85_semantic_sample" -> ((s, d) => {
+      operators.Similarity.semanticStratifiedSample(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          nStrata = 16, perStratum = 5, hashFn = operators.Dedup.md5Hash60)
+        .orderBy($"stratum", $"rank")
+    }),
+
     // Scale-path ANN gate: the LSH (hyperplane, multi-probe) and IVF
     // (coarse-quantized, Lloyd-refined) indexes must return the TRUE
     // nearest neighbor of planted near-duplicate queries (perturbed
@@ -2123,6 +2136,27 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q85_semantic_sample" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         a AS (SELECT vec_id AS stratum, v AS av FROM c
+           ORDER BY vec_id LIMIT 16),
+         s AS (SELECT c.vec_id, a.stratum,
+             list_dot_product(c.v, a.av) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(a.av, a.av))) AS sim
+           FROM c CROSS JOIN a),
+         asg AS (SELECT vec_id, stratum FROM (
+             SELECT vec_id, stratum, row_number() OVER
+               (PARTITION BY vec_id ORDER BY sim DESC, stratum) AS rn
+             FROM s) t WHERE rn = 1),
+         h AS (SELECT vec_id, stratum,
+             ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+           FROM asg),
+         r AS (SELECT vec_id, stratum, row_number() OVER
+             (PARTITION BY stratum ORDER BY hh, vec_id) AS rank FROM h)
+         SELECT vec_id, stratum, rank FROM r WHERE rank <= 5
+         ORDER BY stratum, rank""",
 
     "q31_ann_recall" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

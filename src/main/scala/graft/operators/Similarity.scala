@@ -193,6 +193,54 @@ object Similarity {
     searchIvf(buildIvf(corpus, idCol, vecCol, nCells), queries, idCol,
       vecCol, k, nProbe)
 
+  /** Cluster-balanced (diversity-preserving) downsampling over an
+    * embedding column — the SEMANTIC sibling of
+    * [[Curation.stratifiedHashSample]]: strata are nearest-anchor
+    * cells (the first `nStrata` rows by id serve as anchors — the
+    * same deterministic seeding as [[buildIvf]], WITHOUT the Lloyd
+    * refinement, whose distributed float means would make cell
+    * borders engine-dependent), and each stratum keeps its first
+    * `perStratum` members in id-hash order. Capping every semantic
+    * cell at the same budget flattens dominant topics and preserves
+    * tail diversity — the "cluster-balanced sampling" step of
+    * SemDeDup-style curation pipelines, where a frequency-blind
+    * random sample would reproduce the head-heavy topic skew.
+    *
+    * Deterministic end to end: anchor choice, argmax assignment
+    * (ties → smaller anchor id; cosines ride the bit-identical
+    * [[dot]]), and hash-order membership are all pure functions of
+    * the corpus.
+    *
+    * Scale shape: one broadcast of `nStrata` anchor vectors against a
+    * single corpus scan (the [[buildIvf]] assignment shape), then one
+    * per-stratum window — partitioned by stratum, never global.
+    * Anchors-by-lowest-id is a sampling heuristic, not a fitted
+    * codebook: for best balance feed a corpus whose ids are not
+    * correlated with topology, or pre-shuffle ids. */
+  def semanticStratifiedSample(corpus: DataFrame, idCol: String,
+                               vecCol: String, nStrata: Int = 32,
+                               perStratum: Int = 10,
+                               hashFn: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val anchors = corpus.orderBy(col(idCol)).limit(nStrata)
+      .select(col(idCol).as("stratum"), asDouble(col(vecCol)).as("avec"))
+    val assigned = corpus.select(col(idCol),
+        norm(asDouble(col(vecCol))).as("__vn"), col(vecCol))
+      .crossJoin(broadcast(anchors.withColumn("__an", norm(col("avec")))))
+      .withColumn("sim", cosinePrenormed(col(vecCol), col("avec"),
+        col("__vn"), col("__an")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("stratum"), struct(col("sim"), -col("stratum")))
+        .as("stratum"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__h"), col(idCol))
+    assigned
+      .withColumn("__h", hashFn(col(idCol).cast("string")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perStratum)
+      .select(col(idCol), col("stratum"), col("rank"))
+  }
+
   /** A built scalar-quantization (int8) ANN index: per-dimension
     * min/max affine codes. `stats` is ONE row (`mins`, `scales` —
     * dimension-sized, broadcastable); `codes` holds per vector the

@@ -194,6 +194,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic stratified sample: per-cell cap, cluster-true assignment") {
+    // ids 1..3 are the anchors (basis vectors); 4..15 sit near one
+    // basis each, so assignment is unambiguous; perStratum caps each
+    // cell at 3 of its 1 + 4 members
+    def v(axis: Int, eps: Double, seed: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(axis) = 1.0f
+      a((axis + 1) % 4) = (eps * (1 + seed % 3)).toFloat
+      a
+    }
+    val rows = (0 until 3).map(ax => ((ax + 1).toLong, v(ax, 0.0, 0))) ++
+      (4L to 15L).map(i => (i, v(((i - 4) % 3).toInt, 0.05, i.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticStratifiedSample(df, "vec_id", "embedding",
+        nStrata = 3, perStratum = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 9)
+    // every kept member belongs to the cluster of its anchor
+    got.foreach { case (id, stratum, rank) =>
+      assert(rank <= 3)
+      if (id <= 3) assert(stratum == id, s"anchor $id in own stratum")
+      else assert(stratum == (id - 4) % 3 + 1, s"member $id → wrong cell")
+    }
+    assert(got.map(_._2).groupBy(identity).forall(_._2.length == 3))
+  }
+
   test("semantic dedup: planted copies co-cluster and are dropped") {
     // perturbed copies sit at cosine ≈ 1 to their source, so each must
     // land in its source's IVF cell and the pair must verify ≥ 0.9;
