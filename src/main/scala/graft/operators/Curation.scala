@@ -33,6 +33,13 @@ object Curation {
         * BEFORE any scoring/shingling, so a paragraph shared by many
         * docs is counted (and token-budgeted, gram-bucketed) once */
       paragraphDedup: Boolean = false,
+      /** when set, [[dropDuplicateSpans]] runs after the paragraph
+        * stage at this word-gram size: corpus-wide keep-first removal
+        * of any repeated run of ≥ n words — finer than the paragraph
+        * tier (catches quoted passages and licence blocks that don't
+        * align to paragraph boundaries). NOTE: span reassembly
+        * whitespace-normalises the surviving text */
+      spanDedup: Option[Int] = None,
       /** additionally require [[TextAnalysis.gopherQualityFlags]]'
         * composite `gopher_pass` (flag columns are dropped after the
         * filter — the output schema stays the same) */
@@ -57,8 +64,8 @@ object Curation {
       hashFn: Column => Column = xxhash64(_))
 
   /** The full curation pipeline in one call: (optional cross-corpus
-    * boilerplate strip → optional corpus-wide paragraph dedup) →
-    * quality filter (optionally + Gopher quality and repetition
+    * boilerplate strip → optional corpus-wide paragraph dedup →
+    * optional substring-span dedup) → quality filter (optionally + Gopher quality and repetition
     * rules) → exact dedup → near-dup drop (n-gram Jaccard + connected
     * components) → optional fuzzy benchmark decontamination
     * (containment scoring by default, see [[CurateConfig]]) →
@@ -96,11 +103,20 @@ object Curation {
     // a paragraph shared across docs survives once corpus-wide, so
     // downstream quality ratios, gram tables and token budgets never
     // count it twice
-    val pre = if (cfg.paragraphDedup)
+    val pre1 = if (cfg.paragraphDedup)
         dropDuplicateParagraphs(pre0, idCol, textCol)
           .drop(textCol, "n_kept_paras", "n_paras")
           .withColumnRenamed("clean_text", textCol)
       else pre0
+    // span-level exact dedup is the finest pre-scoring tier: repeated
+    // runs that cross paragraph boundaries survive once corpus-wide
+    val pre = cfg.spanDedup match {
+      case Some(n) =>
+        dropDuplicateSpans(pre1, idCol, textCol, n)
+          .drop(textCol, "n_kept_words", "n_words")
+          .withColumnRenamed("clean_text", textCol)
+      case None => pre1
+    }
     // quality gate on a LEAN projection: the full profile includes the
     // rolling-fingerprint fold (a higher-order `aggregate` — its
     // interpreted lambda disables whole-stage codegen for whatever

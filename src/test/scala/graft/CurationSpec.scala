@@ -472,6 +472,29 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curate: substring-span dedup as an optional pre-scoring stage") {
+    // a 6-word licence tail shared by docs 1 and 2 crosses no
+    // paragraph boundary, so only the span tier can dedup it
+    def body(i: Int) = (1 to 40).map(k => s"w${i}x$k").mkString(" ")
+    val licence = "released under the example open licence"
+    val docs = Seq(
+      (1L, s"${body(1)} $licence"), // first occurrence → keeps it
+      (2L, s"${body(2)} $licence"), // later occurrence → span removed
+      (3L, body(3))
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text",
+      cfg = Curation.CurateConfig(minQuality = 0.0,
+        spanDedup = Some(3),
+        splits = Seq("train" -> 1.0), seqLen = 64, packShards = 1))
+    val kept = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 3L), s"kept ${kept.keySet}")
+    assert(kept(1L).contains(licence))
+    assert(!kept(2L).contains("licence"),
+      "doc 2's copy of the licence span must dedup away")
+    spark.catalog.clearCache()
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
