@@ -846,6 +846,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Surgical span-level decontamination: the benchmark set is a
+    // 12-word interior slice of every 13th document, so each such doc
+    // must lose exactly that window (plus any organic cross-doc gram
+    // matches) while the rest of its text survives — the case where
+    // doc-level decontamination would delete the whole document. The
+    // oracle recomputes benchmark grams, the semi-join hit set, span
+    // coverage and reassembly in SQL.
+    "q86_span_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter($"doc_id" % 13 === 0)
+        .select($"doc_id",
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
+            .as("text"))
+      operators.Curation.redactContaminatedSpans(docs, bench,
+          "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_words", $"n_kept_words", $"n_removed_words",
+          md5($"clean_text".cast("binary")).as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Substring-span dedup (Lee et al. exact-substring discipline at
     // word-gram resolution): the fixture plants a shared licence
     // TAIL, a shared boilerplate HEAD, and a whole-doc SELF-repeat —
@@ -2662,6 +2682,34 @@ object SparkEntry {
          FROM d JOIN sp USING (doc_id)
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "q86_span_decontam" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+             AS t FROM documents),
+         bg AS (SELECT DISTINCT array_to_string(bt[p : p + 7], ' ') AS g
+           FROM (SELECT t[3:14] AS bt FROM tk WHERE doc_id % 13 = 0) b,
+             LATERAL (SELECT unnest(generate_series(1, len(bt) - 7)) AS p)
+           WHERE len(bt) >= 8),
+         tg AS (SELECT doc_id, p, array_to_string(t[p : p + 7], ' ') AS g
+           FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))
+             AS p)
+           WHERE len(t) >= 8),
+         hit AS (SELECT doc_id, p FROM tg WHERE g IN (SELECT g FROM bg)),
+         cov AS (SELECT DISTINCT doc_id, w FROM hit,
+           LATERAL (SELECT unnest(generate_series(p, p + 7)) AS w)),
+         w AS (SELECT doc_id, unnest(t) AS word,
+             unnest(generate_series(1, len(t))) AS wp FROM tk),
+         kept AS (SELECT w.doc_id, w.wp, w.word FROM w
+           LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wp = cov.w
+           WHERE cov.w IS NULL),
+         rb AS (SELECT doc_id, count(*) AS n_kept_words,
+             md5(string_agg(word, ' ' ORDER BY wp)) AS clean_md5
+           FROM kept GROUP BY doc_id)
+         SELECT tk.doc_id, len(tk.t) AS n_words,
+           coalesce(rb.n_kept_words, 0) AS n_kept_words,
+           len(tk.t) - coalesce(rb.n_kept_words, 0) AS n_removed_words,
+           coalesce(rb.clean_md5, md5('')) AS clean_md5
+         FROM tk LEFT JOIN rb USING (doc_id) ORDER BY doc_id""",
 
     "q84_quality_lr" ->
       """WITH d AS (SELECT doc_id,

@@ -458,6 +458,78 @@ object Curation {
       .withColumn("n_words", size(split(trim(col(textCol)), "\\s+")))
   }
 
+  /** Surgical span-level decontamination — the cross-corpus sibling
+    * of [[dropDuplicateSpans]] and the span-granular complement of
+    * [[TextAnalysis.fuzzyDecontaminate]]: instead of DROPPING a
+    * training document that contains benchmark text, REMOVE exactly
+    * the contaminated spans (every word `n`-gram of the training doc
+    * that appears anywhere in the benchmark corpus marks its `n`
+    * covered words) and keep the rest. The right tool when a long,
+    * otherwise-clean document quotes one benchmark item — doc-level
+    * decontamination deletes real signal there, and threshold scoring
+    * can miss a short quote inside a long doc entirely (the
+    * containment score dilutes with doc length; a planted span's
+    * grams match at 100% regardless).
+    *
+    * Overlapping benchmark grams tile any shared run of ≥ n words, so
+    * a quoted passage is excised whole; runs shorter than `n` words
+    * are below the anchor resolution (same contract as
+    * [[dropDuplicateSpans]]). Reassembly whitespace-normalises.
+    * Output keeps every training doc (possibly with empty
+    * `clean_text`) plus `n_removed_words` so callers can drop gutted
+    * docs.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT (bounded by
+    * benchmark size — typically the small side, but the join is a
+    * hash semi-join either way, never broadcast-assumed), the
+    * training gram table is one explode, and removal is the same
+    * covered-word anti join + per-doc reassembly as
+    * [[dropDuplicateSpans]]. Grams are string-keyed: exact, no
+    * collision channel — for decontamination a false-positive
+    * deletion is tolerable but a false NEGATIVE (collision-free
+    * hashing admits nothing extra; only non-matching spans survive)
+    * must not happen, and strings make both directions exact. */
+  def redactContaminatedSpans(train: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) col(idCol) else lit(0L).as(idCol)),
+        split(trim(col(textCol)), "\\s+").as("__tk"))
+        .withColumn("__W", size(col("__tk")))
+        .filter(col("__W") >= n)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(1, __W - ${n - 1}), " +
+            s"p -> named_struct('p', p, 'g', concat_ws(' ', slice(__tk, p, $n))))"))
+          .as("e"))
+      if (withId) base.select(col(idCol), col("e.p").as("p"), col("e.g").as("g"))
+      else base.select(col("e.g").as("g"))
+    }
+    val benchGrams = grams(benchmark, withId = false).distinct()
+    val hits = grams(train, withId = true)
+      .join(benchGrams, Seq("g"), "left_semi")
+    val covered = hits
+      .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
+      .distinct()
+    val toks = train.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__tk"))
+    val words = toks
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("w0", "word")))
+      .select(col(idCol), (col("w0") + 1).as("w"), col("word"))
+    val rebuilt = words.join(covered, Seq(idCol, "w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("w"), col("word"))))
+        .as("parts"))
+      .select(col(idCol),
+        concat_ws(" ", expr("transform(parts, x -> x.word)")).as("clean_text"),
+        size(col("parts")).as("n_kept_words"))
+    train.join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept_words", coalesce(col("n_kept_words"), lit(0)))
+      .withColumn("n_words", size(split(trim(col(textCol)), "\\s+")))
+      .withColumn("n_removed_words", col("n_words") - col("n_kept_words"))
+  }
+
   /** Deterministic token-budget sampling — the mixing primitive for
     * "take N tokens of domain X": documents are taken in hash order
     * until the running token total reaches the budget, so membership

@@ -175,6 +175,26 @@ class CurationSpec extends SparkSpec {
     assert(got(6L) == (("p q r s", 4, 4)))
   }
 
+  test("redactContaminatedSpans: excises the quoted span, keeps the rest") {
+    val train = Seq(
+      (1L, "a b c d e f"),   // quotes the benchmark span c d e
+      (2L, "g h i j k"),     // clean → untouched
+      (3L, "c d e"),         // IS the benchmark item → gutted
+      (4L, "x c d y e z")    // shares words but no 3-gram run → untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "c d e"), (101L, "q r")) // q r below n → inert
+      .toDF("doc_id", "text")
+    val got = Curation.redactContaminatedSpans(train, bench,
+        "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text", "n_removed_words")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("a b f", 3)))
+    assert(got(2L) == (("g h i j k", 0)))
+    assert(got(3L) == (("", 3)))
+    assert(got(4L) == (("x c d y e z", 0)))
+  }
+
   test("dropDuplicateSpans: hashGrams path agrees with the exact path") {
     val docs = Seq(
       (1L, "one two three four five six"),
