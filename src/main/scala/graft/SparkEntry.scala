@@ -893,6 +893,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // identical DECISION contract to q83 (same oracle): the only
+    // difference is the 100 TB shuffle shape — grams keyed by the
+    // 128-bit double hash instead of the gram string — so this row
+    // both gates the hashed path end-to-end and benches the
+    // configuration a production run would use
+    "q87_substring_dedup_hashed" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 5 === 0,
+            concat($"text", lit(" every duplicated span longer than" +
+              " eight words must survive exactly once corpus wide")))
+          .when($"doc_id" % 7 === 0,
+            concat(lit("this shared preamble sentence has more than" +
+              " eight words of pure boilerplate "), $"text"))
+          .when($"doc_id" % 11 === 0,
+            concat($"text", lit(" "), $"text"))
+          .otherwise($"text").as("text"))
+      operators.Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 8,
+          hashGrams = true)
+        .select($"doc_id", $"n_words", $"n_kept_words",
+          md5($"clean_text".cast("binary")).as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental dedup: a new batch (odd docs + perturbed copies of
     // INDEX docs + perturbed copies of BATCH docs) is admitted against
     // an index built ONCE over the even docs. The oracle recomputes
@@ -2713,7 +2736,7 @@ object SparkEntry {
 
     "q84_quality_lr" ->
       """WITH d AS (SELECT doc_id,
-           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)::DOUBLE AS y,
            regexp_split_to_array(trim(lower(text)), '\s+') t
          FROM documents),
          feat AS (
@@ -2759,41 +2782,11 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-(b2.b + sc.z))), 6) AS score
          FROM sc CROSS JOIN b2 ORDER BY doc_id""",
 
-    "q83_substring_dedup" ->
-      """WITH d AS (SELECT doc_id,
-           CASE WHEN doc_id % 5 = 0
-                THEN text || ' every duplicated span longer than eight words must survive exactly once corpus wide'
-                WHEN doc_id % 7 = 0
-                THEN 'this shared preamble sentence has more than eight words of pure boilerplate ' || text
-                WHEN doc_id % 11 = 0
-                THEN text || ' ' || text
-                ELSE text END AS text
-           FROM documents),
-         tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-             AS t FROM d),
-         g AS (SELECT doc_id, p, array_to_string(t[p : p + 7], ' ') AS k
-           FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))
-             AS p)
-           WHERE len(t) >= 8),
-         m AS (SELECT doc_id, p,
-             count(*) OVER (PARTITION BY k) AS c,
-             row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
-           FROM g),
-         del AS (SELECT doc_id, p FROM m WHERE c > 1 AND rn > 1),
-         cov AS (SELECT DISTINCT doc_id, w FROM del,
-           LATERAL (SELECT unnest(generate_series(p, p + 7)) AS w)),
-         w AS (SELECT doc_id, unnest(t) AS word,
-             unnest(generate_series(1, len(t))) AS wp FROM tk),
-         kept AS (SELECT w.doc_id, w.wp, w.word FROM w
-           LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wp = cov.w
-           WHERE cov.w IS NULL),
-         rb AS (SELECT doc_id, count(*) AS n_kept_words,
-             md5(string_agg(word, ' ' ORDER BY wp)) AS clean_md5
-           FROM kept GROUP BY doc_id)
-         SELECT tk.doc_id, len(tk.t) AS n_words,
-           coalesce(rb.n_kept_words, 0) AS n_kept_words,
-           coalesce(rb.clean_md5, md5('')) AS clean_md5
-         FROM tk LEFT JOIN rb USING (doc_id) ORDER BY doc_id""",
+    "q83_substring_dedup" -> substringDedupOracleSql,
+
+    // identical DECISION contract: the Spark side keys grams by the
+    // 128-bit double hash instead of the string (the scale path)
+    "q87_substring_dedup_hashed" -> substringDedupOracleSql,
 
     "q56_incremental_dedup" -> incrementalDedupOracleSql,
 
@@ -3739,6 +3732,42 @@ object SparkEntry {
     * hits + within-batch recursive closure; survivors are untainted
     * min-id representatives. q74 runs the SAME decision over an index
     * round-tripped through a bucketed parquet table. */
+  private def substringDedupOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' every duplicated span longer than eight words must survive exactly once corpus wide'
+                WHEN doc_id % 7 = 0
+                THEN 'this shared preamble sentence has more than eight words of pure boilerplate ' || text
+                WHEN doc_id % 11 = 0
+                THEN text || ' ' || text
+                ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+             AS t FROM d),
+         g AS (SELECT doc_id, p, array_to_string(t[p : p + 7], ' ') AS k
+           FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))
+             AS p)
+           WHERE len(t) >= 8),
+         m AS (SELECT doc_id, p,
+             count(*) OVER (PARTITION BY k) AS c,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+           FROM g),
+         del AS (SELECT doc_id, p FROM m WHERE c > 1 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, w FROM del,
+           LATERAL (SELECT unnest(generate_series(p, p + 7)) AS w)),
+         w AS (SELECT doc_id, unnest(t) AS word,
+             unnest(generate_series(1, len(t))) AS wp FROM tk),
+         kept AS (SELECT w.doc_id, w.wp, w.word FROM w
+           LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wp = cov.w
+           WHERE cov.w IS NULL),
+         rb AS (SELECT doc_id, count(*) AS n_kept_words,
+             md5(string_agg(word, ' ' ORDER BY wp)) AS clean_md5
+           FROM kept GROUP BY doc_id)
+         SELECT tk.doc_id, len(tk.t) AS n_words,
+           coalesce(rb.n_kept_words, 0) AS n_kept_words,
+           coalesce(rb.clean_md5, md5('')) AS clean_md5
+         FROM tk LEFT JOIN rb USING (doc_id) ORDER BY doc_id"""
+
   private def incrementalDedupOracleSql: String =
     """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
            FROM documents WHERE doc_id % 2 = 0),

@@ -163,6 +163,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no corpus-wide window expected")
   }
 
+  test("q86: span decontamination probes benchmark grams via a semi join") {
+    val p = planOf("q86_span_decontam")
+    assert(p.contains("LeftSemi"),
+      "benchmark-gram hit detection must be a semi join, not a full join")
+    assert(p.contains("LeftAnti"), "covered-word removal is an anti join")
+    assert(!p.contains("Window"), "no corpus-wide window expected")
+  }
+
   test("q84: LR scoring is join-free over a plan-literal weight table") {
     val p = planOf("q84_quality_lr")
     // the fitted model enters as a literal array: scoring is feature
