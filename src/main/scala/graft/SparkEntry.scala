@@ -828,6 +828,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Winnowing fingerprints (MOSS): md5-hashed word 4-grams, window
+    // 4, rightmost-minimum selection. The oracle recomputes gram
+    // hashes and replays every window's rightmost minimum with SQL
+    // list functions, so a wrong tie-break side, an off-by-one in the
+    // window span, or a dropped short-doc window all change the
+    // selected (pos, fingerprint) rows.
+    "q88_winnow_fingerprints" -> ((s, d) => {
+      operators.TextAnalysis.winnowFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 4, w = 4,
+          tokenHash = operators.Dedup.md5Hash60)
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // Hashed-feature logistic-regression quality classifier, fitted
     // by full-batch GD from a zero model (round 1's predictions are
     // exactly 0.5, which lets the oracle unroll BOTH fit rounds in
@@ -2705,6 +2718,26 @@ object SparkEntry {
          FROM d JOIN sp USING (doc_id)
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "q88_winnow_fingerprints" ->
+      """WITH tk AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') t
+         FROM documents),
+         hs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM tk),
+         sel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM hs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl))
+         SELECT sel.doc_id, sel.pos, hs.h[sel.pos] AS fingerprint
+         FROM sel JOIN hs USING (doc_id)
+         ORDER BY doc_id, pos""",
 
     "q86_span_decontam" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')

@@ -297,6 +297,56 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }
 
+  /** Winnowing selection over a per-row `array<long>` of gram hashes
+    * ([[graft.expressions.WinnowSelect]]): the 1-based positions of
+    * each sliding window's rightmost minimum — the fingerprint-anchor
+    * set of Schleimer, Wilkerson & Aiken 2003 (MOSS). Hash-agnostic
+    * (a pure function of the hash values), so it serves both the
+    * native xxhash64 path and md5-hashed oracle grams. */
+  def winnowCol(hashes: Column, w: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.WinnowSelect(
+        org.apache.spark.sql.GraftExpressionBridge.expression(hashes), w))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003): hash the word `k`-grams, slide a window of `w` hashes,
+    * keep each window's rightmost minimum — one row per selected
+    * (position, fingerprint). The paper's guarantees carry over at
+    * word granularity: any shared run of ≥ `w + k − 1` words between
+    * two documents shares at least one fingerprint, and the expected
+    * selection density is 2/(w+1) — so fingerprint-set overlap is a
+    * position-robust containment signal where [[rollingFingerprint]]
+    * (whole-doc order-sensitive) and fixed-stride sampling (one
+    * insertion shifts every downstream anchor) both break.
+    *
+    * Scale shape: gram hashing AND selection are per-row projections
+    * (the native [[graft.expressions.GramHashes]] +
+    * [[graft.expressions.WinnowSelect]] — an O(G) monotonic-deque
+    * pass, no shuffle at all until the caller aggregates or joins the
+    * emitted fingerprints); output size is ~2/(w+1) of the gram
+    * count. Pass [[Dedup.md5Hash60]] to make the fingerprints
+    * engine-reproducible (the q88 oracle replays gram hashing and the
+    * window minima with SQL list functions); the default stays on the
+    * zero-allocation native gram hasher. Documents shorter than `k`
+    * words hash one short gram of everything (the [[Dedup.gramTable]]
+    * rule); shorter than `w` grams form one window of everything. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4,
+                         tokenHash: Column => Column = Dedup.DefaultTokenHash)
+      : DataFrame = {
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val hashes =
+      if (tokenHash eq Dedup.DefaultTokenHash) Dedup.gramHashesCol(tk, k)
+      else
+        transform(sequence(lit(1), greatest(size(tk) - lit(k - 1), lit(1))),
+          p => tokenHash(concat_ws(" ", slice(tk, p, lit(k)))))
+    df.select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), col("__hs"),
+        explode(winnowCol(col("__hs"), w)).as("pos"))
+      .select(col(idCol), col("pos"),
+        element_at(col("__hs"), col("pos")).as("fingerprint"))
+  }
+
   /** Deterministic hash bucket in [0, buckets): the reproducible
     * alternative to RNG sampling for training-data work — membership
     * depends only on the key, so re-runs, different partitionings and

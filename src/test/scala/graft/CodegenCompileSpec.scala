@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -67,7 +67,11 @@ class CodegenCompileSpec extends AnyFunSuite {
     ("RollingFingerprint", RollingFingerprint(sarr),
       rowSArr(Array("fingerprint", "me"))),
     ("SimhashSignature", SimhashSignature(sarr),
-      rowSArr(Array("simhash", "this", "short", "text"))))
+      rowSArr(Array("simhash", "this", "short", "text"))),
+    ("WinnowSelect", WinnowSelect(
+      BoundReference(0, ArrayType(LongType), nullable = true), 3),
+      InternalRow(new GenericArrayData(
+        Array(5L, 3L, 3L, 7L, 1L, 9L, 1L, 1L)))))
 
   cases.foreach { case (name, expr, row) =>
     test(s"$name: generated code compiles and matches interpreted eval") {

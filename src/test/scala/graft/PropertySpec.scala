@@ -93,6 +93,45 @@ class PropertySpec extends SparkSpec {
       Gen.oneOf("päneln", "電池", "ünïcode", "", "word", "WORD", "a"),
       Gen.listOfN(6, Gen.choose(33.toChar, 126.toChar)).map(_.mkString)))
 
+  test("property: winnow selection matches the per-window reference") {
+    // brute-force ground truth: for every window, rightmost minimum
+    def reference(hs: Array[Long], w: Int): Seq[Int] = {
+      if (hs.isEmpty) return Seq.empty
+      val win = math.min(w, hs.length)
+      (0 to hs.length - win).map { s =>
+        var best = s
+        for (i <- s + 1 until s + win) if (hs(i) <= hs(best)) best = i
+        best + 1
+      }.distinct.sorted
+    }
+    val hashGen = Gen.choose(0, 20).flatMap(n =>
+      // small value range forces frequent ties — the tie-break side
+      // is exactly what the deque's >= eviction must get right
+      Gen.listOfN(n, Gen.choose(0L, 6L)))
+    for (seed <- 40L to 49L; w <- Seq(1, 3, 4, 7)) {
+      val hs = sample(hashGen, seed).toArray
+      val got = Seq(Tuple1(hs)).toDF("h")
+        .select(TextAnalysis.winnowCol(col("h"), w).as("sel"))
+        .head().getSeq[Int](0)
+      assert(got == reference(hs, w), s"seed $seed w $w hs ${hs.toSeq}")
+    }
+  }
+
+  test("winnow guarantee: a shared run of w+k-1 words shares a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 words
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $shared"),
+      (2L, s"$shared completely different suffix text follows now"))
+      .toDF("doc_id", "text")
+    // k=4, w=5 → guarantee threshold w+k-1 = 8 shared words
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+        k = 4, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val (a, b) = (fps.filter(_._1 == 1L).map(_._2).toSet,
+      fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert((a & b).nonEmpty, "shared run must share at least one fingerprint")
+  }
+
   test("property: native md5 simhash matches the SQL aggregate bit-for-bit") {
     // random (incl. unicode / punctuation / empty) token streams: the
     // native SimhashSignatureMd5 projection must agree with the
