@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature, SimhashSignatureMd5}
+import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSignature, RollingFingerprint, SimhashSignature, SimhashSignatureMd5, WinnowSelect}
 
 /** SQL registration of the engine's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -18,6 +18,8 @@ import graft.expressions.{DotProduct, GramHashes, HyperplaneSignature, MinhashSi
   *  - `graft_simhash_md5(array<string>) → bigint` (engine-neutral md5 token hash)
   *  - `graft_rolling_fp(array<string>) → bigint`
   *  - `graft_gram_hashes(array<string>, n int literal) → array<bigint>`
+  *  - `graft_winnow(array<bigint>, w int literal) → array<int>` (winnowing
+  *    fingerprint positions — rightmost window minima)
   *
   * Two entry points: `GraftFunctions.register(spark)` injects into an
   * existing session's function registry; `GraftExtensions` is the
@@ -93,6 +95,19 @@ object GraftFunctions {
                 "(the gram size shapes the expression at plan build)")
           }
           GramHashes(args.head, n)
+        }),
+      (FunctionIdentifier("graft_winnow"),
+        info(classOf[WinnowSelect], "graft_winnow"),
+        { args =>
+          require(args.size == 2,
+            "graft_winnow(gramHashes, w) takes 2 arguments")
+          val w = args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "graft_winnow: w must be an integer literal " +
+                "(the window size shapes the expression at plan build)")
+          }
+          WinnowSelect(args.head, w)
         }))
 
   /** Imperative registration into a live session. */

@@ -192,6 +192,12 @@ class SimilaritySpec extends SparkSpec {
       spark.sql("SELECT graft_hyperplane_sig(v, CAST(vec_id AS INT)) FROM hp_vecs")
         .collect()
     }
+    // winnow over a literal hash array: [5,3,3,7] w=2 → window mins
+    // at pos 2 ([5,3]), pos 3 ([3,3] rightmost tie), pos 3 ([3,7])
+    val wn = spark.sql(
+        "SELECT graft_winnow(array(5L, 3L, 3L, 7L), 2) v")
+      .collect()(0).getSeq[Int](0)
+    assert(wn == Seq(2, 3))
   }
 
   test("semantic stratified sample: per-cell cap, cluster-true assignment") {
