@@ -841,6 +841,25 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // Winnow-containment screening: benchmark items are 12-word
+    // interior slices of every 13th doc (the q86 fixture), so those
+    // docs must score containment > 0 through the sampled-fingerprint
+    // channel; the oracle replays BOTH corpora's winnowing chains and
+    // the distinct-fingerprint join in SQL.
+    "q89_winnow_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter($"doc_id" % 13 === 0)
+        .select($"doc_id",
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
+            .as("text"))
+      operators.TextAnalysis.winnowContainment(docs, bench,
+          "doc_id", "text", k = 4, w = 4,
+          tokenHash = operators.Dedup.md5Hash60)
+        .select($"doc_id", $"n_fp", $"n_hits",
+          round($"containment", 6).as("containment"))
+        .orderBy($"doc_id")
+    }),
+
     // Hashed-feature logistic-regression quality classifier, fitted
     // by full-batch GD from a zero model (round 1's predictions are
     // exactly 0.5, which lets the oracle unroll BOTH fit rounds in
@@ -2718,6 +2737,47 @@ object SparkEntry {
          FROM d JOIN sp USING (doc_id)
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "q89_winnow_containment" ->
+      """WITH tk AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') t,
+           regexp_split_to_array(trim(text), '\s+') traw
+         FROM documents),
+         hs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM tk),
+         sel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM hs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         tfp AS (SELECT DISTINCT s.doc_id, hs.h[s.pos] AS fp
+           FROM sel s JOIN hs USING (doc_id)),
+         btk AS (SELECT doc_id, [lower(x) for x in traw[3:14]] AS t
+           FROM tk WHERE doc_id % 13 = 0),
+         bhs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM btk),
+         bsel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM bhs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         bfp AS (SELECT DISTINCT bhs.h[s.pos] AS fp
+           FROM bsel s JOIN bhs USING (doc_id)),
+         agg AS (SELECT t.doc_id, count(*) AS n_fp, count(b.fp) AS n_hits
+           FROM tfp t LEFT JOIN bfp b ON t.fp = b.fp GROUP BY 1)
+         SELECT doc_id, n_fp, n_hits,
+           round(n_hits::DOUBLE / n_fp::DOUBLE, 6) AS containment
+         FROM agg ORDER BY doc_id""",
 
     "q88_winnow_fingerprints" ->
       """WITH tk AS (SELECT doc_id,

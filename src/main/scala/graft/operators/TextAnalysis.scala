@@ -347,6 +347,42 @@ object TextAnalysis {
         element_at(col("__hs"), col("pos")).as("fingerprint"))
   }
 
+  /** Winnow-fingerprint containment (the MOSS similarity measure):
+    * for each training document, the fraction of its DISTINCT
+    * winnowing fingerprints that appear anywhere in the benchmark
+    * corpus — a cheap screening tier for contamination at ~2/(w+1)
+    * of the gram-containment cost ([[fuzzyDecontaminate]] buckets
+    * EVERY gram; this touches only selected fingerprints) with the
+    * winnowing guarantee that no shared run of ≥ w+k−1 words is
+    * missed entirely. Not a replacement for the exact tier: a
+    * containment SCORE from sampled fingerprints is noisier than the
+    * full gram ratio — screen here, confirm with
+    * [[fuzzyDecontaminate]] or excise with
+    * [[Curation.redactContaminatedSpans]].
+    *
+    * Scale shape: two fingerprint projections (pure per-row work),
+    * one distinct on the benchmark set, one hash join keyed by
+    * fingerprint, one per-doc count aggregate. Every training doc
+    * with ≥ 1 fingerprint gets a row (docs below the gram floor never
+    * have zero: short docs hash one gram and select it). */
+  def winnowContainment(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 4, w: Int = 4,
+                        tokenHash: Column => Column = Dedup.DefaultTokenHash)
+      : DataFrame = {
+    val tfp = winnowFingerprints(train, idCol, textCol, k, w, tokenHash)
+      .select(col(idCol), col("fingerprint")).distinct()
+    val bfp = winnowFingerprints(benchmark, idCol, textCol, k, w, tokenHash)
+      .select(col("fingerprint")).distinct()
+      .withColumn("__hit", lit(1L))
+    tfp.join(bfp, Seq("fingerprint"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("containment",
+        col("n_hits").cast("double") / col("n_fp").cast("double"))
+  }
+
   /** Deterministic hash bucket in [0, buckets): the reproducible
     * alternative to RNG sampling for training-data work — membership
     * depends only on the key, so re-runs, different partitionings and

@@ -232,6 +232,23 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected broadcast anti join:\n${plan.take(1000)}")
   }
 
+  test("winnowContainment: planted quote screens hot, clean doc screens zero") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, s"some long unrelated training prose here $quote more filler"),
+      (2L, "entirely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    // k=4, w=4 → the 10-word quote is ≥ w+k−1 = 7: guaranteed ≥ 1 hit
+    val got = TextAnalysis.winnowContainment(train, bench,
+        "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._2 >= 1, s"quoted doc must hit: $got")
+    assert(got(2L)._2 == 0, s"clean doc must not hit: $got")
+    assert(got.forall { case (_, (nfp, hits)) => hits <= nfp })
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
