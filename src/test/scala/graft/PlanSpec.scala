@@ -171,6 +171,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no corpus-wide window expected")
   }
 
+  test("q88: winnow fingerprinting is a pure projection — no join, no window") {
+    val p = planOf("q88_winnow_fingerprints")
+    assert(p.contains("Generate"), "fingerprint explode expected")
+    assert(!p.contains("Join"), "no join expected — per-row work only")
+    assert(!p.contains("Window"), "no window expected")
+  }
+
+  test("q89: winnow containment joins only on the fingerprint key") {
+    val p = planOf("q89_winnow_containment")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("Window"), "no window expected")
+  }
+
   test("q84: LR scoring is join-free over a plan-literal weight table") {
     val p = planOf("q84_quality_lr")
     // the fitted model enters as a literal array: scoring is feature
