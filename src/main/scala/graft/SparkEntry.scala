@@ -898,6 +898,35 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Production-path LR benchmark entry (the q76 pattern): the fit a
+    // real run would use — native xxhash64 features, 2^16 buckets,
+    // partial-aggregated plain-sum folds — timed by Bench; the
+    // decision arithmetic itself is oracle-pinned by q84 (md5/exact
+    // folds) and the fold-mode parity spec, so this row carries the
+    // driver's rows-only check. The corpus's lang/source labels carry
+    // NO textual signal (the synthetic texts share one token pool),
+    // so the label is a PLANTED vocabulary marker — the per-class
+    // average scores in the output visibly demonstrate the fit
+    // learned it.
+    "q90_quality_lr_native" -> ((s, d) => {
+      val labeled = t(s, d, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0,
+            concat($"text", lit(" lowvalue boiler plate marker")))
+            .otherwise(concat($"text", lit(" curated highvalue marker")))
+            .as("text"),
+          ($"doc_id" % 3 =!= 0).cast("int").as("y"))
+      val model = operators.Curation.fitQualityLr(labeled,
+        "doc_id", "text", "y", iters = 4, stepSize = 8.0,
+        exactFold = false)
+      operators.Curation.lrScore(labeled, "doc_id", "text", model,
+          exactFold = false)
+        .join(labeled.select($"doc_id", $"y"), Seq("doc_id"))
+        .groupBy($"y")
+        .agg(count(lit(1)).as("n"), round(avg($"score"), 3).as("avg_score"))
+        .orderBy($"y")
+    }),
+
     // Substring-span dedup (Lee et al. exact-substring discipline at
     // word-gram resolution): the fixture plants a shared licence
     // TAIL, a shared boilerplate HEAD, and a whole-doc SELF-repeat —
@@ -2837,21 +2866,24 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, array_to_string(t[i:i+1], ' ') FROM d,
              LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
-         xb AS (SELECT doc_id,
+         xb0 AS (SELECT doc_id,
              ('0x' || substring(md5(feat), 1, 15))::BIGINT % 512 AS bucket,
              count(*)::DOUBLE AS c
            FROM feat WHERE feat <> '' GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sqrt(sum(c)) AS sc FROM xb0 GROUP BY 1),
+         xb AS (SELECT doc_id, bucket, c, c / sc AS x
+           FROM xb0 JOIN tot USING (doc_id)),
          n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM xb),
          e0 AS (SELECT doc_id, 0.5 - y AS e FROM d
            WHERE doc_id IN (SELECT doc_id FROM xb)),
          w1 AS (SELECT bucket,
-             -0.5 * list_reduce(list(e * c ORDER BY doc_id),
+             -0.5 * list_reduce(list(e * x ORDER BY doc_id),
                (a, b) -> a + b) / (SELECT n FROM n) AS w
            FROM xb JOIN e0 USING (doc_id) GROUP BY bucket),
          b1 AS (SELECT -0.5 * list_reduce(list(e ORDER BY doc_id),
              (a, b) -> a + b) / (SELECT n FROM n) AS b FROM e0),
          z1 AS (SELECT xb.doc_id,
-             list_reduce(list(xb.c * w1.w ORDER BY xb.bucket),
+             list_reduce(list(xb.x * w1.w ORDER BY xb.bucket),
                (a, b) -> a + b) AS z
            FROM xb JOIN w1 USING (bucket) GROUP BY xb.doc_id),
          e1 AS (SELECT z1.doc_id,
@@ -2861,14 +2893,14 @@ object SparkEntry {
              list_reduce(list(gt ORDER BY doc_id), (a, b) -> a + b)
                / (SELECT n FROM n) AS w
            FROM (SELECT xb.bucket, w1.w AS w1w, xb.doc_id,
-                   e1.e * xb.c AS gt
+                   e1.e * xb.x AS gt
                  FROM xb JOIN e1 USING (doc_id) JOIN w1 USING (bucket)) s
            GROUP BY bucket, w1w),
          b2 AS (SELECT b1.b - 0.5 * list_reduce(list(e ORDER BY doc_id),
              (a, b) -> a + b) / (SELECT n FROM n) AS b
            FROM e1 CROSS JOIN b1 GROUP BY b1.b),
          sc AS (SELECT xb.doc_id, CAST(sum(xb.c) AS BIGINT) AS n_feats,
-             list_reduce(list(xb.c * w2.w ORDER BY xb.bucket),
+             list_reduce(list(xb.x * w2.w ORDER BY xb.bucket),
                (a, b) -> a + b) AS z
            FROM xb JOIN w2 USING (bucket) GROUP BY xb.doc_id)
          SELECT doc_id, n_feats,

@@ -830,20 +830,34 @@ object Curation {
   /** Per-document hashed-feature bucket counts — the shared feature
     * extraction of the DSIR family ([[dsirWeights]]): whitespace
     * unigrams + bigrams of the lowercased text, hashed into
-    * `buckets`. One explode + one partial-aggregatable count. */
+    * `buckets`. Emits the raw count `c` and the SCALED feature
+    * `x = c / sqrt(total)` — the model input. Scaling is
+    * load-bearing, not cosmetic, and the exponent is too: on raw
+    * counts a high-frequency token's weight × count product saturates
+    * the sigmoid for every document after one GD round (all scores
+    * ≈ 1, no separation — observed); on L1 frequencies (`c/total`)
+    * a sparse marker's x² learning rate is ~1/total² and the fit
+    * learns only the class prior in any reasonable round budget
+    * (also observed). `c/sqrt(total)` sits at the unit-scale point —
+    * approximately L2 normalisation for near-binary counts — where
+    * per-round signal growth is O(1) and z stays bounded. One explode
+    * + one partial-aggregatable count; the scale divisor is a pure
+    * projection (no second per-doc aggregate). */
   private def lrFeatures(docs: DataFrame, idCol: String, textCol: String,
                          buckets: Int,
                          hashFn: Column => Column): DataFrame = {
     val tk = split(lower(trim(col(textCol))), "\\s+")
-    docs.select(col(idCol).as("__id"), tk.as("__tk"))
-      .select(col("__id"), explode(concat(col("__tk"),
-        zip_with(col("__tk"),
-          slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)))).as("feat"))
-      .filter(col("feat").isNotNull && col("feat") =!= "")
-      .groupBy(col("__id"),
+    val feats = filter(
+      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))),
+      f => f.isNotNull && f =!= "")
+    docs.select(col(idCol).as("__id"), feats.as("__f"))
+      .select(col("__id"), sqrt(size(col("__f")).cast("double")).as("__sc"),
+        explode(col("__f")).as("feat"))
+      .groupBy(col("__id"), col("__sc"),
         pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("x", col("c") / col("__sc"))
   }
 
   /** Order-stable sum: fold the `term` column in `ord` order (the
@@ -859,7 +873,10 @@ object Curation {
     * rounds of `w ← w − η · Σ_i (σ(z_i) − y_i) x_i / n` from a zero
     * initial model (so round 1's predictions are exactly 0.5 — the
     * property that lets an external oracle unroll the fit in closed
-    * form). Labels are `labelCol` cast to double (0/1).
+    * form), where `x_i` are sqrt-total-scaled features (bucket count
+    * / sqrt(doc feature total) — see [[lrFeatures]] for why raw
+    * counts saturate and L1 frequencies stall). Labels are `labelCol`
+    * cast to double (0/1).
     *
     * Deterministic by construction: per-document scores fold weight
     * terms in BUCKET order and per-bucket gradients fold error terms
@@ -880,7 +897,7 @@ object Curation {
     * excluded from `n`. */
   def fitQualityLr(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String, buckets: Int = 1 << 16,
-                   iters: Int = 2, stepSize: Double = 0.5,
+                   iters: Int = 2, stepSize: Double = 2.0,
                    hashFn: Column => Column = xxhash64(_),
                    exactFold: Boolean = true): LrModel = {
     val xb = lrFeatures(docs, idCol, textCol, buckets, hashFn)
@@ -892,7 +909,7 @@ object Curation {
     var bias = 0.0
     val w = Array.fill(buckets)(0.0)
     for (_ <- 1 to iters) {
-      val zc = col("c") * element_at(lit(w), (col("bucket") + 1).cast("int"))
+      val zc = col("x") * element_at(lit(w), (col("bucket") + 1).cast("int"))
       val scored = xb.withColumn("__term", zc)
         .groupBy(col("__id"), col("__y"))
         .agg((if (exactFold) sortedFold("bucket", "__term")
@@ -902,7 +919,7 @@ object Curation {
             col("__y")).as("__e"))
         .persist()
       val grad = xb.join(scored, Seq("__id"))
-        .withColumn("__gt", col("__e") * col("c"))
+        .withColumn("__gt", col("__e") * col("x"))
         .groupBy(col("bucket"))
         .agg((if (exactFold) sortedFold("__id", "__gt")
               else sum(col("__gt"))).as("g"))
@@ -934,7 +951,7 @@ object Curation {
               exactFold: Boolean = true): DataFrame =
     lrFeatures(docs, idCol, textCol, model.buckets, hashFn)
       .withColumn("__term",
-        col("c") * element_at(lit(model.table), (col("bucket") + 1).cast("int")))
+        col("x") * element_at(lit(model.table), (col("bucket") + 1).cast("int")))
       .groupBy(col("__id"))
       .agg(sum(col("c")).cast("long").as("n_feats"),
         (if (exactFold) sortedFold("bucket", "__term")
@@ -946,10 +963,11 @@ object Curation {
   /** The same fitted-classifier score as ONE pure projection (no
     * explode, no aggregate) — the STREAMING admission-filter form,
     * shaped like [[dsirScoreCol]]: fold the per-occurrence weights
-    * over the bucket-sorted feature list. Occurrence-at-a-time
-    * addition (w+w+…) differs from the batch form's count×weight
-    * products in float order only — agreement is to ~1e-12, not
-    * bit-exact; gate the BATCH form, spec-pin this one against it.
+    * over the bucket-sorted feature list and divide by sqrt(feature
+    * count) — the sqrt-total scaling of [[lrFeatures]]. (Σw)/√n
+    * differs from the batch form's Σ(count/√n × w) in float order
+    * only — agreement is to ~1e-12, not bit-exact; gate the BATCH
+    * form, spec-pin this one against it.
     * Documents with no features score null. */
   def lrScoreCol(text: Column, model: LrModel,
                  hashFn: Column => Column = xxhash64(_)): Column = {
@@ -964,7 +982,8 @@ object Curation {
     when(size(feats) > 0,
       lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) +
         aggregate(bks, lit(0.0),
-          (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int")))))))
+          (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int"))) /
+          sqrt(size(feats).cast("double"))))))
       .otherwise(lit(null).cast("double"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
@@ -182,6 +182,42 @@ object StreamingParse {
       .withColumn("lr_score",
         graft.operators.Curation.lrScoreCol(col(textCol), model))
       .filter(col("lr_score") >= minScore)
+
+  /** Stateless streaming contamination screening by winnowing
+    * fingerprints: each document's fingerprint ARRAY is computed as a
+    * pure projection ([[graft.operators.TextAnalysis.winnowCol]] over
+    * native gram hashes) and checked for overlap against the static
+    * benchmark fingerprint set, carried as ONE broadcast row — no
+    * explode, no stream-side state, no per-doc re-aggregation (the
+    * stateless property costs an O(|docFps| × |benchFps|) overlap
+    * scan per document, fine for benchmark-sized sets — eval suites
+    * are 10⁴-ish items — and wrong for corpus-sized ones: decontam
+    * against a large corpus belongs to the batch tier's bucketed gram
+    * joins). `benchmark` must be a STATIC frame; its fingerprints are
+    * deduplicated here. Emits the surviving rows with `n_fp` for
+    * audit. */
+  def winnowScreenStream(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchIdCol: String,
+                         benchTextCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val benchFps = graft.operators.TextAnalysis
+      .winnowFingerprints(benchmark, benchIdCol, benchTextCol, k, w)
+      .agg(collect_set(col("fingerprint")).as("__bench_fps"))
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val hs = graft.operators.Dedup.gramHashesCol(tk, k)
+    docs
+      .withColumn("__fps", expr_fps(hs, w))
+      .crossJoin(broadcast(benchFps))
+      .filter(!arrays_overlap(col("__fps"), col("__bench_fps")))
+      .withColumn("n_fp", size(col("__fps")))
+      .drop("__fps", "__bench_fps")
+  }
+
+  /** selected fingerprint VALUES of a gram-hash array: positions from
+    * the native winnow selection, mapped back through the array. */
+  private def expr_fps(hashes: Column, w: Int): Column =
+    transform(graft.operators.TextAnalysis.winnowCol(hashes, w),
+      p => element_at(hashes, p))
 
   /** Wire a decoded stream to a parquet sink with checkpointing. */
   def sinkParquet(df: DataFrame, outPath: String,

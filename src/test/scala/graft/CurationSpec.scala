@@ -115,7 +115,11 @@ class CurationSpec extends SparkSpec {
     val docs = ((1L to 10L).map(i => (i, s"good clean prose number $i", 1)) ++
       (11L to 20L).map(i => (i, s"zz qq vv ww item $i", 0))).toDF(
       "doc_id", "text", "y")
-    val m = Curation.fitQualityLr(docs, "doc_id", "text", "y", iters = 3)
+    // frequency-normalised features bound z by max|w|, so a larger
+    // step is safe — and needed for a visible margin in few rounds
+    // (measured: step 8 / 10 iters → gap ≈ 0.53; step 30 oscillates)
+    val m = Curation.fitQualityLr(docs, "doc_id", "text", "y",
+      iters = 10, stepSize = 8.0)
     val sc = Curation.lrScore(docs, "doc_id", "text", m)
       .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
       .groupBy("y").agg(avg("score").as("s"))

@@ -321,7 +321,7 @@ class StreamingSeasonSpec extends SparkSpec {
       (21L to 40L).map(i => (i, s"$bad item $i", 0)))
       .toDF("doc_id", "text", "y")
     val model = graft.operators.Curation.fitQualityLr(train,
-      "doc_id", "text", "y", iters = 3)
+      "doc_id", "text", "y", iters = 10, stepSize = 8.0)
     val docs = Seq(
       (1L, good + " fresh document"), // positive-vocab → admitted
       (2L, bad + " fresh junk"),      // negative-vocab → rejected
@@ -346,6 +346,36 @@ class StreamingSeasonSpec extends SparkSpec {
       val kept = spark.sql("select doc_id from lr_filter").collect()
         .map(_.getLong(0)).toSet
       assert(kept == Set(1L), s"kept $kept")
+    } finally q.stop()
+  }
+
+  test("streaming winnow screening: quoted doc dropped, clean admitted") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"long unrelated training prose embedding $quote inside it"),
+      (2L, "entirely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    // batch precondition: overlap detection matches winnowContainment
+    val cont = graft.operators.TextAnalysis
+      .winnowContainment(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cont(1L) >= 1 && cont(2L) == 0)
+    val dir = Files.createTempDirectory("stream_winnow")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .winnowScreenStream(stream, "doc_id", "text", bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("winnow_screen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id, n_fp from winnow_screen").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(kept.map(_._1).toSet == Set(2L), s"kept ${kept.toSeq}")
+      assert(kept.forall(_._2 > 0), "audit column n_fp should be populated")
     } finally q.stop()
   }
 
