@@ -44,6 +44,15 @@ object Curation {
         * composite `gopher_pass` (flag columns are dropped after the
         * filter — the output schema stays the same) */
       gopherRules: Boolean = false,
+      /** when set, a FITTED quality tier rides the same lean scoring
+        * projection: documents must score ≥ `minLrScore` under the
+        * [[LrModel]] (pure-projection [[lrScoreCol]] — no join, no
+        * shuffle; featureless docs score null and drop). The
+        * heuristic `minQuality` gate stays first — it needs no
+        * training data and catches punctuation junk the classifier
+        * never saw */
+      lrModel: Option[LrModel] = None,
+      minLrScore: Double = 0.5,
       /** additionally require [[TextAnalysis.gopherRepetitionFlags]]'
         * composite `repetition_pass` at the paper thresholds (flag
         * columns dropped after the filter) */
@@ -124,9 +133,17 @@ object Curation {
     // codegen'd — and dropped docs never pay for language regexes or
     // the fingerprint; the full profile is attached to SURVIVORS below.
     // The optional Gopher rules ride the same codegen'd projection.
-    val scored = pre
+    val scored0 = pre
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
+    // optional fitted-classifier tier: same codegen'd projection slot
+    val scored = cfg.lrModel match {
+      case Some(m) => scored0
+        .withColumn("__lr", lrScoreCol(col(textCol), m))
+        .filter(col("__lr") >= cfg.minLrScore)
+        .drop("__lr")
+      case None => scored0
+    }
     val filtered0 = if (cfg.gopherRules)
         TextAnalysis.gopherQualityFlags(scored, textCol)
           .filter(col("gopher_pass"))

@@ -519,6 +519,27 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curate: fitted LR model as an optional quality tier") {
+    val good = "clear readable prose about engineering and data work"
+    val bad = "zz qq vv ww xx yy zz qq vv ww"
+    val train = ((1L to 15L).map(i => (i, s"$good sample $i", 1)) ++
+      (16L to 30L).map(i => (i, s"$bad item $i", 0)))
+      .toDF("doc_id", "text", "y")
+    val m = Curation.fitQualityLr(train, "doc_id", "text", "y",
+      iters = 10, stepSize = 8.0)
+    val docs = Seq(
+      (1L, s"$good fresh new document"),
+      (2L, s"$bad fresh junk document"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text",
+      cfg = Curation.CurateConfig(minQuality = 0.0,
+        lrModel = Some(m), minLrScore = 0.5,
+        splits = Seq("train" -> 1.0), seqLen = 64, packShards = 1))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept $kept")
+    spark.catalog.clearCache()
+  }
+
   test("upsampleByWeight: integer weights repeat exactly, zero drops") {
     val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("k", "w")
     val got = Curation.upsampleByWeight(df, "k", col("w"))
