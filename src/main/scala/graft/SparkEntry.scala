@@ -828,6 +828,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Production-path winnowing bench (the q76/q90 pattern): native
+    // GramHashes + WinnowSelect — the configuration a real run uses;
+    // q88's md5 grams exist for the oracle. Rows-only driver check;
+    // selection correctness is pinned by q88 + the parity specs.
+    "q92_winnow_native" -> ((s, d) => {
+      operators.TextAnalysis.winnowFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 4, w = 4)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus datasheet: corpus-level release metrics as one long-form
+    // table. The fixture plants exact duplicates (every 10th doc
+    // copies doc 1's text) and empties (every 41st) so the dup/empty
+    // fractions are live numbers, not zeros.
+    "q91_corpus_datasheet" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 41 === 0, lit(""))
+          .when($"doc_id" % 10 === 0, lit("the repeated corpus text"))
+          .otherwise($"text").as("text"),
+        $"lang")
+      operators.TextAnalysis.corpusDatasheet(docs, "doc_id", "text",
+        langCol = Some("lang"))
+    }),
+
     // Winnowing fingerprints (MOSS): md5-hashed word 4-grams, window
     // 4, rightmost-minimum selection. The oracle recomputes gram
     // hashes and replays every window's rightmost minimum with SQL
@@ -2766,6 +2791,38 @@ object SparkEntry {
          FROM d JOIN sp USING (doc_id)
            LEFT JOIN rebuilt USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "q91_corpus_datasheet" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 41 = 0 THEN ''
+                WHEN doc_id % 10 = 0 THEN 'the repeated corpus text'
+                ELSE text END AS text, lang
+           FROM documents),
+         b AS (SELECT text,
+             len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n
+           FROM d),
+         g AS (SELECT count(*)::DOUBLE AS n_docs,
+             sum(n) AS n_tokens_total,
+             quantile_cont(n, 0.5) AS tokens_p50,
+             avg(n) AS tokens_mean,
+             1.0 - count(DISTINCT lower(trim(text)))::DOUBLE
+               / count(*)::DOUBLE AS exact_dup_frac,
+             avg(CASE WHEN trim(text) = '' THEN 1.0 ELSE 0.0 END)
+               AS empty_frac
+           FROM b),
+         long AS (
+           SELECT 'n_docs' AS metric, n_docs AS value FROM g
+           UNION ALL SELECT 'n_tokens_total', n_tokens_total FROM g
+           UNION ALL SELECT 'tokens_p50', tokens_p50 FROM g
+           UNION ALL SELECT 'tokens_mean', tokens_mean FROM g
+           UNION ALL SELECT 'exact_dup_frac', exact_dup_frac FROM g
+           UNION ALL SELECT 'empty_frac', empty_frac FROM g
+           UNION ALL
+           SELECT 'lang_frac:' || lang,
+             count(*)::DOUBLE / (SELECT n_docs FROM g)
+           FROM d GROUP BY lang)
+         SELECT metric, round(value, 6) AS value FROM long
+         ORDER BY metric""",
 
     "q89_winnow_containment" ->
       """WITH tk AS (SELECT doc_id,

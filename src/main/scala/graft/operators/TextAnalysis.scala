@@ -383,6 +383,53 @@ object TextAnalysis {
         col("n_hits").cast("double") / col("n_fp").cast("double"))
   }
 
+  /** One-call corpus datasheet: the corpus-level summary a
+    * training-data release documents (Gebru et al.'s "Datasheets for
+    * Datasets" discipline applied to the numbers this engine can
+    * derive), as a long-form (metric, value) table — document count,
+    * token totals/mean/median, exact-duplicate fraction, empty-doc
+    * fraction, and per-language composition when `langCol` is given
+    * (`lang_frac:<lang>` rows).
+    *
+    * All metrics are deterministic by construction: counts and
+    * 0/1-or-integer-valued sums are FP-exact regardless of partition
+    * order, and the median is the exact interpolating `percentile`
+    * (the q53 discipline — bit-parity with `quantile_cont`; swap in
+    * `approx_percentile` at the 100 TB scale where an exact
+    * single-column percentile's sort is unwelcome). Two aggregates
+    * total: one global, one keyed by language. */
+  def corpusDatasheet(df: DataFrame, idCol: String, textCol: String,
+                      langCol: Option[String] = None): DataFrame = {
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("double")
+    val base = df.select(col(textCol).as("__t"), toks.as("__n"))
+    val agg = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("__n")).as("n_tokens_total"),
+      expr("percentile(__n, 0.5D)").as("tokens_p50"),
+      avg(col("__n")).as("tokens_mean"),
+      (lit(1.0) - countDistinct(lower(trim(col("__t")))).cast("double") /
+        count(lit(1)).cast("double")).as("exact_dup_frac"),
+      avg((trim(col("__t")) === "").cast("double")).as("empty_frac"))
+    val long = agg.select(expr(
+      "stack(6, 'n_docs', n_docs, 'n_tokens_total', n_tokens_total, " +
+        "'tokens_p50', tokens_p50, 'tokens_mean', tokens_mean, " +
+        "'exact_dup_frac', exact_dup_frac, 'empty_frac', empty_frac) " +
+        "AS (metric, value)"))
+    val withLang = langCol match {
+      case Some(lc) =>
+        val total = df.agg(count(lit(1)).cast("double").as("__nd"))
+        val langs = df.groupBy(col(lc))
+          .agg(count(lit(1)).cast("double").as("__c"))
+          .crossJoin(broadcast(total))
+          .select(concat(lit("lang_frac:"), col(lc)).as("metric"),
+            (col("__c") / col("__nd")).as("value"))
+        long.unionByName(langs)
+      case None => long
+    }
+    withLang.select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** Deterministic hash bucket in [0, buckets): the reproducible
     * alternative to RNG sampling for training-data work — membership
     * depends only on the key, so re-runs, different partitionings and

@@ -232,6 +232,23 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected broadcast anti join:\n${plan.take(1000)}")
   }
 
+  test("corpusDatasheet: hand-computed metrics on a micro corpus") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"),      // exact dup pair
+      (3L, "d e", "de"), (4L, "", "en"))             // and one empty
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.corpusDatasheet(docs, "doc_id", "text",
+        langCol = Some("lang"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == 4.0)
+    assert(got("n_tokens_total") == 9.0)   // 3 + 3 + 2 + 1 ('' is one token)
+    assert(got("exact_dup_frac") == 0.25)  // 3 distinct texts of 4
+    assert(got("empty_frac") == 0.25)
+    assert(got("tokens_mean") == 2.25)
+    assert(got("tokens_p50") == 2.5)       // interpolated between 2 and 3
+    assert(got("lang_frac:en") == 0.75 && got("lang_frac:de") == 0.25)
+  }
+
   test("winnowContainment: planted quote screens hot, clean doc screens zero") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val train = Seq(
