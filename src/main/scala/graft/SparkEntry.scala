@@ -41,6 +41,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q11_interpolate")(spark, "/root/testdata/sf0.001")
 
+  /** q83/q87 shared fixture (ONE definition, like their shared oracle
+    * SQL — the two rows claim an identical decision contract, so they
+    * must gate an identical corpus): planted licence TAIL, shared
+    * boilerplate HEAD, whole-doc SELF-repeat. */
+  private def spanDedupFixture(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+      when($"doc_id" % 5 === 0,
+          concat($"text", lit(" every duplicated span longer than" +
+            " eight words must survive exactly once corpus wide")))
+        .when($"doc_id" % 7 === 0,
+          concat(lit("this shared preamble sentence has more than" +
+            " eight words of pure boilerplate "), $"text"))
+        .when($"doc_id" % 11 === 0,
+          concat($"text", lit(" "), $"text"))
+        .otherwise($"text").as("text"))
+
+  /** q86/q89 shared benchmark fixture: 12-word interior slice of
+    * every 13th document — planted containment the decontamination
+    * and screening tiers must both catch. */
+  private def benchSliceFixture(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" % 13 === 0)
+      .select($"doc_id",
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
+          .as("text"))
+
   // ---- the per-operator query catalog --------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -873,10 +898,7 @@ object SparkEntry {
     // the distinct-fingerprint join in SQL.
     "q89_winnow_containment" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bench = docs.filter($"doc_id" % 13 === 0)
-        .select($"doc_id",
-          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
-            .as("text"))
+      val bench = benchSliceFixture(docs)
       operators.TextAnalysis.winnowContainment(docs, bench,
           "doc_id", "text", k = 4, w = 4,
           tokenHash = operators.Dedup.md5Hash60)
@@ -912,10 +934,7 @@ object SparkEntry {
     // coverage and reassembly in SQL.
     "q86_span_decontam" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bench = docs.filter($"doc_id" % 13 === 0)
-        .select($"doc_id",
-          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
-            .as("text"))
+      val bench = benchSliceFixture(docs)
       operators.Curation.redactContaminatedSpans(docs, bench,
           "doc_id", "text", n = 8)
         .select($"doc_id", $"n_words", $"n_kept_words", $"n_removed_words",
@@ -963,16 +982,7 @@ object SparkEntry {
     // anchor stride, an off-by-one in span coverage, or a
     // keep-position picked on the wrong side all fail the md5.
     "q83_substring_dedup" -> ((s, d) => {
-      val docs = t(s, d, "documents").select($"doc_id",
-        when($"doc_id" % 5 === 0,
-            concat($"text", lit(" every duplicated span longer than" +
-              " eight words must survive exactly once corpus wide")))
-          .when($"doc_id" % 7 === 0,
-            concat(lit("this shared preamble sentence has more than" +
-              " eight words of pure boilerplate "), $"text"))
-          .when($"doc_id" % 11 === 0,
-            concat($"text", lit(" "), $"text"))
-          .otherwise($"text").as("text"))
+      val docs = spanDedupFixture(t(s, d, "documents"))
       operators.Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 8)
         .select($"doc_id", $"n_words", $"n_kept_words",
           md5($"clean_text".cast("binary")).as("clean_md5"))
@@ -985,16 +995,7 @@ object SparkEntry {
     // both gates the hashed path end-to-end and benches the
     // configuration a production run would use
     "q87_substring_dedup_hashed" -> ((s, d) => {
-      val docs = t(s, d, "documents").select($"doc_id",
-        when($"doc_id" % 5 === 0,
-            concat($"text", lit(" every duplicated span longer than" +
-              " eight words must survive exactly once corpus wide")))
-          .when($"doc_id" % 7 === 0,
-            concat(lit("this shared preamble sentence has more than" +
-              " eight words of pure boilerplate "), $"text"))
-          .when($"doc_id" % 11 === 0,
-            concat($"text", lit(" "), $"text"))
-          .otherwise($"text").as("text"))
+      val docs = spanDedupFixture(t(s, d, "documents"))
       operators.Curation.dropDuplicateSpans(docs, "doc_id", "text", n = 8,
           hashGrams = true)
         .select($"doc_id", $"n_words", $"n_kept_words",

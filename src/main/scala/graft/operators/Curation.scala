@@ -459,7 +459,21 @@ object Curation {
     val covered = del
       .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
       .distinct()
-    val words = toks
+    removeCoveredWords(df, covered, idCol, textCol)
+  }
+
+  /** Shared removal/reassembly tail of the span operators
+    * ([[dropDuplicateSpans]], [[redactContaminatedSpans]]): drop the
+    * 1-based word positions listed in `covered` (columns `idCol`,
+    * `w`) from each document and rebuild the text from the survivors
+    * joined by single spaces. Returns `df` plus `clean_text`,
+    * `n_kept_words`, `n_words`; a fully-covered doc survives with
+    * empty text. One anti join + one per-doc reassembly aggregate. */
+  private def removeCoveredWords(df: DataFrame, covered: DataFrame,
+                                 idCol: String, textCol: String)
+      : DataFrame = {
+    val words = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__tk"))
       .select(col(idCol), posexplode(col("__tk")).as(Seq("w0", "word")))
       .select(col(idCol), (col("w0") + 1).as("w"), col("word"))
     val rebuilt = words.join(covered, Seq(idCol, "w"), "left_anti")
@@ -528,22 +542,7 @@ object Curation {
     val covered = hits
       .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
       .distinct()
-    val toks = train.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("__tk"))
-    val words = toks
-      .select(col(idCol), posexplode(col("__tk")).as(Seq("w0", "word")))
-      .select(col(idCol), (col("w0") + 1).as("w"), col("word"))
-    val rebuilt = words.join(covered, Seq(idCol, "w"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("w"), col("word"))))
-        .as("parts"))
-      .select(col(idCol),
-        concat_ws(" ", expr("transform(parts, x -> x.word)")).as("clean_text"),
-        size(col("parts")).as("n_kept_words"))
-    train.join(rebuilt, Seq(idCol), "left")
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-      .withColumn("n_kept_words", coalesce(col("n_kept_words"), lit(0)))
-      .withColumn("n_words", size(split(trim(col(textCol)), "\\s+")))
+    removeCoveredWords(train, covered, idCol, textCol)
       .withColumn("n_removed_words", col("n_words") - col("n_kept_words"))
   }
 
@@ -819,11 +818,7 @@ object Curation {
     * as a `buckets`-sized literal array, no join, no state. */
   def dsirScoreCol(text: Column, model: DsirModel,
                    hashFn: Column => Column = xxhash64(_)): Column = {
-    val tk = split(lower(trim(text)), "\\s+")
-    val feats = filter(
-      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))),
-      f => f.isNotNull && f =!= "")
+    val feats = featsCol(text)
     val tbl = lit(model.table)
     val bks = sort_array(transform(feats,
       f => pmod(hashFn(f), lit(model.buckets.toLong))))
@@ -831,6 +826,19 @@ object Curation {
       aggregate(bks, lit(0.0),
         (acc, b) => acc + element_at(tbl, (b + lit(1)).cast("int"))))
       .otherwise(lit(null).cast("double"))
+  }
+
+  /** Filtered unigram+bigram feature list of a text column — THE
+    * definition of the shared DSIR/LR feature space (consumers:
+    * [[dsirScoreCol]], [[lrFeatures]], [[lrScoreCol]]); a tokenizer
+    * or filter tweak lands on all of them at once or the streaming
+    * projections silently desynchronize from the batch scorers. */
+  private def featsCol(text: Column): Column = {
+    val tk = split(lower(trim(text)), "\\s+")
+    filter(
+      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))),
+      f => f.isNotNull && f =!= "")
   }
 
   /** A fitted hashed-feature logistic-regression quality classifier
@@ -863,12 +871,7 @@ object Curation {
   private def lrFeatures(docs: DataFrame, idCol: String, textCol: String,
                          buckets: Int,
                          hashFn: Column => Column): DataFrame = {
-    val tk = split(lower(trim(col(textCol))), "\\s+")
-    val feats = filter(
-      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))),
-      f => f.isNotNull && f =!= "")
-    docs.select(col(idCol).as("__id"), feats.as("__f"))
+    docs.select(col(idCol).as("__id"), featsCol(col(textCol)).as("__f"))
       .select(col("__id"), sqrt(size(col("__f")).cast("double")).as("__sc"),
         explode(col("__f")).as("feat"))
       .groupBy(col("__id"), col("__sc"),
@@ -988,11 +991,7 @@ object Curation {
     * Documents with no features score null. */
   def lrScoreCol(text: Column, model: LrModel,
                  hashFn: Column => Column = xxhash64(_)): Column = {
-    val tk = split(lower(trim(text)), "\\s+")
-    val feats = filter(
-      concat(tk, zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))),
-      f => f.isNotNull && f =!= "")
+    val feats = featsCol(text)
     val tbl = lit(model.table)
     val bks = sort_array(transform(feats,
       f => pmod(hashFn(f), lit(model.buckets.toLong))))

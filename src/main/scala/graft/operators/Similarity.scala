@@ -222,15 +222,21 @@ object Similarity {
                                perStratum: Int = 10,
                                hashFn: Column => Column = xxhash64(_))
       : DataFrame = {
+    // anchors carry a numeric rank `__ai` in stratum order so the
+    // argmax tie-break (`-__ai`: ties → smallest anchor id) works for
+    // ANY idCol type — negating the stratum value itself would yield
+    // null on string ids (arbitrary ties) or throw under ANSI mode.
+    // The window is over the nStrata-row anchor frame only.
     val anchors = corpus.orderBy(col(idCol)).limit(nStrata)
       .select(col(idCol).as("stratum"), asDouble(col(vecCol)).as("avec"))
+      .withColumn("__ai", row_number().over(Window.orderBy(col("stratum"))))
     val assigned = corpus.select(col(idCol),
         norm(asDouble(col(vecCol))).as("__vn"), col(vecCol))
       .crossJoin(broadcast(anchors.withColumn("__an", norm(col("avec")))))
       .withColumn("sim", cosinePrenormed(col(vecCol), col("avec"),
         col("__vn"), col("__an")))
       .groupBy(col(idCol))
-      .agg(max_by(col("stratum"), struct(col("sim"), -col("stratum")))
+      .agg(max_by(col("stratum"), struct(col("sim"), -col("__ai")))
         .as("stratum"))
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("__h"), col(idCol))

@@ -396,8 +396,10 @@ object TextAnalysis {
     * order, and the median is the exact interpolating `percentile`
     * (the q53 discipline — bit-parity with `quantile_cont`; swap in
     * `approx_percentile` at the 100 TB scale where an exact
-    * single-column percentile's sort is unwelcome). Two aggregates
-    * total: one global, one keyed by language. */
+    * single-column percentile's sort is unwelcome). Two aggregates —
+    * and two corpus scans — total: one global, one keyed by language;
+    * the per-language denominator rides a window over the
+    * ≤|languages|-row GROUPED frame, not a third scan of the corpus. */
   def corpusDatasheet(df: DataFrame, idCol: String, textCol: String,
                       langCol: Option[String] = None): DataFrame = {
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("double")
@@ -417,10 +419,10 @@ object TextAnalysis {
         "AS (metric, value)"))
     val withLang = langCol match {
       case Some(lc) =>
-        val total = df.agg(count(lit(1)).cast("double").as("__nd"))
         val langs = df.groupBy(col(lc))
           .agg(count(lit(1)).cast("double").as("__c"))
-          .crossJoin(broadcast(total))
+          .withColumn("__nd", sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
           .select(concat(lit("lang_frac:"), col(lc)).as("metric"),
             (col("__c") / col("__nd")).as("value"))
         long.unionByName(langs)

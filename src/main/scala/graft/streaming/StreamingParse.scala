@@ -193,24 +193,30 @@ object StreamingParse {
     * scan per document, fine for benchmark-sized sets — eval suites
     * are 10⁴-ish items — and wrong for corpus-sized ones: decontam
     * against a large corpus belongs to the batch tier's bucketed gram
-    * joins). `benchmark` must be a STATIC frame; its fingerprints are
-    * deduplicated here. Emits the surviving rows with `n_fp` for
-    * audit. */
+    * joins). `benchmark` is computed ONCE, eagerly, into a plan
+    * literal (the model-as-literal discipline of `lrScoreCol` /
+    * `dsirScoreCol`) — a stream-static join's static sub-plan is
+    * re-evaluated every micro-batch, so leaving the benchmark
+    * aggregation in the plan would re-fingerprint the whole benchmark
+    * corpus per trigger. Emits the surviving rows with `n_fp`
+    * (DISTINCT fingerprints — the same set semantics as
+    * [[graft.operators.TextAnalysis.winnowContainment]]'s `n_fp`, so
+    * the two audit columns are cross-comparable). */
   def winnowScreenStream(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchIdCol: String,
                          benchTextCol: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
-    val benchFps = graft.operators.TextAnalysis
+    val benchFps: Array[Long] = graft.operators.TextAnalysis
       .winnowFingerprints(benchmark, benchIdCol, benchTextCol, k, w)
-      .agg(collect_set(col("fingerprint")).as("__bench_fps"))
+      .select(col("fingerprint")).distinct()
+      .collect().map(_.getLong(0))
     val tk = split(lower(trim(col(textCol))), "\\s+")
     val hs = graft.operators.Dedup.gramHashesCol(tk, k)
     docs
-      .withColumn("__fps", expr_fps(hs, w))
-      .crossJoin(broadcast(benchFps))
-      .filter(!arrays_overlap(col("__fps"), col("__bench_fps")))
+      .withColumn("__fps", array_distinct(expr_fps(hs, w)))
+      .filter(!arrays_overlap(col("__fps"), lit(benchFps)))
       .withColumn("n_fp", size(col("__fps")))
-      .drop("__fps", "__bench_fps")
+      .drop("__fps")
   }
 
   /** selected fingerprint VALUES of a gram-hash array: positions from
