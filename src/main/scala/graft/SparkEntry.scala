@@ -649,6 +649,26 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // q71's corpus, oracle and survivor contract through the
+    // hashedRescueKey (100 TB) tier: the collapse keys on a 128-bit
+    // double-xxhash64 of the normalized text instead of the text
+    // VALUE, so the rescue's group/join shuffles carry 16-byte keys
+    // (~3× text bytes in the value-keyed form) and the text moves at
+    // most once, by id, into the representative set. The shared
+    // exhaustive-closure oracle pins that the decisions are unchanged.
+    "q93_ngram_rescue_hashed" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val boiler = docs.filter($"doc_id" === 0L)
+        .select(explode(sequence(lit(0L), lit(99L))).as("i"), $"text")
+        .select(($"i" + 2000000L).as("doc_id"), $"text")
+      val corpus = docs.unionByName(boiler)
+      val pairs = operators.Dedup.ngramJaccardNearDups(corpus, "doc_id",
+        "text", n = 3, threshold = 0.8, maxBucket = 50, rescueHot = true,
+        hashedRescueKey = true)
+      operators.Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // SimHash-path rescue gate: the engine-neutral md5 token hash lets
     // the oracle recompute every sketch in SQL (q25's machinery), and
     // the rescue's full-sketch grouping is exactly lossless — the
@@ -865,9 +885,9 @@ object SparkEntry {
     }),
 
     // Corpus datasheet: corpus-level release metrics as one long-form
-    // table. The fixture plants exact duplicates (every 10th doc
-    // copies doc 1's text) and empties (every 41st) so the dup/empty
-    // fractions are live numbers, not zeros.
+    // table. The fixture plants exact duplicates (every 10th doc is
+    // replaced by one shared literal text) and empties (every 41st) so
+    // the dup/empty fractions are live numbers, not zeros.
     "q91_corpus_datasheet" -> ((s, d) => {
       val docs = t(s, d, "documents").select($"doc_id",
         when($"doc_id" % 41 === 0, lit(""))
@@ -2690,6 +2710,7 @@ object SparkEntry {
     // candidate generator was minhash banding or gram buckets
     "q68_hot_bucket_rescue" -> floodClosureOracleSql,
     "q71_ngram_rescue" -> floodClosureOracleSql,
+    "q93_ngram_rescue_hashed" -> floodClosureOracleSql,
     "q72_simhash_rescue" -> simhashRescueOracleSql,
 
     "q70_semantic_rescue" ->

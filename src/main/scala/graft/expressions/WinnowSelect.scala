@@ -36,7 +36,14 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
   require(w > 0, s"winnow window must be positive, got $w")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // a null ELEMENT has no defined window-minimum semantics (compute()
+    // reads raw longs); reject at plan time so SQL callers passing
+    // array<bigint> with containsNull get an analysis error, not an NPE
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long> without null elements " +
+        "(wrap the argument in filter(x, x -> x is not null) or ensure " +
+        "the gram hasher emits non-null)")
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<long>, got ${dt.simpleString}")
   }

@@ -444,11 +444,14 @@ object Curation {
         .as("e"))
       .select(col(idCol), col("e.p").as("p"), col("e.g").as("g"))
     val keyed =
-      if (hashGrams)
+      (if (hashGrams)
         occ.select(col(idCol), col("p"),
           struct(xxhash64(lit(1), col("g")), xxhash64(lit(2), col("g")))
             .as("k"))
-      else occ.withColumnRenamed("g", "k")
+      else occ.withColumnRenamed("g", "k"))
+        // consumed twice (dupFirsts aggregate + join probe); without a
+        // persist the ~n× text explode and its shuffle run twice at scale
+        .persist()
     val dupFirsts = keyed.groupBy(col("k"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol).as("fid"), col("p").as("fp"))).as("f"))
@@ -456,9 +459,15 @@ object Curation {
       .select(col("k"), col("f"))
     val del = keyed.join(dupFirsts, Seq("k"))
       .filter(!(col(idCol) === col("f.fid") && col("p") === col("f.fp")))
+    // eagerly checkpoint the (small) covered-word set: the one job it
+    // runs scans the persisted `keyed` once for the aggregate and once
+    // for the probe (cache hit), after which the ~n× gram block can be
+    // released immediately instead of living until the caller acts
     val covered = del
       .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
       .distinct()
+      .localCheckpoint(true)
+    keyed.unpersist()
     removeCoveredWords(df, covered, idCol, textCol)
   }
 

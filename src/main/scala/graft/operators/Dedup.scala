@@ -414,15 +414,57 @@ object Dedup {
     * (the returned frame is lazy, so this function cannot know when
     * its consumers finish). MEMORY_AND_DISK is LRU-evictable; a
     * long-lived driver issuing many near-dup queries should
-    * `spark.catalog.clearCache()` between them (as Bench does). */
+    * `spark.catalog.clearCache()` between them (as Bench does).
+    *
+    * `hashedRescueKey` (only with `rescueHot`) switches the rescue's
+    * collapse key from the normalized-text VALUE to a 128-bit double
+    * xxhash64 of it — the 100 TB tier: 16-byte shuffle keys instead
+    * of full text, decisions identical up to a ~2^-129-per-pair
+    * collision (parity-gated vs the value-keyed form on q71/q93's
+    * flood corpus). */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, threshold: Double = 0.5,
                            maxBucket: Int = 50,
-                           rescueHot: Boolean = false): DataFrame =
+                           rescueHot: Boolean = false,
+                           hashedRescueKey: Boolean = false): DataFrame =
     if (!rescueHot)
       ngramJaccardFromGrams(
         gramTable(df, idCol, textCol, n).persist(), idCol, threshold, maxBucket)
-    else {
+    else if (hashedRescueKey) {
+      // The 100 TB tier of the rescue below: collapse on a 128-bit
+      // double-xxhash64 of the normalized text (the q87 struct-of-two
+      // pattern) instead of the text value. The value-keyed form moves
+      // the full text through BOTH the group aggregate and the rep
+      // join (~3× text bytes shuffled); here those two shuffles carry
+      // 16-byte keys and the text moves at most ONCE, by id, into the
+      // representative set. The trade is a birthday channel: two
+      // DIFFERENT texts colliding on 128 bits would merge as asserted
+      // star pairs — probability ~docs²/2^129, negligible at 10^10
+      // docs, vs the 64-bit key this same analysis rejected (see the
+      // value-keyed comment). Decisions are parity-spec'd equal to the
+      // value-keyed form on the gate corpora.
+      val key = struct(
+        xxhash64(lit(1), lower(trim(col(textCol)))),
+        xxhash64(lit(2), lower(trim(col(textCol)))))
+      val slim = df.select(col(idCol), key.as("__ck"))
+      val groups = slim.groupBy(col("__ck"))
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+        .observe(s"graft_ngram_rescue_${obsId.incrementAndGet()}",
+          sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
+            .as("rescued_members"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L))
+            .as("rescued_groups"))
+      val withRep = slim.join(groups.select("__ck", "__rep"), Seq("__ck"))
+      val star = withRep.filter(col(idCol) =!= col("__rep"))
+        .select(col("__rep").as("a"), col(idCol).as("b"),
+          lit(1.0).as("jaccard"))
+      val reps = df.join(
+        withRep.filter(col(idCol) === col("__rep")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      ngramJaccardFromGrams(gramTable(reps, idCol, textCol, n).persist(),
+          idCol, threshold, maxBucket)
+        .unionByName(star)
+    } else {
       // Hot-bucket escape hatch, same discipline as
       // [[minhashNearDups]]' rescueHot: identical-TEXT docs (the usual
       // cause of a gram bucket blowing `maxBucket`) collapse to one

@@ -338,8 +338,14 @@ object TextAnalysis {
     val hashes =
       if (tokenHash eq Dedup.DefaultTokenHash) Dedup.gramHashesCol(tk, k)
       else
+        // coalesce makes the ELEMENT provably non-null (WinnowSelect
+        // rejects array<long> with containsNull at plan time; a
+        // hash-of-non-null is never null, so the 0 default never fires
+        // — it only carries the nullability proof Catalyst can't infer
+        // through conv/cast)
         transform(sequence(lit(1), greatest(size(tk) - lit(k - 1), lit(1))),
-          p => tokenHash(concat_ws(" ", slice(tk, p, lit(k)))))
+          p => coalesce(tokenHash(concat_ws(" ", slice(tk, p, lit(k)))),
+            lit(0L)))
     df.select(col(idCol), hashes.as("__hs"))
       .select(col(idCol), col("__hs"),
         explode(winnowCol(col("__hs"), w)).as("pos"))

@@ -190,23 +190,35 @@ object Seasons {
       .map { case (w, i) => w.withColumn("__dataset", lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val signals = schema.wideColumns.filter(wide.columns.contains)
-    // STAGE BOUNDARY persist — the season-pipeline analogue of the
-    // reference writing each stage's output to disk before the next
-    // reads it (sparse → resampled → unified files). The unify stages
-    // reference their telemetry input several times (grid bounds,
-    // dedup, the alignment select, the final join), and every lazy
-    // reference duplicates the ENTIRE upstream subtree in the plan:
-    // unpersisted, this 5-signal pipeline plans 300+ Exchange nodes
-    // (measured) and Catalyst/AQE re-optimization of the duplicated
-    // tree dominates wall time. Persisted, each stage downstream of
-    // the boundary plans against one InMemoryRelation scan.
-    // MEMORY_AND_DISK (LRU-evictable, spill-safe); session-lifecycle
-    // like the dedup gram tables — drivers issuing many season runs
-    // should clearCache between them (Bench does).
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val resampled = ResampleStage.run(wide, signals, resamplePeriod,
-        keys = Seq("__dataset"))
-      .persist(MEMORY_AND_DISK)
+    // STAGE BOUNDARY — the season-pipeline analogue of the reference
+    // writing each stage's output to disk before the next reads it
+    // (sparse → resampled → unified files). The unify stages reference
+    // their telemetry input several times (grid bounds, dedup, the
+    // alignment select, the final join), and every lazy reference
+    // duplicates the ENTIRE upstream subtree in the plan: unbounded,
+    // this 5-signal pipeline plans 300+ Exchange nodes (measured) and
+    // Catalyst/AQE re-optimization of the duplicated tree dominates
+    // wall time. Bounded, each downstream stage plans against one
+    // parquet scan.
+    //
+    // Parquet write+read, NOT persist(): round 8 ran these boundaries
+    // as MEMORY_AND_DISK caches and the season gates became the
+    // catalog's heaviest GC source (q73: 9.1 s GC, 1.9× run-to-run
+    // swing) — two seasons' stage outputs pinned in one shared heap
+    // until the caller cleared the session cache. The disk boundary is
+    // the reference's own shape, keeps NOTHING on the heap after the
+    // stage job ends, needs no caller-side cache hygiene, and at
+    // cluster scale a durable stage output also survives executor loss
+    // (an InMemoryRelation partition does not). Timestamps/doubles
+    // round-trip parquet exactly, so values are unchanged.
+    def stageBoundary(df: DataFrame, tag: String): DataFrame = {
+      val path = s"$outputDir/stage_${cfg.name}_${resamplePeriod}_$tag"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+    val resampled = stageBoundary(
+      ResampleStage.run(wide, signals, resamplePeriod,
+        keys = Seq("__dataset")), "resampled")
     // unify forecast (E3) + gps (E4) run PER DATASET (keys) — the
     // reference unifies each dataset file in its own pool task
     // (lib/unifier_with_forecast_data.py:131-139), and per-key windows
@@ -238,10 +250,12 @@ object Seasons {
       if (gpxFiles.nonEmpty) {
         val track = UnifyStages.processGpsTrack(
           graft.sources.Gpx.read(spark, gpxFiles))
-        // same stage-boundary persist: unifyGps references its
-        // telemetry input three times (shift, key-distinct, final join)
-        UnifyStages.unifyGps(withForecast.persist(MEMORY_AND_DISK),
-          track, "timestamp",
+        // same stage boundary: unifyGps references its telemetry input
+        // three times (shift, key-distinct, final join). When no
+        // forecast stage ran, the resampled boundary already IS one.
+        val gpsIn = if (withForecast eq resampled) resampled
+                    else stageBoundary(withForecast, "forecast")
+        UnifyStages.unifyGps(gpsIn, track, "timestamp",
           cfg.shiftBackLocalize, keys = Seq("__dataset"))
       } else withForecast
     // two datasets whose clock-fixed ranges overlap (2020 has two logs
@@ -278,14 +292,12 @@ object Seasons {
       // the S9 skip-if-exists makes later periods reuse the first
       // period's parsed parquet — the reference likewise parses once
       // into `sparse/` and resamples per period (main_2020.py:78,150)
+      // stage boundaries are disk-backed (see run), so periods leave
+      // nothing in the session cache — they share work only through
+      // the parsed parquet on disk (S9)
       val out = run(spark, cfg, outputDir, forecastCsv, gpxFiles, period)
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outputDir/$period/final_${cfg.name}")
-      // the period's stage-boundary caches (see run) are dead once its
-      // output is written — periods share work through the parsed
-      // parquet on disk (S9), not the cache, so clearing keeps a long
-      // period list from accumulating stage caches
-      spark.catalog.clearCache()
       period -> out
     }.toMap
 }

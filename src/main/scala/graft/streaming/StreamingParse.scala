@@ -210,6 +210,15 @@ object StreamingParse {
       .winnowFingerprints(benchmark, benchIdCol, benchTextCol, k, w)
       .select(col("fingerprint")).distinct()
       .collect().map(_.getLong(0))
+    // the eval-suite-sized contract above, enforced: a corpus-sized
+    // "benchmark" would OOM the driver / bloat every task's serialized
+    // plan — fail fast with a pointer at the batch-tier alternative
+    require(benchFps.length <= 1000000,
+      s"winnowScreenStream benchmark has ${benchFps.length} distinct " +
+        "fingerprints (limit 1,000,000): this operator is for " +
+        "eval-suite-sized benchmarks carried as a plan literal; screen " +
+        "against a large corpus with TextAnalysis.winnowContainment's " +
+        "bucketed joins in the batch tier instead")
     val tk = split(lower(trim(col(textCol))), "\\s+")
     val hs = graft.operators.Dedup.gramHashesCol(tk, k)
     docs

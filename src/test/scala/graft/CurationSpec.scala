@@ -158,6 +158,32 @@ class CurationSpec extends SparkSpec {
       math.abs(x - y) < 1e-9 })
   }
 
+  test("native 4-iteration fit trajectory matches the exactFold fit") {
+    // q90's production configuration (planted vocabulary markers,
+    // iters = 4, step 8 — the rows-only bench row): the plain-sum
+    // fit's WEIGHT TRAJECTORY must track the gated exactFold fit
+    // through all four gradient rounds within float-reassociation
+    // tolerance — a wrong gradient join, a stale weight table, or a
+    // mis-scaled step diverges compoundingly and fails the 1e-9 bar,
+    // so the native path's arithmetic is pinned, not just one round
+    // of scoring
+    val docs = (1L to 60L).map { i =>
+      val marker = if (i % 3 == 0) "lowvalue boiler plate marker"
+                   else "curated highvalue marker"
+      (i, s"body tok${i % 7} tok${i % 5} words $marker",
+        if (i % 3 == 0) 0 else 1)
+    }.toDF("doc_id", "text", "y")
+    def fit(e: Boolean) = Curation.fitQualityLr(docs, "doc_id", "text",
+      "y", iters = 4, stepSize = 8.0, exactFold = e)
+    val (a, b) = (fit(true), fit(false))
+    assert(math.abs(a.bias - b.bias) < 1e-9, s"bias ${a.bias} vs ${b.bias}")
+    val maxDelta = a.table.zip(b.table).map { case (x, y) =>
+      math.abs(x - y) }.max
+    assert(maxDelta < 1e-9, s"max weight delta $maxDelta")
+    // and the trajectory went somewhere: the planted markers separate
+    assert(a.table.exists(_ > 0.1) && a.table.exists(_ < -0.1))
+  }
+
   test("dropDuplicateSpans: gram tiling, keep-first, intra-doc runs") {
     val docs = Seq(
       (1L, "a b c d e"),     // all grams first occurrences → kept whole

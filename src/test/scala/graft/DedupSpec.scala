@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpec {
     assert(survivors(rescue = true, "ngram") == Seq(1L, 4L, 6L, 7L))
   }
 
+  test("hashedRescueKey decisions equal the value-keyed rescue's") {
+    // the 100 TB collapse-key tier (128-bit double xxhash64 of the
+    // normalized text) must make the SAME decisions as grouping on the
+    // text value — on a flood (hot buckets, star pairs live) AND on a
+    // mixed corpus (near-dups found through rep banding). Also pins
+    // the normalization parity: keys must see lower+trim exactly as
+    // gramTable tokenizes, so "Same Text" and " same text " collapse.
+    val flood = ((0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "All these documents share exactly the same words"
+          else " all these documents share exactly the same words  ")) ++
+      Seq((100L, "a completely different document about other things entirely"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")))
+      .toDF("doc_id", "text")
+    def survivors(hashed: Boolean): Seq[Long] = {
+      val pairs = Dedup.ngramJaccardNearDups(flood, "doc_id", "text",
+        n = 3, threshold = 0.5, maxBucket = 50, rescueHot = true,
+        hashedRescueKey = hashed)
+      Dedup.dropNearDups(flood, pairs, "doc_id")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    val value = survivors(hashed = false)
+    val hashed = survivors(hashed = true)
+    assert(value == hashed, s"value-keyed $value vs hashed $hashed")
+    assert(value == Seq(0L, 100L, 101L), s"got $value")
+  }
+
   test("simhash rescueHot recovers an identical-doc flood losslessly") {
     val flood = ((0L until 60L).map(i =>
       (i, "all these documents share exactly the same words")) :+

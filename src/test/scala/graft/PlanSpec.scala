@@ -238,16 +238,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
-  test("q65: unify stages plan against the persisted stage boundary") {
-    // the season pipeline persists the resampled and forecast-unified
-    // tables (Seasons.run) — without the boundary, every unify-stage
-    // reference duplicates the whole upstream subtree (measured: 300+
-    // Exchange nodes on a 5-signal fixture) and driver-side
-    // re-optimization dominates wall time
+  test("q65: unify stages plan against the disk-backed stage boundary") {
+    // the season pipeline writes the resampled and forecast-unified
+    // tables to parquet stage boundaries (Seasons.run) — without the
+    // boundary, every unify-stage reference duplicates the whole
+    // upstream subtree (measured: 300+ Exchange nodes on a 5-signal
+    // fixture) and driver-side re-optimization dominates wall time;
+    // disk-backed (vs the round-8 MEMORY_AND_DISK persist) the stage
+    // outputs leave nothing on the shared heap after their job ends
     val p = planOf("q65_season_e2e")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation")
-        || p.contains("TableCacheQueryStage"),
-      "expected the unify stages to scan the persisted stage boundary")
+    assert(p.contains("stage_q65_1min_forecast"),
+      "expected the gps unify to scan the forecast-stage parquet boundary")
+    assert(!p.contains("InMemoryTableScan") && !p.contains("TableCacheQueryStage"),
+      "season stage boundaries must not pin the session cache")
   }
 
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {

@@ -31,6 +31,117 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: stop mid-corpus, resume, output equals batch exactly once") {
+    // the S9 exactly-once claim behind the streaming parse variant
+    // (lib/canparser.py:315-317's restart semantics, scaled): a
+    // checkpointed file-source query is stopped after half the corpus,
+    // RESTARTED from the same checkpoint with new files present, and
+    // the parquet sink's union across both runs must equal one batch
+    // decode of the whole corpus — files from run 1 are not reparsed
+    // (no duplicates), files that arrived while down are not missed
+    val dir = Files.createTempDirectory("stream_restart")
+    val in = Files.createDirectory(dir.resolve("in"))
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def lines(base: Long, n: Int): String = (0 until n).map { i =>
+      f"($base%d.${i * 1000}%06d) can0 021#11E803110300" }.mkString("\n")
+    Files.write(in.resolve("a.log"), lines(1580415599L, 4).getBytes)
+    Files.write(in.resolve("b.log"), lines(1580415600L, 3).getBytes)
+    def runOnce(): Unit = {
+      val decoded = StreamingParse.decodedStream(spark, in.toString,
+        CanFixtures.schema)
+      val q = decoded.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // run 1: a.log + b.log
+    // two more files land while the query is DOWN
+    Files.write(in.resolve("c.log"), lines(1580415601L, 5).getBytes)
+    Files.write(in.resolve("d.log"), lines(1580415602L, 2).getBytes)
+    runOnce() // run 2: resumes from the checkpoint
+    val got = spark.read.parquet(out)
+      .select("timestamp", "module_name", "topic_name", "byte_name", "value")
+      .collect().map(_.toString).sorted.toSeq
+    // batch oracle over the full corpus (the framesFromLines +
+    // decodeLong path the streaming variant mirrors)
+    val batchLines = spark.read.text(s"$in/*.log")
+      .select(org.apache.spark.sql.functions.col("value").as("line"),
+        org.apache.spark.sql.functions.input_file_name().as("file"))
+    val want = graft.operators.CanDecode.decodeLong(
+        graft.sources.Candump.framesFromLines(batchLines), CanFixtures.schema)
+      .select("timestamp", "module_name", "topic_name", "byte_name", "value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"restart union (${got.size} rows) != batch oracle (${want.size} rows)")
+  }
+
+  test("checkpoint restart: watermark + aggregation state survive into correct bins") {
+    // the STATEFUL face of the restart contract: an append-mode
+    // windowed aggregate is stopped while a bin is still open in the
+    // state store, restarted from the checkpoint, and later data must
+    // flush that bin with the PRE-restart events aggregated in — so
+    // offsets (no double-count), the watermark, and the partial
+    // aggregate all provably round-trip the checkpoint
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = 1580515200000L
+    def ev(minutes: Range) = minutes.map { i =>
+      (new java.sql.Timestamp(t0 + i * 60000L), "a", 0.015 + i * 0.01)
+    }.toDF("ts", "k", "v")
+    val dir = Files.createTempDirectory("stream_state_restart")
+    val in = Files.createDirectory(dir.resolve("in"))
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = ev(0 until 1).schema
+    // plain files with FORCED mtime order (the sentinel-spec pattern):
+    // the file source processes oldest-first, and f1-before-f2 is
+    // load-bearing — reversed, f1's rows would arrive behind the
+    // watermark f2 set and be dropped as late data
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String,
+                mtimeOffsetMs: Long): Unit = {
+      val stage = dir.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = in.resolve(s"$name.snappy.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    addFile(ev(0 until 60), "f1", -3000L)
+    addFile(ev(60 until 90), "f2", -2000L)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val q = StreamingParse.resampleEventsStream(stream, "ts", 3600,
+          Seq("k"), "v", watermark = "1 second")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // bin 1 flushes; bin 2 (f2's 30 rows) stays in STATE
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 == 1L, s"run 1 should flush only bin 1, got $afterRun1")
+    // hour-3 data lands while the query is down; the restart's
+    // watermark advance must flush bin 2 from the RESTORED state
+    addFile(ev(120 until 150), "f3", 0L)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("k", "bucket_ts", "sum_value", "n", "mean_value")
+      .orderBy("bucket_ts").collect().map(_.toString).toSeq
+    val want = graft.operators.TimeSeries.resampleAgg(
+        ev(0 until 90), "ts", 3600L, Seq("k"), "v")
+      .select(col("k"), col("bucket_ts"), col("sum_value"), col("n"),
+        col("mean_value"))
+      .orderBy("bucket_ts").collect().map(_.toString).toSeq
+    assert(got.size == 2, s"bins 1+2 flushed, bin 3 open: $got")
+    assert(got == want,
+      s"restored-state bins must equal the batch aggregate:\n$got\nvs\n$want")
+  }
+
   test("streaming resample: watermarked tumbling mean per signal") {
     val dir = Files.createTempDirectory("stream2")
     Files.write(dir.resolve("a.log"), Seq(
@@ -505,12 +616,20 @@ class StreamingSeasonSpec extends SparkSpec {
     // execution listener: the S9 reuse contract is that each dataset
     // is parsed (written) exactly once even with two periods
     val writes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // (outputPath, does-the-insert's-plan-scan-the-parsed-parquet):
+    // with disk-backed stage boundaries, the parsed-parquet read sits
+    // inside the resampled-stage WRITE job, not the returned plan
+    val writePlans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit = qe.analyzed match {
         case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
-          writes.add(c.outputPath.toString); ()
+          writes.add(c.outputPath.toString)
+          // executedPlan, not analyzed: only FileScan nodes print their
+          // location, and the scan-source check needs the path
+          writePlans.add((c.outputPath.toString,
+            qe.executedPlan.toString.contains("parsed_reuse_d0"))); ()
         case _ => ()
       }
       override def onFailure(funcName: String,
@@ -535,13 +654,18 @@ class StreamingSeasonSpec extends SparkSpec {
         s"file:$out/parsed_reuse_db0"),
         s"expected one parse write per dataset, got $parseWrites")
       assert(finalWrites.size == 2, s"expected two final writes: $finalWrites")
-      // period 2 READ the parsed parquet: its plan scans the parse
-      // output path (period 1's plan is the in-memory parse pipeline)
-      val plan2 = byPeriod("20s").queryExecution.executedPlan.toString
-      assert(plan2.contains("parsed_reuse_d0"),
-        "period 2 should scan period 1's parsed parquet")
-      assert(!byPeriod("10s").queryExecution.executedPlan.toString
-        .contains("parsed_reuse_d0"),
+      // period 2 READ the parsed parquet: its resampled-stage write
+      // job scans the parse output path (period 1's same write runs
+      // the in-memory parse pipeline — parsed_reuse_d0 did not exist
+      // yet when its plan was built)
+      import scala.jdk.CollectionConverters._
+      def stageScan(period: String): Option[Boolean] =
+        writePlans.asScala.collectFirst {
+          case (p, scans) if p.contains(s"stage_reuse_${period}_resampled") =>
+            scans }
+      assert(stageScan("20s").contains(true),
+        "period 2's resample stage should scan period 1's parsed parquet")
+      assert(stageScan("10s").contains(false),
         "period 1 parses in-pipeline, not from its own output")
       // and the reuse loses nothing: period 2's table equals a fresh
       // single-period run that parses from scratch
