@@ -1089,6 +1089,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Bloom-guarded incremental EXACT dedup: q56's daily-increment
+    // setting for the exact tier. The index (even docs) carries a
+    // driver-held Bloom sketch over the accepted text hashes; the
+    // batch (odd docs + exact copies of INDEX docs + exact copies of
+    // BATCH docs) probes it as a pure projection and only
+    // Bloom-positive docs take the verification anti join — the
+    // accepted corpus is never scanned for novel admissions, the
+    // per-batch cost a 100 TB corpus demands. Decisions are provably
+    // Bloom-independent (no false negatives; positives are verified
+    // on hash AND text), and the oracle recomputes the full plain
+    // decision: not-in-index AND min-id within the batch's
+    // identical-text group.
+    "q94_bloom_incremental_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 14 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 10 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      val idx = operators.Dedup.buildExactIndex(
+        docs.filter($"doc_id" % 2 === 0), "text")
+      operators.Dedup.incrementalDropExactDups(idx, batch, "doc_id", "text")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2998,6 +3023,28 @@ object SparkEntry {
     // side is that the index is round-tripped through a bucketed
     // parquet table (build-once/search-many) before probing
     "q74_bucketed_incremental" -> incrementalDedupOracleSql,
+
+    // Bloom-guarded exact tier: survivors = batch docs whose text is
+    // not in the accepted (even-doc) set AND that are min-id within
+    // their batch identical-text group — the Bloom on the Spark side
+    // is a pure admission prefilter and must not change decisions
+    "q94_bloom_incremental_exact" ->
+      """WITH idx AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+         b AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+             WHERE doc_id % 10 = 1
+         )
+         SELECT b.doc_id AS doc_id
+         FROM b
+         JOIN (SELECT text, min(doc_id) AS keep_id FROM b GROUP BY text) f
+           ON b.text = f.text AND b.doc_id = f.keep_id
+         WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.text = b.text)
+         ORDER BY doc_id""",
 
     "q75_multi_period" ->
       (q75PeriodSql("1min", 60000000L) + " UNION ALL " +

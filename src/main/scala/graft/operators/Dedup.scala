@@ -910,6 +910,119 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** A built EXACT-dedup index over an ACCEPTED corpus: the distinct
+    * accepted texts keyed by their 64-bit hash (the verification
+    * table — join on `__h` with a text-equality residual, so a hash
+    * collision can never mis-drop a doc) plus a Bloom filter over the
+    * same hashes held as a driver-side byte sketch. The Bloom is the
+    * 100 TB lever: a daily batch is mostly NOVEL text, and
+    * [[incrementalDropExactDups]] admits every Bloom-negative doc
+    * with a pure projection — no join, no shuffle — so the anti-join
+    * against the (huge) accepted table only ever sees the true-dup +
+    * false-positive sliver (fpp of the batch). No false negatives by
+    * construction, so decisions are EXACTLY those of the plain
+    * anti-join. The `hashes` table follows the [[NgramIndex]]
+    * build-once/search-many discipline: persist it, or write it
+    * bucketed on `__h` ([[graft.sources.Sinks.writeBucketed]]) so the
+    * verification join is co-located shuffle-free on the index side.
+    *
+    * Sizing: `numBits` defaults to 2^23 (1 MiB — fpp ≈ 1% at 2^20
+    * items); Spark caps the aggregate at
+    * `spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold`-
+    * family confs (`maxNumBits` 2^26 default) — raise them alongside
+    * these parameters for billion-doc corpora, or shard the index. */
+  final case class ExactIndex(hashes: DataFrame, bloom: Array[Byte],
+                              expectedItems: Long, numBits: Long)
+
+  /** Bloom-filter membership probe as a Column: Spark's native
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over a plan-literal serialized sketch (the model-as-literal
+    * discipline of `lrScoreCol`). `value` must be a LONG hash column
+    * (xxhash64 — the same hash family the aggregate fed). */
+  private[graft] def mightContainCol(bloom: Array[Byte], value: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftExpressionBridge.expression(value)))
+
+  def buildExactIndex(corpus: DataFrame, textCol: String,
+                      expectedItems: Long = 1L << 20,
+                      numBits: Long = 1L << 23): ExactIndex = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val hashes = corpus.select(col(textCol).as("__t")).distinct()
+      .select(xxhash64(col("__t")).as("__h"), col("__t"))
+    val bloomAgg = org.apache.spark.sql.GraftExpressionBridge.column(
+      new BloomFilterAggregate(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          xxhash64(col("__t"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val row = hashes.agg(bloomAgg.as("bf")).head()
+    // empty corpus → the aggregate yields null; an explicit empty
+    // sketch keeps the probe a plain always-false projection
+    val bytes =
+      if (row.isNullAt(0)) {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(bos)
+        bos.toByteArray
+      } else row.getAs[Array[Byte]](0)
+    ExactIndex(hashes, bytes, expectedItems, numBits)
+  }
+
+  /** Grow the index with accepted survivors: the hash table unions
+    * (one projection over the NEW docs only) and the Bloom merges
+    * driver-side (`mergeInPlace` — same `numBits` by construction). */
+  def appendToExactIndex(index: ExactIndex, accepted: DataFrame,
+                         textCol: String): ExactIndex = {
+    val add = buildExactIndex(accepted, textCol, index.expectedItems,
+      index.numBits)
+    val merged = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(index.bloom))
+    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(add.bloom)))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    ExactIndex(index.hashes.unionByName(add.hashes).distinct(),
+      bos.toByteArray, index.expectedItems, index.numBits)
+  }
+
+  /** Incremental EXACT dedup of a new batch against an indexed
+    * accepted corpus: a batch doc survives iff its text equals no
+    * accepted text AND it is the min-id doc of its within-batch
+    * identical-text group — exactly re-running [[exact]] over
+    * (accepted ∪ batch) restricted to the batch's new texts.
+    *
+    * Cost shape per batch: one within-batch [[exact]] collapse, one
+    * Bloom-probe projection, and one anti join whose PROBE side is
+    * only the Bloom-positive docs — the accepted corpus is never
+    * scanned for the (dominant) Bloom-negative admissions. The
+    * `graft_exact_bloom_*` observe metric surfaces the positive
+    * count, so a saturated/undersized Bloom (probe side ≈ batch,
+    * join degraded to the plain anti join — cost, never correctness)
+    * is visible in Verify/Bench logs. */
+  def incrementalDropExactDups(index: ExactIndex, batch: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val collapsed = exact(batch, Seq(textCol), idCol)
+    val probed = collapsed
+      .withColumn("__mc", mightContainCol(index.bloom,
+        xxhash64(col(textCol))))
+      .observe(s"graft_exact_bloom_${obsId.incrementAndGet()}",
+        sum(when(col("__mc"), 1L).otherwise(0L)).as("bloom_positive"),
+        count(lit(1)).as("bloom_probed"))
+    val fresh = probed.filter(!col("__mc")).drop("__mc")
+    // hash-keyed equi join + text-equality residual: the hash key is
+    // what a bucketed index table co-locates on; the residual keeps
+    // the decision collision-free
+    val positives = probed.filter(col("__mc")).drop("__mc")
+      .withColumn("__h", xxhash64(col(textCol)))
+    val survivors = positives.join(index.hashes,
+        positives("__h") === index.hashes("__h") &&
+          positives(textCol) === index.hashes("__t"), "left_anti")
+      .drop("__h")
+    fresh.unionByName(survivors)
+  }
+
   /** The dedup decision given materialized component labels: keep the
     * min-id representative per component plus every unpaired doc. */
   private[operators] def keepRepresentatives(docs: DataFrame, comps: DataFrame,

@@ -114,6 +114,57 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 100L), s"got ${kept.toSeq}")
   }
 
+  test("bloom incremental exact dedup: decisions exact even under forced false positives") {
+    // an 8-BIT bloom over 6 accepted texts saturates (~every probe
+    // positive), so every batch doc takes the verification join — and
+    // the decisions must STILL be exactly those of the plain anti
+    // join, because a false positive only routes a doc to
+    // verification, never drops it
+    val accepted = (0L until 6L).map(i => (i, s"accepted corpus text number $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "accepted corpus text number 3"),  // exact index dup → drop
+      (11L, "a brand new document"),           // novel → keep
+      (12L, "a brand new document"),           // within-batch dup → drop
+      (13L, "another novel document entirely") // novel → keep
+    ).toDF("doc_id", "text")
+    for ((bits, label) <- Seq(8L -> "saturated", (1L << 20) -> "sized")) {
+      val idx = Dedup.buildExactIndex(accepted, "text",
+        expectedItems = 1000L, numBits = bits)
+      val kept = Dedup.incrementalDropExactDups(idx, batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(11L, 13L), s"$label bloom: got $kept")
+    }
+  }
+
+  test("bloom probe: negatives bypass the join; append merges the sketch") {
+    val accepted = (0L until 50L).map(i => (i, s"seed text $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(accepted, "text")
+    // a properly-sized bloom answers false for novel text (whp): the
+    // probe column itself is checked so the fast path is real, not
+    // just absorbed by the verification join
+    val probes = accepted.sparkSession.range(1).select(
+      Dedup.mightContainCol(idx.bloom, xxhash64(lit("seed text 7"))).as("dup"),
+      Dedup.mightContainCol(idx.bloom,
+        xxhash64(lit("never seen before text"))).as("novel"))
+      .head()
+    assert(probes.getBoolean(0), "true member must probe positive")
+    assert(!probes.getBoolean(1), "novel text should probe negative (fpp ~1e-6 here)")
+    // append: survivors of batch 1 enter the index; batch 2 copies of
+    // BOTH generations drop
+    val batch1 = Seq((100L, "first increment doc"), (101L, "seed text 3"))
+      .toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalDropExactDups(idx, batch1, "doc_id", "text")
+    assert(kept1.select("doc_id").as[Long].collect().toSeq == Seq(100L))
+    val idx2 = Dedup.appendToExactIndex(idx, kept1, "text")
+    val batch2 = Seq((200L, "seed text 9"), (201L, "first increment doc"),
+      (202L, "second increment doc")).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDropExactDups(idx2, batch2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(202L), s"got $kept2")
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.count() == 4)

@@ -253,6 +253,24 @@ class PlanSpec extends SparkSpec {
       "season stage boundaries must not pin the session cache")
   }
 
+  test("q94: bloom probe is a projection; only positives reach the anti join") {
+    val df = SparkEntry.queries("q94_bloom_incremental_exact")(spark, sf)
+    // the native predicate lives in the optimized plan (the physical
+    // toString elides aggregate result projections, where the probe
+    // column is computed)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      "the Bloom probe must appear as a native might_contain predicate")
+    // the admission split: a NOT(__mc) filter branch that bypasses the
+    // join entirely, and a LeftAnti verification join fed by the
+    // positive (__mc) branch only
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "verification anti join expected")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("NOT __mc")),
+      "the negative branch must be a join-free Filter on the probe")
+  }
+
   test("catalog-wide: no CartesianProduct or BroadcastNestedLoopJoin in hot paths") {
     // the deliberate tiny cross joins (grid × users) must come in
     // broadcast form; a CartesianProduct of two big sides would be a
