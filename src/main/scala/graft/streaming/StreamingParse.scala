@@ -100,6 +100,40 @@ object StreamingParse {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming exact-dedup admission against an INDEXED accepted
+    * corpus ([[graft.operators.Dedup.ExactIndex]]) — the streaming
+    * face of [[graft.operators.Dedup.incrementalDropExactDups]]:
+    * admit a streamed doc iff its text equals no accepted text. The
+    * Bloom sketch rides the plan as a literal, so the dominant case
+    * (novel text, Bloom-negative) is decided by a pure projection
+    * with no state and no join; only Bloom-positive rows take the
+    * stream-static anti join against the index hash table, verified
+    * on hash AND text so a false positive can delay a row into the
+    * join but never mis-drop it. Per-batch the static side is
+    * re-planned (the stream-static contract) — persist `index.hashes`
+    * (or read it from the bucketed table) so each micro-batch probes
+    * a materialized relation rather than re-deriving it.
+    *
+    * This tier admits against the FROZEN index only — within-stream
+    * repeats are [[dedupStream]]'s job (watermark-bounded state),
+    * and newly-admitted docs enter the index on the next BATCH
+    * rebuild ([[graft.operators.Dedup.appendToExactIndex]]): a
+    * streaming query cannot mutate its own broadcast sketch. */
+  def bloomDedupStream(docs: DataFrame, textCol: String,
+                       index: graft.operators.Dedup.ExactIndex): DataFrame = {
+    val probed = docs.withColumn("__mc",
+      graft.operators.Dedup.mightContainCol(index.bloom,
+        xxhash64(col(textCol))))
+    val fresh = probed.filter(!col("__mc")).drop("__mc")
+    val positives = probed.filter(col("__mc")).drop("__mc")
+      .withColumn("__h", xxhash64(col(textCol)))
+    val verified = positives.join(index.hashes,
+        positives("__h") === index.hashes("__h") &&
+          positives(textCol) === index.hashes("__t"), "left_anti")
+      .drop("__h")
+    fresh.unionByName(verified)
+  }
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

@@ -460,6 +460,49 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom admission: novel admitted join-free, accepted dropped, FP verified") {
+    import spark.implicits._
+    val accepted = (0L until 40L).map(i => (i, s"accepted doc $i"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.buildExactIndex(accepted, "text")
+    idx.hashes.persist()
+    val docs = Seq(
+      (1L, "accepted doc 7"),        // in the index → dropped
+      (2L, "genuinely novel text"),  // bloom-negative → admitted join-free
+      (3L, "accepted doc 39"),       // in the index → dropped
+      (4L, "another new document"))  // admitted
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("stream_bloom")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .bloomDedupStream(stream, "text", idx)
+      .writeStream.format("memory").queryName("bloom_admit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from bloom_admit").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), s"kept $kept")
+    } finally { q.stop(); idx.hashes.unpersist() }
+    // a SATURATED sketch (forced false positives) must not change
+    // admissions — positives are verified against the real hash table
+    val tiny = graft.operators.Dedup.buildExactIndex(accepted, "text",
+      expectedItems = 1000L, numBits = 8L)
+    val q2 = graft.streaming.StreamingParse
+      .bloomDedupStream(spark.readStream.schema(docs.schema)
+        .parquet(dir.resolve("in").toString), "text", tiny)
+      .writeStream.format("memory").queryName("bloom_admit_fp")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val kept = spark.sql("select doc_id from bloom_admit_fp").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), s"saturated-bloom kept $kept")
+    } finally q2.stop()
+  }
+
   test("streaming winnow screening: quoted doc dropped, clean admitted") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
