@@ -1114,6 +1114,97 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // S6 CSV write as a VALUE gate (was spec-only): the events table
+    // round-trips the engine's CSV sink (header on, overwrite) and is
+    // read back with an explicit schema — doubles survive exactly
+    // (shortest-round-trip rendering both ways), timestamps ride as
+    // µs-exact formatted strings, and the oracle produces the same
+    // projection straight from parquet, so a quoting, header, or
+    // rendering bug breaks the hash. Total order: ts_str (globally
+    // unique in the testdata).
+    "q95_csv_roundtrip" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        $"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        $"value".cast("double").as("value"),
+        $"event_type")
+      val out = seasonOutDir("q95")
+      sources.Sinks.writeCsv(ev, s"$out/csv")
+      s.read.option("header", "true")
+        .schema("ts_str STRING, user_id BIGINT, event_id BIGINT, " +
+          "value DOUBLE, event_type STRING")
+        .csv(s"$out/csv")
+        .orderBy($"ts_str")
+    }),
+
+    // P9 dropna as a VALUE gate (was spec-only): nulls planted into
+    // two columns on modular patterns; `na.drop(subset)` must keep
+    // exactly the rows where BOTH survive — the oracle recomputes the
+    // masking and filters with IS NOT NULL (robust to natural nulls
+    // in the source columns).
+    "q96_dropna" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        $"event_id".cast("long").as("event_id"), $"ts",
+        when($"event_id" % 5 === 0, lit(null).cast("double"))
+          .otherwise($"value".cast("double")).as("value"),
+        when($"event_id" % 7 === 0, lit(null).cast("string"))
+          .otherwise($"event_type").as("event_type"))
+      ev.na.drop(Seq("value", "event_type"))
+        .select($"event_id", $"value", $"event_type",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy($"ts_str")
+    }),
+
+    // §2.7 per-file parse report as a VALUE gate (was spec-only): the
+    // q21 frame layout written as a text corpus PARTITIONED by
+    // event_id % 3 (deterministic per-directory content — a plain
+    // repartition would round-robin rows nondeterministically), then
+    // ParseStage.report's two-pass per-file counters aggregated back
+    // to the partition key. input_lines pins the text-scan pass,
+    // output_rows the decode pass (unknown-topic %101 and short-frame
+    // %103 rejects excluded, one wide row per unique frame ts); the
+    // measured/attributed ELAPSED is deliberately not in the gate —
+    // it is wall-clock. The driver-side Seq[Report] is bounded by the
+    // file count (3 dirs × part files), the documented report
+    // contract.
+    "q97_parse_report" -> ((s, d) => {
+      val out = seasonOutDir("q97")
+      val b = (c: Column) => lpad(hex(c), 2, "0")
+      val payloadOk = concat(lit("11"),
+        b(expr("user_id % 256")), b(expr("user_id div 256")),
+        b(expr("event_id % 256")), b(expr("event_id % 4")), lit("00"))
+      val payloadShort = concat(lit("11"),
+        b(expr("user_id % 256")), b(expr("user_id div 256")),
+        b(expr("event_id % 256")))
+      val lines = t(s, d, "events").select(
+        format_string("(%d.%06d) can0 %s#%s",
+          expr("unix_micros(ts) div 1000000"), expr("unix_micros(ts) % 1000000"),
+          when(expr("event_id % 101 = 0"), lit("022")).otherwise(lit("021")),
+          when(expr("event_id % 103 = 0"), payloadShort).otherwise(payloadOk))
+          .as("value"),
+        expr("string(event_id % 3)").as("pfile"))
+      // few part files per dir (WHICH rows land in which part file is
+      // round-robin nondeterministic, but the gate aggregates per
+      // DIRECTORY, whose content partitionBy pins exactly)
+      lines.repartition(2).write.partitionBy("pfile").mode("overwrite")
+        .text(s"$out/candump")
+      val glob = s"$out/candump/pfile=*/part-*"
+      val linesDf = s.read.text(glob)
+        .select(col("value").as("line"), input_file_name().as("file"))
+      val wide = operators.CanDecode.decodeWide(
+        graft.sources.Candump.framesFromLines(linesDf),
+        graft.sources.CanFixtures.schema, keys = Seq("file"))
+      val reports = graft.pipeline.ParseStage.report(s, glob, wide)
+      val perDir = reports
+        .map(r => ("pfile=(\\d+)".r.findFirstMatchIn(r.inputFile)
+          .map(_.group(1)).getOrElse("?"), r.inputLines, r.outputRows))
+        .groupBy(_._1).toSeq
+        .map { case (p, rs) => (p, rs.map(_._2).sum, rs.map(_._3).sum) }
+      s.createDataFrame(perDir)
+        .toDF("pfile", "input_lines", "output_rows").orderBy(col("pfile"))
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2037,6 +2128,44 @@ object SparkEntry {
            printf('%02x', event_id % 256) ||
            printf('%02x', user_id % 256) || '07') AS line
          FROM events WHERE event_id % 59 != 0 ORDER BY ts""",
+
+    // S6 gate: the oracle is the same projection straight from
+    // parquet — the Spark side must lose nothing through its CSV
+    // write → read round trip (µs-exact ts strings, shortest-
+    // round-trip doubles)
+    "q95_csv_roundtrip" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value,
+           event_type
+         FROM events ORDER BY ts_str""",
+
+    // P9 gate: recompute the planted-null masking, then IS NOT NULL
+    // on both subset columns (robust to natural nulls in the source)
+    "q96_dropna" ->
+      """WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE CAST(value AS DOUBLE) END AS value,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE event_type END AS event_type
+         FROM events)
+         SELECT event_id, value, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+         FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ORDER BY ts_str""",
+
+    // per-file report gate: input_lines = every generated frame line
+    // of the partition, output_rows = one wide row per decodable
+    // frame ts (the q21 reject rules: unknown topic every 101st,
+    // short payload every 103rd; ts is globally unique so frames ≡
+    // wide rows)
+    "q97_parse_report" ->
+      """SELECT CAST(event_id % 3 AS VARCHAR) AS pfile,
+           COUNT(*) AS input_lines,
+           CAST(SUM(CASE WHEN event_id % 101 <> 0 AND event_id % 103 <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS output_rows
+         FROM events GROUP BY 1 ORDER BY pfile""",
 
     "q09_sessionize" -> sessionizeOracleSql,
 
