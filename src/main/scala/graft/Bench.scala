@@ -166,9 +166,12 @@ object Bench {
     // big queries get a TIGHTER threshold (1.5× over 10 s): a 1.9×
     // swing on a 30 s query is ±15 s of mystery — exactly the q73
     // round-8 case that slipped under a flat 2× bar — while on a
-    // sub-second query the same ratio is scheduler jitter
+    // sub-second query the same ratio is scheduler jitter. Keyed on
+    // rs.MAX (the run whose magnitude defines the mystery): keying on
+    // min would leave a dead zone where a 9.8 s fast run with an
+    // 18.6 s slow run (ratio 1.9) evades both bars
     val fnByName = SparkEntry.queries
-    def swingLimit(rs: Seq[Double]): Double = if (rs.min > 10.0) 1.5 else 2.0
+    def swingLimit(rs: Seq[Double]): Double = if (rs.max > 10.0) 1.5 else 2.0
     val flagged = rawRuns.collect { case (n, rs)
       if fnByName.contains(n) && rs.forall(_ > 0) &&
          rs.max / rs.min > swingLimit(rs) => n }.toSeq

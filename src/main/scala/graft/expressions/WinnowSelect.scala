@@ -41,9 +41,11 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
     // reads raw longs); reject at plan time so SQL callers passing
     // array<bigint> with containsNull get an analysis error, not an NPE
     case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<long> without null elements " +
-        "(wrap the argument in filter(x, x -> x is not null) or ensure " +
-        "the gram hasher emits non-null)")
+      s"$prettyName requires array<long> without null elements; " +
+        "Catalyst marks transform-lambda results nullable even when " +
+        "they never are — wrap the lambda body in coalesce(expr, 0L) " +
+        "to carry the non-null proof (filter(x, x -> x is not null) " +
+        "does NOT help: ArrayFilter preserves the containsNull flag)")
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<long>, got ${dt.simpleString}")
   }

@@ -959,12 +959,18 @@ object Dedup {
           xxhash64(col("__t"))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
     val row = hashes.agg(bloomAgg.as("bf")).head()
-    // empty corpus → the aggregate yields null; an explicit empty
-    // sketch keeps the probe a plain always-false projection
+    // empty corpus → the aggregate yields null; the explicit empty
+    // sketch keeps the probe a plain always-false projection AND must
+    // share the aggregate's exact geometry (same expectedItems/numBits
+    // → same bitSize/numHashFunctions), or a later
+    // [[appendToExactIndex]] mergeInPlace against it throws
+    // IncompatibleMergeException — the all-dups-batch / empty-bootstrap
+    // cases hit this
     val bytes =
       if (row.isNullAt(0)) {
         val bos = new java.io.ByteArrayOutputStream()
-        org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(bos)
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, numBits).writeTo(bos)
         bos.toByteArray
       } else row.getAs[Array[Byte]](0)
     ExactIndex(hashes, bytes, expectedItems, numBits)
@@ -1003,7 +1009,14 @@ object Dedup {
     * is visible in Verify/Bench logs. */
   def incrementalDropExactDups(index: ExactIndex, batch: DataFrame,
                                idCol: String, textCol: String): DataFrame = {
+    // the collapse feeds BOTH union branches below (fresh filter +
+    // positives' anti join); persisted so the batch scan and min_by
+    // aggregate run once, not once per branch. Session-lifecycle cache
+    // like the gram tables (MEMORY_AND_DISK, LRU-evictable; drivers
+    // clearCache between queries) — the returned frame is lazy, so
+    // this function cannot know when its consumers finish.
     val collapsed = exact(batch, Seq(textCol), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = collapsed
       .withColumn("__mc", mightContainCol(index.bloom,
         xxhash64(col(textCol))))

@@ -118,7 +118,13 @@ object StreamingParse {
     * repeats are [[dedupStream]]'s job (watermark-bounded state),
     * and newly-admitted docs enter the index on the next BATCH
     * rebuild ([[graft.operators.Dedup.appendToExactIndex]]): a
-    * streaming query cannot mutate its own broadcast sketch. */
+    * streaming query cannot mutate its own broadcast sketch.
+    *
+    * Cost note: the union's two branches each scan the micro-batch
+    * (a stream cannot persist its own input the way the batch
+    * [[graft.operators.Dedup.incrementalDropExactDups]] caches its
+    * collapse) — micro-batches are small by construction, and the
+    * probe projection is all either branch adds before its filter. */
   def bloomDedupStream(docs: DataFrame, textCol: String,
                        index: graft.operators.Dedup.ExactIndex): DataFrame = {
     val probed = docs.withColumn("__mc",
@@ -240,19 +246,21 @@ object StreamingParse {
                          benchmark: DataFrame, benchIdCol: String,
                          benchTextCol: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
-    val benchFps: Array[Long] = graft.operators.TextAnalysis
+    val benchDistinct = graft.operators.TextAnalysis
       .winnowFingerprints(benchmark, benchIdCol, benchTextCol, k, w)
       .select(col("fingerprint")).distinct()
-      .collect().map(_.getLong(0))
-    // the eval-suite-sized contract above, enforced: a corpus-sized
-    // "benchmark" would OOM the driver / bloat every task's serialized
-    // plan — fail fast with a pointer at the batch-tier alternative
-    require(benchFps.length <= 1000000,
-      s"winnowScreenStream benchmark has ${benchFps.length} distinct " +
+    // the eval-suite-sized contract, enforced BEFORE the collect: the
+    // count is one scalar action, so a corpus-sized "benchmark" fails
+    // fast with a pointer at the batch-tier alternative instead of
+    // OOMing the driver materializing the array it was about to reject
+    val nFps = benchDistinct.count()
+    require(nFps <= 1000000,
+      s"winnowScreenStream benchmark has $nFps distinct " +
         "fingerprints (limit 1,000,000): this operator is for " +
         "eval-suite-sized benchmarks carried as a plan literal; screen " +
         "against a large corpus with TextAnalysis.winnowContainment's " +
         "bucketed joins in the batch tier instead")
+    val benchFps: Array[Long] = benchDistinct.collect().map(_.getLong(0))
     val tk = split(lower(trim(col(textCol))), "\\s+")
     val hs = graft.operators.Dedup.gramHashesCol(tk, k)
     docs

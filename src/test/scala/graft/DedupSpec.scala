@@ -163,6 +163,22 @@ class DedupSpec extends SparkSpec {
     val kept2 = Dedup.incrementalDropExactDups(idx2, batch2, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == Seq(202L), s"got $kept2")
+    // append of an EMPTY survivor set (all-dups batch): the fallback
+    // sketch must share the aggregate's geometry or mergeInPlace
+    // throws IncompatibleMergeException — the all-dups-batch and
+    // empty-bootstrap cases
+    val allDups = Seq((300L, "seed text 5")).toDF("doc_id", "text")
+    val kept3 = Dedup.incrementalDropExactDups(idx2, allDups, "doc_id", "text")
+    assert(kept3.count() == 0L)
+    val idx3 = Dedup.appendToExactIndex(idx2, kept3, "text")
+    val empty = Dedup.buildExactIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+    val idx4 = Dedup.appendToExactIndex(empty, accepted, "text")
+    assert(Dedup.incrementalDropExactDups(idx4,
+        Seq((400L, "seed text 2"), (401L, "novel after bootstrap"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(401L))
+    assert(idx3.hashes.count() == idx2.hashes.count())
   }
 
   test("exact dedup keeps lowest id per identical text") {
