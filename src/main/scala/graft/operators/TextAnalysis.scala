@@ -407,15 +407,32 @@ object TextAnalysis {
     * the per-language denominator rides a window over the
     * ≤|languages|-row GROUPED frame, not a third scan of the corpus. */
   def corpusDatasheet(df: DataFrame, idCol: String, textCol: String,
-                      langCol: Option[String] = None): DataFrame = {
+                      langCol: Option[String] = None,
+                      exact: Boolean = true): DataFrame = {
     val toks = size(split(trim(col(textCol)), "\\s+")).cast("double")
     val base = df.select(col(textCol).as("__t"), toks.as("__n"))
+    // the two aggregates with a 100 TB problem get a sketch tier
+    // (`exact = false`, the q53 discipline): the exact median sorts a
+    // corpus-length column and exact_dup_frac's count-distinct
+    // aggregates the FULL normalized text as its key — at scale, swap
+    // in approx_percentile (mergeable, bounded memory) and an HLL++
+    // count over the 64-bit text hash (fixed-width shuffle rows; the
+    // hash adds a ~n²/2^65 birthday undercount on top of HLL's
+    // documented ~2% rsd — both negligible against a release-metrics
+    // contract). Exact is the gate-able calibration path (q91);
+    // the sketch tier is spec-pinned within tolerance against it.
+    val p50 =
+      if (exact) expr("percentile(__n, 0.5D)")
+      else expr("approx_percentile(__n, 0.5D)").cast("double")
+    val distinctTexts =
+      if (exact) countDistinct(lower(trim(col("__t"))))
+      else approx_count_distinct(xxhash64(lower(trim(col("__t")))))
     val agg = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("__n")).as("n_tokens_total"),
-      expr("percentile(__n, 0.5D)").as("tokens_p50"),
+      p50.as("tokens_p50"),
       avg(col("__n")).as("tokens_mean"),
-      (lit(1.0) - countDistinct(lower(trim(col("__t")))).cast("double") /
+      (lit(1.0) - distinctTexts.cast("double") /
         count(lit(1)).cast("double")).as("exact_dup_frac"),
       avg((trim(col("__t")) === "").cast("double")).as("empty_frac"))
     val long = agg.select(expr(

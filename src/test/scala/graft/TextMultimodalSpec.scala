@@ -249,6 +249,33 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("lang_frac:en") == 0.75 && got("lang_frac:de") == 0.25)
   }
 
+  test("corpusDatasheet sketch tier tracks the exact tier within tolerance") {
+    // the 100 TB path (approx_percentile median + HLL distinct over
+    // the text hash) on a corpus big enough for the sketches to work:
+    // 600 docs, every 3rd a shared duplicate text (dup_frac = 2/6),
+    // every 50th empty. Counts/sums/means are sketch-independent and
+    // must be EQUAL; p50 within the rank-error neighborhood, dup_frac
+    // within HLL's ~2% rsd margin.
+    val docs = (1L to 600L).map { i =>
+      val text =
+        if (i % 50 == 0) ""
+        else if (i % 3 == 0) "the shared duplicate corpus text"
+        else s"unique document $i " + ("tok " * (i % 40).toInt).trim
+      (i, text)
+    }.toDF("doc_id", "text")
+    def sheet(e: Boolean) = TextAnalysis.corpusDatasheet(docs, "doc_id",
+        "text", exact = e)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (ex, ap) = (sheet(true), sheet(false))
+    for (m <- Seq("n_docs", "n_tokens_total", "tokens_mean", "empty_frac"))
+      assert(ex(m) == ap(m), s"$m must be sketch-independent: $ex vs $ap")
+    assert(math.abs(ex("tokens_p50") - ap("tokens_p50")) <=
+      math.max(2.0, 0.05 * ex("tokens_p50")),
+      s"p50 ${ap("tokens_p50")} vs exact ${ex("tokens_p50")}")
+    assert(math.abs(ex("exact_dup_frac") - ap("exact_dup_frac")) < 0.05,
+      s"dup_frac ${ap("exact_dup_frac")} vs exact ${ex("exact_dup_frac")}")
+  }
+
   test("winnowContainment: planted quote screens hot, clean doc screens zero") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val train = Seq(
