@@ -1205,6 +1205,25 @@ object SparkEntry {
         .toDF("pfile", "input_lines", "output_rows").orderBy(col("pfile"))
     }),
 
+    // Corpus version diff: v2 removes every 9th doc, edits every 7th
+    // surviving doc's text, and adds a copy of every 11th under a new
+    // id — per-doc added/removed/changed/unchanged status must match a
+    // full-outer-join oracle that compares the TEXT values (the Spark
+    // side compares 128-bit text hashes — the documented scale shape —
+    // so the gate also pins that the hash comparison reaches the same
+    // statuses).
+    "q98_corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val next = docs.filter($"doc_id" % 9 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      operators.Curation.corpusDiff(docs, next, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2166,6 +2185,25 @@ object SparkEntry {
            CAST(SUM(CASE WHEN event_id % 101 <> 0 AND event_id % 103 <> 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS output_rows
          FROM events GROUP BY 1 ORDER BY pfile""",
+
+    "q98_corpus_diff" ->
+      """WITH p AS (SELECT doc_id, text FROM documents),
+         n AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 9 <> 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text FROM documents
+             WHERE doc_id % 11 = 0
+         )
+         SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN p.text = n.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+         ORDER BY doc_id""",
 
     "q09_sessionize" -> sessionizeOracleSql,
 

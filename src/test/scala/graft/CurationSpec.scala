@@ -184,6 +184,17 @@ class CurationSpec extends SparkSpec {
     assert(a.table.exists(_ > 0.1) && a.table.exists(_ < -0.1))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged on a hand corpus") {
+    val prev = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "same text"), (2L, "did change"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(prev, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
+
   test("dropDuplicateSpans: gram tiling, keep-first, intra-doc runs") {
     val docs = Seq(
       (1L, "a b c d e"),     // all grams first occurrences → kept whole
