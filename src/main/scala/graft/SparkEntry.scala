@@ -1224,6 +1224,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style per-language score bucketing (Wenzek et al. 2019):
+    // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
+    // Score = char length (deterministic, oracle-compact; the CCNet
+    // setting plugs q61's LM logprob into the same operator). The
+    // oracle recomputes quantile_cont thresholds per language and the
+    // <=-with-ties-down labeling — a wrong interpolation formula, a
+    // per-group/global mixup, or a boundary-side error all break it.
+    "q99_perplexity_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"lang",
+        length($"text").cast("double").as("score"))
+      operators.TextAnalysis.scoreBuckets(docs, "score", Seq("lang"))
+        .select($"doc_id", $"lang", $"score", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2204,6 +2219,20 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
          ORDER BY doc_id""",
+
+    "q99_perplexity_buckets" ->
+      """WITH s AS (SELECT doc_id, lang,
+           CAST(length(text) AS DOUBLE) AS score FROM documents),
+         th AS (SELECT lang,
+             quantile_cont(score, CAST(1 AS DOUBLE)/3) AS q0,
+             quantile_cont(score, CAST(2 AS DOUBLE)/3) AS q1
+           FROM s GROUP BY 1)
+         SELECT s.doc_id, s.lang, s.score,
+           CASE WHEN s.score <= th.q0 THEN 'tail'
+                WHEN s.score <= th.q1 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM s JOIN th USING (lang)
+         ORDER BY s.doc_id""",
 
     "q09_sessionize" -> sessionizeOracleSql,
 

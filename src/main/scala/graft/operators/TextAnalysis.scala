@@ -455,6 +455,54 @@ object TextAnalysis {
       .orderBy(col("metric"))
   }
 
+  /** Per-group score bucketing by percentile thresholds — the CCNet
+    * head/middle/tail discipline (Wenzek et al. 2019: documents are
+    * split per LANGUAGE into thirds by LM perplexity, and the tiers
+    * are sampled/filtered differently downstream). Generic over the
+    * score: pass [[unigramLogProb]]'s `logprob_per_token` for the
+    * CCNet setting (higher logprob = lower perplexity = cleaner →
+    * `head`), a quality or classifier score, or any ranking column.
+    *
+    * `cuts` are cumulative fractions; `labels` has one more entry,
+    * assigned ascending by score (`score <= threshold(cuts(i))` →
+    * `labels(i)`, ties to the lower tier; null scores → null bucket).
+    * Thresholds are the exact interpolating `percentile` per key
+    * group (the q53 discipline — bit-parity with `quantile_cont`, the
+    * gate-able calibration path); `exact = false` swaps in
+    * `approx_percentile` (mergeable sketch, bounded memory) for the
+    * 100 TB corpus where an exact per-group percentile's sort is
+    * unwelcome — spec-pinned against the exact tier within rank
+    * error.
+    *
+    * Scale shape: one partial-aggregatable percentile pass keyed by
+    * `keys` → a ≤|groups|-row threshold frame broadcast back → one
+    * labeling projection. No window over the corpus, no global sort. */
+  def scoreBuckets(df: DataFrame, scoreCol: String, keys: Seq[String],
+                   cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                   labels: Seq[String] = Seq("tail", "middle", "head"),
+                   exact: Boolean = true): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"need ${cuts.length + 1} labels for ${cuts.length} cuts")
+    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      "cuts must be ascending fractions in (0, 1)")
+    val pcts = cuts.zipWithIndex.map { case (c, i) =>
+      (if (exact) expr(s"percentile($scoreCol, ${c}D)")
+       else expr(s"approx_percentile($scoreCol, ${c}D)").cast("double"))
+        .as(s"__q$i") }
+    val th = (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
+      .agg(pcts.head, pcts.tail: _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(th))
+      else df.join(broadcast(th), keys)
+    val chain = cuts.indices.reverse.foldLeft(lit(labels.last): Column) {
+      (acc, i) => when(col(scoreCol) <= col(s"__q$i"), lit(labels(i)))
+        .otherwise(acc) }
+    joined
+      .withColumn("bucket",
+        when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(chain))
+      .drop(cuts.indices.map(i => s"__q$i"): _*)
+  }
+
   /** Deterministic hash bucket in [0, buckets): the reproducible
     * alternative to RNG sampling for training-data work — membership
     * depends only on the key, so re-runs, different partitionings and

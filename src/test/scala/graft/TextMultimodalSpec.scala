@@ -276,6 +276,33 @@ class TextMultimodalSpec extends SparkSpec {
       s"dup_frac ${ap("exact_dup_frac")} vs exact ${ex("exact_dup_frac")}")
   }
 
+  test("scoreBuckets: per-key thirds, ties down, null score -> null bucket") {
+    // key "a": scores 1..9 → q(1/3) = 11/3 ≈ 3.67, q(2/3) = 19/3 ≈ 6.33:
+    // 1-3 tail, 4-6 middle, 7-9 head. key "b": single row → both
+    // thresholds equal its score → ties-down puts it in tail.
+    val df = ((1 to 9).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+      Seq((10L, "b", Some(5.0)), (11L, "a", Option.empty[Double])))
+      .toDF("id", "k", "score")
+    val got = TextAnalysis.scoreBuckets(df, "score", Seq("k"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("bucket"))).toMap
+    for (i <- 1 to 3) assert(got(i.toLong).contains("tail"), s"$i: ${got(i.toLong)}")
+    for (i <- 4 to 6) assert(got(i.toLong).contains("middle"))
+    for (i <- 7 to 9) assert(got(i.toLong).contains("head"))
+    assert(got(10L).contains("tail"), "singleton group: ties go down")
+    assert(got(11L).isEmpty, "null score must bucket to null")
+    // approx tier agrees on a corpus where the sketch is exact-enough
+    val big = (1L to 300L).map(i => (i, "a", Some(i.toDouble)))
+      .toDF("id", "k", "score")
+    def buckets(e: Boolean) = TextAnalysis.scoreBuckets(big, "score",
+        Seq("k"), exact = e)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("bucket")).toMap
+    val (ex, ap) = (buckets(true), buckets(false))
+    val agree = ex.keys.count(k => ex(k) == ap(k))
+    assert(agree >= 294, s"approx tier must agree within rank error: $agree/300")
+  }
+
   test("winnowContainment: planted quote screens hot, clean doc screens zero") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val train = Seq(
