@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
       "season stage boundaries must not pin the session cache")
   }
 
+  test("q99: percentile thresholds partial-aggregate and broadcast back") {
+    val p = planOf("q99_perplexity_buckets")
+    assert(p.contains("partial_percentile"),
+      "threshold aggregation must partial-combine map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=|languages|-row threshold frame must broadcast, not shuffle " +
+        "the corpus")
+    assert(!p.contains("Window"), "no corpus-wide rank window allowed")
+  }
+
   test("q94: bloom probe is a projection; only positives reach the anti join") {
     val df = SparkEntry.queries("q94_bloom_incremental_exact")(spark, sf)
     // the native predicate lives in the optimized plan (the physical
