@@ -2215,7 +2215,7 @@ object SparkEntry {
          SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
            CASE WHEN p.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN p.text = n.text THEN 'unchanged'
+                WHEN p.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
          ORDER BY doc_id""",
@@ -2228,7 +2228,8 @@ object SparkEntry {
              quantile_cont(score, CAST(2 AS DOUBLE)/3) AS q1
            FROM s GROUP BY 1)
          SELECT s.doc_id, s.lang, s.score,
-           CASE WHEN s.score <= th.q0 THEN 'tail'
+           CASE WHEN s.score IS NULL THEN NULL
+                WHEN s.score <= th.q0 THEN 'tail'
                 WHEN s.score <= th.q1 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM s JOIN th USING (lang)

@@ -445,9 +445,7 @@ object Curation {
       .select(col(idCol), col("e.p").as("p"), col("e.g").as("g"))
     val keyed =
       (if (hashGrams)
-        occ.select(col(idCol), col("p"),
-          struct(xxhash64(lit(1), col("g")), xxhash64(lit(2), col("g")))
-            .as("k"))
+        occ.select(col(idCol), col("p"), Dedup.hash128(col("g")).as("k"))
       else occ.withColumnRenamed("g", "k"))
         // consumed twice (dupFirsts aggregate + join probe); without a
         // persist the ~n× text explode and its shuffle run twice at scale
@@ -572,36 +570,6 @@ object Curation {
     * in its shard are under the shard budget, so each shard overshoots
     * by at most one document (and a doc larger than the whole shard
     * budget can only be taken first). */
-  /** Corpus VERSION diff — the release-engineering step between two
-    * dataset versions: per-doc status `added` (id only in `next`),
-    * `removed` (id only in `prev`), `changed` (both, text differs) or
-    * `unchanged`. A training-data release ships this next to the
-    * datasheet ([[TextAnalysis.corpusDatasheet]]) so consumers see
-    * exactly what moved under them; feed the summary to CI to refuse
-    * surprise churn.
-    *
-    * Scale shape: each side is projected to (id, 128-bit text hash)
-    * BEFORE the join — the one full-outer hash join on the id shuffles
-    * 16-byte rows, never text (bucket both versions on `idCol` at
-    * write time and it is co-located shuffle-free). `changed` compares
-    * the double-xxhash64 struct (the q87 discipline): a false
-    * `unchanged` needs a 128-bit collision between two versions of
-    * the SAME document (~2^-128 per doc — and the blast radius is one
-    * report row, not a deletion). Returns (idCol, status); aggregate
-    * with `groupBy("status").count()` for the summary. */
-  def corpusDiff(prev: DataFrame, next: DataFrame,
-                 idCol: String, textCol: String): DataFrame = {
-    def slim(df: DataFrame, h: String) = df.select(col(idCol),
-      struct(xxhash64(lit(1), col(textCol)),
-        xxhash64(lit(2), col(textCol))).as(h))
-    slim(prev, "__hp").join(slim(next, "__hn"), Seq(idCol), "full_outer")
-      .select(col(idCol),
-        when(col("__hp").isNull, lit("added"))
-          .when(col("__hn").isNull, lit("removed"))
-          .when(col("__hp") === col("__hn"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
-  }
-
   def sampleToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
                           budgetTokens: Long, shards: Int = 64,
                           hashFn: Column => Column = xxhash64(_)): DataFrame = {
@@ -614,6 +582,41 @@ object Curation {
       .withColumn("__prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .filter(col("__prior") < lit(budgetTokens / shards))
       .drop("__h", "__shard", "__prior")
+  }
+
+  /** Corpus VERSION diff — the release-engineering step between two
+    * dataset versions: per-doc status `added` (id only in `next`),
+    * `removed` (id only in `prev`), `changed` (both, text differs) or
+    * `unchanged`. A training-data release ships this next to the
+    * datasheet ([[TextAnalysis.corpusDatasheet]]) so consumers see
+    * exactly what moved under them; feed the summary to CI to refuse
+    * surprise churn.
+    *
+    * Scale shape: each side is projected to (id, 128-bit text hash)
+    * BEFORE the join — the one full-outer hash join on the id shuffles
+    * 16-byte rows, never text (bucket both versions on `idCol` at
+    * write time and it is co-located shuffle-free). `changed` compares
+    * the [[Dedup.hash128]] struct (the q87 discipline): a false
+    * `unchanged` needs a 128-bit collision between two versions of
+    * the SAME document (~2^-128 per doc — and the blast radius is one
+    * report row, not a deletion); a doc null in BOTH versions is
+    * `unchanged` (null-safe struct equality). Returns (idCol,
+    * status); `groupBy("status").count()` for the summary. */
+  def corpusDiff(prev: DataFrame, next: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def slim(df: DataFrame, h: String) = df.select(col(idCol),
+      Dedup.hash128(col(textCol)).as(h))
+    // a NULL text still hashes (Spark hash exprs skip null inputs, so
+    // the struct is the seeds' hash — non-null): __hp/__hn are null
+    // ONLY for a full-outer miss, and two null-text versions compare
+    // equal → `unchanged`, the null-safe semantics the oracle mirrors
+    // with IS NOT DISTINCT FROM
+    slim(prev, "__hp").join(slim(next, "__hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__hp").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__hp") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
   }
 
   /** Sliding-window token chunking with overlap — the

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The engine's shared 128-bit key: a struct of two seeded xxhash64
+    * runs over `c` (seeds 1 and 2 — every user cites the same
+    * ~value²/2^129 birthday bound, so the seeds must never drift
+    * between call sites). Used wherever a collapse/compare key must
+    * be fixed-width for the shuffle but a 64-bit key's collision rate
+    * would be a real channel: hashed span-dedup grams (q87), the
+    * hashed rescue collapse (q93), the corpus version diff (q98). */
+  private[operators] def hash128(c: Column): Column =
+    struct(xxhash64(lit(1), c), xxhash64(lit(2), c))
+
   /** Exact dedup: keep the first (lowest orderCol) row per identical
     * value of `on`. A `min_by(struct(rest), orderCol)` hash aggregate,
     * NOT a row_number window: the aggregate partial-combines map-side,
@@ -443,10 +453,8 @@ object Dedup {
       // docs, vs the 64-bit key this same analysis rejected (see the
       // value-keyed comment). Decisions are parity-spec'd equal to the
       // value-keyed form on the gate corpora.
-      val key = struct(
-        xxhash64(lit(1), lower(trim(col(textCol)))),
-        xxhash64(lit(2), lower(trim(col(textCol)))))
-      val slim = df.select(col(idCol), key.as("__ck"))
+      val slim = df.select(col(idCol),
+        hash128(lower(trim(col(textCol)))).as("__ck"))
       val groups = slim.groupBy(col("__ck"))
         .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
         .observe(s"graft_ngram_rescue_${obsId.incrementAndGet()}",

@@ -417,16 +417,17 @@ object TextAnalysis {
     // aggregates the FULL normalized text as its key — at scale, swap
     // in approx_percentile (mergeable, bounded memory) and an HLL++
     // count over the 64-bit text hash (fixed-width shuffle rows; the
-    // hash adds a ~n²/2^65 birthday undercount on top of HLL's
-    // documented ~2% rsd — both negligible against a release-metrics
-    // contract). Exact is the gate-able calibration path (q91);
-    // the sketch tier is spec-pinned within tolerance against it.
+    // hash adds a ~n²/2^65 birthday undercount on top of the HLL's
+    // rsd, pinned to 2% explicitly — Spark's default is 5% — both
+    // negligible against a release-metrics contract). Exact is the
+    // gate-able calibration path (q91); the sketch tier is
+    // spec-pinned within tolerance against it.
     val p50 =
       if (exact) expr("percentile(__n, 0.5D)")
       else expr("approx_percentile(__n, 0.5D)").cast("double")
     val distinctTexts =
       if (exact) countDistinct(lower(trim(col("__t"))))
-      else approx_count_distinct(xxhash64(lower(trim(col("__t")))))
+      else approx_count_distinct(xxhash64(lower(trim(col("__t")))), 0.02)
     val agg = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("__n")).as("n_tokens_total"),
@@ -483,17 +484,30 @@ object TextAnalysis {
                    exact: Boolean = true): DataFrame = {
     require(labels.length == cuts.length + 1,
       s"need ${cuts.length + 1} labels for ${cuts.length} cuts")
-    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
-      "cuts must be ascending fractions in (0, 1)")
+    require(cuts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "cuts must be strictly ascending (a duplicate cut makes its " +
+        "label unreachable)")
+    require(cuts.forall(c => c > 0 && c < 1),
+      "cuts must be fractions in (0, 1)")
     val pcts = cuts.zipWithIndex.map { case (c, i) =>
-      (if (exact) expr(s"percentile($scoreCol, ${c}D)")
-       else expr(s"approx_percentile($scoreCol, ${c}D)").cast("double"))
+      (if (exact) expr(s"percentile(`$scoreCol`, ${c}D)")
+       else expr(s"approx_percentile(`$scoreCol`, ${c}D)").cast("double"))
         .as(s"__q$i") }
     val th = (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
       .agg(pcts.head, pcts.tail: _*)
+    // null-safe key join (<=>): groupBy keeps a null-key group, and an
+    // equi join would silently DROP every null-key row from the output
+    // (e.g. docs whose langid abstained) instead of bucketing them
+    // against their own group's thresholds
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(th))
-      else df.join(broadcast(th), keys)
+      else {
+        val thR = keys.foldLeft(th)((t, k) =>
+          t.withColumnRenamed(k, s"__k_$k"))
+        df.join(broadcast(thR),
+            keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _))
+          .drop(keys.map(k => s"__k_$k"): _*)
+      }
     val chain = cuts.indices.reverse.foldLeft(lit(labels.last): Column) {
       (acc, i) => when(col(scoreCol) <= col(s"__q$i"), lit(labels(i)))
         .otherwise(acc) }
