@@ -1239,6 +1239,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The CCNet composition end-to-end (Wenzek et al. 2019): the
+    // fitted corpus unigram-LM logprob (q61's operator, values
+    // bit-pinned there) bucketed into per-LANGUAGE head/middle/tail
+    // thirds (q99's operator). The oracle recomposes BOTH stages —
+    // the LM fit, the order-stable per-doc fold, per-language
+    // quantile_cont thresholds and the ties-down labeling — so a
+    // drift anywhere in the composition (score rounding, threshold
+    // group, boundary side) breaks the hash.
+    "q100_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"lang", $"text")
+      val scored = operators.TextAnalysis
+        .unigramLogProb(docs, "doc_id", "text")
+        .select($"doc_id", $"logprob_per_token".as("score"))
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      operators.TextAnalysis.scoreBuckets(scored, "score", Seq("lang"))
+        .select($"doc_id", $"lang", $"score", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate removal: a banner line injected into
     // EVERY doc (doc frequency 1.0 > 0.5) must drop; a notice line in
     // ~⅓ of docs and each doc's own text stay. The gate pins per-doc
@@ -2219,6 +2238,35 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
          ORDER BY doc_id""",
+
+    "q100_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) tf FROM toks
+           WHERE tok <> '' GROUP BY 1, 2),
+         c AS (SELECT tok, CAST(sum(tf) AS BIGINT) c FROM tf GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) T FROM c),
+         terms AS (SELECT doc_id, tok, tf,
+             tf * ln((c::DOUBLE) / (T::DOUBLE)) AS term
+           FROM tf JOIN c USING (tok) CROSS JOIN t),
+         s AS (SELECT doc_id,
+             round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b)
+               / CAST(sum(tf) AS DOUBLE), 6) AS score
+           FROM terms GROUP BY 1),
+         sl AS (SELECT s.doc_id, d.lang, s.score
+           FROM s JOIN documents d USING (doc_id)),
+         th AS (SELECT lang,
+             quantile_cont(score, CAST(1 AS DOUBLE)/3) AS q0,
+             quantile_cont(score, CAST(2 AS DOUBLE)/3) AS q1
+           FROM sl GROUP BY 1)
+         SELECT sl.doc_id, sl.lang, sl.score,
+           CASE WHEN sl.score IS NULL THEN NULL
+                WHEN sl.score <= th.q0 THEN 'tail'
+                WHEN sl.score <= th.q1 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sl JOIN th USING (lang)
+         ORDER BY sl.doc_id""",
 
     "q99_perplexity_buckets" ->
       """WITH s AS (SELECT doc_id, lang,
