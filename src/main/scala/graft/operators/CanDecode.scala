@@ -21,6 +21,34 @@ import graft.sources.CanSchema.{Bit, FieldSpec, Schema, U16LE, U8}
   */
 object CanDecode {
 
+  /** Field-count threshold above which the decode plans a
+    * whole-stage-codegen BARRIER between the frame generate and the
+    * decode expressions. Why: the frame table comes out of a
+    * `posexplode(regexp_extract_all(...))` Generate, and codegen
+    * inlines every downstream consumer into `generate_doConsume`,
+    * whose inputs are LOCAL VARIABLES — Spark cannot split an
+    * oversized method there (splitExpressions needs an INPUT_ROW the
+    * pieces can re-read), so a wide schema's decode blows janino's
+    * 64 KB method limit and the whole stage silently falls back to
+    * interpreted eval (ERROR CodeGenerator … "Code grows beyond
+    * 64 KB" — observed on the real 2020 schema, ~20× slower decode).
+    * A shuffle-free `coalesce` (CoalesceExec carries no
+    * CodegenSupport) ends the generate's stage, so the decode
+    * evaluates in a row-input stage where Spark DOES split it into
+    * many small methods. Narrow schemas (the hot p00 path) stay one
+    * fused stage. */
+  private val BarrierFieldCount = 64
+
+  private def wideSchema(schema: Schema): Boolean =
+    schema.allTopics.map(_._2.fields.size).sum > BarrierFieldCount
+
+  /** The no-op-partitioning codegen barrier: `coalesce` to a huge
+    * target keeps the current partitioning exactly (RDD coalesce
+    * never increases partitions) while inserting the non-codegen
+    * CoalesceExec node that ends the generate's fused stage. */
+  private def codegenBarrier(df: DataFrame): DataFrame =
+    df.coalesce(Int.MaxValue)
+
   /** hex byte at 0-based offset `off` of the payload hex string. */
   private def byteAt(payloadHex: Column, off: Int): Column =
     conv(substring(payloadHex, off * 2 + 1, 2), 16, 10).cast("int")
@@ -81,12 +109,39 @@ object CanDecode {
     }
     // flat coalesce keeps codegen shallow vs. a 136-deep CaseWhen chain
     val decoded = coalesce(branches: _*)
-    frames
-      .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
-        explode(decoded).as("f")): _*)
-      .select((carryCols.map(col) :+ col("timestamp") :+
-        col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
-        col("f.value") :+ col("f.unit")): _*)
+    // Wide schemas (see BarrierFieldCount): isolate the giant decode
+    // expression in its OWN Project between two codegen barriers. A
+    // generator expression cannot be method-split, so explode(decoded)
+    // inlined anywhere blows janino's 64 KB limit and the whole fused
+    // stage degrades to INTERPRETED generator eval; a standalone
+    // ProjectExec, by contrast, compiles the same expression as many
+    // small methods. The lower barrier keeps the regex-generate stage
+    // fused and stops projection collapse from re-deriving
+    // topic/payload inline per branch; the upper barrier stops the
+    // explode from collapsing back onto the decode Project.
+    // explode_outer + post-generate null filter, NOT explode: the
+    // inner explode makes InferFiltersFromGenerate clone the whole
+    // generator expression into a `size(...) > 0` filter, which
+    // predicate pushdown then substitutes through the __dec alias and
+    // sinks below both barriers — re-inflating the generate stage the
+    // barriers exist to protect. The rule skips OUTER generates; the
+    // explicit isNotNull on the generator OUTPUT cannot sink below
+    // the generate, and undecodable frames drop exactly as before.
+    val src =
+      if (wideSchema(schema))
+        codegenBarrier(
+          codegenBarrier(frames)
+            .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+              decoded.as("__dec")): _*))
+          .select((carryCols.map(col) :+ col("timestamp") :+
+            explode_outer(col("__dec")).as("f")): _*)
+          .filter(col("f").isNotNull)
+      else frames
+        .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+          explode(decoded).as("f")): _*)
+    src.select((carryCols.map(col) :+ col("timestamp") :+
+      col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
+      col("f.value") :+ col("f.unit")): _*)
   }
 
   /** Direct frame → wide decode: the parse stage's hot path. Computes
@@ -129,10 +184,29 @@ object CanDecode {
           .as(s"${m.name}__${t.name}__${f.name}")
       }
     }
-    prepped
-      .filter(length(pl) === expectedLen)
+    // P5/P6 as a POST-aggregation group filter, not a row pre-filter:
+    // a pre-filter predicate gets pushed below any codegen barrier
+    // into the regex-generate's fused stage, where projection collapse
+    // re-derives topic/payload inline in every branch and the
+    // expression blows janino's 64 KB method limit on wide schemas
+    // (observed: the whole scan→generate→decode stage then silently
+    // de-fuses). Counting owned frames per group instead is
+    // value-identical — a group exists in the output iff ≥ 1 frame
+    // passed the (sig, topic, Q3-length) test, and avg() already
+    // ignores the null contributions of rejected frames — while the
+    // tiny count predicate cannot be pushed below the aggregate.
+    val decodable = length(pl) === expectedLen
+    val withN = aggs :+ sum(when(decodable, 1L).otherwise(0L)).as("__n_frames")
+    // wide schemas: the hundreds of avg(when(...)) update expressions
+    // must not inline into the upstream regex-generate's fused stage
+    // (see BarrierFieldCount) — behind the barrier the partial
+    // aggregate reads rows, where aggregate-function splitting keeps
+    // every generated method under the 64 KB limit
+    (if (wideSchema(schema)) codegenBarrier(prepped) else prepped)
       .groupBy((keys.map(col) :+ col("ts").as("timestamp")): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(withN.head, withN.tail: _*)
+      .filter(col("__n_frames") > 0)
+      .drop("__n_frames")
   }
 
   /** A1 (lib/canparser.py:222-239) — long → wide signal matrix:

@@ -126,4 +126,45 @@ class ParseStageSpec extends SparkSpec {
     assert(wide.filter(col("MCC19_3__MEASUREMENTS__OUTPUT_VOLTAGE").isNotNull)
       .count() == 100)
   }
+
+  test("wide-schema parse keeps whole-stage codegen: no 64 KB fallback") {
+    // the hot-path guarantee behind CanDecode's codegen barrier + the
+    // post-aggregation P6 filter: a real season schema's decodeWide
+    // must EXECUTE without janino's "Code grows beyond 64 KB" failure
+    // (which silently de-fuses the whole scan→generate→decode stage to
+    // interpreted-ish eval — the round-9 find). Pinned by capturing
+    // the CodeGenerator logger's ERROR events during a real action.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender("graft_cg_probe", null, null, true,
+        Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel == Level.ERROR &&
+            e.getLoggerName.contains("CodeGenerator"))
+          errors.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+      val dir = Files.createTempDirectory("cgprobe")
+      Files.write(dir.resolve("s.log"), (0 until 50).map { i =>
+        f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+      }.mkString("\n").getBytes)
+      val n = ParseStage.run(spark, dir.toString + "/*.log", s20).count()
+      assert(n == 50)
+      import scala.jdk.CollectionConverters._
+      assert(errors.asScala.isEmpty,
+        s"wide-schema parse hit codegen fallback:\n${errors.asScala.headOption}")
+    } finally {
+      root.removeAppender("graft_cg_probe")
+      ctx.updateLoggers()
+    }
+  }
 }
