@@ -184,29 +184,46 @@ object CanDecode {
           .as(s"${m.name}__${t.name}__${f.name}")
       }
     }
-    // P5/P6 as a POST-aggregation group filter, not a row pre-filter:
-    // a pre-filter predicate gets pushed below any codegen barrier
-    // into the regex-generate's fused stage, where projection collapse
-    // re-derives topic/payload inline in every branch and the
-    // expression blows janino's 64 KB method limit on wide schemas
-    // (observed: the whole scan→generate→decode stage then silently
-    // de-fuses). Counting owned frames per group instead is
-    // value-identical — a group exists in the output iff ≥ 1 frame
-    // passed the (sig, topic, Q3-length) test, and avg() already
-    // ignores the null contributions of rejected frames — while the
-    // tiny count predicate cannot be pushed below the aggregate.
-    val decodable = length(pl) === expectedLen
-    val withN = aggs :+ sum(when(decodable, 1L).otherwise(0L)).as("__n_frames")
-    // wide schemas: the hundreds of avg(when(...)) update expressions
-    // must not inline into the upstream regex-generate's fused stage
-    // (see BarrierFieldCount) — behind the barrier the partial
-    // aggregate reads rows, where aggregate-function splitting keeps
-    // every generated method under the 64 KB limit
-    (if (wideSchema(schema)) codegenBarrier(prepped) else prepped)
-      .groupBy((keys.map(col) :+ col("ts").as("timestamp")): _*)
-      .agg(withN.head, withN.tail: _*)
-      .filter(col("__n_frames") > 0)
-      .drop("__n_frames")
+    if (!wideSchema(schema)) {
+      // narrow schemas keep the original pushable row pre-filter —
+      // rejected frames never reach the aggregate, and the plan is
+      // exactly the pre-round-9 hot-path shape (p00)
+      prepped
+        .filter(length(pl) === expectedLen)
+        .groupBy((keys.map(col) :+ col("ts").as("timestamp")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      // Wide schemas: P5/P6 as a POST-aggregation group filter, not a
+      // row pre-filter — a pre-filter predicate gets pushed below the
+      // codegen barrier into the regex-generate's fused stage, where
+      // projection collapse re-derives topic/payload inline in every
+      // branch and the expression blows janino's 64 KB method limit
+      // (observed: the whole scan→generate→decode stage then silently
+      // de-fuses). Counting OWNED frames per group is value-identical
+      // to the pre-filter even when a schema carries duplicate
+      // (sig, topic) claims with different declared sizes: the
+      // predicate is the disjunction of the same per-claim owns tests
+      // the avg() columns use (NOT `length === expectedLen`, which
+      // would key survival to the first-listed claim's size), so a
+      // group survives iff ≥ 1 frame decodes under SOME claim, and
+      // avg() already ignores rejected frames' null contributions.
+      // The tiny count predicate cannot be pushed below the aggregate.
+      val anyOwns = schema.allTopics.map { case (m, t) =>
+        sg === m.signature && col("topic") === t.id &&
+          length(pl) === t.declaredSize * 2
+      }.reduce(_ || _)
+      val withN = aggs :+ sum(when(anyOwns, 1L).otherwise(0L)).as("__n_frames")
+      // the hundreds of avg(when(...)) update expressions must not
+      // inline into the upstream regex-generate's fused stage (see
+      // BarrierFieldCount) — behind the barrier the partial aggregate
+      // reads rows, where aggregate-function splitting keeps every
+      // generated method under the 64 KB limit
+      codegenBarrier(prepped)
+        .groupBy((keys.map(col) :+ col("ts").as("timestamp")): _*)
+        .agg(withN.head, withN.tail: _*)
+        .filter(col("__n_frames") > 0)
+        .drop("__n_frames")
+    }
   }
 
   /** A1 (lib/canparser.py:222-239) — long → wide signal matrix:

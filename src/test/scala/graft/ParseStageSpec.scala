@@ -127,6 +127,41 @@ class ParseStageSpec extends SparkSpec {
       .count() == 100)
   }
 
+  /** Capture CodeGenerator ERRORs and WholeStageCodegenExec
+    * disabled-plan WARNs while `body` runs real Spark actions — the
+    * probe behind the wide-schema codegen guarantees. Returns
+    * (compileErrors, disabledPlans). */
+  private def codegenProbe(body: => Unit): (Seq[String], Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val disabled = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender("graft_cg_probe", null, null, true,
+        Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val msg = e.getMessage.getFormattedMessage
+        if (e.getLevel == Level.ERROR &&
+            e.getLoggerName.contains("CodeGenerator")) errors.add(msg)
+        if (e.getLoggerName.contains("WholeStageCodegen") &&
+            msg.contains("codegen disabled")) disabled.add(msg)
+        ()
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try body finally {
+      root.removeAppender("graft_cg_probe")
+      ctx.updateLoggers()
+    }
+    import scala.jdk.CollectionConverters._
+    (errors.asScala.toSeq, disabled.asScala.toSeq)
+  }
+
   test("wide-schema parse keeps whole-stage codegen: no 64 KB fallback") {
     // the hot-path guarantee behind CanDecode's codegen barrier + the
     // post-aggregation P6 filter: a real season schema's decodeWide
@@ -134,37 +169,44 @@ class ParseStageSpec extends SparkSpec {
     // (which silently de-fuses the whole scan→generate→decode stage to
     // interpreted-ish eval — the round-9 find). Pinned by capturing
     // the CodeGenerator logger's ERROR events during a real action.
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
-    import org.apache.logging.log4j.core.appender.AbstractAppender
-    import org.apache.logging.log4j.core.config.Property
-    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    val appender = new AbstractAppender("graft_cg_probe", null, null, true,
-        Property.EMPTY_ARRAY) {
-      override def append(e: LogEvent): Unit =
-        if (e.getLevel == Level.ERROR &&
-            e.getLoggerName.contains("CodeGenerator"))
-          errors.add(e.getMessage.getFormattedMessage)
-    }
-    appender.start()
-    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val root = ctx.getConfiguration.getRootLogger
-    root.addAppender(appender, Level.ERROR, null)
-    ctx.updateLoggers()
-    try {
-      val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
-      val dir = Files.createTempDirectory("cgprobe")
-      Files.write(dir.resolve("s.log"), (0 until 50).map { i =>
-        f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
-      }.mkString("\n").getBytes)
+    val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+    val dir = Files.createTempDirectory("cgprobe")
+    Files.write(dir.resolve("s.log"), (0 until 50).map { i =>
+      f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+    }.mkString("\n").getBytes)
+    val (errors, _) = codegenProbe {
       val n = ParseStage.run(spark, dir.toString + "/*.log", s20).count()
       assert(n == 50)
-      import scala.jdk.CollectionConverters._
-      assert(errors.asScala.isEmpty,
-        s"wide-schema parse hit codegen fallback:\n${errors.asScala.headOption}")
-    } finally {
-      root.removeAppender("graft_cg_probe")
-      ctx.updateLoggers()
     }
+    assert(errors.isEmpty,
+      s"wide-schema parse hit codegen fallback:\n${errors.headOption}")
+  }
+
+  test("wide-schema decodeLong: the generate stage never de-fuses") {
+    // decodeLong's wide path DELIBERATELY isolates the giant decode
+    // expression in its own Project (a generator expression cannot be
+    // method-split), so that Project alone may de-fuse to a
+    // split-method standalone projection — but the regex-generate
+    // stage below it must STAY fused: a regression that re-inlines
+    // the decode into generate_doConsume (pushdown through the
+    // barriers, InferFiltersFromGenerate cloning — both round-9
+    // finds) shows up as a disabled plan containing a Generate node.
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+    val dir = Files.createTempDirectory("cgprobe_long")
+    Files.write(dir.resolve("s.log"), (0 until 50).map { i =>
+      f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+    }.mkString("\n").getBytes)
+    val lines = spark.read.text(dir.toString + "/*.log")
+      .select(col("value").as("line"), input_file_name().as("file"))
+    val (_, disabled) = codegenProbe {
+      val n = graft.operators.CanDecode.decodeLong(
+        graft.sources.Candump.framesFromLines(lines), s20).count()
+      assert(n == 50 * 5) // 5 decoded fields per MCC19_4 MEASUREMENTS frame
+    }
+    val defusedGenerate = disabled.filter(_.contains("Generate "))
+    assert(defusedGenerate.isEmpty,
+      "the regex-generate stage de-fused — the decode expression " +
+        s"leaked back into it:\n${defusedGenerate.headOption.map(_.take(800))}")
   }
 }
