@@ -1231,8 +1231,14 @@ object SparkEntry {
     // oracle recomputes quantile_cont thresholds per language and the
     // <=-with-ties-down labeling — a wrong interpolation formula, a
     // per-group/global mixup, or a boundary-side error all break it.
+    // a planted NULL-lang stratum (doc_id % 7) gates the null-key
+    // contract for real: scoreBuckets keys its threshold join with
+    // null-safe <=> so langid-abstained docs form their own bucket
+    // group, and the oracle must mirror it with IS NOT DISTINCT FROM
+    // (a plain equi/USING join silently drops the whole stratum)
     "q99_perplexity_buckets" -> ((s, d) => {
-      val docs = t(s, d, "documents").select($"doc_id", $"lang",
+      val docs = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 0, lit(null)).otherwise($"lang").as("lang"),
         length($"text").cast("double").as("score"))
       operators.TextAnalysis.scoreBuckets(docs, "score", Seq("lang"))
         .select($"doc_id", $"lang", $"score", $"bucket")
@@ -2265,11 +2271,12 @@ object SparkEntry {
                 WHEN sl.score <= th.q0 THEN 'tail'
                 WHEN sl.score <= th.q1 THEN 'middle'
                 ELSE 'head' END AS bucket
-         FROM sl JOIN th USING (lang)
+         FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
          ORDER BY sl.doc_id""",
 
     "q99_perplexity_buckets" ->
-      """WITH s AS (SELECT doc_id, lang,
+      """WITH s AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
            CAST(length(text) AS DOUBLE) AS score FROM documents),
          th AS (SELECT lang,
              quantile_cont(score, CAST(1 AS DOUBLE)/3) AS q0,
@@ -2280,7 +2287,7 @@ object SparkEntry {
                 WHEN s.score <= th.q0 THEN 'tail'
                 WHEN s.score <= th.q1 THEN 'middle'
                 ELSE 'head' END AS bucket
-         FROM s JOIN th USING (lang)
+         FROM s JOIN th ON s.lang IS NOT DISTINCT FROM th.lang
          ORDER BY s.doc_id""",
 
     "q09_sessionize" -> sessionizeOracleSql,

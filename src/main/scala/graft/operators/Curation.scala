@@ -457,15 +457,25 @@ object Curation {
       .select(col("k"), col("f"))
     val del = keyed.join(dupFirsts, Seq("k"))
       .filter(!(col(idCol) === col("f.fid") && col("p") === col("f.fp")))
-    // eagerly checkpoint the (small) covered-word set: the one job it
-    // runs scans the persisted `keyed` once for the aggregate and once
-    // for the probe (cache hit), after which the ~n× gram block can be
-    // released immediately instead of living until the caller acts
+    // eagerly materialize the (small) covered-word set into a PERSIST,
+    // not a localCheckpoint: the one job it runs scans the persisted
+    // `keyed` once for the aggregate and once for the probe (cache
+    // hit), after which the ~n× gram block is released immediately.
+    // persist keeps the LINEAGE, so an executor loss after keyed is
+    // gone recomputes covered (slower — keyed rebuilds uncached — but
+    // correct), where a localCheckpoint's non-reliable blocks would
+    // fail every downstream job. `covered` then lives as
+    // session-lifecycle cache like the gram tables (MEMORY_AND_DISK,
+    // LRU-evictable; drivers clearCache between queries) — the
+    // returned frame is lazy, so this function cannot know when its
+    // consumers finish. The finally keeps `keyed` from staying pinned
+    // if the materialization job throws.
     val covered = del
       .select(col(idCol), explode(expr(s"sequence(p, p + ${n - 1})")).as("w"))
       .distinct()
-      .localCheckpoint(true)
-    keyed.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try covered.count()
+    finally keyed.unpersist()
     removeCoveredWords(df, covered, idCol, textCol)
   }
 

@@ -985,8 +985,18 @@ object Dedup {
   }
 
   /** Grow the index with accepted survivors: the hash table unions
-    * (one projection over the NEW docs only) and the Bloom merges
-    * driver-side (`mergeInPlace` — same `numBits` by construction). */
+    * (one projection over the NEW docs only — a lazy union, NO
+    * re-shuffle of the existing index) and the Bloom merges
+    * driver-side (`mergeInPlace` — same `numBits` by construction).
+    *
+    * The union is deliberately NOT distinct()ed: in intended use the
+    * appended docs are [[incrementalDropExactDups]] survivors, which
+    * by construction duplicate no existing index text, and a global
+    * distinct would re-shuffle the ENTIRE accepted table on every
+    * batch — O(corpus) per append at the scale this API exists for.
+    * Even under misuse (appending un-screened docs), duplicate
+    * (hash, text) rows are harmless: the verification join is
+    * left_anti, so extra copies of a build-side key change nothing. */
   def appendToExactIndex(index: ExactIndex, accepted: DataFrame,
                          textCol: String): ExactIndex = {
     val add = buildExactIndex(accepted, textCol, index.expectedItems,
@@ -997,7 +1007,7 @@ object Dedup {
       .readFrom(new java.io.ByteArrayInputStream(add.bloom)))
     val bos = new java.io.ByteArrayOutputStream()
     merged.writeTo(bos)
-    ExactIndex(index.hashes.unionByName(add.hashes).distinct(),
+    ExactIndex(index.hashes.unionByName(add.hashes),
       bos.toByteArray, index.expectedItems, index.numBits)
   }
 

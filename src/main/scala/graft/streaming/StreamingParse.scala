@@ -249,18 +249,25 @@ object StreamingParse {
     val benchDistinct = graft.operators.TextAnalysis
       .winnowFingerprints(benchmark, benchIdCol, benchTextCol, k, w)
       .select(col("fingerprint")).distinct()
+      // consumed twice (the size-guard count + the collect): persisted
+      // so the fingerprint pipeline (tokenize → gram-hash → window
+      // select → distinct) runs once, not once per action
+      .persist()
     // the eval-suite-sized contract, enforced BEFORE the collect: the
     // count is one scalar action, so a corpus-sized "benchmark" fails
     // fast with a pointer at the batch-tier alternative instead of
     // OOMing the driver materializing the array it was about to reject
-    val nFps = benchDistinct.count()
-    require(nFps <= 1000000,
-      s"winnowScreenStream benchmark has $nFps distinct " +
-        "fingerprints (limit 1,000,000): this operator is for " +
-        "eval-suite-sized benchmarks carried as a plan literal; screen " +
-        "against a large corpus with TextAnalysis.winnowContainment's " +
-        "bucketed joins in the batch tier instead")
-    val benchFps: Array[Long] = benchDistinct.collect().map(_.getLong(0))
+    val benchFps: Array[Long] =
+      try {
+        val nFps = benchDistinct.count()
+        require(nFps <= 1000000,
+          s"winnowScreenStream benchmark has $nFps distinct " +
+            "fingerprints (limit 1,000,000): this operator is for " +
+            "eval-suite-sized benchmarks carried as a plan literal; screen " +
+            "against a large corpus with TextAnalysis.winnowContainment's " +
+            "bucketed joins in the batch tier instead")
+        benchDistinct.collect().map(_.getLong(0))
+      } finally benchDistinct.unpersist()
     val tk = split(lower(trim(col(textCol))), "\\s+")
     val hs = graft.operators.Dedup.gramHashesCol(tk, k)
     docs
