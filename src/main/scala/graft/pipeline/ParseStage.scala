@@ -47,7 +47,12 @@ object ParseStage {
     outputPath.foreach { out =>
       val p = new Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) return spark.read.parquet(out) // skip-if-exists
+      // skip-if-exists, where "exists" requires the _SUCCESS job-commit
+      // marker (Sinks.isCompleteOutput): a torn dir from a killed run
+      // falls through to the Overwrite write below instead of being
+      // adopted as a complete parse output
+      if (graft.sources.Sinks.isCompleteOutput(fs, p))
+        return spark.read.parquet(out)
     }
     val frames = Candump.cropToFileRange(
       Candump.frames(spark, inputGlob, offsetMicros))

@@ -27,12 +27,35 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** S4+S9: parquet sink with skip-if-exists incremental semantics. */
+  /** S9 completeness test: an output directory counts as COMPLETE
+    * only if it carries the job-commit marker (`_SUCCESS`, written by
+    * Hadoop's FileOutputCommitter when the whole job committed). A
+    * directory with part files but no marker is a TORN output — a
+    * driver killed mid-write — and treating it as done would silently
+    * feed a partial dataset to every later stage. Deliberate deviation
+    * from the reference, which skips on bare existence
+    * (lib/canparser.py:315-317) and is equally blind to torn runs. */
+  private[graft] def isCompleteOutput(fs: org.apache.hadoop.fs.FileSystem,
+                                      p: Path): Boolean =
+    fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+
+  /** S4+S9: parquet sink with skip-if-exists incremental semantics.
+    * "Exists" means COMPLETE ([[isCompleteOutput]]): a torn dir from
+    * a killed run is removed and rewritten, so a restart converges to
+    * a full output instead of adopting a partial one. */
   def writeParquetIfAbsent(df: DataFrame, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) false
-    else { df.write.parquet(path); true }
+    if (isCompleteOutput(fs, p)) false
+    else {
+      if (fs.exists(p)) {
+        System.err.println(s"[graft] rewriting torn output $p " +
+          "(files present but no _SUCCESS marker — prior run died mid-write)")
+        fs.delete(p, true)
+      }
+      df.write.parquet(path)
+      true
+    }
   }
 
   /** Bucketed parquet table: pre-shuffles ONCE at write time so every

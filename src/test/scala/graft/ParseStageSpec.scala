@@ -26,6 +26,23 @@ class ParseStageSpec extends SparkSpec {
     val again = ParseStage.run(spark, dir.toString + "/*.log",
       CanFixtures.schema, Some(out))
     assert(again.count() == 3)
+    // a torn output (part files, no _SUCCESS — a run killed mid-write)
+    // must be re-parsed, not adopted: delete the commit marker AND a
+    // data file; the restart run must restore all 3 rows
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.delete(outDir.resolve("_SUCCESS"))
+    val dataDirs = java.nio.file.Files.list(outDir).iterator()
+    while (dataDirs.hasNext) { // partitionBy("file") → file=... subdirs
+      val sub = dataDirs.next()
+      if (java.nio.file.Files.isDirectory(sub)) {
+        val parts = java.nio.file.Files.list(sub).iterator()
+        if (parts.hasNext) java.nio.file.Files.delete(parts.next())
+      }
+    }
+    val restored = ParseStage.run(spark, dir.toString + "/*.log",
+      CanFixtures.schema, Some(out))
+    assert(restored.count() == 3)
+    assert(spark.read.parquet(out).count() == 3)
     val rep = ParseStage.report(spark, dir.toString + "/*.log", wide)
     assert(rep.map(r => (r.inputLines, r.outputRows)) == Seq((4L, 3L)))
     // per-file elapsed attributed proportionally by input lines

@@ -194,4 +194,26 @@ class UnifyPipelineSpec extends SparkSpec {
     assert(Sinks.writeParquetIfAbsent(df, dir.resolve("p.parquet").toString))
     assert(!Sinks.writeParquetIfAbsent(df, dir.resolve("p.parquet").toString))
   }
+
+  test("Sinks: torn output (no _SUCCESS) is rewritten, not adopted (S9)") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("torn")
+    val path = dir.resolve("out.parquet").toString
+    val v1 = Seq((1, "stale")).toDF("id", "v")
+    val v2 = Seq((1, "fresh"), (2, "fresh")).toDF("id", "v")
+    assert(Sinks.writeParquetIfAbsent(v1, path))
+    // simulate a driver killed mid-write: part files on disk, commit
+    // marker never written
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_SUCCESS"))
+    // the torn dir must NOT count as done — the rewrite replaces the
+    // stale partial content wholesale (no stale part files survive)
+    assert(Sinks.writeParquetIfAbsent(v2, path))
+    val rt = spark.read.parquet(path)
+    assert(rt.count() == 2)
+    assert(rt.select("v").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("fresh"))
+    // and a COMPLETE dir still short-circuits
+    assert(!Sinks.writeParquetIfAbsent(v1, path))
+    assert(spark.read.parquet(path).count() == 2)
+  }
 }
