@@ -48,6 +48,23 @@ object Bench {
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
+    // Quiet-start INVARIANT, not virtue: ambient co-tenant load has
+    // twice manufactured phantom regressions (round 8's q74 "24 s",
+    // round 9's q52 "7.9 s" — both ~half load) that cost a judge-round
+    // each to acquit. The artifact now self-declares `"quiet"` (start
+    // load < 1 on this 32-cpu box), and SPARK_GRAFT_BENCH_REQUIRE_QUIET
+    // refuses to measure at all on a busy box — failing loudly beats
+    // committing a number two rounds of people then have to distrust.
+    val quietStart = loadStart < 1.0
+    if (sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true")) && !quietStart) {
+      System.err.println(f"[bench] REFUSING to run: load_avg_start " +
+        f"$loadStart%.2f >= 1.0 with SPARK_GRAFT_BENCH_REQUIRE_QUIET set — " +
+        "wait for the box to drain or unset the gate to record a " +
+        "quiet:false artifact")
+      spark.stop()
+      sys.exit(3)
+    }
     // per-query raw run times and GC delta, reported alongside the min
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val gcDeltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -228,6 +245,7 @@ object Bench {
       s""""runs":$runsJson,"gc_ms":$gcJson,""" +
       s""""unstable":$unstableJson,"spread":$spreadJson,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
+      s""""quiet":$quietStart,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}"""
     println(json)
