@@ -1108,8 +1108,12 @@ object SparkEntry {
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
         .unionByName(docs.filter($"doc_id" % 10 === 1)
           .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      // shards = 4 runs the gate through the SHARDED sketch tier (the
+      // past-2^26-bits capacity path): decisions must be identical to
+      // the plain anti-join oracle regardless of which shard's sketch
+      // answers each probe
       val idx = operators.Dedup.buildExactIndex(
-        docs.filter($"doc_id" % 2 === 0), "text")
+        docs.filter($"doc_id" % 2 === 0), "text", shards = 4)
       operators.Dedup.incrementalDropExactDups(idx, batch, "doc_id", "text")
         .select($"doc_id").orderBy($"doc_id")
     }),

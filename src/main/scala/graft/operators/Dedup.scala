@@ -935,12 +935,28 @@ object Dedup {
     * verification join is co-located shuffle-free on the index side.
     *
     * Sizing: `numBits` defaults to 2^23 (1 MiB — fpp ≈ 1% at 2^20
-    * items); Spark caps the aggregate at
-    * `spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold`-
-    * family confs (`maxNumBits` 2^26 default) — raise them alongside
-    * these parameters for billion-doc corpora, or shard the index. */
-  final case class ExactIndex(hashes: DataFrame, bloom: Array[Byte],
-                              expectedItems: Long, numBits: Long)
+    * items) PER SHARD; Spark caps one sketch at the
+    * `spark.sql.optimizer.runtime.bloomFilter.*` conf family
+    * (`maxNumBits` 2^26 default, ~4M items at 1% fpp). Past that cap
+    * the index SHARDS: `shards = k` hash-partitions the key space by
+    * `pmod(xxhash64(text), k)` into k independent sketches of the
+    * same per-shard geometry, so total capacity is k × expectedItems
+    * with per-shard fpp — billions of accepted docs without touching
+    * the conf caps (k=256 shards of 2^26 bits = 2 GiB driver-side,
+    * 10^9 items at ~1% fpp). Every probe consults exactly the one
+    * sketch its shard owns ([[mightContainIndexCol]]'s CASE over the
+    * shard id), so fpp does NOT compound across shards. */
+  final case class ExactIndex(hashes: DataFrame,
+                              blooms: IndexedSeq[Array[Byte]],
+                              expectedItems: Long, numBits: Long) {
+    def shards: Int = blooms.size
+    /** Single-sketch accessor for unsharded indexes (the k=1 default). */
+    def bloom: Array[Byte] = {
+      require(blooms.size == 1,
+        s"index has ${blooms.size} shards; probe via mightContainIndexCol")
+      blooms.head
+    }
+  }
 
   /** Bloom-filter membership probe as a Column: Spark's native
     * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
@@ -956,33 +972,68 @@ object Dedup {
 
   def buildExactIndex(corpus: DataFrame, textCol: String,
                       expectedItems: Long = 1L << 20,
-                      numBits: Long = 1L << 23): ExactIndex = {
+                      numBits: Long = 1L << 23,
+                      shards: Int = 1): ExactIndex = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val hashes = corpus.select(col(textCol).as("__t")).distinct()
       .select(xxhash64(col("__t")).as("__h"), col("__t"))
     val bloomAgg = org.apache.spark.sql.GraftExpressionBridge.column(
       new BloomFilterAggregate(
-        org.apache.spark.sql.GraftExpressionBridge.expression(
-          xxhash64(col("__t"))),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("__h")),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val row = hashes.agg(bloomAgg.as("bf")).head()
-    // empty corpus → the aggregate yields null; the explicit empty
-    // sketch keeps the probe a plain always-false projection AND must
-    // share the aggregate's exact geometry (same expectedItems/numBits
-    // → same bitSize/numHashFunctions), or a later
-    // [[appendToExactIndex]] mergeInPlace against it throws
-    // IncompatibleMergeException — the all-dups-batch / empty-bootstrap
-    // cases hit this
-    val bytes =
-      if (row.isNullAt(0)) {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.spark.util.sketch.BloomFilter
-          .create(expectedItems, numBits).writeTo(bos)
-        bos.toByteArray
-      } else row.getAs[Array[Byte]](0)
-    ExactIndex(hashes, bytes, expectedItems, numBits)
+    // an empty corpus (k=1) or an empty SHARD (k>1: no accepted hash
+    // lands in that partition of the key space) yields no sketch; the
+    // explicit empty sketch keeps its probe a plain always-false
+    // projection AND must share the aggregate's exact geometry (same
+    // expectedItems/numBits → same bitSize/numHashFunctions), or a
+    // later [[appendToExactIndex]] mergeInPlace against it throws
+    // IncompatibleMergeException — the all-dups-batch /
+    // empty-bootstrap cases hit this
+    def emptySketch(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, numBits).writeTo(bos)
+      bos.toByteArray
+    }
+    val blooms: IndexedSeq[Array[Byte]] =
+      if (shards == 1) {
+        val row = hashes.agg(bloomAgg.as("bf")).head()
+        IndexedSeq(
+          if (row.isNullAt(0)) emptySketch()
+          else row.getAs[Array[Byte]](0))
+      } else {
+        // ONE grouped pass over the hash table: k sketches built in
+        // parallel by a hash aggregate on the shard id (partial
+        // sketches combine map-side — the same scan cost as the
+        // single-sketch build, never k passes)
+        val built = hashes
+          .groupBy(pmod(col("__h"), lit(shards.toLong)).as("__s"))
+          .agg(bloomAgg.as("bf"))
+          .collect()
+          .map(r => r.getLong(0).toInt -> r.getAs[Array[Byte]]("bf"))
+          .toMap
+        IndexedSeq.tabulate(shards)(i => built.getOrElse(i, emptySketch()))
+      }
+    ExactIndex(hashes, blooms, expectedItems, numBits)
   }
+
+  /** Membership probe against a (possibly sharded) [[ExactIndex]]:
+    * routes each row's LONG hash to the one sketch owning its
+    * `pmod(hash, k)` shard — a CASE over k plan-literal sketches, so
+    * the probe stays a pure codegen'd projection and per-shard fpp is
+    * the whole index's fpp (no compounding). */
+  def mightContainIndexCol(index: ExactIndex, hash: Column): Column =
+    if (index.blooms.size == 1) mightContainCol(index.blooms.head, hash)
+    else {
+      val shard = pmod(hash, lit(index.blooms.size.toLong))
+      index.blooms.zipWithIndex.tail
+        .foldLeft(when(shard === 0, mightContainCol(index.blooms.head, hash))) {
+          case (acc, (b, i)) => acc.when(shard === i, mightContainCol(b, hash))
+        }
+        .otherwise(lit(false))
+    }
 
   /** Grow the index with accepted survivors: the hash table unions
     * (one projection over the NEW docs only — a lazy union, NO
@@ -1000,15 +1051,21 @@ object Dedup {
   def appendToExactIndex(index: ExactIndex, accepted: DataFrame,
                          textCol: String): ExactIndex = {
     val add = buildExactIndex(accepted, textCol, index.expectedItems,
-      index.numBits)
-    val merged = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(index.bloom))
-    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(add.bloom)))
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
+      index.numBits, index.shards)
+    // shard-wise driver-side merge: shard routing is a pure function
+    // of the hash, so sketch i of the increment covers exactly the
+    // texts sketch i of the index will be probed for
+    val blooms = index.blooms.zip(add.blooms).map { case (a, b) =>
+      val merged = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(a))
+      merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      bos.toByteArray
+    }
     ExactIndex(index.hashes.unionByName(add.hashes),
-      bos.toByteArray, index.expectedItems, index.numBits)
+      blooms, index.expectedItems, index.numBits)
   }
 
   /** Incremental EXACT dedup of a new batch against an indexed
@@ -1036,7 +1093,7 @@ object Dedup {
     val collapsed = exact(batch, Seq(textCol), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = collapsed
-      .withColumn("__mc", mightContainCol(index.bloom,
+      .withColumn("__mc", mightContainIndexCol(index,
         xxhash64(col(textCol))))
       .observe(s"graft_exact_bloom_${obsId.incrementAndGet()}",
         sum(when(col("__mc"), 1L).otherwise(0L)).as("bloom_positive"),

@@ -128,7 +128,7 @@ object StreamingParse {
   def bloomDedupStream(docs: DataFrame, textCol: String,
                        index: graft.operators.Dedup.ExactIndex): DataFrame = {
     val probed = docs.withColumn("__mc",
-      graft.operators.Dedup.mightContainCol(index.bloom,
+      graft.operators.Dedup.mightContainIndexCol(index,
         xxhash64(col(textCol))))
     val fresh = probed.filter(!col("__mc")).drop("__mc")
     val positives = probed.filter(col("__mc")).drop("__mc")
