@@ -1118,6 +1118,38 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // The PRODUCTION index-growth loop, gated end-to-end: build →
+    // admit batch 1 → append survivors → admit batch 2, where batch 2
+    // plants exact copies of batch-1 SURVIVORS (they drop only if the
+    // append actually entered them into the index — a broken append
+    // silently re-admits them) plus copies of base docs (still
+    // dropped through the grown index) plus novel docs (still
+    // admitted). The oracle re-derives both generations' decisions
+    // from scratch: min-id within batch per identical-text group,
+    // text not in the accepted union as of that batch. Sharded (k=4)
+    // so the growth path is gated through the capacity tier too.
+    "q101_bloom_index_growth" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val base = docs.filter($"doc_id" % 3 === 0)
+      val batch1 = docs.filter($"doc_id" % 3 === 1)
+        .unionByName(docs.filter($"doc_id" % 9 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val batch2 = docs.filter($"doc_id" % 3 === 2)
+        .unionByName(docs.filter($"doc_id" % 6 === 1)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 12 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      val idx0 = operators.Dedup.buildExactIndex(base, "text", shards = 4)
+      val kept1 = operators.Dedup
+        .incrementalDropExactDups(idx0, batch1, "doc_id", "text")
+      val idx1 = operators.Dedup.appendToExactIndex(idx0, kept1, "text")
+      val kept2 = operators.Dedup
+        .incrementalDropExactDups(idx1, batch2, "doc_id", "text")
+      kept1.select($"doc_id", lit(1L).as("batch"))
+        .unionByName(kept2.select($"doc_id", lit(2L).as("batch")))
+        .orderBy($"doc_id", $"batch")
+    }),
+
     // S6 CSV write as a VALUE gate (was spec-only): the events table
     // round-trips the engine's CSV sink (header on, overwrite) and is
     // read back with an explicit schema — doubles survive exactly
@@ -3301,6 +3333,46 @@ object SparkEntry {
            ON b.text = f.text AND b.doc_id = f.keep_id
          WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.text = b.text)
          ORDER BY doc_id""",
+
+    // both generations' decisions re-derived from scratch: a batch doc
+    // survives iff it is the min-id of its identical-text group within
+    // its batch AND its text is absent from the accepted union AS OF
+    // that batch (base for batch 1; base + batch-1 survivors for
+    // batch 2)
+    "q101_bloom_index_growth" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b1 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 9 = 0
+         ),
+         k1 AS (
+           SELECT b1.doc_id, b1.text FROM b1
+           JOIN (SELECT text, min(doc_id) AS keep_id FROM b1 GROUP BY text) f
+             ON b1.text = f.text AND b1.doc_id = f.keep_id
+           WHERE NOT EXISTS (SELECT 1 FROM base i WHERE i.text = b1.text)
+         ),
+         acc1 AS (SELECT text FROM base UNION SELECT text FROM k1),
+         b2 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+             WHERE doc_id % 6 = 1
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text FROM documents
+             WHERE doc_id % 12 = 0
+         ),
+         k2 AS (
+           SELECT b2.doc_id FROM b2
+           JOIN (SELECT text, min(doc_id) AS keep_id FROM b2 GROUP BY text) f
+             ON b2.text = f.text AND b2.doc_id = f.keep_id
+           WHERE NOT EXISTS (SELECT 1 FROM acc1 i WHERE i.text = b2.text)
+         )
+         SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM k1
+         UNION ALL
+         SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM k2
+         ORDER BY doc_id, batch""",
 
     "q75_multi_period" ->
       (q75PeriodSql("1min", 60000000L) + " UNION ALL " +
