@@ -144,40 +144,11 @@ class ParseStageSpec extends SparkSpec {
       .count() == 100)
   }
 
-  /** Capture CodeGenerator ERRORs and WholeStageCodegenExec
-    * disabled-plan WARNs while `body` runs real Spark actions — the
-    * probe behind the wide-schema codegen guarantees. Returns
-    * (compileErrors, disabledPlans). */
-  private def codegenProbe(body: => Unit): (Seq[String], Seq[String]) = {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
-    import org.apache.logging.log4j.core.appender.AbstractAppender
-    import org.apache.logging.log4j.core.config.Property
-    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    val disabled = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    val appender = new AbstractAppender("graft_cg_probe", null, null, true,
-        Property.EMPTY_ARRAY) {
-      override def append(e: LogEvent): Unit = {
-        val msg = e.getMessage.getFormattedMessage
-        if (e.getLevel == Level.ERROR &&
-            e.getLoggerName.contains("CodeGenerator")) errors.add(msg)
-        if (e.getLoggerName.contains("WholeStageCodegen") &&
-            msg.contains("codegen disabled")) disabled.add(msg)
-        ()
-      }
-    }
-    appender.start()
-    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val root = ctx.getConfiguration.getRootLogger
-    root.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
-    ctx.updateLoggers()
-    try body finally {
-      root.removeAppender("graft_cg_probe")
-      ctx.updateLoggers()
-    }
-    import scala.jdk.CollectionConverters._
-    (errors.asScala.toSeq, disabled.asScala.toSeq)
-  }
+  // the execution-time codegen probe lives in the shared
+  // [[CodegenProbe]] helper (also used by the streaming specs — the
+  // MicroBatchExecution wrapper is a different compilation context)
+  private def codegenProbe(body: => Unit): (Seq[String], Seq[String]) =
+    CodegenProbe(body)
 
   test("wide-schema parse keeps whole-stage codegen: no 64 KB fallback") {
     // the hot-path guarantee behind CanDecode's codegen barrier + the

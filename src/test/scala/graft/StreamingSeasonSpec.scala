@@ -31,6 +31,37 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming wide-schema decode keeps whole-stage codegen (no 64 KB fallback)") {
+    // the round-9 batch guarantee, re-proved in the STREAMING
+    // compilation context: MicroBatchExecution wraps and replans the
+    // logical plan per trigger, so the batch probe (ParseStageSpec)
+    // does not transfer — a regression could de-fuse only the stream's
+    // generate stage. Same real 2020 schema, same execution-time
+    // appender probe: no janino 64 KB CodeGenerator ERROR, and the
+    // regex-generate stage must not appear in a disabled plan.
+    val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+    val dir = Files.createTempDirectory("stream_cg")
+    Files.write(dir.resolve("s.log"), (0 until 50).map { i =>
+      f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+    }.mkString("\n").getBytes)
+    val (errors, disabled) = CodegenProbe {
+      val decoded = StreamingParse.decodedStream(spark, dir.toString, s20)
+      val q = decoded.writeStream.format("memory").queryName("cg_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("select count(*) from cg_stream").head().getLong(0)
+          == 50L * 5) // 5 decoded fields per MCC19_4 MEASUREMENTS frame
+      } finally q.stop()
+    }
+    assert(errors.isEmpty,
+      s"streaming wide-schema decode hit codegen fallback:\n${errors.headOption}")
+    val defusedGenerate = disabled.filter(_.contains("Generate "))
+    assert(defusedGenerate.isEmpty,
+      "the streaming regex-generate stage de-fused:\n" +
+        defusedGenerate.headOption.map(_.take(800)))
+  }
+
   test("checkpoint restart: stop mid-corpus, resume, output equals batch exactly once") {
     // the S9 exactly-once claim behind the streaming parse variant
     // (lib/canparser.py:315-317's restart semantics, scaled): a
