@@ -714,6 +714,13 @@ class StreamingSeasonSpec extends SparkSpec {
     try {
       val out = dir.resolve("out").toString
       val byPeriod = Seasons.runAll(spark, cfg, out)
+      // stage-boundary scratch is deleted once every period's final
+      // table is durable — no orphan stage_* dirs accumulate, and the
+      // returned frames (final-parquet scans) survive the cleanup
+      assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(out, "_stages")),
+        "runAll must remove its _stages scratch dir")
+      assert(byPeriod.values.forall(_.count() > 0))
       // listener events are delivered asynchronously — wait for the
       // expected write count to stabilize
       val deadline = System.nanoTime() + 10_000_000_000L
