@@ -1260,6 +1260,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The CI release gate over q98's version diff: churn counts,
+    // fractions and a pass/fail verdict in the datasheet's long
+    // (metric, value) shape. Thresholds straddle the planted churn
+    // (changed_frac ≈ (8/9)·(1/7) ≈ 0.127 of prev > 0.10; added and
+    // removed under theirs), so the oracle pins the full arithmetic
+    // INCLUDING a failing verdict — a wrong denominator, a dropped
+    // status, or a boundary-side error all flip a metric or the pass
+    // bit.
+    "q102_release_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val next = docs.filter($"doc_id" % 9 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      operators.Curation.corpusReleaseGate(docs, next, "doc_id", "text",
+        maxAddedFrac = 0.15, maxRemovedFrac = 0.15, maxChangedFrac = 0.10)
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2280,6 +2300,54 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
          ORDER BY doc_id""",
+
+    "q102_release_gate" ->
+      """WITH p AS (SELECT doc_id, text FROM documents),
+         n AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 9 <> 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text FROM documents
+             WHERE doc_id % 11 = 0
+         ),
+         d AS (
+           SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+                       WHEN n.doc_id IS NULL THEN 'removed'
+                       WHEN p.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+         ),
+         c AS (SELECT
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE) AS nu
+           FROM d),
+         w AS (SELECT na, nr, nc, nu,
+           nr + nc + nu AS np, na + nc + nu AS nn FROM c),
+         f AS (SELECT *,
+           CASE WHEN nn > 0 THEN na / nn ELSE 0 END AS af,
+           CASE WHEN np > 0 THEN nr / np ELSE 0 END AS rf,
+           CASE WHEN np > 0 THEN nc / np ELSE 0 END AS cf FROM w)
+         SELECT metric, round(value, 6) AS value FROM (
+           SELECT 'diff:n_prev' AS metric, np AS value FROM f
+           UNION ALL SELECT 'diff:n_next', nn FROM f
+           UNION ALL SELECT 'diff:n_added', na FROM f
+           UNION ALL SELECT 'diff:n_removed', nr FROM f
+           UNION ALL SELECT 'diff:n_changed', nc FROM f
+           UNION ALL SELECT 'diff:n_unchanged', nu FROM f
+           UNION ALL SELECT 'diff:added_frac', af FROM f
+           UNION ALL SELECT 'diff:removed_frac', rf FROM f
+           UNION ALL SELECT 'diff:changed_frac', cf FROM f
+           UNION ALL SELECT 'gate:max_added_frac', 0.15 FROM f
+           UNION ALL SELECT 'gate:max_removed_frac', 0.15 FROM f
+           UNION ALL SELECT 'gate:max_changed_frac', 0.10 FROM f
+           UNION ALL SELECT 'gate:pass',
+             CASE WHEN af <= 0.15 AND rf <= 0.15 AND cf <= 0.10
+                  THEN 1.0 ELSE 0.0 END FROM f
+         ) ORDER BY metric""",
 
     "q100_ccnet_buckets" ->
       """WITH toks AS (SELECT doc_id,

@@ -629,6 +629,69 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** The CI-facing release gate [[corpusDiff]]'s docstring promises:
+    * per-status churn counts and fractions with a pass/fail verdict
+    * against caller thresholds, in the same long (metric, value)
+    * shape as [[TextAnalysis.corpusDatasheet]] so the two ship as one
+    * release artifact — feed it to CI and refuse surprise churn.
+    *
+    * Metrics: `diff:n_prev/n_next/n_added/n_removed/n_changed/
+    * n_unchanged` (sizes derived from ONE aggregate over the diff —
+    * prev = removed + changed + unchanged, next = added + changed +
+    * unchanged, so neither corpus is re-counted), `diff:added_frac`
+    * (share of the NEW corpus that is new docs), `diff:removed_frac`
+    * / `diff:changed_frac` (shares of the PREVIOUS corpus that
+    * vanished / moved — the consumer-facing denominators: "X% of what
+    * you trained on is gone/different"), the echoed `gate:max_*`
+    * thresholds (so the CI log is self-describing), and `gate:pass`
+    * (1.0/0.0 — every fraction at or under its threshold; empty
+    * corpora score 0 churn, and an empty→empty diff passes).
+    *
+    * Scale shape: [[corpusDiff]] already projects both sides to
+    * (id, 128-bit hash) before its one full-outer join; this adds one
+    * global aggregate over that join's output (partial-combining,
+    * six counters) and a constant-width projection — nothing here
+    * grows with corpus size except the diff itself. */
+  def corpusReleaseGate(prev: DataFrame, next: DataFrame,
+                        idCol: String, textCol: String,
+                        maxAddedFrac: Double = 1.0,
+                        maxRemovedFrac: Double = 1.0,
+                        maxChangedFrac: Double = 1.0): DataFrame = {
+    // coalesce: an empty diff (both corpora empty) sums to NULL, and
+    // the gate must report zero churn + pass, not a null row
+    def n(s: String): Column =
+      coalesce(sum(when(col("status") === s, 1L).otherwise(0L)), lit(0L))
+        .cast("double")
+    val agg = corpusDiff(prev, next, idCol, textCol).agg(
+      n("added").as("n_added"), n("removed").as("n_removed"),
+      n("changed").as("n_changed"), n("unchanged").as("n_unchanged"))
+    val frac = (num: Column, den: Column) =>
+      when(den > 0, num / den).otherwise(lit(0.0))
+    val wide = agg
+      .withColumn("n_prev", col("n_removed") + col("n_changed") + col("n_unchanged"))
+      .withColumn("n_next", col("n_added") + col("n_changed") + col("n_unchanged"))
+      .withColumn("added_frac", frac(col("n_added"), col("n_next")))
+      .withColumn("removed_frac", frac(col("n_removed"), col("n_prev")))
+      .withColumn("changed_frac", frac(col("n_changed"), col("n_prev")))
+      .withColumn("pass",
+        (col("added_frac") <= maxAddedFrac &&
+          col("removed_frac") <= maxRemovedFrac &&
+          col("changed_frac") <= maxChangedFrac).cast("double"))
+    wide.select(expr(
+      s"""stack(13,
+         'diff:n_prev', n_prev, 'diff:n_next', n_next,
+         'diff:n_added', n_added, 'diff:n_removed', n_removed,
+         'diff:n_changed', n_changed, 'diff:n_unchanged', n_unchanged,
+         'diff:added_frac', added_frac, 'diff:removed_frac', removed_frac,
+         'diff:changed_frac', changed_frac,
+         'gate:max_added_frac', CAST($maxAddedFrac AS DOUBLE),
+         'gate:max_removed_frac', CAST($maxRemovedFrac AS DOUBLE),
+         'gate:max_changed_frac', CAST($maxChangedFrac AS DOUBLE),
+         'gate:pass', pass) AS (metric, value)"""))
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** Sliding-window token chunking with overlap — the
     * context-window splitter for RAG / long-doc training prep: the
     * token stream is cut into windows of `chunkTokens` advancing by

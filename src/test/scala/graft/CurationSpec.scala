@@ -195,6 +195,36 @@ class CurationSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"), s"got $got")
   }
 
+  test("corpusReleaseGate: fractions, ties pass, tight threshold fails, empty corpora") {
+    val prev = Seq((1L, "keep a"), (2L, "keep b"), (3L, "will change"),
+      (4L, "will vanish")).toDF("doc_id", "text")
+    val next = Seq((1L, "keep a"), (2L, "keep b"), (3L, "did change"),
+      (5L, "brand new")).toDF("doc_id", "text")
+    def gate(mA: Double, mR: Double, mC: Double): Map[String, Double] =
+      Curation.corpusReleaseGate(prev, next, "doc_id", "text", mA, mR, mC)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 4 prev, 4 next; 1 each of added/removed/changed → all fracs 0.25
+    val g = gate(0.25, 0.25, 0.25)
+    assert(g("diff:n_prev") == 4.0 && g("diff:n_next") == 4.0)
+    assert(g("diff:n_added") == 1.0 && g("diff:n_removed") == 1.0 &&
+      g("diff:n_changed") == 1.0 && g("diff:n_unchanged") == 2.0)
+    assert(g("diff:added_frac") == 0.25 && g("diff:removed_frac") == 0.25 &&
+      g("diff:changed_frac") == 0.25)
+    // thresholds are inclusive: exactly-at-threshold churn passes
+    assert(g("gate:pass") == 1.0, s"tie should pass: $g")
+    assert(g("gate:max_changed_frac") == 0.25)
+    // one fraction over its bound → verdict flips, metrics unchanged
+    val tight = gate(0.25, 0.25, 0.2)
+    assert(tight("gate:pass") == 0.0)
+    assert(tight("diff:changed_frac") == 0.25)
+    // empty → empty: zero churn, zero denominators, still a pass
+    val none = prev.filter(col("doc_id") < 0)
+    val e = Curation.corpusReleaseGate(none, none, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(e("diff:n_prev") == 0.0 && e("diff:added_frac") == 0.0 &&
+      e("gate:pass") == 1.0, s"empty diff should pass: $e")
+  }
+
   test("dropDuplicateSpans: gram tiling, keep-first, intra-doc runs") {
     val docs = Seq(
       (1L, "a b c d e"),     // all grams first occurrences → kept whole
