@@ -1068,6 +1068,63 @@ object Dedup {
       blooms, index.expectedItems, index.numBits)
   }
 
+  /** Persist an [[ExactIndex]] durably, so the production admission
+    * loop (build → admit → append → admit …, q101's gate) survives
+    * driver restarts instead of re-hashing the accepted corpus per
+    * session: the hash table lands as a parquet table BUCKETED on
+    * `__h` (every future batch's verification anti join is co-located
+    * shuffle-free on the index side — the [[writeNgramIndexBucketed]]
+    * discipline), and the Bloom shard sketches land as small binary
+    * files under `sketchDir` via the Hadoop filesystem API (cluster
+    * storage works). The geometry/manifest file is written LAST, and
+    * [[readExactIndex]] refuses a dir without it — the torn-write
+    * discipline of `Sinks.isCompleteOutput`, since a half-written
+    * sketch set silently weakens admission to fpp ≈ 1 on the missing
+    * shards' key space. */
+  def writeExactIndexBucketed(index: ExactIndex, table: String,
+                              sketchDir: String,
+                              numBuckets: Int = 64): Unit = {
+    graft.sources.Sinks.writeBucketed(index.hashes, table, Seq("__h"),
+      numBuckets)
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dir.getFileSystem(
+      index.hashes.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true) // stale/torn prior write
+    fs.mkdirs(dir)
+    index.blooms.zipWithIndex.foreach { case (b, i) =>
+      val os = fs.create(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bloom"), true)
+      try os.write(b) finally os.close()
+    }
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
+    try os.write(
+      s"${index.expectedItems} ${index.numBits} ${index.shards}".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Reopen a durable index written by [[writeExactIndexBucketed]]. */
+  def readExactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     sketchDir: String): ExactIndex = {
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(dir, "MANIFEST")
+    require(fs.exists(manifest),
+      s"no MANIFEST under $sketchDir — torn or missing sketch write " +
+        "(the manifest is written last; re-run writeExactIndexBucketed)")
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p)
+      val bos = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      finally in.close()
+      bos.toByteArray
+    }
+    val Array(items, bits, k) =
+      new String(readAll(manifest), "UTF-8").trim.split(" ")
+    val blooms = IndexedSeq.tabulate(k.toInt) { i =>
+      readAll(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bloom"))
+    }
+    ExactIndex(spark.table(table), blooms, items.toLong, bits.toLong)
+  }
+
   /** Incremental EXACT dedup of a new batch against an indexed
     * accepted corpus: a batch doc survives iff its text equals no
     * accepted text AND it is the min-id doc of its within-batch

@@ -187,6 +187,43 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(9101L))
   }
 
+  test("exact index save/load: sketch+geometry round-trip, decisions equal, torn manifest refused") {
+    val corpus = (0L until 500L).map(i => (i, s"durable corpus doc $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(corpus, "text", expectedItems = 1000L,
+      numBits = 1L << 14, shards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("exact_idx").toString
+    Dedup.writeExactIndexBucketed(idx, "exact_idx_spec", s"$dir/sketches",
+      numBuckets = 4)
+    val loaded = Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/sketches")
+    assert(loaded.shards == 4 && loaded.expectedItems == 1000L &&
+      loaded.numBits == (1L << 14))
+    // probe parity: the reloaded shard sketches answer EXACTLY as the
+    // in-memory ones over members and novels (byte-level round-trip)
+    val probes = corpus.select(col("text"))
+      .unionByName((0 until 200).map(i => s"novel probe $i").toDF("text"))
+    def answers(i: Dedup.ExactIndex) = probes
+      .select(col("text"), Dedup.mightContainIndexCol(i,
+        xxhash64(col("text"))).as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(answers(loaded) == answers(idx))
+    // admission through the LOADED index = the in-memory decisions
+    val batch = Seq((9000L, "durable corpus doc 123"), // dup → drop
+      (9001L, "post restart novel doc"),              // novel → keep
+      (9002L, "durable corpus doc 499")               // dup → drop
+    ).toDF("doc_id", "text")
+    assert(Dedup.incrementalDropExactDups(loaded, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(9001L))
+    // a MANIFEST-less sketch dir (torn write — manifest lands last)
+    // must refuse to load rather than come up with missing shards
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/sketches", "MANIFEST"))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/sketches")
+    }
+    assert(err.getMessage.contains("MANIFEST"))
+  }
+
   test("bloom probe: negatives bypass the join; append merges the sketch") {
     val accepted = (0L until 50L).map(i => (i, s"seed text $i"))
       .toDF("doc_id", "text")

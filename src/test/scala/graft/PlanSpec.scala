@@ -427,6 +427,34 @@ class PlanSpec extends SparkSpec {
     assert(diskTop === memTop)
   }
 
+  test("exact index bucketed on __h: verification join skips the index-side shuffle") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = (1L to 400L).map(i => (i, s"exact plan corpus doc $i"))
+      .toDF("doc_id", "text")
+    val mem = Dedup.buildExactIndex(corpus, "text", shards = 2)
+    val dir = java.nio.file.Files.createTempDirectory("exact_plan").toString
+    Dedup.writeExactIndexBucketed(mem, "exact_idx_plan", s"$dir/sk",
+      numBuckets = 4)
+    val disk = Dedup.readExactIndex(spark, "exact_idx_plan", s"$dir/sk")
+    val batch = (1000L to 1050L).map(i =>
+      (i, if (i % 2 == 0) s"exact plan corpus doc ${i % 400}"
+          else s"novel batch doc $i")).toDF("doc_id", "text")
+    def exchanges(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    val viaDisk = Dedup.incrementalDropExactDups(disk, batch, "doc_id", "text")
+    val viaMem = Dedup.incrementalDropExactDups(mem, batch, "doc_id", "text")
+    assert(exchanges(viaDisk) < exchanges(viaMem),
+      s"bucketed index side should skip its shuffle in the verification " +
+        s"join: disk=${exchanges(viaDisk)} mem=${exchanges(viaMem)}")
+    // and the decisions are identical either way
+    val a = viaDisk.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = viaMem.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hashed rescue key shuffles less than half the value-keyed bytes") {
     // q93's 100 TB claim, finally MEASURED instead of asserted in
     // prose: the hashedRescueKey collapse carries 16-byte keys through
