@@ -1280,6 +1280,25 @@ object SparkEntry {
         maxAddedFrac = 0.15, maxRemovedFrac = 0.15, maxChangedFrac = 0.10)
     }),
 
+    // The COMPLETE release artifact (q102's gate unioned with the new
+    // version's q91-style datasheet, metrics prefixed `next:`): one
+    // (metric, value) table per corpus release. The oracle recomputes
+    // both halves over the same version fixture — churn arithmetic
+    // with the failing verdict AND the datasheet aggregates including
+    // per-language composition of the NEW corpus.
+    "q103_release_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text", $"lang")
+      val next = docs.filter($"doc_id" % 9 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+            .otherwise($"text").as("text"), $"lang")
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text", $"lang"))
+      operators.Curation.corpusReleaseReport(docs, next, "doc_id", "text",
+        langCol = Some("lang"),
+        maxAddedFrac = 0.15, maxRemovedFrac = 0.15, maxChangedFrac = 0.10)
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2347,6 +2366,75 @@ object SparkEntry {
            UNION ALL SELECT 'gate:pass',
              CASE WHEN af <= 0.15 AND rf <= 0.15 AND cf <= 0.10
                   THEN 1.0 ELSE 0.0 END FROM f
+         ) ORDER BY metric""",
+
+    "q103_release_report" ->
+      """WITH p AS (SELECT doc_id, text FROM documents),
+         n AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+                  ELSE text END AS text, lang
+           FROM documents WHERE doc_id % 9 <> 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text, lang FROM documents
+             WHERE doc_id % 11 = 0
+         ),
+         d AS (
+           SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+                       WHEN n.doc_id IS NULL THEN 'removed'
+                       WHEN p.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+         ),
+         c AS (SELECT
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE) AS nu
+           FROM d),
+         w AS (SELECT na, nr, nc, nu,
+           nr + nc + nu AS np, na + nc + nu AS nn FROM c),
+         f AS (SELECT *,
+           CASE WHEN nn > 0 THEN na / nn ELSE 0 END AS af,
+           CASE WHEN np > 0 THEN nr / np ELSE 0 END AS rf,
+           CASE WHEN np > 0 THEN nc / np ELSE 0 END AS cf FROM w),
+         b AS (SELECT text,
+             len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS tn
+           FROM n),
+         g AS (SELECT count(*)::DOUBLE AS n_docs,
+             sum(tn) AS n_tokens_total,
+             quantile_cont(tn, 0.5) AS tokens_p50,
+             avg(tn) AS tokens_mean,
+             1.0 - count(DISTINCT lower(trim(text)))::DOUBLE
+               / count(*)::DOUBLE AS exact_dup_frac,
+             avg(CASE WHEN trim(text) = '' THEN 1.0 ELSE 0.0 END)
+               AS empty_frac
+           FROM b)
+         SELECT metric, round(value, 6) AS value FROM (
+           SELECT 'diff:n_prev' AS metric, np AS value FROM f
+           UNION ALL SELECT 'diff:n_next', nn FROM f
+           UNION ALL SELECT 'diff:n_added', na FROM f
+           UNION ALL SELECT 'diff:n_removed', nr FROM f
+           UNION ALL SELECT 'diff:n_changed', nc FROM f
+           UNION ALL SELECT 'diff:n_unchanged', nu FROM f
+           UNION ALL SELECT 'diff:added_frac', af FROM f
+           UNION ALL SELECT 'diff:removed_frac', rf FROM f
+           UNION ALL SELECT 'diff:changed_frac', cf FROM f
+           UNION ALL SELECT 'gate:max_added_frac', 0.15 FROM f
+           UNION ALL SELECT 'gate:max_removed_frac', 0.15 FROM f
+           UNION ALL SELECT 'gate:max_changed_frac', 0.10 FROM f
+           UNION ALL SELECT 'gate:pass',
+             CASE WHEN af <= 0.15 AND rf <= 0.15 AND cf <= 0.10
+                  THEN 1.0 ELSE 0.0 END FROM f
+           UNION ALL SELECT 'next:n_docs', n_docs FROM g
+           UNION ALL SELECT 'next:n_tokens_total', n_tokens_total FROM g
+           UNION ALL SELECT 'next:tokens_p50', tokens_p50 FROM g
+           UNION ALL SELECT 'next:tokens_mean', tokens_mean FROM g
+           UNION ALL SELECT 'next:exact_dup_frac', exact_dup_frac FROM g
+           UNION ALL SELECT 'next:empty_frac', empty_frac FROM g
+           UNION ALL SELECT 'next:lang_frac:' || lang,
+             count(*)::DOUBLE / (SELECT n_docs FROM g)
+             FROM n GROUP BY lang
          ) ORDER BY metric""",
 
     "q100_ccnet_buckets" ->

@@ -692,6 +692,30 @@ object Curation {
       .orderBy(col("metric"))
   }
 
+  /** The complete release artifact [[corpusDiff]]'s docstring
+    * promises: the churn gate JOINED with the new version's
+    * datasheet — [[corpusReleaseGate]]'s rows unioned with
+    * [[TextAnalysis.corpusDatasheet]] over `next`, its metrics
+    * prefixed `next:`. One (metric, value) table to publish with a
+    * corpus release and gate CI on (`gate:pass`, plus whatever
+    * absolute datasheet bounds the consumer enforces). `exact =
+    * false` passes the datasheet's sketch tier through for the
+    * 100 TB corpus. */
+  def corpusReleaseReport(prev: DataFrame, next: DataFrame,
+                          idCol: String, textCol: String,
+                          langCol: Option[String] = None,
+                          maxAddedFrac: Double = 1.0,
+                          maxRemovedFrac: Double = 1.0,
+                          maxChangedFrac: Double = 1.0,
+                          exact: Boolean = true): DataFrame =
+    corpusReleaseGate(prev, next, idCol, textCol,
+        maxAddedFrac, maxRemovedFrac, maxChangedFrac)
+      .unionByName(TextAnalysis
+        .corpusDatasheet(next, idCol, textCol, langCol, exact)
+        .select(concat(lit("next:"), col("metric")).as("metric"),
+          col("value")))
+      .orderBy(col("metric"))
+
   /** Sliding-window token chunking with overlap — the
     * context-window splitter for RAG / long-doc training prep: the
     * token stream is cut into windows of `chunkTokens` advancing by
