@@ -1111,9 +1111,11 @@ object SparkEntry {
       // shards = 4 runs the gate through the SHARDED sketch tier (the
       // past-2^26-bits capacity path): decisions must be identical to
       // the plain anti-join oracle regardless of which shard's sketch
-      // answers each probe
+      // answers each probe. Geometry sized to the fixture (q101's
+      // driver-side literal-canonicalization lesson)
       val idx = operators.Dedup.buildExactIndex(
-        docs.filter($"doc_id" % 2 === 0), "text", shards = 4)
+        docs.filter($"doc_id" % 2 === 0), "text",
+        expectedItems = 1L << 14, numBits = 1L << 17, shards = 4)
       operators.Dedup.incrementalDropExactDups(idx, batch, "doc_id", "text")
         .select($"doc_id").orderBy($"doc_id")
     }),
@@ -1139,9 +1141,22 @@ object SparkEntry {
           .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
         .unionByName(docs.filter($"doc_id" % 12 === 0)
           .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
-      val idx0 = operators.Dedup.buildExactIndex(base, "text", shards = 4)
+      // sketch geometry sized to the fixture (16 KiB/shard), not the
+      // 1 MiB default: the plan carries each shard as a binary
+      // LITERAL, and driver-side expression canonicalization over
+      // megabyte literals (hashCode/equals per optimizer pass) was
+      // measured dominating this gate's wall time (8 of 11 s) while
+      // its Spark jobs summed 3 s — decisions are Bloom-independent,
+      // so geometry only moves the fpp, never the gate
+      val idx0 = operators.Dedup.buildExactIndex(base, "text",
+        expectedItems = 1L << 14, numBits = 1L << 17, shards = 4)
+      // the survivor set feeds THREE consumers (the append's sketch +
+      // hash aggregates, batch 2's verification join through idx1, and
+      // the output union) — persist it as production would, or the
+      // whole batch-1 admission pipeline re-executes per consumer
       val kept1 = operators.Dedup
         .incrementalDropExactDups(idx0, batch1, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val idx1 = operators.Dedup.appendToExactIndex(idx0, kept1, "text")
       val kept2 = operators.Dedup
         .incrementalDropExactDups(idx1, batch2, "doc_id", "text")

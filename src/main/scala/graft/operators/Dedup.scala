@@ -1019,13 +1019,35 @@ object Dedup {
     ExactIndex(hashes, blooms, expectedItems, numBits)
   }
 
+  /** Total sketch bytes above which [[mightContainIndexCol]] stops
+    * embedding the sketches as plan LITERALS and routes through a
+    * broadcast instead: literals ride in every serialized plan/task
+    * binary (and a streaming probe re-serializes them per
+    * micro-batch trigger), which is fine at a few hundred KiB but
+    * cannot execute at the documented 256-shard × 2^26-bit tier
+    * (~2 GiB of literals blows task-serialization limits long before
+    * that) — and well before THAT, driver-side expression
+    * canonicalization (hashCode/equals over the literal bytes per
+    * optimizer pass) starts to dominate: measured ~8 s of driver time
+    * for ~8 MiB of sketch literals in one composed query (q101)
+    * whose Spark jobs summed 3 s. The broadcast ships the bytes once
+    * per executor and the task binary carries only the handle. */
+  private[operators] val PlanLiteralSketchBudget: Long = 2L << 20
+
   /** Membership probe against a (possibly sharded) [[ExactIndex]]:
     * routes each row's LONG hash to the one sketch owning its
-    * `pmod(hash, k)` shard — a CASE over k plan-literal sketches, so
-    * the probe stays a pure codegen'd projection and per-shard fpp is
-    * the whole index's fpp (no compounding). */
+    * `pmod(hash, k)` shard, so per-shard fpp is the whole index's fpp
+    * (no compounding). Small indexes (≤ [[PlanLiteralSketchBudget]]
+    * total bytes) probe through a CASE over k plan-literal sketches —
+    * a pure codegen'd projection; larger ones probe through a
+    * broadcast-backed function ([[BroadcastShardProbe]]) whose
+    * per-executor deserialized filters are cached, trading codegen
+    * for O(1) task binaries — decisions identical (parity-spec'd). */
   def mightContainIndexCol(index: ExactIndex, hash: Column): Column =
-    if (index.blooms.size == 1) mightContainCol(index.blooms.head, hash)
+    if (index.blooms.iterator.map(_.length.toLong).sum >
+        PlanLiteralSketchBudget)
+      mightContainBroadcastCol(index, hash)
+    else if (index.blooms.size == 1) mightContainCol(index.blooms.head, hash)
     else {
       val shard = pmod(hash, lit(index.blooms.size.toLong))
       index.blooms.zipWithIndex.tail
@@ -1034,6 +1056,18 @@ object Dedup {
         }
         .otherwise(lit(false))
     }
+
+  /** The large-index probe path: shard sketch BYTES ride one
+    * broadcast (shipped once per executor, task binaries carry only
+    * the handle) and deserialize into [[org.apache.spark.util.sketch.BloomFilter]]s
+    * once per executor JVM via [[BroadcastShardProbe]]'s cache — not
+    * once per task, which would memcpy the whole index per task. */
+  private[graft] def mightContainBroadcastCol(index: ExactIndex,
+                                                  hash: Column): Column = {
+    val spark = index.hashes.sparkSession
+    val bc = spark.sparkContext.broadcast(index.blooms)
+    udf(new BroadcastShardProbe(bc, index.shards)).apply(hash)
+  }
 
   /** Grow the index with accepted survivors: the hash table unions
     * (one projection over the NEW docs only — a lazy union, NO
@@ -1071,45 +1105,82 @@ object Dedup {
   /** Persist an [[ExactIndex]] durably, so the production admission
     * loop (build → admit → append → admit …, q101's gate) survives
     * driver restarts instead of re-hashing the accepted corpus per
-    * session: the hash table lands as a parquet table BUCKETED on
-    * `__h` (every future batch's verification anti join is co-located
-    * shuffle-free on the index side — the [[writeNgramIndexBucketed]]
-    * discipline), and the Bloom shard sketches land as small binary
-    * files under `sketchDir` via the Hadoop filesystem API (cluster
-    * storage works). The geometry/manifest file is written LAST, and
-    * [[readExactIndex]] refuses a dir without it — the torn-write
-    * discipline of `Sinks.isCompleteOutput`, since a half-written
-    * sketch set silently weakens admission to fpp ≈ 1 on the missing
-    * shards' key space. */
+    * session. Layout under `indexDir`:
+    *   - `hashes/`   — the verification table's parquet data; the
+    *     catalog entry `table` is EXTERNAL, bucketed+sorted on `__h`
+    *     at this location (anti join co-located shuffle-free on the
+    *     index side — the [[writeNgramIndexBucketed]] discipline).
+    *     External, not managed: the data outlives the default
+    *     in-memory catalog, and [[readExactIndex]] re-registers the
+    *     table (same bucket spec, LOCATION here) in a fresh session.
+    *   - `sketches/` — one binary file per Bloom shard plus a
+    *     MANIFEST recording geometry (expectedItems numBits shards
+    *     numBuckets). Staged into `sketches.tmp` and RENAMED into
+    *     place, manifest included — a crash mid-write leaves either
+    *     the old consistent dir or the tmp (ignored), never a
+    *     half-visible sketch set; [[readExactIndex]] additionally
+    *     validates the manifest token count, so a torn manifest
+    *     refuses rather than mis-parsing.
+    *
+    * WRITE ORDER is load-bearing: sketches commit BEFORE the table.
+    * A crash between the two leaves NEW sketches over an OLD table —
+    * extra Bloom positives, each discarded by the verification join
+    * (cost, never correctness). The reverse order would leave a new
+    * table with stale sketches: Bloom FALSE NEGATIVES for the newly
+    * appended texts, and a duplicate would be silently admitted — the
+    * one direction the design must never fail in.
+    *
+    * Epoch discipline for the growth loop: a LOADED index's
+    * [[appendToExactIndex]] union lazily READS `table`; writing it
+    * back to the same `table`/`indexDir` would overwrite its own
+    * input mid-scan. Alternate epochs (…`_a`/…`_b`, or versioned
+    * dirs) and flip a pointer, as with any Spark table rebuilt from
+    * itself. */
   def writeExactIndexBucketed(index: ExactIndex, table: String,
-                              sketchDir: String,
+                              indexDir: String,
                               numBuckets: Int = 64): Unit = {
-    graft.sources.Sinks.writeBucketed(index.hashes, table, Seq("__h"),
-      numBuckets)
-    val dir = new org.apache.hadoop.fs.Path(sketchDir)
-    val fs = dir.getFileSystem(
-      index.hashes.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.delete(dir, true) // stale/torn prior write
-    fs.mkdirs(dir)
+    val spark = index.hashes.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    // 1. sketches, staged then atomically renamed (manifest inside)
+    val sk = new org.apache.hadoop.fs.Path(root, "sketches")
+    val tmp = new org.apache.hadoop.fs.Path(root, "sketches.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.mkdirs(tmp)
     index.blooms.zipWithIndex.foreach { case (b, i) =>
-      val os = fs.create(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bloom"), true)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, f"shard_$i%05d.bloom"), true)
       try os.write(b) finally os.close()
     }
-    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
+    val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "MANIFEST"), true)
     try os.write(
-      s"${index.expectedItems} ${index.numBits} ${index.shards}".getBytes("UTF-8"))
+      s"${index.expectedItems} ${index.numBits} ${index.shards} $numBuckets"
+        .getBytes("UTF-8"))
     finally os.close()
+    if (fs.exists(sk)) fs.delete(sk, true)
+    require(fs.rename(tmp, sk), s"rename $tmp -> $sk failed")
+    // 2. the hash table, external at indexDir/hashes
+    index.hashes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$indexDir/hashes")
+      .bucketBy(numBuckets, "__h").sortBy("__h")
+      .format("parquet")
+      .saveAsTable(table)
   }
 
-  /** Reopen a durable index written by [[writeExactIndexBucketed]]. */
+  /** Reopen a durable index written by [[writeExactIndexBucketed]].
+    * Works in a FRESH session: if the default in-memory catalog has
+    * forgotten `table`, it is re-registered as the same external
+    * bucketed table over `indexDir/hashes` (schema is fixed by
+    * construction: `__h BIGINT, __t STRING`). */
   def readExactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                     sketchDir: String): ExactIndex = {
-    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+                     indexDir: String): ExactIndex = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/sketches")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new org.apache.hadoop.fs.Path(dir, "MANIFEST")
     require(fs.exists(manifest),
-      s"no MANIFEST under $sketchDir — torn or missing sketch write " +
-        "(the manifest is written last; re-run writeExactIndexBucketed)")
+      s"no MANIFEST under $dir — torn or missing sketch write " +
+        "(sketches commit by atomic rename; re-run writeExactIndexBucketed)")
     def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
       val in = fs.open(p)
       val bos = new java.io.ByteArrayOutputStream()
@@ -1117,11 +1188,19 @@ object Dedup {
       finally in.close()
       bos.toByteArray
     }
-    val Array(items, bits, k) =
-      new String(readAll(manifest), "UTF-8").trim.split(" ")
+    val parts = new String(readAll(manifest), "UTF-8").trim.split("\\s+")
+    require(parts.length == 4 && parts.forall(_.forall(_.isDigit)),
+      s"torn MANIFEST under $dir (${parts.length} tokens, expected 4: " +
+        "expectedItems numBits shards numBuckets) — re-run " +
+        "writeExactIndexBucketed")
+    val Array(items, bits, k, buckets) = parts
     val blooms = IndexedSeq.tabulate(k.toInt) { i =>
       readAll(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bloom"))
     }
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE $table (__h BIGINT, __t STRING) " +
+        s"USING parquet CLUSTERED BY (__h) SORTED BY (__h) " +
+        s"INTO ${buckets.toInt} BUCKETS LOCATION '$indexDir/hashes'")
     ExactIndex(spark.table(table), blooms, items.toLong, bits.toLong)
   }
 
@@ -1166,6 +1245,33 @@ object Dedup {
           positives(textCol) === index.hashes("__t"), "left_anti")
       .drop("__h")
     fresh.unionByName(survivors)
+  }
+
+  /** Broadcast-backed sharded Bloom probe function (the
+    * [[mightContainIndexCol]] large-index tier). The closure itself is
+    * tiny (broadcast handle + shard count); the deserialized filters
+    * are memoized PER EXECUTOR JVM in [[BroadcastShardProbe.cache]],
+    * keyed by broadcast id — entries live for the executor lifetime
+    * (bounded by the number of distinct indexes probed, each a
+    * driver-intended long-lived object; same trade as Spark's own
+    * broadcast block retention). `pmod` semantics match the literal
+    * CASE tier exactly. */
+  private[operators] class BroadcastShardProbe(
+      bytes: org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]],
+      k: Int) extends (java.lang.Long => Boolean) with Serializable {
+    def apply(h: java.lang.Long): Boolean =
+      h != null && BroadcastShardProbe.filters(bytes)(
+        (((h % k) + k) % k).toInt).mightContainLong(h)
+  }
+
+  private[operators] object BroadcastShardProbe {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, IndexedSeq[org.apache.spark.util.sketch.BloomFilter]]()
+    def filters(bc: org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]])
+        : IndexedSeq[org.apache.spark.util.sketch.BloomFilter] =
+      cache.computeIfAbsent(bc.id, _ => bc.value.map(b =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))))
   }
 
   /** The dedup decision given materialized component labels: keep the

@@ -49,10 +49,19 @@ object ParseStage {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // skip-if-exists, where "exists" requires the _SUCCESS job-commit
       // marker (Sinks.isCompleteOutput): a torn dir from a killed run
-      // falls through to the Overwrite write below instead of being
-      // adopted as a complete parse output
+      // is DELETED and re-parsed. The explicit delete (not just the
+      // Overwrite below) matters because this write partitionBy's on
+      // `file`: under spark.sql.sources.partitionOverwriteMode=dynamic
+      // an Overwrite only replaces partitions present in the new data,
+      // so a stale partition of a since-removed input file would
+      // survive the rewrite and be adopted as complete forever after.
       if (graft.sources.Sinks.isCompleteOutput(fs, p))
         return spark.read.parquet(out)
+      else if (fs.exists(p)) {
+        System.err.println(s"[graft] re-parsing torn output $p " +
+          "(files present but no _SUCCESS marker — prior run died mid-write)")
+        fs.delete(p, true)
+      }
     }
     val frames = Candump.cropToFileRange(
       Candump.frames(spark, inputGlob, offsetMicros))

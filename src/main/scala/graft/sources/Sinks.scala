@@ -34,10 +34,22 @@ object Sinks {
     * driver killed mid-write — and treating it as done would silently
     * feed a partial dataset to every later stage. Deliberate deviation
     * from the reference, which skips on bare existence
-    * (lib/canparser.py:315-317) and is equally blind to torn runs. */
+    * (lib/canparser.py:315-317) and is equally blind to torn runs.
+    *
+    * Deployments whose committer is configured NOT to emit markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false` —
+    * common with S3/cloud committers) fall back to bare existence:
+    * requiring a marker that will never be written would classify
+    * every complete output as torn and turn skip-if-exists into
+    * delete-and-rewrite on every call — strictly worse than the
+    * reference-parity blindness the fallback accepts. */
   private[graft] def isCompleteOutput(fs: org.apache.hadoop.fs.FileSystem,
-                                      p: Path): Boolean =
-    fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+                                      p: Path): Boolean = {
+    val committerWritesMarker = fs.getConf.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    fs.exists(p) &&
+      (!committerWritesMarker || fs.exists(new Path(p, "_SUCCESS")))
+  }
 
   /** S4+S9: parquet sink with skip-if-exists incremental semantics.
     * "Exists" means COMPLETE ([[isCompleteOutput]]): a torn dir from

@@ -193,9 +193,9 @@ class DedupSpec extends SparkSpec {
     val idx = Dedup.buildExactIndex(corpus, "text", expectedItems = 1000L,
       numBits = 1L << 14, shards = 4)
     val dir = java.nio.file.Files.createTempDirectory("exact_idx").toString
-    Dedup.writeExactIndexBucketed(idx, "exact_idx_spec", s"$dir/sketches",
+    Dedup.writeExactIndexBucketed(idx, "exact_idx_spec", s"$dir/idx",
       numBuckets = 4)
-    val loaded = Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/sketches")
+    val loaded = Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
     assert(loaded.shards == 4 && loaded.expectedItems == 1000L &&
       loaded.numBits == (1L << 14))
     // probe parity: the reloaded shard sketches answer EXACTLY as the
@@ -214,14 +214,56 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(Dedup.incrementalDropExactDups(loaded, batch, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSeq == Seq(9001L))
-    // a MANIFEST-less sketch dir (torn write — manifest lands last)
-    // must refuse to load rather than come up with missing shards
+    // DRIVER RESTART: the default in-memory catalog forgets the table
+    // across JVMs; the data is EXTERNAL at indexDir/hashes so a drop
+    // leaves it on disk, and readExactIndex re-registers the bucketed
+    // table and answers identically in the "fresh" session
+    spark.sql("DROP TABLE exact_idx_spec")
+    assert(!spark.catalog.tableExists("exact_idx_spec"))
+    val reborn = Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
+    assert(answers(reborn) == answers(idx))
+    assert(Dedup.incrementalDropExactDups(reborn, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(9001L))
+    // a TORN manifest (crash mid-create left a zero-byte file) must
+    // refuse with the designed message, not mis-parse
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/idx/sketches", "MANIFEST"),
+      Array.empty[Byte])
+    val torn = intercept[IllegalArgumentException] {
+      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
+    }
+    assert(torn.getMessage.contains("torn MANIFEST"))
+    // a MANIFEST-less sketch dir (pre-rename crash) also refuses
     java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$dir/sketches", "MANIFEST"))
+      java.nio.file.Paths.get(s"$dir/idx/sketches", "MANIFEST"))
     val err = intercept[IllegalArgumentException] {
-      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/sketches")
+      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
     }
     assert(err.getMessage.contains("MANIFEST"))
+  }
+
+  test("broadcast shard probe: parity with the plan-literal CASE tier") {
+    // the large-index probe path (total sketch bytes over the literal
+    // budget): same pmod routing, same sketches, shipped by broadcast
+    // instead of as plan literals — answers must be bit-identical
+    val corpus = (0L until 2000L).map(i => (i, s"bc probe corpus doc $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(corpus, "text", expectedItems = 500L,
+      numBits = 1L << 13, shards = 8)
+    val probes = corpus.select(col("text"))
+      .unionByName((0 until 500).map(i => s"bc novel probe $i").toDF("text"))
+    def answers(probe: org.apache.spark.sql.Column) = probes
+      .select(col("text"), probe.as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaLiteral = answers(
+      Dedup.mightContainIndexCol(idx, xxhash64(col("text"))))
+    val viaBroadcast = answers(
+      Dedup.mightContainBroadcastCol(idx, xxhash64(col("text"))))
+    assert(viaLiteral == viaBroadcast)
+    // and the members all probe positive through the broadcast path
+    assert(corpus.select(Dedup.mightContainBroadcastCol(idx,
+        xxhash64(col("text"))).as("p"))
+      .filter(!col("p")).count() == 0L)
   }
 
   test("bloom probe: negatives bypass the join; append merges the sketch") {

@@ -434,9 +434,9 @@ class PlanSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val mem = Dedup.buildExactIndex(corpus, "text", shards = 2)
     val dir = java.nio.file.Files.createTempDirectory("exact_plan").toString
-    Dedup.writeExactIndexBucketed(mem, "exact_idx_plan", s"$dir/sk",
+    Dedup.writeExactIndexBucketed(mem, "exact_idx_plan", s"$dir/idx",
       numBuckets = 4)
-    val disk = Dedup.readExactIndex(spark, "exact_idx_plan", s"$dir/sk")
+    val disk = Dedup.readExactIndex(spark, "exact_idx_plan", s"$dir/idx")
     val batch = (1000L to 1050L).map(i =>
       (i, if (i % 2 == 0) s"exact plan corpus doc ${i % 400}"
           else s"novel batch doc $i")).toDF("doc_id", "text")

@@ -216,4 +216,33 @@ class UnifyPipelineSpec extends SparkSpec {
     assert(!Sinks.writeParquetIfAbsent(v1, path))
     assert(spark.read.parquet(path).count() == 2)
   }
+
+  test("Sinks: marker-less committers fall back to bare existence (S9)") {
+    // a deployment with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // = false never writes _SUCCESS; requiring the marker there would
+    // classify EVERY complete output as torn and degrade skip-if-exists
+    // to delete-and-rewrite on every call. With the conf off, bare
+    // existence decides (reference-parity blindness, accepted).
+    val dir = java.nio.file.Files.createTempDirectory("nomarker")
+    val markerless = dir.resolve("out.parquet")
+    java.nio.file.Files.createDirectory(markerless)
+    java.nio.file.Files.write(markerless.resolve("part-00000.parquet"),
+      Array[Byte](1))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      new java.net.URI("file:///"), conf)
+    try {
+      val p = new org.apache.hadoop.fs.Path(markerless.toString)
+      assert(graft.sources.Sinks.isCompleteOutput(fs, p),
+        "marker-less committer: existence alone must count as complete")
+      // and the default conf (markers on) still calls the same dir torn
+      val fsDefault = org.apache.hadoop.fs.FileSystem.newInstance(
+        new java.net.URI("file:///"),
+        spark.sparkContext.hadoopConfiguration)
+      try assert(!graft.sources.Sinks.isCompleteOutput(fsDefault, p))
+      finally fsDefault.close()
+    } finally fs.close()
+  }
 }
