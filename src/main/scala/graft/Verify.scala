@@ -35,6 +35,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the documented driver discipline (operators persist gram/
+      // signature/survivor tables intra-query and rely on the driver
+      // clearing between queries, as Bench does): without this the
+      // 103-query dump accumulates every operator's session-lifecycle
+      // cache in one shared heap
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
