@@ -956,6 +956,14 @@ object Dedup {
         s"index has ${blooms.size} shards; probe via mightContainIndexCol")
       blooms.head
     }
+    /** One broadcast of the shard bytes PER INDEX INSTANCE, built on
+      * first large-index probe and reused by every later probe of
+      * this index (a streaming query probes per micro-batch; per-call
+      * broadcasts would pile up driver-side until GC). Released by
+      * Spark's ContextCleaner when this index object is collected. */
+    @transient private[operators] lazy val sketchBroadcast
+        : org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]] =
+      hashes.sparkSession.sparkContext.broadcast(blooms)
   }
 
   /** Bloom-filter membership probe as a Column: Spark's native
@@ -1063,11 +1071,9 @@ object Dedup {
     * once per executor JVM via [[BroadcastShardProbe]]'s cache — not
     * once per task, which would memcpy the whole index per task. */
   private[graft] def mightContainBroadcastCol(index: ExactIndex,
-                                                  hash: Column): Column = {
-    val spark = index.hashes.sparkSession
-    val bc = spark.sparkContext.broadcast(index.blooms)
-    udf(new BroadcastShardProbe(bc, index.shards)).apply(hash)
-  }
+                                                  hash: Column): Column =
+    udf(new BroadcastShardProbe(index.sketchBroadcast, index.shards))
+      .apply(hash)
 
   /** Grow the index with accepted survivors: the hash table unions
     * (one projection over the NEW docs only — a lazy union, NO
@@ -1122,13 +1128,21 @@ object Dedup {
     *     validates the manifest token count, so a torn manifest
     *     refuses rather than mis-parsing.
     *
-    * WRITE ORDER is load-bearing: sketches commit BEFORE the table.
-    * A crash between the two leaves NEW sketches over an OLD table —
-    * extra Bloom positives, each discarded by the verification join
-    * (cost, never correctness). The reverse order would leave a new
-    * table with stale sketches: Bloom FALSE NEGATIVES for the newly
-    * appended texts, and a duplicate would be silently admitted — the
-    * one direction the design must never fail in.
+    * CRASH CONSISTENCY is epoch-token based, and every torn state
+    * REFUSES to load rather than degrading: (1) the table data
+    * commits; (2) a fresh epoch token file lands INSIDE `hashes/`
+    * (`_graft_epoch_<uuid>` — underscore-prefixed, invisible to the
+    * parquet reader); (3) the sketches + MANIFEST (which records the
+    * same uuid) stage into a tmp dir and atomically RENAME into
+    * place. A crash mid-table leaves the old manifest pointing at a
+    * token the Overwrite already wiped → refusal; a crash before the
+    * rename leaves the old (or no) manifest → old consistent state or
+    * refusal; only the full sequence yields a manifest whose token
+    * exists. This is strictly stronger than ordering arguments about
+    * which half may be stale: sketches and table are either the SAME
+    * epoch or the read fails loudly — stale sketches over a newer
+    * table (Bloom false negatives silently admitting duplicates) can
+    * never be served.
     *
     * Epoch discipline for the growth loop: a LOADED index's
     * [[appendToExactIndex]] union lazily READS `table`; writing it
@@ -1143,7 +1157,19 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    // 1. sketches, staged then atomically renamed (manifest inside)
+    // 1. the hash table, external at indexDir/hashes
+    index.hashes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$indexDir/hashes")
+      .bucketBy(numBuckets, "__h").sortBy("__h")
+      .format("parquet")
+      .saveAsTable(table)
+    // 2. the epoch token, after the table committed
+    val epoch = java.util.UUID.randomUUID().toString
+    val tok = fs.create(new org.apache.hadoop.fs.Path(
+      s"$indexDir/hashes", s"_graft_epoch_$epoch"), true)
+    tok.close()
+    // 3. sketches + manifest (recording the epoch), staged then
+    // atomically renamed
     val sk = new org.apache.hadoop.fs.Path(root, "sketches")
     val tmp = new org.apache.hadoop.fs.Path(root, "sketches.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1155,24 +1181,25 @@ object Dedup {
     }
     val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "MANIFEST"), true)
     try os.write(
-      s"${index.expectedItems} ${index.numBits} ${index.shards} $numBuckets"
-        .getBytes("UTF-8"))
+      (s"${index.expectedItems} ${index.numBits} ${index.shards} " +
+        s"$numBuckets $epoch").getBytes("UTF-8"))
     finally os.close()
     if (fs.exists(sk)) fs.delete(sk, true)
     require(fs.rename(tmp, sk), s"rename $tmp -> $sk failed")
-    // 2. the hash table, external at indexDir/hashes
-    index.hashes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("path", s"$indexDir/hashes")
-      .bucketBy(numBuckets, "__h").sortBy("__h")
-      .format("parquet")
-      .saveAsTable(table)
   }
 
   /** Reopen a durable index written by [[writeExactIndexBucketed]].
     * Works in a FRESH session: if the default in-memory catalog has
     * forgotten `table`, it is re-registered as the same external
     * bucketed table over `indexDir/hashes` (schema is fixed by
-    * construction: `__h BIGINT, __t STRING`). */
+    * construction: `__h BIGINT, __t STRING`). Refuses loudly on every
+    * torn or mismatched state: missing/truncated manifest, a manifest
+    * whose epoch token is absent from the hashes dir (sketches and
+    * table from DIFFERENT write attempts — serving them together
+    * could silently admit duplicates), or a pre-existing catalog
+    * table pointing at a different location or bucket count than this
+    * indexDir (the cross-epoch mixup of reusing one table name across
+    * epoch dirs). */
   def readExactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                      indexDir: String): ExactIndex = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/sketches")
@@ -1189,11 +1216,19 @@ object Dedup {
       bos.toByteArray
     }
     val parts = new String(readAll(manifest), "UTF-8").trim.split("\\s+")
-    require(parts.length == 4 && parts.forall(_.forall(_.isDigit)),
-      s"torn MANIFEST under $dir (${parts.length} tokens, expected 4: " +
-        "expectedItems numBits shards numBuckets) — re-run " +
+    require(parts.length == 5 && parts.take(4).forall(_.forall(_.isDigit)),
+      s"torn MANIFEST under $dir (${parts.length} tokens, expected 5: " +
+        "expectedItems numBits shards numBuckets epoch) — re-run " +
         "writeExactIndexBucketed")
-    val Array(items, bits, k, buckets) = parts
+    val Array(items, bits, k, buckets, epoch) = parts
+    // epoch cross-check: the sketches must describe THIS table write —
+    // a crash mid-rewrite wipes the old token with the old table data,
+    // so a manifest/token mismatch means torn state, never serve it
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/hashes", s"_graft_epoch_$epoch")),
+      s"epoch token _graft_epoch_$epoch missing from $indexDir/hashes — " +
+        "the sketch set and the hash table are from different write " +
+        "attempts (torn rewrite); re-run writeExactIndexBucketed")
     val blooms = IndexedSeq.tabulate(k.toInt) { i =>
       readAll(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bloom"))
     }
@@ -1201,6 +1236,23 @@ object Dedup {
       spark.sql(s"CREATE TABLE $table (__h BIGINT, __t STRING) " +
         s"USING parquet CLUSTERED BY (__h) SORTED BY (__h) " +
         s"INTO ${buckets.toInt} BUCKETS LOCATION '$indexDir/hashes'")
+    else {
+      // an EXISTING catalog entry must actually be this index: pairing
+      // this dir's sketches with a table registered over some OTHER
+      // epoch's location would Bloom-hit on docs the verification
+      // table lacks → silent duplicate admission
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val want = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+        .makeQualified(fs.getUri, fs.getWorkingDirectory).toUri.getPath
+      val got = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+      require(got == want,
+        s"catalog table '$table' points at $got, not $want — drop it or " +
+          "use a per-epoch table name alongside per-epoch index dirs")
+      require(meta.bucketSpec.exists(_.numBuckets == buckets.toInt),
+        s"catalog table '$table' bucket spec ${meta.bucketSpec} does not " +
+          s"match the manifest's $buckets buckets")
+    }
     ExactIndex(spark.table(table), blooms, items.toLong, bits.toLong)
   }
 
@@ -1265,13 +1317,35 @@ object Dedup {
   }
 
   private[operators] object BroadcastShardProbe {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      Long, IndexedSeq[org.apache.spark.util.sketch.BloomFilter]]()
+    /** Deserialized-filter memo, BOUNDED: the production growth loop
+      * yields a new index (→ new broadcast id) per batch, so an
+      * unbounded id-keyed map would accumulate one full deserialized
+      * index copy per batch per executor JVM. An access-order LRU
+      * capped at a few entries keeps the working set (current index,
+      * maybe a predecessor mid-handover) hot and lets retired epochs'
+      * filters be collected. */
+    private val MaxEntries = 4
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          Long, IndexedSeq[org.apache.spark.util.sketch.BloomFilter]](
+          16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            Long, IndexedSeq[org.apache.spark.util.sketch.BloomFilter]])
+            : Boolean = size() > MaxEntries
+      })
     def filters(bc: org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]])
         : IndexedSeq[org.apache.spark.util.sketch.BloomFilter] =
-      cache.computeIfAbsent(bc.id, _ => bc.value.map(b =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(b))))
+      cache.synchronized {
+        val hit = cache.get(bc.id)
+        if (hit != null) hit
+        else {
+          val built = bc.value.map(b =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(b)))
+          cache.put(bc.id, built)
+          built
+        }
+      }
   }
 
   /** The dedup decision given materialized component labels: keep the

@@ -46,7 +46,8 @@ object ParseStage {
           mab20Workaround: Boolean = false): DataFrame = {
     outputPath.foreach { out =>
       val p = new Path(out)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hconf = spark.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(hconf)
       // skip-if-exists, where "exists" requires the _SUCCESS job-commit
       // marker (Sinks.isCompleteOutput): a torn dir from a killed run
       // is DELETED and re-parsed. The explicit delete (not just the
@@ -55,7 +56,7 @@ object ParseStage {
       // an Overwrite only replaces partitions present in the new data,
       // so a stale partition of a since-removed input file would
       // survive the rewrite and be adopted as complete forever after.
-      if (graft.sources.Sinks.isCompleteOutput(fs, p))
+      if (graft.sources.Sinks.isCompleteOutput(fs, p, hconf))
         return spark.read.parquet(out)
       else if (fs.exists(p)) {
         System.err.println(s"[graft] re-parsing torn output $p " +

@@ -42,10 +42,20 @@ object Sinks {
     * requiring a marker that will never be written would classify
     * every complete output as torn and turn skip-if-exists into
     * delete-and-rewrite on every call — strictly worse than the
-    * reference-parity blindness the fallback accepts. */
+    * reference-parity blindness the fallback accepts.
+    *
+    * `conf` must be the conf GOVERNING THE WRITES — the session's
+    * resolved Hadoop conf (`sessionState.newHadoopConf()`, which
+    * layers runtime `spark.hadoop.*` session settings), NOT
+    * `fs.getConf`: the Hadoop FileSystem cache hands back an instance
+    * whose conf is whatever first created the FS for the scheme in
+    * this JVM, so the read side could disagree with the write side
+    * about whether markers exist at all. */
   private[graft] def isCompleteOutput(fs: org.apache.hadoop.fs.FileSystem,
-                                      p: Path): Boolean = {
-    val committerWritesMarker = fs.getConf.getBoolean(
+                                      p: Path,
+                                      conf: org.apache.hadoop.conf.Configuration)
+      : Boolean = {
+    val committerWritesMarker = conf.getBoolean(
       "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
     fs.exists(p) &&
       (!committerWritesMarker || fs.exists(new Path(p, "_SUCCESS")))
@@ -57,8 +67,9 @@ object Sinks {
     * a full output instead of adopting a partial one. */
   def writeParquetIfAbsent(df: DataFrame, path: String): Boolean = {
     val p = new Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (isCompleteOutput(fs, p)) false
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (isCompleteOutput(fs, p, conf)) false
     else {
       if (fs.exists(p)) {
         System.err.println(s"[graft] rewriting torn output $p " +

@@ -224,6 +224,34 @@ class DedupSpec extends SparkSpec {
     assert(answers(reborn) == answers(idx))
     assert(Dedup.incrementalDropExactDups(reborn, batch, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSeq == Seq(9001L))
+    // CROSS-EPOCH guard: a manifest whose epoch token is gone from the
+    // hashes dir (a torn rewrite wiped it with the old table) refuses —
+    // sketches and table from different write attempts must never serve
+    val manifestPath =
+      java.nio.file.Paths.get(s"$dir/idx/sketches", "MANIFEST")
+    val epoch = new String(java.nio.file.Files.readAllBytes(manifestPath),
+      "UTF-8").trim.split("\\s+").last
+    val tokenPath =
+      java.nio.file.Paths.get(s"$dir/idx/hashes", s"_graft_epoch_$epoch")
+    java.nio.file.Files.delete(tokenPath)
+    val mixed = intercept[IllegalArgumentException] {
+      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
+    }
+    assert(mixed.getMessage.contains("epoch token"))
+    java.nio.file.Files.createFile(tokenPath) // restore
+    // CATALOG-MIXUP guard: re-registering the SAME table name over a
+    // different epoch dir, then reading the first dir, must refuse —
+    // this dir's sketches over that dir's table would admit duplicates
+    Dedup.writeExactIndexBucketed(idx, "exact_idx_spec", s"$dir/idx2",
+      numBuckets = 4)
+    val cross = intercept[IllegalArgumentException] {
+      Dedup.readExactIndex(spark, "exact_idx_spec", s"$dir/idx")
+    }
+    assert(cross.getMessage.contains("points at"))
+    // while the MATCHING dir still reads fine
+    assert(answers(Dedup.readExactIndex(spark, "exact_idx_spec",
+      s"$dir/idx2")) == answers(idx))
+    spark.sql("DROP TABLE exact_idx_spec") // external: files survive
     // a TORN manifest (crash mid-create left a zero-byte file) must
     // refuse with the designed message, not mis-parse
     java.nio.file.Files.write(

@@ -228,21 +228,18 @@ class UnifyPipelineSpec extends SparkSpec {
     java.nio.file.Files.createDirectory(markerless)
     java.nio.file.Files.write(markerless.resolve("part-00000.parquet"),
       Array[Byte](1))
+    // the flag is read from the RESOLVED session conf passed in (the
+    // conf governing writes), never fs.getConf — the Hadoop FS cache's
+    // creation-time conf can disagree with runtime session settings
     val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
+      spark.sessionState.newHadoopConf())
     conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
-    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-      new java.net.URI("file:///"), conf)
-    try {
-      val p = new org.apache.hadoop.fs.Path(markerless.toString)
-      assert(graft.sources.Sinks.isCompleteOutput(fs, p),
-        "marker-less committer: existence alone must count as complete")
-      // and the default conf (markers on) still calls the same dir torn
-      val fsDefault = org.apache.hadoop.fs.FileSystem.newInstance(
-        new java.net.URI("file:///"),
-        spark.sparkContext.hadoopConfiguration)
-      try assert(!graft.sources.Sinks.isCompleteOutput(fsDefault, p))
-      finally fsDefault.close()
-    } finally fs.close()
+    val p = new org.apache.hadoop.fs.Path(markerless.toString)
+    val fs = p.getFileSystem(conf)
+    assert(graft.sources.Sinks.isCompleteOutput(fs, p, conf),
+      "marker-less committer: existence alone must count as complete")
+    // and the default conf (markers on) still calls the same dir torn
+    assert(!graft.sources.Sinks.isCompleteOutput(fs, p,
+      spark.sessionState.newHadoopConf()))
   }
 }
