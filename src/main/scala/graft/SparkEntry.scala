@@ -1314,6 +1314,24 @@ object SparkEntry {
         maxAddedFrac = 0.15, maxRemovedFrac = 0.15, maxChangedFrac = 0.10)
     }),
 
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas 2001):
+    // 64-dim embeddings down to 16 dims through a deterministic
+    // md5-sign matrix the oracle rebuilds in SQL (the q25
+    // engine-neutral hash discipline) — a wrong sign, a transposed
+    // index, a scale slip, or an accumulation-order change all break
+    // the value hash. Output exploded to (vec_id, dim, value) rows so
+    // the compare is scalar-exact.
+    "q104_random_projection" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      operators.Similarity.randomProjection(emb, "emb", "proj",
+          inDim = 64, outDim = 16)
+        .select($"vec_id", posexplode($"proj"))
+        .select($"vec_id", $"pos".cast("long").as("dim"),
+          round($"col", 6).as("value"))
+        .orderBy($"vec_id", $"dim")
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2451,6 +2469,22 @@ object SparkEntry {
              count(*)::DOUBLE / (SELECT n_docs FROM g)
              FROM n GROUP BY lang
          ) ORDER BY metric""",
+
+    // the projection matrix is rebuilt sign-by-sign from md5 — the
+    // scale 1/sqrt(16) is the exact binary 0.25, so `dot * 0.25` in
+    // the engine and `dot / 4.0` here are bit-identical
+    "q104_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+           [CAST(x AS DOUBLE) for x in embedding] AS emb
+         FROM embeddings)
+         SELECT e.vec_id, g.j AS dim,
+           round(list_dot_product(e.emb,
+             [CASE WHEN substring(md5('rp_' || g.j || '_' || (i - 1)), 1, 1)
+                     < '8'
+                   THEN 1.0 ELSE -1.0 END
+              for i in generate_series(1, 64)]) / 4.0, 6) AS value
+         FROM e CROSS JOIN generate_series(0, 15) AS g(j)
+         ORDER BY vec_id, dim""",
 
     "q100_ccnet_buckets" ->
       """WITH toks AS (SELECT doc_id,

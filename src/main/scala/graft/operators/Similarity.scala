@@ -38,6 +38,38 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Deterministic ±1 random projection (Achlioptas 2001 "database-
+    * friendly random projections"; the Johnson–Lindenstrauss
+    * dimensionality-reduction step) — shrink `inDim`-dim embeddings
+    * to `outDim` dims ahead of LSH/IVF/brute scans: at 100 TB a 4×
+    * dimension cut is a 4× cut in every downstream scan, shuffle and
+    * index byte count, while JL keeps pairwise distances within
+    * ~(1±ε) whp. out[j] = (1/√outDim)·Σ_i emb[i]·r(j,i) with
+    * r(j,i) ∈ {+1,−1} derived from md5("seed_j_i") (first hex digit
+    * < '8' → +1) — the engine-neutral hash discipline of the simhash
+    * md5 oracle (q25), so a SQL oracle rebuilds the same matrix. The
+    * matrix is built ONCE driver-side and embedded as plan literals
+    * (outDim×inDim doubles — 8 KiB at 16×64, far under the
+    * literal-canonicalization budget measured in q101); per row the
+    * work is outDim native [[dot]] products — a pure codegen'd
+    * projection, no shuffle, no UDF. */
+  def randomProjection(df: DataFrame, embCol: String, outCol: String,
+                       inDim: Int, outDim: Int,
+                       seed: String = "rp"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val d = md.digest(s"${seed}_${j}_${i}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0 // first hex digit < '8'
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val rows: Seq[Column] = (0 until outDim).map { j =>
+      dot(col(embCol), typedlit(Array.tabulate(inDim)(i => sign(j, i)))) *
+        lit(scale)
+    }
+    df.withColumn(outCol, array(rows: _*))
+  }
+
   /** cosine from a precomputed-norm pair: dot product is the only
     * O(d) work left per pair (norms are projected once per row BELOW
     * the join — ~⅓ fewer FLOPs in every pairwise scorer here). The

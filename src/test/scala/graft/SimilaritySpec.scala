@@ -282,4 +282,38 @@ class SimilaritySpec extends SparkSpec {
     val want = 32.0 / (math.sqrt(14) * math.sqrt(77))
     assert(math.abs(c - want) < 1e-12)
   }
+
+  test("random projection: JL distance preservation, determinism, dim contract") {
+    // 64 -> 16 dims over the real embeddings: the Achlioptas bound
+    // puts MOST pairwise squared distances within a modest factor —
+    // assert the median ratio lands near 1 and no catastrophic
+    // collapse (a sign/transpose/scale bug shatters this long before
+    // the tolerance does)
+    val base = emb.limit(60).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val proj = Similarity.randomProjection(base, "emb", "proj", 64, 16)
+    val rows = proj.select($"vec_id", $"emb", $"proj").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    assert(rows.forall(_._2.length == 16))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      orig = d2(rows(i)._1, rows(j)._1) if orig > 1e-12
+    } yield d2(rows(i)._2, rows(j)._2) / orig
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    assert(median > 0.5 && median < 2.0,
+      f"median distance ratio $median%.3f out of JL range")
+    assert(sorted.head > 0.05 && sorted.last < 20.0,
+      f"distance ratio tails collapsed: ${sorted.head}%.3f..${sorted.last}%.3f")
+    // deterministic: same seed -> identical values; new seed -> new matrix
+    val again = Similarity.randomProjection(base, "emb", "proj", 64, 16)
+      .select($"proj").collect().map(_.getSeq[Double](0))
+    assert(again.toSeq == proj.select($"proj").collect()
+      .map(_.getSeq[Double](0)).toSeq)
+    val other = Similarity.randomProjection(base, "emb", "proj", 64, 16,
+      seed = "rp2").select($"proj").collect().map(_.getSeq[Double](0))
+    assert(other.toSeq != again.toSeq)
+  }
 }
