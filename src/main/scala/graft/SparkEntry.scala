@@ -1332,6 +1332,53 @@ object SparkEntry {
         .orderBy($"vec_id", $"dim")
     }),
 
+    // Text cleanup normalization + CCNet hash key: the fixture is
+    // doctored three ways (curly quotes/dashes/ellipsis/NBSP + a
+    // zero-width char and a BEL; tab runs + CRLF and a lone CR;
+    // em-dash + BOM) so every fold in the chain fires somewhere, and
+    // the oracle replays the ENTIRE translate+regexp chain in SQL —
+    // md5 of the normalized text pins every byte, md5 of the CCNet
+    // key pins the lowercase/digit-fold/punct-strip key the dedup
+    // tier hashes. Pattern discipline: RE2-portable source strings
+    // shared verbatim with the oracle (explicit whitespace classes —
+    // Java's \s and RE2's \s disagree on \x0B).
+    "q106_normalize_text" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val messy = docs.select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat(lit("\u201CQ\u201D \u2013 x\u2026 \u00A0 "), $"text",
+            lit("\u200Bz\u0007w  ")))
+        .when($"doc_id" % 3 === 1,
+          concat(lit("l1  \t l2\r\nl3 \r"), $"text", lit("\t\t 123 ")))
+        .otherwise(concat($"text", lit(" \u2014 fin\uFEFF"))).as("text"))
+      operators.Curation.normalizeText(messy, "text", "norm")
+        .select($"doc_id", md5($"norm").as("norm_md5"),
+          length($"norm").cast("long").as("norm_len"),
+          md5(operators.Curation.ccnetHashKey($"norm")).as("key_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Product-quantization ANN gate (Jégou, Douze, Schmid 2011) —
+    // the memory-bound scan tier beyond int8 SQ: 8 subspaces × 16
+    // centroids compress each 64-dim vector to 8 BYTES, and the
+    // approximate pass is 8 LUT lookups per pair over those code
+    // words alone. Same planted-query discipline as q60/q66, same
+    // brute-force argmax oracle: the per-subspace codebooks must keep
+    // the true neighbor inside the oversampled ADC candidate set, and
+    // the exact float rerank must put it at rank 1 — quantization is
+    // invisible at rank 1 or the gate fails.
+    "q105_pq_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      operators.Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3)
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1"))
+        .orderBy($"query_id")
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2485,6 +2532,67 @@ object SparkEntry {
               for i in generate_series(1, 64)]) / 4.0, 6) AS value
          FROM e CROSS JOIN generate_series(0, 15) AS g(j)
          ORDER BY vec_id, dim""",
+
+    // brute-force argmax, verbatim the q60/q66 discipline: the PQ
+    // path's rank-1 answer must be quantization-invisible
+    "q105_pq_ann_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
+         ORDER BY query_id""",
+
+    // the engine's entire translate+regexp normalization chain,
+    // replayed stage-for-stage (chr() codes stand in for the planted
+    // typographic/control characters); the trailing key_md5 replays
+    // the CCNet lowercase/digit-fold/punct-strip key on top
+    "q106_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+               chr(8220) || 'Q' || chr(8221) || ' ' || chr(8211) || ' x' ||
+               chr(8230) || ' ' || chr(160) || ' ' || text ||
+               chr(8203) || 'z' || chr(7) || 'w  '
+             WHEN doc_id % 3 = 1 THEN
+               'l1  ' || chr(9) || ' l2' || chr(13) || chr(10) || 'l3 ' ||
+               chr(13) || text || chr(9) || chr(9) || ' 123 '
+             ELSE text || ' ' || chr(8212) || ' fin' || chr(65279)
+           END AS t
+         FROM documents),
+         n AS (SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     translate(t,
+                       chr(8216) || chr(8217) || chr(8218) || chr(8220) ||
+                       chr(8221) || chr(8222) || chr(8211) || chr(8212) ||
+                       chr(8722) || chr(160),
+                       chr(39) || chr(39) || chr(39) || chr(34) ||
+                       chr(34) || chr(34) || '--- '),
+                   chr(8230), '...', 'g'),
+                 '\r\n?', chr(10), 'g'),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+               '', 'g'),
+             '[ \t]+', ' ', 'g'),
+           ' ?\n ?', chr(10), 'g')) AS norm
+         FROM m)
+         SELECT doc_id, md5(norm) AS norm_md5,
+           length(norm) AS norm_len,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(norm),
+             '[0-9]', '0', 'g'),
+             '[^\p{L}\p{N} \t\n\f\r]', '', 'g'),
+             '[ \t\n\f\r]+', ' ', 'g'))) AS key_md5
+         FROM n ORDER BY doc_id""",
 
     "q100_ccnet_buckets" ->
       """WITH toks AS (SELECT doc_id,

@@ -264,6 +264,64 @@ object Curation {
           Ipv4Pattern, "<IP>"))
   }
 
+  /** Portable normalization patterns (RE2-compatible, same source
+    * strings the DuckDB oracle uses — `\x{...}` escapes and explicit
+    * whitespace classes, no Java-only syntax; Java's default `\s`
+    * includes `\x0B` where RE2's does not, so `\s` never appears
+    * here). Control chars except tab/newline, plus the zero-width
+    * troika and the BOM/ZWNBSP. */
+  val ControlZeroWidthPattern =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** One-to-one typographic folds for `translate`: curly single
+    * quotes + low-9 → `'`, curly double quotes + low-9 → `"`,
+    * en/em-dash + minus-sign → `-`, NBSP → space. (The ellipsis
+    * `…` is one-to-THREE and goes through regexp_replace instead.) */
+  val TypographicFrom =
+    "\u2018\u2019\u201A\u201C\u201D\u201E\u2013\u2014\u2212\u00A0"
+  val TypographicTo = "'''\"\"\"--- "
+
+  /** Text cleanup normalization — the display-preserving tier every
+    * web-corpus pipeline runs before tokenization: fold typographic
+    * quotes/dashes/NBSP to ASCII, expand `…` to `...`, normalize
+    * CRLF and lone CR to `\n`, strip control and zero-width
+    * characters, collapse horizontal whitespace runs, trim line
+    * edges and the document ends. A pure codegen'd
+    * translate+regexp_replace chain — no shuffle, no UDF — and
+    * IDEMPOTENT (spec-pinned): re-normalizing a normalized corpus is
+    * a no-op, so incremental pipelines can apply it unconditionally.
+    * Deliberately NOT included: accent folding and unicode NFC —
+    * locale/normalization tables differ across engines and library
+    * versions, which would break cross-engine reproducibility of
+    * downstream hash keys (the property [[ccnetHashKey]] exists to
+    * protect). */
+  def normalizeText(df: DataFrame, textCol: String,
+                    outCol: String = "normalized"): DataFrame = {
+    val folded = translate(col(textCol), TypographicFrom, TypographicTo)
+    val dots = regexp_replace(folded, "\u2026", "...")
+    val newlines = regexp_replace(dots, "\\r\\n?", "\n")
+    val stripped = regexp_replace(newlines, ControlZeroWidthPattern, "")
+    val collapsed = regexp_replace(stripped, "[ \\t]+", " ")
+    val lineTrim = regexp_replace(collapsed, " ?\\n ?", "\n")
+    df.withColumn(outCol, trim(lineTrim))
+  }
+
+  /** CCNet-style hash-normalization key (Wenzek et al. 2019 §4.1:
+    * "lowercase, replace numbers, remove punctuation"): lowercase →
+    * every digit folded to `0` → everything that is not a unicode
+    * letter/number/whitespace removed → whitespace collapsed →
+    * trimmed. NOT a replacement text — a canonical KEY for exact
+    * dedup, so near-identical boilerplate differing only in case,
+    * serial numbers or punctuation collapses to one hash. Feed it to
+    * [[Dedup.exact]]/[[Dedup.buildExactIndex]] as the key column.
+    * Explicit `[ \t\n\f\r]` whitespace class, `\p{L}\p{N}` unicode
+    * categories — both portable between Java regex and RE2. */
+  def ccnetHashKey(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[0-9]", "0"),
+      "[^\\p{L}\\p{N} \\t\\n\\f\\r]", ""),
+      "[ \\t\\n\\f\\r]+", " "))
+
   /** Stratified deterministic sampling — `sampleBy` without RNG state:
     * each stratum keeps rows whose hash bucket falls under its own
     * rate, so membership is a pure function of (key, stratum rate) and

@@ -473,6 +473,153 @@ object Similarity {
       spark.table(s"${prefix}_stats"),
       spark.table(s"${prefix}_cell_codes"))
 
+  /** A built product-quantization (PQ) ANN index (Jégou, Douze,
+    * Schmid 2011, "Product quantization for nearest neighbor
+    * search") — the memory-bound scan tier BEYOND int8 SQ: the vector
+    * is split into `nSub` contiguous subspaces and each sub-vector is
+    * quantized to one of `nCentroids` per-subspace codebook entries,
+    * so a d-dim float32 embedding compresses to `nSub` BYTES
+    * (64-dim × 4 B = 256 B → 8 B at the defaults: 32× less scan data
+    * than floats, 8× less than SQ codes), and the approximate scoring
+    * loop is `nSub` table lookups per pair instead of d multiplies.
+    *
+    * `codebooks` is a dense `nSub × nCentroids`-row table (`sub`,
+    * `cid`, `cvec`, `cn2` = ‖cvec‖²) — a few KiB, broadcastable.
+    * `codes` holds per corpus vector the `array<tinyint>` code word
+    * (codes[sub] = cid) plus the reconstruction norm
+    * ‖x̂‖ = √Σ_sub ‖c_sub‖² (exact: x̂ is the concatenation of the
+    * assigned centroids). Both are plain DataFrames a caller persists
+    * once and searches many times. */
+  final case class PqIndex(nSub: Int, nCentroids: Int,
+                           codebooks: DataFrame, codes: DataFrame)
+
+  /** Split `vecCol` (already cast to `array<double>` as `__v`) into
+    * `nSub` contiguous sub-vector rows — one generate of nSub rows
+    * per vector. Requires the dimension divisible by nSub (the slice
+    * starts are `sequence(1, d, d/nSub)`; a ragged tail would change
+    * the slice count). */
+  private def subVectors(df: DataFrame, idCol: String, nSub: Int)
+      : DataFrame =
+    df.select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(__v), size(__v) div $nSub), " +
+        s"st -> slice(__v, st, size(__v) div $nSub))"))
+      .as(Seq("sub", "svec")))
+
+  /** Per-subspace L2 argmin assignment against a (broadcast)
+    * codebook: one equi join on `sub` — the codebook is tiny — and a
+    * min_by aggregate; ties break to the smaller cid. */
+  private def pqAssign(svecs: DataFrame, idCol: String,
+                       codebooks: DataFrame): DataFrame =
+    svecs.join(broadcast(codebooks.select(col("sub"), col("cid"),
+        col("cvec"))), Seq("sub"))
+      .withColumn("__d", expr("aggregate(zip_with(svec, cvec, " +
+        "(x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
+
+  /** Build the PQ index: per subspace, seed `nCentroids` centroids
+    * from the lowest-id corpus sub-vectors (the [[buildIvf]]
+    * determinism discipline), refine with one Lloyd step (element-wise
+    * member mean), and assign every vector its per-subspace argmin
+    * centroid. A centroid that loses all members in the Lloyd step
+    * falls back to its seed sub-vector, so the codebook stays DENSE —
+    * [[searchPq]]'s flat LUT indexes by `sub·nCentroids + cid` and
+    * every slot must exist. Build cost: one nSub-way generate + two
+    * broadcast-assign aggregates + one d-row mean aggregate — the
+    * corpus never shuffles by anything wider than (id, sub). */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+              nSub: Int = 8, nCentroids: Int = 16): PqIndex = {
+    val svecs = subVectors(
+      corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+      idCol, nSub)
+    val seedW = Window.partitionBy(col("sub")).orderBy(col(idCol))
+    val seeds = svecs.withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= nCentroids)
+      .select(col("sub"), (col("__r") - 1).as("cid"),
+        col("svec").as("cvec0"))
+    val a0 = pqAssign(svecs, idCol, seeds.select(col("sub"), col("cid"),
+      col("cvec0").as("cvec")))
+    val refined = svecs.join(a0, Seq(idCol, "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("j", "x")))
+      .groupBy("sub", "cid", "j").agg(avg("x").as("m"))
+      .groupBy("sub", "cid")
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("p"))
+      .select(col("sub"), col("cid"), expr("transform(p, q -> q.m)").as("cvec"))
+    val codebooks = seeds.join(refined, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"),
+        coalesce(col("cvec"), col("cvec0")).as("cvec"))
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+    val a1 = pqAssign(svecs, idCol, codebooks)
+    val codes = a1.join(broadcast(codebooks.select(col("sub"), col("cid"),
+        col("cn2"))), Seq("sub", "cid"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid"),
+        col("cn2")))).as("p"))
+      .select(col(idCol).as("neighbor_id"),
+        expr("transform(p, q -> CAST(q.cid AS TINYINT))").as("codes"),
+        sqrt(expr("aggregate(p, 0.0D, (a, q) -> a + q.cn2)")).as("cnorm"))
+    PqIndex(nSub, nCentroids, codebooks, codes)
+  }
+
+  /** Search a PQ index with asymmetric distance computation + exact
+    * rerank: per query, ONE pass over the (broadcast) codebook builds
+    * the flat lookup table lut[sub·nCentroids + cid] = q_sub·c_sub —
+    * nSub·nCentroids doubles, a KiB per query — and the approximate
+    * reconstructed dot product q·x̂ = Σ_sub lut[sub·K + codes[sub]]
+    * is nSub array lookups per (query, vector): the scan reads ONLY
+    * the nSub-byte code words and touches no floats. Top
+    * `k·oversample` by approximate cosine (reconstruction norm from
+    * the index), then the FLOAT vectors join in for candidates alone
+    * and exact cosine ranks them — quantization error moves the
+    * approximate ranking a few places; the oversampled exact rerank
+    * absorbs it. */
+  def searchPq(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               oversample: Int = 4): DataFrame = {
+    val ks = index.nCentroids
+    val qsub = subVectors(
+      queries.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+      idCol, index.nSub)
+    val qlut = qsub.join(broadcast(index.codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"),
+        (col("sub") * ks + col("cid")).as("pos"),
+        dot(col("svec"), col("cvec")).as("v"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("p"))
+      .select(col("query_id"), expr("transform(p, q -> q.v)").as("__lut"))
+    val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(asDouble(col(vecCol))).as("__qn"))
+      .join(qlut, Seq("query_id"))
+    val scored = index.codes.crossJoin(broadcast(qp))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        expr(s"aggregate(sequence(0, ${index.nSub - 1}), 0.0D, " +
+          s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)])") /
+        (col("__qn") * col("cnorm")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cands = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * oversample)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Build + search in one call (the gate-query entry point). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nSub: Int = 8, nCentroids: Int = 16,
+             oversample: Int = 4): DataFrame =
+    searchPq(buildPq(corpus, idCol, vecCol, nSub, nCentroids), corpus,
+      queries, idCol, vecCol, k, oversample)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and
     * multi-probed into its own bucket plus every 1-bit flip, so any

@@ -700,4 +700,50 @@ class CurationSpec extends SparkSpec {
     val nf = w.filter($"doc_id" === 1L).select("n_feats").as[Long].head()
     assert(nf === 5L + 4L, s"expected 9 features, got $nf")
   }
+
+  test("normalizeText: each fold fires on its own pathology") {
+    val docs = Seq(
+      (1L, "“curly” ‘quotes’ – and — dash − minus"),
+      (2L, "ellipsis… here"),
+      (3L, "crlf\r\nlone\rcr"),
+      (4L, "ctl\u0001z\u0007w zero\u200Bwidth\u200C\u200D join\uFEFFbom"),
+      (5L, "runs  of\t\tmixed \t space"),
+      (6L, "  edge \n lines \n  padded  "),
+      (7L, "nb\u00A0sp")
+    ).toDF("doc_id", "text")
+    val got = Curation.normalizeText(docs, "text", "norm")
+      .orderBy("doc_id").select("norm").as[String].collect()
+    assert(got(0) == "\"curly\" 'quotes' - and - dash - minus")
+    assert(got(1) == "ellipsis... here")
+    assert(got(2) == "crlf\nlone\ncr")
+    assert(got(3) == "ctlzw zerowidth joinbom")
+    assert(got(4) == "runs of mixed space")
+    assert(got(5) == "edge\nlines\npadded", s"got ${got(5)}")
+    assert(got(6) == "nb sp")
+    // idempotent: re-normalizing a normalized corpus is a no-op
+    val once = Curation.normalizeText(docs, "text", "n1")
+    val twice = Curation.normalizeText(once.select($"doc_id",
+      $"n1".as("text")), "text", "n2")
+    val diff = twice.filter($"text" =!= $"n2").count()
+    assert(diff == 0, s"$diff rows changed on the second pass")
+  }
+
+  test("ccnetHashKey: case/digit/punct-insensitive dedup key") {
+    val key = Curation.ccnetHashKey(lit("Hello, WORLD 123!  x\ny"))
+    val got = spark.range(1).select(key.as("k")).as[String].head()
+    assert(got == "hello world 000 x y")
+    // near-identical boilerplate variants collapse to one key
+    // (hyphens and currency marks are punctuation: stripped)
+    val pairs = Seq(
+      ("Call 555-1234 NOW!", "call 0000000 now"),
+      ("Item #42; price: $9.99", "item 00 price 000")
+    ).toDF("a", "expect")
+    val bad = pairs.filter(Curation.ccnetHashKey($"a") =!= $"expect").count()
+    assert(bad == 0)
+    // underscores are punctuation (\p{L}\p{N}, not \w): stripped
+    val us = spark.range(1)
+      .select(Curation.ccnetHashKey(lit("under_score")).as("k"))
+      .as[String].head()
+    assert(us == "underscore")
+  }
 }

@@ -316,4 +316,66 @@ class SimilaritySpec extends SparkSpec {
       seed = "rp2").select($"proj").collect().map(_.getSeq[Double](0))
     assert(other.toSeq != again.toSeq)
   }
+
+  test("PQ codebook: dense sub×centroid grid, nSub-byte tinyint code words") {
+    val idx = Similarity.buildPq(emb, "vec_id", "embedding",
+      nSub = 8, nCentroids = 16)
+    // the flat LUT indexes by sub·nCentroids + cid — every slot must
+    // exist even if a Lloyd cell lost all members
+    val cells = idx.codebooks.select($"sub", $"cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cells == (for (s <- 0 until 8; c <- 0 until 16)
+      yield (s, c)).toSet, s"codebook not dense: ${cells.size} cells")
+    // the scan-side table carries ONLY nSub bytes + one norm per vector
+    val codesType = idx.codes.schema("codes").dataType
+    assert(codesType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"codes must be tinyint, got $codesType")
+    val bad = idx.codes.filter(expr(
+      "size(codes) != 8 OR exists(codes, c -> c < 0 OR c >= 16)")).count()
+    assert(bad == 0, s"$bad malformed code words")
+    assert(idx.codes.count() == emb.count())
+  }
+
+  test("PQ exact-reconstruction corpus: nCentroids vectors round-trip, cnorm exact") {
+    // exactly nCentroids distinct vectors: each sub-vector seeds its
+    // own centroid, singleton Lloyd means leave it unchanged → x̂ = x
+    // and the stored reconstruction norm must equal ‖x‖ to the ulp
+    val tiny = emb.filter($"vec_id" < 16).select("vec_id", "embedding")
+    val idx = Similarity.buildPq(tiny, "vec_id", "embedding",
+      nSub = 8, nCentroids = 16)
+    val maxDiff = idx.codes.join(tiny.select($"vec_id".as("neighbor_id"),
+        Similarity.norm(transform($"embedding", _.cast("double"))).as("n")),
+        Seq("neighbor_id"))
+      .agg(max(abs($"cnorm" - $"n"))).collect()(0).getDouble(0)
+    assert(maxDiff < 1e-9, s"reconstruction norm off by $maxDiff")
+  }
+
+  test("PQ top-k recall: planted near-duplicates rerank to the true top-1") {
+    val copies = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq == bf, s"pq top-1 diverged: ${pq.toSet -- bf.toSet}")
+  }
+
+  test("PQ build/search split: one built index serves repeated query batches") {
+    val idx = Similarity.buildPq(emb, "vec_id", "embedding",
+      nSub = 8, nCentroids = 16)
+    val qs1 = emb.filter($"vec_id" < 5).select("vec_id", "embedding")
+    val qs2 = emb.filter($"vec_id".between(5, 9)).select("vec_id", "embedding")
+    val r1 = Similarity.searchPq(idx, emb, qs1, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val r2 = Similarity.searchPq(idx, emb, qs2, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(r1.nonEmpty && r2.nonEmpty && r1.map(_._1) != r2.map(_._1))
+    assert(r1.forall { case (_, _, rk) => rk >= 1 && rk <= 3 })
+  }
 }
