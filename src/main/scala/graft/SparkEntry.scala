@@ -1379,6 +1379,25 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Composed IVF × PQ ANN gate — IVFADC (Jégou et al. 2011), the
+    // classic billion-scale layout: the approximate pass is
+    // cell-pruned (nProbe of nCells cells) AND reads only 8-byte PQ
+    // code words, multiplying the two compressions (q66's IVF×SQ at
+    // 8× smaller codes). Same planted-query discipline, same
+    // brute-force argmax oracle: coarse routing, in-cell ADC recall
+    // and the exact rerank must all hold for rank 1 to survive.
+    "q107_ivfpq_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      operators.Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3)
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1"))
+        .orderBy($"query_id")
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2536,6 +2555,24 @@ object SparkEntry {
     // brute-force argmax, verbatim the q60/q66 discipline: the PQ
     // path's rank-1 answer must be quantization-invisible
     "q105_pq_ann_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
+         ORDER BY query_id""",
+
+    // brute-force argmax again: IVFADC must be end-to-end invisible
+    // at rank 1 (coarse routing + ADC + rerank)
+    "q107_ivfpq_ann_recall" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          q AS (SELECT vec_id + 10000 AS query_id,
              list_transform(v, x -> x * 1.001 + 0.0005) AS qv

@@ -620,6 +620,128 @@ object Similarity {
     searchPq(buildPq(corpus, idCol, vecCol, nSub, nCentroids), corpus,
       queries, idCol, vecCol, k, oversample)
 
+  /** The composed IVF × PQ index — the classic billion-scale ANN
+    * layout (IVFADC in Jégou et al. 2011): the coarse IVF quantizer
+    * prunes the scan to nProbe cells AND each cell's contents are
+    * nSub-byte PQ code words, so the approximate pass reads
+    * `nProbe/nCells` of the corpus at 32× compression — multiplying
+    * the two savings exactly as [[IvfSqIndex]] does for SQ, but at
+    * 8× smaller codes. `cellCodes` holds ONLY (neighbor_id, codes,
+    * cnorm, cell) — no floats — a plain DataFrame a caller persists
+    * or writes bucketed on `cell` once and searches many times. */
+  final case class IvfPqIndex(nSub: Int, nCentroids: Int,
+                              centroids: DataFrame, codebooks: DataFrame,
+                              cellCodes: DataFrame)
+
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 32, nSub: Int = 8,
+                 nCentroids: Int = 16): IvfPqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nCells)
+    val pq = buildPq(corpus, idCol, vecCol, nSub, nCentroids)
+    // one build-time equi join (codes ⋈ cell assignment); floats never
+    // enter the scan-side table
+    val cellCodes = pq.codes.join(
+      ivf.corpusCells.select(col("neighbor_id"), col("cell")),
+      Seq("neighbor_id"))
+    IvfPqIndex(nSub, nCentroids, ivf.centroids, pq.codebooks, cellCodes)
+  }
+
+  /** Search the composed index: rank the (broadcast) centroid table →
+    * probe nProbe cells → ADC LUT scoring over those cells' code
+    * words only (the [[searchPq]] collapse) → exact float rerank of
+    * the oversampled candidates. Recall is bounded by the coarse
+    * quantizer exactly as in [[searchIvf]]; quantization error inside
+    * probed cells is absorbed by the rerank exactly as in
+    * [[searchPq]]. */
+  def searchIvfPq(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                  oversample: Int = 4): DataFrame = {
+    val ks = index.nCentroids
+    val qsub = subVectors(
+      queries.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+      idCol, index.nSub)
+    val qlut = qsub.join(broadcast(index.codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"),
+        (col("sub") * ks + col("cid")).as("pos"),
+        dot(col("svec"), col("cvec")).as("v"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("p"))
+      .select(col("query_id"), expr("transform(p, q -> q.v)").as("__lut"))
+    val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(asDouble(col(vecCol))).as("__qn"))
+      .join(qlut, Seq("query_id"))
+    val qScores = qp
+      .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
+      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
+        (col("__qn") * col("__ctn")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = qScores.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__lut"),
+        col("cell"))
+    // approximate pass: touches only probed cells, reads only codes
+    val scored = probes.join(index.cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        expr(s"aggregate(sequence(0, ${index.nSub - 1}), 0.0D, " +
+          s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)])") /
+        (col("__qn") * col("cnorm")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cands = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * oversample)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+    // exact rerank: floats for candidates only
+    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Build + search in one call (the gate-query entry point). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 32, nProbe: Int = 4,
+                nSub: Int = 8, nCentroids: Int = 16,
+                oversample: Int = 4): DataFrame =
+    searchIvfPq(buildIvfPq(corpus, idCol, vecCol, nCells, nSub, nCentroids),
+      corpus, queries, idCol, vecCol, k, nProbe, oversample)
+
+  /** Persist an [[IvfPqIndex]] as tables — `cellCodes` BUCKETED on
+    * `cell` (the probe-join key, same build-once/search-many shape as
+    * [[writeIvfSqIndexBucketed]]), the small `centroids` and
+    * `codebooks` as plain tables. nSub/nCentroids ride along as a
+    * one-row `_meta` table so [[readIvfPqIndex]] restores the exact
+    * LUT geometry. */
+  def writeIvfPqIndexBucketed(index: IvfPqIndex, prefix: String,
+                              numBuckets: Int = 64): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.writeTable(
+      Seq((index.nSub, index.nCentroids)).toDF("n_sub", "n_centroids"),
+      s"${prefix}_meta")
+    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+    graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
+    graft.sources.Sinks.writeBucketed(index.cellCodes,
+      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
+  }
+
+  /** Reopen an index written by [[writeIvfPqIndexBucketed]]. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): IvfPqIndex = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    IvfPqIndex(meta.getInt(0), meta.getInt(1),
+      spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_codebooks"),
+      spark.table(s"${prefix}_cell_codes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the
     * LSH buckets (no O(n²) cross join). Each vector is hashed once and
     * multi-probed into its own bucket plus every 1-bit flip, so any

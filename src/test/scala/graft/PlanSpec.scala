@@ -427,6 +427,37 @@ class PlanSpec extends SparkSpec {
     assert(diskTop === memTop)
   }
 
+  test("IVF×PQ cellCodes bucketed on cell: probe join leaves the index unshuffled") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 5)
+    val mem = Similarity.buildIvfPq(corpus, "vec_id", "embedding",
+      nCells = 4, nSub = 4, nCentroids = 8)
+    Similarity.writeIvfPqIndexBucketed(mem, "ivfpq_plan", numBuckets = 4)
+    val disk = Similarity.readIvfPqIndex(spark, "ivfpq_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (0 to 3).map(c => (c, c.toLong)).toDF("cell", "query_id")
+      val j = disk.cellCodes.join(probe, "cell")
+      val p = j.queryExecution.executedPlan.toString
+      // exactly one exchange — the probe side; the bucketed index
+      // side reads its layout directly
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected only the probe-side shuffle:\n${p.take(2000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // table-backed search returns the same ranked neighbors
+    val memTop = Similarity.searchIvfPq(mem, corpus, queries, "vec_id",
+      "embedding", k = 3).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(3))).toSet
+    val diskTop = Similarity.searchIvfPq(disk, corpus, queries, "vec_id",
+      "embedding", k = 3).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(3))).toSet
+    assert(diskTop === memTop)
+  }
+
   test("exact index bucketed on __h: verification join skips the index-side shuffle") {
     import spark.implicits._
     import graft.operators.Dedup

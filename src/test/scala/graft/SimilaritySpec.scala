@@ -364,6 +364,46 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == bf, s"pq top-1 diverged: ${pq.toSet -- bf.toSet}")
   }
 
+  test("IVF×PQ composed index: code-typed cells, float-free until rerank, full recall") {
+    val idx = Similarity.buildIvfPq(emb, "vec_id", "embedding", nCells = 8)
+    // the scan-side table holds ONLY the nSub-byte code word, its
+    // reconstruction norm, and the cell — no floats
+    assert(idx.cellCodes.columns.sorted.toSeq ==
+      Seq("cell", "cnorm", "codes", "neighbor_id"))
+    val codesType = idx.cellCodes.schema("codes").dataType
+    assert(codesType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"codes must stay tinyint, got $codesType")
+    // planted-copy recall: the coarse quantizer must route each query
+    // to its source's cell AND the ADC pass must keep the true
+    // neighbor through quantization + rerank
+    val copies = emb.filter($"vec_id" < 20).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nCells = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(composed == bf, s"ivf×pq top-1 diverged: ${composed.toSet -- bf.toSet}")
+    // durable round-trip: the _meta row restores the LUT geometry and
+    // the table-backed search returns the same ranked neighbors
+    val mem = Similarity.buildIvfPq(corpus, "vec_id", "embedding", nCells = 8)
+    Similarity.writeIvfPqIndexBucketed(mem, "ivfpq_spec", numBuckets = 4)
+    val disk = Similarity.readIvfPqIndex(spark, "ivfpq_spec")
+    assert(disk.nSub == mem.nSub && disk.nCentroids == mem.nCentroids)
+    val qs2 = emb.filter($"vec_id".between(20, 24)).select("vec_id", "embedding")
+    val memTop = Similarity.searchIvfPq(mem, corpus, qs2, "vec_id",
+        "embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val diskTop = Similarity.searchIvfPq(disk, corpus, qs2, "vec_id",
+        "embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(diskTop === memTop)
+  }
+
   test("PQ build/search split: one built index serves repeated query batches") {
     val idx = Similarity.buildPq(emb, "vec_id", "embedding",
       nSub = 8, nCentroids = 16)
