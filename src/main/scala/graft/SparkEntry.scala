@@ -1379,6 +1379,19 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Per-domain document cap (RefinedWeb-style source balancing):
+    // at most 10 docs per source, membership in engine-neutral
+    // md5-hash order so the oracle replays the exact window — a wrong
+    // hash, a wrong tie-break, or a rate-vs-count mixup all change
+    // the kept set. The cap binds on every source (20 × 25 docs →
+    // 10 each at sf0.01).
+    "q108_domain_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"source")
+      operators.Curation.capPerKey(docs, "source", "doc_id",
+          maxPerKey = 10, hashFn = operators.Dedup.md5Hash60)
+        .orderBy($"doc_id")
+    }),
+
     // Composed IVF × PQ ANN gate — IVFADC (Jégou et al. 2011), the
     // classic billion-scale layout: the approximate pass is
     // cell-pruned (nProbe of nCells cells) AND reads only 8-byte PQ
@@ -2569,6 +2582,17 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
          ORDER BY query_id""",
+
+    // the md5-hash-ordered per-source window, replayed exactly
+    "q108_domain_cap" ->
+      """WITH h AS (SELECT doc_id, source,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS hh
+         FROM documents),
+         r AS (SELECT doc_id, source, row_number() OVER
+             (PARTITION BY source ORDER BY hh, doc_id) AS rn
+           FROM h)
+         SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
 
     // brute-force argmax again: IVFADC must be end-to-end invisible
     // at rank 1 (coarse routing + ADC + rerank)

@@ -22,6 +22,13 @@ object Curation {
     * embedded inside longer training docs are caught (symmetric
     * Jaccard misses them by construction). */
   final case class CurateConfig(
+      /** when true, [[normalizeText]] rewrites the text column before
+        * ANY other stage — typographic folds, control/zero-width
+        * strip, whitespace collapse — so boilerplate variants that
+        * differ only in curly quotes or NBSP runs collapse to one
+        * form BEFORE line/paragraph/span dedup hash their content
+        * (the idempotence spec makes unconditional use safe) */
+      normalize: Boolean = false,
       minQuality: Double = 0.3,
       /** when set, [[dropRepeatedLines]]' cross-corpus sibling
         * [[dropBoilerplateLines]] runs FIRST at this doc-frequency
@@ -72,7 +79,8 @@ object Curation {
         * that way) */
       hashFn: Column => Column = xxhash64(_))
 
-  /** The full curation pipeline in one call: (optional cross-corpus
+  /** The full curation pipeline in one call: (optional cleanup
+    * normalization → optional cross-corpus
     * boilerplate strip → optional corpus-wide paragraph dedup →
     * optional substring-span dedup) → quality filter (optionally + Gopher quality and repetition
     * rules) → exact dedup → near-dup drop (n-gram Jaccard + connected
@@ -98,15 +106,22 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // optional cleanup normalization rewrites the text before ANY
+    // stage hashes, scores or shingles it — typographic variants of
+    // the same boilerplate must collapse to one form first
+    val docs0 = if (cfg.normalize)
+        normalizeText(docs, textCol, "__norm")
+          .drop(textCol).withColumnRenamed("__norm", textCol)
+      else docs
     // optional cross-corpus boilerplate strip BEFORE anything scores
     // or shingles the text (a banner line in every doc would otherwise
     // leak into quality ratios and gram buckets)
     val pre0 = cfg.dropBoilerplate match {
       case Some(frac) =>
-        dropBoilerplateLines(docs, idCol, textCol, frac)
+        dropBoilerplateLines(docs0, idCol, textCol, frac)
           .drop(textCol, "n_kept_lines", "n_lines")
           .withColumnRenamed("clean_text", textCol)
-      case None => docs
+      case None => docs0
     }
     // paragraph-level exact dedup rides the same pre-scoring slot:
     // a paragraph shared across docs survives once corpus-wide, so
@@ -619,6 +634,35 @@ object Curation {
       .distinct()
     removeCoveredWords(train, covered, idCol, textCol)
       .withColumn("n_removed_words", col("n_words") - col("n_kept_words"))
+  }
+
+  /** Per-key document cap — the "at most N documents per domain"
+    * primitive of web-corpus pipelines (RefinedWeb-style source
+    * balancing): each key keeps its first `maxPerKey` documents in
+    * id-hash order, so membership is a pure function of (id, key) —
+    * re-runs, engines, input order and partitioning all agree — and
+    * no single domain (a crawler trap, a mirror farm, one
+    * over-represented site) can dominate the mix. The deterministic
+    * sibling of a per-group random sample, keyed the same way as
+    * [[stratifiedHashSample]] but with an absolute COUNT bound
+    * instead of a rate: a rate keeps a mega-domain mega-sized.
+    *
+    * Scale shape: one window partitioned by the key — work
+    * hash-partitions across the cluster by domain; within one
+    * domain the sort is local to its partition. Domains are
+    * heavy-tailed but each is a vanishing fraction of 100 TB; a
+    * pathological single-key flood (half the corpus one domain) is
+    * the [[graft.operators.Skew]] salting territory — pre-collapse
+    * with a coarse hash filter before windowing if profiling shows
+    * one. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                maxPerKey: Int,
+                hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxPerKey > 0, "need maxPerKey > 0")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashFn(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxPerKey).drop("__r")
   }
 
   /** Deterministic token-budget sampling — the mixing primitive for

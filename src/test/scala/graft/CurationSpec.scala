@@ -701,6 +701,47 @@ class CurationSpec extends SparkSpec {
     assert(nf === 5L + 4L, s"expected 9 features, got $nf")
   }
 
+  test("capPerKey: deterministic per-domain cap, small keys untouched") {
+    val docs = ((1L to 40L).map(i => (i, "big")) ++
+      (41L to 43L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Curation.capPerKey(docs, "source", "doc_id", maxPerKey = 5)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc("big") == 5L, s"cap must bind: $bySrc")
+    assert(bySrc("small") == 3L, "under-cap keys keep everything")
+    // deterministic: same rows survive a re-run and a reshuffle
+    val again = Curation.capPerKey(docs.repartition(7), "source",
+      "doc_id", maxPerKey = 5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // output schema is the input schema (helper column dropped)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("curate: normalize tier folds typographic variants before dedup") {
+    // two copies of the same doc differing only in curly quotes and
+    // NBSP: without normalize both survive exact dedup; with it the
+    // pair collapses to one survivor
+    val base = "a longer document body that clears the quality gate " +
+      "with enough ordinary words to score well “quoted” here"
+    val variant = base.replace("“", "\"").replace("”", "\"")
+      .replace(" quoted", "\u00A0quoted")
+    val filler = (10L to 30L).map(i =>
+      (i, s"plain filler document number $i with ordinary words " * 3))
+    val docs = (Seq((1L, base), (2L, variant)) ++ filler)
+      .toDF("doc_id", "text")
+    def survivors(cfg: Curation.CurateConfig): Set[Long] =
+      Curation.curate(docs, "doc_id", "text", cfg = cfg)
+        .select("doc_id").as[Long].collect().toSet
+    val without = survivors(Curation.CurateConfig(
+      nearDupThreshold = 1.01)) // exact tier only
+    val withNorm = survivors(Curation.CurateConfig(
+      nearDupThreshold = 1.01, normalize = true))
+    assert(without.contains(1L) && without.contains(2L),
+      s"unnormalized variants must both survive exact dedup: $without")
+    assert(withNorm.contains(1L) && !withNorm.contains(2L),
+      s"normalized variants must collapse to the min id: $withNorm")
+  }
+
   test("normalizeText: each fold fires on its own pathology") {
     val docs = Seq(
       (1L, "“curly” ‘quotes’ – and — dash − minus"),
