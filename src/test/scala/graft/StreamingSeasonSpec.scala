@@ -455,6 +455,35 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text normalization: pure projection, batch-identical") {
+    import spark.implicits._
+    // normalizeText is a translate+regexp projection with no state, so
+    // the SAME operator runs unchanged on a streaming frame — this
+    // pins that property (and that micro-batch planning preserves the
+    // fold semantics byte-for-byte vs batch)
+    val docs = Seq(
+      (1L, "“q” – x… end"),
+      (2L, "crlf\r\nnext  line\t\t!"),
+      (3L, "zero\u200Bwidth nb\u00A0sp"))
+      .toDF("doc_id", "text")
+    val want = graft.operators.Curation.normalizeText(docs, "text", "norm")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val dir = Files.createTempDirectory("stream_norm")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.operators.Curation.normalizeText(stream, "text", "norm")
+      .select($"doc_id", $"norm")
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, norm from norm_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"streamed norm diverged: $got vs $want")
+    } finally q.stop()
+  }
+
   test("streaming LR-classifier admission filter (stateless projection)") {
     import spark.implicits._
     val good = "clear readable prose about solar boats and telemetry data"
