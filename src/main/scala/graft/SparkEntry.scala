@@ -2629,7 +2629,7 @@ object SparkEntry {
            END AS t
          FROM documents),
          n AS (SELECT doc_id,
-           trim(regexp_replace(
+           trim(regexp_replace(regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
@@ -2645,7 +2645,7 @@ object SparkEntry {
                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}]',
                '', 'g'),
              '[ \t]+', ' ', 'g'),
-           ' ?\n ?', chr(10), 'g')) AS norm
+           ' ?\n ?', chr(10), 'g'), '^\n+|\n+$', '', 'g')) AS norm
          FROM m)
          SELECT doc_id, md5(norm) AS norm_md5,
            length(norm) AS norm_len,

@@ -203,7 +203,15 @@ object Curation {
               Seq(idCol), "left_anti")
           else Dedup.gramTable(deduped, idCol, textCol, cfg.decontamNgram))
           .persist()
-        val gr = Dedup.gramTable(b, idCol, textCol, cfg.decontamNgram)
+        // the benchmark side shingles under the SAME normalization as
+        // the training docs — with the normalize tier on, a raw
+        // benchmark would tokenize typographic variants differently
+        // and silently lose decontamination recall
+        val bNorm = if (cfg.normalize)
+            normalizeText(b, textCol, "__norm")
+              .drop(textCol).withColumnRenamed("__norm", textCol)
+          else b
+        val gr = Dedup.gramTable(bNorm, idCol, textCol, cfg.decontamNgram)
           .persist()
         // contaminated TRAINING ids — bounded by |docs|, not
         // |benchmark|: no broadcast hint (AQE decides by measured size)
@@ -318,7 +326,11 @@ object Curation {
     val stripped = regexp_replace(newlines, ControlZeroWidthPattern, "")
     val collapsed = regexp_replace(stripped, "[ \\t]+", " ")
     val lineTrim = regexp_replace(collapsed, " ?\\n ?", "\n")
-    df.withColumn(outCol, trim(lineTrim))
+    // document-end newlines: `trim` strips only spaces (both engines),
+    // so a trailing-newline variant would otherwise survive every fold
+    // and defeat the dedup collapse this operator feeds
+    val docTrim = regexp_replace(lineTrim, "^\\n+|\\n+$", "")
+    df.withColumn(outCol, trim(docTrim))
   }
 
   /** CCNet-style hash-normalization key (Wenzek et al. 2019 §4.1:

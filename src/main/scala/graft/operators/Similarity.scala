@@ -495,15 +495,84 @@ object Similarity {
 
   /** Split `vecCol` (already cast to `array<double>` as `__v`) into
     * `nSub` contiguous sub-vector rows — one generate of nSub rows
-    * per vector. Requires the dimension divisible by nSub (the slice
-    * starts are `sequence(1, d, d/nSub)`; a ragged tail would change
-    * the slice count). */
+    * per vector. The dimension must divide by nSub (the slice starts
+    * are `sequence(1, d, d/nSub)`; a ragged tail would change the
+    * slice count) — enforced with a plan-level raise_error, since the
+    * dimension is data, not a parameter. */
   private def subVectors(df: DataFrame, idCol: String, nSub: Int)
       : DataFrame =
     df.select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, size(__v), size(__v) div $nSub), " +
-        s"st -> slice(__v, st, size(__v) div $nSub))"))
+        s"CASE WHEN size(__v) % $nSub != 0 THEN " +
+        s"CAST(raise_error(concat('graft PQ: vector dimension ', " +
+        s"CAST(size(__v) AS STRING), ' not divisible by nSub = $nSub')) " +
+        "AS ARRAY<ARRAY<DOUBLE>>) " +
+        s"ELSE transform(sequence(1, size(__v), size(__v) div $nSub), " +
+        s"st -> slice(__v, st, size(__v) div $nSub)) END"))
       .as(Seq("sub", "svec")))
+
+  /** Per-query flat ADC lookup table against a (broadcast) codebook:
+    * lut[sub·nCentroids + cid] = q_sub·c_sub. The positional indexing
+    * is only sound over the dense nSub×nCentroids grid [[buildPq]]
+    * guarantees — a sparse codebook (corpus smaller than nCentroids,
+    * or a torn/mismatched durable index) would silently shift every
+    * slot, so the size is checked in-plan and raises instead. */
+  private def pqQueryLut(queries: DataFrame, idCol: String,
+                         vecCol: String, codebooks: DataFrame,
+                         nSub: Int, ks: Int): DataFrame =
+    subVectors(
+        queries.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+        idCol, nSub)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"),
+        (col("sub") * ks + col("cid")).as("pos"),
+        dot(col("svec"), col("cvec")).as("v"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("p"))
+      .select(col("query_id"), expr(
+        s"CASE WHEN size(p) != ${nSub * ks} THEN " +
+        s"CAST(raise_error(concat('graft PQ: codebook has ', " +
+        s"CAST(size(p) AS STRING), ' cells, expected ${nSub * ks} " +
+        "(corpus smaller than nCentroids, or mismatched index?)')) " +
+        "AS ARRAY<DOUBLE>) " +
+        "ELSE transform(p, q -> q.v) END").as("__lut"))
+
+  /** The ADC approximate cosine over (`__lut`, `codes`, `__qn`,
+    * `cnorm`) columns: nSub lookups + one divide per pair. Guards the
+    * code-word length in the same expression (an unused check column
+    * would be pruned away) — a stale index whose geometry predates a
+    * rebuild must fail loudly, not rank garbage. */
+  private def adcCosine(nSub: Int, ks: Int): Column =
+    expr(s"CASE WHEN size(codes) != $nSub THEN " +
+      s"CAST(raise_error(concat('graft PQ: code word length ', " +
+      s"CAST(size(codes) AS STRING), ' != nSub = $nSub " +
+      "(stale or mismatched index?)')) AS DOUBLE) " +
+      s"ELSE aggregate(sequence(0, ${nSub - 1}), 0.0D, " +
+      s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)]) END") /
+    (col("__qn") * col("cnorm"))
+
+  /** Oversampled-candidate selection + exact float rerank shared by
+    * the PQ search paths: top `k·oversample` per query by the
+    * approximate score, floats joined in for candidates alone, exact
+    * cosine ranks them. */
+  private def adcRerank(scored: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        oversample: Int): DataFrame = {
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cands = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * oversample)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
+    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 
   /** Per-subspace L2 argmin assignment against a (broadcast)
     * codebook: one equi join on `sub` — the codebook is tiny — and a
@@ -524,7 +593,9 @@ object Similarity {
     * centroid. A centroid that loses all members in the Lloyd step
     * falls back to its seed sub-vector, so the codebook stays DENSE —
     * [[searchPq]]'s flat LUT indexes by `sub·nCentroids + cid` and
-    * every slot must exist. Build cost: one nSub-way generate + two
+    * every slot must exist. A corpus SMALLER than nCentroids cannot
+    * seed a dense grid; the search-side size guard raises on first
+    * use (shrink nCentroids to fit). Build cost: one nSub-way generate + two
     * broadcast-assign aggregates + one d-row mean aggregate — the
     * corpus never shuffles by anything wider than (id, sub). */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
@@ -576,41 +647,15 @@ object Similarity {
   def searchPq(index: PqIndex, corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
                oversample: Int = 4): DataFrame = {
-    val ks = index.nCentroids
-    val qsub = subVectors(
-      queries.select(col(idCol), asDouble(col(vecCol)).as("__v")),
-      idCol, index.nSub)
-    val qlut = qsub.join(broadcast(index.codebooks), Seq("sub"))
-      .select(col(idCol).as("query_id"),
-        (col("sub") * ks + col("cid")).as("pos"),
-        dot(col("svec"), col("cvec")).as("v"))
-      .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("p"))
-      .select(col("query_id"), expr("transform(p, q -> q.v)").as("__lut"))
+    val qlut = pqQueryLut(queries, idCol, vecCol, index.codebooks,
+      index.nSub, index.nCentroids)
     val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(asDouble(col(vecCol))).as("__qn"))
       .join(qlut, Seq("query_id"))
     val scored = index.codes.crossJoin(broadcast(qp))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
-        expr(s"aggregate(sequence(0, ${index.nSub - 1}), 0.0D, " +
-          s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)])") /
-        (col("__qn") * col("cnorm")))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val cands = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= k * oversample)
-      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
-    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
-        Seq("neighbor_id"))
-      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
-        col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .withColumn("approx_cos", adcCosine(index.nSub, index.nCentroids))
+    adcRerank(scored, corpus, idCol, vecCol, k, oversample)
   }
 
   /** Build + search in one call (the gate-query entry point). */
@@ -656,17 +701,8 @@ object Similarity {
   def searchIvfPq(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
                   oversample: Int = 4): DataFrame = {
-    val ks = index.nCentroids
-    val qsub = subVectors(
-      queries.select(col(idCol), asDouble(col(vecCol)).as("__v")),
-      idCol, index.nSub)
-    val qlut = qsub.join(broadcast(index.codebooks), Seq("sub"))
-      .select(col(idCol).as("query_id"),
-        (col("sub") * ks + col("cid")).as("pos"),
-        dot(col("svec"), col("cvec")).as("v"))
-      .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("p"))
-      .select(col("query_id"), expr("transform(p, q -> q.v)").as("__lut"))
+    val qlut = pqQueryLut(queries, idCol, vecCol, index.codebooks,
+      index.nSub, index.nCentroids)
     val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(asDouble(col(vecCol))).as("__qn"))
       .join(qlut, Seq("query_id"))
@@ -683,26 +719,8 @@ object Similarity {
     // approximate pass: touches only probed cells, reads only codes
     val scored = probes.join(index.cellCodes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
-        expr(s"aggregate(sequence(0, ${index.nSub - 1}), 0.0D, " +
-          s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)])") /
-        (col("__qn") * col("cnorm")))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val cands = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= k * oversample)
-      .select(col("query_id"), col("__qv"), col("__qn"), col("neighbor_id"))
-    // exact rerank: floats for candidates only
-    val rer = cands.join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn")),
-        Seq("neighbor_id"))
-      .withColumn("cosine", cosinePrenormed(col("__qv"), col("__cv"),
-        col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .withColumn("approx_cos", adcCosine(index.nSub, index.nCentroids))
+    adcRerank(scored, corpus, idCol, vecCol, k, oversample)
   }
 
   /** Build + search in one call (the gate-query entry point). */
@@ -717,19 +735,26 @@ object Similarity {
     * `cell` (the probe-join key, same build-once/search-many shape as
     * [[writeIvfSqIndexBucketed]]), the small `centroids` and
     * `codebooks` as plain tables. nSub/nCentroids ride along as a
-    * one-row `_meta` table so [[readIvfPqIndex]] restores the exact
-    * LUT geometry. */
+    * one-row `_meta` table written LAST — the commit marker: a write
+    * torn before completion leaves no (or a stale-generation) meta,
+    * so [[readIvfPqIndex]] either fails to resolve the table or the
+    * in-plan geometry guards ([[pqQueryLut]] codebook-size check,
+    * [[adcCosine]] code-word-length check) raise on first use instead
+    * of ranking garbage. REBUILDS with different geometry must go to
+    * a FRESH prefix (the durable exact index's epoch discipline):
+    * overwriting four tables in place is not atomic, and a torn
+    * same-geometry overwrite would mix generations undetectably. */
   def writeIvfPqIndexBucketed(index: IvfPqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
+    graft.sources.Sinks.writeBucketed(index.cellCodes,
+      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
+    graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
+    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
     graft.sources.Sinks.writeTable(
       Seq((index.nSub, index.nCentroids)).toDF("n_sub", "n_centroids"),
       s"${prefix}_meta")
-    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
-    graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
-    graft.sources.Sinks.writeBucketed(index.cellCodes,
-      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
   }
 
   /** Reopen an index written by [[writeIvfPqIndexBucketed]]. */

@@ -742,6 +742,32 @@ class CurationSpec extends SparkSpec {
       s"normalized variants must collapse to the min id: $withNorm")
   }
 
+  test("curate: normalize tier also normalizes the benchmark for decontam") {
+    // the training doc quotes a benchmark passage with CURLY quotes;
+    // the benchmark carries it with straight quotes. Raw shingling
+    // tokenizes the variants differently and misses the containment;
+    // with normalize on, BOTH sides fold first and the doc must drop.
+    val passage = "the quick benchmark passage that “must” " +
+      "never appear inside any training document corpus"
+    val passageAscii = passage.replace("“", "\"").replace("”", "\"")
+    val docs = (Seq(
+      (1L, s"a perfectly ordinary training document which quotes $passage " +
+        "and then continues with its own words for a while")) ++
+      (10L to 25L).map(i =>
+        (i, s"plain filler document number $i with ordinary words " * 3)))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, passageAscii)).toDF("doc_id", "text")
+    def survivors(normalize: Boolean): Set[Long] =
+      Curation.curate(docs, "doc_id", "text", benchmark = Some(bench),
+          cfg = Curation.CurateConfig(normalize = normalize,
+            nearDupThreshold = 1.01, decontamThreshold = 0.5))
+        .select("doc_id").as[Long].collect().toSet
+    assert(survivors(false).contains(1L),
+      "raw variants should NOT match (the recall gap normalize closes)")
+    assert(!survivors(true).contains(1L),
+      "normalized benchmark grams must catch the folded quote variant")
+  }
+
   test("normalizeText: each fold fires on its own pathology") {
     val docs = Seq(
       (1L, "“curly” ‘quotes’ – and — dash − minus"),
@@ -750,7 +776,8 @@ class CurationSpec extends SparkSpec {
       (4L, "ctl\u0001z\u0007w zero\u200Bwidth\u200C\u200D join\uFEFFbom"),
       (5L, "runs  of\t\tmixed \t space"),
       (6L, "  edge \n lines \n  padded  "),
-      (7L, "nb\u00A0sp")
+      (7L, "nb\u00A0sp"),
+      (8L, "\n\n first\nlast \n\n")
     ).toDF("doc_id", "text")
     val got = Curation.normalizeText(docs, "text", "norm")
       .orderBy("doc_id").select("norm").as[String].collect()
@@ -761,6 +788,8 @@ class CurationSpec extends SparkSpec {
     assert(got(4) == "runs of mixed space")
     assert(got(5) == "edge\nlines\npadded", s"got ${got(5)}")
     assert(got(6) == "nb sp")
+    // document-end newlines stripped (trim alone only takes spaces)
+    assert(got(7) == "first\nlast", got(7))
     // idempotent: re-normalizing a normalized corpus is a no-op
     val once = Curation.normalizeText(docs, "text", "n1")
     val twice = Curation.normalizeText(once.select($"doc_id",

@@ -404,6 +404,33 @@ class SimilaritySpec extends SparkSpec {
     assert(diskTop === memTop)
   }
 
+  test("PQ guards: ragged dimension and sparse codebook raise, never mis-rank") {
+    def msgChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur = t
+      while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
+      sb.toString
+    }
+    // 10 dims over nSub = 8: the slice-count contract breaks — must
+    // raise in-plan, not quantize a ragged tail
+    val bad = Seq((1L, Array.fill(10)(0.5)), (2L, Array.fill(10)(0.25)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.buildPq(bad, "vec_id", "embedding").codes.collect()
+    }
+    assert(msgChain(e1).contains("not divisible"), msgChain(e1).take(300))
+    // 10 vectors cannot seed a dense 16-centroid grid: the flat LUT's
+    // positional indexing would silently shift every slot — the
+    // search-side size guard must raise instead
+    val tiny = emb.filter($"vec_id" < 10).select("vec_id", "embedding")
+    val idx = Similarity.buildPq(tiny, "vec_id", "embedding",
+      nSub = 8, nCentroids = 16)
+    val e2 = intercept[Exception] {
+      Similarity.searchPq(idx, tiny, tiny, "vec_id", "embedding", 1).collect()
+    }
+    assert(msgChain(e2).contains("codebook has"), msgChain(e2).take(300))
+  }
+
   test("PQ build/search split: one built index serves repeated query batches") {
     val idx = Similarity.buildPq(emb, "vec_id", "embedding",
       nSub = 8, nCentroids = 16)
