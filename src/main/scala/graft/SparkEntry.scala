@@ -848,6 +848,55 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BPE application (Sennrich et al. 2016 inference rule): a fixed
+    // three-merge list replays over every distinct corpus word —
+    // char split + </w> marker, then e+</w>, t+h, th+e</w> in order,
+    // so "the" collapses to ONE piece while "theme"/"thee" show the
+    // left-to-right non-overlapping fold at every boundary case. The
+    // oracle unrolls the same three folds as list_reduce stages;
+    // md5 of the chr(1)-joined pieces pins every piece BOUNDARY, not
+    // just the counts. (Merge LEARNING is data-derived state a SQL
+    // oracle cannot replay — the fit loop is spec-pinned on the
+    // Sennrich corpus and benched rows-only by q111.)
+    "q110_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"text")
+      val words = docs.select(
+          explode(split(lower(trim($"text")), "\\s+")).as("w"))
+        .filter($"w" =!= "").distinct()
+      val merges = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"))
+      operators.Bpe.encodeWords(words, "w", merges)
+        .select($"w", size($"pieces").cast("long").as("n_pieces"),
+          md5(concat_ws("\u0001", $"pieces")).as("pieces_md5"))
+        .orderBy($"w")
+    }),
+
+    // BPE vocabulary induction end-to-end (rows-only production
+    // bench, the q76/q90/q92 discipline): fit 16 merges on the
+    // corpus's distinct-word table, then count per-doc BPE pieces
+    // through the fitted word join. The learned merges are
+    // data-derived driver state no SQL oracle can replay; the merge
+    // arithmetic itself is value-pinned by q110 plus the Sennrich
+    // fit spec.
+    "q111_bpe_fit_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val vocab = operators.Bpe.fit(docs, "text", numMerges = 16)
+      val out = operators.Bpe.tokenCount(docs, "doc_id", "text", vocab)
+        .orderBy($"doc_id")
+      out
+    }),
+
+    // Bigram LM score with Jelinek-Mercer unigram backoff — q61's
+    // fold discipline one n-gram up (order-sensitive fluency signal,
+    // the step toward CCNet's KenLM perplexity): terms fold
+    // bigram-sorted on both sides, the smoothing expression shares
+    // one operation order, λ = 0.75 keeps both mixture weights exact
+    // binary so the oracle's literals are bit-identical.
+    "q109_bigram_logprob" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      operators.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Paragraph-level exact dedup: corpus-wide keep-first at paragraph
     // granularity. The fixture plants a banner paragraph shared across
     // the %6 and %9 docs (only the lowest (doc, pos) occurrence may
@@ -3468,6 +3517,64 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b)
              / CAST(sum(tf) AS DOUBLE), 6) AS logprob_per_token
+         FROM terms GROUP BY 1 ORDER BY doc_id""",
+
+    // char split + </w>, then the three merge folds unrolled as
+    // list_reduce stages (seed = first symbol's singleton list, each
+    // further element either glues onto the accumulator tail or
+    // appends — the left-to-right non-overlapping BPE rule)
+    "q110_bpe_encode" ->
+      """WITH words AS (SELECT DISTINCT w FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents) WHERE w <> ''),
+         s0 AS (SELECT w,
+           [[c] for c in
+            [substring(w, i, 1) for i in generate_series(1, length(w))]
+            || ['</w>']] AS s
+         FROM words),
+         m1 AS (SELECT w, list_reduce(s, (acc, x) ->
+           CASE WHEN acc[len(acc)] = 'e' AND x[1] = '</w>'
+                THEN list_slice(acc, 1, len(acc) - 1) || ['e</w>']
+                ELSE acc || x END) AS p FROM s0),
+         m2 AS (SELECT w, list_reduce([[c] for c in p], (acc, x) ->
+           CASE WHEN acc[len(acc)] = 't' AND x[1] = 'h'
+                THEN list_slice(acc, 1, len(acc) - 1) || ['th']
+                ELSE acc || x END) AS p FROM m1),
+         m3 AS (SELECT w, list_reduce([[c] for c in p], (acc, x) ->
+           CASE WHEN acc[len(acc)] = 'th' AND x[1] = 'e</w>'
+                THEN list_slice(acc, 1, len(acc) - 1) || ['the</w>']
+                ELSE acc || x END) AS p FROM m2)
+         SELECT w, len(p) AS n_pieces,
+           md5(array_to_string(p, chr(1))) AS pieces_md5
+         FROM m3 ORDER BY w""",
+
+    // the full bigram chain: pair extraction, corpus counts, context
+    // totals, unigram backoff, the exact-binary 0.75/0.25 mixture,
+    // and the bigram-sorted fold
+    "q109_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+           [t for t in regexp_split_to_array(trim(lower(text)), '\s+')
+            if t <> ''] AS tk
+         FROM documents),
+         bg0 AS (SELECT doc_id,
+           unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+                   for i in generate_series(1, len(tk) - 1)]) AS b
+           FROM toks WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+         tf AS (SELECT doc_id, w1, w2, count(*) tf FROM bg GROUP BY 1, 2, 3),
+         cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) cb FROM tf GROUP BY 1, 2),
+         cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) cw FROM cb GROUP BY 1),
+         uni AS (SELECT t AS w2, count(*) cu
+           FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) T FROM uni),
+         terms AS (SELECT doc_id, w1, w2, tf,
+             tf * ln(0.75::DOUBLE * ((cb::DOUBLE) / (cw::DOUBLE)) +
+                     0.25::DOUBLE * ((cu::DOUBLE) / (T::DOUBLE))) AS term
+           FROM tf JOIN cb USING (w1, w2) JOIN cw USING (w1)
+             JOIN uni USING (w2) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list(term ORDER BY w1, w2), (a, b) -> a + b)
+             / CAST(sum(tf) AS DOUBLE), 6) AS logprob_per_bigram
          FROM terms GROUP BY 1 ORDER BY doc_id""",
 
     "q59_paragraph_dedup" ->

@@ -675,6 +675,68 @@ object TextAnalysis {
           .as("logprob_per_token"))
   }
 
+  /** Smoothed BIGRAM LM score — the n-gram step toward CCNet's KenLM
+    * perplexity filtering (Wenzek et al. 2019 score with a 5-gram
+    * KenLM; a Jelinek–Mercer-interpolated bigram is the same signal
+    * class with exactly reproducible arithmetic): the corpus's own
+    * bigram model scores each document by the mean log-probability of
+    * its bigram positions,
+    * `P(w2|w1) = λ·c(w1 w2)/c(w1 ·) + (1−λ)·c(w2)/T`
+    * with `c(w1 ·)` the bigram-context total and `c(w2)/T` the
+    * unigram backoff. Unlike [[unigramLogProb]] this is sensitive to
+    * ORDER — a scrambled document keeps its unigram score and loses
+    * its bigram score, which is what makes it a fluency (not just
+    * vocabulary) signal.
+    *
+    * λ defaults to 0.75 so BOTH λ and 1−λ are exact binary doubles —
+    * an 0.9/0.1 split would make `1 − λ` differ in the last ulp from
+    * a SQL oracle's `0.1` literal (and DuckDB folds bare numeric
+    * literals as DECIMAL). Engine-parity discipline is q61's: terms
+    * fold in bigram-sorted order, the smoothing expression evaluates
+    * in one fixed operation order, one round(…,6) at the end. Docs
+    * with < 2 tokens have no bigram positions and drop from the
+    * output (score undefined).
+    *
+    * Scale shape: counts are vocabulary-bounded aggregates (bigram
+    * vocab ≪ corpus); the doc-side joins hash-partition on the
+    * bigram/context keys; T is a broadcast single row; no windows,
+    * no driver state. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
+      .select(col(idCol), expr("filter(__tk0, t -> t != '')").as("__tk"))
+    val bg = toks.filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+        "i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1]))")).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val tf = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    // unigram backoff over ALL tokens (including doc-final ones)
+    val uni = toks.select(explode(col("__tk")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("__t"))
+    val scored = tf.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", col("tf") * log(
+        lit(lambda) * (col("cb").cast("double") / col("cw").cast("double")) +
+        lit(1.0 - lambda) *
+          (col("cu").cast("double") / col("__t").cast("double"))))
+    scored.groupBy(col(idCol)).agg(
+        sum(col("tf")).as("n_bigrams"),
+        aggregate(
+          expr("array_sort(collect_list(struct(w1, w2, term)))"),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("__lp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lp") / col("n_bigrams").cast("double"), 6)
+          .as("logprob_per_bigram"))
+  }
+
   /** Eval-set decontamination: drop documents whose `fingerprintCol`
     * appears in the blocklist — a broadcast LEFT ANTI join (the
     * blocklist is the small side: benchmark/eval fingerprints number

@@ -181,6 +181,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(got(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
   }
 
+  test("bigramLogProb: hand-computed smoothing, order sensitivity, short docs absent") {
+    // corpus: doc1 = [a b a b], doc2 = [b a], doc3 = [solo]
+    // bigrams: doc1 (a,b)×2 (b,a)×1; doc2 (b,a)×1
+    // cb: (a,b)=2 (b,a)=2; cw: a·=2 b·=2; uni: a=3 b=3 solo=1 T=7
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(!got.contains(3L), "a one-token doc has no bigram positions")
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    val p = 0.75 * (2.0 / 2.0) + 0.25 * (3.0 / 7.0) // both bigrams alike
+    assert(math.abs(got(1L)._2 - math.log(p)) < 1e-6, s"${got(1L)._2}")
+    assert(math.abs(got(2L)._2 - math.log(p)) < 1e-6)
+    // order sensitivity: a scrambled doc keeps its unigram score but
+    // not its bigram score (the signal unigramLogProb cannot see)
+    val pair = Seq((1L, "one two one two one two"),
+      (2L, "two two two one one one")).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLogProb(pair, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L))
+    val bi = TextAnalysis.bigramLogProb(pair, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(1L) != bi(2L), s"bigram must separate the orders: $bi")
+  }
+
   test("edge cases: empty/whitespace docs through the new analyzers") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "real content words here"))
       .toDF("doc_id", "text")
