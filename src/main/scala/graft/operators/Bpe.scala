@@ -44,10 +44,15 @@ object Bpe {
   /** Initial symbol sequence: per-character split plus the `</w>`
     * end-of-word marker (the paper's word-boundary symbol — without
     * it "est" inside "estimate" and at the end of "widest" would
-    * merge identically). */
+    * merge identically). Guarded for the empty string: Spark's
+    * `sequence(1, 0)` steps DOWN to [1, 0] rather than returning an
+    * empty array, which would hand an empty word two phantom ""
+    * symbols — an empty (or null) word is just the bare marker. */
   private def charSymbols(w: Column): Column =
-    concat(transform(sequence(lit(1), length(w)),
-      i => substring(w, i, lit(1))), array(lit("</w>")))
+    when(length(w) > 0,
+      concat(transform(sequence(lit(1), length(w)),
+        i => substring(w, i, lit(1))), array(lit("</w>"))))
+    .otherwise(array(lit("</w>")))
 
   /** One merge applied to a symbol array, left-to-right
     * non-overlapping: fold each symbol onto the accumulator, gluing
@@ -88,13 +93,23 @@ object Bpe {
     * words). */
   def fit(df: DataFrame, textCol: String, numMerges: Int): BpeVocab = {
     require(numMerges >= 0, "need numMerges >= 0")
+    // superseded checkpoint generations are released explicitly —
+    // Dataset.unpersist only clears CacheManager entries, so without
+    // the bridge call up to numMerges+2 copies of the word table
+    // would sit in the BlockManager until the driver happens to GC
+    // the dead RDDs (the round-8 shared-bench-JVM heap lesson)
+    def advance(from: DataFrame, to: DataFrame): DataFrame = {
+      val next = to.localCheckpoint()
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
+      next
+    }
     var words = wordTable(df, textCol)
       .withColumn("s", charSymbols(col("w")))
       .localCheckpoint()
     val vocabSize = words.count()
     val targetParts = math.max(1L, vocabSize / 250000L).toInt
     if (words.rdd.getNumPartitions > targetParts)
-      words = words.coalesce(targetParts).localCheckpoint()
+      words = advance(words, words.coalesce(targetParts))
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 1 to numMerges if !exhausted) {
@@ -112,8 +127,7 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        words = words.withColumn("s", mergeOnce(col("s"), a, b))
-          .localCheckpoint()
+        words = advance(words, words.withColumn("s", mergeOnce(col("s"), a, b)))
       }
     }
     // persisted for the caller's joins — caller owns the wordPieces

@@ -58,6 +58,11 @@ class BpeSpec extends SparkSpec {
     // merge literals pass through Column lambdas, not spliced SQL —
     // a quote inside a token must survive untouched
     assert(got("don't") == List("d", "o", "n", "'", "t", "</w>"))
+    // empty word: sequence(1, 0) would step DOWN to two phantom ""
+    // symbols without the guard — the empty word is the bare marker
+    val empty = Bpe.encodeWords(Seq("").toDF("w"), "w", Seq(("a", "a")))
+      .collect().map(_.getSeq[String](1).toList)
+    assert(empty.head == List("</w>"), empty.head.toString)
     val got2 = Bpe.encodeWords(Seq("don't").toDF("w"), "w",
         Seq(("n", "'"), ("n'", "t")))
       .collect().map(r => r.getSeq[String](1).toList)
