@@ -959,11 +959,37 @@ object Dedup {
     /** One broadcast of the shard bytes PER INDEX INSTANCE, built on
       * first large-index probe and reused by every later probe of
       * this index (a streaming query probes per micro-batch; per-call
-      * broadcasts would pile up driver-side until GC). Released by
-      * Spark's ContextCleaner when this index object is collected. */
-    @transient private[operators] lazy val sketchBroadcast
-        : org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]] =
-      hashes.sparkSession.sparkContext.broadcast(blooms)
+      * broadcasts would pile up driver-side until GC). Retire an
+      * index generation with [[release]] — ContextCleaner reaping on
+      * driver GC is the fallback, not the contract: a caller
+      * retaining epoch references (a history list, a checkpointed
+      * closure) would otherwise accumulate up-to-GiB broadcasts on
+      * driver and executors, one per growth-loop batch. */
+    @transient @volatile private var broadcastRef
+        : org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]] = _
+    private[operators] def sketchBroadcast
+        : org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]] = {
+      if (broadcastRef == null) synchronized {
+        if (broadcastRef == null)
+          broadcastRef = hashes.sparkSession.sparkContext.broadcast(blooms)
+      }
+      broadcastRef
+    }
+    /** Explicitly free this generation's sketch broadcast on driver
+      * and executors (no-op if no large-index probe ever ran, or
+      * already released; idempotent). Call when a generation is
+      * retired — e.g. on the PRE-append index once
+      * [[appendToExactIndex]]'s successor is in service and no
+      * in-flight query still probes the old one. A LATER probe of a
+      * released index transparently re-broadcasts (correct, just
+      * re-pays the ship), so release-too-early costs time, never
+      * answers. */
+    def release(): Unit = synchronized {
+      if (broadcastRef != null) {
+        broadcastRef.destroy()
+        broadcastRef = null
+      }
+    }
   }
 
   /** Bloom-filter membership probe as a Column: Spark's native
@@ -1062,7 +1088,11 @@ object Dedup {
         .foldLeft(when(shard === 0, mightContainCol(index.blooms.head, hash))) {
           case (acc, (b, i)) => acc.when(shard === i, mightContainCol(b, hash))
         }
-        .otherwise(lit(false))
+        // a non-null hash always lands one of the k whens (pmod is
+        // total on [0, k)); only a NULL hash reaches the otherwise —
+        // propagate it as NULL to match BloomFilterMightContain's (and
+        // the broadcast tier's) null semantics, not a silent false
+        .otherwise(lit(null).cast(org.apache.spark.sql.types.BooleanType))
     }
 
   /** The large-index probe path: shard sketch BYTES ride one
@@ -1087,7 +1117,14 @@ object Dedup {
     * batch — O(corpus) per append at the scale this API exists for.
     * Even under misuse (appending un-screened docs), duplicate
     * (hash, text) rows are harmless: the verification join is
-    * left_anti, so extra copies of a build-side key change nothing. */
+    * left_anti, so extra copies of a build-side key change nothing.
+    *
+    * Broadcast hygiene: the returned index is a NEW generation with
+    * its own (lazily-built) sketch broadcast. Once it is in service,
+    * call `release()` on the superseded index so its broadcast frees
+    * immediately instead of waiting on driver GC + ContextCleaner —
+    * a growth loop that retains old epochs otherwise accumulates one
+    * sketch-sized broadcast per batch ([[ExactIndex.release]]). */
   def appendToExactIndex(index: ExactIndex, accepted: DataFrame,
                          textCol: String): ExactIndex = {
     val add = buildExactIndex(accepted, textCol, index.expectedItems,
@@ -1310,10 +1347,15 @@ object Dedup {
     * CASE tier exactly. */
   private[operators] class BroadcastShardProbe(
       bytes: org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]],
-      k: Int) extends (java.lang.Long => Boolean) with Serializable {
-    def apply(h: java.lang.Long): Boolean =
-      h != null && BroadcastShardProbe.filters(bytes)(
-        (((h % k) + k) % k).toInt).mightContainLong(h)
+      k: Int) extends (java.lang.Long => Option[Boolean]) with Serializable {
+    // null hash → None (SQL NULL), matching the plan-literal tier's
+    // BloomFilterMightContain null propagation exactly — a nullable
+    // hash column must make the SAME decision through either tier
+    // (current xxhash64 callers never pass null; parity-spec'd anyway)
+    def apply(h: java.lang.Long): Option[Boolean] =
+      if (h == null) None
+      else Some(BroadcastShardProbe.filters(bytes)(
+        (((h % k) + k) % k).toInt).mightContainLong(h))
   }
 
   private[operators] object BroadcastShardProbe {

@@ -50,7 +50,10 @@ object ParseStage {
       val fs = p.getFileSystem(hconf)
       // skip-if-exists, where "exists" requires the _SUCCESS job-commit
       // marker (Sinks.isCompleteOutput): a torn dir from a killed run
-      // is DELETED and re-parsed. The explicit delete (not just the
+      // is DELETED and re-parsed (override via
+      // spark.graft.sinks.tornOutputPolicy=error|adopt for dirs an
+      // external marker-dropping writer owns — Sinks.tornOutputPolicy).
+      // The explicit delete (not just the
       // Overwrite below) matters because this write partitionBy's on
       // `file`: under spark.sql.sources.partitionOverwriteMode=dynamic
       // an Overwrite only replaces partitions present in the new data,
@@ -58,11 +61,9 @@ object ParseStage {
       // survive the rewrite and be adopted as complete forever after.
       if (graft.sources.Sinks.isCompleteOutput(fs, p, hconf))
         return spark.read.parquet(out)
-      else if (fs.exists(p)) {
-        System.err.println(s"[graft] re-parsing torn output $p " +
-          "(files present but no _SUCCESS marker — prior run died mid-write)")
-        fs.delete(p, true)
-      }
+      else if (fs.exists(p) &&
+          graft.sources.Sinks.resolveTornOutput(spark, fs, p))
+        return spark.read.parquet(out)
     }
     val frames = Candump.cropToFileRange(
       Candump.frames(spark, inputGlob, offsetMicros))

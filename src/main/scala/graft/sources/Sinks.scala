@@ -61,21 +61,73 @@ object Sinks {
       (!committerWritesMarker || fs.exists(new Path(p, "_SUCCESS")))
   }
 
-  /** S4+S9: parquet sink with skip-if-exists incremental semantics.
-    * "Exists" means COMPLETE ([[isCompleteOutput]]): a torn dir from
-    * a killed run is removed and rewritten, so a restart converges to
-    * a full output instead of adopting a partial one. */
-  def writeParquetIfAbsent(df: DataFrame, path: String): Boolean = {
-    val p = new Path(path)
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val fs = p.getFileSystem(conf)
-    if (isCompleteOutput(fs, p, conf)) false
-    else {
-      if (fs.exists(p)) {
+  /** Policy for a marker-less output dir (files present, no
+    * `_SUCCESS`), read from `spark.graft.sinks.tornOutputPolicy`:
+    *
+    *   - `rewrite` (default): treat it as a TORN output of a killed
+    *     run — delete and rewrite, so restarts converge. This is the
+    *     right call when this library owns all writes to the
+    *     directory, but it is DESTRUCTIVE for directories populated
+    *     by an external writer or a copy tool that drops `_SUCCESS`
+    *     (`aws s3 sync`, distcp with marker excludes): their complete
+    *     data looks torn and gets wiped.
+    *   - `error`: refuse loudly — the operator decides whether to
+    *     delete the dir or switch policy. The safe setting when
+    *     external writers share the output tree.
+    *   - `adopt`: treat the marker-less dir as complete and reuse it
+    *     (the reference's bare-existence semantics,
+    *     lib/canparser.py:315-317) — for trees known to be produced
+    *     by marker-dropping but otherwise atomic tooling. Blind to
+    *     genuinely torn runs, exactly like the reference. */
+  private[graft] def tornOutputPolicy(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val p = spark.conf.get("spark.graft.sinks.tornOutputPolicy", "rewrite")
+    require(Set("rewrite", "error", "adopt")(p),
+      s"spark.graft.sinks.tornOutputPolicy must be rewrite|error|adopt, got '$p'")
+    p
+  }
+
+  /** Resolve a marker-less existing output dir per
+    * [[tornOutputPolicy]]. Returns true iff the caller should ADOPT
+    * the dir as complete; under `rewrite` the dir is deleted here and
+    * false returned (caller writes); under `error` this throws. */
+  private[graft] def resolveTornOutput(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    tornOutputPolicy(spark) match {
+      case "adopt" =>
+        System.err.println(s"[graft] adopting marker-less output $p " +
+          "(spark.graft.sinks.tornOutputPolicy=adopt)")
+        true
+      case "error" =>
+        throw new IllegalStateException(
+          s"output $p has files but no _SUCCESS job-commit marker — " +
+            "either a prior run died mid-write (delete the dir, or set " +
+            "spark.graft.sinks.tornOutputPolicy=rewrite to let graft " +
+            "delete-and-rewrite it) or it was produced by an external " +
+            "writer that drops markers (set tornOutputPolicy=adopt to " +
+            "reuse it as-is)")
+      case _ =>
         System.err.println(s"[graft] rewriting torn output $p " +
           "(files present but no _SUCCESS marker — prior run died mid-write)")
         fs.delete(p, true)
-      }
+        false
+    }
+
+  /** S4+S9: parquet sink with skip-if-exists incremental semantics.
+    * "Exists" means COMPLETE ([[isCompleteOutput]]): by default a
+    * torn dir from a killed run is removed and rewritten, so a
+    * restart converges to a full output instead of adopting a partial
+    * one — see [[tornOutputPolicy]] for the external-writer escape
+    * hatches (`error` / `adopt`). */
+  def writeParquetIfAbsent(df: DataFrame, path: String): Boolean = {
+    val p = new Path(path)
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (isCompleteOutput(fs, p, conf)) false
+    else if (fs.exists(p) && resolveTornOutput(spark, fs, p)) false
+    else {
       df.write.parquet(path)
       true
     }

@@ -292,6 +292,38 @@ class DedupSpec extends SparkSpec {
     assert(corpus.select(Dedup.mightContainBroadcastCol(idx,
         xxhash64(col("text"))).as("p"))
       .filter(!col("p")).count() == 0L)
+    // NULL-hash parity (round-10 advisor find): the plan-literal
+    // BloomFilterMightContain propagates a null hash to a null
+    // decision; the broadcast tier must do the SAME, not default to
+    // false — a nullable hash column routed by total sketch size
+    // would otherwise change answers between tiers
+    val nullHash = Seq(Tuple1(Option.empty[Long])).toDF("h")
+    def nullAnswer(probe: org.apache.spark.sql.Column): Boolean =
+      nullHash.select(probe.as("p")).collect()(0).isNullAt(0)
+    assert(nullAnswer(Dedup.mightContainIndexCol(idx, col("h"))),
+      "literal tier: null hash must yield null")
+    assert(nullAnswer(Dedup.mightContainBroadcastCol(idx, col("h"))),
+      "broadcast tier: null hash must yield null, not false")
+  }
+
+  test("exact index release(): frees the sketch broadcast, idempotent, reprobe re-broadcasts") {
+    val corpus = (0L until 300L).map(i => (i, s"release corpus doc $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(corpus, "text", expectedItems = 200L,
+      numBits = 1L << 12, shards = 4)
+    def members() = corpus.select(Dedup.mightContainBroadcastCol(idx,
+        xxhash64(col("text"))).as("p"))
+      .filter(!col("p")).count()
+    assert(members() == 0L) // materializes the broadcast
+    // retire the generation: the broadcast destroys now, not at some
+    // future driver GC (the growth loop creates one per appended
+    // batch — retained epochs must not accumulate GiB broadcasts)
+    idx.release()
+    idx.release() // idempotent — and safe before any probe ever ran
+    // a released index is not poisoned: a later probe transparently
+    // re-broadcasts (correct answers, just re-pays the ship)
+    assert(members() == 0L)
+    idx.release()
   }
 
   test("bloom probe: negatives bypass the join; append merges the sketch") {

@@ -249,7 +249,7 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q65_season_e2e")
     // the Location string truncates at spark.sql.maxMetadataStringLength
     // (100), so match the stable path prefix, not the full dir name
-    assert(p.contains("_stages/stage_q65_1min_for"),
+    assert(p.contains("_stages/q65/stage_1min_for"),
       "expected the gps unify to scan the forecast-stage parquet boundary")
     assert(!p.contains("InMemoryTableScan") && !p.contains("TableCacheQueryStage"),
       "season stage boundaries must not pin the session cache")

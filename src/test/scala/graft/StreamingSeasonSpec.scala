@@ -742,13 +742,30 @@ class StreamingSeasonSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       val out = dir.resolve("out").toString
+      // another SeasonConfig's live stage scratch under the SAME
+      // outputDir — this run's cleanup must be scoped to its own
+      // season subtree (round-10 advisor: an unscoped delete of
+      // `_stages` would kill a concurrent config's stage parquet
+      // mid-pipeline)
+      val otherStage = java.nio.file.Paths.get(out, "_stages", "other_cfg")
+      java.nio.file.Files.createDirectories(otherStage)
+      java.nio.file.Files.write(otherStage.resolve("stage_live.parquet"),
+        Array[Byte](1))
       val byPeriod = Seasons.runAll(spark, cfg, out)
       // stage-boundary scratch is deleted once every period's final
       // table is durable — no orphan stage_* dirs accumulate, and the
       // returned frames (final-parquet scans) survive the cleanup
       assert(!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(out, "_stages")),
-        "runAll must remove its _stages scratch dir")
+          java.nio.file.Paths.get(out, "_stages", cfg.name)),
+        "runAll must remove its own _stages scratch subtree")
+      assert(java.nio.file.Files.exists(
+          otherStage.resolve("stage_live.parquet")),
+        "runAll must not delete another season's live stage scratch")
+      // once the foreign subtree goes too, the emptied parent follows
+      java.nio.file.Files.delete(otherStage.resolve("stage_live.parquet"))
+      java.nio.file.Files.delete(otherStage)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "_stages")))
       assert(byPeriod.values.forall(_.count() > 0))
       // listener events are delivered asynchronously — wait for the
       // expected write count to stabilize
@@ -771,7 +788,8 @@ class StreamingSeasonSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       def stageScan(period: String): Option[Boolean] =
         writePlans.asScala.collectFirst {
-          case (p, scans) if p.contains(s"stage_reuse_${period}_resampled") =>
+          case (p, scans)
+              if p.contains(s"_stages/reuse/stage_${period}_resampled") =>
             scans }
       assert(stageScan("20s").contains(true),
         "period 2's resample stage should scan period 1's parsed parquet")

@@ -217,6 +217,47 @@ class UnifyPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("Sinks: torn-output policy — error refuses, adopt reuses as-is") {
+    // the default `rewrite` policy is destructive for dirs populated
+    // by an external writer that drops _SUCCESS (s3 sync, distcp
+    // excludes) — their complete data looks torn. The two escape
+    // hatches: `error` refuses loudly with the remediation options;
+    // `adopt` reuses the marker-less dir (reference bare-existence
+    // parity) without deleting anything.
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("tornpolicy")
+    val path = dir.resolve("out.parquet").toString
+    val external = Seq((1, "external"), (2, "external")).toDF("id", "v")
+    val mine = Seq((9, "mine")).toDF("id", "v")
+    // "external" writer: a complete parquet dir whose _SUCCESS was
+    // dropped in transit
+    external.write.parquet(path)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_SUCCESS"))
+    try {
+      spark.conf.set("spark.graft.sinks.tornOutputPolicy", "error")
+      val err = intercept[IllegalStateException] {
+        Sinks.writeParquetIfAbsent(mine, path)
+      }
+      assert(err.getMessage.contains("tornOutputPolicy"))
+      assert(spark.read.parquet(path).count() == 2,
+        "error policy must leave the dir untouched")
+      spark.conf.set("spark.graft.sinks.tornOutputPolicy", "adopt")
+      assert(!Sinks.writeParquetIfAbsent(mine, path),
+        "adopt policy reuses the marker-less dir (no write)")
+      assert(spark.read.parquet(path)
+        .select("v").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("external"),
+        "adopt policy must not rewrite external content")
+      spark.conf.set("spark.graft.sinks.tornOutputPolicy", "bogus")
+      intercept[IllegalArgumentException] {
+        Sinks.writeParquetIfAbsent(mine, path)
+      }
+    } finally spark.conf.unset("spark.graft.sinks.tornOutputPolicy")
+    // back on the default: same dir now reads torn and rewrites
+    assert(Sinks.writeParquetIfAbsent(mine, path))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("Sinks: marker-less committers fall back to bare existence (S9)") {
     // a deployment with mapreduce.fileoutputcommitter.marksuccessfuljobs
     // = false never writes _SUCCESS; requiring the marker there would
