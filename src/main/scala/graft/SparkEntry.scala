@@ -872,17 +872,35 @@ object SparkEntry {
 
     // BPE vocabulary induction end-to-end (rows-only production
     // bench, the q76/q90/q92 discipline): fit 16 merges on the
-    // corpus's distinct-word table, then count per-doc BPE pieces
-    // through the fitted word join. The learned merges are
-    // data-derived driver state no SQL oracle can replay; the merge
-    // arithmetic itself is value-pinned by q110 plus the Sennrich
-    // fit spec.
+    // corpus's distinct-word table through the BATCHED production
+    // tier (provably identical merges to the sequential fit —
+    // equivalence spec-pinned AND value-gated at q112), then count
+    // per-doc BPE pieces through the fitted word join.
     "q111_bpe_fit_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-      val vocab = operators.Bpe.fit(docs, "text", numMerges = 16)
+      val vocab = operators.Bpe.fitBatched(docs, "text", numMerges = 16)
       val out = operators.Bpe.tokenCount(docs, "doc_id", "text", vocab)
         .orderBy($"doc_id")
       out
+    }),
+
+    // BPE merge LEARNING value-gated (upgrades q111's rows-only
+    // check): three batched-fit merges on the corpus, and the oracle
+    // REDISCOVERS each argmax pair itself — per round it recounts
+    // weighted pair frequencies over the word table, takes the
+    // (count DESC, a, b) argmax with the ≥2 floor, and replays the
+    // fold — then md5-pins every piece boundary of the final word
+    // table. A wrong pair count, tie-break, min-count floor, batch
+    // trim, or fold order all change the learned merges and break
+    // the hash. (Runs the batched tier, whose ≡-to-sequential claim
+    // is additionally spec-pinned on adversarial corpora.)
+    "q112_bpe_fit_replay" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"text")
+      val vocab = operators.Bpe.fitBatched(docs, "text", numMerges = 3)
+      vocab.wordPieces
+        .select($"w", $"n", size($"s").cast("long").as("n_pieces"),
+          md5(concat_ws("\u0001", $"s")).as("pieces_md5"))
+        .orderBy($"w")
     }),
 
     // Bigram LM score with Jelinek-Mercer unigram backoff — q61's
@@ -3545,6 +3563,55 @@ object SparkEntry {
                 THEN list_slice(acc, 1, len(acc) - 1) || ['the</w>']
                 ELSE acc || x END) AS p FROM m2)
          SELECT w, len(p) AS n_pieces,
+           md5(array_to_string(p, chr(1))) AS pieces_md5
+         FROM m3 ORDER BY w""",
+
+    // the fit LOOP replayed from scratch: per round the oracle
+    // recounts weighted pair frequencies (weight = word count,
+    // overlapping positions per occurrence), takes the
+    // (count DESC, a, b) argmax with the ≥2 floor itself, and folds
+    // that data-derived pair through the word table — three rounds,
+    // then md5 of every word's final piece boundaries
+    "q112_bpe_fit_replay" ->
+      """WITH words AS (SELECT w, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS w
+           FROM documents) WHERE w <> '' GROUP BY w),
+         s0 AS (SELECT w, n,
+           [substring(w, i, 1) for i in generate_series(1, length(w))]
+             || ['</w>'] AS p
+         FROM words),
+         c1 AS (SELECT pr.a AS a, pr.b AS b, sum(n) AS c FROM (
+             SELECT n, unnest([{'a': p[i], 'b': p[i + 1]}
+               for i in generate_series(1, len(p) - 1)]) AS pr
+             FROM s0 WHERE len(p) >= 2) GROUP BY 1, 2 HAVING sum(n) >= 2),
+         t1 AS (SELECT a, b FROM c1 ORDER BY c DESC, a, b LIMIT 1),
+         m1 AS (SELECT w, n, list_reduce([[c] for c in p], (acc, x) ->
+             CASE WHEN acc[len(acc)] = t1.a AND x[1] = t1.b
+                  THEN list_slice(acc, 1, len(acc) - 1) || [t1.a || t1.b]
+                  ELSE acc || x END) AS p
+           FROM s0 CROSS JOIN t1),
+         c2 AS (SELECT pr.a AS a, pr.b AS b, sum(n) AS c FROM (
+             SELECT n, unnest([{'a': p[i], 'b': p[i + 1]}
+               for i in generate_series(1, len(p) - 1)]) AS pr
+             FROM m1 WHERE len(p) >= 2) GROUP BY 1, 2 HAVING sum(n) >= 2),
+         t2 AS (SELECT a, b FROM c2 ORDER BY c DESC, a, b LIMIT 1),
+         m2 AS (SELECT w, n, list_reduce([[c] for c in p], (acc, x) ->
+             CASE WHEN acc[len(acc)] = t2.a AND x[1] = t2.b
+                  THEN list_slice(acc, 1, len(acc) - 1) || [t2.a || t2.b]
+                  ELSE acc || x END) AS p
+           FROM m1 CROSS JOIN t2),
+         c3 AS (SELECT pr.a AS a, pr.b AS b, sum(n) AS c FROM (
+             SELECT n, unnest([{'a': p[i], 'b': p[i + 1]}
+               for i in generate_series(1, len(p) - 1)]) AS pr
+             FROM m2 WHERE len(p) >= 2) GROUP BY 1, 2 HAVING sum(n) >= 2),
+         t3 AS (SELECT a, b FROM c3 ORDER BY c DESC, a, b LIMIT 1),
+         m3 AS (SELECT w, n, list_reduce([[c] for c in p], (acc, x) ->
+             CASE WHEN acc[len(acc)] = t3.a AND x[1] = t3.b
+                  THEN list_slice(acc, 1, len(acc) - 1) || [t3.a || t3.b]
+                  ELSE acc || x END) AS p
+           FROM m2 CROSS JOIN t3)
+         SELECT w, n, len(p) AS n_pieces,
            md5(array_to_string(p, chr(1))) AS pieces_md5
          FROM m3 ORDER BY w""",
 

@@ -139,6 +139,153 @@ object Bpe {
     BpeVocab(merges.toList, pieces)
   }
 
+  /** The production-vocabulary fit tier: learns merges PROVABLY
+    * identical to [[fit]]'s, but applies up to `maxBatch` of them per
+    * pair-count aggregate — a 50k-merge tokenizer fit runs thousands,
+    * not tens of thousands, of Spark jobs (the sequential tier is one
+    * aggregate + one fold PER merge; here one aggregate + one
+    * alphabet guard + one fold per BATCH).
+    *
+    * Why the batch is exact, not approximate: per round the top
+    * `maxBatch + 1` pairs come back sorted by [[fit]]'s argmax order
+    * (count desc, then (a, b)). A greedy scan accepts the maximal
+    * PREFIX that is pairwise non-interacting — two pairs interact
+    * when their symbol sets {a, b, a+b} overlap, which covers shared
+    * endpoints AND merged-token collisions like (a,bc)/(ab,c) both
+    * producing "abc". The scan stops at the first interacting (or
+    * `maxBatch`-overflow) candidate, whose count is `stopCount`;
+    * everything at or beyond the stop has count ≤ stopCount. Applying
+    * an accepted merge cannot change any other accepted pair's count
+    * (no shared symbols), and every pair it creates or boosts either
+    * is brand new (count ≤ its consumed parent's ≤ stopCount, the
+    * parent being an interacting pair at/after the stop) or contains
+    * a merged token that ALREADY existed as a symbol — the one case
+    * where a pre-existing pair's count can grow past stopCount. Two
+    * guards close exactly those holes: the batch truncates at the
+    * first member whose merged token pre-exists in the symbol
+    * alphabet (one cheap filtered-distinct job per round), and then
+    * trims to members with count STRICTLY above stopCount (the head
+    * pair — the true argmax of the current counts — always stays).
+    * Under both guards, at sequential step i every competitor holds
+    * count ≤ stopCount < cᵢ, so pair i is the strict sequential
+    * argmax: same merges, same order, same ties.
+    *
+    * maxBatch defaults modestly: each batch member adds a CASE branch
+    * inside the per-word fold lambda, and real corpora interact often
+    * enough that very large batches mostly waste candidate scan. */
+  def fitBatched(df: DataFrame, textCol: String, numMerges: Int,
+                 maxBatch: Int = 16): BpeVocab = {
+    require(numMerges >= 0, "need numMerges >= 0")
+    require(maxBatch >= 1, "need maxBatch >= 1")
+    def advance(from: DataFrame, to: DataFrame): DataFrame = {
+      val next = to.localCheckpoint()
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
+      next
+    }
+    var words = wordTable(df, textCol)
+      .withColumn("s", charSymbols(col("w")))
+      .localCheckpoint()
+    val vocabSize = words.count()
+    val targetParts = math.max(1L, vocabSize / 250000L).toInt
+    if (words.rdd.getNumPartitions > targetParts)
+      words = advance(words, words.coalesce(targetParts))
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val m = math.min(maxBatch, numMerges - merges.size)
+      val top = words.filter(size(col("s")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(0), size(col("s")) - 2),
+          i => struct(element_at(col("s"), i + 1).as("a"),
+            element_at(col("s"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .filter(col("c") >= 2)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(m + 1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // greedy non-interacting prefix + the count of the first
+        // excluded candidate (1 when the ≥2-filtered table ran dry:
+        // any unseen pair counts at most 1 and can never be argmax)
+        var chosen = List.empty[(String, String, Long)]
+        var stopCount = 1L
+        var stopped = false
+        for (r <- top if !stopped) {
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val syms = Set(a, b, a + b)
+          if (chosen.size >= m || chosen.exists { case (ca, cb, _) =>
+              Set(ca, cb, ca + cb).intersect(syms).nonEmpty }) {
+            stopCount = c; stopped = true
+          } else chosen = chosen :+ ((a, b, c))
+        }
+        // merged-token-resurrection guard: if a chosen token string
+        // already exists as a symbol, pairs CONTAINING it may be
+        // boosted past stopCount by that merge — truncate the batch
+        // just before the first such member (later members would
+        // compete against the boosted pair). Single merges skip the
+        // check: the head is the argmax of the real current counts.
+        if (chosen.size > 1) {
+          val tokens = chosen.map { case (a, b, _) => a + b }
+          val existing = words
+            .select(explode(col("s")).as("sym"))
+            .filter(col("sym").isin(tokens: _*))
+            .distinct().collect().map(_.getString(0)).toSet
+          val cut = chosen.indexWhere { case (a, b, _) =>
+            existing.contains(a + b) }
+          if (cut == 0) chosen = chosen.take(1)
+          else if (cut > 0) {
+            stopCount = math.max(stopCount, chosen(cut)._3)
+            chosen = chosen.take(cut)
+          }
+        }
+        // strict-majority trim: only counts ABOVE the first excluded
+        // candidate are immune to created-pair ties; the head (true
+        // argmax now) always stays
+        val batch = {
+          val kept = chosen.takeWhile(_._3 > stopCount)
+          (if (kept.isEmpty) chosen.take(1) else kept)
+            .map { case (a, b, _) => (a, b) }
+        }
+        merges ++= batch
+        words = advance(words,
+          words.withColumn("s", mergeManyOnce(col("s"), batch)))
+      }
+    }
+    val pieces = words
+      .select(col("w"), col("n"), col("s"), size(col("s")).as("n_pieces"))
+      .persist()
+    pieces.count()
+    BpeVocab(merges.toList, pieces)
+  }
+
+  /** One fold applying a BATCH of pairwise non-interacting merges
+    * simultaneously: since no two pairs share a symbol (or a merged
+    * token), at most one pair can match any (prev, current) adjacency,
+    * and a token glued by one pair can never be an endpoint of
+    * another — so a single left-to-right scan produces exactly the
+    * sequential [[mergeOnce]] composition in any order. */
+  private def mergeManyOnce(s: Column, pairs: Seq[(String, String)]): Column =
+    if (pairs.size == 1) mergeOnce(s, pairs.head._1, pairs.head._2)
+    else {
+      def branches(acc: Column, x: Column): Column = {
+        def glued(a: String): Column =
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a)))
+        pairs.tail.foldLeft(
+          when(element_at(acc, -1) === lit(pairs.head._1) &&
+            x === lit(pairs.head._2), glued(pairs.head._1 + pairs.head._2))) {
+          case (w, (a, b)) =>
+            w.when(element_at(acc, -1) === lit(a) && x === lit(b),
+              glued(a + b))
+        }.otherwise(concat(acc, array(x)))
+      }
+      val folded = aggregate(
+        slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+        array(element_at(s, 1)),
+        (acc, x) => branches(acc, x))
+      when(size(s) >= 2, folded).otherwise(s)
+    }
+
   /** Apply an ORDERED merge list to a symbol-array column — the
     * paper's inference rule (merges replay in learned order). One
     * chained fold per merge; fine for the tens-of-merges regime the
@@ -174,5 +321,117 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("__p")).as("n_bpe_tokens"),
         count(lit(1)).as("n_words"))
+  }
+
+  /** Persist a fitted vocabulary durably, so tokenizer training state
+    * outlives the driver JVM (every other build-once artifact already
+    * does — the reference's analogue is the can_ids schema registry
+    * persisted as JSON, lib/canparser.py:36-50). Crash-consistency is
+    * the [[Dedup.writeExactIndexBucketed]] epoch-token discipline:
+    *
+    *   - `dir/word_pieces` — the symbolized word table's parquet,
+    *     registered as EXTERNAL table `table` bucketed+sorted on `w`
+    *     (the [[tokenCount]] join key: a reopened vocab joins
+    *     co-located, no index-side shuffle), then a fresh
+    *     `_graft_epoch_<uuid>` token lands inside it;
+    *   - `dir/meta` — the ORDERED merge list as parquet plus a
+    *     MANIFEST (numBuckets, merge count, epoch) — staged into
+    *     `meta.tmp` and atomically RENAMED into place.
+    *
+    * A crash anywhere leaves either the old consistent state or a
+    * manifest whose epoch token the table lacks; [[readBpeVocab]]
+    * refuses both rather than pairing word pieces with a different
+    * generation's merge list (token counts would silently mix
+    * vocabularies). Rebuilds should go to a fresh dir + table name —
+    * overwriting three artifacts in place is not atomic. */
+  def writeBpeVocab(vocab: BpeVocab, table: String, dir: String,
+                    numBuckets: Int = 64): Unit = {
+    val spark = vocab.wordPieces.sparkSession
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    // 1. the word-pieces table, external + bucketed on the join key
+    vocab.wordPieces
+      .select(col("w"), col("n"), col("s"), col("n_pieces"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$dir/word_pieces")
+      .bucketBy(numBuckets, "w").sortBy("w")
+      .format("parquet")
+      .saveAsTable(table)
+    // 2. the epoch token, after the table committed
+    val epoch = java.util.UUID.randomUUID().toString
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/word_pieces", s"_graft_epoch_$epoch"), true).close()
+    // 3. merges + manifest, staged then atomically renamed
+    val meta = new org.apache.hadoop.fs.Path(root, "meta")
+    val tmp = new org.apache.hadoop.fs.Path(root, "meta.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    vocab.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("ord", "a", "b")
+      .coalesce(1)
+      .write.parquet(s"$dir/meta.tmp/merges")
+    val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "MANIFEST"), true)
+    try os.write(s"$numBuckets ${vocab.merges.size} $epoch".getBytes("UTF-8"))
+    finally os.close()
+    if (fs.exists(meta)) fs.delete(meta, true)
+    require(fs.rename(tmp, meta), s"rename $tmp -> $meta failed")
+  }
+
+  /** Reopen a vocabulary written by [[writeBpeVocab]]. Works in a
+    * fresh session: a catalog that forgot `table` gets it
+    * re-registered EXTERNAL over `dir/word_pieces` with the manifest's
+    * bucket spec; an EXISTING entry must point at this dir with this
+    * bucket count (the cross-epoch mixup guard). Refuses loudly on
+    * every torn state: missing/short manifest, merge-count mismatch,
+    * or a manifest epoch whose token is absent from the table dir. */
+  def readBpeVocab(spark: org.apache.spark.sql.SparkSession, table: String,
+                   dir: String): BpeVocab = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(metaDir, "MANIFEST")
+    require(fs.exists(manifest),
+      s"no MANIFEST under $metaDir — torn or missing vocab write " +
+        "(meta commits by atomic rename; re-run writeBpeVocab)")
+    val in = fs.open(manifest)
+    val bos = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+    finally in.close()
+    val parts = new String(bos.toByteArray, "UTF-8").trim.split("\\s+")
+    require(parts.length == 3 && parts.take(2).forall(_.forall(_.isDigit)),
+      s"torn MANIFEST under $metaDir (${parts.length} tokens, expected 3: " +
+        "numBuckets numMerges epoch) — re-run writeBpeVocab")
+    val Array(buckets, nMerges, epoch) = parts
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/word_pieces", s"_graft_epoch_$epoch")),
+      s"epoch token _graft_epoch_$epoch missing from $dir/word_pieces — " +
+        "the merge list and the word-pieces table are from different " +
+        "write attempts (torn rewrite); re-run writeBpeVocab")
+    val mergeRows = spark.read.parquet(s"$dir/meta/merges")
+      .orderBy(col("ord")).collect()
+    require(mergeRows.length == nMerges.toInt,
+      s"merge table holds ${mergeRows.length} rows, manifest says " +
+        s"$nMerges — torn meta write; re-run writeBpeVocab")
+    val merges = mergeRows.toSeq.map(r => (r.getString(1), r.getString(2)))
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE $table " +
+        "(w STRING, n BIGINT, s ARRAY<STRING>, n_pieces INT) " +
+        s"USING parquet CLUSTERED BY (w) SORTED BY (w) " +
+        s"INTO ${buckets.toInt} BUCKETS LOCATION '$dir/word_pieces'")
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val want = new org.apache.hadoop.fs.Path(s"$dir/word_pieces")
+        .makeQualified(fs.getUri, fs.getWorkingDirectory).toUri.getPath
+      val got = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+      require(got == want,
+        s"catalog table '$table' points at $got, not $want — drop it or " +
+          "use a per-generation table name alongside per-generation dirs")
+      require(meta.bucketSpec.exists(_.numBuckets == buckets.toInt),
+        s"catalog table '$table' bucket spec ${meta.bucketSpec} does not " +
+          s"match the manifest's $buckets buckets")
+    }
+    BpeVocab(merges, spark.table(table))
   }
 }

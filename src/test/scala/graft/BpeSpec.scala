@@ -69,6 +69,157 @@ class BpeSpec extends SparkSpec {
     assert(got2.head == List("d", "o", "n't", "</w>"))
   }
 
+  private def piecesOf(v: Bpe.BpeVocab): Map[String, List[String]] =
+    v.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+
+  test("fitBatched ≡ fit: Sennrich corpus and an interaction-dominated corpus") {
+    val sennrich = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val seq5 = Bpe.fit(sennrich, "text", numMerges = 5)
+    val bat5 = Bpe.fitBatched(sennrich, "text", numMerges = 5, maxBatch = 4)
+    assert(bat5.merges == seq5.merges,
+      s"${bat5.merges} vs ${seq5.merges}")
+    assert(piecesOf(bat5) == piecesOf(seq5))
+    // the trap corpus: every top pair interacts — (a,b), (b,</w>) and
+    // (x,a) all tie at 9 and share endpoints, and merging (a,b)
+    // CREATES (x,ab)/(ab,</w>) at count 9, which must win round 2
+    // over anything the stale round-1 counts would have picked. The
+    // batch must collapse to the single head pair per round (the
+    // strict-trim rule), reproducing the sequential path exactly.
+    val trap = (1L to 9L).map(i => (i, "xab")).toDF("doc_id", "text")
+    val seqT = Bpe.fit(trap, "text", numMerges = 3)
+    val batT = Bpe.fitBatched(trap, "text", numMerges = 3, maxBatch = 8)
+    assert(seqT.merges == Seq(("a", "b"), ("ab", "</w>"), ("x", "ab</w>")),
+      seqT.merges.toString)
+    assert(batT.merges == seqT.merges, s"${batT.merges} vs ${seqT.merges}")
+    assert(piecesOf(batT) == piecesOf(seqT))
+    Seq(seq5, bat5, seqT, batT).foreach(_.wordPieces.unpersist())
+  }
+
+  test("fitBatched ≡ fit: seeded random corpora over a tiny alphabet") {
+    // small alphabets maximize pair interactions, merged-token
+    // resurrection chances and count ties — any divergence between
+    // the batched and sequential argmax shows up here
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val words = (1 to 40).map { i =>
+        val len = 1 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+      }
+      val docs = words.toDF("doc_id", "text")
+      val a = Bpe.fit(docs, "text", numMerges = 6)
+      val b = Bpe.fitBatched(docs, "text", numMerges = 6, maxBatch = 3)
+      assert(a.merges == b.merges,
+        s"seed $seed: ${a.merges} vs ${b.merges}")
+      assert(piecesOf(a) == piecesOf(b), s"seed $seed pieces diverge")
+      a.wordPieces.unpersist(); b.wordPieces.unpersist()
+    }
+  }
+
+  test("fitBatched: non-interacting top pairs land in ONE round (fewer jobs)") {
+    // four disjoint letter families with strictly separated counts —
+    // (a,b)=18 > (c,d)=16 > (e,f)=14 > (g,h)=12 > everything else ≤ 9
+    // — so all four merges are pairwise non-interacting and the
+    // batched fit must learn them in ONE candidate aggregate where
+    // the sequential tier runs four
+    val docs = ((1L to 9L).map(i => (i, "abab")) ++
+      (11L to 18L).map(i => (i, "cdcd")) ++
+      (21L to 27L).map(i => (i, "efef")) ++
+      (31L to 36L).map(i => (i, "ghgh"))).toDF("doc_id", "text")
+    def countingJobs(body: => Bpe.BpeVocab): (Bpe.BpeVocab, Int) = {
+      val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counted.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val v = try body finally {
+        // listener events deliver asynchronously (no public
+        // waitUntilEmpty) — wait for the count to go stable
+        var last = -1
+        var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          val c = counted.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(100)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      (v, counted.get())
+    }
+    val (seqV, seqJobs) = countingJobs(Bpe.fit(docs, "text", numMerges = 4))
+    val (batV, batJobs) = countingJobs(
+      Bpe.fitBatched(docs, "text", numMerges = 4, maxBatch = 4))
+    assert(batV.merges == seqV.merges && batV.merges.size == 4,
+      s"${batV.merges} vs ${seqV.merges}")
+    assert(batV.merges.toSet ==
+      Set(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(piecesOf(batV) == piecesOf(seqV))
+    // the job-count claim of the production tier, measured: one
+    // candidate aggregate + one alphabet guard + one fold for the
+    // whole batch vs one aggregate + one fold PER merge
+    assert(batJobs < seqJobs,
+      s"batched should schedule fewer jobs: batched=$batJobs seq=$seqJobs")
+    seqV.wordPieces.unpersist(); batV.wordPieces.unpersist()
+  }
+
+  test("bpe vocab save/load: merges+pieces round-trip, fresh-session reopen, torn states refused") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val vocab = Bpe.fit(corpus, "text", numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    Bpe.writeBpeVocab(vocab, "bpe_vocab_spec", s"$dir/v1", numBuckets = 4)
+    val docs = Seq((1L, "low lower zzz"), (2L, "newest widest low"))
+      .toDF("doc_id", "text")
+    def counts(v: Bpe.BpeVocab): Seq[(Long, Long, Long)] =
+      Bpe.tokenCount(docs, "doc_id", "text", v)
+        .orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val fitted = counts(vocab)
+    val loaded = Bpe.readBpeVocab(spark, "bpe_vocab_spec", s"$dir/v1")
+    assert(loaded.merges == vocab.merges)
+    assert(counts(loaded) == fitted)
+    // DRIVER RESTART: the in-memory catalog forgets the table; the
+    // data is EXTERNAL so readBpeVocab re-registers it and the
+    // reopened vocab counts row-identically
+    spark.sql("DROP TABLE bpe_vocab_spec")
+    assert(!spark.catalog.tableExists("bpe_vocab_spec"))
+    val reborn = Bpe.readBpeVocab(spark, "bpe_vocab_spec", s"$dir/v1")
+    assert(reborn.merges == vocab.merges)
+    assert(counts(reborn) == fitted)
+    // torn meta: manifest missing → refuse
+    Bpe.writeBpeVocab(vocab, "bpe_vocab_torn", s"$dir/v2", numBuckets = 4)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/v2/meta", "MANIFEST"))
+    val noManifest = intercept[IllegalArgumentException] {
+      Bpe.readBpeVocab(spark, "bpe_vocab_torn", s"$dir/v2")
+    }
+    assert(noManifest.getMessage.contains("MANIFEST"))
+    // cross-epoch: manifest's token absent from the table dir (a torn
+    // rewrite wiped it with the old table) → refuse, never mix
+    // generations
+    Bpe.writeBpeVocab(vocab, "bpe_vocab_torn2", s"$dir/v3", numBuckets = 4)
+    val manifest = java.nio.file.Paths.get(s"$dir/v3/meta", "MANIFEST")
+    val epoch = new String(java.nio.file.Files.readAllBytes(manifest),
+      "UTF-8").trim.split("\\s+").last
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$dir/v3/word_pieces", s"_graft_epoch_$epoch"))
+    val tornEpoch = intercept[IllegalArgumentException] {
+      Bpe.readBpeVocab(spark, "bpe_vocab_torn2", s"$dir/v3")
+    }
+    assert(tornEpoch.getMessage.contains("epoch token"))
+    vocab.wordPieces.unpersist()
+  }
+
   test("tokenCount: fitted words join, OOV falls back to char count + 1") {
     val fitCorpus = (1L to 4L).map(i => (i, "the the theme"))
       .toDF("doc_id", "text")

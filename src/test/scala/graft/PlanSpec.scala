@@ -486,6 +486,43 @@ class PlanSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bpe word pieces bucketed on w: reopened tokenCount skips the vocab-side shuffle") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val corpus = (1L to 200L).map(i =>
+      (i, s"low lower newest widest token$i repeat repeat"))
+      .toDF("doc_id", "text")
+    val mem = Bpe.fit(corpus, "text", numMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_plan").toString
+    Bpe.writeBpeVocab(mem, "bpe_vocab_plan", s"$dir/v1", numBuckets = 4)
+    val disk = Bpe.readBpeVocab(spark, "bpe_vocab_plan", s"$dir/v1")
+    val docs = (1000L to 1050L).map(i =>
+      (i, s"newest widest zzz$i")).toDF("doc_id", "text")
+    def exchanges(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    // force the shuffle-join shape the 100 TB vocabulary takes (a
+    // 50k-merge word table is tens of MB × pieces — broadcast covers
+    // the spec fixture but not the production geometry)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaDisk = Bpe.tokenCount(docs, "doc_id", "text", disk)
+      val viaMem = Bpe.tokenCount(docs, "doc_id", "text", mem)
+      assert(exchanges(viaDisk) < exchanges(viaMem),
+        s"bucketed vocab side should skip its word shuffle: " +
+          s"disk=${exchanges(viaDisk)} mem=${exchanges(viaMem)}")
+      // and the counts are identical either way
+      val a = viaDisk.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val b = viaMem.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    mem.wordPieces.unpersist()
+  }
+
   test("hashed rescue key shuffles less than half the value-keyed bytes") {
     // q93's 100 TB claim, finally MEASURED instead of asserted in
     // prose: the hashedRescueKey collapse carries 16-byte keys through
