@@ -1440,7 +1440,8 @@ object SparkEntry {
         .select(($"vec_id" + 10000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
             .as("embedding"))
-      operators.Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3)
+      operators.Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3,
+          lloydIters = 3)
         .filter($"rank" === 1)
         .select($"query_id", $"neighbor_id".as("top1"))
         .orderBy($"query_id")
@@ -1472,7 +1473,8 @@ object SparkEntry {
         .select(($"vec_id" + 10000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
             .as("embedding"))
-      operators.Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3)
+      operators.Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3,
+          lloydIters = 3)
         .filter($"rank" === 1)
         .select($"query_id", $"neighbor_id".as("top1"))
         .orderBy($"query_id")

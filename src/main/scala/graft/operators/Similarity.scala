@@ -164,8 +164,20 @@ object Similarity {
     * is tiny — so the corpus never shuffles at build time either. */
   final case class IvfIndex(centroids: DataFrame, corpusCells: DataFrame)
 
+  /** `lloydIters` Lloyd refinements (assign → element-wise member
+    * mean), each one corpus scan against a broadcast centroid table.
+    * One step (the default, the original behavior) is usually enough
+    * for web-scale dedup recall, but clustered geometries whose seeds
+    * (lowest-id rows) all land in one cluster measurably benefit from
+    * 2–3 steps (recall-gated in SimilaritySpec). A cell that loses
+    * every member keeps its previous centroid, so the cell set stays
+    * stable across iterations. Centroids are localCheckpointed per
+    * step (nCells rows — tiny) so the plan stays constant-depth; the
+    * superseded generation's blocks release eagerly (the
+    * [[graft.operators.Bpe.fit]] advance discipline). */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
-               nCells: Int = 32): IvfIndex = {
+               nCells: Int = 32, lloydIters: Int = 1): IvfIndex = {
+    require(lloydIters >= 1, "need lloydIters >= 1")
     val seedCentroids = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("cvec"))
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -176,19 +188,33 @@ object Similarity {
           (col("__vn") * col("__cn")))
         .groupBy(col(idCol))
         .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
-    // one Lloyd refinement: centroid = element-wise mean of its members
-    val assigned0 = assign(corpus, seedCentroids)
-    val refined = corpus.join(assigned0, idCol)
-      .select(col("cell"), posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg("x").as("m"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m"))))
-        .as("pairs"))
-      .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
-    val cells = assign(corpus, refined)
+    def advance(from: DataFrame, to: DataFrame): DataFrame = {
+      val next = to.localCheckpoint()
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
+      next
+    }
+    var cents = seedCentroids.localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(corpus, cents)
+      // centroid = element-wise mean of its members; empty cells keep
+      // their previous centroid (left join + coalesce), so iteration
+      // can move cells but never drop them
+      val refined = corpus.join(assigned, idCol)
+        .select(col("cell"),
+          posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+          .as("pairs"))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("m"))
+      cents = advance(cents, cents.join(refined, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("m"), col("cvec")).as("cvec")))
+    }
+    val cells = assign(corpus, cents)
     val corpusCells = corpus.join(cells, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
-    IvfIndex(refined, corpusCells)
+    IvfIndex(cents, corpusCells)
   }
 
   /** Search a built IVF index: queries rank the (broadcast) centroid
@@ -221,9 +247,9 @@ object Similarity {
   /** Build + search in one call (the gate-query entry point). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 32,
-              nProbe: Int = 4): DataFrame =
-    searchIvf(buildIvf(corpus, idCol, vecCol, nCells), queries, idCol,
-      vecCol, k, nProbe)
+              nProbe: Int = 4, lloydIters: Int = 1): DataFrame =
+    searchIvf(buildIvf(corpus, idCol, vecCol, nCells, lloydIters), queries,
+      idCol, vecCol, k, nProbe)
 
   /** Cluster-balanced (diversity-preserving) downsampling over an
     * embedding column — the SEMANTIC sibling of
@@ -381,8 +407,8 @@ object Similarity {
                               cellCodes: DataFrame)
 
   def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String,
-                 nCells: Int = 32): IvfSqIndex = {
-    val ivf = buildIvf(corpus, idCol, vecCol, nCells)
+                 nCells: Int = 32, lloydIters: Int = 1): IvfSqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nCells, lloydIters)
     val sq = buildSq(corpus, idCol, vecCol)
     // one build-time equi join (codes ⋈ cell assignment); floats never
     // enter the index table
@@ -448,9 +474,9 @@ object Similarity {
   /** Build + search in one call (the gate-query entry point). */
   def ivfSqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 32, nProbe: Int = 4,
-                oversample: Int = 4): DataFrame =
-    searchIvfSq(buildIvfSq(corpus, idCol, vecCol, nCells), corpus, queries,
-      idCol, vecCol, k, nProbe, oversample)
+                oversample: Int = 4, lloydIters: Int = 1): DataFrame =
+    searchIvfSq(buildIvfSq(corpus, idCol, vecCol, nCells, lloydIters),
+      corpus, queries, idCol, vecCol, k, nProbe, oversample)
 
   /** Persist an [[IvfSqIndex]] as tables — `cellCodes` BUCKETED on
     * `cell` (the probe-join key: a big query batch then sort-merge
@@ -588,10 +614,12 @@ object Similarity {
 
   /** Build the PQ index: per subspace, seed `nCentroids` centroids
     * from the lowest-id corpus sub-vectors (the [[buildIvf]]
-    * determinism discipline), refine with one Lloyd step (element-wise
-    * member mean), and assign every vector its per-subspace argmin
-    * centroid. A centroid that loses all members in the Lloyd step
-    * falls back to its seed sub-vector, so the codebook stays DENSE —
+    * determinism discipline), refine with `lloydIters` Lloyd steps
+    * (element-wise member mean — see [[buildIvf]] for the iteration
+    * discipline and when >1 pays), and assign every vector its
+    * per-subspace argmin centroid. A centroid that loses all members
+    * in a Lloyd step keeps its previous sub-vector, so the codebook
+    * stays DENSE through every iteration —
     * [[searchPq]]'s flat LUT indexes by `sub·nCentroids + cid` and
     * every slot must exist. A corpus SMALLER than nCentroids cannot
     * seed a dense grid; the search-side size guard raises on first
@@ -599,7 +627,9 @@ object Similarity {
     * broadcast-assign aggregates + one d-row mean aggregate — the
     * corpus never shuffles by anything wider than (id, sub). */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
-              nSub: Int = 8, nCentroids: Int = 16): PqIndex = {
+              nSub: Int = 8, nCentroids: Int = 16,
+              lloydIters: Int = 1): PqIndex = {
+    require(lloydIters >= 1, "need lloydIters >= 1")
     val svecs = subVectors(
       corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")),
       idCol, nSub)
@@ -607,19 +637,34 @@ object Similarity {
     val seeds = svecs.withColumn("__r", row_number().over(seedW))
       .filter(col("__r") <= nCentroids)
       .select(col("sub"), (col("__r") - 1).as("cid"),
-        col("svec").as("cvec0"))
-    val a0 = pqAssign(svecs, idCol, seeds.select(col("sub"), col("cid"),
-      col("cvec0").as("cvec")))
-    val refined = svecs.join(a0, Seq(idCol, "sub"))
-      .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("j", "x")))
-      .groupBy("sub", "cid", "j").agg(avg("x").as("m"))
-      .groupBy("sub", "cid")
-      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("p"))
-      .select(col("sub"), col("cid"), expr("transform(p, q -> q.m)").as("cvec"))
-    val codebooks = seeds.join(refined, Seq("sub", "cid"), "left")
-      .select(col("sub"), col("cid"),
-        coalesce(col("cvec"), col("cvec0")).as("cvec"))
-      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+        col("svec").as("cvec"))
+    def advance(from: DataFrame, to: DataFrame): DataFrame = {
+      val next = to.localCheckpoint()
+      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
+      next
+    }
+    // `lloydIters` refinements per subspace; a centroid that loses all
+    // members keeps its PREVIOUS sub-vector (left join + coalesce), so
+    // the codebook stays DENSE through every iteration — searchPq's
+    // flat LUT indexes by sub·nCentroids + cid and every slot must
+    // exist. Codebooks are localCheckpointed per step (nSub·nCentroids
+    // rows) for constant-depth plans, superseded generations released.
+    var books = seeds.localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val a = pqAssign(svecs, idCol, books)
+      val refined = svecs.join(a, Seq(idCol, "sub"))
+        .select(col("sub"), col("cid"),
+          posexplode(col("svec")).as(Seq("j", "x")))
+        .groupBy("sub", "cid", "j").agg(avg("x").as("m"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("p"))
+        .select(col("sub"), col("cid"),
+          expr("transform(p, q -> q.m)").as("m"))
+      books = advance(books, books.join(refined, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("m"), col("cvec")).as("cvec")))
+    }
+    val codebooks = books.withColumn("cn2", dot(col("cvec"), col("cvec")))
     val a1 = pqAssign(svecs, idCol, codebooks)
     val codes = a1.join(broadcast(codebooks.select(col("sub"), col("cid"),
         col("cn2"))), Seq("sub", "cid"))
@@ -661,9 +706,9 @@ object Similarity {
   /** Build + search in one call (the gate-query entry point). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nSub: Int = 8, nCentroids: Int = 16,
-             oversample: Int = 4): DataFrame =
-    searchPq(buildPq(corpus, idCol, vecCol, nSub, nCentroids), corpus,
-      queries, idCol, vecCol, k, oversample)
+             oversample: Int = 4, lloydIters: Int = 1): DataFrame =
+    searchPq(buildPq(corpus, idCol, vecCol, nSub, nCentroids, lloydIters),
+      corpus, queries, idCol, vecCol, k, oversample)
 
   /** The composed IVF × PQ index — the classic billion-scale ANN
     * layout (IVFADC in Jégou et al. 2011): the coarse IVF quantizer
@@ -680,9 +725,9 @@ object Similarity {
 
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                  nCells: Int = 32, nSub: Int = 8,
-                 nCentroids: Int = 16): IvfPqIndex = {
-    val ivf = buildIvf(corpus, idCol, vecCol, nCells)
-    val pq = buildPq(corpus, idCol, vecCol, nSub, nCentroids)
+                 nCentroids: Int = 16, lloydIters: Int = 1): IvfPqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nCells, lloydIters)
+    val pq = buildPq(corpus, idCol, vecCol, nSub, nCentroids, lloydIters)
     // one build-time equi join (codes ⋈ cell assignment); floats never
     // enter the scan-side table
     val cellCodes = pq.codes.join(
@@ -727,8 +772,9 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 32, nProbe: Int = 4,
                 nSub: Int = 8, nCentroids: Int = 16,
-                oversample: Int = 4): DataFrame =
-    searchIvfPq(buildIvfPq(corpus, idCol, vecCol, nCells, nSub, nCentroids),
+                oversample: Int = 4, lloydIters: Int = 1): DataFrame =
+    searchIvfPq(buildIvfPq(corpus, idCol, vecCol, nCells, nSub,
+        nCentroids, lloydIters),
       corpus, queries, idCol, vecCol, k, nProbe, oversample)
 
   /** Persist an [[IvfPqIndex]] as tables — `cellCodes` BUCKETED on

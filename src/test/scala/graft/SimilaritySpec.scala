@@ -445,4 +445,67 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.nonEmpty && r2.nonEmpty && r1.map(_._1) != r2.map(_._1))
     assert(r1.forall { case (_, _, rk) => rk >= 1 && rk <= 3 })
   }
+
+  // clustered fixture for the Lloyd-iteration recall gates: k one-hot
+  // cluster centers in d dims with gaussian noise, and — the
+  // adversarial part — the first k ids (the deterministic lowest-id
+  // SEEDS) all drawn from cluster 0, so the seed codebook starts
+  // degenerate and each Lloyd step has to spread it. Queries are
+  // FRESH samples (not corpus near-copies, which would route to their
+  // neighbor's cell under any codebook and hide its quality).
+  private def clusteredFixture(seed: Int, noise: Double, d: Int, k: Int,
+                               n: Int, nq: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val rnd = new java.util.Random(seed.toLong)
+    def vec(c: Int): Array[Float] =
+      Array.tabulate(d)(j =>
+        ((if (j == c) 1.0 else 0.0) + noise * rnd.nextGaussian()).toFloat)
+    val corpus = (0 until n).map { i =>
+      (i.toLong, vec(if (i < k) 0 else i % k))
+    }
+    val queries = (0 until nq).map(j => (10000L + j, vec(j % k)))
+    (corpus.toDF("vec_id", "embedding"), queries.toDF("vec_id", "embedding"))
+  }
+
+  private def recallAt1(corpus: org.apache.spark.sql.DataFrame,
+                        queries: org.apache.spark.sql.DataFrame,
+                        approx: org.apache.spark.sql.DataFrame): Double = {
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    val got = approx.select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    brute.count { case (q, nid) => got.get(q).contains(nid) }
+      .toDouble / brute.size
+  }
+
+  test("IVF Lloyd iterations: 3 steps beat 1 on a degenerate-seed clustered geometry") {
+    // seed 1 @ noise 0.45: recall@1 (nProbe=1) measured 0.42 → 0.58
+    // over 24 queries — one step can't undo seeds all in one cluster;
+    // the gate requires a ≥0.1 improvement (≥3 of 24 queries), leaving
+    // slack for float-mean ulp jitter while pinning the direction
+    val (corpus, queries) = clusteredFixture(1, 0.45, 16, 8, 160, 24)
+    def recall(iters: Int): Double = recallAt1(corpus, queries,
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nCells = 8, nProbe = 1, lloydIters = iters))
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1 + 0.1,
+      s"3 Lloyd steps should measurably beat 1: r1=$r1 r3=$r3")
+  }
+
+  test("PQ Lloyd iterations: 3 steps beat 1 on a degenerate-seed clustered geometry") {
+    // oversample=1 removes the exact-rerank slack, so the ADC top-1
+    // exposes raw codebook quality; seed 6 measured 0.08 → 0.29
+    val (corpus, queries) = clusteredFixture(6, 0.45, 16, 8, 160, 24)
+    def recall(iters: Int): Double = recallAt1(corpus, queries,
+      Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nSub = 4, nCentroids = 8, oversample = 1,
+        lloydIters = iters))
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1 + 0.1,
+      s"3 Lloyd steps should measurably beat 1: r1=$r1 r3=$r3")
+  }
 }
