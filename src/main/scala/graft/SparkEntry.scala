@@ -915,6 +915,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Trigram LM with recursive JM backoff and SINGLETON-PRUNED
+    // trigram counts (the Stupid-Backoff/KenLM table trick) — q109
+    // one n-gram up. The oracle recomputes every tier: pruned c3
+    // (≥2 floor) against UNPRUNED c12 contexts, the full bigram
+    // backoff, unigram floor, the exact-binary nested 0.75/0.25
+    // mixture in the same operation order, and the trigram-sorted
+    // fold — a wrong pruning side (contexts pruned too → silent
+    // renormalization), a dropped backoff tier, or a fold-order
+    // drift all break the hash.
+    "q113_trigram_logprob" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      operators.TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Paragraph-level exact dedup: corpus-wide keep-first at paragraph
     // granularity. The fixture plants a banner paragraph shared across
     // the %6 and %9 docs (only the lowest (doc, pos) occurrence may
@@ -3644,6 +3659,49 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            round(list_reduce(list(term ORDER BY w1, w2), (a, b) -> a + b)
              / CAST(sum(tf) AS DOUBLE), 6) AS logprob_per_bigram
+         FROM terms GROUP BY 1 ORDER BY doc_id""",
+
+    // the trigram chain: position extraction, pruned c3 vs unpruned
+    // c12 contexts, the full bigram backoff tier, unigram floor, the
+    // nested exact-binary mixture and the trigram-sorted fold
+    "q113_trigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+           [t for t in regexp_split_to_array(trim(lower(text)), '\s+')
+            if t <> ''] AS tk
+         FROM documents),
+         tg0 AS (SELECT doc_id,
+             unnest([{'w1': tk[i], 'w2': tk[i + 1], 'w3': tk[i + 2]}
+                     for i in generate_series(1, len(tk) - 2)]) AS g
+           FROM toks WHERE len(tk) >= 3),
+         tg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg0),
+         tf AS (SELECT doc_id, w1, w2, w3, count(*) tf FROM tg
+           GROUP BY 1, 2, 3, 4),
+         c3all AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) c3 FROM tf
+           GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) c12 FROM c3all
+           GROUP BY 1, 2),
+         c3 AS (SELECT * FROM c3all WHERE c3 >= 2),
+         bg0 AS (SELECT unnest([{'u': tk[i], 'v': tk[i + 1]}
+               for i in generate_series(1, len(tk) - 1)]) AS b
+           FROM toks WHERE len(tk) >= 2),
+         cb AS (SELECT b.u AS w2, b.v AS w3, count(*) cb FROM bg0
+           GROUP BY 1, 2),
+         cw AS (SELECT w2, CAST(sum(cb) AS BIGINT) cw FROM cb GROUP BY 1),
+         uni AS (SELECT t AS w3, count(*) cu
+           FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) T FROM uni),
+         terms AS (SELECT doc_id, w1, w2, w3, tf,
+             tf * ln(0.75::DOUBLE * (COALESCE(c3, 0)::DOUBLE / (c12::DOUBLE)) +
+                     0.25::DOUBLE * (0.75::DOUBLE * ((cb::DOUBLE) / (cw::DOUBLE)) +
+                                     0.25::DOUBLE * ((cu::DOUBLE) / (T::DOUBLE))))
+               AS term
+           FROM tf JOIN c12 USING (w1, w2)
+             LEFT JOIN c3 USING (w1, w2, w3)
+             JOIN cb USING (w2, w3) JOIN cw USING (w2)
+             JOIN uni USING (w3) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           round(list_reduce(list(term ORDER BY w1, w2, w3), (a, b) -> a + b)
+             / CAST(sum(tf) AS DOUBLE), 6) AS logprob_per_trigram
          FROM terms GROUP BY 1 ORDER BY doc_id""",
 
     "q59_paragraph_dedup" ->

@@ -737,6 +737,114 @@ object TextAnalysis {
           .as("logprob_per_bigram"))
   }
 
+  /** Tokenized views shared by the n-gram LMs: lowercase
+    * whitespace tokens, empties filtered. */
+  private def tokensOf(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
+      .select(col(idCol), expr("filter(__tk0, t -> t != '')").as("__tk"))
+
+  /** Corpus trigram count table with SINGLETON PRUNING (counts below
+    * `minCount` drop) — the standard Stupid-Backoff/KenLM trick that
+    * keeps higher-order count tables sublinear in corpus grams:
+    * natural-language trigrams are Zipf-tailed, so the singleton mass
+    * dominates the DISTINCT count while carrying almost no modeling
+    * signal (a once-seen trigram's ML estimate is noise; backoff
+    * handles it better). Exposed for auditing/scale checks; the
+    * companion `__c12` context-total table is NOT pruned — pruning
+    * contexts too would silently re-normalize surviving trigrams. */
+  def trigramCounts(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2): DataFrame = {
+    val toks = tokensOf(df, idCol, textCol)
+    toks.filter(size(col("__tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(__tk) - 3), " +
+        "i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1], " +
+        "'w3', __tk[i + 2]))")).as("__g"))
+      .groupBy(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+  }
+
+  /** Trigram LM score with recursive Jelinek-Mercer backoff and
+    * singleton-pruned trigram counts — [[bigramLogProb]] one n-gram
+    * up, the next step of the CCNet-style fluency ladder toward a
+    * 5-gram KenLM:
+    *
+    *   P(w3|w1w2) = λ·ML3 + (1−λ)·(λ·ML2 + (1−λ)·ML1)
+    *
+    * with ML3 = c3/c12 over trigram positions (c3 = 0 for pruned or
+    * unseen trigrams — pure backoff), ML2 = cb/cw over ALL bigram
+    * positions, ML1 = cu/T over all tokens. Contexts (c12) stay
+    * UNPRUNED so surviving trigrams keep their true ML share.
+    *
+    * λ defaults to 0.75 (and its derived mixture weights 0.25,
+    * 0.1875, 0.0625 are all exact binary doubles — q109's
+    * engine-parity discipline); terms fold in trigram-sorted order,
+    * one round(…,6) at the end. Docs with < 3 tokens drop.
+    *
+    * Scale shape: every count table is vocabulary-bounded (and the
+    * expensive one — trigrams — is PRUNED before its join, which is
+    * what keeps this honest at corpus scale: the pruned table stays
+    * sublinear in corpus grams while the unpruned distinct-trigram
+    * set does not); doc-side joins hash-partition on gram keys; T is
+    * a broadcast single row; no windows, no driver state. */
+  def trigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     lambda: Double = 0.75,
+                     minTrigramCount: Long = 2): DataFrame = {
+    val toks = tokensOf(df, idCol, textCol)
+    val tg = toks.filter(size(col("__tk")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__tk) - 3), " +
+        "i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1], " +
+        "'w3', __tk[i + 2]))")).as("__g"))
+      .select(col(idCol), col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+    val tf = tg.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c3all = tf.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("tf")).as("c3"))
+    val c12 = c3all.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val c3 = c3all.filter(col("c3") >= minTrigramCount)
+    // bigram backoff counts over ALL bigram positions (incl. doc-final
+    // pairs — they carry real (w2, w3) evidence even without a w1)
+    val cb = toks.filter(size(col("__tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+        "i -> named_struct('u', __tk[i], 'v', __tk[i + 1]))")).as("__b"))
+      .groupBy(col("__b.u").as("w2"), col("__b.v").as("w3"))
+      .agg(count(lit(1)).as("cb"))
+    val cw = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cw"))
+    val uni = toks.select(explode(col("__tk")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("__t"))
+    val scored = tf
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"))
+      .join(cb, Seq("w2", "w3"))
+      .join(cw, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", col("tf") * log(
+        lit(lambda) * (coalesce(col("c3"), lit(0L)).cast("double") /
+          col("c12").cast("double")) +
+        lit(1.0 - lambda) * (
+          lit(lambda) * (col("cb").cast("double") / col("cw").cast("double")) +
+          lit(1.0 - lambda) *
+            (col("cu").cast("double") / col("__t").cast("double")))))
+    scored.groupBy(col(idCol)).agg(
+        sum(col("tf")).as("n_trigrams"),
+        aggregate(
+          expr("array_sort(collect_list(struct(w1, w2, w3, term)))"),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("__lp"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("__lp") / col("n_trigrams").cast("double"), 6)
+          .as("logprob_per_trigram"))
+  }
+
   /** Eval-set decontamination: drop documents whose `fingerprintCol`
     * appears in the blocklist — a broadcast LEFT ANTI join (the
     * blocklist is the small side: benchmark/eval fingerprints number

@@ -207,6 +207,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(bi(1L) != bi(2L), s"bigram must separate the orders: $bi")
   }
 
+  test("trigramLogProb: hand-computed backoff, pruning changes only pruned grams") {
+    // corpus: doc1 = [a b c a b c], doc2 = [a b c], doc3 = [x y]
+    // trigram counts: (a,b,c)=3, (b,c,a)=1, (c,a,b)=1 → pruned keeps
+    // only (a,b,c); contexts c12 UNPRUNED: (a,b)=3 (b,c)=1 (c,a)=1
+    // bigrams: cb(a,b)=3 cb(b,c)=3 cb(c,a)=1 cb(x,y)=1; cw a=3 b=3 c=1
+    // uni: a=b=c=3, x=y=1, T=11
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(!got.contains(3L), "a two-token doc has no trigram positions")
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    val pAbc = 0.75 * (3.0 / 3.0) +
+      0.25 * (0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 11.0))
+    val pBca = 0.75 * 0.0 + // singleton → pruned → pure backoff
+      0.25 * (0.75 * (1.0 / 1.0) + 0.25 * (3.0 / 11.0))
+    val pCab = 0.75 * 0.0 +
+      0.25 * (0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 11.0))
+    assert(math.abs(got(2L)._2 - math.log(pAbc)) < 1e-6, s"${got(2L)._2}")
+    val want1 = (2 * math.log(pAbc) + math.log(pBca) + math.log(pCab)) / 4
+    assert(math.abs(got(1L)._2 - want1) < 1e-6, s"${got(1L)._2} vs $want1")
+    // pruning touches ONLY pruned trigrams: with the floor off, doc2
+    // (whose single trigram survives either way) scores identically,
+    // doc1 (two singleton trigrams) does not
+    val unpruned = TextAnalysis.trigramLogProb(df, "doc_id", "text",
+        minTrigramCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(unpruned(2L) == got(2L)._2)
+    assert(unpruned(1L) != got(1L)._2,
+      "singleton trigrams must back off under the default floor")
+    // and the order-sensitivity ladder holds one gram up: a reordered
+    // doc with the same token counts scores differently
+    val pair = Seq((1L, "p q r p q r p q r"), (2L, "p q r p q p q r r"))
+      .toDF("doc_id", "text")
+    val tri = TextAnalysis.trigramLogProb(pair, "doc_id", "text",
+        minTrigramCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(tri(1L) != tri(2L), s"trigram must separate the orders: $tri")
+  }
+
+  test("trigramCounts: singleton pruning keeps the table sublinear in distinct grams") {
+    // Zipf-tail stand-in: 50 docs each contributing a unique
+    // singleton trigram, 10 docs sharing one phrase — the DISTINCT
+    // trigram set is 51 rows, the pruned count table is ONE
+    val docs = ((1L to 50L).map(i => (i, s"u$i v$i w$i")) ++
+      (51L to 60L).map(i => (i, "common shared phrase")))
+      .toDF("doc_id", "text")
+    val pruned = TextAnalysis.trigramCounts(docs, "doc_id", "text")
+    val all = TextAnalysis.trigramCounts(docs, "doc_id", "text",
+      minCount = 1)
+    assert(all.count() == 51L)
+    val rows = pruned.collect()
+    assert(rows.length == 1 &&
+      rows(0).getString(0) == "common" && rows(0).getLong(3) == 10L)
+  }
+
   test("edge cases: empty/whitespace docs through the new analyzers") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "real content words here"))
       .toDF("doc_id", "text")
