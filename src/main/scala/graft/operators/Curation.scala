@@ -659,14 +659,18 @@ object Curation {
     * [[stratifiedHashSample]] but with an absolute COUNT bound
     * instead of a rate: a rate keeps a mega-domain mega-sized.
     *
-    * Scale shape: one window partitioned by the key — work
-    * hash-partitions across the cluster by domain; within one
-    * domain the sort is local to its partition. Domains are
-    * heavy-tailed but each is a vanishing fraction of 100 TB; a
-    * pathological single-key flood (half the corpus one domain) is
-    * the [[graft.operators.Skew]] salting territory — pre-collapse
-    * with a coarse hash filter before windowing if profiling shows
-    * one. */
+    * Scale shape: one window partitioned by the key — and the rank
+    * filter is what makes it skew-proof, not just skew-tolerant:
+    * Catalyst rewrites `row_number() ≤ k` into a WindowGroupLimit
+    * whose PARTIAL mode runs below the exchange (each map task keeps
+    * only its local top `maxPerKey` per key before shuffling), so
+    * even a pathological single-key flood (half the corpus one
+    * domain) lands at most `maxPerKey × map partitions` rows on the
+    * flood key's reducer — the two-phase pre-cap one would hand-roll,
+    * built into the engine with no extra shuffle. This is exactly why
+    * the filter is expressed as a literal bound on `row_number()`
+    * rather than anything the rewrite can't see; the plan shape and
+    * the bounded reducer are both flood-spec'd in PlanSpec. */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 maxPerKey: Int,
                 hashFn: Column => Column = xxhash64(_)): DataFrame = {

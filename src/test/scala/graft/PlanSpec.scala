@@ -592,6 +592,66 @@ class PlanSpec extends SparkSpec {
         f"(ratio ${hashedBytes.toDouble / valueBytes}%.2f)")
   }
 
+  test("capPerKey: WindowGroupLimit pre-caps the mega-domain below the exchange (flood)") {
+    // the round-10 advisor's exact-skew exposure, closed the
+    // Spark-first way: no hand-rolled two-phase salting — Catalyst's
+    // WindowGroupLimit rewrite runs a PARTIAL top-maxPerKey per key
+    // on each MAP task, below the exchange, so a half-the-corpus
+    // flood domain ships at most maxPerKey × map partitions rows to
+    // its reducer. This spec pins (a) the rewrite actually fires for
+    // capPerKey's filter shape and (b) the measured per-task shuffle
+    // read stays bounded on a 20k-row single-domain flood.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Curation
+    val corpus = ((0L until 20000L).map(i => (i, "megadomain")) ++
+      (20000L until 21000L).map(i => (i, s"site${i % 50}")))
+      .toDF("doc_id", "source").persist()
+    corpus.count()
+    val capped = Curation.capPerKey(corpus, "source", "doc_id",
+      maxPerKey = 10)
+    // (a) the plan carries the partial (pre-shuffle) group limit — if
+    // a future filter rewrite hides the literal row_number bound from
+    // the rule, this line is the alarm
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-filter pushdown in:\n${plan.take(2000)}")
+    // (b) measured: no task reads anywhere near the flood size
+    val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRec.getAndAccumulate(m.shuffleReadMetrics.recordsRead,
+            math.max(_, _))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val kept = capped.select($"doc_id").collect().map(_.getLong(0)).toSet
+      var last = -1L; var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val v = maxRec.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+        Thread.sleep(100)
+      }
+      assert(kept.size == 10 + 50 * 10,
+        s"cap must bind on the flood and every site, got ${kept.size}")
+      // flood = 20000 rows on one key; the partial limit bounds the
+      // reducer at 10 × map partitions (×32 here) plus slack — an
+      // order of magnitude under the flood
+      assert(maxRec.get() > 0 && maxRec.get() < 2000L,
+        s"flood reducer should read a bounded pre-capped set, " +
+          s"read=${maxRec.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      corpus.unpersist(); ()
+    }
+  }
+
   test("parse stage: text scan parallelism preserved through decode") {
     val dir = java.nio.file.Files.createTempDirectory("plan")
     java.nio.file.Files.write(dir.resolve("a.log"),
