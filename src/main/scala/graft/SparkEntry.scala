@@ -794,6 +794,35 @@ object SparkEntry {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Streaming CCNet ingestion admission END-TO-END: the accepted
+    // corpus (%3==0 docs) builds a SHARDED Bloom exact index over its
+    // normalize→ccnetHashKey keys; the stream carries the rest, with
+    // every %3==1 doc a disguised re-crawl of an accepted doc (case,
+    // digits, punctuation, padding — the variation the key collapses)
+    // and %3==2 docs novel. Streamed admissions across micro-batches
+    // must equal the batch normalize→key→anti-join: the oracle
+    // replays the full normalization chain, the key fold and the
+    // membership decision. A drift anywhere — normalize stage order,
+    // key classes, shard routing, Bloom verification — changes the
+    // admitted set.
+    "q114_stream_ccnet_admission" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val keyedAcc = operators.Curation
+        .normalizeText(docs.filter($"doc_id" % 3 === 0), "text", "__norm")
+        .select(operators.Curation.ccnetHashKey($"__norm").as("ccnet_key"))
+      val index = operators.Dedup.buildExactIndex(keyedAcc, "ccnet_key",
+        expectedItems = 1L << 16, numBits = 1L << 20, shards = 4)
+      val sch = s.read.parquet(s"$fix/documents").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/documents")
+      val admitted = streaming.StreamingParse
+        .ccnetAdmissionStream(stream, "text", index)
+      runStreamToTable(s, admitted, "append", "ccnet_admission")
+        .select($"doc_id", md5($"ccnet_key").as("key_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -2214,6 +2243,23 @@ object SparkEntry {
         .fromMillis(System.currentTimeMillis() + 60000L))
       canLines(t(s, d, "events")).select(col("line"))
         .repartition(2).write.text(dir.resolve("candump").toString)
+      // documents/: the q114 ingestion stream — the non-accepted docs,
+      // where every %3==1 doc is a DISGUISED RE-CRAWL of the accepted
+      // doc just below it (case flip, digits rewritten, punctuation
+      // and padding added — exactly the variation the CCNet hash key
+      // collapses) and %3==2 docs are novel. Deterministic function
+      // of `documents`, so the DuckDB oracle regenerates it exactly.
+      val allDocs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val below = allDocs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__src"))
+      allDocs.filter(col("doc_id") % 3 =!= 0)
+        .join(below, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 1 && col("__src").isNotNull,
+            concat(lit("  "), upper(translate(col("__src"),
+              "0123456789", "5555555555")), lit(" !!! ")))
+          .otherwise(col("text")).as("text"))
+        .repartition(4).write.parquet(dir.resolve("documents").toString)
       // events_sorted/: time-RANGE-partitioned files with ascending
       // mtimes, so the file source (oldest-mtime first) delivers each
       // user's events in event-time order ACROSS micro-batches — the
@@ -2790,6 +2836,52 @@ object SparkEntry {
     // (flatMapGroupsWithState across four micro-batches); its session
     // assignment must equal the batch window SQL
     "q80_stream_sessionize" -> sessionizeOracleSql,
+
+    // the stream fixture regenerated in SQL (the disguised-re-crawl
+    // CASE), then the full normalize chain + CCNet key fold on BOTH
+    // sides and the anti-join membership decision the stream must
+    // reproduce across micro-batches
+    "q114_stream_ccnet_admission" ->
+      """WITH src AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 = 1 AND b.text IS NOT NULL
+                  THEN '  ' || upper(translate(b.text, '0123456789', '5555555555'))
+                       || ' !!! '
+                  ELSE d.text END AS t,
+             'stream' AS side
+           FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1
+           WHERE d.doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id, text AS t, 'acc' AS side
+           FROM documents WHERE doc_id % 3 = 0),
+         k AS (SELECT doc_id, side,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       translate(t,
+                         chr(8216) || chr(8217) || chr(8218) || chr(8220) ||
+                         chr(8221) || chr(8222) || chr(8211) || chr(8212) ||
+                         chr(8722) || chr(160),
+                         chr(39) || chr(39) || chr(39) || chr(34) ||
+                         chr(34) || chr(34) || '--- '),
+                     chr(8230), '...', 'g'),
+                   '\r\n?', chr(10), 'g'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+                 '', 'g'),
+               '[ \t]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'), '^\n+|\n+$', '', 'g'))),
+             '[0-9]', '0', 'g'),
+             '[^\p{L}\p{N} \t\n\f\r]', '', 'g'),
+             '[ \t\n\f\r]+', ' ', 'g')) AS k
+           FROM src),
+         akey AS (SELECT DISTINCT k FROM k WHERE side = 'acc'),
+         skey AS (SELECT doc_id, k FROM k WHERE side = 'stream')
+         SELECT doc_id, md5(k) AS key_md5
+         FROM skey ANTI JOIN akey USING (k)
+         ORDER BY doc_id""",
 
     "q10_asof" ->
       """WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv

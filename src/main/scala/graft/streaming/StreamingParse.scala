@@ -140,6 +140,33 @@ object StreamingParse {
     fresh.unionByName(verified)
   }
 
+  /** The CCNet ingestion admission tier END-TO-END (Wenzek et al.
+    * 2019 §4.1 composed with the sharded Bloom index): normalize the
+    * streamed text ([[graft.operators.Curation.normalizeText]] — a
+    * pure translate/regexp projection, streaming-safe), derive the
+    * CCNet hash-normalization key
+    * ([[graft.operators.Curation.ccnetHashKey]] — lowercase, digits
+    * folded, punctuation stripped), and admit the doc iff the KEY is
+    * absent from the accepted-corpus index ([[bloomDedupStream]] over
+    * an [[graft.operators.Dedup.ExactIndex]] BUILT ON THE SAME
+    * keys). A re-crawl differing in case, serial numbers, punctuation
+    * or whitespace collapses to an accepted key and drops at the
+    * codec boundary — before it costs a shuffle or state lookup. The
+    * key column stays on admitted rows (named `keyCol`) for the
+    * downstream batch append that folds new admissions into the next
+    * index epoch. Decisions equal the batch normalize→key→anti-join
+    * exactly (stream-vs-batch parity gate q114). */
+  def ccnetAdmissionStream(docs: DataFrame, textCol: String,
+                           index: graft.operators.Dedup.ExactIndex,
+                           keyCol: String = "ccnet_key"): DataFrame = {
+    val keyed = graft.operators.Curation
+      .normalizeText(docs, textCol, "__graft_norm")
+      .withColumn(keyCol,
+        graft.operators.Curation.ccnetHashKey(col("__graft_norm")))
+      .drop("__graft_norm")
+    bloomDedupStream(keyed, keyCol, index)
+  }
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which
