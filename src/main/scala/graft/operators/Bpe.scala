@@ -93,50 +93,68 @@ object Bpe {
     * words). */
   def fit(df: DataFrame, textCol: String, numMerges: Int): BpeVocab = {
     require(numMerges >= 0, "need numMerges >= 0")
-    // superseded checkpoint generations are released explicitly —
-    // Dataset.unpersist only clears CacheManager entries, so without
-    // the bridge call up to numMerges+2 copies of the word table
-    // would sit in the BlockManager until the driver happens to GC
-    // the dead RDDs (the round-8 shared-bench-JVM heap lesson)
-    def advance(from: DataFrame, to: DataFrame): DataFrame = {
-      val next = to.localCheckpoint()
-      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
-      next
+    var words = bootstrapWords(df, textCol)
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to numMerges if !exhausted) {
+      val top = topPairs(words, 1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = Iterate.advance(words,
+          words.withColumn("s", mergeOnce(col("s"), a, b)))
+      }
     }
+    finishVocab(merges.toList, words)
+  }
+
+  /** Bootstrap the compacted symbolized word table — ONE code path
+    * for [[fit]] and [[fitBatched]], since their equivalence proof
+    * assumes identical inputs. Compaction targets ~250k rows per
+    * partition using the count the first materialization already
+    * paid for: the per-merge jobs over a small vocabulary are pure
+    * task-scheduling overhead at the default partitioning, while a
+    * huge vocabulary stays distributed. */
+  private def bootstrapWords(df: DataFrame, textCol: String): DataFrame = {
     var words = wordTable(df, textCol)
       .withColumn("s", charSymbols(col("w")))
       .localCheckpoint()
     val vocabSize = words.count()
     val targetParts = math.max(1L, vocabSize / 250000L).toInt
     if (words.rdd.getNumPartitions > targetParts)
-      words = advance(words, words.coalesce(targetParts))
-    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    var exhausted = false
-    for (_ <- 1 to numMerges if !exhausted) {
-      val top = words.filter(size(col("s")) >= 2)
-        .select(col("n"), explode(transform(
-          sequence(lit(0), size(col("s")) - 2),
-          i => struct(element_at(col("s"), i + 1).as("a"),
-            element_at(col("s"), i + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("c"))
-        .filter(col("c") >= 2)
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        words = advance(words, words.withColumn("s", mergeOnce(col("s"), a, b)))
-      }
-    }
-    // persisted for the caller's joins — caller owns the wordPieces
-    // lifecycle from here (the gram-table discipline)
+      words = Iterate.advance(words, words.coalesce(targetParts))
+    words
+  }
+
+  /** Top `limit` candidate pairs by the fit argmax order — weighted
+    * pair counts (weight = word count, overlapping positions counted
+    * per occurrence), the ≥2 floor, (count DESC, a, b) — shared by
+    * both fit tiers so the batched argmax can never drift from the
+    * sequential one. Bounded driver state: `limit` rows. */
+  private def topPairs(words: DataFrame,
+                       limit: Int): Array[org.apache.spark.sql.Row] =
+    words.filter(size(col("s")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(0), size(col("s")) - 2),
+        i => struct(element_at(col("s"), i + 1).as("a"),
+          element_at(col("s"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("c"))
+      .filter(col("c") >= 2)
+      .orderBy(col("c").desc, col("a"), col("b"))
+      .limit(limit).collect()
+
+  /** Final vocab assembly: persisted for the caller's joins — caller
+    * owns the wordPieces lifecycle from here (the gram-table
+    * discipline). */
+  private def finishVocab(merges: Seq[(String, String)],
+                          words: DataFrame): BpeVocab = {
     val pieces = words
       .select(col("w"), col("n"), col("s"), size(col("s")).as("n_pieces"))
       .persist()
     pieces.count()
-    BpeVocab(merges.toList, pieces)
+    BpeVocab(merges, pieces)
   }
 
   /** The production-vocabulary fit tier: learns merges PROVABLY
@@ -177,32 +195,12 @@ object Bpe {
                  maxBatch: Int = 16): BpeVocab = {
     require(numMerges >= 0, "need numMerges >= 0")
     require(maxBatch >= 1, "need maxBatch >= 1")
-    def advance(from: DataFrame, to: DataFrame): DataFrame = {
-      val next = to.localCheckpoint()
-      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
-      next
-    }
-    var words = wordTable(df, textCol)
-      .withColumn("s", charSymbols(col("w")))
-      .localCheckpoint()
-    val vocabSize = words.count()
-    val targetParts = math.max(1L, vocabSize / 250000L).toInt
-    if (words.rdd.getNumPartitions > targetParts)
-      words = advance(words, words.coalesce(targetParts))
+    var words = bootstrapWords(df, textCol)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
       val m = math.min(maxBatch, numMerges - merges.size)
-      val top = words.filter(size(col("s")) >= 2)
-        .select(col("n"), explode(transform(
-          sequence(lit(0), size(col("s")) - 2),
-          i => struct(element_at(col("s"), i + 1).as("a"),
-            element_at(col("s"), i + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("c"))
-        .filter(col("c") >= 2)
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(m + 1).collect()
+      val top = topPairs(words, m + 1)
       if (top.isEmpty) exhausted = true
       else {
         // greedy non-interacting prefix + the count of the first
@@ -248,15 +246,11 @@ object Bpe {
             .map { case (a, b, _) => (a, b) }
         }
         merges ++= batch
-        words = advance(words,
+        words = Iterate.advance(words,
           words.withColumn("s", mergeManyOnce(col("s"), batch)))
       }
     }
-    val pieces = words
-      .select(col("w"), col("n"), col("s"), size(col("s")).as("n_pieces"))
-      .persist()
-    pieces.count()
-    BpeVocab(merges.toList, pieces)
+    finishVocab(merges.toList, words)
   }
 
   /** One fold applying a BATCH of pairwise non-interacting merges

@@ -975,20 +975,23 @@ object Dedup {
       }
       broadcastRef
     }
-    /** Explicitly free this generation's sketch broadcast on driver
-      * and executors (no-op if no large-index probe ever ran, or
-      * already released; idempotent). Call when a generation is
-      * retired — e.g. on the PRE-append index once
-      * [[appendToExactIndex]]'s successor is in service and no
-      * in-flight query still probes the old one. A LATER probe of a
-      * released index transparently re-broadcasts (correct, just
-      * re-pays the ship), so release-too-early costs time, never
-      * answers. */
+    /** Explicitly free this generation's sketch bytes from EXECUTOR
+      * memory (no-op if no large-index probe ever ran; idempotent).
+      * Call when a generation is retired — e.g. on the PRE-append
+      * index once [[appendToExactIndex]]'s successor is in service.
+      * Deliberately `unpersist`, NOT `destroy`: a plan or streaming
+      * query built before the release still holds this broadcast
+      * handle, and unpersist lets it transparently RE-FETCH from the
+      * driver on next use (costs time, never answers or crashes),
+      * where destroy would fail it with "used after it was
+      * destroyed". The executor copies are the accumulation hazard
+      * (one sketch-sized block per epoch per executor); the single
+      * driver copy is the same bytes the index object already holds
+      * in `blooms`, and both free together when the caller drops the
+      * index reference (ContextCleaner then destroys the broadcast
+      * for real). */
     def release(): Unit = synchronized {
-      if (broadcastRef != null) {
-        broadcastRef.destroy()
-        broadcastRef = null
-      }
+      if (broadcastRef != null) broadcastRef.unpersist(blocking = false)
     }
   }
 
@@ -1323,11 +1326,19 @@ object Dedup {
       .observe(s"graft_exact_bloom_${obsId.incrementAndGet()}",
         sum(when(col("__mc"), 1L).otherwise(0L)).as("bloom_positive"),
         count(lit(1)).as("bloom_probed"))
-    val fresh = probed.filter(!col("__mc")).drop("__mc")
+    // null-TOTAL split: the probe propagates a NULL hash as NULL (both
+    // tiers, parity-spec'd), and a two-way boolean filter would drop
+    // such a row from BOTH branches — coalesce to false so an
+    // unprovable membership ADMITS (the only safe dedup default).
+    // xxhash64 over any input is non-null, so this is a guard for
+    // callers probing precomputed nullable hash columns.
+    val fresh = probed.filter(!coalesce(col("__mc"), lit(false)))
+      .drop("__mc")
     // hash-keyed equi join + text-equality residual: the hash key is
     // what a bucketed index table co-locates on; the residual keeps
     // the decision collision-free
-    val positives = probed.filter(col("__mc")).drop("__mc")
+    val positives = probed.filter(coalesce(col("__mc"), lit(false)))
+      .drop("__mc")
       .withColumn("__h", xxhash64(col(textCol)))
     val survivors = positives.join(index.hashes,
         positives("__h") === index.hashes("__h") &&

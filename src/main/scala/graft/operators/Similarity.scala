@@ -166,15 +166,18 @@ object Similarity {
 
   /** `lloydIters` Lloyd refinements (assign → element-wise member
     * mean), each one corpus scan against a broadcast centroid table.
-    * One step (the default, the original behavior) is usually enough
-    * for web-scale dedup recall, but clustered geometries whose seeds
-    * (lowest-id rows) all land in one cluster measurably benefit from
-    * 2–3 steps (recall-gated in SimilaritySpec). A cell that loses
-    * every member keeps its previous centroid, so the cell set stays
-    * stable across iterations. Centroids are localCheckpointed per
-    * step (nCells rows — tiny) so the plan stays constant-depth; the
-    * superseded generation's blocks release eagerly (the
-    * [[graft.operators.Bpe.fit]] advance discipline). */
+    * One step (the default, the original behavior bit-for-bit) is
+    * usually enough for web-scale dedup recall, but clustered
+    * geometries whose seeds (lowest-id rows) all land in one cluster
+    * measurably benefit from 2–3 steps (recall-gated in
+    * SimilaritySpec). A cell that loses every member DROPS from the
+    * centroid table (cells only ever shrink the probe space — an
+    * empty cell kept alive would waste one of a query's nProbe slots
+    * on zero corpus vectors; contrast [[buildPq]], whose flat LUT
+    * needs density and so falls back instead). Centroids are
+    * localCheckpointed per step (nCells rows — tiny) so the plan
+    * stays constant-depth; the superseded generation's blocks release
+    * eagerly (the [[graft.operators.Bpe.fit]] advance discipline). */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 32, lloydIters: Int = 1): IvfIndex = {
     require(lloydIters >= 1, "need lloydIters >= 1")
@@ -188,17 +191,12 @@ object Similarity {
           (col("__vn") * col("__cn")))
         .groupBy(col(idCol))
         .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
-    def advance(from: DataFrame, to: DataFrame): DataFrame = {
-      val next = to.localCheckpoint()
-      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
-      next
-    }
     var cents = seedCentroids.localCheckpoint()
     for (_ <- 1 to lloydIters) {
       val assigned = assign(corpus, cents)
-      // centroid = element-wise mean of its members; empty cells keep
-      // their previous centroid (left join + coalesce), so iteration
-      // can move cells but never drop them
+      // centroid = element-wise mean of its members; cells that lose
+      // every member drop here (the pre-iteration single-step
+      // semantics, unchanged — see scaladoc)
       val refined = corpus.join(assigned, idCol)
         .select(col("cell"),
           posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
@@ -206,9 +204,8 @@ object Similarity {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("m"))))
           .as("pairs"))
-        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("m"))
-      cents = advance(cents, cents.join(refined, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("m"), col("cvec")).as("cvec")))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
+      cents = Iterate.advance(cents, refined)
     }
     val cells = assign(corpus, cents)
     val corpusCells = corpus.join(cells, idCol)
@@ -638,11 +635,6 @@ object Similarity {
       .filter(col("__r") <= nCentroids)
       .select(col("sub"), (col("__r") - 1).as("cid"),
         col("svec").as("cvec"))
-    def advance(from: DataFrame, to: DataFrame): DataFrame = {
-      val next = to.localCheckpoint()
-      org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(from)
-      next
-    }
     // `lloydIters` refinements per subspace; a centroid that loses all
     // members keeps its PREVIOUS sub-vector (left join + coalesce), so
     // the codebook stays DENSE through every iteration — searchPq's
@@ -660,7 +652,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("p"))
         .select(col("sub"), col("cid"),
           expr("transform(p, q -> q.m)").as("m"))
-      books = advance(books, books.join(refined, Seq("sub", "cid"), "left")
+      books = Iterate.advance(books,
+        books.join(refined, Seq("sub", "cid"), "left")
         .select(col("sub"), col("cid"),
           coalesce(col("m"), col("cvec")).as("cvec")))
     }

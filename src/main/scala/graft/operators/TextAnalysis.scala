@@ -703,9 +703,9 @@ object TextAnalysis {
     * no driver state. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol),
-        split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
-      .select(col(idCol), expr("filter(__tk0, t -> t != '')").as("__tk"))
+    // ONE tokenization shared with trigramLogProb — the LM ladder's
+    // scores are only comparable if every rung tokenizes identically
+    val toks = tokensOf(df, idCol, textCol)
     val bg = toks.filter(size(col("__tk")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(__tk) - 2), " +

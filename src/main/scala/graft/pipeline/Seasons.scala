@@ -326,9 +326,15 @@ object Seasons {
       s"$outputDir/_stages/${cfg.name}")
     val fs = stages.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(stages)) fs.delete(stages, true)
+    // NON-recursive delete: succeeds only while the parent is truly
+    // empty AT DELETE TIME. A check-then-recursive-delete would race a
+    // concurrent season creating its subtree between the check and the
+    // delete and wipe its live stage parquet; here that race makes the
+    // delete fail (HDFS throws PathIsNotEmptyDirectory, local FS
+    // returns false) and the scratch parent simply survives.
     val parent = new org.apache.hadoop.fs.Path(s"$outputDir/_stages")
-    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
-      fs.delete(parent, true)
+    try { fs.delete(parent, false); () }
+    catch { case _: java.io.IOException => () }
     result
   }
 }

@@ -130,8 +130,13 @@ object StreamingParse {
     val probed = docs.withColumn("__mc",
       graft.operators.Dedup.mightContainIndexCol(index,
         xxhash64(col(textCol))))
-    val fresh = probed.filter(!col("__mc")).drop("__mc")
-    val positives = probed.filter(col("__mc")).drop("__mc")
+    // null-total split (see incrementalDropExactDups): a NULL probe —
+    // impossible for xxhash64, possible for future nullable-key
+    // callers — must admit as fresh, not vanish from both branches
+    val fresh = probed.filter(!coalesce(col("__mc"), lit(false)))
+      .drop("__mc")
+    val positives = probed.filter(coalesce(col("__mc"), lit(false)))
+      .drop("__mc")
       .withColumn("__h", xxhash64(col(textCol)))
     val verified = positives.join(index.hashes,
         positives("__h") === index.hashes("__h") &&

@@ -315,13 +315,15 @@ class DedupSpec extends SparkSpec {
         xxhash64(col("text"))).as("p"))
       .filter(!col("p")).count()
     assert(members() == 0L) // materializes the broadcast
-    // retire the generation: the broadcast destroys now, not at some
-    // future driver GC (the growth loop creates one per appended
-    // batch — retained epochs must not accumulate GiB broadcasts)
+    // retire the generation: executor copies unpersist now, not at
+    // some future driver GC (the growth loop creates one broadcast
+    // per appended batch — retained epochs must not accumulate GiB
+    // executor blocks). unpersist, NOT destroy: a plan built before
+    // the release must re-fetch, never crash (review find)
     idx.release()
     idx.release() // idempotent — and safe before any probe ever ran
-    // a released index is not poisoned: a later probe transparently
-    // re-broadcasts (correct answers, just re-pays the ship)
+    // a released index is not poisoned: a later probe re-fetches the
+    // unpersisted broadcast (correct answers, just re-pays the ship)
     assert(members() == 0L)
     idx.release()
   }
