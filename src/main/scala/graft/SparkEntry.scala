@@ -811,8 +811,18 @@ object SparkEntry {
       val keyedAcc = operators.Curation
         .normalizeText(docs.filter($"doc_id" % 3 === 0), "text", "__norm")
         .select(operators.Curation.ccnetHashKey($"__norm").as("ccnet_key"))
+      // sketch geometry sized to the fixture (the q101 lesson: plan
+      // literals re-canonicalize per micro-batch trigger, ~1 s of
+      // driver time per MiB) — 4 × 16 KiB covers the ≤ a-few-thousand
+      // accepted keys at vanishing fpp
       val index = operators.Dedup.buildExactIndex(keyedAcc, "ccnet_key",
-        expectedItems = 1L << 16, numBits = 1L << 20, shards = 4)
+        expectedItems = 1L << 13, numBits = 1L << 17, shards = 4)
+      // the stream-static contract re-plans the static side per
+      // micro-batch — materialize the verification table once instead
+      // of re-deriving normalize+distinct every trigger (the
+      // bloomDedupStream scaladoc's own instruction)
+      index.hashes.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
       val sch = s.read.parquet(s"$fix/documents").schema
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1).parquet(s"$fix/documents")
