@@ -833,6 +833,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming CCNet LM-perplexity tiering: a pruned unigram LM
+    // (top-64 vocabulary — the corpus has more, so the OOV floor is
+    // exercised on real tokens) and per-language score thresholds are
+    // fitted BATCH-side on the calibration corpus, then every doc
+    // streams through the frozen model + thresholds. The oracle
+    // refits everything in SQL: the (count DESC, token) top-K vocab,
+    // the unpruned total, the token-sorted per-doc fold with the
+    // floor-1 OOV term, per-language quantile_cont thresholds over
+    // the batch-scored corpus, and the ties-down labeling.
+    "q115_stream_lm_buckets" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val docs = t(s, d, "documents").select($"doc_id", $"lang", $"text")
+      val model = operators.TextAnalysis.fitUnigramLm(docs, "text",
+        maxVocab = 64)
+      val scored = docs.withColumn("lm_score",
+        operators.TextAnalysis.unigramLmScoreCol($"text", model))
+      val th = operators.TextAnalysis.scoreThresholds(scored, "lm_score",
+        Seq("lang"))
+      val sch = s.read.parquet(s"$fix/documents_plain").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/documents_plain")
+      val labeled = streaming.StreamingParse.lmBucketStream(stream, "text",
+        Seq("lang"), model, th)
+      runStreamToTable(s, labeled, "append", "lm_buckets")
+        .select($"doc_id", $"lang", $"lm_score", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -2259,7 +2287,8 @@ object SparkEntry {
       // and padding added — exactly the variation the CCNet hash key
       // collapses) and %3==2 docs are novel. Deterministic function
       // of `documents`, so the DuckDB oracle regenerates it exactly.
-      val allDocs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val allDocs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
       val below = allDocs.select((col("doc_id") + 1).as("doc_id"),
         col("text").as("__src"))
       allDocs.filter(col("doc_id") % 3 =!= 0)
@@ -2270,6 +2299,12 @@ object SparkEntry {
               "0123456789", "5555555555")), lit(" !!! ")))
           .otherwise(col("text")).as("text"))
         .repartition(4).write.parquet(dir.resolve("documents").toString)
+      // documents_plain/: the UNMODIFIED corpus as a multi-file stream
+      // source (q115 scores the same docs the batch calibration saw —
+      // parity must hold row-for-row)
+      allDocs.select(col("doc_id"), col("lang"), col("text"))
+        .repartition(4)
+        .write.parquet(dir.resolve("documents_plain").toString)
       // events_sorted/: time-RANGE-partitioned files with ascending
       // mtimes, so the file source (oldest-mtime first) delivers each
       // user's events in event-time order ACROSS micro-batches — the
@@ -2820,6 +2855,39 @@ object SparkEntry {
            CASE WHEN sl.score IS NULL THEN NULL
                 WHEN sl.score <= th.q0 THEN 'tail'
                 WHEN sl.score <= th.q1 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
+         ORDER BY sl.doc_id""",
+
+    // the pruned-LM replay: top-K vocab by (count DESC, token), the
+    // UNPRUNED total, per-position floor-1 OOV terms folded
+    // token-sorted, then q100's threshold + labeling machinery over
+    // the batch-scored corpus
+    "q115_stream_lm_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         c AS (SELECT tok, count(*) c FROM nz GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) T FROM c),
+         vocab AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 64),
+         terms AS (SELECT nz.doc_id, nz.tok,
+             ln(CAST(COALESCE(v.c, 1) AS DOUBLE) / (T::DOUBLE)) AS term
+           FROM nz LEFT JOIN vocab v USING (tok) CROSS JOIN t),
+         s AS (SELECT doc_id,
+             round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE), 6) AS lm_score
+           FROM terms GROUP BY 1),
+         sl AS (SELECT d.doc_id, d.lang, s.lm_score
+           FROM documents d LEFT JOIN s USING (doc_id)),
+         th AS (SELECT lang,
+             quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS q0,
+             quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS q1
+           FROM sl GROUP BY 1)
+         SELECT sl.doc_id, sl.lang, sl.lm_score,
+           CASE WHEN sl.lm_score IS NULL THEN NULL
+                WHEN sl.lm_score <= th.q0 THEN 'tail'
+                WHEN sl.lm_score <= th.q1 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
          ORDER BY sl.doc_id""",

@@ -481,9 +481,20 @@ object TextAnalysis {
   def scoreBuckets(df: DataFrame, scoreCol: String, keys: Seq[String],
                    cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
                    labels: Seq[String] = Seq("tail", "middle", "head"),
-                   exact: Boolean = true): DataFrame = {
-    require(labels.length == cuts.length + 1,
-      s"need ${cuts.length + 1} labels for ${cuts.length} cuts")
+                   exact: Boolean = true): DataFrame =
+    applyScoreBuckets(df, scoreCol, keys,
+      scoreThresholds(df, scoreCol, keys, cuts, exact), labels)
+
+  /** The FIT half of [[scoreBuckets]]: per-key percentile thresholds
+    * as a ≤|groups|-row frame (`keys…, __q0…__qN`). Split out so a
+    * calibration corpus can fit ONCE and the thresholds apply to any
+    * other frame — including a STREAM ([[applyScoreBuckets]] is a
+    * stateless broadcast join + projection, the shape a streaming
+    * admission tier needs; a stream cannot compute its own global
+    * percentiles). */
+  def scoreThresholds(df: DataFrame, scoreCol: String, keys: Seq[String],
+                      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                      exact: Boolean = true): DataFrame = {
     require(cuts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
       "cuts must be strictly ascending (a duplicate cut makes its " +
         "label unreachable)")
@@ -493,28 +504,42 @@ object TextAnalysis {
       (if (exact) expr(s"percentile(`$scoreCol`, ${c}D)")
        else expr(s"approx_percentile(`$scoreCol`, ${c}D)").cast("double"))
         .as(s"__q$i") }
-    val th = (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
+    (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
       .agg(pcts.head, pcts.tail: _*)
+  }
+
+  /** The APPLY half of [[scoreBuckets]]: label every row against a
+    * fitted threshold frame. `labels.length` must be the threshold
+    * column count + 1; ties go to the lower tier; null scores → null
+    * bucket. Works identically on a batch frame and on a streaming
+    * one (stream-static broadcast join, no state). */
+  def applyScoreBuckets(df: DataFrame, scoreCol: String, keys: Seq[String],
+                        thresholds: DataFrame,
+                        labels: Seq[String] = Seq("tail", "middle", "head"))
+      : DataFrame = {
+    val nCuts = thresholds.columns.count(_.startsWith("__q"))
+    require(labels.length == nCuts + 1,
+      s"need ${nCuts + 1} labels for $nCuts thresholds")
     // null-safe key join (<=>): groupBy keeps a null-key group, and an
     // equi join would silently DROP every null-key row from the output
     // (e.g. docs whose langid abstained) instead of bucketing them
     // against their own group's thresholds
     val joined =
-      if (keys.isEmpty) df.crossJoin(broadcast(th))
+      if (keys.isEmpty) df.crossJoin(broadcast(thresholds))
       else {
-        val thR = keys.foldLeft(th)((t, k) =>
+        val thR = keys.foldLeft(thresholds)((t, k) =>
           t.withColumnRenamed(k, s"__k_$k"))
         df.join(broadcast(thR),
             keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _))
           .drop(keys.map(k => s"__k_$k"): _*)
       }
-    val chain = cuts.indices.reverse.foldLeft(lit(labels.last): Column) {
+    val chain = (0 until nCuts).reverse.foldLeft(lit(labels.last): Column) {
       (acc, i) => when(col(scoreCol) <= col(s"__q$i"), lit(labels(i)))
         .otherwise(acc) }
     joined
       .withColumn("bucket",
         when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(chain))
-      .drop(cuts.indices.map(i => s"__q$i"): _*)
+      .drop((0 until nCuts).map(i => s"__q$i"): _*)
   }
 
   /** Deterministic hash bucket in [0, buckets): the reproducible
@@ -673,6 +698,58 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         round(col("__lp") / col("n_tokens").cast("double"), 6)
           .as("logprob_per_token"))
+  }
+
+  /** A FITTED pruned unigram LM: the top `maxVocab` tokens by corpus
+    * count (ties to the lexicographically smaller token — fully
+    * deterministic) with their counts, plus the UNPRUNED corpus token
+    * total, so in-vocabulary probabilities keep their true mass and
+    * pruned/unseen tokens score at the floor count 1. Bounded driver
+    * state (like [[graft.operators.Curation.LrModel]]/`DsirModel`)
+    * that enters plans as ONE map literal — which is also its budget:
+    * plan literals re-canonicalize per optimizer pass (and per
+    * micro-batch trigger in a stream), so keep maxVocab in the
+    * thousands for streaming scorers; CCNet-style filters prune their
+    * LMs anyway. */
+  final case class UnigramLm(counts: Map[String, Long], total: Long) {
+    require(total > 0, "fit corpus had no tokens")
+  }
+
+  def fitUnigramLm(df: DataFrame, textCol: String,
+                   maxVocab: Int = 16384): UnigramLm = {
+    require(maxVocab >= 1, "need maxVocab >= 1")
+    val c = df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist()
+    val total = c.agg(sum(col("c"))).collect()(0).getLong(0)
+    val top = c.orderBy(col("c").desc, col("token")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    c.unpersist()
+    UnigramLm(top, total)
+  }
+
+  /** Per-doc mean token log-probability under a FITTED pruned unigram
+    * LM, as a PURE PROJECTION — the streaming face of
+    * [[unigramLogProb]] (which fits and scores one corpus in a single
+    * plan; a stream needs the model fitted OFFLINE and applied with
+    * no join and no state — the [[graft.operators.Curation.lrScoreCol]]
+    * shape). Per token: ln(count/total) from the model map, floor
+    * count 1 for pruned/out-of-vocabulary tokens. Terms fold in
+    * token-sorted order (the q61 engine-parity discipline), one
+    * round(…,6) at the end; token-less docs score null. */
+  def unigramLmScoreCol(text: Column, model: UnigramLm): Column = {
+    val cmap = typedlit(model.counts)
+    val tokens = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val terms = transform(tokens, t => struct(t.as("tk"),
+      log(coalesce(element_at(cmap, t), lit(1L)).cast("double") /
+        lit(model.total.toDouble)).as("term")))
+    val folded = aggregate(array_sort(terms), lit(0.0),
+      (acc, x) => acc + x.getField("term"))
+    when(size(tokens) > 0,
+      round(folded / size(tokens).cast("double"), 6))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Smoothed BIGRAM LM score — the n-gram step toward CCNet's KenLM

@@ -172,6 +172,32 @@ object StreamingParse {
     bloomDedupStream(keyed, keyCol, index)
   }
 
+  /** CCNet's LM-perplexity tiering at INGESTION: score each streamed
+    * document with a FITTED pruned unigram LM
+    * ([[graft.operators.TextAnalysis.unigramLmScoreCol]] — a pure map-
+    * literal projection, no join, no state) and label it against
+    * BATCH-FITTED per-group percentile thresholds
+    * ([[graft.operators.TextAnalysis.applyScoreBuckets]] — a stateless
+    * stream-static broadcast join). This is the missing middle of the
+    * streaming CCNet story between [[ccnetAdmissionStream]] (dedup)
+    * and the batch bucketing gates (q99/q100): a stream cannot compute
+    * its own global percentiles or corpus counts, so both the LM and
+    * the thresholds are calibration-corpus artifacts applied frozen,
+    * exactly as CCNet applies its Wikipedia-trained KenLM and
+    * per-language cutoffs (Wenzek et al. 2019 §4.3). The `lm_score`
+    * and `bucket` columns stay on every row; callers keep the tiers
+    * they want (`filter($"bucket" =!= "tail")` for the classic
+    * head+middle mix). Stream-vs-batch parity gated by q115. */
+  def lmBucketStream(docs: DataFrame, textCol: String, keys: Seq[String],
+                     model: graft.operators.TextAnalysis.UnigramLm,
+                     thresholds: DataFrame,
+                     labels: Seq[String] = Seq("tail", "middle", "head"))
+      : DataFrame =
+    graft.operators.TextAnalysis.applyScoreBuckets(
+      docs.withColumn("lm_score",
+        graft.operators.TextAnalysis.unigramLmScoreCol(col(textCol), model)),
+      "lm_score", keys, thresholds, labels)
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

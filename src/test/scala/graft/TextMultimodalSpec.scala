@@ -248,6 +248,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(tri(1L) != tri(2L), s"trigram must separate the orders: $tri")
   }
 
+  test("fitUnigramLm + unigramLmScoreCol: pruning, tie-break, OOV floor, null on empty") {
+    // corpus counts: a=3, b=2, z=2, total 7; maxVocab=2 keeps a and —
+    // by the (count DESC, token) tie-break — b, NOT z
+    val corpus = Seq((1L, "a a a b b z z")).toDF("doc_id", "text")
+    val m = TextAnalysis.fitUnigramLm(corpus, "text", maxVocab = 2)
+    assert(m.total == 7L)
+    assert(m.counts == Map("a" -> 3L, "b" -> 2L))
+    // doc [z b]: z is PRUNED (real count 2) → floor term ln(1/7);
+    // b in-vocab → ln(2/7); fold token-sorted (b first), mean, round
+    val docs = Seq((1L, "z b"), (2L, "   "), (3L, "a a")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.unigramLmScoreCol($"text", m).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val zb = BigDecimal(((0.0 + math.log(2.0 / 7)) + math.log(1.0 / 7)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L).contains(zb), s"${got(1L)} vs $zb")
+    assert(got(2L).isEmpty, "token-less doc must score null")
+    assert(got(3L).contains(BigDecimal(math.log(3.0 / 7))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // full-vocab model ≈ the self-fit unigramLogProb (same per-token
+    // probabilities; summation GROUPING differs — tf·ln p vs repeated
+    // addition — so parity is to 1e-9, not bitwise)
+    val many = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma w${i % 7} w${i % 3}")).toDF("doc_id", "text")
+    val full = TextAnalysis.fitUnigramLm(many, "text", maxVocab = 1000)
+    val viaCol = many.select($"doc_id",
+        TextAnalysis.unigramLmScoreCol($"text", full).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBatch = TextAnalysis.unigramLogProb(many, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaBatch.forall { case (k, v) =>
+      math.abs(viaCol(k) - v) < 1e-9 }, "full-vocab projection must match")
+  }
+
+  test("scoreThresholds/applyScoreBuckets: fit-once apply-elsewhere equals scoreBuckets") {
+    val cal = (1L to 90L).map(i =>
+      (i, if (i % 2 == 0) "en" else "pt", i.toDouble)).toDF("doc_id", "lang", "score")
+    val th = TextAnalysis.scoreThresholds(cal, "score", Seq("lang"))
+    val viaSplit = TextAnalysis.applyScoreBuckets(cal, "score", Seq("lang"), th)
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaOne = TextAnalysis.scoreBuckets(cal, "score", Seq("lang"))
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSplit == viaOne && viaSplit.nonEmpty)
+    // frozen thresholds label a DIFFERENT frame (the streaming shape):
+    // a score above the calibration range lands in head, below in tail
+    val fresh = Seq((1000L, "en", 1e9), (1001L, "en", -1e9))
+      .toDF("doc_id", "lang", "score")
+    val labeled = TextAnalysis.applyScoreBuckets(fresh, "score",
+        Seq("lang"), th)
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled(1000L) == "head" && labeled(1001L) == "tail")
+  }
+
   test("trigramCounts: singleton pruning keeps the table sublinear in distinct grams") {
     // Zipf-tail stand-in: 50 docs each contributing a unique
     // singleton trigram, 10 docs sharing one phrase — the DISTINCT
