@@ -125,6 +125,31 @@ object Similarity {
       col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn"),
       hyperplaneSignature(col(vecCol), planes).as("bucket")), planes)
 
+  /** Persist an [[LshIndex]] — `hashedCorpus` BUCKETED on `bucket`
+    * (the probe-join key: [[searchLsh]]'s multi-probe explode then
+    * joins the index without re-shuffling it — the
+    * [[writeIvfPqIndexBucketed]] build-once/search-many shape) plus a
+    * one-row `_meta` table carrying `planes`, written LAST as the
+    * commit marker: a torn write leaves no (or a stale) meta, so
+    * [[readLshIndex]] fails to resolve it instead of probing with the
+    * wrong plane count (whose buckets would simply never match).
+    * Rebuilds with different planes go to a fresh prefix. */
+  def writeLshIndexBucketed(index: LshIndex, prefix: String,
+                            numBuckets: Int = 64): Unit = {
+    val spark = index.hashedCorpus.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.writeBucketed(index.hashedCorpus,
+      s"${prefix}_hashed", Seq("bucket"), numBuckets)
+    graft.sources.Sinks.writeTable(Seq(index.planes).toDF("planes"),
+      s"${prefix}_meta")
+  }
+
+  /** Reopen an index written by [[writeLshIndexBucketed]]. */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): LshIndex =
+    LshIndex(spark.table(s"${prefix}_hashed"),
+      spark.table(s"${prefix}_meta").collect()(0).getInt(0))
+
   /** Search a built LSH index: each query probes its own bucket plus
     * all 1-bit-flip neighbor buckets (multi-probe), then exact cosine
     * ranks the bucket contents. Recall < 1 by construction
@@ -213,6 +238,25 @@ object Similarity {
         norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
     IvfIndex(cents, corpusCells)
   }
+
+  /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
+    * probe-join key; [[searchIvf]] over a reopened index leaves the
+    * corpus side unshuffled) and the small `centroids` as a plain
+    * table written LAST as the commit marker (no geometry rides
+    * outside the tables, so a resolvable centroid table IS the
+    * complete-write witness). Rebuilds go to a fresh prefix. */
+  def writeIvfIndexBucketed(index: IvfIndex, prefix: String,
+                            numBuckets: Int = 64): Unit = {
+    graft.sources.Sinks.writeBucketed(index.corpusCells,
+      s"${prefix}_cells", Seq("cell"), numBuckets)
+    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+  }
+
+  /** Reopen an index written by [[writeIvfIndexBucketed]]. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): IvfIndex =
+    IvfIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_cells"))
 
   /** Search a built IVF index: queries rank the (broadcast) centroid
     * table, probe only their `nProbe` nearest cells, and exact cosine

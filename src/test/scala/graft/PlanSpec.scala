@@ -427,6 +427,51 @@ class PlanSpec extends SparkSpec {
     assert(diskTop === memTop)
   }
 
+  test("LSH + plain IVF bucketed persistence: probe joins leave the index unshuffled") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 5)
+    val memLsh = Similarity.buildLsh(corpus, "vec_id", "embedding",
+      planes = 6)
+    Similarity.writeLshIndexBucketed(memLsh, "lsh_plan", numBuckets = 4)
+    val diskLsh = Similarity.readLshIndex(spark, "lsh_plan")
+    assert(diskLsh.planes == 6)
+    val memIvf = Similarity.buildIvf(corpus, "vec_id", "embedding",
+      nCells = 4)
+    Similarity.writeIvfIndexBucketed(memIvf, "ivf_plan", numBuckets = 4)
+    val diskIvf = Similarity.readIvfIndex(spark, "ivf_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one exchange each — the probe side; the bucketed index reads
+      // its layout directly
+      val lshProbe = (0L to 3L).map(b => (b, b)).toDF("bucket", "query_id")
+      val pL = diskLsh.hashedCorpus.join(lshProbe, "bucket")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(pL).size == 1,
+        s"LSH: expected only the probe-side shuffle:\n${pL.take(2000)}")
+      val ivfProbe = (0 to 3).map(c => (c.toLong, c.toLong))
+        .toDF("cell", "query_id")
+      val pI = diskIvf.corpusCells.join(ivfProbe, "cell")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(pI).size == 1,
+        s"IVF: expected only the probe-side shuffle:\n${pI.take(2000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // table-backed search returns the same ranked neighbors
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(top(Similarity.searchLsh(diskLsh, queries, "vec_id",
+        "embedding", k = 3)) ===
+      top(Similarity.searchLsh(memLsh, queries, "vec_id",
+        "embedding", k = 3)))
+    assert(top(Similarity.searchIvf(diskIvf, queries, "vec_id",
+        "embedding", k = 3)) ===
+      top(Similarity.searchIvf(memIvf, queries, "vec_id",
+        "embedding", k = 3)))
+  }
+
   test("IVF×PQ cellCodes bucketed on cell: probe join leaves the index unshuffled") {
     import spark.implicits._
     import graft.operators.Similarity
