@@ -278,8 +278,10 @@ class PlanSpec extends SparkSpec {
     // positive (__mc) branch only
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), "verification anti join expected")
+    // (the probe is null-coalesced since the null-total split — match
+    // the negated-coalesce filter shape)
     assert(p.linesIterator.exists(l =>
-        l.contains("Filter") && l.contains("NOT __mc")),
+        l.contains("Filter") && l.contains("NOT coalesce(__mc")),
       "the negative branch must be a join-free Filter on the probe")
   }
 
