@@ -79,6 +79,24 @@ object Similarity {
                               cn: Column): Column =
     dot(asDouble(qv), asDouble(cv)) / (qn * cn)
 
+  /** Materialize a small fitted frame (centroids, codebooks — nCells
+    * or nSub·nCentroids rows) into a driver-local relation and release
+    * its localCheckpoint blocks. The frames [[buildIvf]]/[[buildPq]]
+    * RETURN escape the fit and may be searched long after: handing out
+    * the checkpointed frame would strand every later search on
+    * missing-block errors if an executor holding the non-reliable
+    * blocks dies (dynamic allocation, long-lived index), where a local
+    * relation — like a plan literal — cannot lose anything.
+    * Intra-loop generations stay on [[Iterate.advance]]'s checkpoint
+    * discipline; only the escaping result pays the (bounded) collect. */
+  private def localCopy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = spark.createDataFrame(rows, df.schema)
+    org.apache.spark.sql.GraftExpressionBridge.releaseLocalCheckpoint(df)
+    out
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest
     * corpus rows. `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -129,26 +147,36 @@ object Similarity {
     * (the probe-join key: [[searchLsh]]'s multi-probe explode then
     * joins the index without re-shuffling it — the
     * [[writeIvfPqIndexBucketed]] build-once/search-many shape) plus a
-    * one-row `_meta` table carrying `planes`, written LAST as the
-    * commit marker: a torn write leaves no (or a stale) meta, so
-    * [[readLshIndex]] fails to resolve it instead of probing with the
-    * wrong plane count (whose buckets would simply never match).
-    * Rebuilds with different planes go to a fresh prefix. */
+    * one-row `_meta` table carrying `planes` and the write EPOCH,
+    * written LAST as the commit marker: a torn FIRST write leaves no
+    * resolvable meta, and a torn same-prefix REBUILD (crash after the
+    * hashed-table overwrite, before the meta) leaves the OLD meta
+    * pointing at a NEW table whose epoch token it lacks — so
+    * [[readLshIndex]] refuses ([[graft.sources.Sinks.stampEpoch]])
+    * instead of probing with the wrong plane count, whose buckets
+    * would simply never match: silent zero recall. Rebuilds with
+    * different planes should still go to a fresh prefix. */
   def writeLshIndexBucketed(index: LshIndex, prefix: String,
                             numBuckets: Int = 64): Unit = {
     val spark = index.hashedCorpus.sparkSession
     import spark.implicits._
     graft.sources.Sinks.writeBucketed(index.hashedCorpus,
       s"${prefix}_hashed", Seq("bucket"), numBuckets)
-    graft.sources.Sinks.writeTable(Seq(index.planes).toDF("planes"),
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(s"${prefix}_hashed"))
+    graft.sources.Sinks.writeTable(
+      Seq((index.planes, epoch)).toDF("planes", "epoch"),
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeLshIndexBucketed]]. */
+  /** Reopen an index written by [[writeLshIndexBucketed]]; refuses a
+    * torn same-prefix rebuild (epoch-token mismatch). */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
-                   prefix: String): LshIndex =
-    LshIndex(spark.table(s"${prefix}_hashed"),
-      spark.table(s"${prefix}_meta").collect()(0).getInt(0))
+                   prefix: String): LshIndex = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    graft.sources.Sinks.requireEpoch(spark, Seq(s"${prefix}_hashed"),
+      meta.getString(1))
+    LshIndex(spark.table(s"${prefix}_hashed"), meta.getInt(0))
+  }
 
   /** Search a built LSH index: each query probes its own bucket plus
     * all 1-bit-flip neighbor buckets (multi-probe), then exact cosine
@@ -202,7 +230,9 @@ object Similarity {
     * needs density and so falls back instead). Centroids are
     * localCheckpointed per step (nCells rows — tiny) so the plan
     * stays constant-depth; the superseded generation's blocks release
-    * eagerly (the [[graft.operators.Bpe.fit]] advance discipline). */
+    * eagerly (the [[graft.operators.Bpe.fit]] advance discipline). The
+    * RETURNED centroid frame is a driver-local relation, not the loop's
+    * checkpointed frame — see [[localCopy]]. */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 32, lloydIters: Int = 1): IvfIndex = {
     require(lloydIters >= 1, "need lloydIters >= 1")
@@ -232,31 +262,49 @@ object Similarity {
         .select(col("cell"), expr("transform(pairs, p -> p.m)").as("cvec"))
       cents = Iterate.advance(cents, refined)
     }
-    val cells = assign(corpus, cents)
+    // the returned centroids outlive the fit — driver-local, not
+    // checkpoint-backed (see localCopy)
+    val centsLocal = localCopy(cents)
+    val cells = assign(corpus, centsLocal)
     val corpusCells = corpus.join(cells, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
-    IvfIndex(cents, corpusCells)
+    IvfIndex(centsLocal, corpusCells)
   }
 
   /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
     * probe-join key; [[searchIvf]] over a reopened index leaves the
-    * corpus side unshuffled) and the small `centroids` as a plain
-    * table written LAST as the commit marker (no geometry rides
-    * outside the tables, so a resolvable centroid table IS the
-    * complete-write witness). Rebuilds go to a fresh prefix. */
+    * corpus side unshuffled), the small `centroids` as a plain table,
+    * and a one-row `_meta` carrying the write EPOCH written LAST as
+    * the commit marker: a torn same-prefix rebuild leaves cells and
+    * centroids from different generations (queries would rank real
+    * cells against centroids those cells were never assigned to —
+    * silently wrong probes, not an error), which the epoch-token
+    * check ([[graft.sources.Sinks.stampEpoch]]) turns into a loud
+    * refusal at [[readIvfIndex]]. */
   def writeIvfIndexBucketed(index: IvfIndex, prefix: String,
                             numBuckets: Int = 64): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
     graft.sources.Sinks.writeBucketed(index.corpusCells,
       s"${prefix}_cells", Seq("cell"), numBuckets)
     graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_cells", s"${prefix}_centroids"))
+    graft.sources.Sinks.writeTable(Seq(epoch).toDF("epoch"),
+      s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfIndexBucketed]]. */
+  /** Reopen an index written by [[writeIvfIndexBucketed]]; refuses a
+    * torn same-prefix rebuild (epoch-token mismatch). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                   prefix: String): IvfIndex =
+                   prefix: String): IvfIndex = {
+    val epoch = spark.table(s"${prefix}_meta").collect()(0).getString(0)
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_cells", s"${prefix}_centroids"), epoch)
     IvfIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_cells"))
+  }
 
   /** Search a built IVF index: queries rank the (broadcast) centroid
     * table, probe only their `nProbe` nearest cells, and exact cosine
@@ -527,18 +575,33 @@ object Similarity {
     * time, every future search pays only its own query-side work. */
   def writeIvfSqIndexBucketed(index: IvfSqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
     graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
     graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats")
     graft.sources.Sinks.writeBucketed(index.cellCodes,
       s"${prefix}_cell_codes", Seq("cell"), numBuckets)
+    // epoch meta LAST — the torn-rebuild refusal shared by every index
+    // writer here (see writeLshIndexBucketed / Sinks.stampEpoch)
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats",
+        s"${prefix}_cell_codes"))
+    graft.sources.Sinks.writeTable(Seq(epoch).toDF("epoch"),
+      s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfSqIndexBucketed]]. */
+  /** Reopen an index written by [[writeIvfSqIndexBucketed]]; refuses a
+    * torn same-prefix rebuild (epoch-token mismatch). */
   def readIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
-                     prefix: String): IvfSqIndex =
+                     prefix: String): IvfSqIndex = {
+    val epoch = spark.table(s"${prefix}_meta").collect()(0).getString(0)
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats",
+        s"${prefix}_cell_codes"), epoch)
     IvfSqIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_stats"),
       spark.table(s"${prefix}_cell_codes"))
+  }
 
   /** A built product-quantization (PQ) ANN index (Jégou, Douze,
     * Schmid 2011, "Product quantization for nearest neighbor
@@ -701,7 +764,10 @@ object Similarity {
         .select(col("sub"), col("cid"),
           coalesce(col("m"), col("cvec")).as("cvec")))
     }
-    val codebooks = books.withColumn("cn2", dot(col("cvec"), col("cvec")))
+    // the returned codebooks outlive the fit — driver-local, not
+    // checkpoint-backed (see localCopy)
+    val codebooks = localCopy(books)
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
     val a1 = pqAssign(svecs, idCol, codebooks)
     val codes = a1.join(broadcast(codebooks.select(col("sub"), col("cid"),
         col("cn2"))), Seq("sub", "cid"))
@@ -823,10 +889,13 @@ object Similarity {
     * so [[readIvfPqIndex]] either fails to resolve the table or the
     * in-plan geometry guards ([[pqQueryLut]] codebook-size check,
     * [[adcCosine]] code-word-length check) raise on first use instead
-    * of ranking garbage. REBUILDS with different geometry must go to
-    * a FRESH prefix (the durable exact index's epoch discipline):
-    * overwriting four tables in place is not atomic, and a torn
-    * same-geometry overwrite would mix generations undetectably. */
+    * of ranking garbage. A torn SAME-geometry same-prefix rebuild —
+    * which those guards cannot see — is caught by the shared
+    * epoch-token discipline ([[graft.sources.Sinks.stampEpoch]]): the
+    * meta's epoch must be stamped in all three data tables'
+    * directories, so mixed generations refuse at [[readIvfPqIndex]]
+    * instead of ranking one generation's codes against another's
+    * codebooks. */
   def writeIvfPqIndexBucketed(index: IvfPqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
@@ -835,15 +904,23 @@ object Similarity {
       s"${prefix}_cell_codes", Seq("cell"), numBuckets)
     graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
     graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
+        s"${prefix}_centroids"))
     graft.sources.Sinks.writeTable(
-      Seq((index.nSub, index.nCentroids)).toDF("n_sub", "n_centroids"),
+      Seq((index.nSub, index.nCentroids, epoch))
+        .toDF("n_sub", "n_centroids", "epoch"),
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfPqIndexBucketed]]. */
+  /** Reopen an index written by [[writeIvfPqIndexBucketed]]; refuses a
+    * torn same-prefix rebuild (epoch-token mismatch). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      prefix: String): IvfPqIndex = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
+        s"${prefix}_centroids"), meta.getString(2))
     IvfPqIndex(meta.getInt(0), meta.getInt(1),
       spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_codebooks"),

@@ -512,7 +512,16 @@ object TextAnalysis {
     * fitted threshold frame. `labels.length` must be the threshold
     * column count + 1; ties go to the lower tier; null scores → null
     * bucket. Works identically on a batch frame and on a streaming
-    * one (stream-static broadcast join, no state). */
+    * one (stream-static broadcast join, no state).
+    *
+    * A row whose key group is ABSENT from the fitted thresholds (a
+    * language the calibration corpus never saw — impossible in the
+    * one-frame [[scoreBuckets]] path, routine in the split fit/apply
+    * streaming path) is KEPT with a null bucket, not dropped: the
+    * apply half is a labeling projection, and an ingestion tier that
+    * silently discarded uncalibrated groups would confuse "no
+    * thresholds fitted" with "rejected". Callers wanting rejection
+    * filter `bucket IS NULL` explicitly. */
   def applyScoreBuckets(df: DataFrame, scoreCol: String, keys: Seq[String],
                         thresholds: DataFrame,
                         labels: Seq[String] = Seq("tail", "middle", "head"))
@@ -520,17 +529,22 @@ object TextAnalysis {
     val nCuts = thresholds.columns.count(_.startsWith("__q"))
     require(labels.length == nCuts + 1,
       s"need ${nCuts + 1} labels for $nCuts thresholds")
-    // null-safe key join (<=>): groupBy keeps a null-key group, and an
-    // equi join would silently DROP every null-key row from the output
-    // (e.g. docs whose langid abstained) instead of bucketing them
-    // against their own group's thresholds
+    // LEFT join with null-safe keys (<=>): groupBy keeps a null-key
+    // group and an equi join would drop every null-key row (docs whose
+    // langid abstained) — and an INNER join would additionally drop
+    // rows whose group has no fitted thresholds at all. `__thm` marks
+    // matched rows: unmatched ones can't take a label from null
+    // thresholds (`score <= null` falls through every `when` to the
+    // top label — "head" by absence of calibration).
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(thresholds))
+        .withColumn("__thm", lit(true))
       else {
         val thR = keys.foldLeft(thresholds)((t, k) =>
-          t.withColumnRenamed(k, s"__k_$k"))
+            t.withColumnRenamed(k, s"__k_$k"))
+          .withColumn("__thm", lit(true))
         df.join(broadcast(thR),
-            keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _))
+            keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left")
           .drop(keys.map(k => s"__k_$k"): _*)
       }
     val chain = (0 until nCuts).reverse.foldLeft(lit(labels.last): Column) {
@@ -538,8 +552,10 @@ object TextAnalysis {
         .otherwise(acc) }
     joined
       .withColumn("bucket",
-        when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(chain))
+        when(col(scoreCol).isNull || col("__thm").isNull,
+          lit(null).cast("string")).otherwise(chain))
       .drop((0 until nCuts).map(i => s"__q$i"): _*)
+      .drop("__thm")
   }
 
   /** Deterministic hash bucket in [0, buckets): the reproducible

@@ -160,6 +160,50 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** Resolve a table's data location through the session catalog. */
+  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Path =
+    new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+
+  /** Stamp one fresh `_graft_epoch_<uuid>` token file into the data
+    * directory of each (already committed) table of a multi-table
+    * index write, and return the epoch for the writer to record in
+    * its meta table — the [[graft.operators.Bpe.writeBpeVocab]]
+    * crash-consistency discipline generalized: the meta is written
+    * LAST, so a crash anywhere leaves either the old consistent state
+    * or a meta whose epoch token some data table lacks (a same-prefix
+    * rebuild's Overwrite wiped the old token with the old files), and
+    * [[requireEpoch]] refuses the mixed generation loudly instead of
+    * letting a reader pair one generation's data with another's
+    * geometry — which for an LSH index would be silent zero recall,
+    * not an error. Underscore-prefixed files are invisible to Spark's
+    * parquet reads, so the token never pollutes the table's rows. */
+  private[graft] def stampEpoch(spark: org.apache.spark.sql.SparkSession,
+                                tables: Seq[String]): String = {
+    val epoch = java.util.UUID.randomUUID().toString
+    tables.foreach { t =>
+      val loc = tableLocation(spark, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new Path(loc, s"_graft_epoch_$epoch"), true).close()
+    }
+    epoch
+  }
+
+  /** Refuse to reopen an index whose meta epoch is missing from any
+    * data table's directory — see [[stampEpoch]]. */
+  private[graft] def requireEpoch(spark: org.apache.spark.sql.SparkSession,
+                                  tables: Seq[String], epoch: String): Unit =
+    tables.foreach { t =>
+      val loc = tableLocation(spark, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new Path(loc, s"_graft_epoch_$epoch")),
+        s"epoch token _graft_epoch_$epoch missing from table '$t' ($loc) — " +
+          "the index meta and this data table are from different write " +
+          "attempts (torn same-prefix rebuild); re-run the index write, " +
+          "or write rebuilds to a fresh prefix")
+    }
+
   /** saveAsTable refuses a managed-table name whose warehouse
     * LOCATION survives from an earlier session (the default
     * in-memory catalog forgets tables across JVMs; the filesystem

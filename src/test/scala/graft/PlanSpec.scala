@@ -474,6 +474,39 @@ class PlanSpec extends SparkSpec {
         "embedding", k = 3)))
   }
 
+  test("index epoch tokens: a torn same-prefix rebuild refuses to reopen") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    // healthy write + reopen works (epoch stamped and validated)
+    val idx = Similarity.buildLsh(corpus, "vec_id", "embedding", planes = 6)
+    Similarity.writeLshIndexBucketed(idx, "lsh_torn", numBuckets = 2)
+    assert(Similarity.readLshIndex(spark, "lsh_torn").planes == 6)
+    // simulate the advisor's crash window: a same-prefix rebuild dies
+    // AFTER the hashed-table overwrite (which wiped the old epoch
+    // token with the old files) but BEFORE the meta write — the OLD
+    // meta still resolves, paired with NEW data
+    graft.sources.Sinks.writeBucketed(
+      Similarity.buildLsh(corpus, "vec_id", "embedding", planes = 8)
+        .hashedCorpus, "lsh_torn_hashed", Seq("bucket"), 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readLshIndex(spark, "lsh_torn")
+    }
+    assert(e.getMessage.contains("epoch token"),
+      s"expected the epoch-token refusal, got: ${e.getMessage}")
+    // same discipline on the IVF family
+    val ivf = Similarity.buildIvf(corpus, "vec_id", "embedding", nCells = 4)
+    Similarity.writeIvfIndexBucketed(ivf, "ivf_torn", numBuckets = 2)
+    assert(Similarity.readIvfIndex(spark, "ivf_torn")
+      .centroids.count() > 0)
+    graft.sources.Sinks.writeTable(ivf.centroids, "ivf_torn_centroids")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, "ivf_torn")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("IVF×PQ cellCodes bucketed on cell: probe join leaves the index unshuffled") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -508,4 +508,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r3 >= r1 + 0.1,
       s"3 Lloyd steps should measurably beat 1: r1=$r1 r3=$r3")
   }
+
+  test("buildIvf/buildPq: escaped centroids/codebooks are driver-local, not checkpoint-backed") {
+    // advisor r11: the returned frames outlive the fit — if they were
+    // the loop's localCheckpoint frames, a lost executor would strand
+    // every later search on missing non-recomputable blocks. A
+    // LocalRelation (driver-local rows) can't lose anything.
+    val rnd = new scala.util.Random(3)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    def checkpointBacked(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+      }.nonEmpty
+    val ivf = Similarity.buildIvf(corpus, "vec_id", "embedding",
+      nCells = 4, lloydIters = 2)
+    assert(!checkpointBacked(ivf.centroids),
+      "IVF centroids must escape as a local relation")
+    val pq = Similarity.buildPq(corpus, "vec_id", "embedding",
+      nSub = 4, nCentroids = 8, lloydIters = 2)
+    assert(!checkpointBacked(pq.codebooks),
+      "PQ codebooks must escape as a local relation")
+    // and the escaped frames still search correctly
+    val queries = corpus.filter($"vec_id" <= 3)
+    assert(Similarity.searchIvf(ivf, queries, "vec_id", "embedding",
+      k = 2).count() > 0)
+    assert(Similarity.searchPq(pq, corpus, queries, "vec_id", "embedding",
+      k = 2).count() > 0)
+  }
 }

@@ -484,6 +484,48 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM tiering keeps rows whose lang was never calibrated (null bucket)") {
+    import spark.implicits._
+    // fit the LM + per-lang thresholds on an en/pt calibration corpus,
+    // then stream a doc in a lang the calibration never saw: the row
+    // must EMIT with bucket null (advisor r11 — an inner threshold
+    // join would silently drop it from the ingestion stream)
+    val cal = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "pt",
+        s"common words shared by every doc plus w${i % 5}"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.operators.TextAnalysis.fitUnigramLm(cal, "text",
+      maxVocab = 32)
+    val th = graft.operators.TextAnalysis.scoreThresholds(
+      cal.withColumn("lm_score",
+        graft.operators.TextAnalysis.unigramLmScoreCol($"text", model)),
+      "lm_score", Seq("lang"))
+    val docs = Seq(
+      (100L, "en", "common words shared by every doc plus w1"),
+      (101L, "de", "common words shared by every doc plus w2"))
+      .toDF("doc_id", "lang", "text")
+    val dir = Files.createTempDirectory("stream_lm_unseen")
+    docs.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .lmBucketStream(stream, "text", Seq("lang"), model, th)
+      .select($"doc_id", $"lm_score", $"bucket")
+      .writeStream.format("memory").queryName("lm_unseen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, lm_score, bucket from lm_unseen")
+        .collect().map(r => r.getLong(0) ->
+          (r.isNullAt(1), Option(r.getString(2)))).toMap
+      assert(got.size == 2, s"uncalibrated-lang row dropped: $got")
+      assert(!got(100L)._1 && got(100L)._2.nonEmpty,
+        "calibrated lang labels normally")
+      assert(!got(101L)._1 && got(101L)._2.isEmpty,
+        "uncalibrated lang keeps its score and gets a null bucket")
+    } finally q.stop()
+  }
+
   test("streaming LR-classifier admission filter (stateless projection)") {
     import spark.implicits._
     val good = "clear readable prose about solar boats and telemetry data"

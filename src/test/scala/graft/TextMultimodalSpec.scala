@@ -303,6 +303,18 @@ class TextMultimodalSpec extends SparkSpec {
       .select($"doc_id", $"bucket").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(labeled(1000L) == "head" && labeled(1001L) == "tail")
+    // a key group ABSENT from calibration (a language the fit corpus
+    // never saw) is KEPT with a null bucket — the advisor's r11
+    // finding: an inner join would silently drop the row from a
+    // streaming ingestion tier
+    val unseen = Seq((2000L, "de", 5.0), (2001L, "en", 5.0))
+      .toDF("doc_id", "lang", "score")
+    val u = TextAnalysis.applyScoreBuckets(unseen, "score", Seq("lang"), th)
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(u.size == 2, "uncalibrated group must not be dropped")
+    assert(u(2000L).isEmpty, "uncalibrated group gets a null bucket")
+    assert(u(2001L).contains("tail"), "calibrated rows label as before")
   }
 
   test("trigramCounts: singleton pruning keeps the table sublinear in distinct grams") {
