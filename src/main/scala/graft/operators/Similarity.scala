@@ -117,6 +117,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Recall probe for a SERVED ANN index: per sampled query, the
+    * fraction of the brute-force true top-k that `annResults` (any
+    * search output carrying `query_id`/`neighbor_id` rows) recovered.
+    * This is the ongoing-drift face of the build-time recall gates
+    * (q31/q105/q107): an index whose geometry was fitted on last
+    * month's distribution serves appended batches with FROZEN
+    * centroids/codebooks ([[appendToIvf]]/[[appendToIvfPq]]), so its
+    * recall can only be trusted while measured. Cost is deliberately
+    * bounded by the caller's SAMPLE: brute-force truth is
+    * O(|queries| × |corpus|) FLOPs with the queries broadcast — size
+    * the sample (tens to hundreds) so the probe is a scan, not a
+    * quadratic blow-up. */
+  def recallProbe(annResults: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annResults.select(col("query_id"), col("neighbor_id"))
+      .distinct().withColumn("__hit", lit(1L))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") /
+        col("n_true").cast("double"), 6))
+  }
+
+  /** Fold a [[recallProbe]] into the re-train decision: ONE row
+    * (`n_queries`, `mean_recall`, `retrain`). `retrain = true` means
+    * the frozen geometry has drifted below `minRecall` and the next
+    * append should instead re-run the build (to a FRESH prefix — the
+    * epoch discipline) — the vector-family analogue of the exact
+    * index's fpp-drift remediation. Until it fires, appends stay
+    * O(new). */
+  def driftDecision(probe: DataFrame, minRecall: Double): DataFrame =
+    probe.agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 6).as("mean_recall"))
+      .withColumn("retrain", col("mean_recall") < lit(minRecall))
+
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p).
     * Planes are ±1-component vectors derived from xxhash64(p, dim) —
     * deterministic, no RNG state. Native fused-loop expression
@@ -142,6 +181,18 @@ object Similarity {
     LshIndex(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(asDouble(col(vecCol))).as("__cn"),
       hyperplaneSignature(col(vecCol), planes).as("bucket")), planes)
+
+  /** Grow an [[LshIndex]] with a new vector batch — O(new): hash the
+    * batch with the index's (data-oblivious, deterministic) planes
+    * and union lazily; the existing hashed corpus never re-shuffles.
+    * Unlike [[appendToIvf]] there is no drift to watch — hyperplanes
+    * are not fitted to the corpus, so appended batches bucket exactly
+    * as a full rebuild would. */
+  def appendToLsh(index: LshIndex, newVecs: DataFrame, idCol: String,
+                  vecCol: String): LshIndex =
+    LshIndex(index.hashedCorpus.unionByName(
+      buildLsh(newVecs, idCol, vecCol, index.planes).hashedCorpus),
+      index.planes)
 
   /** Persist an [[LshIndex]] — `hashedCorpus` BUCKETED on `bucket`
     * (the probe-join key: [[searchLsh]]'s multi-probe explode then
@@ -233,19 +284,35 @@ object Similarity {
     * eagerly (the [[graft.operators.Bpe.fit]] advance discipline). The
     * RETURNED centroid frame is a driver-local relation, not the loop's
     * checkpointed frame — see [[localCopy]]. */
+  /** Nearest-centroid (max-cosine) cell assignment against a
+    * broadcast centroid table — ONE corpus scan, no corpus shuffle;
+    * ties → smaller cell id. Shared by the Lloyd loop, the final
+    * build assignment, and the [[appendToIvf]]/[[appendToIvfPq]]
+    * O(new) growth path (frozen centroids). */
+  private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame =
+    vecs.select(col(idCol), col(vecCol),
+        norm(asDouble(col(vecCol))).as("__vn"))
+      .crossJoin(broadcast(cents.withColumn("__cn", norm(col("cvec")))))
+      .withColumn("sim", dot(asDouble(col(vecCol)), col("cvec")) /
+        (col("__vn") * col("__cn")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+
+  /** The `corpusCells` row shape: vector + precomputed norm + cell. */
+  private def cellRows(vecs: DataFrame, idCol: String, vecCol: String,
+                       cells: DataFrame): DataFrame =
+    vecs.join(cells, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
+
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 32, lloydIters: Int = 1): IvfIndex = {
     require(lloydIters >= 1, "need lloydIters >= 1")
     val seedCentroids = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("cvec"))
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.select(col(idCol), col(vecCol),
-          norm(asDouble(col(vecCol))).as("__vn"))
-        .crossJoin(broadcast(cents.withColumn("__cn", norm(col("cvec")))))
-        .withColumn("sim", dot(asDouble(col(vecCol)), col("cvec")) /
-          (col("__vn") * col("__cn")))
-        .groupBy(col(idCol))
-        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+      assignCells(vecs, idCol, vecCol, cents)
     var cents = seedCentroids.localCheckpoint()
     for (_ <- 1 to lloydIters) {
       val assigned = assign(corpus, cents)
@@ -265,12 +332,29 @@ object Similarity {
     // the returned centroids outlive the fit — driver-local, not
     // checkpoint-backed (see localCopy)
     val centsLocal = localCopy(cents)
-    val cells = assign(corpus, centsLocal)
-    val corpusCells = corpus.join(cells, idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        norm(asDouble(col(vecCol))).as("__cn"), col("cell"))
+    val corpusCells = cellRows(corpus, idCol, vecCol,
+      assign(corpus, centsLocal))
     IvfIndex(centsLocal, corpusCells)
   }
+
+  /** Grow an [[IvfIndex]] with a new vector batch — O(new), never
+    * O(corpus): the new vectors are assigned to the FROZEN centroid
+    * table (one broadcast-argmax scan of the batch alone) and union
+    * lazily into `corpusCells` with NO re-shuffle of the existing
+    * index — the q101 exact-index growth-loop discipline applied to
+    * the vector family (the reference's analogue is the chunked
+    * skip-if-exists incremental recompute, lib/canparser.py:315-317).
+    * The centroids do NOT move: appended batches from the build
+    * distribution keep build-time recall (every vector still lands
+    * its true argmax cell), while a DRIFTED batch degrades gracefully
+    * (vectors land their nearest OLD cell) — which is measurable, not
+    * silent: gate served indexes with [[recallProbe]] +
+    * [[driftDecision]] and re-train the codebook when it fires. */
+  def appendToIvf(index: IvfIndex, newVecs: DataFrame, idCol: String,
+                  vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.corpusCells.unionByName(cellRows(newVecs, idCol, vecCol,
+        assignCells(newVecs, idCol, vecCol, index.centroids))))
 
   /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
     * probe-join key; [[searchIvf]] over a reopened index leaves the
@@ -417,17 +501,32 @@ object Similarity {
       .select(expr("transform(p, d -> d.mn)").as("mins"),
         expr("transform(p, d -> CASE WHEN d.mx > d.mn " +
           "THEN (d.mx - d.mn) / 255.0D ELSE 1.0D END)").as("scales"))
-    val codes = corpus.crossJoin(broadcast(stats))
+    val codes = sqEncode(corpus, idCol, vecCol, stats)
+    SqIndex(stats, codes)
+  }
+
+  /** Quantize a vector batch against a FROZEN stats row → the SQ
+    * `codes` row shape (code word + reconstruction norm). One
+    * projection over the batch; shared by [[buildSq]] and the O(new)
+    * append path ([[appendToIvfSq]]). The code saturates at the
+    * [-128, 127] rails — a no-op at build time (every value is inside
+    * the fitted [min, max] by construction, so [[buildSq]] outputs are
+    * unchanged), load-bearing for appends: a batch dimension OUTSIDE
+    * the frozen range must clamp to the nearest representable level
+    * (bounded quantization error, absorbed by the exact rerank), not
+    * wrap around the TINYINT cast into a maximally-wrong code. */
+  private def sqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                       stats: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(stats))
       .select(col(idCol).as("neighbor_id"),
         expr(s"transform($vecCol, (x, i) -> " +
-          "CAST(round((CAST(x AS DOUBLE) - mins[i]) / scales[i]) - 128 " +
+          "CAST(greatest(-128D, least(127D, " +
+          "round((CAST(x AS DOUBLE) - mins[i]) / scales[i]) - 128)) " +
           "AS TINYINT))").as("codes"),
         col("mins"), col("scales"))
       .withColumn("__dq", expr("transform(codes, (c, i) -> " +
         "mins[i] + (CAST(c AS DOUBLE) + 128.0D) * scales[i])"))
       .select(col("neighbor_id"), col("codes"), norm(col("__dq")).as("cnorm"))
-    SqIndex(stats, codes)
-  }
 
   /** Search an SQ index with asymmetric scoring + exact rerank.
     *
@@ -480,6 +579,37 @@ object Similarity {
     searchSq(buildSq(corpus, idCol, vecCol), corpus, queries, idCol,
       vecCol, k, oversample)
 
+  /** Persist a plain [[SqIndex]] — completing the persistence matrix
+    * (every index family reopens in a fresh JVM; previously only the
+    * IVF-composed forms did, and [[searchSq]] re-derived its
+    * per-query constants from an in-memory `stats` frame a restarted
+    * driver couldn't reopen). `codes` is the scan side (no probe join
+    * key — [[searchSq]] scans all codes by design), so a plain table
+    * suffices; the one-row `stats` rides alongside; the `_meta` epoch
+    * row is the commit marker (the shared
+    * [[graft.sources.Sinks.stampEpoch]] torn-rebuild discipline). */
+  def writeSqIndex(index: SqIndex, prefix: String): Unit = {
+    val spark = index.stats.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats")
+    graft.sources.Sinks.writeTable(index.codes, s"${prefix}_codes")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_stats", s"${prefix}_codes"))
+    graft.sources.Sinks.writeTable(Seq(epoch).toDF("epoch"),
+      s"${prefix}_meta")
+  }
+
+  /** Reopen an index written by [[writeSqIndex]]; refuses a torn
+    * same-prefix rebuild (epoch-token mismatch). */
+  def readSqIndex(spark: org.apache.spark.sql.SparkSession,
+                  prefix: String): SqIndex = {
+    val epoch = spark.table(s"${prefix}_meta").collect()(0).getString(0)
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_stats", s"${prefix}_codes"), epoch)
+    SqIndex(spark.table(s"${prefix}_stats"),
+      spark.table(s"${prefix}_codes"))
+  }
+
   /** A composed IVF × SQ ANN index — the production shape at 100 TB.
     *
     * [[searchSq]] scans every int8 code per query batch (4× cheaper
@@ -505,6 +635,21 @@ object Similarity {
       ivf.corpusCells.select(col("neighbor_id"), col("cell")),
       Seq("neighbor_id"))
     IvfSqIndex(ivf.centroids, sq.stats, cellCodes)
+  }
+
+  /** Grow an [[IvfSqIndex]] with a new vector batch — O(new): assign
+    * to the FROZEN centroids, quantize against the FROZEN stats row
+    * (out-of-range dims saturate — see [[sqEncode]]), lazy union; the
+    * existing `cellCodes` never re-shuffles. Drift discipline as
+    * [[appendToIvf]]: gate with [[recallProbe]]/[[driftDecision]]. */
+  def appendToIvfSq(index: IvfSqIndex, newVecs: DataFrame, idCol: String,
+                    vecCol: String): IvfSqIndex = {
+    val cells = assignCells(newVecs, idCol, vecCol, index.centroids)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val newCodes = sqEncode(newVecs, idCol, vecCol, index.stats)
+      .join(cells, Seq("neighbor_id"))
+    IvfSqIndex(index.centroids, index.stats,
+      index.cellCodes.unionByName(newCodes))
   }
 
   /** Search the composed index: rank the (broadcast) centroid table →
@@ -768,8 +913,21 @@ object Similarity {
     // checkpoint-backed (see localCopy)
     val codebooks = localCopy(books)
       .withColumn("cn2", dot(col("cvec"), col("cvec")))
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, nSub)
+    PqIndex(nSub, nCentroids, codebooks, codes)
+  }
+
+  /** PQ-encode a vector batch against a FROZEN codebook → the `codes`
+    * row shape (nSub-byte code word + reconstruction norm). One
+    * nSub-way generate + one broadcast argmin over the batch alone;
+    * shared by [[buildPq]] and the O(new) append path
+    * ([[appendToIvfPq]]). */
+  private def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                       codebooks: DataFrame, nSub: Int): DataFrame = {
+    val svecs = subVectors(
+      vecs.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol, nSub)
     val a1 = pqAssign(svecs, idCol, codebooks)
-    val codes = a1.join(broadcast(codebooks.select(col("sub"), col("cid"),
+    a1.join(broadcast(codebooks.select(col("sub"), col("cid"),
         col("cn2"))), Seq("sub", "cid"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("sub"), col("cid"),
@@ -777,7 +935,6 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"),
         expr("transform(p, q -> CAST(q.cid AS TINYINT))").as("codes"),
         sqrt(expr("aggregate(p, 0.0D, (a, q) -> a + q.cn2)")).as("cnorm"))
-    PqIndex(nSub, nCentroids, codebooks, codes)
   }
 
   /** Search a PQ index with asymmetric distance computation + exact
@@ -813,6 +970,37 @@ object Similarity {
     searchPq(buildPq(corpus, idCol, vecCol, nSub, nCentroids, lloydIters),
       corpus, queries, idCol, vecCol, k, oversample)
 
+  /** Persist a plain [[PqIndex]] — the [[writeSqIndex]] sibling
+    * completing the persistence matrix. `codes` is the flat scan side
+    * (plain table); `codebooks` is the broadcastable grid; geometry
+    * (nSub, nCentroids) + the commit epoch ride the one-row `_meta`
+    * written LAST. The in-plan geometry guards ([[pqQueryLut]],
+    * [[adcCosine]]) still back up the epoch check on first use. */
+  def writePqIndex(index: PqIndex, prefix: String): Unit = {
+    val spark = index.codebooks.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
+    graft.sources.Sinks.writeTable(index.codes, s"${prefix}_codes")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_codebooks", s"${prefix}_codes"))
+    graft.sources.Sinks.writeTable(
+      Seq((index.nSub, index.nCentroids, epoch))
+        .toDF("n_sub", "n_centroids", "epoch"),
+      s"${prefix}_meta")
+  }
+
+  /** Reopen an index written by [[writePqIndex]]; refuses a torn
+    * same-prefix rebuild (epoch-token mismatch). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  prefix: String): PqIndex = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_codebooks", s"${prefix}_codes"), meta.getString(2))
+    PqIndex(meta.getInt(0), meta.getInt(1),
+      spark.table(s"${prefix}_codebooks"),
+      spark.table(s"${prefix}_codes"))
+  }
+
   /** The composed IVF × PQ index — the classic billion-scale ANN
     * layout (IVFADC in Jégou et al. 2011): the coarse IVF quantizer
     * prunes the scan to nProbe cells AND each cell's contents are
@@ -837,6 +1025,31 @@ object Similarity {
       ivf.corpusCells.select(col("neighbor_id"), col("cell")),
       Seq("neighbor_id"))
     IvfPqIndex(nSub, nCentroids, ivf.centroids, pq.codebooks, cellCodes)
+  }
+
+  /** Grow an [[IvfPqIndex]] with a new vector batch — the production
+    * ingestion shape at 100 TB, O(new) and never O(corpus): the batch
+    * is assigned to the FROZEN coarse centroids (one broadcast argmax)
+    * and PQ-encoded against the FROZEN codebooks (one broadcast
+    * argmin), then unions lazily into `cellCodes`; the existing index
+    * never re-shuffles or re-encodes — the q101 exact-index
+    * growth-loop cost shape for the vector family (reference
+    * analogue: the chunked skip-if-exists incremental recompute,
+    * lib/canparser.py:315-317). Frozen geometry means an appended
+    * batch from the BUILD distribution keeps build-time recall, while
+    * a drifted batch quantizes against stale centroids — measurable
+    * degradation, not silent: probe served indexes with
+    * [[recallProbe]] and let [[driftDecision]] force the codebook
+    * re-train (to a FRESH prefix) when it fires. */
+  def appendToIvfPq(index: IvfPqIndex, newVecs: DataFrame, idCol: String,
+                    vecCol: String): IvfPqIndex = {
+    val cells = assignCells(newVecs, idCol, vecCol, index.centroids)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val newCodes = pqEncode(newVecs, idCol, vecCol, index.codebooks,
+        index.nSub)
+      .join(cells, Seq("neighbor_id"))
+    IvfPqIndex(index.nSub, index.nCentroids, index.centroids,
+      index.codebooks, index.cellCodes.unionByName(newCodes))
   }
 
   /** Search the composed index: rank the (broadcast) centroid table →
@@ -896,6 +1109,12 @@ object Similarity {
     * directories, so mixed generations refuse at [[readIvfPqIndex]]
     * instead of ranking one generation's codes against another's
     * codebooks. */
+  /** The four data tables of a durable IVF×PQ index (epoch-validated
+    * together on read). */
+  private def ivfPqTables(prefix: String): Seq[String] =
+    Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
+      s"${prefix}_centroids", s"${prefix}_cell_stats")
+
   def writeIvfPqIndexBucketed(index: IvfPqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
@@ -904,9 +1123,19 @@ object Similarity {
       s"${prefix}_cell_codes", Seq("cell"), numBuckets)
     graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
     graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
-    val epoch = graft.sources.Sinks.stampEpoch(spark,
-      Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
-        s"${prefix}_centroids"))
+    // per-cell growth ledger: how many vectors the BUILD assigned per
+    // cell, and how many in-place appends added since ([[
+    // appendToIvfPqIndexBucketed]]). One nCells-row aggregate at write
+    // time; the drift signal a served index exposes without a probe —
+    // a cell whose appended count dwarfs its build count is absorbing
+    // a distribution the codebook never saw, the cue to run
+    // [[recallProbe]] and re-train before recall quietly sags.
+    graft.sources.Sinks.writeTable(
+      index.cellCodes.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_built"))
+        .withColumn("n_appended", lit(0L)),
+      s"${prefix}_cell_stats")
+    val epoch = graft.sources.Sinks.stampEpoch(spark, ivfPqTables(prefix))
     graft.sources.Sinks.writeTable(
       Seq((index.nSub, index.nCentroids, epoch))
         .toDF("n_sub", "n_centroids", "epoch"),
@@ -914,17 +1143,99 @@ object Similarity {
   }
 
   /** Reopen an index written by [[writeIvfPqIndexBucketed]]; refuses a
-    * torn same-prefix rebuild (epoch-token mismatch). */
+    * torn same-prefix rebuild or a torn in-place append (epoch-token
+    * mismatch). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      prefix: String): IvfPqIndex = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
-    graft.sources.Sinks.requireEpoch(spark,
-      Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
-        s"${prefix}_centroids"), meta.getString(2))
+    graft.sources.Sinks.requireEpoch(spark, ivfPqTables(prefix),
+      meta.getString(2))
     IvfPqIndex(meta.getInt(0), meta.getInt(1),
       spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_codebooks"),
       spark.table(s"${prefix}_cell_codes"))
+  }
+
+  /** The per-cell growth ledger of a durable index (`cell`, `n_built`,
+    * `n_appended`) — written by [[writeIvfPqIndexBucketed]], advanced
+    * by [[appendToIvfPqIndexBucketed]]. */
+  def readIvfPqCellStats(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): DataFrame =
+    spark.table(s"${prefix}_cell_stats")
+
+  /** Grow a DURABLE IVF×PQ index in place — O(new) compute AND
+    * O(new) I/O per batch: the new vectors are encoded against the
+    * reopened frozen geometry ([[appendToIvfPq]]'s plan, reading only
+    * the tiny centroid/codebook tables) and their rows APPEND to the
+    * bucketed `cell_codes` table (each append writes its own bucket
+    * files; the probe join's co-location is per-file, so reopened
+    * searches stay shuffle-free on the index side). The existing
+    * index is never rewritten — the whole-table rewrite per admission
+    * batch is exactly the O(corpus) cost this API removes (q101's
+    * discipline for the exact index).
+    *
+    * CRASH CONSISTENCY — the poison-token window
+    * ([[graft.sources.Sinks.clearEpochTokens]]): (1) every epoch
+    * token is deleted from `cell_codes`; (2) the batch appends;
+    * (3) the cell-stats ledger rewrites (n_appended += batch counts);
+    * (4) a FRESH epoch stamps all four tables; (5) the meta rewrites
+    * with the new epoch. A crash anywhere in (1)–(4) leaves a meta
+    * whose epoch `cell_codes` lacks → [[readIvfPqIndex]] refuses the
+    * half-appended generation loudly; a crash inside (5) leaves no
+    * resolvable meta → same refusal. Only the full sequence serves.
+    * Recovery from a refused state is a re-run of the append from the
+    * batch source (appends are not idempotent — re-appending a
+    * half-written batch would duplicate rows; rebuild to a fresh
+    * prefix if the batch source is gone). */
+  def appendToIvfPqIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                                 prefix: String, newVecs: DataFrame,
+                                 idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val index = readIvfPqIndex(spark, prefix) // validates current epoch
+    val cells = assignCells(newVecs, idCol, vecCol, index.centroids)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val newCodes = pqEncode(newVecs, idCol, vecCol, index.codebooks,
+        index.nSub)
+      .join(cells, Seq("neighbor_id"))
+    // ledger math on driver-local rows (nCells-sized): the stats
+    // table can't be overwritten from a plan that reads itself
+    val batchCounts = newCodes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val oldStats = spark.table(s"${prefix}_cell_stats")
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val codesTable = s"${prefix}_cell_codes"
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(codesTable))
+    val numBuckets = tableMeta.bucketSpec
+      .getOrElse(sys.error(s"$codesTable is not bucketed")).numBuckets
+    // 1. poison: any crash from here refuses at read
+    graft.sources.Sinks.clearEpochTokens(spark, codesTable)
+    // 2. the batch appends in the existing bucket layout
+    newCodes.select(spark.table(codesTable).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(codesTable)
+    // 3. the growth ledger advances (cells the build never saw —
+    // impossible under frozen centroids, kept total by the fallback —
+    // enter with n_built = 0)
+    val grown = (oldStats.map { case (c, b, a) =>
+      (c, b, a + batchCounts.getOrElse(c, 0L)) } ++
+      batchCounts.keys.filterNot(oldStats.map(_._1).toSet)
+        .map(c => (c, 0L, batchCounts(c)))).toSeq
+    graft.sources.Sinks.writeTable(
+      spark.createDataFrame(java.util.Arrays.asList(
+        grown.map { case (c, b, a) =>
+          org.apache.spark.sql.Row(c, b, a) }: _*),
+        spark.table(s"${prefix}_cell_stats").schema),
+      s"${prefix}_cell_stats")
+    // 4–5. fresh epoch everywhere, then the meta commit
+    val epoch = graft.sources.Sinks.stampEpoch(spark, ivfPqTables(prefix))
+    graft.sources.Sinks.writeTable(
+      Seq((index.nSub, index.nCentroids, epoch))
+        .toDF("n_sub", "n_centroids", "epoch"),
+      s"${prefix}_meta")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the

@@ -190,6 +190,22 @@ object Sinks {
     epoch
   }
 
+  /** Delete every epoch token from a table's data directory — the
+    * POISON step opening an in-place index APPEND: tokens go first,
+    * then the appended files, then a fresh [[stampEpoch]] + meta
+    * rewrite. A crash anywhere inside that window leaves the old meta
+    * pointing at an epoch no longer present → [[requireEpoch]]
+    * refuses, so a half-appended batch can never be served as
+    * complete. */
+  private[graft] def clearEpochTokens(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new Path(loc, "_graft_epoch_*")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** Refuse to reopen an index whose meta epoch is missing from any
     * data table's directory — see [[stampEpoch]]. */
   private[graft] def requireEpoch(spark: org.apache.spark.sql.SparkSession,

@@ -474,6 +474,57 @@ class PlanSpec extends SparkSpec {
         "embedding", k = 3)))
   }
 
+  test("durable IVF×PQ in-place append: O(new) files, ledger advances, torn append refuses") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(23)
+    val all = (1L to 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val b1 = all.filter($"vec_id" <= 120)
+    val b2 = all.filter($"vec_id" > 120)
+    val base = Similarity.buildIvfPq(b1, "vec_id", "embedding",
+      nCells = 4, nSub = 4, nCentroids = 8)
+    Similarity.writeIvfPqIndexBucketed(base, "ivfpq_grow", numBuckets = 2)
+    // file inventory before the append — in-place growth must ADD
+    // bucket files, never rewrite the existing ones (O(new) I/O)
+    def dataFiles(): Set[String] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("ivfpq_grow_cell_codes"))
+          .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s"${s.getPath.getName}:${s.getModificationTime}").toSet
+    }
+    val before = dataFiles()
+    Similarity.appendToIvfPqIndexBucketed(spark, "ivfpq_grow", b2,
+      "vec_id", "embedding")
+    val after = dataFiles()
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files without touching existing ones")
+    // reopened appended index ≡ the in-memory append, row-for-row
+    val disk = Similarity.readIvfPqIndex(spark, "ivfpq_grow")
+    assert(disk.cellCodes.count() == 200L)
+    val mem = Similarity.appendToIvfPq(base, b2, "vec_id", "embedding")
+    val queries = all.filter($"vec_id" <= 5)
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(top(Similarity.searchIvfPq(disk, all, queries, "vec_id",
+        "embedding", k = 3)) ===
+      top(Similarity.searchIvfPq(mem, all, queries, "vec_id",
+        "embedding", k = 3)))
+    // growth ledger: build counts + appended counts, totals exact
+    val stats = Similarity.readIvfPqCellStats(spark, "ivfpq_grow")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._1).sum == 120L && stats.map(_._2).sum == 80L,
+      s"ledger must split built/appended: ${stats.mkString(",")}")
+    // torn append (crash inside the poison window): refuse loudly
+    graft.sources.Sinks.clearEpochTokens(spark, "ivfpq_grow_cell_codes")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfPqIndex(spark, "ivfpq_grow")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("index epoch tokens: a torn same-prefix rebuild refuses to reopen") {
     import spark.implicits._
     import graft.operators.Similarity

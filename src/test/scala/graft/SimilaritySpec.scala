@@ -509,6 +509,128 @@ class SimilaritySpec extends SparkSpec {
       s"3 Lloyd steps should measurably beat 1: r1=$r1 r3=$r3")
   }
 
+  private def clusterBatch(seed: Int, noise: Double, d: Int,
+                           clusters: Seq[Int], n: Int, idBase: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new java.util.Random(seed.toLong)
+    def vec(c: Int): Array[Float] =
+      Array.tabulate(d)(j =>
+        ((if (j == c) 1.0 else 0.0) + noise * rnd.nextGaussian()).toFloat)
+    (0 until n).map(i => (idBase + i, vec(clusters(i % clusters.size))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("recallProbe + driftDecision: same-distribution append passes, drifted batch fires retrain") {
+    // centroids fitted on clusters 0–3 only, then a batch appends with
+    // FROZEN geometry. Same-distribution batch: every new vector still
+    // lands its true cluster's cell → recall holds. Drifted batch
+    // (clusters 8–11 the fit never saw): members scatter across stale
+    // cells, so a FRESH query's true neighbors sit outside its probed
+    // cell at nProbe=1 and recall drops. Queries are fresh cluster
+    // samples, NOT near-copies (a near-copy routes wherever its twin
+    // routed, hiding codebook staleness). Seed 2 measured
+    // same=0.875 / drift=0.403 over 24 queries at k=3 — the 0.7 gate
+    // has ≥0.17 margin both sides.
+    val seed = 2; val d = 16
+    val b1 = clusterBatch(seed, 0.35, d, 0 until 4, 120, 0L)
+    val same = clusterBatch(seed + 100, 0.35, d, 0 until 4, 80, 1000L)
+    val drift = clusterBatch(seed + 200, 0.35, d, 8 until 12, 80, 1000L)
+    val qSame = clusterBatch(seed + 300, 0.35, d, 0 until 4, 24, 50000L)
+    val qDrift = clusterBatch(seed + 400, 0.35, d, 8 until 12, 24, 50000L)
+    val base = Similarity.buildIvf(b1, "vec_id", "embedding",
+      nCells = 4, lloydIters = 3)
+    def decide(batch: org.apache.spark.sql.DataFrame,
+               qs: org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val appended = Similarity.appendToIvf(base, batch, "vec_id",
+        "embedding")
+      val corpus = b1.unionByName(batch)
+      val probe = Similarity.recallProbe(
+        Similarity.searchIvf(appended, qs, "vec_id", "embedding", k = 3,
+          nProbe = 1),
+        corpus, qs, "vec_id", "embedding", k = 3)
+      val row = Similarity.driftDecision(probe, minRecall = 0.7)
+        .collect()(0)
+      assert(row.getLong(0) == 24L, "one probe row per sampled query")
+      (row.getDouble(1), row.getBoolean(2))
+    }
+    val (rS, retrainS) = decide(same, qSame)
+    val (rD, retrainD) = decide(drift, qDrift)
+    assert(!retrainS && rS >= 0.8,
+      s"same-distribution append must keep recall: $rS")
+    assert(retrainD && rD <= 0.6,
+      s"drifted append under frozen centroids must fire retrain: $rD")
+  }
+
+  test("appendToIvfPq/appendToIvfSq: appended index matches rebuilt recall on planted queries") {
+    import spark.implicits._
+    // batch-2 split: the planted near-copy queries target BOTH halves,
+    // so recall requires the appended vectors to be genuinely
+    // searchable through frozen centroids + codebooks
+    val corpus = emb.select($"vec_id", $"embedding")
+    val b1 = corpus.filter($"vec_id" % 2 === 0)
+    val b2 = corpus.filter($"vec_id" % 2 =!= 0)
+    val queries = corpus.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+          .as("embedding"))
+    def r1(ann: org.apache.spark.sql.DataFrame): Double =
+      recallAt1(corpus, queries, ann.filter($"rank" === 1))
+    val appendedPq = Similarity.appendToIvfPq(
+      Similarity.buildIvfPq(b1, "vec_id", "embedding", lloydIters = 3),
+      b2, "vec_id", "embedding")
+    val rebuiltPq = Similarity.buildIvfPq(corpus, "vec_id", "embedding",
+      lloydIters = 3)
+    val rApp = r1(Similarity.searchIvfPq(appendedPq, corpus, queries,
+      "vec_id", "embedding", k = 3))
+    val rReb = r1(Similarity.searchIvfPq(rebuiltPq, corpus, queries,
+      "vec_id", "embedding", k = 3))
+    assert(rApp >= rReb - 0.1 && rApp >= 0.9,
+      s"IVF×PQ appended recall must hold: appended=$rApp rebuilt=$rReb")
+    val appendedSq = Similarity.appendToIvfSq(
+      Similarity.buildIvfSq(b1, "vec_id", "embedding"),
+      b2, "vec_id", "embedding")
+    val rSq = r1(Similarity.searchIvfSq(appendedSq, corpus, queries,
+      "vec_id", "embedding", k = 3))
+    assert(rSq >= 0.9, s"IVF×SQ appended recall must hold: $rSq")
+    val appendedLsh = Similarity.appendToLsh(
+      Similarity.buildLsh(b1, "vec_id", "embedding"),
+      b2, "vec_id", "embedding")
+    val rLsh = r1(Similarity.searchLsh(appendedLsh, queries,
+      "vec_id", "embedding", k = 3))
+    assert(rLsh >= 0.9, s"LSH appended recall must hold: $rLsh")
+  }
+
+  test("SQ + PQ persistence: reopened indexes reproduce the in-memory search; torn rebuild refuses") {
+    import spark.implicits._
+    val corpus = emb.select($"vec_id", $"embedding").filter($"vec_id" < 200)
+    val queries = corpus.filter($"vec_id" < 5)
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val sq = Similarity.buildSq(corpus, "vec_id", "embedding")
+    Similarity.writeSqIndex(sq, "sq_rt")
+    val sqDisk = Similarity.readSqIndex(spark, "sq_rt")
+    assert(top(Similarity.searchSq(sqDisk, corpus, queries, "vec_id",
+        "embedding", k = 3)) ===
+      top(Similarity.searchSq(sq, corpus, queries, "vec_id",
+        "embedding", k = 3)))
+    val pq = Similarity.buildPq(corpus, "vec_id", "embedding",
+      nSub = 4, nCentroids = 8)
+    Similarity.writePqIndex(pq, "pq_rt")
+    val pqDisk = Similarity.readPqIndex(spark, "pq_rt")
+    assert(pqDisk.nSub == 4 && pqDisk.nCentroids == 8)
+    assert(top(Similarity.searchPq(pqDisk, corpus, queries, "vec_id",
+        "embedding", k = 3)) ===
+      top(Similarity.searchPq(pq, corpus, queries, "vec_id",
+        "embedding", k = 3)))
+    // torn same-prefix rebuild: the data table lost the meta's epoch
+    graft.sources.Sinks.clearEpochTokens(spark, "pq_rt_codes")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readPqIndex(spark, "pq_rt")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("buildIvf/buildPq: escaped centroids/codebooks are driver-local, not checkpoint-backed") {
     // advisor r11: the returned frames outlive the fit — if they were
     // the loop's localCheckpoint frames, a lost executor would strand
