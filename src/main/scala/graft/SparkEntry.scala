@@ -1562,6 +1562,44 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Vector-index growth loop end-to-end (the q101 discipline for
+    // the ANN family): build IVF×PQ on the EVEN half, persist
+    // bucketed, append the ODD half IN PLACE against the frozen
+    // geometry (O(new) encode + O(new) bucket files + the poison-token
+    // crash window), reopen, and serve planted queries targeting BOTH
+    // halves — an appended vector that failed to index would break
+    // its query's row. The recall probe + drift decision run over the
+    // same served index: in the planted all-hit regime they must emit
+    // exactly recall=1.0 / retrain=false (the miss regime is
+    // spec-gated with fresh cluster samples). Oracle: the q107
+    // brute-force argmax over the FULL corpus plus the all-hit
+    // probe/decision constants.
+    "q116_ivfpq_append_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val b1 = emb.filter($"vec_id" % 2 === 0)
+      val b2 = emb.filter($"vec_id" % 2 =!= 0)
+      val base = operators.Similarity.buildIvfPq(b1, "vec_id", "embedding",
+        lloydIters = 3)
+      operators.Similarity.writeIvfPqIndexBucketed(base, "q116_idx")
+      operators.Similarity.appendToIvfPqIndexBucketed(s, "q116_idx", b2,
+        "vec_id", "embedding")
+      val disk = operators.Similarity.readIvfPqIndex(s, "q116_idx")
+      val qs = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      val ann = operators.Similarity.searchIvfPq(disk, emb, qs, "vec_id",
+        "embedding", k = 3).filter($"rank" === 1)
+      val probe = operators.Similarity.recallProbe(ann, emb, qs, "vec_id",
+        "embedding", k = 1)
+      val decision = operators.Similarity.driftDecision(probe,
+        minRecall = 0.9)
+      ann.select($"query_id", $"neighbor_id".as("top1"))
+        .join(probe.select($"query_id", $"recall"), Seq("query_id"))
+        .crossJoin(broadcast(decision.select($"mean_recall", $"retrain")))
+        .orderBy($"query_id")
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -2785,6 +2823,29 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
            FROM s)
          SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
+         ORDER BY query_id""",
+
+    // the q107 brute-force argmax over the FULL corpus (both build
+    // and appended halves — a query whose true top-1 is an appended
+    // odd-id vector only matches if the in-place append indexed it),
+    // plus the all-hit probe/decision constants the planted regime
+    // must produce exactly
+    "q116_ivfpq_append_recall" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN c),
+         r AS (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id AS top1, 1.0::DOUBLE AS recall,
+           1.0::DOUBLE AS mean_recall, FALSE AS retrain
+         FROM r WHERE rank = 1
          ORDER BY query_id""",
 
     // the engine's entire translate+regexp normalization chain,
