@@ -861,6 +861,36 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming CCNet tiering at the TRIGRAM rung (the production
+    // model shape: table-backed counts through broadcast stream-
+    // static joins, not a map literal): the trigram LM and the
+    // per-language thresholds are fitted batch-side on the
+    // calibration corpus, then every doc streams through the frozen
+    // model — gram joins before the one aggregation, thresholds as a
+    // literal projection after it (joins after a streaming
+    // aggregation are forbidden). The oracle refits EVERYTHING in
+    // SQL: pruned trigram counts over unpruned contexts (q113's
+    // discipline), the per-position (w1,w2,w3)-sorted fold,
+    // per-language quantile_cont thresholds over the batch-scored
+    // corpus, and the ties-down labeling.
+    "q117_stream_trigram_buckets" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val docs = t(s, d, "documents").select($"doc_id", $"lang", $"text")
+      val model = operators.TextAnalysis.fitTrigramLm(docs, "text")
+      val scoredBatch = operators.TextAnalysis.trigramLmScore(docs,
+        "doc_id", "text", model, carryCols = Seq("lang"))
+      val th = operators.TextAnalysis.scoreThresholds(scoredBatch,
+        "lm3_score", Seq("lang"))
+      val sch = s.read.parquet(s"$fix/documents_plain").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/documents_plain")
+      val labeled = streaming.StreamingParse.trigramBucketStream(stream,
+        "doc_id", "text", Seq("lang"), model, th)
+      runStreamToTable(s, labeled, "complete", "trigram_buckets")
+        .select($"doc_id", $"lang", $"lm3_score", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -2949,6 +2979,60 @@ object SparkEntry {
            CASE WHEN sl.lm_score IS NULL THEN NULL
                 WHEN sl.lm_score <= th.q0 THEN 'tail'
                 WHEN sl.lm_score <= th.q1 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
+         ORDER BY sl.doc_id""",
+
+    // the full trigram refit (q113's count structure) at per-POSITION
+    // fold granularity, then the q115 bucket shape on top: per-lang
+    // quantile_cont thresholds over the batch-scored corpus and the
+    // ties-down labeling the stream must reproduce
+    "q117_stream_trigram_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+           [t for t in regexp_split_to_array(trim(lower(text)), '\s+')
+            if t <> ''] AS tk
+         FROM documents),
+         tg0 AS (SELECT doc_id,
+             unnest([{'w1': tk[i], 'w2': tk[i + 1], 'w3': tk[i + 2]}
+                     for i in generate_series(1, len(tk) - 2)]) AS g
+           FROM toks WHERE len(tk) >= 3),
+         tg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg0),
+         c3all AS (SELECT w1, w2, w3, count(*) c3 FROM tg GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) c12 FROM c3all
+           GROUP BY 1, 2),
+         c3 AS (SELECT * FROM c3all WHERE c3 >= 2),
+         bg0 AS (SELECT unnest([{'u': tk[i], 'v': tk[i + 1]}
+               for i in generate_series(1, len(tk) - 1)]) AS b
+           FROM toks WHERE len(tk) >= 2),
+         cb AS (SELECT b.u AS w2, b.v AS w3, count(*) cb FROM bg0
+           GROUP BY 1, 2),
+         cw AS (SELECT w2, CAST(sum(cb) AS BIGINT) cw FROM cb GROUP BY 1),
+         uni AS (SELECT t AS w3, count(*) cu
+           FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) T FROM uni),
+         terms AS (SELECT doc_id, w1, w2, w3,
+             ln(0.75::DOUBLE * (COALESCE(c3, 0)::DOUBLE / (c12::DOUBLE)) +
+                0.25::DOUBLE * (0.75::DOUBLE * ((cb::DOUBLE) / (cw::DOUBLE)) +
+                                0.25::DOUBLE * ((cu::DOUBLE) / (T::DOUBLE))))
+               AS term
+           FROM tg JOIN c12 USING (w1, w2)
+             LEFT JOIN c3 USING (w1, w2, w3)
+             JOIN cb USING (w2, w3) JOIN cw USING (w2)
+             JOIN uni USING (w3) CROSS JOIN tot),
+         s AS (SELECT doc_id,
+             round(list_reduce(list(term ORDER BY w1, w2, w3),
+               (a, b) -> a + b) / CAST(count(*) AS DOUBLE), 6) AS lm3_score
+           FROM terms GROUP BY 1),
+         sl AS (SELECT d.doc_id, d.lang, s.lm3_score
+           FROM documents d JOIN s USING (doc_id)),
+         th AS (SELECT lang,
+             quantile_cont(lm3_score, CAST(1 AS DOUBLE)/3) AS q0,
+             quantile_cont(lm3_score, CAST(2 AS DOUBLE)/3) AS q1
+           FROM sl GROUP BY 1)
+         SELECT sl.doc_id, sl.lang, sl.lm3_score,
+           CASE WHEN sl.lm3_score IS NULL THEN NULL
+                WHEN sl.lm3_score <= th.q0 THEN 'tail'
+                WHEN sl.lm3_score <= th.q1 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
          ORDER BY sl.doc_id""",

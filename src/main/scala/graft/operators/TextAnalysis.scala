@@ -938,6 +938,159 @@ object TextAnalysis {
           .as("logprob_per_trigram"))
   }
 
+  /** A FITTED trigram LM as TABLE-backed state — the production face
+    * of [[trigramLogProb]] (which fits and self-scores one corpus in
+    * a single plan) and the n-gram step past [[UnigramLm]]'s map
+    * literal: a fitted n-gram model is far too big for a plan literal
+    * (the q101 canonicalization budget), so its count tables ride
+    * BROADCAST JOINS instead — exactly how CCNet applies its
+    * Wikipedia-trained KenLM to each crawl shard (Wenzek et al. 2019
+    * §4.3). Tables: pruned trigram counts `c3` (the
+    * [[trigramCounts]] sublinearity discipline — singletons drop,
+    * contexts stay UNPRUNED), context totals `c12`, bigram counts
+    * `cb`/`cw` over all bigram positions, unigram counts `uni`, and
+    * the scalar unpruned token total. All vocabulary-bounded;
+    * persisted eagerly at fit time because a STREAM re-plans its
+    * static join sides every micro-batch (the q114/q115 lesson). */
+  final case class TrigramLm(c3: DataFrame, c12: DataFrame, cb: DataFrame,
+                             cw: DataFrame, uni: DataFrame, total: Long,
+                             minTrigramCount: Long)
+
+  def fitTrigramLm(df: DataFrame, textCol: String,
+                   minTrigramCount: Long = 2): TrigramLm = {
+    val toks = df
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
+      .select(expr("filter(__tk0, t -> t != '')").as("__tk"))
+    def mat(t: DataFrame): DataFrame = {
+      val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val c3all = toks.filter(size(col("__tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(__tk) - 3), " +
+        "i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1], " +
+        "'w3', __tk[i + 2]))")).as("__g"))
+      .groupBy(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c12 = mat(c3all.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12")))
+    val c3 = mat(c3all.filter(col("c3") >= minTrigramCount))
+    val cb = mat(toks.filter(size(col("__tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+        "i -> named_struct('u', __tk[i], 'v', __tk[i + 1]))")).as("__b"))
+      .groupBy(col("__b.u").as("w2"), col("__b.v").as("w3"))
+      .agg(count(lit(1)).as("cb")))
+    val cw = mat(cb.groupBy(col("w2")).agg(sum(col("cb")).as("cw")))
+    val uni = mat(toks.select(explode(col("__tk")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("cu")))
+    val total = uni.agg(sum(col("cu"))).collect()(0).getLong(0)
+    TrigramLm(c3, c12, cb, cw, uni, total, minTrigramCount)
+  }
+
+  /** Score ANY frame — batch or streaming — against a FITTED
+    * [[TrigramLm]]: per-trigram-position broadcast joins on the gram
+    * keys, then one per-doc aggregate folding terms in
+    * (w1, w2, w3)-sorted order (the q61/q113 engine-parity
+    * discipline; duplicate positions contribute equal terms, whose
+    * mutual order cannot change the sum). The smoothing is
+    * [[trigramLogProb]]'s recursive Jelinek-Mercer with OOV floors a
+    * SELF-scoring fit never needs: an unseen context zeroes its ML
+    * term (`coalesce(…/…, 0)` — never 0/0) and an unseen unigram
+    * takes floor count 1 (the [[unigramLmScoreCol]] discipline), so
+    * every probability stays positive on arbitrary stream text.
+    * Docs with < 3 tokens have no trigram positions and are ABSENT
+    * from the output — screen them upstream (the [[trigramLogProb]]
+    * contract).
+    *
+    * Streaming shape: the model joins are stateless stream-static
+    * broadcasts BEFORE the one aggregation; `carryCols` ride the
+    * grouping key. Per-doc state is bounded by the caller's output
+    * mode — complete/update for bounded gates, or project an
+    * event-time `window(ts, …)` column into `carryCols` under a
+    * watermark for append-mode production ingest. */
+  def trigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     model: TrigramLm, lambda: Double = 0.75,
+                     carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = col(idCol) +: carryCols.map(col)
+    val toks = docs
+      .select((keep :+ split(lower(trim(col(textCol))), "\\s+")
+        .as("__tk0")): _*)
+      .select((keep :+ expr("filter(__tk0, t -> t != '')").as("__tk")): _*)
+    val tg = toks.filter(size(col("__tk")) >= 3)
+      .select((keep :+ explode(expr(
+        "transform(sequence(0, size(__tk) - 3), " +
+        "i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1], " +
+        "'w3', __tk[i + 2]))")).as("__g")): _*)
+      .select((keep :+ col("__g.w1").as("w1") :+ col("__g.w2").as("w2") :+
+        col("__g.w3").as("w3")): _*)
+    val ml3 = coalesce(coalesce(col("c3"), lit(0L)).cast("double") /
+      col("c12").cast("double"), lit(0.0))
+    val ml2 = coalesce(coalesce(col("cb"), lit(0L)).cast("double") /
+      col("cw").cast("double"), lit(0.0))
+    val ml1 = coalesce(col("cu"), lit(1L)).cast("double") /
+      lit(model.total.toDouble)
+    val scored = tg
+      .join(broadcast(model.c3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(model.c12), Seq("w1", "w2"), "left")
+      .join(broadcast(model.cb), Seq("w2", "w3"), "left")
+      .join(broadcast(model.cw), Seq("w2"), "left")
+      .join(broadcast(model.uni), Seq("w3"), "left")
+      .withColumn("term", log(
+        lit(lambda) * ml3 +
+        lit(1.0 - lambda) * (lit(lambda) * ml2 + lit(1.0 - lambda) * ml1)))
+    scored.groupBy(keep: _*)
+      .agg(count(lit(1)).as("n_trigrams"),
+        aggregate(
+          expr("array_sort(collect_list(struct(w1, w2, w3, term)))"),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("__lp"))
+      .select((keep :+ col("n_trigrams") :+
+        round(col("__lp") / col("n_trigrams").cast("double"), 6)
+          .as("lm3_score")): _*)
+  }
+
+  /** [[applyScoreBuckets]] as a PURE PROJECTION — the post-aggregation
+    * face for streaming: Structured Streaming forbids joins after a
+    * streaming aggregation, so a scorer that aggregates
+    * ([[trigramLmScore]]) cannot be followed by the broadcast
+    * threshold join. The thresholds are a calibration artifact of a
+    * few rows per key group (CCNet ships per-language cutoffs — a
+    * handful of numbers), so they fold into a literal CASE chain
+    * instead; keep the group count small (hundreds, not millions —
+    * plan literals re-canonicalize per micro-batch, the q101 budget).
+    * Semantics are [[applyScoreBuckets]]'s exactly (parity-spec'd):
+    * null-safe key match, ties to the lower tier, null score → null
+    * bucket, uncalibrated group → kept with null bucket. */
+  def applyScoreBucketsLit(df: DataFrame, scoreCol: String,
+                           keys: Seq[String], thresholds: DataFrame,
+                           labels: Seq[String] = Seq("tail", "middle",
+                             "head")): DataFrame = {
+    val nCuts = thresholds.columns.count(_.startsWith("__q"))
+    require(labels.length == nCuts + 1,
+      s"need ${nCuts + 1} labels for $nCuts thresholds")
+    val rows = thresholds.collect()
+    val bucket = rows.foldLeft(lit(null).cast("string")) { (acc, r) =>
+      val cond = keys.map { k =>
+        val v = r.getAs[Any](k)
+        if (v == null) col(k).isNull
+        else col(k) <=> lit(v)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      val chain = (0 until nCuts).reverse
+        .foldLeft(lit(labels.last): Column) { (a, i) =>
+          val q = r.getAs[Any](s"__q$i")
+          if (q == null) a
+          else when(col(scoreCol) <= lit(q), lit(labels(i))).otherwise(a)
+        }
+      when(cond, chain).otherwise(acc)
+    }
+    df.withColumn("bucket",
+      when(col(scoreCol).isNull, lit(null).cast("string"))
+        .otherwise(bucket))
+  }
+
   /** Eval-set decontamination: drop documents whose `fingerprintCol`
     * appears in the blocklist — a broadcast LEFT ANTI join (the
     * blocklist is the small side: benchmark/eval fingerprints number

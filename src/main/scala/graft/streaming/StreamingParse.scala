@@ -198,6 +198,34 @@ object StreamingParse {
         graft.operators.TextAnalysis.unigramLmScoreCol(col(textCol), model)),
       "lm_score", keys, thresholds, labels)
 
+  /** CCNet's LM tiering with a fitted TRIGRAM model — the production
+    * rung above [[lmBucketStream]]'s unigram tier: the unigram
+    * model's map literal has a documented low-thousands vocab ceiling
+    * (plan literals re-canonicalize per micro-batch), while a real
+    * CCNet filter is a 5-gram KenLM; the
+    * [[graft.operators.TextAnalysis.TrigramLm]] rides BROADCAST
+    * stream-static joins instead, so vocabulary scales to the fit
+    * corpus. Composition per the streaming-aggregation rules: the
+    * model joins are stateless and sit BEFORE the one per-doc
+    * aggregation; the tiny per-key thresholds apply AFTER it as a
+    * literal projection
+    * ([[graft.operators.TextAnalysis.applyScoreBucketsLit]] — a join
+    * there would be a join-after-aggregation, which streaming
+    * forbids). Docs with < 3 tokens have no trigram positions and do
+    * not emit (screen short docs upstream); state is bounded by the
+    * caller's output mode or an event-time window in `keys` under a
+    * watermark. Stream-vs-full-SQL-refit parity gated by q117. */
+  def trigramBucketStream(docs: DataFrame, idCol: String, textCol: String,
+                          keys: Seq[String],
+                          model: graft.operators.TextAnalysis.TrigramLm,
+                          thresholds: DataFrame,
+                          labels: Seq[String] =
+                            Seq("tail", "middle", "head")): DataFrame =
+    graft.operators.TextAnalysis.applyScoreBucketsLit(
+      graft.operators.TextAnalysis.trigramLmScore(docs, idCol, textCol,
+        model, carryCols = keys),
+      "lm3_score", keys, thresholds, labels)
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

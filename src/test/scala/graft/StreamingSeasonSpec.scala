@@ -526,6 +526,41 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trigram LM tiering: broadcast-join scorer + literal thresholds equal batch") {
+    import spark.implicits._
+    val docs = (1L to 36L).map(i =>
+      (i, if (i % 2 == 0) "en" else "pt",
+        s"the solar boat logged w${i % 5} telemetry rows w${i % 3} today"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.operators.TextAnalysis.fitTrigramLm(docs, "text")
+    val batchScored = graft.operators.TextAnalysis.trigramLmScore(docs,
+      "doc_id", "text", model, carryCols = Seq("lang"))
+    val th = graft.operators.TextAnalysis.scoreThresholds(batchScored,
+      "lm3_score", Seq("lang"))
+    val want = graft.operators.TextAnalysis.applyScoreBuckets(batchScored,
+        "lm3_score", Seq("lang"), th)
+      .select($"doc_id", $"lm3_score", $"bucket").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val dir = Files.createTempDirectory("stream_tg_lm")
+    docs.repartition(3).write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .trigramBucketStream(stream, "doc_id", "text", Seq("lang"), model, th)
+      .select($"doc_id", $"lm3_score", $"bucket")
+      .writeStream.format("memory").queryName("tg_buckets")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, lm3_score, bucket from tg_buckets")
+        .collect().map(r =>
+          r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      assert(got == want && got.size == 36,
+        s"streamed trigram buckets diverged from batch")
+    } finally q.stop()
+  }
+
   test("streaming LR-classifier admission filter (stateless projection)") {
     import spark.implicits._
     val good = "clear readable prose about solar boats and telemetry data"

@@ -317,6 +317,61 @@ class TextMultimodalSpec extends SparkSpec {
     assert(u(2001L).contains("tail"), "calibrated rows label as before")
   }
 
+  test("fitTrigramLm + trigramLmScore: self-scoring parity, OOV floors, short docs absent") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"the solar boat logged w${i % 5} telemetry rows w${i % 3} today"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.fitTrigramLm(docs, "text")
+    // self-scoring the fit corpus ≈ the one-plan trigramLogProb: the
+    // same smoothing arithmetic, but the fold GROUPS differently
+    // (per-position repeated addition vs tf·term), so parity is 1e-9
+    val viaModel = TextAnalysis.trigramLmScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaSelf = TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaModel.keySet == viaSelf.keySet && viaModel.nonEmpty)
+    assert(viaSelf.forall { case (k, v) =>
+      math.abs(viaModel(k) - v) < 1e-9 },
+      "fitted-model self-scoring must match the self-fit scorer")
+    // OOV floors, hand-computed: a fully-unseen doc's single trigram
+    // position backs off to ln(0.25 · 0.25 · 1/T)
+    val oov = Seq((99L, "qqq www zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLmScore(oov, "doc_id", "text", model)
+      .collect()(0)
+    val want = BigDecimal(math.log(0.25 * 0.25 * (1.0 / model.total)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 1L && got.getDouble(2) == want,
+      s"OOV floor: got ${got.getDouble(2)}, want $want")
+    // < 3 tokens → no trigram positions → absent
+    val short = Seq((100L, "two tokens")).toDF("doc_id", "text")
+    assert(TextAnalysis.trigramLmScore(short, "doc_id", "text", model)
+      .count() == 0L)
+  }
+
+  test("applyScoreBucketsLit ≡ applyScoreBuckets (null keys, unseen group, ties)") {
+    val cal = (1L to 90L).map(i =>
+      (i, if (i % 7 == 0) null else if (i % 2 == 0) "en" else "pt",
+        i.toDouble)).toDF("doc_id", "lang", "score")
+    val th = TextAnalysis.scoreThresholds(cal, "score", Seq("lang"))
+    val fresh = Seq((1000L, "en", 30.0), (1001L, "pt", 89.0),
+        (1002L, null.asInstanceOf[String], 50.0), (1003L, "de", 50.0))
+      .toDF("doc_id", "lang", "score")
+      .unionByName(Seq((1004L, "en")).toDF("doc_id", "lang")
+        .withColumn("score", lit(null).cast("double")))
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val viaJoin = labels(TextAnalysis.applyScoreBuckets(fresh, "score",
+      Seq("lang"), th))
+    val viaLit = labels(TextAnalysis.applyScoreBucketsLit(fresh, "score",
+      Seq("lang"), th))
+    assert(viaLit == viaJoin && viaLit.size == 5,
+      s"literal labeling must equal the broadcast join: $viaLit vs $viaJoin")
+    assert(viaLit(1003L).isEmpty, "uncalibrated group → null bucket")
+    assert(viaLit(1004L).isEmpty, "null score → null bucket")
+    assert(viaLit(1002L).nonEmpty, "null-lang stratum labels against itself")
+  }
+
   test("trigramCounts: singleton pruning keeps the table sublinear in distinct grams") {
     // Zipf-tail stand-in: 50 docs each contributing a unique
     // singleton trigram, 10 docs sharing one phrase — the DISTINCT
