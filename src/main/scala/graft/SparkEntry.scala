@@ -1592,6 +1592,48 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // REAL image decode through the multimodal codec boundary:
+    // deterministic pixel-ramp PNGs are encoded driver-side (40
+    // bounded rows), decoded back by javax.imageio inside
+    // mapPartitions, and feature-extracted to per-channel sums — PNG
+    // is lossless, so the decoded bytes must reproduce the generator
+    // formula exactly, which is what lets DuckDB oracle a binary
+    // codec it cannot run: it replays the ramp arithmetic
+    // ((id·31 + c·7 + y·w + x) mod 256) and the channel sums in SQL.
+    // Planted corrupt payloads (truncated PNG, non-image bytes, empty)
+    // must survive as null rows — one bad crawl image cannot kill a
+    // 100 TB decode stage.
+    "q118_image_decode" -> ((s, d) => {
+      val ids = t(s, d, "documents").select($"doc_id")
+        .filter($"doc_id" < 40).collect().map(_.getLong(0)).sorted
+      def png(id: Long): Array[Byte] = {
+        val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          def ch(c: Int) = ((id * 31 + c * 7 + y * w + x) % 256).toInt
+          img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = ids.toSeq.map(i => (i, png(i))) ++ Seq(
+        (9001L, png(1L).take(16)),
+        (9002L, "not an image".getBytes("UTF-8")),
+        (9003L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      operators.Multimodal.channelSums(
+          operators.Multimodal.decodeImages(media, "payload"), "pixels")
+        .select($"media_id", $"img_width".as("width"),
+          $"img_height".as("height"), $"img_channels".as("channels"),
+          element_at($"ch_sums", 1).as("r_sum"),
+          element_at($"ch_sums", 2).as("g_sum"),
+          element_at($"ch_sums", 3).as("b_sum"))
+        .orderBy($"media_id")
+    }),
+
     // Vector-index growth loop end-to-end (the q101 discipline for
     // the ANN family): build IVF×PQ on the EVEN half, persist
     // bucketed, append the ODD half IN PLACE against the frozen
@@ -2854,6 +2896,34 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id AS top1 FROM r WHERE rank = 1
          ORDER BY query_id""",
+
+    // the pixel-ramp arithmetic and channel sums replayed in SQL —
+    // a lossless codec means the decoded bytes ARE the formula; the
+    // three corrupt ids must come back as explicit null rows
+    "q118_image_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 5 AS INT) AS w,
+           CAST(6 + doc_id % 4 AS INT) AS h
+         FROM documents WHERE doc_id < 40),
+         px AS (SELECT media_id, w, h, y.y AS y, x.x AS x
+           FROM m,
+             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+             LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x),
+         sums AS (SELECT media_id, w, h,
+             CAST(sum((media_id * 31 + 0  + y * w + x) % 256) AS BIGINT)
+               AS r_sum,
+             CAST(sum((media_id * 31 + 7  + y * w + x) % 256) AS BIGINT)
+               AS g_sum,
+             CAST(sum((media_id * 31 + 14 + y * w + x) % 256) AS BIGINT)
+               AS b_sum
+           FROM px GROUP BY 1, 2, 3)
+         SELECT media_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+           r_sum, g_sum, b_sum
+         FROM sums
+         UNION ALL
+         SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+         FROM (VALUES (9001), (9002), (9003)) t(media_id)
+         ORDER BY media_id""",
 
     // the q107 brute-force argmax over the FULL corpus (both build
     // and appended halves — a query whose true top-1 is an appended

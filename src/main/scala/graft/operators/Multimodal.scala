@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * iterator per partition, so a real decoder would amortize library
   * init per batch, not per row).
   *
-  * The actual media decoding is STUBBED — this container has no
-  * image/audio codecs — with a clearly-marked deterministic fake
-  * (seeded from the bytes) so the Spark-side plumbing (schemas,
-  * partitioning, batch iteration, feature shapes) is real and
-  * testable; swap [[decodeStub]] for a codec-backed implementation in
-  * production.
+  * IMAGE decoding is REAL: [[decodeImages]] runs `javax.imageio`
+  * (JDK-native — PNG/JPEG/BMP/GIF, no external codec library) inside
+  * the codec boundary, with truncated/unsupported payloads yielding
+  * null rows (the CAN length-filter admission discipline, P6).
+  * AUDIO/VIDEO decoding stays STUBBED — this container ships no
+  * audio codecs — with a clearly-marked deterministic fake
+  * ([[decodeStub]], seeded from the bytes) that keeps the plumbing
+  * (schemas, partitioning, batch iteration, feature shapes) real and
+  * testable, and doubles as the hermetic test codec.
   */
 object Multimodal {
 
@@ -66,6 +69,100 @@ object Multimodal {
         val meta = Row(format, n % 1920, n % 1080, 3, n.toLong)
         val feat = if (n == 0) Array.empty[Float] else decodeStub(bytes, dim)
         Row.fromSeq(row.toSeq ++ Seq(meta, feat, feat.length))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode — `javax.imageio` over the payload bytes,
+    * inside the same batched `mapPartitions` codec boundary as the
+    * stub path (per-partition is where a heavier codec would
+    * amortize its init). Appends:
+    *
+    *   - `img_width`, `img_height`, `img_channels` (always 3 — the
+    *     image is rendered to row-major W×H×RGB, alpha dropped and
+    *     palette/gray expanded, so downstream ops like [[resizeRaw]]
+    *     get ONE raw layout regardless of source pixel format);
+    *   - `pixels` — the raw RGB buffer, decode-exact for lossless
+    *     formats (PNG/BMP/GIF);
+    *
+    * null/empty/truncated/undecodable payloads yield null in all
+    * four columns — the row SURVIVES with its identity for
+    * audit/quarantine (the P6 admission discipline); callers drop or
+    * route on `img_width IS NULL`. ImageIO returns null or throws on
+    * garbage — both map to the same null row, never a task failure:
+    * one corrupt crawl image must not kill a 100 TB decode stage. */
+  def decodeImages(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType),
+      StructField("img_channels", IntegerType),
+      StructField("pixels", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded: Option[(Int, Int, Array[Byte])] =
+          if (bytes == null || bytes.isEmpty) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))).map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              val out = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val base = (y * w + x) * 3
+                  out(base) = ((rgb >> 16) & 0xFF).toByte
+                  out(base + 1) = ((rgb >> 8) & 0xFF).toByte
+                  out(base + 2) = (rgb & 0xFF).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              (w, h, out)
+            }
+          } catch { case _: java.io.IOException => None
+                    case _: RuntimeException => None }
+        decoded match {
+          case Some((w, h, px)) =>
+            Row.fromSeq(row.toSeq ++ Seq(w, h, 3, px))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-channel byte sums over a raw row-major W×H×C buffer — the
+    * minimal REAL feature-extract step after [[decodeImages]] (the
+    * shape a mean-color / brightness / histogram feature takes):
+    * appends `ch_sums` (array of `channels` longs; null pixels →
+    * null). Pure per-row arithmetic in the codec boundary — no
+    * shuffle, no driver state. */
+  def channelSums(df: DataFrame, pixelsCol: String,
+                  channels: Int = 3): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("ch_sums", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(pixelsCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val px = row.getAs[Array[Byte]](idx)
+        val sums =
+          if (px == null) null
+          else {
+            val s = new Array[Long](channels)
+            var i = 0
+            while (i < px.length) {
+              s(i % channels) += px(i) & 0xFF
+              i += 1
+            }
+            s
+          }
+        Row.fromSeq(row.toSeq :+ sums)
       }
     }(enc)
   }

@@ -527,6 +527,52 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.forall { case (_, (nfp, hits)) => hits <= nfp })
   }
 
+  test("multimodal: real PNG decode round-trips pixels exactly; garbage yields null rows") {
+    import graft.operators.Multimodal
+    // deterministic pixel ramp → PNG (lossless) → decodeImages must
+    // reproduce every byte; per-channel sums close the feature loop
+    def png(id: Long): (Int, Int, Array[Byte], Array[Byte]) = {
+      val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val raw = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        def ch(c: Int) = ((id * 31 + c * 7 + y * w + x) % 256).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        for (c <- 0 until 3) raw((y * w + x) * 3 + c) = ch(c).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (w, h, raw, bos.toByteArray)
+    }
+    val fixtures = (1L to 6L).map(i => i -> png(i)).toMap
+    val rows = fixtures.toSeq.map { case (i, (_, _, _, b)) => (i, b) } ++
+      Seq((91L, fixtures(1L)._4.take(16)),
+        (92L, "not an image at all".getBytes("UTF-8")),
+        (93L, Array.empty[Byte]))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.channelSums(
+        Multimodal.decodeImages(df, "payload"), "pixels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 9, "every row survives, decodable or not")
+    fixtures.foreach { case (i, (w, h, raw, _)) =>
+      val r = out(i)
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == 3,
+        s"dims for $i")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](5), raw),
+        s"PNG decode must be byte-exact for $i")
+      val sums = r.getSeq[Long](6)
+      val want = (0 until 3).map(c =>
+        raw.indices.filter(_ % 3 == c).map(raw(_) & 0xFF).map(_.toLong).sum)
+      assert(sums == want, s"channel sums for $i")
+    }
+    Seq(91L, 92L, 93L).foreach { i =>
+      val r = out(i)
+      assert(r.isNullAt(2) && r.isNullAt(5) && r.isNullAt(6),
+        s"corrupt payload $i must yield a null row, not a task failure")
+    }
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
