@@ -1011,11 +1011,24 @@ object Dedup {
                       expectedItems: Long = 1L << 20,
                       numBits: Long = 1L << 23,
                       shards: Int = 1): ExactIndex = {
+    val hashes = corpus.select(col(textCol).as("__t")).distinct()
+      .select(xxhash64(col("__t")).as("__h"), col("__t"))
+    ExactIndex(hashes,
+      sketchesFromHashes(hashes, expectedItems, numBits, shards),
+      expectedItems, numBits)
+  }
+
+  /** Build `shards` Bloom sketches over a hash frame's `__h` column —
+    * one grouped aggregate pass (partial sketches combine map-side),
+    * shared by [[buildExactIndex]] (fresh corpus) and
+    * [[compactExactIndex]] (re-sketch the EXISTING hash table under
+    * new geometry, no corpus re-hash). */
+  private def sketchesFromHashes(hashes: DataFrame, expectedItems: Long,
+                                 numBits: Long, shards: Int)
+      : IndexedSeq[Array[Byte]] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val hashes = corpus.select(col(textCol).as("__t")).distinct()
-      .select(xxhash64(col("__t")).as("__h"), col("__t"))
     val bloomAgg = org.apache.spark.sql.GraftExpressionBridge.column(
       new BloomFilterAggregate(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("__h")),
@@ -1034,27 +1047,71 @@ object Dedup {
         .create(expectedItems, numBits).writeTo(bos)
       bos.toByteArray
     }
-    val blooms: IndexedSeq[Array[Byte]] =
-      if (shards == 1) {
-        val row = hashes.agg(bloomAgg.as("bf")).head()
-        IndexedSeq(
-          if (row.isNullAt(0)) emptySketch()
-          else row.getAs[Array[Byte]](0))
-      } else {
-        // ONE grouped pass over the hash table: k sketches built in
-        // parallel by a hash aggregate on the shard id (partial
-        // sketches combine map-side — the same scan cost as the
-        // single-sketch build, never k passes)
-        val built = hashes
-          .groupBy(pmod(col("__h"), lit(shards.toLong)).as("__s"))
-          .agg(bloomAgg.as("bf"))
-          .collect()
-          .map(r => r.getLong(0).toInt -> r.getAs[Array[Byte]]("bf"))
-          .toMap
-        IndexedSeq.tabulate(shards)(i => built.getOrElse(i, emptySketch()))
-      }
-    ExactIndex(hashes, blooms, expectedItems, numBits)
+    if (shards == 1) {
+      val row = hashes.agg(bloomAgg.as("bf")).head()
+      IndexedSeq(
+        if (row.isNullAt(0)) emptySketch()
+        else row.getAs[Array[Byte]](0))
+    } else {
+      // ONE grouped pass over the hash table: k sketches built in
+      // parallel by a hash aggregate on the shard id (partial
+      // sketches combine map-side — the same scan cost as the
+      // single-sketch build, never k passes)
+      val built = hashes
+        .groupBy(pmod(col("__h"), lit(shards.toLong)).as("__s"))
+        .agg(bloomAgg.as("bf"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getAs[Array[Byte]]("bf"))
+        .toMap
+      IndexedSeq.tabulate(shards)(i => built.getOrElse(i, emptySketch()))
+    }
   }
+
+  /** Estimated per-shard Bloom false-positive probability of an
+    * [[ExactIndex]] at its CURRENT fill — the drift signal of the
+    * growth loop: [[appendToExactIndex]] unions hash rows and merges
+    * sketches at FIXED geometry, so after many batches the realized
+    * item count n outgrows `expectedItems` and fpp rises with no
+    * remediation short of [[compactExactIndex]]. One grouped count
+    * over the hash table (exact n per shard — the table is distinct
+    * by construction), then the standard estimate
+    * `(1 − e^(−kn/m))^k` with m = numBits per shard and k the hash
+    * count `BloomFilter.create(expectedItems, numBits)` chose
+    * (max(1, round(m/n₀·ln 2)) — the same formula, so the estimate
+    * tracks the sketches actually in service). Returns one row per
+    * shard (`shard`, `n_items`, `est_fpp`) — surface it next to the
+    * index meta in monitoring, and compact when the worst shard
+    * crosses the admission budget. */
+  def estimatedFpp(index: ExactIndex): DataFrame = {
+    val m = index.numBits.toDouble
+    val k = math.max(1L,
+      math.round(m / index.expectedItems.toDouble * math.log(2.0)))
+    index.hashes
+      .groupBy(pmod(col("__h"), lit(index.shards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_items"))
+      .withColumn("est_fpp", round(
+        pow(lit(1.0) - exp(lit(-k.toDouble) * col("n_items") / lit(m)),
+          k.toDouble), 6))
+  }
+
+  /** Re-sketch an [[ExactIndex]] under NEW geometry — the fpp-drift
+    * remediation: one grouped aggregate over the DURABLE hash table
+    * (never a corpus re-hash or re-distinct; the hash table is the
+    * index's source of truth and carries every admitted text),
+    * yielding a fresh generation with `shards` sketches of `numBits`
+    * bits sized to the grown item count. The verification table is
+    * UNCHANGED — compaction only re-derives the probabilistic tier —
+    * so admission decisions stay exactly as correct as before, with
+    * fewer false positives reaching the verify join. Persist the
+    * result to a FRESH epoch dir ([[writeExactIndexBucketed]]'s
+    * alternate-epoch discipline) and [[ExactIndex.release]] the
+    * superseded generation. */
+  def compactExactIndex(index: ExactIndex,
+                        expectedItems: Long, numBits: Long,
+                        shards: Int): ExactIndex =
+    ExactIndex(index.hashes,
+      sketchesFromHashes(index.hashes, expectedItems, numBits, shards),
+      expectedItems, numBits)
 
   /** Total sketch bytes above which [[mightContainIndexCol]] stops
     * embedding the sketches as plan LITERALS and routes through a

@@ -187,6 +187,69 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(9101L))
   }
 
+  test("compactExactIndex: fpp drift detected, compaction restores it, loop decisions unchanged") {
+    import org.apache.spark.sql.functions._
+    // a deliberately under-sized index (1 KiB of bits) grown 10× past
+    // its design point: appends merge sketches at fixed geometry, so
+    // the realized fpp saturates — the drift compaction remediates
+    val seed = (0L until 100L).map(i => (i, s"fpp seed doc $i"))
+      .toDF("doc_id", "text")
+    val idx0 = Dedup.buildExactIndex(seed, "text", expectedItems = 128L,
+      numBits = 1L << 13, shards = 1)
+    val grown = (1 to 10).foldLeft(idx0) { (ix, b) =>
+      val batch = (0L until 100L)
+        .map(i => (b * 1000L + i, s"fpp growth batch $b doc $i"))
+        .toDF("doc_id", "text")
+      // checkpoint each survivor set as production growth loops do
+      // (q101 materializes per generation): an un-truncated lineage
+      // nests every prior generation's Bloom-literal probe plan into
+      // the next — driver-side plan canonicalization explodes long
+      // before the (tiny) data does
+      Dedup.appendToExactIndex(ix,
+        Dedup.incrementalDropExactDups(ix, batch, "doc_id", "text")
+          .localCheckpoint(), "text")
+    }
+    // the estimate sees the drift (n ≈ 1100 on a 128-item design)
+    def estMax(ix: Dedup.ExactIndex): Double =
+      Dedup.estimatedFpp(ix).agg(max(col("est_fpp")))
+        .collect()(0).getDouble(0)
+    val estBefore = estMax(grown)
+    assert(estBefore > 0.2, f"drifted index should estimate high: $estBefore%.3f")
+    // empirical fpp agrees, and compaction (re-sketch the hash table,
+    // larger geometry + shards — NO corpus re-hash) restores it
+    val novel = (0L until 2000L).map(i => (i, s"never admitted text $i"))
+      .toDF("doc_id", "text")
+    def fpRate(ix: Dedup.ExactIndex): Double =
+      novel.select(Dedup.mightContainIndexCol(ix,
+          xxhash64(col("text"))).as("p"))
+        .filter(col("p")).count().toDouble / 2000.0
+    val fpBefore = fpRate(grown)
+    val compacted = Dedup.compactExactIndex(grown, expectedItems = 4096L,
+      numBits = 1L << 17, shards = 4)
+    val fpAfter = fpRate(compacted)
+    val estAfter = estMax(compacted)
+    assert(fpBefore > 0.2, f"under-sized index should misfire often: $fpBefore%.3f")
+    assert(fpAfter < 0.01 && estAfter < 0.01,
+      f"compacted index should hold designed fpp: emp=$fpAfter%.4f est=$estAfter%.4f")
+    // no false negatives through compaction: every admitted text still
+    // probes positive (the hash table is the source of truth)
+    assert(grown.hashes.select(Dedup.mightContainIndexCol(compacted,
+        col("__h")).as("p")).filter(!col("p")).count() == 0L)
+    // and the q101 loop continues across the compaction boundary:
+    // dups of BOTH generations drop, novelty admits, appends work
+    val batch = Seq((90001L, "fpp seed doc 7"),          // gen-0 dup
+      (90002L, "fpp growth batch 3 doc 9"),              // appended dup
+      (90003L, "post-compaction novel doc")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDropExactDups(compacted, batch,
+      "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(90003L))
+    val next = Dedup.appendToExactIndex(compacted, kept, "text")
+    assert(Dedup.incrementalDropExactDups(next,
+        Seq((90100L, "post-compaction novel doc"), (90101L, "beyond"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(90101L))
+  }
+
   test("exact index save/load: sketch+geometry round-trip, decisions equal, torn manifest refused") {
     val corpus = (0L until 500L).map(i => (i, s"durable corpus doc $i"))
       .toDF("doc_id", "text")
