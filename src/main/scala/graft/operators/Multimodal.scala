@@ -134,6 +134,14 @@ object Multimodal {
         }
       }
     }(enc)
+      // corrupt-payload observability (the GuardMetrics discipline):
+      // nulled rows are deliberate, but a decode stage whose failure
+      // count quietly climbs is a data-quality incident — surface it
+      // per query like the rescue/guard counters
+      .observe(s"graft_image_decode_${Dedup.obsId.incrementAndGet()}",
+        count(lit(1)).as("rows"),
+        sum(when(col("img_width").isNull, 1L).otherwise(0L))
+          .as("decode_failures"))
   }
 
   /** Per-channel byte sums over a raw row-major W×H×C buffer — the
