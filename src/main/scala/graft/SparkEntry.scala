@@ -1634,6 +1634,58 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // REAL audio decode through the multimodal codec boundary — the
+    // WAV sibling of q118: deterministic sample-ramp 16-bit PCM WAVs
+    // (mixed mono/stereo, three sample rates) are container-encoded
+    // driver-side by javax.sound.sampled, decoded back inside
+    // mapPartitions, and feature-extracted to per-channel signed
+    // sample sums. PCM is lossless, so the decoded samples must
+    // reproduce the generator formula exactly — which is what lets
+    // DuckDB oracle an audio codec it cannot run: it replays the ramp
+    // ((id·37 + ch·11 + i·13) mod 4096 − 2048) and the channel sums
+    // in SQL. Planted corrupt payloads (frame-misaligned truncation,
+    // non-audio bytes, empty) must survive as null rows.
+    "q119_audio_decode" -> ((s, d) => {
+      val ids = t(s, d, "documents").select($"doc_id")
+        .filter($"doc_id" < 40).collect().map(_.getLong(0)).sorted
+      def wav(id: Long): Array[Byte] = {
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val channels = (1 + id % 2).toInt
+        val frames = (50 + (id % 7) * 10).toInt
+        val pcm = new Array[Byte](frames * channels * 2)
+        for (i <- 0 until frames; ch <- 0 until channels) {
+          val v = ((id * 37 + ch * 11 + i * 13) % 4096 - 2048).toInt
+          val base = (i * channels + ch) * 2
+          pcm(base) = (v & 0xFF).toByte
+          pcm(base + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val whole = wav(2L) // mono → 2-byte frames; −3 breaks alignment
+      val rows = ids.toSeq.map(i => (i, wav(i))) ++ Seq(
+        (9001L, whole.take(whole.length - 3)),
+        (9002L, "not audio at all".getBytes("UTF-8")),
+        (9003L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      operators.Multimodal.pcmChannelSums(
+          operators.Multimodal.decodeWav(media, "payload"),
+          "pcm", "au_channels")
+        .select($"media_id", $"au_rate".as("rate"),
+          $"au_channels".as("channels"), $"au_frames".as("frames"),
+          element_at($"sample_sums", 1).as("s0_sum"),
+          when($"au_channels" === 2, element_at($"sample_sums", 2))
+            .as("s1_sum"))
+        .orderBy($"media_id")
+    }),
+
     // Vector-index growth loop end-to-end (the q101 discipline for
     // the ANN family): build IVF×PQ on the EVEN half, persist
     // bucketed, append the ODD half IN PLACE against the frozen
@@ -2922,6 +2974,32 @@ object SparkEntry {
          FROM sums
          UNION ALL
          SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+         FROM (VALUES (9001), (9002), (9003)) t(media_id)
+         ORDER BY media_id""",
+
+    // the sample-ramp arithmetic and signed channel sums replayed in
+    // SQL — a lossless PCM container means the decoded samples ARE
+    // the formula; mono rows carry a null second-channel sum and the
+    // three corrupt ids must come back as explicit null rows
+    "q119_audio_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(50 + (doc_id % 7) * 10 AS INT) AS frames
+         FROM documents WHERE doc_id < 40),
+         s AS (SELECT media_id, rate, channels, frames, i.i AS i
+           FROM m,
+             LATERAL (SELECT unnest(generate_series(0, frames - 1)) AS i) i),
+         sums AS (SELECT media_id, rate, channels, frames,
+             CAST(sum((media_id * 37 + i * 13) % 4096 - 2048) AS BIGINT)
+               AS s0_sum,
+             CAST(sum(CASE WHEN channels = 2
+               THEN (media_id * 37 + 11 + i * 13) % 4096 - 2048 END) AS BIGINT)
+               AS s1_sum
+           FROM s GROUP BY 1, 2, 3, 4)
+         SELECT media_id, rate, channels, frames, s0_sum, s1_sum FROM sums
+         UNION ALL
+         SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL, NULL
          FROM (VALUES (9001), (9002), (9003)) t(media_id)
          ORDER BY media_id""",
 

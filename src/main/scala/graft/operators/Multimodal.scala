@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * (JDK-native — PNG/JPEG/BMP/GIF, no external codec library) inside
   * the codec boundary, with truncated/unsupported payloads yielding
   * null rows (the CAN length-filter admission discipline, P6).
-  * AUDIO/VIDEO decoding stays STUBBED — this container ships no
-  * audio codecs — with a clearly-marked deterministic fake
-  * ([[decodeStub]], seeded from the bytes) that keeps the plumbing
-  * (schemas, partitioning, batch iteration, feature shapes) real and
-  * testable, and doubles as the hermetic test codec.
+  * AUDIO decoding is REAL for the container formats the JDK ships
+  * codecs for: [[decodeWav]] runs `javax.sound.sampled`
+  * (WAV/AIFF/AU, 16-bit signed PCM) inside the same boundary with
+  * the same null-row admission contract. VIDEO decoding stays
+  * STUBBED — this container ships no video codecs — with a
+  * clearly-marked deterministic fake ([[decodeStub]], seeded from
+  * the bytes) that keeps the plumbing (schemas, partitioning, batch
+  * iteration, feature shapes) real and testable, and doubles as the
+  * hermetic test codec.
   */
 object Multimodal {
 
@@ -142,6 +146,119 @@ object Multimodal {
         count(lit(1)).as("rows"),
         sum(when(col("img_width").isNull, 1L).otherwise(0L))
           .as("decode_failures"))
+  }
+
+  /** REAL audio decode through the same codec boundary as
+    * [[decodeImages]]: `javax.sound.sampled` (JDK-native — WAV, AIFF
+    * and AU containers) turns each binary payload into its stream
+    * parameters plus the raw interleaved 16-bit signed little-endian
+    * PCM frames. Appends `au_rate` (Hz), `au_channels`, `au_frames`
+    * (frame count — samples per channel) and `pcm` (the interleaved
+    * sample bytes). Only 16-bit signed PCM is admitted — floating or
+    * 8-bit streams, truncated containers and non-audio bytes all map
+    * to the SAME null row, never a task failure (one corrupt crawl
+    * clip must not kill a 100 TB decode stage); failures surface on
+    * the query's observe metric like the image tier's. Big-endian
+    * sources (AIFF) are byte-swapped to LE so `pcm` has one layout
+    * regardless of container. */
+  def decodeWav(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("au_rate", IntegerType),
+      StructField("au_channels", IntegerType),
+      StructField("au_frames", IntegerType),
+      StructField("pcm", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded: Option[(Int, Int, Int, Array[Byte])] =
+          if (bytes == null || bytes.isEmpty) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              val pcm16 =
+                f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16
+              if (!pcm16) None
+              else {
+                val raw = ais.readAllBytes()
+                // truncation guard: AudioInputStream frame-aligns its
+                // reads (a trailing partial frame is silently DROPPED,
+                // not surfaced as an error), so a payload shorter than
+                // the header's declared frame count reads back "clean"
+                // with fewer frames — compare against the declaration
+                val frameBytes = 2 * f.getChannels
+                val declared = ais.getFrameLength // -1 = unspecified
+                if (raw.length % frameBytes != 0 ||
+                    (declared >= 0 && raw.length / frameBytes != declared))
+                  None
+                else {
+                  if (f.isBigEndian) {
+                    var i = 0
+                    while (i + 1 < raw.length) {
+                      val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t
+                      i += 2
+                    }
+                  }
+                  Some((math.round(f.getSampleRate), f.getChannels,
+                    raw.length / frameBytes, raw))
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+            case _: RuntimeException => None
+          }
+        decoded match {
+          case Some((rate, ch, frames, pcm)) =>
+            Row.fromSeq(row.toSeq ++ Seq(rate, ch, frames, pcm))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+      .observe(s"graft_audio_decode_${Dedup.obsId.incrementAndGet()}",
+        count(lit(1)).as("rows"),
+        sum(when(col("au_rate").isNull, 1L).otherwise(0L))
+          .as("decode_failures"))
+  }
+
+  /** Per-channel SIGNED sample sums over interleaved 16-bit LE PCM —
+    * the audio sibling of [[channelSums]] (the shape a loudness /
+    * DC-offset / silence-detect feature takes). Channel count is a
+    * per-row COLUMN (mono and stereo clips share a corpus), so the
+    * interleave stride varies row to row; null pcm or null channels →
+    * null sums. Pure per-row arithmetic in the codec boundary. */
+  def pcmChannelSums(df: DataFrame, pcmCol: String,
+                     channelsCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("sample_sums", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = df.schema.fieldIndex(pcmCol)
+    val cIdx = df.schema.fieldIndex(channelsCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val pcm = row.getAs[Array[Byte]](pIdx)
+        val sums =
+          if (pcm == null || row.isNullAt(cIdx)) null
+          else {
+            val channels = row.getInt(cIdx)
+            val s = new Array[Long](channels)
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val v = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort
+              s((i / 2) % channels) += v
+              i += 2
+            }
+            s
+          }
+        Row.fromSeq(row.toSeq :+ sums)
+      }
+    }(enc)
   }
 
   /** Per-channel byte sums over a raw row-major W×H×C buffer — the

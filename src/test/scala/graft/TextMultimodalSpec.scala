@@ -573,6 +573,83 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real WAV/AIFF decode round-trips PCM exactly; bad payloads yield null rows") {
+    import graft.operators.Multimodal
+    // deterministic sample ramp → 16-bit PCM container (lossless) →
+    // decodeWav must reproduce every sample; signed per-channel sums
+    // close the feature loop. AIFF is the big-endian control: the
+    // decoder must byte-swap so `pcm` has ONE layout per corpus.
+    def pcm(id: Long, channels: Int, frames: Int): Array[Byte] = {
+      val out = new Array[Byte](frames * channels * 2)
+      for (i <- 0 until frames; ch <- 0 until channels) {
+        val v = ((id * 37 + ch * 11 + i * 13) % 4096 - 2048).toInt
+        out((i * channels + ch) * 2) = (v & 0xFF).toByte
+        out((i * channels + ch) * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    def container(id: Long, channels: Int, frames: Int, rate: Int,
+                  tpe: javax.sound.sampled.AudioFileFormat.Type,
+                  bigEndian: Boolean): Array[Byte] = {
+      val raw = pcm(id, channels, frames)
+      val bytes = if (!bigEndian) raw else {
+        val be = raw.clone()
+        var i = 0
+        while (i + 1 < be.length) {
+          val t = be(i); be(i) = be(i + 1); be(i + 1) = t; i += 2
+        }
+        be
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val WAVE = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val AIFF = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val wavMono = container(1L, 1, 40, 8000, WAVE, bigEndian = false)
+    val wavStereo = container(2L, 2, 30, 16000, WAVE, bigEndian = false)
+    val aiffStereo = container(3L, 2, 25, 12000, AIFF, bigEndian = true)
+    // 8-bit PCM: a real audio stream the 16-bit contract must REJECT
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill(50)(7.toByte)), fmt8, 50L),
+      WAVE, bos8)
+    val rows = Seq(
+      (1L, wavMono), (2L, wavStereo), (3L, aiffStereo),
+      (91L, wavMono.take(wavMono.length - 3)), // header outruns payload
+      (92L, bos8.toByteArray),                 // decodes, wrong bit depth
+      (93L, "not audio".getBytes("UTF-8")),
+      (94L, Array.empty[Byte]))
+    val out = Multimodal.pcmChannelSums(
+        Multimodal.decodeWav(rows.toDF("media_id", "payload"), "payload"),
+        "pcm", "au_channels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 7, "every row survives, decodable or not")
+    Seq((1L, 1, 40, 8000), (2L, 2, 30, 16000), (3L, 2, 25, 12000))
+      .foreach { case (id, ch, fr, rate) =>
+        val r = out(id)
+        assert(r.getInt(2) == rate && r.getInt(3) == ch && r.getInt(4) == fr,
+          s"stream params for $id")
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](5),
+          pcm(id, ch, fr)),
+          s"decode must be sample-exact LE for $id (incl. the AIFF swap)")
+        val want = (0 until ch).map(c => (0 until fr)
+          .map(i => (id * 37 + c * 11 + i * 13) % 4096 - 2048).sum)
+        assert(r.getSeq[Long](6) == want, s"signed channel sums for $id")
+      }
+    Seq(91L, 92L, 93L, 94L).foreach { i =>
+      val r = out(i)
+      assert(r.isNullAt(2) && r.isNullAt(5) && r.isNullAt(6),
+        s"bad payload $i must yield a null row, not a task failure")
+    }
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
