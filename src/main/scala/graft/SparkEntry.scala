@@ -891,6 +891,41 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming EMBEDDING near-dup admission — the vector-family rung
+    // of the ingestion ladder: the accepted embeddings (%3==0) build
+    // a frozen IVF index (3 Lloyd iterations, the q105/q107 build
+    // discipline); the stream carries the rest, every %3==1 vector a
+    // disguised re-embed of an accepted vector (scaled + shifted —
+    // same direction, so it lands its source's max-cosine cell) and
+    // %3==2 vectors novel. Streamed admissions across micro-batches
+    // must equal the BRUTE-FORCE batch decision at tau=0.9 — the
+    // oracle regenerates the candidate stream and replays exhaustive
+    // max-cosine + argmax vs the accepted set, so a drift anywhere
+    // (centroid literal ranking, probe-cell routing, the member-array
+    // fold, the tie rule, the admit-on-unprovable branch) changes the
+    // admitted set or a match id.
+    "q120_stream_ann_admission" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val emb = t(s, d, "embeddings")
+      val accepted = emb.filter($"vec_id" % 3 === 0)
+      val index = operators.Similarity.buildIvf(accepted, "vec_id",
+        "embedding", nCells = 8, lloydIters = 3)
+      val members = operators.Similarity.cellMembers(index)
+      // the stream-static contract re-plans the static side per
+      // micro-batch — materialize the member arrays once (the q114
+      // discipline)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val sch = s.read.parquet(s"$fix/embeddings_stream").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/embeddings_stream")
+      val admitted = streaming.StreamingParse.annAdmissionStream(stream,
+        "vec_id", "embedding", index, members, tau = 0.9, nProbe = 2)
+      runStreamToTable(s, admitted, "append", "ann_admission")
+        .select($"vec_id", $"admitted", $"match_id")
+        .orderBy($"vec_id")
+    }),
+
     // Split-leakage audit: the corpus carries its own split labels;
     // planted val-side near-copies of train docs must surface as
     // leaking pairs, the disjoint test-side docs must not. The oracle
@@ -2467,6 +2502,24 @@ object SparkEntry {
       allDocs.select(col("doc_id"), col("lang"), col("text"))
         .repartition(4)
         .write.parquet(dir.resolve("documents_plain").toString)
+      // embeddings_stream/: the q120 vector-admission stream — the
+      // non-accepted embeddings, where every %3==1 vector is a
+      // disguised RE-EMBED of the accepted vector just below it
+      // (x·1.001 + 0.0005 — same direction, so it lands its source's
+      // max-cosine IVF cell) and %3==2 vectors are novel.
+      // Deterministic function of `embeddings`, so the DuckDB oracle
+      // regenerates it exactly.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val embBelow = emb.select((col("vec_id") + 1).as("vec_id"),
+        col("embedding").as("__src"))
+      emb.filter(col("vec_id") % 3 =!= 0)
+        .join(embBelow, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 3 === 1 && col("__src").isNotNull,
+            expr("transform(__src, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)"))
+          .otherwise(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as("embedding"))
+        .repartition(4).write.parquet(dir.resolve("embeddings_stream").toString)
       // events_sorted/: time-RANGE-partitioned files with ascending
       // mtimes, so the file source (oldest-mtime first) delivers each
       // user's events in event-time order ACROSS micro-batches — the
@@ -3253,6 +3306,34 @@ object SparkEntry {
          SELECT doc_id, md5(k) AS key_md5
          FROM skey ANTI JOIN akey USING (k)
          ORDER BY doc_id""",
+
+    // the candidate stream regenerated from `embeddings`, then the
+    // exhaustive brute-force decision the IVF probe must reproduce:
+    // max cosine + argmax (ties to the smaller id) vs the accepted
+    // set, admit strictly below tau — planted re-embeds sit at
+    // cos ≈ 0.99999 and the novel tail below 0.6, so both regimes
+    // bind with margin
+    "q120_stream_ann_admission" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         acc AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+         cand AS (SELECT c.vec_id,
+             CASE WHEN c.vec_id % 3 = 1 AND src.v IS NOT NULL
+               THEN list_transform(src.v, x -> x * 1.001 + 0.0005)
+               ELSE c.v END AS v
+           FROM e c LEFT JOIN e src ON src.vec_id = c.vec_id - 1
+           WHERE c.vec_id % 3 <> 0),
+         s AS (SELECT cand.vec_id, acc.vec_id AS aid,
+             list_dot_product(cand.v, acc.v) /
+               (sqrt(list_dot_product(cand.v, cand.v)) *
+                sqrt(list_dot_product(acc.v, acc.v))) AS cos_raw
+           FROM cand CROSS JOIN acc),
+         r AS (SELECT vec_id, aid, cos_raw, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cos_raw DESC, aid) AS rk
+           FROM s)
+         SELECT vec_id, cos_raw < 0.9 AS admitted,
+           CASE WHEN cos_raw >= 0.9 THEN aid END AS match_id
+         FROM r WHERE rk = 1
+         ORDER BY vec_id""",
 
     "q10_asof" ->
       """WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv

@@ -424,6 +424,27 @@ object Similarity {
     searchIvf(buildIvf(corpus, idCol, vecCol, nCells, lloydIters), queries,
       idCol, vecCol, k, nProbe)
 
+  /** The IVF corpus re-shaped for the STREAMING admission tier: one
+    * row per cell carrying its members as an ARRAY of
+    * (neighbor_id, mv double-vector, __cn norm) structs, so a
+    * stream-side probe is a broadcast equi-join on `cell` plus a pure
+    * higher-order-function fold over the array — no relational
+    * aggregation on the stream (append mode survives) and no state.
+    * Callers persist the result once before starting the stream (the
+    * stream-static contract re-plans — and would otherwise re-derive
+    * this groupBy — every micro-batch; the q114 discipline).
+    *
+    * Regime, honestly stated: each cell's members must fit one row,
+    * so this is the BOUNDED-reference-set tier — a curated dedup
+    * reference, a benchmark embedding set, a recent-window index. An
+    * unbounded accepted corpus takes the batch [[searchIvf]] path
+    * (per-micro-batch foreachBatch join), which shuffles but never
+    * materializes a cell in one row. */
+  def cellMembers(index: IvfIndex): DataFrame =
+    index.corpusCells.groupBy("cell")
+      .agg(collect_list(struct(col("neighbor_id"),
+        asDouble(col("__cv")).as("mv"), col("__cn"))).as("members"))
+
   /** Cluster-balanced (diversity-preserving) downsampling over an
     * embedding column — the SEMANTIC sibling of
     * [[Curation.stratifiedHashSample]]: strata are nearest-anchor

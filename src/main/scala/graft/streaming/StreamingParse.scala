@@ -226,6 +226,78 @@ object StreamingParse {
         model, carryCols = keys),
       "lm3_score", keys, thresholds, labels)
 
+  /** Streaming EMBEDDING near-dup admission against a frozen IVF
+    * index — the vector-family rung of the admission ladder (q114 is
+    * the exact-hash rung, [[simhashDedupStream]] the text-sketch
+    * rung): each streamed vector ranks the centroid table as a
+    * PLAN-LITERAL projection (nCells centroid vectors — the JL-matrix
+    * literal budget, ~8 KiB at 16×64 doubles; production vocab-scale
+    * centroid sets would graduate to a broadcast join), probes its
+    * `nProbe` nearest cells through broadcast stream-static LEFT
+    * joins against [[graft.operators.Similarity.cellMembers]]'s
+    * per-cell member arrays, and folds max cosine as a higher-order
+    * function — zero relational aggregation on the stream, zero
+    * state, plain append mode. A vector whose best probed cosine
+    * reaches `tau` REJECTS (`admitted` false, `match_id` = the argmax
+    * member, ties to the smaller id); below-tau, no-member,
+    * empty-vector and null-vector rows ADMIT (membership unprovable →
+    * admit, the q94 null-hash discipline). Pass `members` already
+    * persisted — the stream-static contract re-plans the static side
+    * every micro-batch. Recall, honestly stated: like any IVF probe,
+    * a near-dup whose match lies outside the probed cells streams
+    * through — same-direction duplicates land their source's cell by
+    * construction (cell assignment is max-cosine), and the batch
+    * tier ([[graft.operators.Similarity.semanticNearDups]]) remains
+    * the recall-complete second pass. */
+  def annAdmissionStream(vecs: DataFrame, idCol: String, vecCol: String,
+                         index: graft.operators.Similarity.IvfIndex,
+                         members: DataFrame, tau: Double,
+                         nProbe: Int = 2): DataFrame = {
+    import graft.operators.Similarity.{dot, norm}
+    val cents = index.centroids.collect().map { r =>
+      (r.getAs[Number](r.fieldIndex("cell")).longValue,
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray)
+    }.sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val probes = math.min(nProbe, cents.length)
+    val qv = col("__qv"); val qn = col("__qn")
+    // ranked (−cosine, cell) structs: ascending array_sort = cosine
+    // desc, ties to the smaller cell — searchIvf's probe order
+    val ranked = array_sort(array(cents.map { case (cell, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct((-(dot(qv, typedLit(cv.toSeq)) / (qn * lit(cn)))).as("ns"),
+        lit(cell).as("cell"))
+    }: _*))
+    val withProbes = (1 to probes).foldLeft(
+      vecs.withColumn("__qv", transform(col(vecCol), x => x.cast("double")))
+        .withColumn("__qn", norm(col("__qv")))
+        .withColumn("__pr", when(col("__qn").isNotNull, ranked))) {
+      case (df, j) =>
+        df.withColumn(s"__pc$j", element_at(col("__pr"), j).getField("cell"))
+    }
+    val joined = (1 to probes).foldLeft(withProbes) { case (df, j) =>
+      df.join(broadcast(members.select(col("cell").as(s"__pc$j"),
+        col("members").as(s"__mm$j"))), Seq(s"__pc$j"), "left")
+    }
+    // per-cell argmax as (sim, −id) struct max; NaN cosines (zero-norm
+    // vectors) never satisfy `>= tau`, so they admit like nulls do
+    def bestOf(mcol: Column): Column = array_max(transform(mcol, m =>
+      struct((dot(qv, m.getField("mv")) / (qn * m.getField("__cn")))
+          .as("sim"),
+        (-m.getField("neighbor_id")).as("nid"))))
+    val best = array_max(filter(
+      array((1 to probes).map(j => bestOf(col(s"__mm$j"))): _*),
+      b => b.isNotNull))
+    joined.withColumn("__best", best)
+      .withColumn("admitted",
+        when(col("__best").isNull, lit(true))
+          .otherwise(!(col("__best").getField("sim") >= lit(tau))))
+      .withColumn("match_id",
+        when(!col("admitted"), -col("__best").getField("nid")))
+      .drop((Seq("__qv", "__qn", "__pr", "__best") ++
+        (1 to probes).flatMap(j => Seq(s"__pc$j", s"__mm$j"))): _*)
+  }
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

@@ -670,6 +670,60 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN admission: copies reject, novel/null admit, nProbe widens recall") {
+    import spark.implicits._
+    // hand-built 2-cell geometry (lloydIters=1, seeds = ids 10/20):
+    // cell A = {10, 30} → centroid (0.975, 0.025); cell B = {20, 40}
+    // → centroid (0.3, 0.9). Candidate 101 at ~32° sits on A's side
+    // of the cell boundary (~36.5°) but its only ≥ tau match (id 40,
+    // cos ≈ 0.933) lives in cell B — the probe-width dial made
+    // concrete: nProbe=1 misses it, nProbe=2 catches it.
+    val accepted = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)), (20L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (30L, Seq(0.95, 0.05, 0.0, 0.0)), (40L, Seq(0.6, 0.8, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val index = graft.operators.Similarity.buildIvf(accepted, "vec_id",
+      "embedding", nCells = 2, lloydIters = 1)
+    val members = graft.operators.Similarity.cellMembers(index)
+    members.persist().count()
+    val cands = Seq(
+      (101L, Seq(0.848, 0.530, 0.0, 0.0)),  // 2nd-cell near-dup of 40
+      (102L, Seq(0.95, 0.05, 0.0, 0.0)),    // exact copy of 30 (cell A)
+      (103L, Seq(0.0, 0.0, 1.0, 0.0)),      // novel direction
+      (104L, null.asInstanceOf[Seq[Double]])) // unprovable → admit
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("stream_ann")
+    cands.write.parquet(dir.resolve("in").toString)
+    def run(nProbe: Int, tag: String): Map[Long, (Boolean, Option[Long])] = {
+      val stream = spark.readStream.schema(cands.schema)
+        .parquet(dir.resolve("in").toString)
+      val q = graft.streaming.StreamingParse
+        .annAdmissionStream(stream, "vec_id", "embedding", index, members,
+          tau = 0.9, nProbe = nProbe)
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        spark.sql(s"select vec_id, admitted, match_id from $tag").collect()
+          .map(r => r.getLong(0) ->
+            (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .toMap
+      } finally q.stop()
+    }
+    try {
+      val wide = run(2, "ann_admit_p2")
+      assert(wide(101L) == (false, Some(40L)), s"2nd-cell match: ${wide(101L)}")
+      assert(wide(102L) == (false, Some(30L)), s"same-cell copy: ${wide(102L)}")
+      assert(wide(103L) == (true, None), s"novel: ${wide(103L)}")
+      assert(wide(104L) == (true, None), s"null vector: ${wide(104L)}")
+      val narrow = run(1, "ann_admit_p1")
+      assert(narrow(101L) == (true, None),
+        s"nProbe=1 must miss the 2nd-cell match: ${narrow(101L)}")
+      assert(narrow(102L) == (false, Some(30L)),
+        s"nProbe=1 still rejects the same-cell copy: ${narrow(102L)}")
+    } finally members.unpersist()
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)
