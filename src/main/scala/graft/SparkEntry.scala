@@ -1721,6 +1721,25 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // Z-order layout: the multi-dimensional scan-pruning key
+    // (lakehouse OPTIMIZE ZORDER, engine-agnostic) value-gated
+    // bit-for-bit — two integer dimensions (text length × doc_id mod
+    // 97) bucket through the integer-exact equi-width formula and
+    // interleave into one Morton scalar; the oracle recomputes
+    // min/max, the `div` bucketing and every shift/mask term in SQL.
+    // A wrong bucket width, a swapped interleave order or a float
+    // division anywhere changes z-values. (The actual rows-READ
+    // pruning win of the laid-out table is measured in PlanSpec —
+    // layout effectiveness is an IO metric, not a result set.)
+    "q121_zorder" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id",
+        length($"text").cast("long").as("dx"),
+        ($"doc_id" % 97).as("dy"))
+      operators.Layout.withZValue(docs, Seq("dx", "dy"), bits = 8)
+        .select($"doc_id", $"dx", $"dy", $"zvalue")
+        .orderBy($"doc_id")
+    }),
+
     // Vector-index growth loop end-to-end (the q101 discipline for
     // the ANN family): build IVF×PQ on the EVEN half, persist
     // bucketed, append the ODD half IN PLACE against the frozen
@@ -3055,6 +3074,28 @@ object SparkEntry {
          SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL, NULL
          FROM (VALUES (9001), (9002), (9003)) t(media_id)
          ORDER BY media_id""",
+
+    // min/max, integer-div equi-width buckets and the Morton
+    // interleave replayed term-for-term: bit i of dx lands at 2i, of
+    // dy at 2i+1 (dimension 0 on the low bit)
+    "q121_zorder" ->
+      """WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS dx,
+           doc_id % 97 AS dy FROM documents),
+         st AS (SELECT min(dx) mnx, max(dx) mxx, min(dy) mny, max(dy) mxy
+           FROM m),
+         b AS (SELECT doc_id, dx, dy,
+             ((dx - mnx) * 256) // (mxx - mnx + 1) AS bx,
+             ((dy - mny) * 256) // (mxy - mny + 1) AS by_
+           FROM m, st),
+         z AS (SELECT doc_id,
+             CAST(sum((((bx >> i.i) & 1) << (2 * i.i)) +
+                      (((by_ >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT)
+               AS zvalue
+           FROM b, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i
+           GROUP BY doc_id)
+         SELECT b.doc_id, b.dx, b.dy, z.zvalue
+         FROM b JOIN z ON b.doc_id = z.doc_id
+         ORDER BY b.doc_id""",
 
     // the q107 brute-force argmax over the FULL corpus (both build
     // and appended halves — a query whose true top-1 is an appended

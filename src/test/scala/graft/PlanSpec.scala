@@ -783,6 +783,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: a 2-D box scan reads a fraction of the single-sort rows") {
+    // q121 gates the z-VALUES; this measures what the layout is FOR —
+    // actual parquet rows READ (post row-group pruning) for a
+    // two-column box predicate, z-ordered vs the single-column sort a
+    // naive pipeline would write. Each output file is one row group,
+    // so pushed min/max filters skip whole files' worth of IO; on the
+    // x-sorted control every row group is tight on x but spans all of
+    // y, forcing the full x-slab to be read.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // golden interleave first: bx=0b101, by=0b011 → 27
+    val golden = Seq((5L, 3L)).toDF("bx", "by")
+      .select(graft.operators.Layout.zValueFromBuckets(
+        Seq(col("bx"), col("by")), bits = 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(golden == 27L, s"interleave golden: got $golden want 27")
+    val n = 100000
+    val grid = 317
+    val df = spark.range(n.toLong)
+      .select(($"id" % grid).as("x"), ($"id" / grid).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder")
+    graft.operators.Layout.zOrderBy(df, Seq("x", "y"), bits = 8,
+        numPartitions = 64)
+      .write.parquet(dir.resolve("z").toString)
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir.resolve("linear").toString)
+    def rowsRead(path: String): (Long, Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) read.addAndGet(m.inputMetrics.recordsRead)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val hits = spark.read.parquet(path)
+          .filter($"x".between(0, 31) && $"y".between(0, 31)).count()
+        // drain the async listener bus (no public waitUntilEmpty)
+        var last = -1L; var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          val v = read.get()
+          if (v == last) stable += 1 else { stable = 0; last = v }
+          Thread.sleep(100)
+        }
+        (hits, read.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (zHits, zRead) = rowsRead(dir.resolve("z").toString)
+    val (lHits, lRead) = rowsRead(dir.resolve("linear").toString)
+    assert(zHits == lHits && zHits == 32L * 32L,
+      s"both layouts must return the same box: z=$zHits linear=$lHits")
+    assert(zRead > 0 && lRead > 0, s"listener captured nothing")
+    assert(zRead < lRead / 2,
+      f"z-order should read < 0.5x the x-sorted rows for a 2-D box: " +
+        f"z=$zRead%d linear=$lRead%d (ratio ${zRead.toDouble / lRead}%.2f)")
+  }
+
   test("parse stage: text scan parallelism preserved through decode") {
     val dir = java.nio.file.Files.createTempDirectory("plan")
     java.nio.file.Files.write(dir.resolve("a.log"),
