@@ -1721,6 +1721,65 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // REAL multi-frame ("video") decode through the codec boundary:
+    // animated GIFs with an EXPLICIT 256-gray palette (GIF is
+    // palette-indexed, so a grayscale ramp survives the codec
+    // byte-exact where truecolor would quantize) are encoded
+    // driver-side frame by frame, exploded back to one row per frame
+    // by the ImageReader loop, and feature-extracted per frame. The
+    // oracle replays the per-frame ramp ((id·31 + f·17 + y·w + x)
+    // mod 256) and the equal-by-construction R/G/B channel sums in
+    // SQL. A GIF truncated after its first complete frame must yield
+    // ONE null row — all-or-nothing, no silent short video.
+    "q122_frame_decode" -> ((s, d) => {
+      val ids = t(s, d, "documents").select($"doc_id")
+        .filter($"doc_id" < 12).collect().map(_.getLong(0)).sorted
+      val cmap = (0 until 256)
+        .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      def gif(id: Long): Array[Byte] = {
+        val w = (6 + id % 4).toInt; val h = (5 + id % 3).toInt
+        val nf = (2 + id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until nf) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          for (y <- 0 until h; x <- 0 until w)
+            img.getRaster.setSample(x, y, 0,
+              ((id * 31 + f * 17 + y * w + x) % 256).toInt)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val anim = gif(1L)
+      val rows = ids.toSeq.map(i => (i, gif(i))) ++ Seq(
+        (9001L, anim.take(anim.length * 3 / 5)), // dies mid-frame
+        (9002L, anim.dropRight(2)), // clean cut: prefix decodes, but
+                                    // the missing 0x3B trailer refuses
+        (9003L, "not a video".getBytes("UTF-8")),
+        (9004L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      operators.Multimodal.channelSums(
+          operators.Multimodal.decodeFrames(media, "payload"),
+          "frame_pixels")
+        .select($"media_id", $"frame_no",
+          $"frame_w".as("width"), $"frame_h".as("height"),
+          $"frame_channels".as("channels"),
+          element_at($"ch_sums", 1).as("r_sum"),
+          element_at($"ch_sums", 2).as("g_sum"),
+          element_at($"ch_sums", 3).as("b_sum"))
+        .orderBy($"media_id", $"frame_no")
+    }),
+
     // Z-order layout: the multi-dimensional scan-pruning key
     // (lakehouse OPTIMIZE ZORDER, engine-agnostic) value-gated
     // bit-for-bit — two integer dimensions (text length × doc_id mod
@@ -3074,6 +3133,39 @@ object SparkEntry {
          SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL, NULL
          FROM (VALUES (9001), (9002), (9003)) t(media_id)
          ORDER BY media_id""",
+
+    // the per-frame grayscale ramp and its (equal by construction)
+    // R/G/B channel sums replayed in SQL — the explicit 256-gray
+    // palette makes the GIF codec lossless, so the decoded bytes ARE
+    // the formula; all four corrupt ids (mid-frame cut, clean cut
+    // missing the trailer, non-video bytes, empty) must come back as
+    // single explicit null rows
+    "q122_frame_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CAST(6 + doc_id % 4 AS INT) AS w,
+           CAST(5 + doc_id % 3 AS INT) AS h,
+           CAST(2 + doc_id % 3 AS INT) AS nf
+         FROM documents WHERE doc_id < 12),
+         fr AS (SELECT media_id, w, h, f.f AS frame_no
+           FROM m,
+             LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+         px AS (SELECT media_id, w, h, frame_no, y.y AS y, x.x AS x
+           FROM fr,
+             LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+             LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x),
+         sums AS (SELECT media_id, frame_no, w, h,
+             CAST(sum((media_id * 31 + frame_no * 17 + y * w + x) % 256)
+               AS BIGINT) AS s
+           FROM px GROUP BY 1, 2, 3, 4)
+         SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+           w AS width, h AS height, CAST(3 AS INT) AS channels,
+           s AS r_sum, s AS g_sum, s AS b_sum
+         FROM sums
+         UNION ALL
+         SELECT CAST(media_id AS BIGINT), NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL
+         FROM (VALUES (9001), (9002), (9003), (9004)) t(media_id)
+         ORDER BY media_id, frame_no""",
 
     // min/max, integer-div equi-width buckets and the Morton
     // interleave replayed term-for-term: bit i of dx lands at 2i, of

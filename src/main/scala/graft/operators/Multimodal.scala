@@ -17,12 +17,14 @@ import org.apache.spark.sql.types._
   * AUDIO decoding is REAL for the container formats the JDK ships
   * codecs for: [[decodeWav]] runs `javax.sound.sampled`
   * (WAV/AIFF/AU, 16-bit signed PCM) inside the same boundary with
-  * the same null-row admission contract. VIDEO decoding stays
-  * STUBBED — this container ships no video codecs — with a
-  * clearly-marked deterministic fake ([[decodeStub]], seeded from
-  * the bytes) that keeps the plumbing (schemas, partitioning, batch
-  * iteration, feature shapes) real and testable, and doubles as the
-  * hermetic test codec.
+  * the same null-row admission contract. VIDEO decoding is real up
+  * to the JDK's one multi-frame container ([[decodeFrames]] —
+  * animated GIF through the frame-indexed `ImageReader` loop any
+  * registered codec drives); true video codecs (H.264 et al.) don't
+  * ship with the JDK, so the clearly-marked deterministic fake
+  * ([[decodeStub]], seeded from the bytes) remains the hermetic
+  * stand-in that keeps the plumbing (schemas, partitioning, batch
+  * iteration, feature shapes) real and testable for those formats.
   */
 object Multimodal {
 
@@ -290,6 +292,98 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ sums)
       }
     }(enc)
+  }
+
+  /** REAL multi-frame decode through the codec boundary — the "video"
+    * tier made concrete with the one multi-frame container the JDK
+    * ships a codec for (animated GIF; the same `ImageReader` loop
+    * drives any frame-indexed format a production codec registers).
+    * Each payload EXPLODES to one row per frame (`frame_no`, dims,
+    * channels, raw W×H×3 pixel bytes — the [[decodeImages]] layout,
+    * so [[channelSums]]/[[resizeRaw]] compose unchanged downstream).
+    * All-or-nothing per payload: a container that fails mid-frame
+    * yields ONE null row, not a silent prefix of frames — partial
+    * decodes masquerading as short videos are a worse failure mode
+    * than a loud null. Mid-frame cuts throw on their own; a GIF cut
+    * cleanly BETWEEN frames would decode as a shorter sequence
+    * (measured), so the spec's mandatory 0x3B trailer is required
+    * before the frame count is trusted (strict: trailing garbage
+    * after the trailer also refuses). Failures ride the observe
+    * counter like the image/audio tiers. */
+  def decodeFrames(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame_w", IntegerType),
+      StructField("frame_h", IntegerType),
+      StructField("frame_channels", IntegerType),
+      StructField("frame_pixels", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val frames: Seq[(Int, Int, Int, Array[Byte])] =
+          if (bytes == null || bytes.isEmpty) Nil
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Nil
+              else {
+                val reader = readers.next()
+                try {
+                  // container-integrity guard: a GIF cut cleanly
+                  // BETWEEN frames decodes as a silent prefix (the
+                  // reader just finds fewer images — measured), so
+                  // require the spec's mandatory 0x3B trailer before
+                  // trusting the frame count; mid-frame cuts throw on
+                  // their own below
+                  val gifTorn =
+                    reader.getFormatName.equalsIgnoreCase("gif") &&
+                    bytes(bytes.length - 1) != 0x3B.toByte
+                  if (gifTorn) Nil
+                  else {
+                  // seekForwardOnly=false so getNumImages may search
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  (0 until n).map { f =>
+                    val img = reader.read(f)
+                    val w = img.getWidth; val h = img.getHeight
+                    val out = new Array[Byte](w * h * 3)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        val base = (y * w + x) * 3
+                        out(base) = ((rgb >> 16) & 0xFF).toByte
+                        out(base + 1) = ((rgb >> 8) & 0xFF).toByte
+                        out(base + 2) = (rgb & 0xFF).toByte
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    (f, w, h, out)
+                  }
+                  }
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          } catch { case _: java.io.IOException => Nil
+                    case _: RuntimeException => Nil }
+        if (frames.isEmpty)
+          Iterator.single(Row.fromSeq(row.toSeq ++
+            Seq(null, null, null, null, null)))
+        else frames.iterator.map { case (f, w, h, px) =>
+          Row.fromSeq(row.toSeq ++ Seq(f, w, h, 3, px))
+        }
+      }
+    }(enc)
+      .observe(s"graft_frame_decode_${Dedup.obsId.incrementAndGet()}",
+        count(lit(1)).as("rows"),
+        sum(when(col("frame_no").isNull, 1L).otherwise(0L))
+          .as("decode_failures"))
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size

@@ -650,6 +650,74 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: animated-GIF frame decode is byte-exact; torn containers yield one null row") {
+    import graft.operators.Multimodal
+    // explicit 256-gray palette → the GIF codec is lossless, so every
+    // frame's decoded bytes must reproduce the ramp exactly
+    val cmap = (0 until 256)
+      .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+      false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    def ramp(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out((y * w + x) * 3 + c) =
+          ((id * 31 + f * 17 + y * w + x) % 256).toByte
+      out
+    }
+    def gif(id: Long, w: Int, h: Int, nf: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until h; x <- 0 until w)
+          img.getRaster.setSample(x, y, 0,
+            ((id * 31 + f * 17 + y * w + x) % 256).toInt)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val g1 = gif(1L, 7, 6, 3)
+    // h >= 5: the JDK's own GIF writer/reader pair permutes rows of
+    // interlaced images shorter than the first interlace stride
+    // (measured: 5x4 and 8x4 round-trip wrong, every h >= 5 exact) —
+    // a WRITER-side fixture constraint, not a decode-path branch
+    val g2 = gif(2L, 5, 5, 1)
+    val rows = Seq((1L, g1), (2L, g2),
+      (91L, g1.take(g1.length * 3 / 5)), // dies mid-frame
+      (92L, g1.dropRight(2)),            // clean cut, trailer missing
+      (93L, "not a video".getBytes("UTF-8")),
+      (94L, Array.empty[Byte]))
+    val out = Multimodal.decodeFrames(
+        rows.toDF("media_id", "payload"), "payload")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) -> r)
+      .toMap
+    assert(out.size == 3 + 1 + 4,
+      s"3 + 1 frame rows plus ONE null row per torn payload: ${out.size}")
+    for (f <- 0 until 3) {
+      val r = out((1L, f))
+      assert(r.getInt(3) == 7 && r.getInt(4) == 6 && r.getInt(5) == 3,
+        s"frame dims for (1, $f)")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](6),
+        ramp(1L, f, 7, 6)), s"frame $f must decode byte-exact")
+    }
+    assert(java.util.Arrays.equals(out((2L, 0)).getAs[Array[Byte]](6),
+      ramp(2L, 0, 5, 5)), "single-frame gif decodes")
+    Seq(91L, 92L, 93L, 94L).foreach { i =>
+      val r = out((i, -1))
+      assert(r.isNullAt(2) && r.isNullAt(6),
+        s"torn payload $i must yield one null row (no silent prefix)")
+    }
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
     val docs = Seq((1L, "0123456789" * 20), (2L, "abc")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs)
