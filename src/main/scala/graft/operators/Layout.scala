@@ -92,4 +92,37 @@ object Layout {
       .sortWithinPartitions("zvalue")
     if (keepZValue) laid else laid.drop("zvalue")
   }
+
+  /** Append a new batch to a z-ordered parquet directory — O(new),
+    * never O(table): the batch is z-laid within ITSELF (its own
+    * min/max epoch) and lands as new files; existing files are never
+    * rewritten. Epoch-local bucketing means z-VALUES are not
+    * comparable across epochs — they don't need to be: scan pruning
+    * is PHYSICAL (each row group's min/max on the dimension columns
+    * stays tight because each epoch is curve-clustered), not a
+    * property of one global z scale. The daily-admission shape of the
+    * exact-index growth loop (q101) applied to layout. Many appends
+    * accumulate files and per-file z-spans overlap across epochs —
+    * [[compactZOrdered]] is the remediation tier, exactly as Bloom
+    * compaction remediates fpp drift. */
+  def zOrderAppend(batch: DataFrame, cols: Seq[String], bits: Int,
+                   numPartitions: Int, path: String): Unit =
+    zOrderBy(batch, cols, bits, numPartitions)
+      .write.mode("append").parquet(path)
+
+  /** Re-layout an appended z-ordered directory into one clean epoch
+    * at `outPath` — one read + one range shuffle over the current
+    * table, bounded by table size like any OPTIMIZE-style compaction,
+    * run on the drift signal (file count, or measured rows-read
+    * regression on a probe box) rather than per append. Writes to a
+    * NEW directory: swapping the live pointer is the caller's
+    * stage-boundary move (the Seasons discipline — readers never see
+    * a half-compacted table; pair with the epoch-token pattern of
+    * the durable indexes for crash consistency). */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession,
+                      inPath: String, outPath: String, cols: Seq[String],
+                      bits: Int, numPartitions: Int): Unit =
+    zOrderBy(spark.read.parquet(inPath).drop("zvalue"), cols, bits,
+      numPartitions)
+      .write.mode("error").parquet(outPath)
 }
