@@ -921,9 +921,13 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(s"$fix/embeddings_stream")
       val admitted = streaming.StreamingParse.annAdmissionStream(stream,
         "vec_id", "embedding", index, members, tau = 0.9, nProbe = 2)
-      runStreamToTable(s, admitted, "append", "ann_admission")
+      val out = runStreamToTable(s, admitted, "append", "ann_admission")
         .select($"vec_id", $"admitted", $"match_id")
         .orderBy($"vec_id")
+      // the stream is done once runStreamToTable returns — release the
+      // cached member arrays so they don't leak into later queries
+      members.unpersist()
+      out
     }),
 
     // Split-leakage audit: the corpus carries its own split labels;
@@ -1834,6 +1838,80 @@ object SparkEntry {
       ann.select($"query_id", $"neighbor_id".as("top1"))
         .join(probe.select($"query_id", $"recall"), Seq("query_id"))
         .crossJoin(broadcast(decision.select($"mean_recall", $"retrain")))
+        .orderBy($"query_id")
+    }),
+
+    // The drift loop CLOSED (q116 made drift measurable; this acts on
+    // it): planted clusters where the drifted batch provably breaks
+    // the frozen-geometry index — drifted members lean toward cell 1
+    // while their queries lean toward cell 2, so every nProbe=1 probe
+    // lands a cell without the true twin and pre-retrain recall is
+    // exactly 0 → driftDecision fires. The warm-start retrain
+    // (Lloyd seeded from the CURRENT centroids over the id%2 SAMPLE
+    // of the index's own durable rows — never a corpus refit) pulls
+    // centroid 1 toward the drifted region, every probe re-lands
+    // correctly, and post-retrain recall is exactly 1 → the decision
+    // clears. The oracle replays the ENTIRE arithmetic in SQL: seed
+    // choice, build Lloyd mean, frozen append assignment, the sampled
+    // warm refit with the keep-empty-cell coalesce, final
+    // re-assignment, both probe/top1 passes, brute-force truth and
+    // both decisions — a drift anywhere in the fit math breaks rows.
+    // The A/B generation swap + fresh-epoch discipline rides the same
+    // gate (pre reads the written index; post reads the swapped one).
+    "q123_ivf_drift_retrain" -> ((s, d) => {
+      val base = s.range(1, 21).select($"id".as("vec_id"),
+        expr("CASE WHEN id % 2 = 1 THEN array(1.0D, 0.0D, 0.0D, " +
+          "0.1D * CAST((id + 1) DIV 2 AS DOUBLE)) " +
+          "ELSE array(0.0D, 1.0D, 0.0D, 0.1D * CAST(id DIV 2 AS DOUBLE)) " +
+          "END").as("embedding"))
+      val drift = s.range(1, 11).select(($"id" + 100L).as("vec_id"),
+        expr("array(0.05D, 0.0D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val queries = s.range(1, 11).select(($"id" + 1000L).as("vec_id"),
+        expr("array(0.0D, 0.05D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val corpus = base.unionByName(drift)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val built = operators.Similarity.buildIvf(base, "vec_id",
+        "embedding", nCells = 2, lloydIters = 1)
+      val grown = operators.Similarity.appendToIvf(built, drift,
+        "vec_id", "embedding")
+      operators.Similarity.writeIvfIndexBucketed(grown, "q123_idx",
+        numBuckets = 2)
+      val pre = operators.Similarity.readIvfIndex(s, "q123_idx")
+      // materialize every pre-retrain result BEFORE the swap — the
+      // retrain drops the generation these plans read
+      val preAnn = loc(operators.Similarity.searchIvf(pre, queries,
+        "vec_id", "embedding", k = 1, nProbe = 1))
+      val preProbe = loc(operators.Similarity.recallProbe(preAnn, corpus,
+        queries, "vec_id", "embedding", k = 1))
+      val preDec = loc(operators.Similarity.driftDecision(preProbe,
+        minRecall = 0.9))
+      operators.Similarity.retrainIvfIndexBucketed(s, "q123_idx",
+        sample => sample.filter($"__rid" % 2 === 1), lloydIters = 1,
+        numBuckets = 2)
+      val post = operators.Similarity.readIvfIndex(s, "q123_idx")
+      val postAnn = operators.Similarity.searchIvf(post, queries,
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      val postProbe = operators.Similarity.recallProbe(postAnn, corpus,
+        queries, "vec_id", "embedding", k = 1)
+      val postDec = operators.Similarity.driftDecision(postProbe,
+        minRecall = 0.9)
+      preAnn.select($"query_id", $"neighbor_id".as("pre_top1"))
+        .join(postAnn.select($"query_id", $"neighbor_id".as("post_top1")),
+          Seq("query_id"))
+        .join(preProbe.select($"query_id", $"recall".as("pre_recall")),
+          Seq("query_id"))
+        .join(postProbe.select($"query_id", $"recall".as("post_recall")),
+          Seq("query_id"))
+        .crossJoin(broadcast(preDec.select($"mean_recall".as("pre_mean"),
+          $"retrain".as("retrain_fired"))))
+        .crossJoin(broadcast(postDec.select($"mean_recall".as("post_mean"),
+          $"retrain".as("post_retrain"))))
+        .select($"query_id", $"pre_top1", $"post_top1", $"pre_recall",
+          $"post_recall", $"pre_mean", $"post_mean", $"retrain_fired",
+          $"post_retrain")
         .orderBy($"query_id")
     }),
 
@@ -3211,6 +3289,141 @@ object SparkEntry {
            1.0::DOUBLE AS mean_recall, FALSE AS retrain
          FROM r WHERE rank = 1
          ORDER BY query_id""",
+
+    // the complete drift-retrain arithmetic replayed: build seeds +
+    // Lloyd mean, frozen append assignment, probe/top1 on the stale
+    // geometry, the id%2-sampled warm refit (keep-empty-cell
+    // coalesce), re-assignment, probe/top1 on the new geometry,
+    // brute-force truth, per-query recalls and both drift decisions
+    "q123_ivf_drift_retrain" ->
+      """WITH corpus_base AS (
+           SELECT i AS vec_id,
+             CASE WHEN i % 2 = 1
+               THEN [1.0, 0.0, 0.0, 0.1 * ((i + 1) // 2)]
+               ELSE [0.0, 1.0, 0.0, 0.1 * (i // 2)] END::DOUBLE[] AS v
+           FROM range(1, 21) t(i)),
+         drift AS (
+           SELECT 100 + i AS vec_id,
+             [0.05, 0.0, 1.0, 0.1 * i]::DOUBLE[] AS v
+           FROM range(1, 11) t(i)),
+         queries AS (
+           SELECT 1000 + i AS query_id,
+             [0.0, 0.05, 1.0, 0.1 * i]::DOUBLE[] AS qv
+           FROM range(1, 11) t(i)),
+         seeds AS (SELECT vec_id AS cell, v AS cvec FROM corpus_base
+           WHERE vec_id <= 2),
+         assign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT b.vec_id, s.cell, row_number() OVER
+               (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, s.cvec) /
+                  (sqrt(list_dot_product(b.v, b.v)) *
+                   sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                  s.cell) AS rn
+             FROM corpus_base b CROSS JOIN seeds s) WHERE rn = 1),
+         cents AS (
+           SELECT a.cell, [avg(b.v[1]), avg(b.v[2]), avg(b.v[3]),
+             avg(b.v[4])]::DOUBLE[] AS cvec
+           FROM corpus_base b JOIN assign0 a USING (vec_id)
+           GROUP BY a.cell),
+         corpus AS (SELECT * FROM corpus_base UNION ALL
+           SELECT * FROM drift),
+         pre_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+         pre_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN cents ct) WHERE rn = 1),
+         pre_top AS (
+           SELECT query_id, vec_id AS pre_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN pre_probe p USING (query_id)
+               JOIN pre_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         sample_assign AS (
+           SELECT vec_id, cell FROM pre_assign WHERE vec_id % 2 = 1),
+         refit AS (
+           SELECT sa.cell, [avg(c.v[1]), avg(c.v[2]), avg(c.v[3]),
+             avg(c.v[4])]::DOUBLE[] AS cvec
+           FROM corpus c JOIN sample_assign sa USING (vec_id)
+           GROUP BY sa.cell),
+         new_cents AS (
+           SELECT ct.cell, coalesce(r.cvec, ct.cvec) AS cvec
+           FROM cents ct LEFT JOIN refit r ON r.cell = ct.cell),
+         post_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_top AS (
+           SELECT query_id, vec_id AS post_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN post_probe p USING (query_id)
+               JOIN post_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         truth AS (
+           SELECT query_id, vec_id AS true_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q CROSS JOIN corpus c) WHERE rn = 1),
+         rec AS (
+           SELECT t.query_id, pr.pre_top1, po.post_top1,
+             round(CASE WHEN pr.pre_top1 = t.true_top1 THEN 1.0
+               ELSE 0.0 END, 6)::DOUBLE AS pre_recall,
+             round(CASE WHEN po.post_top1 = t.true_top1 THEN 1.0
+               ELSE 0.0 END, 6)::DOUBLE AS post_recall
+           FROM truth t JOIN pre_top pr USING (query_id)
+             JOIN post_top po USING (query_id)),
+         dec AS (
+           SELECT round(avg(pre_recall), 6)::DOUBLE AS pre_mean,
+             round(avg(post_recall), 6)::DOUBLE AS post_mean,
+             avg(pre_recall) < 0.9 AS retrain_fired,
+             avg(post_recall) < 0.9 AS post_retrain
+           FROM rec)
+         SELECT r.query_id, r.pre_top1, r.post_top1, r.pre_recall,
+           r.post_recall, d.pre_mean, d.post_mean, d.retrain_fired,
+           d.post_retrain
+         FROM rec r CROSS JOIN dec d
+         ORDER BY r.query_id""",
 
     // the engine's entire translate+regexp normalization chain,
     // replayed stage-for-stage (chr() codes stand in for the planted

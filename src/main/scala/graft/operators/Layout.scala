@@ -116,13 +116,74 @@ object Layout {
     * run on the drift signal (file count, or measured rows-read
     * regression on a probe box) rather than per append. Writes to a
     * NEW directory: swapping the live pointer is the caller's
-    * stage-boundary move (the Seasons discipline — readers never see
-    * a half-compacted table; pair with the epoch-token pattern of
-    * the durable indexes for crash consistency). */
+    * stage-boundary move — or, first-class, the pointer-rooted
+    * lifecycle below ([[writeZOrderedEpoch]] / [[zOrderAppendLive]] /
+    * [[compactZOrderedLive]]), which gives layout epochs the same
+    * crash story as the durable index families. */
   def compactZOrdered(spark: org.apache.spark.sql.SparkSession,
                       inPath: String, outPath: String, cols: Seq[String],
                       bits: Int, numPartitions: Int): Unit =
     zOrderBy(spark.read.parquet(inPath).drop("zvalue"), cols, bits,
       numPartitions)
       .write.mode("error").parquet(outPath)
+
+  // --------------------------------------------------------------
+  // pointer-rooted lifecycle: root/_graft_live names the serving
+  // epoch directory ([[graft.sources.Sinks.swapEpochPointer]])
+
+  /** Initial epoch of a POINTER-ROOTED z-ordered table: the laid-out
+    * rows write to a fresh `epoch_<uuid>` directory under `root`, and
+    * only a COMPLETE write can swap in as live (the pointer primitive
+    * refuses a marker-less directory). Returns the epoch directory
+    * name. Crash anywhere before the swap leaves either nothing or an
+    * unreferenced partial directory — a reader refuses loudly (no
+    * pointer) rather than seeing a partial table. */
+  def writeZOrderedEpoch(df: DataFrame, root: String, cols: Seq[String],
+                         bits: Int, numPartitions: Int): String = {
+    val epoch = s"epoch_${java.util.UUID.randomUUID()}"
+    zOrderBy(df, cols, bits, numPartitions)
+      .write.mode("error").parquet(s"$root/$epoch")
+    graft.sources.Sinks.swapEpochPointer(df.sparkSession, root, epoch)
+    epoch
+  }
+
+  /** The live epoch of a pointer-rooted z-ordered table, as a
+    * DataFrame — resolves `root/_graft_live` and refuses a missing or
+    * incomplete epoch instead of reading half a table. */
+  def readZOrderedLive(spark: org.apache.spark.sql.SparkSession,
+                       root: String): DataFrame =
+    spark.read.parquet(
+      graft.sources.Sinks.resolveEpochPointer(spark, root))
+
+  /** [[zOrderAppend]] into the LIVE epoch — O(new) growth without a
+    * pointer move: Spark's job commit stages new files under
+    * `_temporary` and renames them in atomically at commit, so a
+    * crash mid-append leaves the old files intact and the staging
+    * junk invisible to readers (underscore paths are skipped). */
+  def zOrderAppendLive(batch: DataFrame, cols: Seq[String], bits: Int,
+                       numPartitions: Int, root: String): Unit =
+    zOrderAppend(batch, cols, bits, numPartitions,
+      graft.sources.Sinks.resolveEpochPointer(batch.sparkSession, root))
+
+  /** OPTIMIZE-style compaction of a pointer-rooted table, crash-safe
+    * end to end: the clean epoch writes to a fresh directory BESIDE
+    * the live one, the pointer swap is the atomic commit (readers see
+    * the old epoch until the instant it lands, the new one after —
+    * never a mix, never a partial: the swap itself refuses a
+    * marker-less directory), and the superseded epoch deletes LAST,
+    * best-effort (a crash before the delete leaves dead files, never
+    * a wrong read). Returns the new epoch directory name. */
+  def compactZOrderedLive(spark: org.apache.spark.sql.SparkSession,
+                          root: String, cols: Seq[String], bits: Int,
+                          numPartitions: Int): String = {
+    val live = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    val epoch = s"epoch_${java.util.UUID.randomUUID()}"
+    compactZOrdered(spark, live, s"$root/$epoch", cols, bits,
+      numPartitions)
+    graft.sources.Sinks.swapEpochPointer(spark, root, epoch)
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    liveP.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(liveP, true)
+    epoch
+  }
 }

@@ -233,8 +233,11 @@ object Multimodal {
     * the audio sibling of [[channelSums]] (the shape a loudness /
     * DC-offset / silence-detect feature takes). Channel count is a
     * per-row COLUMN (mono and stereo clips share a corpus), so the
-    * interleave stride varies row to row; null pcm or null channels →
-    * null sums. Pure per-row arithmetic in the codec boundary. */
+    * interleave stride varies row to row; null pcm, null channels, or
+    * a non-positive channel count (corrupt metadata) → null sums —
+    * the module's corrupt-row-yields-null discipline holds even when
+    * the channels column comes from somewhere other than
+    * [[decodeWav]]. Pure per-row arithmetic in the codec boundary. */
   def pcmChannelSums(df: DataFrame, pcmCol: String,
                      channelsCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -246,7 +249,8 @@ object Multimodal {
       it.map { row =>
         val pcm = row.getAs[Array[Byte]](pIdx)
         val sums =
-          if (pcm == null || row.isNullAt(cIdx)) null
+          if (pcm == null || row.isNullAt(cIdx) || row.getInt(cIdx) <= 0)
+            null
           else {
             val channels = row.getInt(cIdx)
             val s = new Array[Long](channels)
@@ -308,8 +312,65 @@ object Multimodal {
     * cleanly BETWEEN frames would decode as a shorter sequence
     * (measured), so the spec's mandatory 0x3B trailer is required
     * before the frame count is trusted (strict: trailing garbage
-    * after the trailer also refuses). Failures ride the observe
-    * counter like the image/audio tiers. */
+    * after the trailer also refuses). The guard WALKS the GIF block
+    * structure ([[gifTrailerOffset]] — header, screen descriptor,
+    * color tables, extension/image sub-block chains) to locate the
+    * actual trailer position rather than inspecting the final byte,
+    * so appended garbage that happens to end in 0x3B still refuses
+    * (no 1/256 heuristic gap). Failures ride the observe counter like
+    * the image/audio tiers. */
+  /** Offset just PAST the GIF trailer byte (0x3B) located by walking
+    * the container's block structure per the GIF89a spec — header,
+    * logical screen descriptor, optional global color table, then a
+    * chain of extension (0x21: label + length-prefixed sub-blocks)
+    * and image (0x2C: descriptor + optional local color table + LZW
+    * min-code byte + sub-blocks) blocks until the trailer. Returns −1
+    * for any structural violation (truncation mid-block, unknown
+    * block introducer, missing trailer). A well-formed payload with
+    * nothing appended satisfies `gifTrailerOffset(b) == b.length`;
+    * appended garbage — even garbage ending in 0x3B — does not,
+    * because the walk finds the REAL trailer earlier. */
+  private[graft] def gifTrailerOffset(bytes: Array[Byte]): Int = {
+    val n = bytes.length
+    if (n < 14) return -1
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return -1
+    var pos = 6 + 7 // header + logical screen descriptor
+    val packed = bytes(10) & 0xFF
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 0x07) + 1))
+    // skip a length-prefixed sub-block chain starting at p; -1 on cut
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < n) {
+        val len = bytes(p) & 0xFF
+        p += 1
+        if (len == 0) return p
+        p += len
+      }
+      -1
+    }
+    while (pos < n) {
+      (bytes(pos) & 0xFF) match {
+        case 0x3B => return pos + 1
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          if (pos + 2 > n) return -1
+          pos = skipSubBlocks(pos + 2)
+          if (pos < 0) return -1
+        case 0x2C => // image descriptor (9 bytes after introducer)
+          if (pos + 10 > n) return -1
+          val ip = bytes(pos + 9) & 0xFF
+          var p = pos + 10
+          if ((ip & 0x80) != 0) p += 3 * (1 << ((ip & 0x07) + 1))
+          p += 1 // LZW minimum code size
+          if (p > n) return -1
+          pos = skipSubBlocks(p)
+          if (pos < 0) return -1
+        case _ => return -1
+      }
+    }
+    -1
+  }
+
   def decodeFrames(df: DataFrame, binaryCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("frame_no", IntegerType),
@@ -336,12 +397,13 @@ object Multimodal {
                   // container-integrity guard: a GIF cut cleanly
                   // BETWEEN frames decodes as a silent prefix (the
                   // reader just finds fewer images — measured), so
-                  // require the spec's mandatory 0x3B trailer before
-                  // trusting the frame count; mid-frame cuts throw on
-                  // their own below
+                  // walk the block structure to the spec's mandatory
+                  // 0x3B trailer and require it to be the FINAL byte
+                  // before trusting the frame count; mid-frame cuts
+                  // throw on their own below
                   val gifTorn =
                     reader.getFormatName.equalsIgnoreCase("gif") &&
-                    bytes(bytes.length - 1) != 0x3B.toByte
+                    gifTrailerOffset(bytes) != bytes.length
                   if (gifTorn) Nil
                   else {
                   // seekForwardOnly=false so getNumImages may search

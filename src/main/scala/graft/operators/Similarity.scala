@@ -33,9 +33,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** ANSI-safe similarity ratio: a zero (or null) norm product yields
+    * a NULL score instead of a DIVIDE_BY_ZERO task failure — under
+    * Spark's default ANSI mode a single zero-norm vector in a 100 TB
+    * corpus would otherwise kill the whole build/search job. A
+    * zero-norm vector has no direction, so it can never SCORE: every
+    * ranking here orders `DESC` (nulls last — an unscorable row is
+    * never elected a neighbor), and the argmax cell assignment's
+    * struct ordering places a null sim below every real one (an
+    * all-null row lands the smallest cell deterministically, staying
+    * counted without crashing the fit). The `when` guard is
+    * branch-evaluated in codegen, so the division never executes on
+    * the zero path. */
+  private[graft] def simRatio(num: Column, denom: Column): Column =
+    when(denom > lit(0.0), num / denom)
+
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    simRatio(dot(ad, bd), norm(ad) * norm(bd))
   }
 
   /** Deterministic ±1 random projection (Achlioptas 2001 "database-
@@ -77,7 +92,7 @@ object Similarity {
     * dot / (na · nb). */
   private def cosinePrenormed(qv: Column, cv: Column, qn: Column,
                               cn: Column): Column =
-    dot(asDouble(qv), asDouble(cv)) / (qn * cn)
+    simRatio(dot(asDouble(qv), asDouble(cv)), qn * cn)
 
   /** Materialize a small fitted frame (centroids, codebooks — nCells
     * or nSub·nCentroids rows) into a driver-local relation and release
@@ -288,14 +303,18 @@ object Similarity {
     * broadcast centroid table — ONE corpus scan, no corpus shuffle;
     * ties → smaller cell id. Shared by the Lloyd loop, the final
     * build assignment, and the [[appendToIvf]]/[[appendToIvfPq]]
-    * O(new) growth path (frozen centroids). */
+    * O(new) growth path (frozen centroids). A zero-norm vector (no
+    * direction, all sims null via [[simRatio]]) lands the smallest
+    * cell deterministically — the struct ordering places null sims
+    * below every real one — so corrupt rows stay counted instead of
+    * killing the build under ANSI division. */
   private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame): DataFrame =
     vecs.select(col(idCol), col(vecCol),
         norm(asDouble(col(vecCol))).as("__vn"))
       .crossJoin(broadcast(cents.withColumn("__cn", norm(col("cvec")))))
-      .withColumn("sim", dot(asDouble(col(vecCol)), col("cvec")) /
-        (col("__vn") * col("__cn")))
+      .withColumn("sim", simRatio(dot(asDouble(col(vecCol)), col("cvec")),
+        col("__vn") * col("__cn")))
       .groupBy(col(idCol))
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
 
@@ -356,6 +375,141 @@ object Similarity {
       index.corpusCells.unionByName(cellRows(newVecs, idCol, vecCol,
         assignCells(newVecs, idCol, vecCol, index.centroids))))
 
+  /** Warm-start Lloyd refinement of an EXISTING centroid table over a
+    * bounded SAMPLE — the fit half of the drift remediation
+    * ([[driftDecision]].retrain = true): `lloydIters` assign→mean
+    * steps seeded from the CURRENT centroids, scanning only `sample`
+    * (size it like a [[recallProbe]] sample budget — hundreds to
+    * thousands of rows per cell, never the corpus; the spec pins that
+    * the fit's scans touch the sample alone). Unlike [[buildIvf]] —
+    * whose cold seeds make an empty cell meaningless — a cell that
+    * draws NO sample member KEEPS its previous centroid (left join +
+    * coalesce, the [[buildPq]] dense-codebook discipline): retrain
+    * must never shrink the probe space on sampling luck, because the
+    * corpus rows assigned to that cell are still real and a dropped
+    * centroid would orphan them at re-assignment. Returned frame is
+    * driver-local ([[localCopy]]) like every fitted artifact here. */
+  def retrainIvfCentroids(current: DataFrame, sample: DataFrame,
+                          idCol: String, vecCol: String,
+                          lloydIters: Int = 1): DataFrame = {
+    require(lloydIters >= 1, "need lloydIters >= 1")
+    var cents = current.select(col("cell"), col("cvec")).localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignCells(sample, idCol, vecCol, cents)
+      val refined = sample.join(assigned, idCol)
+        .select(col("cell"),
+          posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+          .as("pairs"))
+        .select(col("cell"),
+          expr("transform(pairs, p -> p.m)").as("__rv"))
+      cents = Iterate.advance(cents,
+        cents.join(refined, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("__rv"), col("cvec")).as("cvec")))
+    }
+    localCopy(cents)
+  }
+
+  /** Retrain an in-memory [[IvfIndex]] after [[driftDecision]] fires:
+    * warm-start centroids over the bounded `sample`
+    * ([[retrainIvfCentroids]] — O(sample) fit), then ONE full
+    * re-assignment pass of the index's own `corpusCells` float rows
+    * against the new centroids (O(corpus) scan, the irreducible cost
+    * of moving every vector to its new argmax cell — but a single
+    * broadcast-argmax pass, never an O(corpus) re-FIT: the Lloyd
+    * iterations the build paid over the whole corpus are paid here
+    * over the sample alone). The corpusCells table is the durable
+    * source of truth exactly as the exact-dedup hash table is for
+    * [[graft.operators.Dedup.compactExactIndex]] — no external corpus
+    * re-read. */
+  def retrainIvf(index: IvfIndex, sample: DataFrame, idCol: String,
+                 vecCol: String, lloydIters: Int = 1): IvfIndex = {
+    val newCents = retrainIvfCentroids(index.centroids, sample, idCol,
+      vecCol, lloydIters)
+    val vecs = index.corpusCells
+      .select(col("neighbor_id").as("__rid"), col("__cv").as("__rvec"))
+    IvfIndex(newCents,
+      cellRows(vecs, "__rid", "__rvec",
+        assignCells(vecs, "__rid", "__rvec", newCents)))
+  }
+
+  /** The A/B generation pair for a durable IVF cells table: retrain
+    * writes the NEW generation beside the live one (a bucketed table
+    * cannot be overwritten from a plan that reads it, and doing so
+    * would yank files under live readers), then flips the meta
+    * pointer — the one-row write that is already this family's commit
+    * point. */
+  private def ivfOtherCells(prefix: String, live: String): String =
+    if (live == s"${prefix}_cells") s"${prefix}_cells_b"
+    else s"${prefix}_cells"
+
+  /** [[readIvfIndex]] plus the resolved live cells-table name (meta
+    * generations written before the retrain API carried no pointer
+    * column — those resolve to the original `_cells` name). */
+  private def readIvfIndexResolved(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (IvfIndex, String) = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val cellsTable =
+      if (meta.schema.fieldNames.contains("cells_table"))
+        meta.getAs[String]("cells_table")
+      else s"${prefix}_cells"
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(cellsTable, s"${prefix}_centroids"),
+      meta.getAs[String]("epoch"))
+    (IvfIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(cellsTable)), cellsTable)
+  }
+
+  /** Retrain a DURABLE IVF index in place after its [[driftDecision]]
+    * fires — the remediation the drift gate was missing: everything
+    * derives from the index's own tables (the
+    * [[graft.operators.Dedup.compactExactIndex]] discipline — no
+    * corpus re-read). `sampleFilter` bounds the fit: it receives the
+    * durable cells rows re-shaped as (`__rid`, `__rvec`) and must
+    * return the bounded fit sample (a hash-mod or per-cell-capped
+    * slice; the retrain scans ONLY what it returns during the Lloyd
+    * steps).
+    *
+    * GENERATION SWAP, crash-stated: (1) the re-assigned cells write
+    * to the ALTERNATE table of the A/B pair — live readers and a
+    * crash here see the old generation untouched; (2) the centroids
+    * table rewrites from the driver-local fitted frame (its Overwrite
+    * wipes the old epoch token, so a crash from here on refuses
+    * loudly at [[readIvfIndex]] — the append path's poison-window
+    * semantics); (3) a FRESH epoch stamps the new pair; (4) the meta
+    * rewrite commits, flipping the cells pointer atomically with the
+    * epoch; (5) the superseded generation drops (best-effort — a
+    * crash between 4 and 5 leaves dead files, never a wrong or
+    * refused read). */
+  def retrainIvfIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                              prefix: String,
+                              sampleFilter: DataFrame => DataFrame,
+                              lloydIters: Int = 1,
+                              numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val (index, liveCells) = readIvfIndexResolved(spark, prefix)
+    val vecs = index.corpusCells
+      .select(col("neighbor_id").as("__rid"), col("__cv").as("__rvec"))
+    val newCents = retrainIvfCentroids(index.centroids,
+      sampleFilter(vecs), "__rid", "__rvec", lloydIters)
+    val other = ivfOtherCells(prefix, liveCells)
+    val newCells = cellRows(vecs, "__rid", "__rvec",
+      assignCells(vecs, "__rid", "__rvec", newCents))
+    graft.sources.Sinks.writeBucketed(newCells, other, Seq("cell"),
+      numBuckets)
+    graft.sources.Sinks.writeTable(newCents, s"${prefix}_centroids")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(other, s"${prefix}_centroids"))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, other)).toDF("epoch", "cells_table"),
+      s"${prefix}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS $liveCells")
+  }
+
   /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
     * probe-join key; [[searchIvf]] over a reopened index leaves the
     * corpus side unshuffled), the small `centroids` as a plain table,
@@ -375,20 +529,18 @@ object Similarity {
     graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       Seq(s"${prefix}_cells", s"${prefix}_centroids"))
-    graft.sources.Sinks.writeTable(Seq(epoch).toDF("epoch"),
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, s"${prefix}_cells")).toDF("epoch", "cells_table"),
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfIndexBucketed]]; refuses a
-    * torn same-prefix rebuild (epoch-token mismatch). */
+  /** Reopen an index written by [[writeIvfIndexBucketed]] (or swapped
+    * in place by [[retrainIvfIndexBucketed]] — the meta's pointer
+    * column resolves the live A/B generation); refuses a torn
+    * same-prefix rebuild (epoch-token mismatch). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                   prefix: String): IvfIndex = {
-    val epoch = spark.table(s"${prefix}_meta").collect()(0).getString(0)
-    graft.sources.Sinks.requireEpoch(spark,
-      Seq(s"${prefix}_cells", s"${prefix}_centroids"), epoch)
-    IvfIndex(spark.table(s"${prefix}_centroids"),
-      spark.table(s"${prefix}_cells"))
-  }
+                   prefix: String): IvfIndex =
+    readIvfIndexResolved(spark, prefix)._1
 
   /** Search a built IVF index: queries rank the (broadcast) centroid
     * table, probe only their `nProbe` nearest cells, and exact cosine
@@ -399,8 +551,8 @@ object Similarity {
     val qScores = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), norm(asDouble(col(vecCol))).as("__qn"))
       .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
-      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
-        (col("__qn") * col("__ctn")))
+      .withColumn("sim", simRatio(dot(asDouble(col("__qv")), col("cvec")),
+        col("__qn") * col("__ctn")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell"))
     val probes = qScores.withColumn("pr", row_number().over(probeW))
@@ -574,9 +726,9 @@ object Similarity {
       .withColumn("__sqs", expr("aggregate(__qs, 0.0D, (a, x) -> a + x)"))
     val scored = index.codes.crossJoin(broadcast(qp))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
-        (col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
-          + lit(128.0) * col("__sqs")) / (col("__qn") * col("cnorm")))
+      .withColumn("approx_cos", simRatio(
+        col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
+          + lit(128.0) * col("__sqs"), col("__qn") * col("cnorm")))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
     val cands = scored.withColumn("arank", row_number().over(wA))
@@ -694,8 +846,8 @@ object Similarity {
       .withColumn("__sqs", expr("aggregate(__qs, 0.0D, (a, x) -> a + x)"))
     val qScores = qp
       .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
-      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
-        (col("__qn") * col("__ctn")))
+      .withColumn("sim", simRatio(dot(asDouble(col("__qv")), col("cvec")),
+        col("__qn") * col("__ctn")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell"))
     val probes = qScores.withColumn("pr", row_number().over(probeW))
@@ -705,9 +857,9 @@ object Similarity {
     // approximate pass: touches only probed cells, reads only codes
     val scored = probes.join(index.cellCodes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
-        (col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
-          + lit(128.0) * col("__sqs")) / (col("__qn") * col("cnorm")))
+      .withColumn("approx_cos", simRatio(
+        col("__qmn") + dot(col("__qs"), col("codes").cast("array<double>"))
+          + lit(128.0) * col("__sqs"), col("__qn") * col("cnorm")))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
     val cands = scored.withColumn("arank", row_number().over(wA))
@@ -837,14 +989,14 @@ object Similarity {
     * code-word length in the same expression (an unused check column
     * would be pruned away) — a stale index whose geometry predates a
     * rebuild must fail loudly, not rank garbage. */
-  private def adcCosine(nSub: Int, ks: Int): Column =
+  private def adcCosine(nSub: Int, ks: Int): Column = simRatio(
     expr(s"CASE WHEN size(codes) != $nSub THEN " +
       s"CAST(raise_error(concat('graft PQ: code word length ', " +
       s"CAST(size(codes) AS STRING), ' != nSub = $nSub " +
       "(stale or mismatched index?)')) AS DOUBLE) " +
       s"ELSE aggregate(sequence(0, ${nSub - 1}), 0.0D, " +
-      s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)]) END") /
-    (col("__qn") * col("cnorm"))
+      s"(a, i) -> a + __lut[i * $ks + CAST(codes[i] AS INT)]) END"),
+    col("__qn") * col("cnorm"))
 
   /** Oversampled-candidate selection + exact float rerank shared by
     * the PQ search paths: top `k·oversample` per query by the
@@ -1090,8 +1242,8 @@ object Similarity {
       .join(qlut, Seq("query_id"))
     val qScores = qp
       .crossJoin(broadcast(index.centroids.withColumn("__ctn", norm(col("cvec")))))
-      .withColumn("sim", dot(asDouble(col("__qv")), col("cvec")) /
-        (col("__qn") * col("__ctn")))
+      .withColumn("sim", simRatio(dot(asDouble(col("__qv")), col("cvec")),
+        col("__qn") * col("__ctn")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell"))
     val probes = qScores.withColumn("pr", row_number().over(probeW))
@@ -1131,10 +1283,21 @@ object Similarity {
     * instead of ranking one generation's codes against another's
     * codebooks. */
   /** The four data tables of a durable IVF×PQ index (epoch-validated
-    * together on read). */
-  private def ivfPqTables(prefix: String): Seq[String] =
-    Seq(s"${prefix}_cell_codes", s"${prefix}_codebooks",
+    * together on read). `codesTable` is the live A/B generation of
+    * the scan side — the original `_cell_codes` until a
+    * [[retrainIvfPqIndexBucketed]] swap. */
+  private def ivfPqTables(prefix: String, codesTable: String): Seq[String] =
+    Seq(codesTable, s"${prefix}_codebooks",
       s"${prefix}_centroids", s"${prefix}_cell_stats")
+
+  /** Resolve the live cell-codes table of a durable IVF×PQ index from
+    * its meta (pre-retrain-API generations carried no pointer column
+    * and resolve to the original name). */
+  private def ivfPqCodesTable(meta: org.apache.spark.sql.Row,
+                              prefix: String): String =
+    if (meta.schema.fieldNames.contains("codes_table"))
+      meta.getAs[String]("codes_table")
+    else s"${prefix}_cell_codes"
 
   def writeIvfPqIndexBucketed(index: IvfPqIndex, prefix: String,
                               numBuckets: Int = 64): Unit = {
@@ -1156,25 +1319,29 @@ object Similarity {
         .agg(count(lit(1)).as("n_built"))
         .withColumn("n_appended", lit(0L)),
       s"${prefix}_cell_stats")
-    val epoch = graft.sources.Sinks.stampEpoch(spark, ivfPqTables(prefix))
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      ivfPqTables(prefix, s"${prefix}_cell_codes"))
     graft.sources.Sinks.writeTable(
-      Seq((index.nSub, index.nCentroids, epoch))
-        .toDF("n_sub", "n_centroids", "epoch"),
+      Seq((index.nSub, index.nCentroids, epoch, s"${prefix}_cell_codes"))
+        .toDF("n_sub", "n_centroids", "epoch", "codes_table"),
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfPqIndexBucketed]]; refuses a
-    * torn same-prefix rebuild or a torn in-place append (epoch-token
+  /** Reopen an index written by [[writeIvfPqIndexBucketed]] (the
+    * meta's pointer column resolves the live A/B codes generation
+    * after a [[retrainIvfPqIndexBucketed]] swap); refuses a torn
+    * same-prefix rebuild or a torn in-place append (epoch-token
     * mismatch). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      prefix: String): IvfPqIndex = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
-    graft.sources.Sinks.requireEpoch(spark, ivfPqTables(prefix),
-      meta.getString(2))
-    IvfPqIndex(meta.getInt(0), meta.getInt(1),
+    val codesTable = ivfPqCodesTable(meta, prefix)
+    graft.sources.Sinks.requireEpoch(spark, ivfPqTables(prefix, codesTable),
+      meta.getAs[String]("epoch"))
+    IvfPqIndex(meta.getAs[Int]("n_sub"), meta.getAs[Int]("n_centroids"),
       spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_codebooks"),
-      spark.table(s"${prefix}_cell_codes"))
+      spark.table(codesTable))
   }
 
   /** The per-cell growth ledger of a durable index (`cell`, `n_built`,
@@ -1225,7 +1392,8 @@ object Similarity {
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     val oldStats = spark.table(s"${prefix}_cell_stats")
       .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    val codesTable = s"${prefix}_cell_codes"
+    val codesTable = ivfPqCodesTable(
+      spark.table(s"${prefix}_meta").collect()(0), prefix)
     val tableMeta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(codesTable))
     val numBuckets = tableMeta.bucketSpec
@@ -1252,11 +1420,134 @@ object Similarity {
         spark.table(s"${prefix}_cell_stats").schema),
       s"${prefix}_cell_stats")
     // 4–5. fresh epoch everywhere, then the meta commit
-    val epoch = graft.sources.Sinks.stampEpoch(spark, ivfPqTables(prefix))
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      ivfPqTables(prefix, codesTable))
     graft.sources.Sinks.writeTable(
-      Seq((index.nSub, index.nCentroids, epoch))
-        .toDF("n_sub", "n_centroids", "epoch"),
+      Seq((index.nSub, index.nCentroids, epoch, codesTable))
+        .toDF("n_sub", "n_centroids", "epoch", "codes_table"),
       s"${prefix}_meta")
+  }
+
+  /** Warm-start Lloyd refinement of an EXISTING PQ codebook over a
+    * bounded sample — the PQ half of the drift remediation: per
+    * subspace, `lloydIters` assign→mean steps seeded from the CURRENT
+    * codebook, scanning only `sample`'s sub-vectors. The
+    * dense-codebook discipline carries over from [[buildPq]]
+    * unchanged (a cid that draws no sample member keeps its previous
+    * sub-vector — the flat ADC LUT indexes positionally and every
+    * slot must exist), and here it doubles as the sampling-luck
+    * guard: geometry the sample misses stays where the build left it
+    * instead of collapsing. Returns the driver-local
+    * (sub, cid, cvec, cn2) grid ready for [[pqEncode]]. */
+  def retrainPqCodebooks(current: DataFrame, sample: DataFrame,
+                         idCol: String, vecCol: String, nSub: Int,
+                         lloydIters: Int = 1): DataFrame = {
+    require(lloydIters >= 1, "need lloydIters >= 1")
+    val svecs = subVectors(
+      sample.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+      idCol, nSub)
+    var books = current.select(col("sub"), col("cid"), col("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val a = pqAssign(svecs, idCol, books)
+      val refined = svecs.join(a, Seq(idCol, "sub"))
+        .select(col("sub"), col("cid"),
+          posexplode(col("svec")).as(Seq("j", "x")))
+        .groupBy("sub", "cid", "j").agg(avg("x").as("m"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("p"))
+        .select(col("sub"), col("cid"),
+          expr("transform(p, q -> q.m)").as("m"))
+      books = Iterate.advance(books,
+        books.join(refined, Seq("sub", "cid"), "left")
+          .select(col("sub"), col("cid"),
+            coalesce(col("m"), col("cvec")).as("cvec")))
+    }
+    localCopy(books).withColumn("cn2", dot(col("cvec"), col("cvec")))
+  }
+
+  /** Retrain an in-memory [[IvfPqIndex]] after [[driftDecision]]
+    * fires — the remediation the drift gate points at: warm-start the
+    * coarse centroids AND the PQ codebooks over the bounded `sample`
+    * ([[retrainIvfCentroids]] / [[retrainPqCodebooks]] — both
+    * O(sample) fits seeded from the CURRENT geometry, never a cold
+    * O(corpus) Lloyd), then ONE full re-assign + re-encode pass of
+    * `corpus` against the new geometry ([[buildIvfPq]]'s final
+    * composition — the irreducible cost of re-quantizing every
+    * vector, a single broadcast-argmax/argmin scan). `corpus` must be
+    * passed in because the IVF×PQ scan side deliberately stores
+    * 8-byte codes, not floats — re-encoding needs the float source
+    * (contrast [[retrainIvf]], whose cells table carries the floats
+    * and needs nothing external). */
+  def retrainIvfPq(index: IvfPqIndex, corpus: DataFrame, idCol: String,
+                   vecCol: String, sample: DataFrame,
+                   lloydIters: Int = 1): IvfPqIndex = {
+    val newCents = retrainIvfCentroids(index.centroids, sample, idCol,
+      vecCol, lloydIters)
+    val newBooks = retrainPqCodebooks(index.codebooks, sample, idCol,
+      vecCol, index.nSub, lloydIters)
+    val cells = assignCells(corpus, idCol, vecCol, newCents)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val cellCodes = pqEncode(corpus, idCol, vecCol, newBooks, index.nSub)
+      .join(cells, Seq("neighbor_id"))
+    IvfPqIndex(index.nSub, index.nCentroids, newCents, newBooks, cellCodes)
+  }
+
+  /** Retrain a DURABLE IVF×PQ index in place — closes the q116 drift
+    * loop: [[driftDecision]] fires → this runs → a fresh
+    * [[recallProbe]] recovers. Fit cost is O(`sample`); the one full
+    * re-encode pass over `corpus` writes the new generation BESIDE
+    * the live one (the A/B pair — a bucketed table can't be
+    * overwritten from a plan still serving readers), and the one-row
+    * meta rewrite is the atomic pointer+epoch flip. The growth ledger
+    * resets (n_built = the retrain assignment, n_appended = 0): a
+    * retrain absorbs every prior append into the new geometry, so the
+    * drift cue starts clean.
+    *
+    * Crash windows, stated: before the codebooks rewrite → the old
+    * generation serves untouched; from the codebooks/centroids/stats
+    * rewrites (driver-local sources, their Overwrites wipe the old
+    * epoch tokens) until the meta commit → [[readIvfPqIndex]] refuses
+    * loudly (the append path's poison semantics); after the meta
+    * commit → the new generation serves; the superseded codes table
+    * drops last, best-effort (a crash before the drop leaves dead
+    * files, never a wrong read). */
+  def retrainIvfPqIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                sample: DataFrame, lloydIters: Int = 1,
+                                numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val index = readIvfPqIndex(spark, prefix) // validates current epoch
+    val liveCodes = ivfPqCodesTable(
+      spark.table(s"${prefix}_meta").collect()(0), prefix)
+    val otherCodes =
+      if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
+      else s"${prefix}_cell_codes"
+    val retrained = retrainIvfPq(index, corpus, idCol, vecCol, sample,
+      lloydIters)
+    // 1. new scan-side generation writes beside the live one
+    graft.sources.Sinks.writeBucketed(retrained.cellCodes, otherCodes,
+      Seq("cell"), numBuckets)
+    // 2. geometry + ledger rewrite from driver-local fitted frames
+    graft.sources.Sinks.writeTable(retrained.codebooks,
+      s"${prefix}_codebooks")
+    graft.sources.Sinks.writeTable(retrained.centroids,
+      s"${prefix}_centroids")
+    graft.sources.Sinks.writeTable(
+      spark.table(otherCodes).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_built"))
+        .withColumn("n_appended", lit(0L)),
+      s"${prefix}_cell_stats")
+    // 3–4. fresh epoch on the new generation, then the pointer flip
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      ivfPqTables(prefix, otherCodes))
+    graft.sources.Sinks.writeTable(
+      Seq((index.nSub, index.nCentroids, epoch, otherCodes))
+        .toDF("n_sub", "n_centroids", "epoch", "codes_table"),
+      s"${prefix}_meta")
+    // 5. the superseded generation drops (best-effort)
+    spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the

@@ -220,6 +220,65 @@ object Sinks {
           "or write rebuilds to a fresh prefix")
     }
 
+  /** Commit a new live epoch for a DIRECTORY-backed table rooted at
+    * `root` (z-ordered layouts and any other epoch-per-directory
+    * store): `root/_graft_live` names the serving epoch subdirectory,
+    * and the swap is write-temp + ATOMIC RENAME-OVERWRITE
+    * (FileContext rename, posix/HDFS-atomic), so a reader resolves
+    * either the old epoch or the new one — never a mix and never a
+    * missing pointer. Refuses to point at an epoch directory without
+    * a job-commit marker ([[isCompleteOutput]]): a compaction that
+    * died mid-write can never be made live, which is the whole crash
+    * story — the half-written epoch sits unreferenced beside the
+    * still-serving old one until a re-run replaces it. The pointer
+    * analogue of the index families' epoch-token + meta-last
+    * discipline, for tables addressed by path instead of catalog
+    * name. */
+  def swapEpochPointer(spark: org.apache.spark.sql.SparkSession,
+                       root: String, epochDir: String): Unit = {
+    val rootP = new Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootP.getFileSystem(conf)
+    val target = new Path(rootP, epochDir)
+    require(isCompleteOutput(fs, target, conf),
+      s"refusing to swap live pointer to '$target' — the epoch " +
+        "directory is missing or has no job-commit marker (a compaction " +
+        "that died mid-write must never be made live); re-run the epoch " +
+        "write, then swap")
+    val tmp = new Path(rootP,
+      s"_graft_live.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(epochDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(rootP.toUri, conf)
+      .rename(tmp, new Path(rootP, "_graft_live"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the live epoch directory of a pointer-rooted table —
+    * refuses loudly when the pointer is missing (no epoch ever
+    * committed, or a crash before the first swap) or names an epoch
+    * that is no longer complete. */
+  def resolveEpochPointer(spark: org.apache.spark.sql.SparkSession,
+                          root: String): String = {
+    val rootP = new Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootP.getFileSystem(conf)
+    val live = new Path(rootP, "_graft_live")
+    require(fs.exists(live),
+      s"no live-epoch pointer at $live — the table has no committed " +
+        "epoch (write one, then swapEpochPointer)")
+    val in = fs.open(live)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val target = new Path(rootP, name.trim)
+    require(isCompleteOutput(fs, target, conf),
+      s"live-epoch pointer names '$target' but the directory is missing " +
+        "or incomplete — the epoch was deleted out from under the " +
+        "pointer; re-write and re-swap")
+    target.toString
+  }
+
   /** saveAsTable refuses a managed-table name whose warehouse
     * LOCATION survives from an earlier session (the default
     * in-memory catalog forgets tables across JVMs; the filesystem

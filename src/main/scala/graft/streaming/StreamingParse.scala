@@ -240,10 +240,20 @@ object StreamingParse {
     * state, plain append mode. A vector whose best probed cosine
     * reaches `tau` REJECTS (`admitted` false, `match_id` = the argmax
     * member, ties to the smaller id); below-tau, no-member,
-    * empty-vector and null-vector rows ADMIT (membership unprovable →
-    * admit, the q94 null-hash discipline). Pass `members` already
+    * empty-vector, null-vector and ZERO-NORM rows ADMIT (membership
+    * unprovable → admit, the q94 null-hash discipline; zero norms are
+    * gated out before probing — an ungated zero norm would either
+    * kill the micro-batch under ANSI division or, with ANSI off,
+    * produce a NaN cosine that Spark's NaN-sorts-greatest ordering
+    * ranks above tau and wrongly REJECTS). Pass `members` already
     * persisted — the stream-static contract re-plans the static side
-    * every micro-batch. Recall, honestly stated: like any IVF probe,
+    * every micro-batch. The centroid grid rides a one-row BROADCAST
+    * join (the full table folded into one array column, equi-joined
+    * on a constant key), not plan literals: per-micro-batch planning
+    * cost stays flat in nCells — the q117 literal→join graduation
+    * applied to the vector tier, so production vocab-scale centroid
+    * sets (thousands of cells) pay no per-trigger
+    * re-canonicalization. Recall, honestly stated: like any IVF probe,
     * a near-dup whose match lies outside the probed cells streams
     * through — same-direction duplicates land their source's cell by
     * construction (cell assignment is max-cosine), and the batch
@@ -254,24 +264,41 @@ object StreamingParse {
                          members: DataFrame, tau: Double,
                          nProbe: Int = 2): DataFrame = {
     import graft.operators.Similarity.{dot, norm}
-    val cents = index.centroids.collect().map { r =>
-      (r.getAs[Number](r.fieldIndex("cell")).longValue,
-        r.getSeq[Double](r.fieldIndex("cvec")).toArray)
-    }.sortBy(_._1)
-    require(cents.nonEmpty, "empty centroid table")
-    val probes = math.min(nProbe, cents.length)
+    // the whole centroid grid as ONE broadcastable row: the stream
+    // side equi-joins on a constant key and the centroids arrive as
+    // broadcast DATA, never as plan literals (nCells × dim doubles
+    // would otherwise re-canonicalize in every micro-batch plan)
+    val nCells = index.centroids.count().toInt
+    require(nCells > 0, "empty centroid table")
+    val probes = math.min(nProbe, nCells)
+    val centArr = index.centroids
+      .select(struct(col("cell").cast("long").as("cell"),
+        transform(col("cvec"), x => x.cast("double")).as("cvec"),
+        norm(col("cvec")).as("cn")).as("__c"))
+      .agg(collect_list(col("__c")).as("__cents"))
+      .withColumn("__gk", lit(1))
     val qv = col("__qv"); val qn = col("__qn")
     // ranked (−cosine, cell) structs: ascending array_sort = cosine
-    // desc, ties to the smaller cell — searchIvf's probe order
-    val ranked = array_sort(array(cents.map { case (cell, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      struct((-(dot(qv, typedLit(cv.toSeq)) / (qn * lit(cn)))).as("ns"),
-        lit(cell).as("cell"))
-    }: _*))
+    // desc, ties to the smaller cell — searchIvf's probe order. A
+    // zero-norm CENTROID scores null (ANSI-safe, ranked last by
+    // array_sort's nulls-last) rather than killing the micro-batch.
+    val ranked = array_sort(transform(col("__cents"), c =>
+      struct((-graft.operators.Similarity.simRatio(
+          dot(qv, c.getField("cvec")), qn * c.getField("cn"))).as("ns"),
+        c.getField("cell").as("cell"))))
+    // gate probing on a strictly POSITIVE norm: a zero-norm vector's
+    // cosines are 0/0 — a DIVIDE_BY_ZERO task failure under ANSI, or
+    // (ANSI off) NaN, which Spark's total ordering ranks above every
+    // double so `NaN >= tau` would wrongly REJECT; with no probe row
+    // such vectors fall through to null __best → admit, exactly the
+    // null-vector path
     val withProbes = (1 to probes).foldLeft(
-      vecs.withColumn("__qv", transform(col(vecCol), x => x.cast("double")))
+      vecs.withColumn("__gk", lit(1))
+        .join(broadcast(centArr), Seq("__gk"))
+        .withColumn("__qv", transform(col(vecCol), x => x.cast("double")))
         .withColumn("__qn", norm(col("__qv")))
-        .withColumn("__pr", when(col("__qn").isNotNull, ranked))) {
+        .withColumn("__pr",
+          when(col("__qn").isNotNull && col("__qn") > lit(0.0), ranked))) {
       case (df, j) =>
         df.withColumn(s"__pc$j", element_at(col("__pr"), j).getField("cell"))
     }
@@ -279,12 +306,17 @@ object StreamingParse {
       df.join(broadcast(members.select(col("cell").as(s"__pc$j"),
         col("members").as(s"__mm$j"))), Seq(s"__pc$j"), "left")
     }
-    // per-cell argmax as (sim, −id) struct max; NaN cosines (zero-norm
-    // vectors) never satisfy `>= tau`, so they admit like nulls do
-    def bestOf(mcol: Column): Column = array_max(transform(mcol, m =>
-      struct((dot(qv, m.getField("mv")) / (qn * m.getField("__cn")))
-          .as("sim"),
-        (-m.getField("neighbor_id")).as("nid"))))
+    // per-cell argmax as (sim, −id) struct max; a zero-norm INDEX
+    // member (query zero-norms never reach here — the probe gate
+    // above already admitted them) scores null via simRatio and is
+    // filtered out before the max, so it can neither throw under ANSI
+    // division nor be elected as the match
+    def bestOf(mcol: Column): Column = array_max(filter(
+      transform(mcol, m =>
+        struct(graft.operators.Similarity.simRatio(
+            dot(qv, m.getField("mv")), qn * m.getField("__cn")).as("sim"),
+          (-m.getField("neighbor_id")).as("nid"))),
+      s => s.getField("sim").isNotNull))
     val best = array_max(filter(
       array((1 to probes).map(j => bestOf(col(s"__mm$j"))): _*),
       b => b.isNotNull))
@@ -294,7 +326,7 @@ object StreamingParse {
           .otherwise(!(col("__best").getField("sim") >= lit(tau))))
       .withColumn("match_id",
         when(!col("admitted"), -col("__best").getField("nid")))
-      .drop((Seq("__qv", "__qn", "__pr", "__best") ++
+      .drop((Seq("__gk", "__cents", "__qv", "__qn", "__pr", "__best") ++
         (1 to probes).flatMap(j => Seq(s"__pc$j", s"__mm$j"))): _*)
   }
 

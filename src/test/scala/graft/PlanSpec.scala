@@ -854,4 +854,77 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "explode-based decode expected")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("z-order epoch pointer: a reader never sees a half-compacted table") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zroot").toString
+    val df = (1L to 300L).map(i => (i, i % 17, i % 5)).toDF("id", "dx", "dy")
+    // no pointer yet: reading refuses loudly instead of guessing
+    assert(intercept[IllegalArgumentException] {
+      Layout.readZOrderedLive(spark, root)
+    }.getMessage.contains("live-epoch pointer"))
+    Layout.writeZOrderedEpoch(df, root, Seq("dx", "dy"), bits = 4,
+      numPartitions = 4)
+    val batch = (301L to 350L).map(i => (i, i % 17, i % 5))
+      .toDF("id", "dx", "dy")
+    Layout.zOrderAppendLive(batch, Seq("dx", "dy"), bits = 4,
+      numPartitions = 2, root)
+    assert(Layout.readZOrderedLive(spark, root).count() == 350L)
+    // simulated crash MID-COMPACTION: a new epoch directory exists
+    // but its job-commit marker does not — the pointer still names
+    // the old epoch (readers unaffected), and the swap primitive
+    // refuses to make the torn epoch live
+    val torn = "epoch_torn_simulated"
+    df.limit(10).write.parquet(s"$root/$torn")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$torn/_SUCCESS"), false)
+    assert(Layout.readZOrderedLive(spark, root).count() == 350L,
+      "a torn unreferenced epoch must not affect readers")
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Sinks.swapEpochPointer(spark, root, torn)
+    }.getMessage.contains("job-commit marker"),
+      "the swap must refuse a marker-less epoch")
+    // the real compaction: atomic pointer flip, rows preserved, the
+    // superseded epoch gone
+    val before = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    Layout.compactZOrderedLive(spark, root, Seq("dx", "dy"), bits = 4,
+      numPartitions = 2)
+    val after = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    assert(after != before, "the pointer must flip to the new epoch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(before)),
+      "the superseded epoch deletes after the flip")
+    assert(Layout.readZOrderedLive(spark, root).count() == 350L)
+  }
+
+  test("annAdmissionStream: centroid grid rides a broadcast join; plan flat at nCells ≈ 1k") {
+    // the q117 literal→join graduation for the vector tier: the
+    // centroid grid must arrive as broadcast DATA, never as plan
+    // literals — at nCells ≈ 1k a literal array (nCells × dim doubles
+    // re-canonicalized per micro-batch plan) is the cost ceiling the
+    // operator's own scaladoc used to carry
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 2048L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    def plans(nCells: Int): (Int, String) = {
+      val idx = Similarity.buildIvf(corpus, "vec_id", "embedding",
+        nCells = nCells, lloydIters = 1)
+      val members = Similarity.cellMembers(idx)
+      val out = graft.streaming.StreamingParse.annAdmissionStream(
+        corpus.limit(4), "vec_id", "embedding", idx, members,
+        tau = 0.9, nProbe = 2)
+      (out.queryExecution.optimizedPlan.toString.length,
+        out.queryExecution.executedPlan.toString)
+    }
+    val (small, _) = plans(8)
+    val (big, physical) = plans(1024)
+    assert(physical.contains("BroadcastHashJoin"),
+      "centroid grid must join in, not inline as literals")
+    assert(big < small * 4 && big < 200000,
+      s"plan size must stay flat in nCells: 8 cells → $small chars, " +
+        s"1024 cells → $big chars")
+  }
 }

@@ -658,4 +658,128 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.searchPq(pq, corpus, queries, "vec_id", "embedding",
       k = 2).count() > 0)
   }
+
+  // ------------------------------------------------------------------
+  // warm-start drift retrain (the q116 drift loop CLOSED)
+
+  /** The q123 planted drift geometry: base clusters on e0 (odd ids
+    * 1..19) / e1 (even ids 2..20), a drifted batch on e2 leaning e0
+    * (ids 101..110), and queries on e2 leaning e1 (ids 1001..1010) —
+    * so every nProbe=1 probe of the FROZEN build geometry lands the
+    * cell without the true twin (recall 0) and one sampled warm Lloyd
+    * step pulls centroid 1 into the drifted region (recall 1). */
+  private def plantedDrift = {
+    val base = (1L to 20L).map { i =>
+      val k = if (i % 2 == 1) (i + 1) / 2 else i / 2
+      val v = if (i % 2 == 1) Seq(1.0, 0.0, 0.0, 0.1 * k)
+              else Seq(0.0, 1.0, 0.0, 0.1 * k)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val drift = (1L to 10L).map(i =>
+      (100L + i, Seq(0.05, 0.0, 1.0, 0.1 * i))).toDF("vec_id", "embedding")
+    val queries = (1L to 10L).map(i =>
+      (1000L + i, Seq(0.0, 0.05, 1.0, 0.1 * i))).toDF("vec_id", "embedding")
+    (base, drift, queries)
+  }
+
+  private def meanRecall(ann: org.apache.spark.sql.DataFrame,
+                         corpus: org.apache.spark.sql.DataFrame,
+                         queries: org.apache.spark.sql.DataFrame): Double =
+    Similarity.driftDecision(
+      Similarity.recallProbe(ann, corpus, queries, "vec_id", "embedding",
+        k = 1), minRecall = 0.9)
+      .collect()(0).getDouble(1)
+
+  test("retrainIvfCentroids: fit is sample-exact; a cell the sample misses keeps its centroid") {
+    val current = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "cvec")
+    // both sample rows assign to cell 1 (argmax cosine); cell 2 draws
+    // nothing — the refit centroid must be EXACTLY the sample mean
+    // (any row beyond the sample entering the fit would shift it) and
+    // cell 2 must keep its previous centroid, not drop (retrain never
+    // shrinks the probe space on sampling luck)
+    val sample = Seq((101L, Seq(0.9, 0.1)), (102L, Seq(0.8, 0.0)))
+      .toDF("id", "vec")
+    val out = Similarity.retrainIvfCentroids(current, sample, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq((0.9 + 0.8) / 2, (0.1 + 0.0) / 2),
+      s"cell 1 must be the exact sample mean: ${out(1L)}")
+    assert(out(2L) == Seq(0.0, 1.0),
+      s"sample-empty cell 2 must keep its previous centroid: ${out(2L)}")
+  }
+
+  test("durable IVF drift retrain: recall 0 → 1, A/B generation swap, torn window refuses") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvf(base, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    val grown = Similarity.appendToIvf(built, drift, "vec_id", "embedding")
+    Similarity.writeIvfIndexBucketed(grown, "ivf_retrain", numBuckets = 2)
+    val pre = Similarity.readIvfIndex(spark, "ivf_retrain")
+    val preAnn = Similarity.searchIvf(pre, queries, "vec_id", "embedding",
+      k = 1, nProbe = 1).localCheckpoint()
+    assert(meanRecall(preAnn, corpus, queries) == 0.0,
+      "frozen geometry must miss every drifted twin")
+    Similarity.retrainIvfIndexBucketed(spark, "ivf_retrain",
+      s => s.filter($"__rid" % 2 === 1), lloydIters = 1, numBuckets = 2)
+    // the generation swapped: live cells moved to the B table, the
+    // superseded A table dropped, and the reopened index recovers
+    assert(spark.catalog.tableExists("ivf_retrain_cells_b"))
+    assert(!spark.catalog.tableExists("ivf_retrain_cells"))
+    val post = Similarity.readIvfIndex(spark, "ivf_retrain")
+    val postAnn = Similarity.searchIvf(post, queries, "vec_id",
+      "embedding", k = 1, nProbe = 1)
+    assert(meanRecall(postAnn, corpus, queries) == 1.0,
+      "one sampled warm Lloyd step must recover every drifted twin")
+    // a second retrain flips back to the A side (the pair alternates)
+    Similarity.retrainIvfIndexBucketed(spark, "ivf_retrain",
+      s => s.filter($"__rid" % 2 === 1), lloydIters = 1, numBuckets = 2)
+    assert(spark.catalog.tableExists("ivf_retrain_cells"))
+    assert(!spark.catalog.tableExists("ivf_retrain_cells_b"))
+    // crash inside the swap window (centroids rewritten, meta not yet
+    // flipped ≡ old epoch token wiped): reopen refuses loudly
+    graft.sources.Sinks.clearEpochTokens(spark, "ivf_retrain_centroids")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, "ivf_retrain")
+    }.getMessage.contains("epoch token"))
+  }
+
+  test("durable IVF×PQ drift retrain: recall recovers, ledger resets, swap + torn refusal") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfPq(base, "vec_id", "embedding",
+      nCells = 2, nSub = 2, nCentroids = 2, lloydIters = 1)
+    Similarity.writeIvfPqIndexBucketed(built, "ivfpq_retrain",
+      numBuckets = 2)
+    Similarity.appendToIvfPqIndexBucketed(spark, "ivfpq_retrain", drift,
+      "vec_id", "embedding")
+    val pre = Similarity.readIvfPqIndex(spark, "ivfpq_retrain")
+    // oversample wide enough that the exact rerank sees every probed
+    // candidate — isolating recall to the COARSE geometry under test
+    val preAnn = Similarity.searchIvfPq(pre, corpus, queries, "vec_id",
+      "embedding", k = 1, nProbe = 1, oversample = 32).localCheckpoint()
+    assert(meanRecall(preAnn, corpus, queries) == 0.0,
+      "frozen coarse geometry must miss every drifted twin")
+    Similarity.retrainIvfPqIndexBucketed(spark, "ivfpq_retrain", corpus,
+      "vec_id", "embedding",
+      sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+      numBuckets = 2)
+    assert(spark.catalog.tableExists("ivfpq_retrain_cell_codes_b"))
+    assert(!spark.catalog.tableExists("ivfpq_retrain_cell_codes"))
+    val post = Similarity.readIvfPqIndex(spark, "ivfpq_retrain")
+    val postAnn = Similarity.searchIvfPq(post, corpus, queries, "vec_id",
+      "embedding", k = 1, nProbe = 1, oversample = 32)
+    assert(meanRecall(postAnn, corpus, queries) == 1.0,
+      "retrained coarse geometry must recover every drifted twin")
+    // the growth ledger reset: every appended row absorbed as built
+    val stats = Similarity.readIvfPqCellStats(spark, "ivfpq_retrain")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._1).sum == 30L && stats.forall(_._2 == 0L),
+      s"retrain must absorb appends into n_built: ${stats.mkString(",")}")
+    // torn swap window: a wiped epoch on the new generation refuses
+    graft.sources.Sinks.clearEpochTokens(spark, "ivfpq_retrain_cell_codes_b")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfPqIndex(spark, "ivfpq_retrain")
+    }.getMessage.contains("epoch token"))
+  }
 }

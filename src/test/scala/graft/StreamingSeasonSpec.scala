@@ -724,6 +724,51 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally members.unpersist()
   }
 
+  test("streaming ANN admission: zero-norm and empty vectors ADMIT (NaN cosines can't reject)") {
+    import spark.implicits._
+    // advisor r12: Spark's total ordering ranks NaN above every
+    // double, so an ungated zero-norm probe would see `NaN >= tau` as
+    // TRUE and REJECT with an arbitrary match — membership is
+    // unprovable for a zero vector, which the contract maps to ADMIT.
+    // A zero-norm INDEX member exercises the other NaN path: its
+    // member sim is NaN for every probe and must never be elected as
+    // the argmax match.
+    val accepted = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)), (20L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (30L, Seq(0.95, 0.05, 0.0, 0.0)), (40L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (50L, Seq(0.0, 0.0, 0.0, 0.0))) // zero-norm member in the index
+      .toDF("vec_id", "embedding")
+    val index = graft.operators.Similarity.buildIvf(accepted, "vec_id",
+      "embedding", nCells = 2, lloydIters = 1)
+    val members = graft.operators.Similarity.cellMembers(index)
+    members.persist().count()
+    val cands = Seq(
+      (201L, Seq(0.0, 0.0, 0.0, 0.0)),     // zero-norm → admit
+      (202L, Seq.empty[Double]),           // empty → admit
+      (203L, Seq(0.95, 0.05, 0.0, 0.0)))   // copy of 30 → reject w/ 30
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("stream_ann_nan")
+    cands.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(cands.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .annAdmissionStream(stream, "vec_id", "embedding", index, members,
+        tau = 0.9, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_admit_nan")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("select vec_id, admitted, match_id from ann_admit_nan")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(out(201L) == (true, None), s"zero-norm probe: ${out(201L)}")
+      assert(out(202L) == (true, None), s"empty probe: ${out(202L)}")
+      assert(out(203L) == (false, Some(30L)),
+        s"the zero-norm index member must not hijack the argmax: ${out(203L)}")
+    } finally { q.stop(); members.unpersist() }
+  }
+
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {
     val dir = Files.createTempDirectory("season")
     Files.write(dir.resolve("can_ids_test.json"), CanFixtures.json.getBytes)

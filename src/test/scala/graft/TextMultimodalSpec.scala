@@ -716,6 +716,35 @@ class TextMultimodalSpec extends SparkSpec {
       assert(r.isNullAt(2) && r.isNullAt(6),
         s"torn payload $i must yield one null row (no silent prefix)")
     }
+    // advisor r12: appended garbage that HAPPENS to end in 0x3B must
+    // still refuse — the guard walks the block structure to the real
+    // trailer instead of trusting the final byte (no 1/256 gap)
+    val sneaky = g1 ++ Array[Byte](0x42, 0x42, 0x3B)
+    assert(Multimodal.gifTrailerOffset(g1) == g1.length,
+      "well-formed gif: trailer is the final byte")
+    assert(Multimodal.gifTrailerOffset(sneaky) == g1.length,
+      "the walk must find the REAL trailer, not the appended one")
+    val sneakyOut = Multimodal.decodeFrames(
+        Seq((95L, sneaky)).toDF("media_id", "payload"), "payload")
+      .collect()
+    assert(sneakyOut.length == 1 && sneakyOut(0).isNullAt(2),
+      "garbage-after-trailer ending in 0x3B must refuse, not decode")
+  }
+
+  test("multimodal: pcmChannelSums treats a non-positive channel count as corrupt (null sums)") {
+    import graft.operators.Multimodal
+    // advisor r12: composed with anything other than decodeWav output,
+    // a channels column can carry 0 or negative values — the module's
+    // corrupt-row contract is null sums, never a task failure
+    val pcm = Array[Byte](1, 0, 2, 0) // two 16-bit LE samples
+    val rows = Seq((1L, pcm, 1), (2L, pcm, 0), (3L, pcm, -2))
+      .toDF("media_id", "pcm", "au_channels")
+    val out = Multimodal.pcmChannelSums(rows, "pcm", "au_channels")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getSeq[Long](3))).toMap
+    assert(out(1L) == Seq(3L), s"healthy row still sums: ${out(1L)}")
+    assert(out(2L) == null && out(3L) == null,
+      "channels <= 0 must yield null sums, not an exception")
   }
 
   test("multimodal: stub decode is deterministic, frame sampling shapes") {
