@@ -1803,6 +1803,80 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Image near-dup END TO END from real bytes — the LAION-style
+    // dedup a 100 TB multimodal pipeline runs: planted grayscale
+    // images (pixel = (src·31 + x·17 + y·29 + x·y + shift) mod 256)
+    // are container-encoded driver-side as PNG, pixel-identical BMP
+    // and GIF re-encodes, and +4-brightness PNG variants; the engine
+    // decodes the bytes (q118's codec boundary), perceptual-hashes
+    // the raw buffers (integer-exact dHash gradient signs + aHash
+    // mean bits over nearest-neighbor luma grids), and Hamming-bands
+    // the 64-bit signatures into verified near-dup pairs (pigeonhole
+    // bands — exact recall at the threshold). A byte-level hash sees
+    // FOUR different files per image; the perceptual pipeline must
+    // see one. The oracle replays pixels from the formula, both hash
+    // constructions bit-for-bit and the exhaustive pairwise Hamming
+    // truth in SQL — lossless decode means a drift anywhere (decode,
+    // luma weights, grid index math, bit packing, banding recall)
+    // breaks hash values or the pair stats. Corrupt payloads ride
+    // through as null-hash rows that never enter a band.
+    "q124_image_phash_dedup" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * 17 + y * 29 + x.toLong * y + shift) % 256).toInt
+      val cmap = (0 until 256)
+        .map(g => (0xFF << 24) | (g << 16) | (g << 8) | g).toArray
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        // GIF needs the indexed gray palette for a lossless
+        // round-trip (the q122 fixture discipline); PNG/BMP take RGB
+        val img =
+          if (fmt == "gif") {
+            val im = new java.awt.image.BufferedImage(W, H,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            for (y <- 0 until H; x <- 0 until W)
+              im.getRaster.setSample(x, y, 0, v(src, x, y, shift))
+            im
+          } else {
+            val im = new java.awt.image.BufferedImage(W, H,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until H; x <- 0 until W) {
+              val g = v(src, x, y, shift)
+              im.setRGB(x, y, (g << 16) | (g << 8) | g)
+            }
+            im
+          }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 10L).map(i => (i, enc(i, 0, "png"))) ++
+        (1L to 10L).map(i => (100L + i, enc(i, 0, "bmp"))) ++
+        (1L to 3L).map(i => (200L + i, enc(i, 0, "gif"))) ++
+        (1L to 5L).map(i => (300L + i, enc(i, 4, "png"))) ++
+        Seq((9001L, enc(1L, 0, "png").take(20)),
+          (9002L, "not an image".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      val sigs = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(media, "payload"),
+          "pixels", "img_width", "img_height")
+        .select($"media_id", $"dhash", $"ahash")
+      val pairs = operators.Dedup.hammingNearDups(sigs, "media_id",
+        "dhash", maxHamming = 6)
+      val partnered = pairs.select($"a".as("media_id"), $"b".as("partner"))
+        .unionByName(pairs.select($"b".as("media_id"), $"a".as("partner")))
+      val stats = partnered.groupBy($"media_id")
+        .agg(count(lit(1)).as("n_pairs"), min($"partner").as("top_partner"))
+      sigs.join(stats, Seq("media_id"), "left")
+        .select($"media_id", $"dhash", $"ahash",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"), $"top_partner")
+        .orderBy($"media_id")
+    }),
+
     // Vector-index growth loop end-to-end (the q101 discipline for
     // the ANN family): build IVF×PQ on the EVEN half, persist
     // bucketed, append the ODD half IN PLACE against the frozen
@@ -3266,6 +3340,71 @@ object SparkEntry {
          SELECT b.doc_id, b.dx, b.dy, z.zvalue
          FROM b JOIN z ON b.doc_id = z.doc_id
          ORDER BY b.doc_id""",
+
+    // pixels from the planted formula, both perceptual-hash
+    // constructions (luma grids, integer div index math, gradient /
+    // mean bit packing — bit 63 spelled as the signed MIN to dodge
+    // DuckDB's shift-overflow guard), and the exhaustive pairwise
+    // Hamming truth with per-image pair stats — replayed entirely in
+    // SQL against the lossless decode contract
+    "q124_image_phash_dedup" ->
+      """WITH imgs AS (
+           SELECT i AS media_id, i AS src, 0 AS shift FROM range(1, 11) t(i)
+           UNION ALL SELECT 100 + i, i, 0 FROM range(1, 11) t(i)
+           UNION ALL SELECT 200 + i, i, 0 FROM range(1, 4) t(i)
+           UNION ALL SELECT 300 + i, i, 4 FROM range(1, 6) t(i)),
+         dg AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*17 + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8) + shift) % 256 AS v
+           FROM imgs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         dh AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM dg a JOIN dg b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8
+           GROUP BY a.media_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//8)*17 + (gy*12//8)*29
+               + (gx*16//8)*(gy*12//8) + shift) % 256 AS v
+           FROM imgs, range(0, 8) t1(gy), range(0, 8) t2(gx)),
+         am AS (SELECT media_id, sum(v) // 64 AS mean FROM ag GROUP BY media_id),
+         ah AS (
+           SELECT ag.media_id,
+             bit_or(CASE WHEN ag.v >= am.mean THEN
+                 CASE WHEN ag.gy*8 + ag.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (ag.gy*8 + ag.gx) END
+               ELSE 0::BIGINT END) AS ahash
+           FROM ag JOIN am ON ag.media_id = am.media_id
+           GROUP BY ag.media_id),
+         sigs AS (
+           SELECT i.media_id, dh.dhash, ah.ahash
+           FROM imgs i JOIN dh ON dh.media_id = i.media_id
+             JOIN ah ON ah.media_id = i.media_id
+           UNION ALL
+           SELECT media_id, NULL, NULL
+           FROM (VALUES (9001), (9002), (9003)) t(media_id)),
+         pairs AS (
+           SELECT a.media_id AS a, b.media_id AS b,
+             bit_count(xor(a.dhash, b.dhash)) AS hamming
+           FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+           WHERE a.dhash IS NOT NULL AND b.dhash IS NOT NULL
+             AND bit_count(xor(a.dhash, b.dhash)) <= 6),
+         partnered AS (
+           SELECT a AS media_id, b AS partner FROM pairs
+           UNION ALL SELECT b, a FROM pairs),
+         stats AS (
+           SELECT media_id, count(*) AS n_pairs, min(partner) AS top_partner
+           FROM partnered GROUP BY media_id)
+         SELECT s.media_id, s.dhash, s.ahash,
+           coalesce(st.n_pairs, 0)::BIGINT AS n_pairs, st.top_partner
+         FROM sigs s LEFT JOIN stats st ON st.media_id = s.media_id
+         ORDER BY s.media_id""",
 
     // the q107 brute-force argmax over the FULL corpus (both build
     // and appended halves — a query whose true top-1 is an appended

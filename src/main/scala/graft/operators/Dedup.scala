@@ -378,6 +378,55 @@ object Dedup {
     }
   }
 
+  /** Hamming-banded near-dup pairs over an ARBITRARY 64-bit signature
+    * column — [[simhashNearDups]]'s band/verify discipline factored
+    * out for any simhash-shaped sketch: perceptual image hashes
+    * ([[Multimodal.perceptualHashes]]), audio fingerprints, any
+    * 64-bit LSH. The 64 bits partition into `maxHamming + 1` bands
+    * (widths as even as 64 div b allows), so by pigeonhole ANY pair
+    * within `maxHamming` shares at least one complete band —
+    * candidate generation is exact-recall, never misses a qualifying
+    * pair; verification is one `bit_count` XOR per candidate. Null
+    * signatures (e.g. corrupt images that decoded to null) are
+    * excluded up front: an unprovable row can never match — the P6 /
+    * q94 admission discipline. The same capped sorted-id pair-explode
+    * as every band join here (`maxBucket` guard + observe metric):
+    * a degenerate bucket of identical signatures is otherwise
+    * quadratic in the corpus. */
+  def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 200): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val b = maxHamming + 1
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigs = df.filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol).cast("long").as("__sig"))
+    val banded = sigs.select(col(idCol), col("__sig"),
+      posexplode(array((0 until b).map { i =>
+        val masked = shiftrightunsigned(col("__sig"), offsets(i))
+        if (widths(i) >= 64) masked
+        else masked.bitwiseAND(lit((1L << widths(i)) - 1L))
+      }: _*)).as(Seq("band", "bh")))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("__sig").as("h")))).as("ids"))
+      .observe(s"graft_hamming_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> struct(x.id AS a, y.id AS b, x.h AS ha, y.h AS hb))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        hamming(col("p.ha"), col("p.hb")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Sorted-id buckets with the standard skew guard shared by every
     * band join here and in [[Similarity.cosineNearDups]]: buckets over
     * `maxBucket` ids are dropped from candidate generation (a

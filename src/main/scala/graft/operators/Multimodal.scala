@@ -150,6 +150,90 @@ object Multimodal {
           .as("decode_failures"))
   }
 
+  /** 64-bit PERCEPTUAL image hashes over a raw row-major W×H×C
+    * buffer — the real bytes→signature bridge from [[decodeImages]]
+    * into the Hamming-banded near-dup machinery
+    * ([[graft.operators.Dedup.hammingNearDups]]): this is what
+    * catches a re-encoded duplicate (same pixels, PNG vs BMP vs GIF)
+    * or a lightly edited variant that no byte-level hash can see —
+    * the LAION-style image dedup a 100 TB multimodal pipeline runs.
+    * Public-knowledge constructions, INTEGER-EXACT end to end so an
+    * oracle can replay every bit from the planted pixel formulas:
+    *
+    *   - `dhash` (difference hash): nearest-neighbor sample to a
+    *     9×8 luma grid (src = gx·W div 9, gy·H div 8 — the
+    *     [[resizeRaw]] index math; luma = (299·R + 587·G + 114·B)
+    *     div 1000, the ITU-R 601 weights in integer form), bit
+    *     (gy·8 + gx) = luma(gx+1, gy) > luma(gx, gy) — gradient
+    *     signs, robust to uniform brightness shifts;
+    *   - `ahash` (average hash): 8×8 luma grid, bit = luma ≥ the
+    *     integer mean (sum div 64) — coarse shape/brightness.
+    *
+    * Null/short/degenerate rows (null pixels, missing or non-positive
+    * dims, buffer shorter than W·H·C) yield null hashes and SURVIVE —
+    * the P6 admission discipline; a null signature can never enter a
+    * near-dup band. Pure per-row integer arithmetic in the codec
+    * boundary: no shuffle, no driver state. */
+  def perceptualHashes(df: DataFrame, pixelsCol: String, wCol: String,
+                       hCol: String, channels: Int = 3): DataFrame = {
+    require(channels == 1 || channels == 3,
+      s"perceptualHashes supports gray (1) or RGB (3) buffers, got $channels")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("dhash", LongType), StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = df.schema.fieldIndex(pixelsCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val px = row.getAs[Array[Byte]](pIdx)
+        val ok = px != null && !row.isNullAt(wIdx) && !row.isNullAt(hIdx) &&
+          row.getInt(wIdx) > 0 && row.getInt(hIdx) > 0 &&
+          px.length >= row.getInt(wIdx) * row.getInt(hIdx) * channels
+        val hashes: (java.lang.Long, java.lang.Long) =
+          if (!ok) (null, null)
+          else {
+            val w = row.getInt(wIdx); val h = row.getInt(hIdx)
+            def luma(x: Int, y: Int): Int = {
+              val base = (y * w + x) * channels
+              if (channels == 1) px(base) & 0xFF
+              else (299 * (px(base) & 0xFF) + 587 * (px(base + 1) & 0xFF) +
+                114 * (px(base + 2) & 0xFF)) / 1000
+            }
+            // 9×8 grid for dhash (8 horizontal comparisons per row)
+            val g = Array.tabulate(8, 9)((gy, gx) =>
+              luma(gx * w / 9, gy * h / 8))
+            var dh = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (g(gy)(gx + 1) > g(gy)(gx)) dh |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            // 8×8 grid for ahash (its own sample lattice: gx·W div 8)
+            val a = Array.tabulate(8, 8)((gy, gx) =>
+              luma(gx * w / 8, gy * h / 8))
+            val mean = a.map(_.map(_.toLong).sum).sum / 64L
+            var ah = 0L
+            gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (a(gy)(gx) >= mean) ah |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            (dh, ah)
+          }
+        Row.fromSeq(row.toSeq ++ Seq(hashes._1, hashes._2))
+      }
+    }(enc)
+  }
+
   /** REAL audio decode through the same codec boundary as
     * [[decodeImages]]: `javax.sound.sampled` (JDK-native — WAV, AIFF
     * and AU containers) turns each binary payload into its stream

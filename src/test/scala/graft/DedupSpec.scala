@@ -924,4 +924,39 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 100L), s"got ${kept.toSeq}")
   }
+
+  test("hammingNearDups: pigeonhole banding is exact-recall at the threshold; nulls never match") {
+    val base = 0x0F0F0F0F0F0F0F0FL
+    def flip(s: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(s)((x, b) => x ^ (1L << b))
+    // distances planted to STRESS the banding: id 3's three flips
+    // land in three different bands (bits 63/32/5), so only the
+    // pigeonhole guarantee — not luck — finds (1, 3); id 4 sits just
+    // over the threshold and must NOT pair with 1
+    val sigs: Seq[(Long, java.lang.Long)] = Seq(
+      (1L, base), (2L, flip(base, Seq(0))),
+      (3L, flip(base, Seq(63, 32, 5))),
+      (4L, flip(base, Seq(1, 2, 3, 4))),
+      (5L, 0x0123456789ABCDEFL),
+      (6L, null), (7L, null))
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingNearDups(df, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force truth over the non-null signatures
+    val vals = sigs.filter(_._2 != null).map { case (i, s) => (i, s.longValue) }
+    val want = (for {
+      (a, sa) <- vals; (b, sb) <- vals if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 3L, 3)), "the cross-band pair must exist")
+    assert(!want.exists(p => p._1 == 1L && p._2 == 4L))
+    // the skew guard: an identical-signature flood is dropped under
+    // the cap (quadratic otherwise), kept when the cap allows it
+    val flood = (100L to 130L).map(i => (i, base)).toDF("id", "sig")
+    assert(Dedup.hammingNearDups(flood, "id", "sig", maxHamming = 3,
+      maxBucket = 10).count() == 0L)
+    assert(Dedup.hammingNearDups(flood, "id", "sig", maxHamming = 3,
+      maxBucket = 50).count() == 31L * 30L / 2L)
+  }
 }

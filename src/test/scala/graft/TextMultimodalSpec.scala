@@ -731,6 +731,60 @@ class TextMultimodalSpec extends SparkSpec {
       "garbage-after-trailer ending in 0x3B must refuse, not decode")
   }
 
+  test("multimodal: perceptual hashes are integer-exact; corrupt buffers yield null") {
+    import graft.operators.Multimodal
+    // 9×8 gray ramp pixel(x, y) = x: the dHash grid samples
+    // srcX = gx·9 div 9 = gx, so every horizontal gradient is
+    // positive → ALL 64 bits set (−1L); the descending ramp is the
+    // mirror (0L) — crisp value pins on the bit packing
+    def gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => f((i / 3) % w, i / 3 / w).toByte)
+    // RGB luma: alternating red/blue columns — luma(red) = 299·255
+    // div 1000 = 76, luma(blue) = 114·255 div 1000 = 29, so bits
+    // follow the odd-column rises exactly (pins the 299/587/114
+    // integer weights; a float luma would round differently)
+    val redBlue = Array.tabulate(9 * 8 * 3) { i =>
+      val x = (i / 3) % 9; val c = i % 3
+      val v = if (x % 2 == 0) { if (c == 0) 255 else 0 }
+              else { if (c == 2) 255 else 0 }
+      v.toByte
+    }
+    val expectRb = (0 until 8).foldLeft(0L) { (acc, gy) =>
+      (0 until 8).foldLeft(acc) { (a, gx) =>
+        if (gx % 2 == 1) a | (1L << (gy * 8 + gx)) else a // 76 > 29 rises
+      }
+    }
+    val rows = Seq(
+      (1L, gray(9, 8, (x, _) => x), 9, 8),
+      (2L, gray(9, 8, (x, _) => 255 - x), 9, 8),
+      (3L, redBlue, 9, 8),
+      (91L, null.asInstanceOf[Array[Byte]], 9, 8),   // null buffer
+      (92L, gray(9, 8, (x, _) => x).take(10), 9, 8), // short buffer
+      (93L, gray(9, 8, (x, _) => x), 0, 8))          // degenerate dim
+      .toDF("media_id", "pixels", "img_width", "img_height")
+    val out = Multimodal.perceptualHashes(rows, "pixels", "img_width",
+        "img_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+         if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5))))
+      .toMap
+    assert(out(1L)._1 == -1L, s"ascending ramp dhash: ${out(1L)}")
+    assert(out(2L)._1 == 0L, s"descending ramp dhash: ${out(2L)}")
+    assert(out(3L)._1 == expectRb, s"luma-weight dhash: ${out(3L)}")
+    // ahash on the ascending ramp: 8×8 grid samples srcX = gx·9 div 8
+    // = {0,1,2,3,4,5,6,7}, mean = 28 div 8... compute independently
+    val aGrid = for (gy <- 0 until 8; gx <- 0 until 8) yield gx * 9 / 8
+    val mean = aGrid.map(_.toLong).sum / 64
+    val expectA = aGrid.zipWithIndex.foldLeft(0L) { case (a, (v, k)) =>
+      if (v >= mean) a | (1L << k) else a
+    }
+    assert(out(1L)._2 == expectA, s"ascending ramp ahash: ${out(1L)}")
+    Seq(91L, 92L, 93L).foreach { i =>
+      assert(out(i) == ((null, null)),
+        s"corrupt buffer $i must yield null hashes, not a task failure")
+    }
+  }
+
   test("multimodal: pcmChannelSums treats a non-positive channel count as corrupt (null sums)") {
     import graft.operators.Multimodal
     // advisor r12: composed with anything other than decodeWav output,
