@@ -1877,6 +1877,89 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // Audio near-dup END TO END from real bytes — q124's discipline
+    // for the sound tier: pseudo-random planted PCM clips
+    // (sample = (src·2654435761 + i²·40503 + i·977 + c·997) mod 4096
+    // − 2048, mixed mono/stereo) are container-encoded driver-side
+    // as WAV plus byte-swapped AIFF and AU re-encodes of the SAME
+    // samples, plus volume-doubled WAV variants; the engine decodes
+    // (q119's codec boundary), fingerprints the PCM (65-window
+    // integer energy-gradient signs — gain-invariant by the square)
+    // and Hamming-bands the signatures into verified pairs. Three
+    // different containers and a 2× gain must collapse to one
+    // signature; the oracle replays the sample formula, the stereo
+    // mixdown, every window energy, the bit packing and the
+    // exhaustive pairwise Hamming truth in SQL. A 40-frame clip is
+    // too short for a stable gradient signature and must come back
+    // null alongside the corrupt payloads — and null fingerprints
+    // never enter a band.
+    "q125_audio_fp_dedup" -> ((s, d) => {
+      def pcmBytes(src: Long, ch: Int, frames: Int, scale: Int,
+                   bigEndian: Boolean): Array[Byte] = {
+        val out = new Array[Byte](frames * ch * 2)
+        for (i <- 0 until frames; c <- 0 until ch) {
+          val v = (((src * 2654435761L + i.toLong * i * 40503L +
+            i * 977L + c * 997L) % 4096L) - 2048L).toInt * scale
+          val base = (i * ch + c) * 2
+          if (bigEndian) {
+            out(base) = ((v >> 8) & 0xFF).toByte
+            out(base + 1) = (v & 0xFF).toByte
+          } else {
+            out(base) = (v & 0xFF).toByte
+            out(base + 1) = ((v >> 8) & 0xFF).toByte
+          }
+        }
+        out
+      }
+      def clip(src: Long, ch: Int, frames: Int, scale: Int,
+               tpe: javax.sound.sampled.AudioFileFormat.Type,
+               bigEndian: Boolean): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, ch, true, bigEndian)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(
+            pcmBytes(src, ch, frames, scale, bigEndian)),
+          fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+        bos.toByteArray
+      }
+      val WAVE = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val AIFF = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      val AU = javax.sound.sampled.AudioFileFormat.Type.AU
+      def chOf(i: Long): Int = if (i <= 6) 1 else 2
+      val whole = clip(2L, 1, 200, 1, WAVE, bigEndian = false)
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 10L).map(i =>
+          (i, clip(i, chOf(i), 200, 1, WAVE, bigEndian = false))) ++
+        (1L to 10L).map(i =>
+          (100L + i, clip(i, chOf(i), 200, 1, AIFF, bigEndian = true))) ++
+        (1L to 10L).map(i =>
+          (200L + i, clip(i, chOf(i), 200, 1, AU, bigEndian = true))) ++
+        (1L to 4L).map(i =>
+          (300L + i, clip(i, 1, 200, 2, WAVE, bigEndian = false))) ++
+        Seq((50L, clip(1L, 1, 40, 1, WAVE, bigEndian = false)),
+          (9001L, whole.take(whole.length - 3)),
+          (9002L, "not audio at all".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      val sigs = operators.Multimodal.audioFingerprint(
+          operators.Multimodal.decodeWav(media, "payload"),
+          "pcm", "au_channels")
+        .select($"media_id", $"afp")
+      val pairs = operators.Dedup.hammingNearDups(sigs, "media_id",
+        "afp", maxHamming = 6)
+      val partnered = pairs.select($"a".as("media_id"), $"b".as("partner"))
+        .unionByName(pairs.select($"b".as("media_id"), $"a".as("partner")))
+      val stats = partnered.groupBy($"media_id")
+        .agg(count(lit(1)).as("n_pairs"), min($"partner").as("top_partner"))
+      sigs.join(stats, Seq("media_id"), "left")
+        .select($"media_id", $"afp",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"), $"top_partner")
+        .orderBy($"media_id")
+    }),
+
     // Vector-index growth loop end-to-end (the q101 discipline for
     // the ANN family): build IVF×PQ on the EVEN half, persist
     // bucketed, append the ODD half IN PLACE against the frozen
@@ -3403,6 +3486,65 @@ object SparkEntry {
            FROM partnered GROUP BY media_id)
          SELECT s.media_id, s.dhash, s.ahash,
            coalesce(st.n_pairs, 0)::BIGINT AS n_pairs, st.top_partner
+         FROM sigs s LEFT JOIN stats st ON st.media_id = s.media_id
+         ORDER BY s.media_id""",
+
+    // the sample formula, stereo mixdown, all 65 window energies, the
+    // gradient-sign bit packing and the exhaustive pairwise Hamming
+    // truth replayed in SQL (16-bit PCM is lossless, so the decoded
+    // samples ARE the formula); the short clip and the corrupt
+    // payloads come back as explicit null-fingerprint rows
+    "q125_audio_fp_dedup" ->
+      """WITH clips AS (
+           SELECT i AS media_id, i AS src, CASE WHEN i <= 6 THEN 1 ELSE 2 END AS ch,
+             1 AS scale FROM range(1, 11) t(i)
+           UNION ALL SELECT 100 + i, i, CASE WHEN i <= 6 THEN 1 ELSE 2 END, 1
+             FROM range(1, 11) t(i)
+           UNION ALL SELECT 200 + i, i, CASE WHEN i <= 6 THEN 1 ELSE 2 END, 1
+             FROM range(1, 11) t(i)
+           UNION ALL SELECT 300 + i, i, 1, 2 FROM range(1, 5) t(i)),
+         mixes AS (
+           SELECT c.media_id, f.i AS frame,
+             c.scale * CASE WHEN c.ch = 1
+               THEN (c.src*2654435761 + f.i*f.i*40503 + f.i*977) % 4096 - 2048
+               ELSE ((c.src*2654435761 + f.i*f.i*40503 + f.i*977) % 4096 - 2048)
+                  + ((c.src*2654435761 + f.i*f.i*40503 + f.i*977 + 997) % 4096 - 2048)
+               END AS mix
+           FROM clips c, range(0, 200) f(i)),
+         energies AS (
+           SELECT media_id, k.k AS k, coalesce(sum(mix * mix), 0) AS e
+           FROM range(0, 65) k(k) LEFT JOIN mixes
+             ON frame >= k.k * 200 // 65 AND frame < (k.k + 1) * 200 // 65
+           GROUP BY media_id, k.k),
+         fps AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.e > a.e THEN
+                 CASE WHEN a.k = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << a.k END
+               ELSE 0::BIGINT END) AS afp
+           FROM energies a JOIN energies b
+             ON a.media_id = b.media_id AND b.k = a.k + 1
+           WHERE a.k < 64
+           GROUP BY a.media_id),
+         sigs AS (
+           SELECT media_id, afp FROM fps WHERE media_id IS NOT NULL
+           UNION ALL
+           SELECT media_id, NULL
+           FROM (VALUES (50), (9001), (9002), (9003)) t(media_id)),
+         pairs AS (
+           SELECT a.media_id AS a, b.media_id AS b,
+             bit_count(xor(a.afp, b.afp)) AS hamming
+           FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+           WHERE a.afp IS NOT NULL AND b.afp IS NOT NULL
+             AND bit_count(xor(a.afp, b.afp)) <= 6),
+         partnered AS (
+           SELECT a AS media_id, b AS partner FROM pairs
+           UNION ALL SELECT b, a FROM pairs),
+         stats AS (
+           SELECT media_id, count(*) AS n_pairs, min(partner) AS top_partner
+           FROM partnered GROUP BY media_id)
+         SELECT s.media_id, s.afp, coalesce(st.n_pairs, 0)::BIGINT AS n_pairs,
+           st.top_partner
          FROM sigs s LEFT JOIN stats st ON st.media_id = s.media_id
          ORDER BY s.media_id""",
 

@@ -351,6 +351,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit time-domain AUDIO fingerprint over decoded PCM — the
+    * audio sibling of [[perceptualHashes]], completing the
+    * bytes→signature bridge for the sound tier: a re-encoded clip
+    * (same samples, WAV vs AIFF vs AU) or a volume-scaled copy hashes
+    * identically, which no byte-level hash can see. Construction
+    * (public knowledge — the time-domain simplification of
+    * energy-band fingerprinting, Haitsma & Kalker 2002's gradient-
+    * sign idea): channels mix down by integer sum per frame, the clip
+    * splits into 65 equal windows (frame j in window k iff
+    * j ∈ [k·F div 65, (k+1)·F div 65)), window energy = Σ mix² (all
+    * integer — SQL-replayable bit-for-bit), and bit k = e(k+1) >
+    * e(k). Gradient signs are invariant under uniform gain (energy
+    * scales by the square — comparisons unchanged), the audio
+    * analogue of dHash's brightness invariance. Appends `afp`
+    * (nullable long): null pcm, non-positive channel counts and
+    * clips shorter than 65 frames (too short for a stable gradient
+    * signature) yield null — the P6 admission discipline; null
+    * signatures never enter a near-dup band
+    * ([[graft.operators.Dedup.hammingNearDups]]). */
+  def audioFingerprint(df: DataFrame, pcmCol: String,
+                       channelsCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("afp", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = df.schema.fieldIndex(pcmCol)
+    val cIdx = df.schema.fieldIndex(channelsCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val pcm = row.getAs[Array[Byte]](pIdx)
+        val fp: java.lang.Long =
+          if (pcm == null || row.isNullAt(cIdx) || row.getInt(cIdx) <= 0)
+            null
+          else {
+            val ch = row.getInt(cIdx)
+            val frames = pcm.length / 2 / ch
+            if (frames < 65) null
+            else {
+              val mix = new Array[Long](frames)
+              var j = 0
+              while (j < frames) {
+                var c = 0
+                var s = 0L
+                while (c < ch) {
+                  val b = (j * ch + c) * 2
+                  s += ((pcm(b) & 0xFF) | (pcm(b + 1) << 8)).toShort
+                  c += 1
+                }
+                mix(j) = s
+                j += 1
+              }
+              val e = new Array[Long](65)
+              var k = 0
+              while (k < 65) {
+                var f = k * frames / 65
+                val hi = (k + 1) * frames / 65
+                var acc = 0L
+                while (f < hi) { acc += mix(f) * mix(f); f += 1 }
+                e(k) = acc
+                k += 1
+              }
+              var sig = 0L
+              k = 0
+              while (k < 64) {
+                if (e(k + 1) > e(k)) sig |= 1L << k
+                k += 1
+              }
+              sig
+            }
+          }
+        Row.fromSeq(row.toSeq :+ fp)
+      }
+    }(enc)
+  }
+
   /** Per-channel byte sums over a raw row-major W×H×C buffer — the
     * minimal REAL feature-extract step after [[decodeImages]] (the
     * shape a mean-color / brightness / histogram feature takes):

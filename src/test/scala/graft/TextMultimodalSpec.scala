@@ -785,6 +785,49 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: audio fingerprint is gain-invariant, integer-exact; short/corrupt clips null") {
+    import graft.operators.Multimodal
+    // 130-frame mono PCM with a known energy staircase: quiet first
+    // half, loud second — gradients computable by hand via an
+    // independent reimplementation in the test
+    def pcm(scale: Int, frames: Int, f: Int => Int): Array[Byte] = {
+      val out = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val v = f(i) * scale
+        out(i * 2) = (v & 0xFF).toByte
+        out(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    def expected(frames: Int, f: Int => Int): Long = {
+      val mix = Array.tabulate(frames)(i => f(i).toLong)
+      val e = Array.tabulate(65) { k =>
+        (k * frames / 65 until (k + 1) * frames / 65)
+          .map(j => mix(j) * mix(j)).sum
+      }
+      (0 until 64).foldLeft(0L)((a, k) =>
+        if (e(k + 1) > e(k)) a | (1L << k) else a)
+    }
+    val wave: Int => Int = i => ((i * 31) % 200) - 100
+    val rows = Seq(
+      (1L, pcm(1, 130, wave), 1),
+      (2L, pcm(3, 130, wave), 1),              // 3× gain → same bits
+      (3L, pcm(1, 64, wave), 1),               // too short → null
+      (4L, null.asInstanceOf[Array[Byte]], 1), // null pcm
+      (5L, pcm(1, 130, wave), 0))              // corrupt channels
+      .toDF("media_id", "pcm", "au_channels")
+    val out = Multimodal.audioFingerprint(rows, "pcm", "au_channels")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+      .toMap
+    assert(out(1L) == expected(130, wave),
+      s"fingerprint must match the independent replay: ${out(1L)}")
+    assert(out(2L) == out(1L),
+      "uniform gain must not move a single bit (energy scales by the square)")
+    Seq(3L, 4L, 5L).foreach(i => assert(out(i) == null,
+      s"short/corrupt clip $i must yield a null fingerprint"))
+  }
+
   test("multimodal: pcmChannelSums treats a non-positive channel count as corrupt (null sums)") {
     import graft.operators.Multimodal
     // advisor r12: composed with anything other than decodeWav output,
