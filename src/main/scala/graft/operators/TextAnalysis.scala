@@ -990,6 +990,55 @@ object TextAnalysis {
     TrigramLm(c3, c12, cb, cw, uni, total, minTrigramCount)
   }
 
+  /** The five data tables of a durable trigram LM (epoch-validated
+    * together on read). */
+  private def trigramLmTables(prefix: String): Seq[String] =
+    Seq(s"${prefix}_c3", s"${prefix}_c12", s"${prefix}_cb",
+      s"${prefix}_cw", s"${prefix}_uni")
+
+  /** Persist a fitted [[TrigramLm]] as tables — fit once, serve every
+    * later scorer run (batch or streaming) from a table read instead
+    * of a corpus refit: the fit's count aggregates over every corpus
+    * trigram are the model's dominant cost, and a gate or a
+    * production scorer that re-fits per run times the FIT, not the
+    * scorer. Same crash discipline as every index family here
+    * ([[graft.operators.Similarity.writeIvfIndexBucketed]]): the
+    * one-row meta (total, minTrigramCount, epoch) writes LAST, and a
+    * torn same-prefix rebuild refuses at [[readTrigramLm]] via the
+    * epoch tokens instead of pairing one generation's trigram counts
+    * with another's context totals — which would be silently shifted
+    * scores, not an error. */
+  def writeTrigramLm(model: TrigramLm, prefix: String): Unit = {
+    val spark = model.c3.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.writeTable(model.c3, s"${prefix}_c3")
+    graft.sources.Sinks.writeTable(model.c12, s"${prefix}_c12")
+    graft.sources.Sinks.writeTable(model.cb, s"${prefix}_cb")
+    graft.sources.Sinks.writeTable(model.cw, s"${prefix}_cw")
+    graft.sources.Sinks.writeTable(model.uni, s"${prefix}_uni")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      trigramLmTables(prefix))
+    graft.sources.Sinks.writeTable(
+      Seq((model.total, model.minTrigramCount, epoch))
+        .toDF("total", "min_trigram_count", "epoch"),
+      s"${prefix}_meta")
+  }
+
+  /** Reopen a model written by [[writeTrigramLm]]; refuses a torn
+    * same-prefix rebuild (epoch-token mismatch). The returned tables
+    * broadcast into [[trigramLmScore]]'s joins exactly like the
+    * freshly fitted frames. */
+  def readTrigramLm(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String): TrigramLm = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    graft.sources.Sinks.requireEpoch(spark, trigramLmTables(prefix),
+      meta.getAs[String]("epoch"))
+    TrigramLm(spark.table(s"${prefix}_c3"), spark.table(s"${prefix}_c12"),
+      spark.table(s"${prefix}_cb"), spark.table(s"${prefix}_cw"),
+      spark.table(s"${prefix}_uni"), meta.getAs[Long]("total"),
+      meta.getAs[Long]("min_trigram_count"))
+  }
+
   /** Score ANY frame — batch or streaming — against a FITTED
     * [[TrigramLm]]: per-trigram-position broadcast joins on the gram
     * keys, then one per-doc aggregate folding terms in

@@ -346,6 +346,21 @@ class TextMultimodalSpec extends SparkSpec {
     val short = Seq((100L, "two tokens")).toDF("doc_id", "text")
     assert(TextAnalysis.trigramLmScore(short, "doc_id", "text", model)
       .count() == 0L)
+    // durable round-trip: the reopened model scores IDENTICALLY (fit
+    // once, serve from tables — the scorer's production shape), and a
+    // torn same-prefix rebuild refuses via the epoch tokens
+    TextAnalysis.writeTrigramLm(model, "tlm_rt")
+    val disk = TextAnalysis.readTrigramLm(spark, "tlm_rt")
+    assert(disk.total == model.total &&
+      disk.minTrigramCount == model.minTrigramCount)
+    val viaDisk = TextAnalysis.trigramLmScore(docs, "doc_id", "text", disk)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaDisk == viaModel,
+      "reopened model must score bit-identically to the fitted one")
+    graft.sources.Sinks.clearEpochTokens(spark, "tlm_rt_c3")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.readTrigramLm(spark, "tlm_rt")
+    }.getMessage.contains("epoch token"))
   }
 
   test("applyScoreBucketsLit ≡ applyScoreBuckets (null keys, unseen group, ties)") {
