@@ -1904,6 +1904,76 @@ object SparkEntry {
     // too short for a stable gradient signature and must come back
     // null alongside the corrupt payloads — and null fingerprints
     // never enter a band.
+    // The MULTIMODAL rung of the streaming ingestion ladder: images
+    // arrive as BYTES on the stream, decode + perceptual-hash as
+    // stateless codec ops in-flight, and admit/reject against a
+    // static accepted corpus via maxHamming+1 broadcast band joins —
+    // recall-EXACT at the threshold by pigeonhole (unlike the IVF
+    // rung there is no probe-miss caveat), so the streamed decision
+    // must equal the batch hammingNearDups decision bit-for-bit. The
+    // reference signatures are derived through the REAL decode path
+    // (PNG corpus → decodeImages → dHash); arrivals mix BMP
+    // re-encodes of accepted images (reject at hamming 0 — the
+    // cross-container duplicate no byte hash can see), brightness
+    // variants (reject within threshold), novel images (admit) and
+    // corrupt payloads (null signature → admit, membership
+    // unprovable). The oracle replays both sides' pixel formulas,
+    // the dHash construction and the exhaustive argmin decision.
+    "q126_stream_image_admission" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y, shift)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame(
+          (1L to 10L).map(i => (i, enc(i, 0, "png"))))
+        .toDF("media_id", "payload")
+      val refSigs = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(refMedia, "payload"),
+          "pixels", "img_width", "img_height")
+        .select($"media_id", $"dhash")
+      val members = operators.Dedup.hammingBandMembers(refSigs,
+        "media_id", "dhash", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val whole = enc(1L, 0, "png")
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 5L).map(i => (500L + i, enc(i, 0, "bmp"))) ++
+        (1L to 5L).map(i => (510L + i, enc(i, 4, "png"))) ++
+        (21L to 25L).map(i => (500L + i, enc(i, 0, "png"))) ++
+        Seq((9001L, whole.take(20)),
+          (9002L, "not an image".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q126_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val hashed = operators.Multimodal.perceptualHashes(
+        operators.Multimodal.decodeImages(stream, "payload"),
+        "pixels", "img_width", "img_height")
+      val admitted = streaming.StreamingParse.hammingAdmissionStream(
+        hashed, "media_id", "dhash", members, maxHamming = 6)
+      val out = runStreamToTable(s, admitted, "append", "image_admission")
+        .select($"media_id", $"dhash", $"admitted", $"match_id",
+          $"match_hamming")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     "q125_audio_fp_dedup" -> ((s, d) => {
       def pcmBytes(src: Long, ch: Int, frames: Int, scale: Int,
                    bigEndian: Boolean): Array[Byte] = {
@@ -3498,6 +3568,62 @@ object SparkEntry {
          SELECT s.media_id, s.dhash, s.ahash,
            coalesce(st.n_pairs, 0)::BIGINT AS n_pairs, st.top_partner
          FROM sigs s LEFT JOIN stats st ON st.media_id = s.media_id
+         ORDER BY s.media_id""",
+
+    // both sides' planted pixel formulas, the dHash construction and
+    // the exhaustive argmin (hamming, ref_id) admission decision
+    // replayed in SQL; corrupt arrivals come back as admitted
+    // null-signature rows
+    "q126_stream_image_admission" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src, 0 AS shift FROM range(1, 11) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift FROM range(1, 6) t(i)
+           UNION ALL SELECT 510 + i, i, 4 FROM range(1, 6) t(i)
+           UNION ALL SELECT 500 + i, i, 0 FROM range(21, 26) t(i)),
+         rg AS (
+           SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         rh AS (
+           SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM arrivals, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         sigs AS (
+           SELECT media_id, dhash FROM ah
+           UNION ALL SELECT media_id, NULL
+           FROM (VALUES (9001), (9002), (9003)) t(media_id)),
+         best AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id) AS match_id,
+             min(bit_count(xor(s.dhash, r.sig))) AS match_hamming
+           FROM sigs s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           WHERE s.dhash IS NOT NULL
+           GROUP BY s.media_id)
+         SELECT s.media_id, s.dhash, b.match_id IS NULL AS admitted,
+           b.match_id, b.match_hamming::INTEGER AS match_hamming
+         FROM sigs s LEFT JOIN best b ON b.media_id = s.media_id
          ORDER BY s.media_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the

@@ -393,22 +393,59 @@ object Dedup {
     * as every band join here (`maxBucket` guard + observe metric):
     * a degenerate bucket of identical signatures is otherwise
     * quadratic in the corpus. */
-  def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
-                      maxHamming: Int = 3,
-                      maxBucket: Int = 200): DataFrame = {
+  /** The `maxHamming + 1` band columns partitioning a 64-bit
+    * signature (widths as even as integer division allows) — the
+    * pigeonhole decomposition shared by [[hammingNearDups]] and the
+    * streaming admission tier ([[hammingBandMembers]]). */
+  private[graft] def hammingBands(sig: Column, maxHamming: Int)
+      : Seq[Column] = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val b = maxHamming + 1
     val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    (0 until b).map { i =>
+      val masked = shiftrightunsigned(sig, offsets(i))
+      if (widths(i) >= 64) masked
+      else masked.bitwiseAND(lit((1L << widths(i)) - 1L))
+    }
+  }
+
+  /** A signature REFERENCE set re-shaped for the streaming admission
+    * tier — the [[graft.operators.Similarity.cellMembers]] discipline
+    * for Hamming space: one row per (band, band-hash) carrying the
+    * bucket's members as an ARRAY of (neighbor_id, sig) structs, so a
+    * stream-side probe is `maxHamming + 1` broadcast equi-joins plus
+    * a pure array fold — no relational aggregation on the stream, no
+    * state. Unlike the IVF tier this probe is RECALL-EXACT at the
+    * threshold (pigeonhole: a within-distance pair shares a full
+    * band), so the streamed decision must equal the batch decision
+    * bit-for-bit. Null signatures are excluded (they can never be
+    * matched). Callers persist the result once before starting the
+    * stream (the q114 discipline); each cell's members must fit one
+    * row — the bounded-reference-set tier, same regime note as
+    * cellMembers. */
+  def hammingBandMembers(reference: DataFrame, idCol: String,
+                         sigCol: String, maxHamming: Int): DataFrame = {
+    val sigs = reference.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        col(sigCol).cast("long").as("__sig"))
+    sigs.select(col("neighbor_id"), col("__sig"),
+        posexplode(array(hammingBands(col("__sig"), maxHamming): _*))
+          .as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("neighbor_id"), col("__sig").as("sig")))
+        .as("members"))
+  }
+
+  def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 200): DataFrame = {
     val sigs = df.filter(col(sigCol).isNotNull)
       .select(col(idCol), col(sigCol).cast("long").as("__sig"))
     val banded = sigs.select(col(idCol), col("__sig"),
-      posexplode(array((0 until b).map { i =>
-        val masked = shiftrightunsigned(col("__sig"), offsets(i))
-        if (widths(i) >= 64) masked
-        else masked.bitwiseAND(lit((1L << widths(i)) - 1L))
-      }: _*)).as(Seq("band", "bh")))
+      posexplode(array(hammingBands(col("__sig"), maxHamming): _*))
+        .as(Seq("band", "bh")))
     val buckets = banded.groupBy("band", "bh")
       .agg(sort_array(collect_list(
         struct(col(idCol).as("id"), col("__sig").as("h")))).as("ids"))

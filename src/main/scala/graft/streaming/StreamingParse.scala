@@ -330,6 +330,69 @@ object StreamingParse {
         (1 to probes).flatMap(j => Seq(s"__pc$j", s"__mm$j"))): _*)
   }
 
+  /** Streaming PERCEPTUAL near-dup admission — the MULTIMODAL rung of
+    * the ingestion ladder: reject a streamed payload whose 64-bit
+    * perceptual signature sits within `maxHamming` of a STATIC
+    * reference set (an accepted image/audio corpus), admit everything
+    * else. Compose upstream on the stream itself:
+    * [[graft.operators.Multimodal.decodeImages]] →
+    * [[graft.operators.Multimodal.perceptualHashes]] (or decodeWav →
+    * audioFingerprint) are stateless per-row codec ops, legal in a
+    * stream — so a re-encoded duplicate image is caught FROM BYTES
+    * in-flight, before it ever reaches batch storage.
+    *
+    * Shape: `maxHamming + 1` broadcast left joins on the pigeonhole
+    * band hashes against the pre-grouped member arrays
+    * ([[graft.operators.Dedup.hammingBandMembers]] — pass it
+    * PERSISTED, the q114 stream-static discipline), then a pure array
+    * fold picks argmin (hamming, id). Zero stream state, plain append
+    * mode — the [[annAdmissionStream]] shape, with one upgrade: the
+    * pigeonhole bands make the probe RECALL-EXACT at the threshold,
+    * so the streamed decision equals the batch
+    * [[graft.operators.Dedup.hammingNearDups]] decision bit-for-bit
+    * (no honest-recall caveat to carry). Null signatures (corrupt
+    * payloads that decoded to null) ADMIT — membership unprovable,
+    * the q94 discipline. */
+  def hammingAdmissionStream(sigs: DataFrame, idCol: String,
+                             sigCol: String, members: DataFrame,
+                             maxHamming: Int): DataFrame = {
+    val b = maxHamming + 1
+    val sig = col("__psig")
+    val withBands = {
+      val base = sigs.withColumn("__psig", col(sigCol).cast("long"))
+      val bands = graft.operators.Dedup.hammingBands(sig, maxHamming)
+      (0 until b).foldLeft(base) { case (df, i) =>
+        df.withColumn(s"__bh$i", bands(i))
+      }
+    }
+    val joined = (0 until b).foldLeft(withBands) { case (df, i) =>
+      df.join(broadcast(members.filter(col("band") === i)
+          .select(col("bh").as(s"__bh$i"), col("members").as(s"__mm$i"))),
+        Seq(s"__bh$i"), "left")
+    }
+    // per-bucket argmin as a (hamming, id) struct min over the
+    // within-threshold members; a member surfacing in several probed
+    // buckets folds to the same struct value, so the outer min is
+    // duplicate-proof
+    def bestOf(mcol: Column): Column = array_min(filter(
+      transform(mcol, m =>
+        struct(bit_count(sig.bitwiseXOR(m.getField("sig")))
+            .cast("int").as("hamming"),
+          m.getField("neighbor_id").as("nid"))),
+      s => s.getField("hamming") <= lit(maxHamming)))
+    joined
+      .withColumn("__best", array_min(filter(
+        array((0 until b).map(i => bestOf(col(s"__mm$i"))): _*),
+        x => x.isNotNull)))
+      .withColumn("admitted", col("__best").isNull)
+      .withColumn("match_id",
+        when(!col("admitted"), col("__best").getField("nid")))
+      .withColumn("match_hamming",
+        when(!col("admitted"), col("__best").getField("hamming")))
+      .drop((Seq("__psig", "__best") ++
+        (0 until b).flatMap(i => Seq(s"__bh$i", s"__mm$i"))): _*)
+  }
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

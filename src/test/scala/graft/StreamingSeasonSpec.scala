@@ -724,6 +724,49 @@ class StreamingSeasonSpec extends SparkSpec {
     } finally members.unpersist()
   }
 
+  test("streaming Hamming admission: pigeonhole recall is exact; nulls admit; ties to smaller id") {
+    import spark.implicits._
+    val base = 0x5A5A5A5A5A5A5A5AL
+    def flip(s: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(s)((x, b) => x ^ (1L << b))
+    val reference: Seq[(Long, java.lang.Long)] = Seq(
+      (10L, base),
+      (20L, flip(base, Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))), // far
+      (30L, null))                                           // unmatchable
+    val members = graft.operators.Dedup.hammingBandMembers(
+      reference.toDF("ref_id", "sig"), "ref_id", "sig", maxHamming = 3)
+    members.persist().count()
+    val cands: Seq[(Long, java.lang.Long)] = Seq(
+      (101L, base),                      // exact → reject w/ 10, d=0
+      (102L, flip(base, Seq(63, 32, 5))), // 3 flips across 3 DIFFERENT
+                                          // bands — only pigeonhole
+                                          // catches it → reject, d=3
+      (103L, flip(base, Seq(0, 1, 2, 3))), // d=4 > threshold → admit
+      (104L, null))                        // unprovable → admit
+    val dir = Files.createTempDirectory("stream_phash")
+    cands.toDF("media_id", "sig").write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema(cands.toDF("media_id", "sig").schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse.hammingAdmissionStream(
+        stream, "media_id", "sig", members, maxHamming = 3)
+      .writeStream.format("memory").queryName("phash_admit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql(
+          "select media_id, admitted, match_id, match_hamming from phash_admit")
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+      assert(out(101L) == (false, Some(10L), Some(0)), s"${out(101L)}")
+      assert(out(102L) == (false, Some(10L), Some(3)),
+        s"cross-band match must be found: ${out(102L)}")
+      assert(out(103L) == (true, None, None), s"${out(103L)}")
+      assert(out(104L) == (true, None, None), s"${out(104L)}")
+    } finally { q.stop(); members.unpersist() }
+  }
+
   test("streaming ANN admission: zero-norm and empty vectors ADMIT (NaN cosines can't reject)") {
     import spark.implicits._
     // advisor r12: Spark's total ordering ranks NaN above every
