@@ -165,6 +165,47 @@ object Layout {
     zOrderAppend(batch, cols, bits, numPartitions,
       graft.sources.Sinks.resolveEpochPointer(batch.sparkSession, root))
 
+  /** Fragmentation signal of a pointer-rooted z-ordered table — the
+    * measurable cue [[compactZOrderedLive]]'s scaladoc defers to,
+    * closing the layout lifecycle loop exactly as
+    * [[graft.operators.Similarity.driftDecision]] closes the vector
+    * one: appends are epoch-locally clustered ([[zOrderAppend]]), so
+    * each append layer's files SPAN the z range again and a box scan
+    * hits ~one file per layer instead of one file total. The signal
+    * is `span_ratio` = Σ per-file z-span / global z-span — ≈ 1 for a
+    * freshly compacted epoch (files partition the curve), ≈ k after k
+    * full-range appends (every file overlaps every probe). One
+    * column-pruned scan of the z column grouped by
+    * `input_file_name()` — file counts are bounded, never row-scale
+    * work beyond the single projection. */
+  def layoutDriftSignal(spark: org.apache.spark.sql.SparkSession,
+                        root: String): DataFrame = {
+    val perFile = readZOrderedLive(spark, root)
+      .select(input_file_name().as("__f"), col("zvalue"))
+      .groupBy(col("__f"))
+      .agg(min(col("zvalue")).as("zmin"), max(col("zvalue")).as("zmax"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      (max(col("zmax")) - min(col("zmin")) + 1L).as("z_span"),
+      sum(col("zmax") - col("zmin") + 1L).as("sum_file_spans"))
+      .withColumn("span_ratio",
+        round(col("sum_file_spans").cast("double") /
+          col("z_span").cast("double"), 6))
+  }
+
+  /** Fold the drift signal into the compaction decision — ONE row
+    * (`n_files`, `span_ratio`, `compact`). `compact = true` means
+    * append layers have fragmented the curve past `maxSpanRatio` and
+    * the next maintenance window should run [[compactZOrderedLive]];
+    * until it fires, appends stay O(new). The layout analogue of
+    * [[graft.operators.Similarity.driftDecision]] /
+    * [[graft.operators.Dedup.estimatedFpp]]-driven Bloom compaction. */
+  def compactionDecision(spark: org.apache.spark.sql.SparkSession,
+                         root: String, maxSpanRatio: Double): DataFrame =
+    layoutDriftSignal(spark, root)
+      .select(col("n_files"), col("span_ratio"),
+        (col("span_ratio") > lit(maxSpanRatio)).as("compact"))
+
   /** OPTIMIZE-style compaction of a pointer-rooted table, crash-safe
     * end to end: the clean epoch writes to a fresh directory BESIDE
     * the live one, the pointer swap is the atomic commit (readers see

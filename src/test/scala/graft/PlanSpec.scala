@@ -898,6 +898,37 @@ class PlanSpec extends SparkSpec {
     assert(Layout.readZOrderedLive(spark, root).count() == 350L)
   }
 
+  test("layout drift signal: full-range appends fire the compaction decision; compaction clears it") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zdrift").toString
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 400L).map(i => (i, i % 97, i % 31))
+        .toDF("id", "dx", "dy")
+    Layout.writeZOrderedEpoch(batch(0), root, Seq("dx", "dy"), bits = 5,
+      numPartitions = 8)
+    val fresh = Layout.compactionDecision(spark, root, maxSpanRatio = 2.0)
+      .collect()(0)
+    assert(!fresh.getBoolean(2),
+      s"a fresh epoch partitions the curve: ratio ${fresh.getDouble(1)}")
+    // three full-range append layers: each layer's files re-span the
+    // whole curve, so a box probe now hits ~a file per layer
+    (1 to 3).foreach(k => Layout.zOrderAppendLive(batch(k * 400L),
+      Seq("dx", "dy"), bits = 5, numPartitions = 8, root))
+    val drifted = Layout.compactionDecision(spark, root, maxSpanRatio = 2.0)
+      .collect()(0)
+    assert(drifted.getBoolean(2) && drifted.getDouble(1) > 2.0,
+      s"span ratio must climb with append layers: ${drifted.getDouble(1)}")
+    // the remediation the signal points at restores ratio ≈ 1
+    Layout.compactZOrderedLive(spark, root, Seq("dx", "dy"), bits = 5,
+      numPartitions = 8)
+    val compacted = Layout.compactionDecision(spark, root,
+      maxSpanRatio = 2.0).collect()(0)
+    assert(!compacted.getBoolean(2),
+      s"compaction must clear the signal: ${compacted.getDouble(1)}")
+    assert(Layout.readZOrderedLive(spark, root).count() == 1600L)
+  }
+
   test("annAdmissionStream: centroid grid rides a broadcast join; plan flat at nCells ≈ 1k") {
     // the q117 literal→join graduation for the vector tier: the
     // centroid grid must arrive as broadcast DATA, never as plan
