@@ -1904,6 +1904,54 @@ object SparkEntry {
     // too short for a stable gradient signature and must come back
     // null alongside the corrupt payloads — and null fingerprints
     // never enter a band.
+    // TAKEDOWN lifecycle for the durable vector index — the
+    // compliance path a 100 TB training-data index needs: every
+    // query's true top-1 (its planted source vector) is tombstoned,
+    // so the served search must immediately surface the live
+    // runner-up (the planted twin — same direction family, well
+    // separated from the random corpus) WITHOUT an index rewrite;
+    // the next warm retrain purges the tombstoned rows physically
+    // and clears the ledger, and the served answer must not move.
+    // Oracle: three brute-force argmax replays — the full corpus
+    // (pre), and the corpus minus the tombstoned ids (logical +
+    // post-purge, which must agree).
+    "q127_ivfpq_takedown" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val twins = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 20000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.05)")
+            .as("embedding"))
+      val corpus = emb.select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .as("embedding"))
+        .unionByName(twins)
+      val queries = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.0005)")
+            .as("embedding"))
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val base = operators.Similarity.buildIvfPq(corpus, "vec_id",
+        "embedding", lloydIters = 3)
+      operators.Similarity.writeIvfPqIndexBucketed(base, "q127_idx")
+      def top1(tag: String): DataFrame = loc(
+        operators.Similarity.searchIvfPqLive(s, "q127_idx", corpus,
+            queries, "vec_id", "embedding", k = 1)
+          .filter($"rank" === 1)
+          .select($"query_id", $"neighbor_id".as(tag)))
+      val pre = top1("pre_top1")
+      operators.Similarity.tombstoneIvfPq(s, "q127_idx",
+        emb.filter($"vec_id" < 10).select($"vec_id"), "vec_id")
+      val live = top1("live_top1")
+      operators.Similarity.retrainIvfPqIndexBucketed(s, "q127_idx",
+        corpus, "vec_id", "embedding",
+        sample = corpus.filter($"vec_id" % 3 === 0), lloydIters = 1)
+      val post = top1("post_top1")
+      pre.join(live, Seq("query_id")).join(post, Seq("query_id"))
+        .select($"query_id", $"pre_top1", $"live_top1", $"post_top1")
+        .orderBy($"query_id")
+    }),
+
     // The MULTIMODAL rung of the streaming ingestion ladder: images
     // arrive as BYTES on the stream, decode + perceptual-hash as
     // stateless codec ops in-flight, and admit/reject against a
@@ -3625,6 +3673,35 @@ object SparkEntry {
            b.match_id, b.match_hamming::INTEGER AS match_hamming
          FROM sigs s LEFT JOIN best b ON b.media_id = s.media_id
          ORDER BY s.media_id""",
+
+    // three brute-force argmax replays: the full corpus (pre), and
+    // the corpus minus the tombstoned sources (the logical-delete
+    // answer and the post-purge answer, which must agree)
+    "q127_ivfpq_takedown" ->
+      """WITH c0 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x) AS v
+             FROM embeddings),
+         twins AS (SELECT vec_id + 20000 AS vec_id,
+             list_transform(v, x -> x * 0.9 + 0.05) AS v
+           FROM c0 WHERE vec_id < 10),
+         corpus AS (SELECT * FROM c0 UNION ALL SELECT * FROM twins),
+         q AS (SELECT vec_id + 10000 AS query_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS qv
+           FROM c0 WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN corpus c),
+         pre AS (SELECT query_id, neighbor_id AS pre_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn FROM s) WHERE rn = 1),
+         alive AS (SELECT query_id, neighbor_id AS live_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn
+             FROM s WHERE neighbor_id >= 10) WHERE rn = 1)
+         SELECT p.query_id, p.pre_top1, a.live_top1, a.live_top1 AS post_top1
+         FROM pre p JOIN alive a USING (query_id)
+         ORDER BY p.query_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming

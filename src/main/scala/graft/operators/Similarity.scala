@@ -1234,7 +1234,8 @@ object Similarity {
     * [[searchPq]]. */
   def searchIvfPq(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-                  oversample: Int = 4): DataFrame = {
+                  oversample: Int = 4,
+                  exclude: Option[DataFrame] = None): DataFrame = {
     val qlut = pqQueryLut(queries, idCol, vecCol, index.codebooks,
       index.nSub, index.nCentroids)
     val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -1251,8 +1252,15 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("__qn"), col("__lut"),
         col("cell"))
     // approximate pass: touches only probed cells, reads only codes
-    val scored = probes.join(index.cellCodes, Seq("cell"))
+    val scored0 = probes.join(index.cellCodes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    // tombstoned ids drop BEFORE any ranking (a deleted top-1 must
+    // reveal the live runner-up, not shorten the result); broadcast
+    // anti join — takedown sets are bounded
+    val scored1 = exclude.fold(scored0)(ex =>
+      scored0.join(broadcast(ex.select(col(ex.columns.head)
+        .as("neighbor_id"))), Seq("neighbor_id"), "left_anti"))
+    val scored = scored1
       .withColumn("approx_cos", adcCosine(index.nSub, index.nCentroids))
     adcRerank(scored, corpus, idCol, vecCol, k, oversample)
   }
@@ -1428,6 +1436,58 @@ object Similarity {
       s"${prefix}_meta")
   }
 
+  /** TAKEDOWN support for a durable IVF×PQ index — O(new) deletes,
+    * never an O(corpus) rewrite: the ids append to a
+    * `${prefix}_tombstones` side table ([[readIvfPqTombstones]]), a
+    * served search drops them BEFORE ranking
+    * ([[searchIvfPq]]'s `exclude` — so a deleted top-1 reveals the
+    * live runner-up, never a shortened result), and the next
+    * [[retrainIvfPqIndexBucketed]] purges them PHYSICALLY (the
+    * re-encode pass skips tombstoned corpus rows and the table
+    * clears) — the compliance lifecycle a 100 TB training-data index
+    * actually needs: a takedown must be effective immediately
+    * (logical, this call) and eventually irreversible (physical, at
+    * the next maintenance window), without rewriting the scan side
+    * per request. Idempotent and re-runnable: the union is DISTINCT,
+    * so a crashed half-applied batch just re-runs. Tombstone sets
+    * are takedown lists — bounded, driver-collected by design (the
+    * recallProbe sample-budget discipline). */
+  def tombstoneIvfPq(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String, ids: DataFrame,
+                     idCol: String): Unit = {
+    import spark.implicits._
+    val table = s"${prefix}_tombstones"
+    val incoming = ids.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct().as[Long].collect().toSet
+    val existing =
+      if (spark.catalog.tableExists(table))
+        spark.table(table).as[Long].collect().toSet
+      else Set.empty[Long]
+    graft.sources.Sinks.writeTable(
+      (existing ++ incoming).toSeq.sorted.toDF("neighbor_id"), table)
+  }
+
+  /** The live tombstone set of a durable IVF×PQ index (empty frame if
+    * none were ever filed). */
+  def readIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
+                          prefix: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${prefix}_tombstones"
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else Seq.empty[Long].toDF("neighbor_id")
+  }
+
+  /** Search a DURABLE IVF×PQ index with its tombstones applied — the
+    * serving entry point after takedowns: reopen (epoch-validated),
+    * drop tombstoned ids pre-rank, search. */
+  def searchIvfPqLive(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4, oversample: Int = 4): DataFrame =
+    searchIvfPq(readIvfPqIndex(spark, prefix), corpus, queries, idCol,
+      vecCol, k, nProbe, oversample,
+      exclude = Some(readIvfPqTombstones(spark, prefix)))
+
   /** Warm-start Lloyd refinement of an EXISTING PQ codebook over a
     * bounded sample — the PQ half of the drift remediation: per
     * subspace, `lloydIters` assign→mean steps seeded from the CURRENT
@@ -1524,8 +1584,20 @@ object Similarity {
     val otherCodes =
       if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
       else s"${prefix}_cell_codes"
-    val retrained = retrainIvfPq(index, corpus, idCol, vecCol, sample,
-      lloydIters)
+    // the retrain is the PHYSICAL purge point for filed takedowns
+    // ([[tombstoneIvfPq]]): tombstoned rows never enter the new
+    // generation's re-encode, and the tombstone table clears after
+    // the swap — logical deletes become irreversible here
+    val tombstones = readIvfPqTombstones(spark, prefix)
+      .as[Long].collect().toSet
+    def purge(df: DataFrame): DataFrame =
+      if (tombstones.isEmpty) df
+      else df.join(broadcast(tombstones.toSeq.toDF(idCol)),
+        Seq(idCol), "left_anti")
+    // the fit sample purges too: a deleted vector must not even shape
+    // the new geometry
+    val retrained = retrainIvfPq(index, purge(corpus), idCol, vecCol,
+      purge(sample), lloydIters)
     // 1. new scan-side generation writes beside the live one
     graft.sources.Sinks.writeBucketed(retrained.cellCodes, otherCodes,
       Seq("cell"), numBuckets)
@@ -1546,8 +1618,12 @@ object Similarity {
       Seq((index.nSub, index.nCentroids, epoch, otherCodes))
         .toDF("n_sub", "n_centroids", "epoch", "codes_table"),
       s"${prefix}_meta")
-    // 5. the superseded generation drops (best-effort)
+    // 5. the superseded generation drops; the purged tombstones clear
+    // (both best-effort — a crash here leaves dead files / already-
+    // purged tombstones that re-filter harmlessly, never a wrong read)
     spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
+    if (tombstones.nonEmpty)
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the

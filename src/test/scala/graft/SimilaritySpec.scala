@@ -782,4 +782,47 @@ class SimilaritySpec extends SparkSpec {
       Similarity.readIvfPqIndex(spark, "ivfpq_retrain")
     }.getMessage.contains("epoch token"))
   }
+
+  test("IVF×PQ takedown: logical delete serves the runner-up; retrain purges physically") {
+    val (base, drift, _) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfPq(corpus, "vec_id", "embedding",
+      nCells = 2, nSub = 2, nCentroids = 2, lloydIters = 1)
+    Similarity.writeIvfPqIndexBucketed(built, "ivfpq_td", numBuckets = 2)
+    // query = a near-copy of drifted member 105; its true top-1 is
+    // 105, runner-up its jitter-neighbors
+    val q = drift.filter($"vec_id" === 105L)
+      .select(lit(9105L).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001 + 0.0001)")
+          .as("embedding"))
+    def top1(): Long = Similarity.searchIvfPqLive(spark, "ivfpq_td",
+        corpus, q, "vec_id", "embedding", k = 1, oversample = 32)
+      .filter($"rank" === 1).collect()(0).getLong(1)
+    assert(top1() == 105L)
+    // idempotent tombstoning (a re-run of a crashed batch converges)
+    Similarity.tombstoneIvfPq(spark, "ivfpq_td",
+      Seq(105L).toDF("vec_id"), "vec_id")
+    Similarity.tombstoneIvfPq(spark, "ivfpq_td",
+      Seq(105L, 104L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readIvfPqTombstones(spark, "ivfpq_td")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(104L, 105L))
+    val runnerUp = top1()
+    assert(runnerUp != 105L && runnerUp != 104L,
+      s"tombstoned ids must be invisible pre-rank: got $runnerUp")
+    // the retrain purges: tombstoned rows leave the scan side, the
+    // ledger clears, and the served answer does not move
+    Similarity.retrainIvfPqIndexBucketed(spark, "ivfpq_td", corpus,
+      "vec_id", "embedding",
+      sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+      numBuckets = 2)
+    val disk = Similarity.readIvfPqIndex(spark, "ivfpq_td")
+    val ids = disk.cellCodes.select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(105L) && !ids.contains(104L) && ids.size == 28,
+      s"purge must remove exactly the tombstoned rows: ${ids.size}")
+    assert(Similarity.readIvfPqTombstones(spark, "ivfpq_td").count() == 0L,
+      "the tombstone ledger clears once deletes are physical")
+    assert(top1() == runnerUp,
+      "the served answer must not move across the purge")
+  }
 }
