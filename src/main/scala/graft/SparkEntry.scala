@@ -1904,6 +1904,50 @@ object SparkEntry {
     // too short for a stable gradient signature and must come back
     // null alongside the corrupt payloads — and null fingerprints
     // never enter a band.
+    // TAKEDOWN lifecycle for the EXACT-dedup accepted corpus — q127's
+    // sibling on the text side: removing a document from the accepted
+    // set must make future identical copies ADMISSIBLE again,
+    // immediately (logical: the verification rows leave, the Bloom's
+    // stale "maybe" only costs a join) and stay admissible after the
+    // physical purge (compactExactIndex re-sketches from the purged
+    // table — the same call that remediates fpp drift). The batch
+    // mixes copies of tombstoned accepted docs (drop → admit → admit),
+    // copies of still-accepted docs (always drop), fresh texts
+    // (always admit) and within-batch duplicates of those fresh texts
+    // (always drop — the min-id collapse is orthogonal to takedowns).
+    // Oracle: set-level replay of all three decisions — accepted
+    // texts, accepted EXCEPT tombstoned texts, and the per-text
+    // min-id rule.
+    "q128_exact_takedown" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val accepted = docs.filter($"doc_id" % 3 === 0)
+      val batch = accepted.filter($"doc_id" % 6 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" % 6 === 3)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 3 === 1)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 3 === 1 && $"doc_id" % 5 === 1)
+          .select(($"doc_id" + 3500000L).as("doc_id"), $"text"))
+      val idx = operators.Dedup.buildExactIndex(accepted, "text",
+        expectedItems = 1L << 14, numBits = 1L << 17, shards = 4)
+      def flags(ix: operators.Dedup.ExactIndex, tag: String): DataFrame =
+        batch.join(
+          operators.Dedup.incrementalDropExactDups(ix, batch, "doc_id",
+              "text")
+            .select($"doc_id", lit(true).as(tag)),
+          Seq("doc_id"), "left")
+          .select($"doc_id", coalesce(col(tag), lit(false)).as(tag))
+      val tomb = accepted.filter($"doc_id" % 6 === 0)
+      val live = operators.Dedup.tombstoneFromExactIndex(idx, tomb, "text")
+      val purged = operators.Dedup.compactExactIndex(live,
+        expectedItems = 1L << 14, numBits = 1L << 17, shards = 4)
+      flags(idx, "admitted_pre")
+        .join(flags(live, "admitted_live"), Seq("doc_id"))
+        .join(flags(purged, "admitted_post"), Seq("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
     // TAKEDOWN lifecycle for the durable vector index — the
     // compliance path a 100 TB training-data index needs: every
     // query's true top-1 (its planted source vector) is tombstoned,
@@ -3702,6 +3746,35 @@ object SparkEntry {
          SELECT p.query_id, p.pre_top1, a.live_top1, a.live_top1 AS post_top1
          FROM pre p JOIN alive a USING (query_id)
          ORDER BY p.query_id""",
+
+    // set-level replay of all three admission decisions: accepted
+    // texts, accepted EXCEPT the tombstoned texts, and the per-text
+    // min-id collapse — identical live/post columns pin that the
+    // Bloom purge moves cost, never decisions
+    "q128_exact_takedown" ->
+      """WITH accepted AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM accepted WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id + 2000000, text FROM accepted WHERE doc_id % 6 = 3
+           UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 1
+           UNION ALL SELECT doc_id + 3500000, text FROM documents
+             WHERE doc_id % 3 = 1 AND doc_id % 5 = 1),
+         firsts AS (
+           SELECT doc_id, text,
+             doc_id = min(doc_id) OVER (PARTITION BY text) AS is_first
+           FROM batch),
+         acc_texts AS (SELECT DISTINCT text FROM accepted),
+         tomb_texts AS (SELECT DISTINCT text FROM accepted WHERE doc_id % 6 = 0),
+         live_texts AS (SELECT text FROM acc_texts
+           EXCEPT SELECT text FROM tomb_texts)
+         SELECT f.doc_id,
+           f.is_first AND a.text IS NULL AS admitted_pre,
+           f.is_first AND l.text IS NULL AS admitted_live,
+           f.is_first AND l.text IS NULL AS admitted_post
+         FROM firsts f
+         LEFT JOIN acc_texts a ON a.text = f.text
+         LEFT JOIN live_texts l ON l.text = f.text
+         ORDER BY f.doc_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming

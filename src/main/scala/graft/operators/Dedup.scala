@@ -1199,6 +1199,62 @@ object Dedup {
       sketchesFromHashes(index.hashes, expectedItems, numBits, shards),
       expectedItems, numBits)
 
+  /** TAKEDOWN for the exact-dedup index — the accepted-corpus face of
+    * [[graft.operators.Similarity.tombstoneIvfPq]]'s compliance
+    * lifecycle: a document removed from the accepted corpus must make
+    * future identical copies ADMISSIBLE again, immediately. Logical
+    * delete = drop the rows from the VERIFICATION hash table (one
+    * lazy anti join, O(tombstones) build side): the Bloom keeps
+    * answering "maybe" for the removed texts — a cost (those copies
+    * now pay the verification join), never a correctness issue,
+    * because the join finds no row and admits. Physical purge =
+    * [[compactExactIndex]] re-sketches from the already-purged table
+    * — the SAME maintenance call that remediates fpp drift, now also
+    * the point where deletes stop costing Bloom false positives. */
+  def tombstoneFromExactIndex(index: ExactIndex, docs: DataFrame,
+                              textCol: String): ExactIndex =
+    ExactIndex(
+      index.hashes.join(broadcast(
+          docs.select(col(textCol).as("__t")).distinct()),
+        Seq("__t"), "left_anti"),
+      index.blooms, index.expectedItems, index.numBits)
+
+  /** Durable takedown ledger beside a [[writeExactIndexBucketed]]
+    * index: idempotent distinct-union of (hash, text) rows into
+    * `${table}_tombstones` — a crashed half-applied batch just
+    * re-runs. Takedown lists are bounded, driver-collected by
+    * design. Serve through [[readExactIndexLive]]; the next
+    * compact-and-rewrite cycle (to a fresh epoch dir, the family
+    * discipline) purges physically — rewrite from
+    * `readExactIndexLive(...)` via [[compactExactIndex]] +
+    * [[writeExactIndexBucketed]], then drop the ledger table. */
+  def tombstoneExactIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, docs: DataFrame,
+                          textCol: String): Unit = {
+    import spark.implicits._
+    val ledger = s"${table}_tombstones"
+    val incoming = docs
+      .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+      .distinct().as[(Long, String)].collect().toSet
+    val existing =
+      if (spark.catalog.tableExists(ledger))
+        spark.table(ledger).as[(Long, String)].collect().toSet
+      else Set.empty[(Long, String)]
+    graft.sources.Sinks.writeTable(
+      (existing ++ incoming).toSeq.sorted.toDF("__h", "__t"), ledger)
+  }
+
+  /** Reopen a durable exact index with its takedown ledger applied —
+    * the serving entry point after [[tombstoneExactIndex]] calls. */
+  def readExactIndexLive(spark: org.apache.spark.sql.SparkSession,
+                         table: String, indexDir: String): ExactIndex = {
+    val index = readExactIndex(spark, table, indexDir)
+    val ledger = s"${table}_tombstones"
+    if (!spark.catalog.tableExists(ledger)) index
+    else tombstoneFromExactIndex(index,
+      spark.table(ledger).select(col("__t")), "__t")
+  }
+
   /** Total sketch bytes above which [[mightContainIndexCol]] stops
     * embedding the sketches as plan LITERALS and routes through a
     * broadcast instead: literals ride in every serialized plan/task

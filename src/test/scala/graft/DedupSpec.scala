@@ -925,6 +925,48 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 100L), s"got ${kept.toSeq}")
   }
 
+  test("exact-index takedown: durable ledger re-admits copies; purge moves cost, not decisions") {
+    val corpus = (0L until 300L).map(i => (i, s"takedown corpus doc $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(corpus, "text", expectedItems = 1000L,
+      numBits = 1L << 14, shards = 2)
+    val dir = java.nio.file.Files.createTempDirectory("exact_td").toString
+    Dedup.writeExactIndexBucketed(idx, "exact_td_spec", s"$dir/idx",
+      numBuckets = 2)
+    val batch = Seq(
+      (9000L, "takedown corpus doc 7"),   // copy of a tombstoned doc
+      (9001L, "takedown corpus doc 8"),   // copy of a kept doc
+      (9002L, "entirely novel doc")).toDF("doc_id", "text")
+    def kept(ix: Dedup.ExactIndex): Seq[Long] =
+      Dedup.incrementalDropExactDups(ix, batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept(Dedup.readExactIndexLive(spark, "exact_td_spec",
+      s"$dir/idx")) == Seq(9002L), "no takedowns filed yet")
+    // idempotent ledger (a crashed half-applied batch re-runs)
+    Dedup.tombstoneExactIndex(spark, "exact_td_spec",
+      Seq(Tuple1("takedown corpus doc 7")).toDF("text"), "text")
+    Dedup.tombstoneExactIndex(spark, "exact_td_spec",
+      Seq(Tuple1("takedown corpus doc 7")).toDF("text"), "text")
+    assert(spark.table("exact_td_spec_tombstones").count() == 1L)
+    val live = Dedup.readExactIndexLive(spark, "exact_td_spec", s"$dir/idx")
+    assert(kept(live) == Seq(9000L, 9002L),
+      "a copy of the tombstoned doc must re-admit immediately")
+    // the Bloom still says "maybe" for the removed text (stale
+    // positive — cost, not correctness); compaction purges it
+    assert(live.hashes.count() == 299L)
+    val purged = Dedup.compactExactIndex(live, 1000L, 1L << 14, 2)
+    assert(kept(purged) == Seq(9000L, 9002L),
+      "the purge must not move any decision")
+    val stale = Seq(Tuple1("takedown corpus doc 7")).toDF("text")
+      .select(Dedup.mightContainIndexCol(purged,
+        xxhash64(col("text"))).as("p"))
+      .collect()(0).getBoolean(0)
+    assert(!stale,
+      "the re-sketched Bloom must forget the purged text " +
+        "(deterministic fixture: a collision here would be permanent — " +
+        "re-word the planted text)")
+  }
+
   test("hammingNearDups: pigeonhole banding is exact-recall at the threshold; nulls never match") {
     val base = 0x0F0F0F0F0F0F0F0FL
     def flip(s: Long, bits: Seq[Int]): Long =
