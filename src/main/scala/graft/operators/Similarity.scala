@@ -825,6 +825,28 @@ object Similarity {
       index.cellCodes.unionByName(newCodes))
   }
 
+  /** Retrain an in-memory [[IvfSqIndex]] after [[driftDecision]]
+    * fires — completing the warm-start matrix with [[retrainIvf]] and
+    * [[retrainIvfPq]] (LSH needs no entry: frozen hyperplanes are
+    * data-independent, no drift by construction): the coarse
+    * centroids warm-start over the bounded `sample`
+    * ([[retrainIvfCentroids]], O(sample)), while the SQ stats row —
+    * per-dimension min/max, which MUST cover the corpus or re-encoded
+    * dims saturate — recomputes inside the same one full
+    * re-assign/re-encode pass every retrain already pays
+    * ([[buildSq]]'s aggregate is a scan, not a fit: there is no
+    * iteration to warm-start). */
+  def retrainIvfSq(index: IvfSqIndex, corpus: DataFrame, idCol: String,
+                   vecCol: String, sample: DataFrame,
+                   lloydIters: Int = 1): IvfSqIndex = {
+    val newCents = retrainIvfCentroids(index.centroids, sample, idCol,
+      vecCol, lloydIters)
+    val sq = buildSq(corpus, idCol, vecCol) // stats + codes, one pass
+    val cells = assignCells(corpus, idCol, vecCol, newCents)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    IvfSqIndex(newCents, sq.stats, sq.codes.join(cells, Seq("neighbor_id")))
+  }
+
   /** Search the composed index: rank the (broadcast) centroid table →
     * probe nProbe cells → asymmetric int8 scoring over those cells'
     * codes only (same one-dot-per-pair collapse as [[searchSq]]) →

@@ -783,6 +783,34 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("IVF×SQ drift retrain: warm centroids recover recall; SQ stats re-cover the grown range") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfSq(base, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    val grown = Similarity.appendToIvfSq(built, drift, "vec_id",
+      "embedding")
+    val preAnn = Similarity.searchIvfSq(grown, corpus, queries, "vec_id",
+      "embedding", k = 1, nProbe = 1, oversample = 32)
+    assert(meanRecall(preAnn, corpus, queries) == 0.0,
+      "frozen coarse geometry must miss every drifted twin")
+    val retrained = Similarity.retrainIvfSq(grown, corpus, "vec_id",
+      "embedding", sample = corpus.filter($"vec_id" % 2 === 1))
+    val postAnn = Similarity.searchIvfSq(retrained, corpus, queries,
+      "vec_id", "embedding", k = 1, nProbe = 1, oversample = 32)
+    assert(meanRecall(postAnn, corpus, queries) == 1.0,
+      "one sampled warm Lloyd step must recover every drifted twin")
+    // the stats row covers the GROWN range (a sample-only stats fit
+    // would saturate the drifted dimension and quantize it flat):
+    // the e2 axis (dim 3) is constant 0 in the build corpus (scale
+    // falls back to 1.0) and spans [0, 1] once the drift rows enter —
+    // the retrained scale must be the real (1 − 0)/255
+    val scale3 = retrained.stats.select(element_at(col("scales"), 3))
+      .collect()(0).getDouble(0)
+    assert(math.abs(scale3 - 1.0 / 255.0) < 1e-12,
+      s"stats must re-cover the drifted axis: scale $scale3")
+  }
+
   test("IVF×PQ takedown: logical delete serves the runner-up; retrain purges physically") {
     val (base, drift, _) = plantedDrift
     val corpus = base.unionByName(drift)
