@@ -1904,6 +1904,46 @@ object SparkEntry {
     // too short for a stable gradient signature and must come back
     // null alongside the corrupt payloads — and null fingerprints
     // never enter a band.
+    // TAKEDOWN for the NEAR-dup index — the third face of the
+    // compliance lifecycle (exact q128, vector q127): removing an
+    // accepted document must stop it TAINTING future batches — its
+    // near-copies (and docs whose ONLY near-match it was) flip
+    // drop → admit, while every other decision (other hits, the
+    // within-batch component collapse) holds. The q56 fixture with a
+    // third of the accepted corpus tombstoned; the oracle replays the
+    // full incremental contract twice — shingles, cross Jaccard vs
+    // accepted and vs accepted-minus-tombstoned, within-batch pairs,
+    // the recursive component closure and both taint decisions.
+    "q129_ngram_takedown" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 14 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(docs.filter($"doc_id" % 14 === 7)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" plugh tail")).as("text")))
+      val idx = operators.Dedup.buildNgramIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4)
+      idx.grams.persist()
+      val live = operators.Dedup.tombstoneFromNgramIndex(idx,
+        docs.filter($"doc_id" % 6 === 0).select($"doc_id"))
+      def flags(ix: operators.Dedup.NgramIndex, tag: String): DataFrame =
+        batch.join(
+          operators.Dedup.incrementalDropNearDups(ix, batch, "text",
+              threshold = 0.5)
+            .select($"doc_id", lit(true).as(tag)),
+          Seq("doc_id"), "left")
+          .select($"doc_id", coalesce(col(tag), lit(false)).as(tag))
+      val out = flags(idx, "admitted_pre")
+        .join(flags(live, "admitted_post"), Seq("doc_id"))
+        .orderBy($"doc_id")
+      val materialized = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      idx.grams.unpersist()
+      materialized
+    }),
+
     // TAKEDOWN lifecycle for the EXACT-dedup accepted corpus — q127's
     // sibling on the text side: removing a document from the accepted
     // set must make future identical copies ADMISSIBLE again,
@@ -3775,6 +3815,70 @@ object SparkEntry {
          LEFT JOIN acc_texts a ON a.text = f.text
          LEFT JOIN live_texts l ON l.text = f.text
          ORDER BY f.doc_id""",
+
+    // the full incremental near-dup contract replayed twice (pre /
+    // post takedown): shingles, cross Jaccard against both accepted
+    // sets, within-batch pairs, the recursive closure and both taint
+    // decisions — set algebra over the q56 oracle
+    "q129_ngram_takedown" ->
+      """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
+             FROM documents WHERE doc_id % 2 = 0),
+          live_olds AS (SELECT * FROM olds WHERE doc_id % 6 != 0),
+          batch AS (
+            SELECT doc_id, lower(trim(text)) tx
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
+            FROM documents WHERE doc_id % 14 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
+            FROM documents WHERE doc_id % 14 = 7),
+          bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
+          bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+            FROM bt, LATERAL (SELECT unnest(generate_series(1,
+              greatest(len(t)-3, 1))) AS i)),
+          ot AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM olds),
+          osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+            FROM ot, LATERAL (SELECT unnest(generate_series(1,
+              greatest(len(t)-3, 1))) AS i)),
+          bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+          osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+          hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+            FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+          hitsx AS (SELECT hx.bid, hx.oid FROM hx
+            JOIN bsz ON bsz.doc_id = hx.bid
+            JOIN osz ON osz.doc_id = hx.oid
+            WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+          hits_pre AS (SELECT DISTINCT bid AS doc_id FROM hitsx),
+          hits_post AS (SELECT DISTINCT bid AS doc_id FROM hitsx
+            WHERE oid % 6 != 0),
+          wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+            JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          wpairs AS (SELECT a, b FROM wx
+            JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+            WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+          edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+          reach AS (
+            WITH RECURSIVE r(x, y) AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+            SELECT x, y FROM r),
+          comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+            FROM reach GROUP BY x),
+          labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+            FROM batch b LEFT JOIN comp USING (doc_id)),
+          tainted_pre AS (SELECT DISTINCT l.comp FROM labeled l
+            JOIN hits_pre h ON l.doc_id = h.doc_id),
+          tainted_post AS (SELECT DISTINCT l.comp FROM labeled l
+            JOIN hits_post h ON l.doc_id = h.doc_id)
+         SELECT l.doc_id,
+           l.comp = l.doc_id AND l.comp NOT IN (SELECT comp FROM tainted_pre)
+             AS admitted_pre,
+           l.comp = l.doc_id AND l.comp NOT IN (SELECT comp FROM tainted_post)
+             AS admitted_post
+         FROM labeled l
+         ORDER BY l.doc_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming

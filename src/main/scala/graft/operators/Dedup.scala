@@ -945,6 +945,55 @@ object Dedup {
     NgramIndex(index.grams.unionByName(
       gramTable(accepted, index.idCol, textCol, index.n)), index.idCol, index.n)
 
+  /** TAKEDOWN for the near-dup index — the third face of the
+    * compliance lifecycle ([[tombstoneFromExactIndex]] /
+    * [[graft.operators.Similarity.tombstoneIvfPq]]): a document
+    * removed from the accepted corpus must stop TAINTING future
+    * batches — near-copies of it (and their within-batch components)
+    * become admissible again. Logical delete = one lazy anti join
+    * dropping the doc's gram rows from the index side of the
+    * candidate bucket join (O(tombstones) build side, the index is
+    * never re-shingled); physical purge = the next bucketed rewrite
+    * of the live frame ([[writeNgramIndexBucketed]] to a fresh epoch,
+    * the family discipline), after which the ledger drops. */
+  def tombstoneFromNgramIndex(index: NgramIndex,
+                              ids: DataFrame): NgramIndex =
+    NgramIndex(
+      index.grams.join(broadcast(
+          ids.select(col(ids.columns.head).as(index.idCol)).distinct()),
+        Seq(index.idCol), "left_anti"),
+      index.idCol, index.n)
+
+  /** Durable takedown ledger beside a [[writeNgramIndexBucketed]]
+    * table — idempotent distinct-union of removed doc ids into
+    * `${table}_tombstones`; takedown lists are bounded,
+    * driver-collected by design. Serve through
+    * [[readNgramIndexLive]]. */
+  def tombstoneNgramIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val ledger = s"${table}_tombstones"
+    val incoming = ids.select(col(ids.columns.head).cast("long"))
+      .distinct().as[Long].collect().toSet
+    val existing =
+      if (spark.catalog.tableExists(ledger))
+        spark.table(ledger).as[Long].collect().toSet
+      else Set.empty[Long]
+    graft.sources.Sinks.writeTable(
+      (existing ++ incoming).toSeq.sorted.toDF("doc_id"), ledger)
+  }
+
+  /** Reopen a durable n-gram index with its takedown ledger applied —
+    * the serving entry point after [[tombstoneNgramIndex]] calls. */
+  def readNgramIndexLive(spark: org.apache.spark.sql.SparkSession,
+                         table: String, idCol: String,
+                         n: Int): NgramIndex = {
+    val index = readNgramIndex(spark, table, idCol, n)
+    val ledger = s"${table}_tombstones"
+    if (!spark.catalog.tableExists(ledger)) index
+    else tombstoneFromNgramIndex(index, spark.table(ledger))
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an indexed
     * corpus: a batch doc survives iff (a) its within-batch component —
     * over batch-vs-batch near-dup pairs — contains NO doc that

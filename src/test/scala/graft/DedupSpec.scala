@@ -967,6 +967,37 @@ class DedupSpec extends SparkSpec {
         "re-word the planted text)")
   }
 
+  test("ngram-index takedown: durable ledger untaints near-copies; chain taint still drops") {
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    val idx = Dedup.buildNgramIndex(corpus, "doc_id", "text", n = 4)
+    Dedup.writeNgramIndexBucketed(idx, "ngram_td_spec", numBuckets = 2)
+    val batch = Seq(
+      // near-copy of doc 2 (to be tombstoned) + a chained neighbor:
+      // the chain must drop pre (tainted via 101) and admit ONE rep post
+      (101L, "alpha beta gamma delta epsilon zeta eta"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // near-copy of the KEPT doc 4 — drops in both worlds
+      (103L, "one two three four five six seven eight"),
+      (104L, "completely unrelated novel words here entirely"))
+      .toDF("doc_id", "text")
+    def kept(ix: Dedup.NgramIndex): Seq[Long] =
+      Dedup.incrementalDropNearDups(ix, batch, "text", threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept(Dedup.readNgramIndexLive(spark, "ngram_td_spec",
+      "doc_id", 4)) == Seq(104L), "everything near-matched drops pre")
+    Dedup.tombstoneNgramIndex(spark, "ngram_td_spec",
+      Seq(2L).toDF("doc_id"))
+    Dedup.tombstoneNgramIndex(spark, "ngram_td_spec",
+      Seq(2L).toDF("doc_id")) // idempotent re-run
+    assert(spark.table("ngram_td_spec_tombstones").count() == 1L)
+    val live = Dedup.readNgramIndexLive(spark, "ngram_td_spec",
+      "doc_id", 4)
+    assert(kept(live) == Seq(101L, 104L),
+      "the untainted component re-admits exactly its min-id rep")
+  }
+
   test("hammingNearDups: pigeonhole banding is exact-recall at the threshold; nulls never match") {
     val base = 0x0F0F0F0F0F0F0F0FL
     def flip(s: Long, bits: Seq[Int]): Long =
