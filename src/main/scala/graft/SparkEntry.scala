@@ -1904,6 +1904,38 @@ object SparkEntry {
     // too short for a stable gradient signature and must come back
     // null alongside the corrupt payloads — and null fingerprints
     // never enter a band.
+    // The text modality's bytes→vector bridge made REAL end to end:
+    // documents feature-hash into fixed-dim signed-count vectors (the
+    // hashing trick — one pure HOF projection, no model, no shuffle,
+    // stream-legal), and near-copies (each query is a corpus doc plus
+    // three appended tokens) must recover their source as the cosine
+    // argmax over the embedded corpus. Values are exact integers
+    // inside doubles, so the oracle replays the tokenize → md5 bucket
+    // + sign → fold → per-doc stats → brute-force cosine argmax chain
+    // bit-for-bit in SQL. Composes directly with the vector family —
+    // the same column feeds buildIvf/hammingNearDups/annAdmission.
+    "q130_text_embed_ann" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val emb = operators.TextAnalysis.hashEmbed(docs, "text", dim = 64)
+        .select($"doc_id", $"embedding")
+      val qdocs = docs.filter($"doc_id" < 15)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"text", lit(" zq zq qz")).as("text"))
+      val qemb = operators.TextAnalysis.hashEmbed(qdocs, "text", dim = 64)
+        .select($"doc_id", $"embedding")
+      val ann = operators.Similarity.bruteForceTopK(emb, qemb,
+        "doc_id", "embedding", k = 1).filter($"rank" === 1)
+      val stats = emb.select($"doc_id".as("top1"),
+        expr("aggregate(embedding, 0L, (a, x) -> " +
+          "a + CASE WHEN x != 0.0D THEN 1L ELSE 0L END)").as("nnz"),
+        expr("CAST(aggregate(embedding, 0.0D, (a, x) -> a + x * x) " +
+          "AS BIGINT)").as("ssq"))
+      ann.select($"query_id", $"neighbor_id".as("top1"))
+        .join(stats, Seq("top1"))
+        .select($"query_id", $"top1", $"nnz", $"ssq")
+        .orderBy($"query_id")
+    }),
+
     // TAKEDOWN for the NEAR-dup index — the third face of the
     // compliance lifecycle (exact q128, vector q127): removing an
     // accepted document must stop it TAINTING future batches — its
@@ -3879,6 +3911,45 @@ object SparkEntry {
              AS admitted_post
          FROM labeled l
          ORDER BY l.doc_id""",
+
+    // the full text→vector chain replayed: tokenize, md5 bucket +
+    // sign-hash fold, per-doc nonzero/sum-of-squares stats (exact
+    // integers), brute-force cosine argmax with ties to the smaller id
+    "q130_text_embed_ann" ->
+      """WITH base AS (SELECT doc_id, text, 0 AS is_q FROM documents),
+          qd AS (SELECT doc_id + 500000 AS doc_id, text || ' zq zq qz' AS text,
+            1 AS is_q FROM documents WHERE doc_id < 15),
+          all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM qd),
+          toks AS (SELECT doc_id, is_q,
+            unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              t -> t != '')) AS t
+            FROM all_docs),
+          contrib AS (SELECT doc_id, is_q,
+            ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+            CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+            FROM toks),
+          vecs AS (SELECT doc_id, is_q, b, sum(s) AS v FROM contrib
+            GROUP BY 1, 2, 3 HAVING sum(s) != 0),
+          stats AS (SELECT doc_id, count(*)::BIGINT AS nnz,
+            CAST(sum(v * v) AS BIGINT) AS ssq
+            FROM vecs WHERE is_q = 0 GROUP BY doc_id),
+          dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+            sum(q.v * c.v) AS dp
+            FROM vecs q JOIN vecs c ON q.b = c.b AND q.is_q = 1 AND c.is_q = 0
+            GROUP BY 1, 2),
+          norms AS (SELECT doc_id, is_q, sqrt(sum(v * v)) AS n FROM vecs
+            GROUP BY 1, 2),
+          cosr AS (SELECT d.query_id, d.neighbor_id,
+            d.dp / (qn.n * cn.n) AS cosv
+            FROM dots d JOIN norms qn ON qn.doc_id = d.query_id AND qn.is_q = 1
+            JOIN norms cn ON cn.doc_id = d.neighbor_id AND cn.is_q = 0),
+          top AS (SELECT query_id, neighbor_id AS top1 FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosv DESC, neighbor_id) AS rn FROM cosr) WHERE rn = 1)
+         SELECT t.query_id, t.top1, s.nnz, s.ssq
+         FROM top t JOIN stats s ON s.doc_id = t.top1
+         ORDER BY t.query_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming

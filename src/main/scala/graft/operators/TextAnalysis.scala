@@ -693,6 +693,44 @@ object TextAnalysis {
     * defined mean log-probability and are ABSENT from the output —
     * callers scoring a corpus for filtering should treat a missing row
     * as minimum quality, not as a pass. */
+  /** Feature-hashed text embedding (the hashing trick — Weinberger
+    * et al. 2009): every token adds ±1 to the bucket its hash owns
+    * (`bucket = h mod dim`, `sign = (h div dim) mod 2` over the
+    * engine-neutral [[graft.operators.Dedup.md5Hash60]] value), so a
+    * document becomes a fixed-`dim` REAL vector derived purely from
+    * its text — the bytes→vector bridge for the text modality,
+    * feeding the whole vector family (cosine near-dup, IVF/PQ
+    * indexes, streaming ANN admission) without a model or a lookup
+    * table, with cosine ≈ bag-of-words similarity. Values are exact
+    * small INTEGERS (signed counts), so dots, norms² and an external
+    * SQL replay agree bit-for-bit — divisions only happen downstream
+    * in cosine.
+    *
+    * Scale shape: ONE pure higher-order-function projection per row —
+    * tokenize, hash each token once into a (bucket, sign) struct,
+    * fold into the dim-array — no explode, no shuffle, no state; the
+    * shape that runs unchanged in a stream. Sign hashing keeps the
+    * bucket-collision expectation zero (Weinberger's trick), and
+    * empty/whitespace docs embed as the zero vector (norm 0 — the
+    * [[graft.operators.Similarity]] simRatio layer scores them null
+    * rather than crashing or matching). */
+  def hashEmbed(df: DataFrame, textCol: String,
+                dim: Int = 64, out: String = "embedding"): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    df.withColumn(out, expr(
+      s"""aggregate(
+            transform(
+              filter(split(lower(trim($textCol)), '\\\\s+'), t -> t != ''),
+              t -> named_struct(
+                'b', $h % ${dim}L,
+                's', CASE WHEN ($h div ${dim}L) % 2 = 0
+                       THEN 1.0D ELSE -1.0D END)),
+            array_repeat(0.0D, $dim),
+            (acc, g) -> transform(acc, (x, i) ->
+              CASE WHEN g.b = i THEN x + g.s ELSE x END))"""))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tf = df.select(col(idCol),

@@ -746,6 +746,41 @@ class TextMultimodalSpec extends SparkSpec {
       "garbage-after-trailer ending in 0x3B must refuse, not decode")
   }
 
+  test("hashEmbed: independently-replayed signed counts; zero vector for empty text; near-dup composes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // identical → cosine exactly 1
+      (3L, "totally different tokens here entirely"),
+      (4L, "   "), (5L, "")).toDF("doc_id", "text")
+    val emb = TextAnalysis.hashEmbed(docs, "text", dim = 32)
+      .select($"doc_id", $"embedding")
+    val v = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent replay of the md5 bucket + sign math
+    def expected(text: String): Seq[Double] = {
+      val out = new Array[Double](32)
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        out((h % 32).toInt) += (if ((h / 32) % 2 == 0) 1.0 else -1.0)
+      }
+      out.toSeq
+    }
+    assert(v(1L) == expected("alpha beta gamma alpha"))
+    assert(v(3L) == expected("totally different tokens here entirely"))
+    assert(v(1L) == v(2L))
+    assert(v(4L).forall(_ == 0.0) && v(5L).forall(_ == 0.0),
+      "empty/whitespace docs embed as the zero vector")
+    // the bridge composes with the vector family: the identical pair
+    // surfaces through cosine near-dup; the zero vectors score null
+    // (simRatio) and can never match
+    val pairs = graft.operators.Similarity.cosineNearDups(emb,
+        "doc_id", "embedding", 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
   test("multimodal: perceptual hashes are integer-exact; corrupt buffers yield null") {
     import graft.operators.Multimodal
     // 9×8 gray ramp pixel(x, y) = x: the dHash grid samples
