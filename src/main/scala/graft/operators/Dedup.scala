@@ -420,13 +420,29 @@ object Dedup {
     * state. Unlike the IVF tier this probe is RECALL-EXACT at the
     * threshold (pigeonhole: a within-distance pair shares a full
     * band), so the streamed decision must equal the batch decision
-    * bit-for-bit. Null signatures are excluded (they can never be
+    * bit-for-bit — PROVIDED no bucket overflows `maxBucket` (see
+    * below). Null signatures are excluded (they can never be
     * matched). Callers persist the result once before starting the
     * stream (the q114 discipline); each cell's members must fit one
     * row — the bounded-reference-set tier, same regime note as
-    * cellMembers. */
+    * cellMembers.
+    *
+    * Skew guard, honestly stated: a (band, hash) bucket larger than
+    * `maxBucket` is DROPPED from the member table with an observe
+    * metric — the [[hammingNearDups]]/[[guardedIdBuckets]] discipline
+    * (there the cap bounds a quadratic pair-explode; here it bounds
+    * the per-row member array a hot bucket would otherwise grow
+    * without limit inside a broadcast). A dropped bucket fails OPEN:
+    * streamed payloads that would only have matched through it ADMIT.
+    * So the exactness claim is conditional on both sides' guards
+    * staying quiet — `dropped_buckets` = 0 here and in the batch pass
+    * — which a flood of near-identical reference signatures violates;
+    * the production response to a firing guard is a value-keyed
+    * collapse of the reference set (the rescueHot discipline), not a
+    * bigger cap. */
   def hammingBandMembers(reference: DataFrame, idCol: String,
-                         sigCol: String, maxHamming: Int): DataFrame = {
+                         sigCol: String, maxHamming: Int,
+                         maxBucket: Int = 1000): DataFrame = {
     val sigs = reference.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
         col(sigCol).cast("long").as("__sig"))
@@ -436,6 +452,10 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("neighbor_id"), col("__sig").as("sig")))
         .as("members"))
+      .observe(s"graft_hamming_members_guard_${obsId.incrementAndGet()}",
+        sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .filter(size(col("members")) <= maxBucket)
   }
 
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
@@ -965,33 +985,30 @@ object Dedup {
       index.idCol, index.n)
 
   /** Durable takedown ledger beside a [[writeNgramIndexBucketed]]
-    * table — idempotent distinct-union of removed doc ids into
-    * `${table}_tombstones`; takedown lists are bounded,
-    * driver-collected by design. Serve through
-    * [[readNgramIndexLive]]. */
+    * table — idempotent distinct-union of removed doc ids into the
+    * `${table}_tombstones` ledger via
+    * [[graft.sources.Sinks.appendLedger]]: no driver collect (the
+    * merge runs as a frame) and an A/B-generation + meta-last commit,
+    * so a crash mid-append can never leave a MISSING ledger that
+    * reads as "no tombstones" and lets removed docs keep tainting
+    * batches. Serve through [[readNgramIndexLive]]. */
   def tombstoneNgramIndex(spark: org.apache.spark.sql.SparkSession,
-                          table: String, ids: DataFrame): Unit = {
-    import spark.implicits._
-    val ledger = s"${table}_tombstones"
-    val incoming = ids.select(col(ids.columns.head).cast("long"))
-      .distinct().as[Long].collect().toSet
-    val existing =
-      if (spark.catalog.tableExists(ledger))
-        spark.table(ledger).as[Long].collect().toSet
-      else Set.empty[Long]
-    graft.sources.Sinks.writeTable(
-      (existing ++ incoming).toSeq.sorted.toDF("doc_id"), ledger)
-  }
+                          table: String, ids: DataFrame): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${table}_tombstones",
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")))
 
   /** Reopen a durable n-gram index with its takedown ledger applied —
-    * the serving entry point after [[tombstoneNgramIndex]] calls. */
+    * the serving entry point after [[tombstoneNgramIndex]] calls. A
+    * torn ledger (committed meta whose generation is missing or
+    * epoch-mismatched) refuses loudly instead of serving the index
+    * untombstoned. */
   def readNgramIndexLive(spark: org.apache.spark.sql.SparkSession,
                          table: String, idCol: String,
                          n: Int): NgramIndex = {
     val index = readNgramIndex(spark, table, idCol, n)
-    val ledger = s"${table}_tombstones"
-    if (!spark.catalog.tableExists(ledger)) index
-    else tombstoneFromNgramIndex(index, spark.table(ledger))
+    graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
+      .map { case (_, ids) => tombstoneFromNgramIndex(index, ids) }
+      .getOrElse(index)
   }
 
   /** Incremental near-dup dedup of a NEW batch against an indexed
@@ -1269,39 +1286,38 @@ object Dedup {
       index.blooms, index.expectedItems, index.numBits)
 
   /** Durable takedown ledger beside a [[writeExactIndexBucketed]]
-    * index: idempotent distinct-union of (hash, text) rows into
-    * `${table}_tombstones` — a crashed half-applied batch just
-    * re-runs. Takedown lists are bounded, driver-collected by
-    * design. Serve through [[readExactIndexLive]]; the next
-    * compact-and-rewrite cycle (to a fresh epoch dir, the family
-    * discipline) purges physically — rewrite from
-    * `readExactIndexLive(...)` via [[compactExactIndex]] +
-    * [[writeExactIndexBucketed]], then drop the ledger table. */
+    * index: idempotent distinct-union of (hash, text) rows into the
+    * `${table}_tombstones` ledger via
+    * [[graft.sources.Sinks.appendLedger]] — the merge runs as a
+    * frame (no driver collect: a compliance ledger accumulates past
+    * any driver Set) and the A/B + meta-last commit means a crash
+    * mid-append can never leave a missing ledger that reads as "no
+    * tombstones" (which would silently re-DROP copies of taken-down
+    * texts as if they were still accepted). Serve through
+    * [[readExactIndexLive]]; the next compact-and-rewrite cycle (to
+    * a fresh epoch dir, the family discipline) purges physically —
+    * rewrite from `readExactIndexLive(...)` via [[compactExactIndex]]
+    * + [[writeExactIndexBucketed]], then
+    * [[graft.sources.Sinks.clearLedger]]. */
   def tombstoneExactIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, docs: DataFrame,
-                          textCol: String): Unit = {
-    import spark.implicits._
-    val ledger = s"${table}_tombstones"
-    val incoming = docs
-      .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
-      .distinct().as[(Long, String)].collect().toSet
-    val existing =
-      if (spark.catalog.tableExists(ledger))
-        spark.table(ledger).as[(Long, String)].collect().toSet
-      else Set.empty[(Long, String)]
-    graft.sources.Sinks.writeTable(
-      (existing ++ incoming).toSeq.sorted.toDF("__h", "__t"), ledger)
-  }
+                          textCol: String): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${table}_tombstones",
+      docs.select(xxhash64(col(textCol)).as("__h"),
+        col(textCol).as("__t")))
 
   /** Reopen a durable exact index with its takedown ledger applied —
-    * the serving entry point after [[tombstoneExactIndex]] calls. */
+    * the serving entry point after [[tombstoneExactIndex]] calls. A
+    * torn ledger (committed meta whose generation is missing or
+    * epoch-mismatched) refuses loudly instead of serving the index
+    * untombstoned. */
   def readExactIndexLive(spark: org.apache.spark.sql.SparkSession,
                          table: String, indexDir: String): ExactIndex = {
     val index = readExactIndex(spark, table, indexDir)
-    val ledger = s"${table}_tombstones"
-    if (!spark.catalog.tableExists(ledger)) index
-    else tombstoneFromExactIndex(index,
-      spark.table(ledger).select(col("__t")), "__t")
+    graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
+      .map { case (_, rows) =>
+        tombstoneFromExactIndex(index, rows.select(col("__t")), "__t") }
+      .getOrElse(index)
   }
 
   /** Total sketch bytes above which [[mightContainIndexCol]] stops

@@ -187,9 +187,18 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val px = row.getAs[Array[Byte]](pIdx)
+        // dims bound then LONG-arithmetic length check: corrupt
+        // metadata with huge w/h would overflow an Int product
+        // negative, sneak past a `px.length >= w*h*c` guard, and turn
+        // the documented corrupt-row-yields-null discipline into an
+        // ArrayIndexOutOfBounds task failure. 2^20 per side is far
+        // beyond any real decoded frame (the buffer itself caps at
+        // Int.MaxValue bytes ≈ 26k×26k RGB) — anything larger is
+        // corrupt metadata by definition, not a big image.
         val ok = px != null && !row.isNullAt(wIdx) && !row.isNullAt(hIdx) &&
           row.getInt(wIdx) > 0 && row.getInt(hIdx) > 0 &&
-          px.length >= row.getInt(wIdx) * row.getInt(hIdx) * channels
+          row.getInt(wIdx) <= (1 << 20) && row.getInt(hIdx) <= (1 << 20) &&
+          px.length >= row.getInt(wIdx).toLong * row.getInt(hIdx) * channels
         val hashes: (java.lang.Long, java.lang.Long) =
           if (!ok) (null, null)
           else {

@@ -1471,32 +1471,28 @@ object Similarity {
     * (logical, this call) and eventually irreversible (physical, at
     * the next maintenance window), without rewriting the scan side
     * per request. Idempotent and re-runnable: the union is DISTINCT,
-    * so a crashed half-applied batch just re-runs. Tombstone sets
-    * are takedown lists — bounded, driver-collected by design (the
-    * recallProbe sample-budget discipline). */
+    * so a crashed half-applied batch just re-runs. The ledger rides
+    * [[graft.sources.Sinks.appendLedger]] — no driver collect (a
+    * multi-year compliance ledger accumulates past any driver Set)
+    * and an A/B-generation + meta-last commit, so a crash mid-append
+    * leaves the PREVIOUS committed ledger serving, never a missing
+    * table that reads as "no tombstones" and silently re-admits
+    * taken-down content. */
   def tombstoneIvfPq(spark: org.apache.spark.sql.SparkSession,
                      prefix: String, ids: DataFrame,
-                     idCol: String): Unit = {
-    import spark.implicits._
-    val table = s"${prefix}_tombstones"
-    val incoming = ids.select(col(idCol).cast("long").as("neighbor_id"))
-      .distinct().as[Long].collect().toSet
-    val existing =
-      if (spark.catalog.tableExists(table))
-        spark.table(table).as[Long].collect().toSet
-      else Set.empty[Long]
-    graft.sources.Sinks.writeTable(
-      (existing ++ incoming).toSeq.sorted.toDF("neighbor_id"), table)
-  }
+                     idCol: String): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      ids.select(col(idCol).cast("long").as("neighbor_id")))
 
   /** The live tombstone set of a durable IVF×PQ index (empty frame if
-    * none were ever filed). */
+    * none were ever COMMITTED; a torn ledger — meta present but its
+    * generation missing or epoch-mismatched — refuses loudly, see
+    * [[graft.sources.Sinks.readLedger]]). */
   def readIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
                           prefix: String): DataFrame = {
     import spark.implicits._
-    val table = s"${prefix}_tombstones"
-    if (spark.catalog.tableExists(table)) spark.table(table)
-    else Seq.empty[Long].toDF("neighbor_id")
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map(_._2).getOrElse(Seq.empty[Long].toDF("neighbor_id"))
   }
 
   /** Search a DURABLE IVF×PQ index with its tombstones applied — the
@@ -1608,14 +1604,17 @@ object Similarity {
       else s"${prefix}_cell_codes"
     // the retrain is the PHYSICAL purge point for filed takedowns
     // ([[tombstoneIvfPq]]): tombstoned rows never enter the new
-    // generation's re-encode, and the tombstone table clears after
-    // the swap — logical deletes become irreversible here
+    // generation's re-encode, and the tombstone ledger clears after
+    // the swap — logical deletes become irreversible here. The purge
+    // is a broadcast anti-join against the ledger FRAME (never a
+    // driver collect — the ledger can outgrow any driver Set); the
+    // one bounded action is the isEmpty probe gating the clear.
     val tombstones = readIvfPqTombstones(spark, prefix)
-      .as[Long].collect().toSet
+      .select(col("neighbor_id").as(idCol)).localCheckpoint()
+    val hasTombstones = !tombstones.isEmpty
     def purge(df: DataFrame): DataFrame =
-      if (tombstones.isEmpty) df
-      else df.join(broadcast(tombstones.toSeq.toDF(idCol)),
-        Seq(idCol), "left_anti")
+      if (!hasTombstones) df
+      else df.join(broadcast(tombstones), Seq(idCol), "left_anti")
     // the fit sample purges too: a deleted vector must not even shape
     // the new geometry
     val retrained = retrainIvfPq(index, purge(corpus), idCol, vecCol,
@@ -1640,12 +1639,13 @@ object Similarity {
       Seq((index.nSub, index.nCentroids, epoch, otherCodes))
         .toDF("n_sub", "n_centroids", "epoch", "codes_table"),
       s"${prefix}_meta")
-    // 5. the superseded generation drops; the purged tombstones clear
-    // (both best-effort — a crash here leaves dead files / already-
-    // purged tombstones that re-filter harmlessly, never a wrong read)
+    // 5. the superseded generation drops; the purged tombstone ledger
+    // clears (both best-effort — a crash here leaves dead files /
+    // already-purged tombstones that re-filter harmlessly, never a
+    // wrong read)
     spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
-    if (tombstones.nonEmpty)
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
+    if (hasTombstones)
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the

@@ -279,6 +279,94 @@ object Sinks {
     target.toString
   }
 
+  /** Crash-safe DISTINCT-UNION ledger append — the durable-set
+    * primitive behind every takedown ledger
+    * ([[graft.operators.Similarity.tombstoneIvfPq]],
+    * [[graft.operators.Dedup.tombstoneExactIndex]],
+    * [[graft.operators.Dedup.tombstoneNgramIndex]]). Two properties
+    * the naive read-then-Overwrite rewrite lacks:
+    *
+    *   - NO DRIVER COLLECT: the merge is
+    *     `live.unionByName(incoming).distinct()` executed as a frame —
+    *     a multi-year compliance ledger at 100 TB scale accumulates
+    *     past any driver Set, and idempotence (a crashed half-applied
+    *     batch just re-runs) comes from the distinct, not from
+    *     driver-side dedup.
+    *   - NO WINDOW WHERE THE LEDGER DOESN'T EXIST: Overwrite on the
+    *     serving table drops it before rewriting, so a crash
+    *     mid-rewrite leaves NO table — and a reader treating a
+    *     missing ledger as "no tombstones" silently re-admits
+    *     taken-down content. Here the merge writes to the A/B
+    *     generation table that is NOT serving, gets an epoch token,
+    *     and the one-row `${ledger}_meta` (generation + epoch)
+    *     written LAST is the atomic commit — the
+    *     [[graft.operators.Similarity.retrainIvfIndexBucketed]]
+    *     discipline applied to ledgers. A crash before the meta
+    *     commit leaves the old generation serving (the takedown call
+    *     FAILED and re-runs); a generation that loses its epoch token
+    *     (torn same-name rebuild) makes [[readLedger]] refuse
+    *     loudly instead of serving a mixed or empty set. */
+  def appendLedger(spark: org.apache.spark.sql.SparkSession,
+                   ledger: String, incoming: DataFrame): Unit = {
+    val live = readLedger(spark, ledger)
+    val nextGen = live.map(_._1) match {
+      case Some("a") => "b"
+      case _ => "a"
+    }
+    val merged = live.map(_._2.unionByName(incoming)).getOrElse(incoming)
+      .distinct()
+    writeTable(merged, s"${ledger}_$nextGen")
+    val epoch = stampEpoch(spark, Seq(s"${ledger}_$nextGen"))
+    writeTable(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(nextGen, epoch)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gen",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("epoch",
+            org.apache.spark.sql.types.StringType)))),
+      s"${ledger}_meta")
+  }
+
+  /** The committed state of an [[appendLedger]] ledger:
+    * `None` = never created (readers treat as the empty set — by
+    * meta-written-last, "no meta" can only mean no append ever
+    * COMMITTED); `Some((gen, rows))` = the serving generation,
+    * epoch-validated — a meta whose generation table is missing or
+    * carries a different epoch token refuses loudly
+    * ([[requireEpoch]]) rather than silently re-admitting taken-down
+    * content. */
+  def readLedger(spark: org.apache.spark.sql.SparkSession,
+                 ledger: String): Option[(String, DataFrame)] = {
+    val metaTable = s"${ledger}_meta"
+    if (!spark.catalog.tableExists(metaTable)) None
+    else {
+      val meta = spark.table(metaTable).collect()
+      require(meta.length == 1, s"$metaTable must hold exactly one row")
+      val gen = meta(0).getString(0)
+      val genTable = s"${ledger}_$gen"
+      require(spark.catalog.tableExists(genTable),
+        s"ledger meta $metaTable names generation '$gen' but $genTable " +
+          "does not exist — the ledger was torn out from under its " +
+          "commit record; restore the table or re-file the takedowns " +
+          "(serving an empty ledger would silently re-admit " +
+          "taken-down content)")
+      requireEpoch(spark, Seq(genTable), meta(0).getString(1))
+      Some((gen, spark.table(genTable)))
+    }
+  }
+
+  /** Drop a committed ledger — the physical-purge endpoint (after a
+    * retrain/compaction has applied the tombstones to the data
+    * itself). Meta drops FIRST so a crash mid-clear leaves "never
+    * created" (correct — the purge already happened), never a meta
+    * pointing at a dropped generation. */
+  def clearLedger(spark: org.apache.spark.sql.SparkSession,
+                  ledger: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${ledger}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS ${ledger}_a")
+    spark.sql(s"DROP TABLE IF EXISTS ${ledger}_b")
+  }
+
   /** saveAsTable refuses a managed-table name whose warehouse
     * LOCATION survives from an earlier session (the default
     * in-memory catalog forgets tables across JVMs; the filesystem

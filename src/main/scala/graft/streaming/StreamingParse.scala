@@ -280,11 +280,18 @@ object StreamingParse {
     val qv = col("__qv"); val qn = col("__qn")
     // ranked (−cosine, cell) structs: ascending array_sort = cosine
     // desc, ties to the smaller cell — searchIvf's probe order. A
-    // zero-norm CENTROID scores null (ANSI-safe, ranked last by
-    // array_sort's nulls-last) rather than killing the micro-batch.
+    // zero-norm CENTROID scores null under simRatio (ANSI-safe), and
+    // the null COALESCES to Double.MaxValue so the degenerate cell
+    // genuinely ranks LAST: array_sort's nulls-last ordering applies
+    // to null ELEMENTS, not to a null FIELD inside a struct — a
+    // struct with a null first field compares SMALLEST (verified on
+    // Spark 4.1.2), so without the coalesce a zero-norm centroid
+    // would capture the TOP probe slot for every query and silently
+    // shrink the effective nProbe.
     val ranked = array_sort(transform(col("__cents"), c =>
-      struct((-graft.operators.Similarity.simRatio(
-          dot(qv, c.getField("cvec")), qn * c.getField("cn"))).as("ns"),
+      struct(coalesce(-graft.operators.Similarity.simRatio(
+          dot(qv, c.getField("cvec")), qn * c.getField("cn")),
+          lit(Double.MaxValue)).as("ns"),
         c.getField("cell").as("cell"))))
     // gate probing on a strictly POSITIVE norm: a zero-norm vector's
     // cosines are 0/0 — a DIVIDE_BY_ZERO task failure under ANSI, or
@@ -349,10 +356,14 @@ object StreamingParse {
     * mode — the [[annAdmissionStream]] shape, with one upgrade: the
     * pigeonhole bands make the probe RECALL-EXACT at the threshold,
     * so the streamed decision equals the batch
-    * [[graft.operators.Dedup.hammingNearDups]] decision bit-for-bit
-    * (no honest-recall caveat to carry). Null signatures (corrupt
-    * payloads that decoded to null) ADMIT — membership unprovable,
-    * the q94 discipline. */
+    * [[graft.operators.Dedup.hammingNearDups]] decision bit-for-bit —
+    * WHEN both sides' skew guards stay quiet: the member table drops
+    * buckets over its `maxBucket` (fail-open, observe-metered — see
+    * [[graft.operators.Dedup.hammingBandMembers]]) and the batch pass
+    * drops buckets over its own cap, so on a flooded signature bucket
+    * the two tiers can diverge exactly as their `dropped_buckets`
+    * metrics report. Null signatures (corrupt payloads that decoded
+    * to null) ADMIT — membership unprovable, the q94 discipline. */
   def hammingAdmissionStream(sigs: DataFrame, idCol: String,
                              sigCol: String, members: DataFrame,
                              maxHamming: Int): DataFrame = {

@@ -947,7 +947,8 @@ class DedupSpec extends SparkSpec {
       Seq(Tuple1("takedown corpus doc 7")).toDF("text"), "text")
     Dedup.tombstoneExactIndex(spark, "exact_td_spec",
       Seq(Tuple1("takedown corpus doc 7")).toDF("text"), "text")
-    assert(spark.table("exact_td_spec_tombstones").count() == 1L)
+    assert(graft.sources.Sinks.readLedger(spark, "exact_td_spec_tombstones")
+      .get._2.count() == 1L)
     val live = Dedup.readExactIndexLive(spark, "exact_td_spec", s"$dir/idx")
     assert(kept(live) == Seq(9000L, 9002L),
       "a copy of the tombstoned doc must re-admit immediately")
@@ -991,7 +992,8 @@ class DedupSpec extends SparkSpec {
       Seq(2L).toDF("doc_id"))
     Dedup.tombstoneNgramIndex(spark, "ngram_td_spec",
       Seq(2L).toDF("doc_id")) // idempotent re-run
-    assert(spark.table("ngram_td_spec_tombstones").count() == 1L)
+    assert(graft.sources.Sinks.readLedger(spark, "ngram_td_spec_tombstones")
+      .get._2.count() == 1L)
     val live = Dedup.readNgramIndexLive(spark, "ngram_td_spec",
       "doc_id", 4)
     assert(kept(live) == Seq(101L, 104L),

@@ -958,4 +958,81 @@ class PlanSpec extends SparkSpec {
       s"plan size must stay flat in nCells: 8 cells → $small chars, " +
         s"1024 cells → $big chars")
   }
+
+  test("takedown ledger: frame-path append (no driver collect), torn generations refuse loudly") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    // -- plan probe: the FIRST append must execute no `collect` at
+    // all, and the generation write's plan must SCAN the incoming
+    // parquet (the frame flowed source→write; a driver-Set merge
+    // would show a LocalTableScan of re-created rows instead and a
+    // collect event for the incoming frame)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        events.add((funcName, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ledger_spec").toString
+    (1L to 5L).toDF("doc_id").write.parquet(s"$dir/incoming")
+    val incoming = spark.read.parquet(s"$dir/incoming")
+    spark.listenerManager.register(listener)
+    try {
+      Sinks.appendLedger(spark, "ledger_spec_td", incoming)
+      // QueryExecutionListener rides the async listener bus
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (events.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+    } finally spark.listenerManager.unregister(listener)
+    val evs = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      events).asScala.toSeq
+    assert(evs.nonEmpty, "listener saw no query executions")
+    assert(!evs.exists(_._1 == "collect"),
+      s"first append must not collect anything to the driver: " +
+        s"${evs.map(_._1)}")
+    val writeOfGen = evs.filter { case (_, plan) =>
+      plan.contains("incoming") && plan.contains("Scan parquet") }
+    assert(writeOfGen.nonEmpty,
+      "the generation write must scan the incoming parquet directly " +
+        s"(frame path): ${evs.map(_._1)}")
+    assert(Sinks.readLedger(spark, "ledger_spec_td").get._2.count() == 5L)
+    // -- idempotent distinct-union through the frame path
+    Sinks.appendLedger(spark, "ledger_spec_td",
+      Seq(5L, 6L).toDF("doc_id"))
+    val (gen2, rows2) = Sinks.readLedger(spark, "ledger_spec_td").get
+    assert(rows2.count() == 6L, "distinct-union: 1..6")
+    // -- crash window 1: a generation written but meta NOT committed
+    // (simulated by writing garbage into the non-live table) leaves
+    // the committed ledger serving
+    val otherGen = if (gen2 == "a") "b" else "a"
+    Sinks.writeTable(Seq(999L).toDF("doc_id"), s"ledger_spec_td_$otherGen")
+    assert(Sinks.readLedger(spark, "ledger_spec_td").get._2.count() == 6L,
+      "an uncommitted generation must be invisible")
+    // -- crash window 2: the COMMITTED generation's epoch token wiped
+    // (torn same-name rebuild) → refuse loudly, never serve a ledger
+    // that might be missing takedowns
+    Sinks.clearEpochTokens(spark, s"ledger_spec_td_$gen2")
+    val tornEpoch = intercept[IllegalArgumentException] {
+      Sinks.readLedger(spark, "ledger_spec_td")
+    }
+    assert(tornEpoch.getMessage.contains("epoch token"),
+      s"got: ${tornEpoch.getMessage}")
+    // -- crash window 3: the committed generation table dropped out
+    // from under its meta → refuse loudly (the r13 advisor's silent
+    // re-admission scenario)
+    spark.sql(s"DROP TABLE ledger_spec_td_$gen2")
+    val tornTable = intercept[IllegalArgumentException] {
+      Sinks.readLedger(spark, "ledger_spec_td")
+    }
+    assert(tornTable.getMessage.contains("torn out from under"),
+      s"got: ${tornTable.getMessage}")
+    // -- clearLedger returns to "never created" (empty set, no refusal)
+    Sinks.clearLedger(spark, "ledger_spec_td")
+    assert(Sinks.readLedger(spark, "ledger_spec_td").isEmpty)
+  }
 }

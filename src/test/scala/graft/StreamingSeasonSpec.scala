@@ -4,6 +4,7 @@ import java.nio.file.Files
 import graft.pipeline.Seasons
 import graft.sources.{CanFixtures, CanSchema}
 import graft.streaming.StreamingParse
+import org.apache.spark.sql.functions.{col, size}
 
 class StreamingSeasonSpec extends SparkSpec {
 
@@ -810,6 +811,92 @@ class StreamingSeasonSpec extends SparkSpec {
       assert(out(203L) == (false, Some(30L)),
         s"the zero-norm index member must not hijack the argmax: ${out(203L)}")
     } finally { q.stop(); members.unpersist() }
+  }
+
+  test("streaming ANN admission: a zero-norm CENTROID ranks last, never captures a probe slot") {
+    import spark.implicits._
+    // advisor r13: a struct with a null FIELD compares SMALLEST in
+    // array_sort (nulls-last applies to null elements, not fields),
+    // so a zero-norm centroid's null (−cosine) used to grab the TOP
+    // probe slot and silently shrink the effective nProbe. With the
+    // coalesce-to-MaxValue fix, nProbe=1 must still probe the REAL
+    // cell and reject the planted copy.
+    val centroids = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)),   // degenerate (zero-norm) cell
+      (1, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("cell", "cvec")
+    val mv = Seq(0.95, 0.05, 0.0, 0.0)
+    val corpusCells = Seq((1, 30L, mv, math.sqrt(mv.map(x => x * x).sum)))
+      .toDF("cell", "neighbor_id", "__cv", "__cn")
+    val index = graft.operators.Similarity.IvfIndex(centroids, corpusCells)
+    val members = graft.operators.Similarity.cellMembers(index)
+    members.persist().count()
+    val cands = Seq((301L, mv)).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("stream_ann_zc")
+    cands.write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream.schema(cands.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = graft.streaming.StreamingParse
+      .annAdmissionStream(stream, "vec_id", "embedding", index, members,
+        tau = 0.9, nProbe = 1)
+      .writeStream.format("memory").queryName("ann_admit_zc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("select vec_id, admitted, match_id from ann_admit_zc")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(out(301L) == (false, Some(30L)),
+        "the single probe slot must go to the real cell, not the " +
+          s"zero-norm centroid: ${out(301L)}")
+    } finally { q.stop(); members.unpersist() }
+  }
+
+  test("streaming Hamming admission: an over-cap member bucket drops and fails OPEN") {
+    import spark.implicits._
+    // advisor r13: the batch hammingNearDups path caps candidate
+    // buckets while the member table had no cap — the divergence is
+    // now explicit: hammingBandMembers drops over-maxBucket buckets
+    // (observe-metered) and the stream ADMITS what only those buckets
+    // could have matched. Identical reference signatures flood every
+    // band bucket past maxBucket=2, so an exact copy must flip to
+    // admit; a reference set under the cap still rejects it.
+    val base = 0x0123456789ABCDEFL
+    val flooded: Seq[(Long, java.lang.Long)] =
+      (1L to 3L).map(i => (i, java.lang.Long.valueOf(base)))
+    def run(ref: Seq[(Long, java.lang.Long)], cap: Int, tag: String)
+        : (Boolean, Long) = {
+      val members = graft.operators.Dedup.hammingBandMembers(
+        ref.toDF("ref_id", "sig"), "ref_id", "sig", maxHamming = 3,
+        maxBucket = cap)
+      members.persist()
+      val overCap = members.filter(size(col("members")) > cap).count()
+      val dir = Files.createTempDirectory(s"stream_phash_$tag")
+      Seq((101L, java.lang.Long.valueOf(base))).toDF("media_id", "sig")
+        .write.parquet(dir.resolve("in").toString)
+      val stream = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("media_id", "long").add("sig", "long"))
+        .parquet(dir.resolve("in").toString)
+      val q = graft.streaming.StreamingParse.hammingAdmissionStream(
+          stream, "media_id", "sig", members, maxHamming = 3)
+        .writeStream.format("memory").queryName(s"phash_cap_$tag")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val admitted = spark.sql(s"select admitted from phash_cap_$tag")
+          .collect()(0).getBoolean(0)
+        (admitted, overCap)
+      } finally { q.stop(); members.unpersist() }
+    }
+    val (underCapAdmit, underCapOver) = run(flooded, 3, "under")
+    assert(!underCapAdmit && underCapOver == 0,
+      "under the cap the exact copy rejects")
+    val (overCapAdmit, overCapOver) = run(flooded, 2, "over")
+    assert(overCapAdmit && overCapOver == 0,
+      "a flooded bucket drops from the member table (fail-open admit) " +
+        "and no over-cap row survives the filter")
   }
 
   test("season driver wiring: parse→resample→forecast→gps end-to-end") {

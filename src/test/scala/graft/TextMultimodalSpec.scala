@@ -810,7 +810,15 @@ class TextMultimodalSpec extends SparkSpec {
       (3L, redBlue, 9, 8),
       (91L, null.asInstanceOf[Array[Byte]], 9, 8),   // null buffer
       (92L, gray(9, 8, (x, _) => x).take(10), 9, 8), // short buffer
-      (93L, gray(9, 8, (x, _) => x), 0, 8))          // degenerate dim
+      (93L, gray(9, 8, (x, _) => x), 0, 8),          // degenerate dim
+      // advisor r13: corrupt metadata whose w·h·c OVERFLOWS an Int
+      // product to 0 (2^17 · 2^16 · 3 ≡ 0 mod 2^32) — an Int-math
+      // guard passes and luma() then indexes out of bounds, a task
+      // failure where the contract says null row
+      (94L, gray(9, 8, (x, _) => x), 1 << 17, 1 << 16),
+      // dims beyond the sane bound refuse even when the Long product
+      // happens to stay positive
+      (95L, gray(9, 8, (x, _) => x), 1 << 21, 8))
       .toDF("media_id", "pixels", "img_width", "img_height")
     val out = Multimodal.perceptualHashes(rows, "pixels", "img_width",
         "img_height")
@@ -829,7 +837,7 @@ class TextMultimodalSpec extends SparkSpec {
       if (v >= mean) a | (1L << k) else a
     }
     assert(out(1L)._2 == expectA, s"ascending ramp ahash: ${out(1L)}")
-    Seq(91L, 92L, 93L).foreach { i =>
+    Seq(91L, 92L, 93L, 94L, 95L).foreach { i =>
       assert(out(i) == ((null, null)),
         s"corrupt buffer $i must yield null hashes, not a task failure")
     }
