@@ -1936,6 +1936,30 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // hashEmbed at a PRODUCTION dim (1024) — the r13 prescription's
+    // scale gate for the native projection: the old HOF fold rebuilt
+    // the full dim-array once per token (O(tokens × dim) churn, fine
+    // at the q130 dim=64, a cliff at 1024+), the native expression
+    // hashes each token once and scatters into a scratch buffer —
+    // O(tokens + dim) per doc, flat in dim per token. Stats are exact
+    // integers; wsum weights each bucket by its 1-based POSITION so
+    // the oracle pins not just the multiset of values but which
+    // bucket every count landed in.
+    "q135_hash_embed_hidim" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter($"text".isNotNull)
+      val emb = operators.TextAnalysis.hashEmbed(docs, "text", dim = 1024)
+      emb.select($"doc_id",
+        expr("aggregate(embedding, 0L, (a, x) -> " +
+          "a + CASE WHEN x != 0.0D THEN 1L ELSE 0L END)").as("nnz"),
+        expr("CAST(aggregate(embedding, 0.0D, (a, x) -> a + x * x) " +
+          "AS BIGINT)").as("ssq"),
+        expr("CAST(aggregate(zip_with(embedding, " +
+          "sequence(1, 1024), (v, i) -> v * CAST(i AS DOUBLE)), " +
+          "0.0D, (a, x) -> a + x) AS BIGINT)").as("wsum"))
+        .orderBy($"doc_id")
+    }),
+
     // TAKEDOWN for the NEAR-dup index — the third face of the
     // compliance lifecycle (exact q128, vector q127): removing an
     // accepted document must stop it TAINTING future batches — its
@@ -3950,6 +3974,31 @@ object SparkEntry {
          SELECT t.query_id, t.top1, s.nnz, s.ssq
          FROM top t JOIN stats s ON s.doc_id = t.top1
          ORDER BY t.query_id""",
+
+    // the q130 chain at dim 1024: tokenize, md5 bucket + sign, per-doc
+    // scatter — nnz/ssq/position-weighted checksum, all exact integers
+    "q135_hash_embed_hidim" ->
+      """WITH toks AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              t -> t != '')) AS t
+            FROM documents WHERE text IS NOT NULL),
+          contrib AS (SELECT doc_id,
+            ('0x' || substring(md5(t), 1, 15))::BIGINT % 1024 AS b,
+            CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 1024) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+            FROM toks),
+          vecs AS (SELECT doc_id, b, sum(s) AS v FROM contrib
+            GROUP BY 1, 2 HAVING sum(s) != 0),
+          stats AS (SELECT doc_id, count(*)::BIGINT AS nnz,
+            CAST(sum(v * v) AS BIGINT) AS ssq,
+            CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
+            FROM vecs GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(s.nnz, 0)::BIGINT AS nnz,
+           coalesce(s.ssq, 0)::BIGINT AS ssq,
+           coalesce(s.wsum, 0)::BIGINT AS wsum
+         FROM documents d LEFT JOIN stats s USING (doc_id)
+         WHERE d.text IS NOT NULL
+         ORDER BY d.doc_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming

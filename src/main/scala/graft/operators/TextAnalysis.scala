@@ -706,16 +706,43 @@ object TextAnalysis {
     * SQL replay agree bit-for-bit — divisions only happen downstream
     * in cosine.
     *
-    * Scale shape: ONE pure higher-order-function projection per row —
-    * tokenize, hash each token once into a (bucket, sign) struct,
-    * fold into the dim-array — no explode, no shuffle, no state; the
-    * shape that runs unchanged in a stream. Sign hashing keeps the
-    * bucket-collision expectation zero (Weinberger's trick), and
+    * Scale shape: ONE pure native projection per row
+    * ([[graft.expressions.HashEmbedMd5]]) — tokenize in SQL (the
+    * oracle-replayable split/filter), then a fused per-row loop
+    * hashes each token ONCE and scatters ±1 into a scratch buffer:
+    * O(tokens + dim) per document, flat in `dim` per token, so
+    * production dims (1024–4096) cost what dim=64 costs per token.
+    * No explode, no shuffle, no state — the shape that runs unchanged
+    * in a stream. (The pure-SQL HOF form this replaced survives as
+    * [[hashEmbedHof]] — the external-replay reference, bit-identical,
+    * parity-spec'd — but its fold rebuilds the dim-array per token:
+    * O(tokens × dim), the small-dim tier only.) Sign hashing keeps
+    * the bucket-collision expectation zero (Weinberger's trick), and
     * empty/whitespace docs embed as the zero vector (norm 0 — the
     * [[graft.operators.Similarity]] simRatio layer scores them null
     * rather than crashing or matching). */
   def hashEmbed(df: DataFrame, textCol: String,
                 dim: Int = 64, out: String = "embedding"): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val tokens = filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    df.withColumn(out, org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HashEmbedMd5(
+        org.apache.spark.sql.GraftExpressionBridge.expression(tokens), dim)))
+  }
+
+  /** The pure-SQL higher-order-function form of [[hashEmbed]] — kept
+    * as the engine-neutral REFERENCE (every step is plain SQL an
+    * external engine replays verbatim; the parity spec pins the
+    * native path bit-for-bit against it) and as documentation of the
+    * construction. NOT the scale path: the fold rebuilds the full
+    * dim-length array once per token and expands the md5 twice per
+    * token (lambdas get no subexpression elimination — the
+    * [[graft.operators.Dedup.shingles]] trap), i.e. O(tokens × dim)
+    * churn per document vs the native form's O(tokens + dim). Use
+    * only at small dims. */
+  def hashEmbedHof(df: DataFrame, textCol: String,
+                   dim: Int = 64, out: String = "embedding"): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     val h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     df.withColumn(out, expr(

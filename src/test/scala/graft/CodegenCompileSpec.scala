@@ -51,6 +51,8 @@ class CodegenCompileSpec extends AnyFunSuite {
       rowSArr(Array("alpha", "beta", "gamma"))),
     ("GramHashes", GramHashes(sarr, 3),
       rowSArr(Array("the", "quick", "brown", "fox", "jumps"))),
+    ("HashEmbedMd5", HashEmbedMd5(sarr, 16),
+      rowSArr(Array("alpha", "beta", "alpha", "gamma"))),
     ("HyperplaneSignature", HyperplaneSignature(darr, 16),
       rowDArr(Array(0.5, -1.5, 2.0, 0.25))),
     ("LangIdPick", LangIdPick(str, "[\\u4e00-\\u9fff]",

@@ -781,6 +781,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
   }
 
+  test("hashEmbed: native projection is bit-identical to the SQL HOF reference at small and production dims") {
+    // the r13 prescription: the native path (one digest per token,
+    // one scatter into a scratch buffer — O(tokens + dim)) must
+    // reproduce the engine-neutral HOF fold exactly, including null
+    // text, empty text, unicode tokens and repeated tokens, at dim=64
+    // AND at a production dim where the HOF form's O(tokens × dim)
+    // churn is the reason it was replaced
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha delta epsilon zeta eta theta"),
+      (2L, "  Mixed   CASE   And\tTabs\nnewlines  "),
+      (3L, "unicode λόγος 語 tokens café naïve"),
+      (4L, "x " * 500),       // 500 repeats of one token
+      (5L, ""), (6L, "   "),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (dim <- Seq(64, 1024)) {
+      val native = TextAnalysis.hashEmbed(docs, "text", dim = dim)
+        .select($"doc_id", $"embedding").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+      val hof = TextAnalysis.hashEmbedHof(docs, "text", dim = dim)
+        .select($"doc_id", $"embedding").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+      (1L to 7L).foreach { i =>
+        assert(native(i) == hof(i),
+          s"dim=$dim doc $i: native ${native(i)} != hof ${hof(i)}")
+      }
+      assert(native(7L) == null, "null text embeds as null")
+      assert(native(4L) != null &&
+        native(4L).map(math.abs).sum == 500.0,
+        "500 occurrences of one token pile into one bucket")
+    }
+  }
+
   test("multimodal: perceptual hashes are integer-exact; corrupt buffers yield null") {
     import graft.operators.Multimodal
     // 9×8 gray ramp pixel(x, y) = x: the dHash grid samples
