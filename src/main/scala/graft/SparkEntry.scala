@@ -2341,6 +2341,72 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // The drift loop made OPERATIONAL — q123 proved
+    // decision → retrain → recovery with the caller hand-wiring three
+    // calls; this gate drives the whole lifecycle through the ONE
+    // maintenance composition a cron window runs
+    // (maintainIvfPqIndex: probe → decide → conditional warm retrain
+    // → re-probe), twice: a drifted IVF×PQ index (the q123 planted
+    // geometry, PQ layer made outcome-neutral by oversample ≥ cell
+    // size so the coarse probe decides — and the oracle can replay
+    // every value without the codebook arithmetic) must HEAL through
+    // the single call (fired, recall 0 → 1, generation swapped), and
+    // the immediate second call must be a NO-OP (not fired, epoch
+    // pointer untouched, recall stays 1). The oracle replays the
+    // build Lloyd, frozen append, stale probes, the sampled warm
+    // refit with keep-empty coalesce, re-assignment, healed probes,
+    // brute-force truth, both decisions and both epoch-change flags.
+    "q131_ivfpq_maintain" -> ((s, d) => {
+      val base = s.range(1, 21).select($"id".as("vec_id"),
+        expr("CASE WHEN id % 2 = 1 THEN array(1.0D, 0.0D, 0.0D, " +
+          "0.1D * CAST((id + 1) DIV 2 AS DOUBLE)) " +
+          "ELSE array(0.0D, 1.0D, 0.0D, 0.1D * CAST(id DIV 2 AS DOUBLE)) " +
+          "END").as("embedding"))
+      val drift = s.range(1, 11).select(($"id" + 100L).as("vec_id"),
+        expr("array(0.05D, 0.0D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val queries = s.range(1, 11).select(($"id" + 1000L).as("vec_id"),
+        expr("array(0.0D, 0.05D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val corpus = base.unionByName(drift)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val built = operators.Similarity.buildIvfPq(base, "vec_id",
+        "embedding", nCells = 2, nSub = 2, nCentroids = 2, lloydIters = 1)
+      operators.Similarity.writeIvfPqIndexBucketed(built, "q131_idx",
+        numBuckets = 2)
+      operators.Similarity.appendToIvfPqIndexBucketed(s, "q131_idx",
+        drift, "vec_id", "embedding")
+      def top1(tag: String): DataFrame = loc(
+        operators.Similarity.searchIvfPqLive(s, "q131_idx", corpus,
+            queries, "vec_id", "embedding", k = 1, nProbe = 1,
+            oversample = 32)
+          .filter($"rank" === 1)
+          .select($"query_id", $"neighbor_id".as(tag)))
+      def maintain(): DataFrame = loc(
+        operators.Similarity.maintainIvfPqIndex(s, "q131_idx", corpus,
+          "vec_id", "embedding", queries, k = 1, minRecall = 0.9,
+          sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+          nProbe = 1, oversample = 32, numBuckets = 2))
+      val pre = top1("pre_top1")
+      val heal = maintain()
+      val post = top1("post_top1")
+      val noop = maintain()
+      pre.join(post, Seq("query_id"))
+        .crossJoin(broadcast(heal.select(
+          $"pre_mean_recall".as("pre_mean"), $"retrain_fired",
+          $"post_mean_recall".as("post_mean"),
+          $"epoch_changed".as("heal_epoch_changed"))))
+        .crossJoin(broadcast(noop.select(
+          $"retrain_fired".as("noop_fired"),
+          $"post_mean_recall".as("noop_mean"),
+          $"epoch_changed".as("noop_epoch_changed"))))
+        .select($"query_id", $"pre_top1", $"post_top1", $"pre_mean",
+          $"retrain_fired", $"post_mean", $"heal_epoch_changed",
+          $"noop_fired", $"noop_mean", $"noop_epoch_changed")
+        .orderBy($"query_id")
+    }),
+
     // CCNet-style per-language score bucketing (Wenzek et al. 2019):
     // head/middle/tail tiers by per-LANGUAGE percentile thresholds.
     // Score = char length (deterministic, oracle-compact; the CCNet
@@ -4214,6 +4280,146 @@ object SparkEntry {
          SELECT r.query_id, r.pre_top1, r.post_top1, r.pre_recall,
            r.post_recall, d.pre_mean, d.post_mean, d.retrain_fired,
            d.post_retrain
+         FROM rec r CROSS JOIN dec d
+         ORDER BY r.query_id""",
+
+    // the q123 arithmetic driven through the one-call maintenance
+    // window: same build/append/refit replay (the PQ layer is
+    // outcome-neutral under the gate's oversample, so the coarse
+    // probe + exact argmax decide every value), plus the two
+    // maintenance reports — the HEAL call's decision and recovery,
+    // and the NO-OP call's quiet decision with the epoch untouched
+    // (epoch_changed must equal the fired flag on both calls)
+    "q131_ivfpq_maintain" ->
+      """WITH corpus_base AS (
+           SELECT i AS vec_id,
+             CASE WHEN i % 2 = 1
+               THEN [1.0, 0.0, 0.0, 0.1 * ((i + 1) // 2)]
+               ELSE [0.0, 1.0, 0.0, 0.1 * (i // 2)] END::DOUBLE[] AS v
+           FROM range(1, 21) t(i)),
+         drift AS (
+           SELECT 100 + i AS vec_id,
+             [0.05, 0.0, 1.0, 0.1 * i]::DOUBLE[] AS v
+           FROM range(1, 11) t(i)),
+         queries AS (
+           SELECT 1000 + i AS query_id,
+             [0.0, 0.05, 1.0, 0.1 * i]::DOUBLE[] AS qv
+           FROM range(1, 11) t(i)),
+         seeds AS (SELECT vec_id AS cell, v AS cvec FROM corpus_base
+           WHERE vec_id <= 2),
+         assign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT b.vec_id, s.cell, row_number() OVER
+               (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, s.cvec) /
+                  (sqrt(list_dot_product(b.v, b.v)) *
+                   sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                  s.cell) AS rn
+             FROM corpus_base b CROSS JOIN seeds s) WHERE rn = 1),
+         cents AS (
+           SELECT a.cell, [avg(b.v[1]), avg(b.v[2]), avg(b.v[3]),
+             avg(b.v[4])]::DOUBLE[] AS cvec
+           FROM corpus_base b JOIN assign0 a USING (vec_id)
+           GROUP BY a.cell),
+         corpus AS (SELECT * FROM corpus_base UNION ALL
+           SELECT * FROM drift),
+         pre_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+         pre_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN cents ct) WHERE rn = 1),
+         pre_top AS (
+           SELECT query_id, vec_id AS pre_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN pre_probe p USING (query_id)
+               JOIN pre_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         sample_assign AS (
+           SELECT vec_id, cell FROM pre_assign WHERE vec_id % 2 = 1),
+         refit AS (
+           SELECT sa.cell, [avg(c.v[1]), avg(c.v[2]), avg(c.v[3]),
+             avg(c.v[4])]::DOUBLE[] AS cvec
+           FROM corpus c JOIN sample_assign sa USING (vec_id)
+           GROUP BY sa.cell),
+         new_cents AS (
+           SELECT ct.cell, coalesce(r.cvec, ct.cvec) AS cvec
+           FROM cents ct LEFT JOIN refit r ON r.cell = ct.cell),
+         post_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_top AS (
+           SELECT query_id, vec_id AS post_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN post_probe p USING (query_id)
+               JOIN post_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         truth AS (
+           SELECT query_id, vec_id AS true_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q CROSS JOIN corpus c) WHERE rn = 1),
+         rec AS (
+           SELECT t.query_id, pr.pre_top1, po.post_top1,
+             CASE WHEN pr.pre_top1 = t.true_top1 THEN 1.0 ELSE 0.0 END
+               AS pre_recall,
+             CASE WHEN po.post_top1 = t.true_top1 THEN 1.0 ELSE 0.0 END
+               AS post_recall
+           FROM truth t JOIN pre_top pr USING (query_id)
+             JOIN post_top po USING (query_id)),
+         dec AS (
+           SELECT round(avg(pre_recall), 6)::DOUBLE AS pre_mean,
+             round(avg(post_recall), 6)::DOUBLE AS post_mean,
+             avg(pre_recall) < 0.9 AS retrain_fired,
+             avg(pre_recall) < 0.9 AS heal_epoch_changed,
+             avg(post_recall) < 0.9 AS noop_fired,
+             round(avg(post_recall), 6)::DOUBLE AS noop_mean,
+             avg(post_recall) < 0.9 AS noop_epoch_changed
+           FROM rec)
+         SELECT r.query_id, r.pre_top1, r.post_top1, d.pre_mean,
+           d.retrain_fired, d.post_mean, d.heal_epoch_changed,
+           d.noop_fired, d.noop_mean, d.noop_epoch_changed
          FROM rec r CROSS JOIN dec d
          ORDER BY r.query_id""",
 

@@ -1506,6 +1506,64 @@ object Similarity {
       vecCol, k, nProbe, oversample,
       exclude = Some(readIvfPqTombstones(spark, prefix)))
 
+  /** The ONE-CALL maintenance window for a durable IVF×PQ index — the
+    * composition a cron-driven maintenance job runs, closing the loop
+    * the q116/q123 gates proved piecewise: probe recall on the served
+    * index ([[searchIvfPqLive]] → [[recallProbe]], tombstones applied
+    * on BOTH sides — the search excludes them pre-rank and the
+    * brute-force truth never counts a deleted vector as a miss),
+    * fold the [[driftDecision]], and ONLY if it fires run the warm
+    * A/B retrain ([[retrainIvfPqIndexBucketed]] — which also purges
+    * filed takedowns physically and clears the ledger) and re-probe
+    * to measure the recovery. Returns ONE report row:
+    *
+    *   `(n_queries, pre_mean_recall, retrain_fired, post_mean_recall,
+    *     post_retrain, epoch_changed)`
+    *
+    * An undrifted index is a NO-OP by construction: no generation
+    * write, no swap — `epoch_changed` is false and the meta pointer
+    * is untouched (the q131 gate pins both paths) — and
+    * `post_* ≡ pre_*` without paying a second probe (nothing moved).
+    * Cost discipline: the probe is bounded by the caller's QUERY
+    * SAMPLE (the [[recallProbe]] contract — tens to hundreds of
+    * queries, broadcast against one corpus scan), the fit by
+    * `sample`, and the one irreducible O(corpus) pass (re-assign +
+    * re-encode) happens only when the decision fires. The driver
+    * sees exactly two bounded rows (the decision folds), never
+    * probe-scale data. */
+  def maintainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         queries: DataFrame, k: Int, minRecall: Double,
+                         sample: DataFrame, lloydIters: Int = 1,
+                         nProbe: Int = 4, oversample: Int = 4,
+                         numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
+      .getAs[String]("epoch")
+    def decide(): (Long, Double, Boolean) = {
+      val live = corpus.join(broadcast(readIvfPqTombstones(spark, prefix)
+          .select(col("neighbor_id").as(idCol))), Seq(idCol), "left_anti")
+      val ann = searchIvfPqLive(spark, prefix, corpus, queries, idCol,
+        vecCol, k, nProbe, oversample)
+      val d = driftDecision(
+        recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
+        .collect()(0)
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+    }
+    val epochBefore = epoch()
+    val (nQ, preMean, fired) = decide()
+    if (fired)
+      retrainIvfPqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
+        sample, lloydIters, numBuckets)
+    val (_, postMean, postRetrain) = if (fired) decide()
+      else (nQ, preMean, fired)
+    Seq((nQ, preMean, fired, postMean, postRetrain,
+        epoch() != epochBefore))
+      .toDF("n_queries", "pre_mean_recall", "retrain_fired",
+        "post_mean_recall", "post_retrain", "epoch_changed")
+  }
+
   /** Warm-start Lloyd refinement of an EXISTING PQ codebook over a
     * bounded sample — the PQ half of the drift remediation: per
     * subspace, `lloydIters` assign→mean steps seeded from the CURRENT

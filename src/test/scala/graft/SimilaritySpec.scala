@@ -783,6 +783,46 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("maintainIvfPqIndex: heal swaps once, no-op leaves the meta row untouched, probe is tombstone-aware") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfPq(base, "vec_id", "embedding",
+      nCells = 2, nSub = 2, nCentroids = 2, lloydIters = 1)
+    Similarity.writeIvfPqIndexBucketed(built, "ivfpq_maint", numBuckets = 2)
+    Similarity.appendToIvfPqIndexBucketed(spark, "ivfpq_maint", drift,
+      "vec_id", "embedding")
+    def maintain(): org.apache.spark.sql.Row =
+      Similarity.maintainIvfPqIndex(spark, "ivfpq_maint", corpus,
+        "vec_id", "embedding", queries, k = 1, minRecall = 0.9,
+        sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+        nProbe = 1, oversample = 32, numBuckets = 2).collect()(0)
+    val heal = maintain()
+    assert(heal.getDouble(1) == 0.0 && heal.getBoolean(2) &&
+      heal.getDouble(3) == 1.0 && !heal.getBoolean(4) &&
+      heal.getBoolean(5),
+      s"drifted index must heal through the one call: $heal")
+    // the no-op: decision quiet, and the META ROW is bit-identical —
+    // no generation write, no pointer move, no epoch restamp
+    val metaBefore = spark.table("ivfpq_maint_meta").collect().toSeq
+    val noop = maintain()
+    assert(!noop.getBoolean(2) && noop.getDouble(1) == 1.0 &&
+      !noop.getBoolean(5), s"undrifted index must be a no-op: $noop")
+    assert(spark.table("ivfpq_maint_meta").collect().toSeq == metaBefore,
+      "a quiet maintenance window must not touch the commit record")
+    // tombstone-aware probe: take down the EVEN drifted twins — each
+    // affected query's live truth becomes a neighbouring odd twin in
+    // the same (probed) cell, so the served answer still matches the
+    // LIVE truth and the window stays quiet. Were the truth side not
+    // purged, brute force would keep electing the deleted twins the
+    // search can no longer serve — recall would read 0.5 and the
+    // window would retrain to chase deleted vectors.
+    Similarity.tombstoneIvfPq(spark, "ivfpq_maint",
+      drift.filter($"vec_id" % 2 === 0).select($"vec_id"), "vec_id")
+    val tombed = maintain()
+    assert(!tombed.getBoolean(2) && tombed.getDouble(1) == 1.0,
+      s"tombstoned truth must not read as drift: $tombed")
+  }
+
   test("IVF×SQ drift retrain: warm centroids recover recall; SQ stats re-cover the grown range") {
     val (base, drift, queries) = plantedDrift
     val corpus = base.unionByName(drift)
