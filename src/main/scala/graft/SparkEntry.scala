@@ -2162,6 +2162,101 @@ object SparkEntry {
       out
     }),
 
+    // The AUDIO rung of the streaming multimodal admission ladder —
+    // q126's sibling for sound, closing the r13 "claimed, not gated"
+    // gap: clips arrive as BYTES on the stream, decode
+    // (javax.sound.sampled) + fingerprint (65-window energy-gradient
+    // signs) as stateless codec ops in-flight, and admit/reject
+    // against a static accepted corpus via the SAME maxHamming+1
+    // broadcast band joins — recall-EXACT by pigeonhole. Arrivals mix
+    // AIFF and AU re-encodes of accepted WAV clips (reject at
+    // hamming 0 — the cross-container duplicate no byte hash sees),
+    // 3×-gain copies (reject at hamming 0 — energy scales by the
+    // square, gradient signs unchanged), novel clips (admit), a
+    // too-short clip and corrupt payloads (null fingerprint → admit,
+    // membership unprovable). The oracle replays both sides' sample
+    // formulas, the stereo mixdown, every window energy, the bit
+    // packing and the exhaustive argmin decision.
+    "q132_stream_audio_admission" -> ((s, d) => {
+      def pcmBytes(src: Long, ch: Int, frames: Int, scale: Int,
+                   bigEndian: Boolean): Array[Byte] = {
+        val out = new Array[Byte](frames * ch * 2)
+        for (i <- 0 until frames; c <- 0 until ch) {
+          val v = (((src * 2654435761L + i.toLong * i * 40503L +
+            i * 977L + c * 997L) % 4096L) - 2048L).toInt * scale
+          val base = (i * ch + c) * 2
+          if (bigEndian) {
+            out(base) = ((v >> 8) & 0xFF).toByte
+            out(base + 1) = (v & 0xFF).toByte
+          } else {
+            out(base) = (v & 0xFF).toByte
+            out(base + 1) = ((v >> 8) & 0xFF).toByte
+          }
+        }
+        out
+      }
+      def clip(src: Long, ch: Int, frames: Int, scale: Int,
+               tpe: javax.sound.sampled.AudioFileFormat.Type,
+               bigEndian: Boolean): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, ch, true, bigEndian)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(
+            pcmBytes(src, ch, frames, scale, bigEndian)),
+          fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+        bos.toByteArray
+      }
+      val WAVE = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val AIFF = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      val AU = javax.sound.sampled.AudioFileFormat.Type.AU
+      def chOf(src: Long): Int = if (src <= 4) 1 else 2
+      val refMedia = s.createDataFrame((1L to 8L).map(i =>
+          (i, clip(i, chOf(i), 200, 1, WAVE, bigEndian = false))))
+        .toDF("media_id", "payload")
+      val refSigs = operators.Multimodal.audioFingerprint(
+          operators.Multimodal.decodeWav(refMedia, "payload"),
+          "pcm", "au_channels")
+        .select($"media_id", $"afp")
+      val members = operators.Dedup.hammingBandMembers(refSigs,
+        "media_id", "afp", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val whole = clip(1L, 1, 200, 1, WAVE, bigEndian = false)
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 4L).map(i => (500L + i, clip(i, 1, 200, 1, AIFF,
+          bigEndian = true))) ++
+        (1L to 4L).map(i => (510L + i, clip(i, 1, 200, 3, WAVE,
+          bigEndian = false))) ++
+        (21L to 24L).map(i => (500L + i, clip(i, 1, 200, 1, WAVE,
+          bigEndian = false))) ++
+        (5L to 6L).map(i => (525L + i, clip(i, 2, 200, 1, AU,
+          bigEndian = true))) ++
+        Seq((9001L, whole.take(whole.length - 3)),
+          (9002L, "not audio at all".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]),
+          (9004L, clip(1L, 1, 40, 1, WAVE, bigEndian = false)))
+      val dir = java.nio.file.Files.createTempDirectory("q132_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val fped = operators.Multimodal.audioFingerprint(
+        operators.Multimodal.decodeWav(stream, "payload"),
+        "pcm", "au_channels")
+      val admitted = streaming.StreamingParse.hammingAdmissionStream(
+        fped, "media_id", "afp", members, maxHamming = 6)
+      val out = runStreamToTable(s, admitted, "append", "audio_admission")
+        .select($"media_id", $"afp", $"admitted", $"match_id",
+          $"match_hamming")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     "q125_audio_fp_dedup" -> ((s, d) => {
       def pcmBytes(src: Long, ch: Int, frames: Int, scale: Int,
                    bigEndian: Boolean): Array[Byte] = {
@@ -4065,6 +4160,72 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // both sides of the streamed audio admission replayed: the sample
+    // formula (refs AND arrivals — re-encodes and gain copies share a
+    // src, novel clips bring their own), stereo mixdown, window
+    // energies, bit packing, and the exhaustive (hamming, ref) argmin
+    // decision at the threshold; corrupt/short arrivals are explicit
+    // null-fingerprint admit rows
+    "q132_stream_audio_admission" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src,
+             CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale
+           FROM range(1, 9) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 1 AS ch, 1 AS scale
+             FROM range(1, 5) t(i)
+           UNION ALL SELECT 510 + i, i, 1, 3 FROM range(1, 5) t(i)
+           UNION ALL SELECT 500 + i, i, 1, 1 FROM range(21, 25) t(i)
+           UNION ALL SELECT 525 + i, i, 2, 1 FROM range(5, 7) t(i)),
+         clips AS (
+           SELECT ref_id AS media_id, src, ch, scale, 1 AS is_ref FROM refs
+           UNION ALL SELECT media_id, src, ch, scale, 0 FROM arrivals),
+         mixes AS (
+           SELECT c.media_id, c.is_ref, f.i AS frame,
+             c.scale * CASE WHEN c.ch = 1
+               THEN (c.src*2654435761 + f.i*f.i*40503 + f.i*977) % 4096 - 2048
+               ELSE ((c.src*2654435761 + f.i*f.i*40503 + f.i*977) % 4096 - 2048)
+                  + ((c.src*2654435761 + f.i*f.i*40503 + f.i*977 + 997) % 4096 - 2048)
+               END AS mix
+           FROM clips c, range(0, 200) f(i)),
+         energies AS (
+           SELECT media_id, is_ref, k.k AS k, sum(mix * mix) AS e
+           FROM range(0, 65) k(k) JOIN mixes
+             ON frame >= k.k * 200 // 65 AND frame < (k.k + 1) * 200 // 65
+           GROUP BY media_id, is_ref, k.k),
+         fps AS (
+           SELECT a.media_id, a.is_ref,
+             bit_or(CASE WHEN b.e > a.e THEN
+                 CASE WHEN a.k = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << a.k END
+               ELSE 0::BIGINT END) AS afp
+           FROM energies a JOIN energies b
+             ON a.media_id = b.media_id AND a.is_ref = b.is_ref
+               AND b.k = a.k + 1
+           WHERE a.k < 64
+           GROUP BY a.media_id, a.is_ref),
+         best AS (
+           SELECT s.media_id, r.media_id AS match_id,
+             bit_count(xor(s.afp, r.afp)) AS hamming,
+             row_number() OVER (PARTITION BY s.media_id
+               ORDER BY bit_count(xor(s.afp, r.afp)), r.media_id) AS rn
+           FROM fps s JOIN fps r ON s.is_ref = 0 AND r.is_ref = 1
+           WHERE bit_count(xor(s.afp, r.afp)) <= 6),
+         decided AS (
+           SELECT f.media_id, f.afp,
+             b.media_id IS NULL AS admitted, b.match_id,
+             b.hamming AS match_hamming
+           FROM fps f LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+             ON b.media_id = f.media_id
+           WHERE f.is_ref = 0
+           UNION ALL
+           SELECT media_id, NULL, TRUE, NULL, NULL
+           FROM (VALUES (9001), (9002), (9003), (9004)) t(media_id))
+         SELECT media_id, afp, admitted, match_id,
+           match_hamming::INTEGER AS match_hamming
+         FROM decided
+         ORDER BY media_id""",
 
     // the sample formula, stereo mixdown, all 65 window energies, the
     // gradient-sign bit packing and the exhaustive pairwise Hamming
