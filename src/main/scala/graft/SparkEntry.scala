@@ -2162,6 +2162,97 @@ object SparkEntry {
       out
     }),
 
+    // TEMPORAL near-dup for multi-frame media — the video modality's
+    // REAL near-dup for the one container the JDK decodes: animated
+    // GIFs decode frame-by-frame (decodeFrames), each frame
+    // perceptual-hashes (dHash), and the per-bit MAJORITY VOTE over
+    // the frame hashes packs into one 64-bit video signature
+    // (videoSignature — SimHash over the frame sequence) feeding the
+    // same pigeonhole Hamming bands. Planted scene-cut videos (six
+    // pattern-A frames, two pattern-B frames): brightness-shifted
+    // re-renders collapse at hamming 0 (dHash gradients), FIRST-FRAME-
+    // DROPPED copies collapse at hamming 0 through the majority vote
+    // (5-of-7 still carries every A bit — the temporal robustness no
+    // single-frame hash has), a single-pixel-edited variant lands
+    // within the band radius, novel videos stay apart, and corrupt
+    // payloads (mid-frame cut / non-video / empty) surface as explicit
+    // null-signature rows. The oracle replays pixel formulas, the
+    // 9×8 grid sampling, every gradient comparison, the per-bit vote,
+    // the bit packing and the exhaustive pairwise Hamming truth.
+    "q133_video_temporal_neardup" -> ((s, d) => {
+      val W = 16; val H = 12
+      def pix(src: Long, f: Int, x: Int, y: Int, bright: Int,
+              tweak: Boolean): Int = {
+        val base =
+          if (f < 6) ((src * 37 + x * (11 + src % 7) + y * 23 +
+            x.toLong * y * (1 + src % 3)) % 200).toInt
+          else ((src * 53 + x * 29 + y * 7 +
+            x.toLong * y * 2 + 101) % 200).toInt
+        if (tweak && x == 3 && y == 0) 255 else base + bright
+      }
+      val cmap = (0 until 256)
+        .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      def gif(src: Long, bright: Int, dropFirst: Boolean,
+              tweak: Boolean): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- (if (dropFirst) 1 else 0) until 8) {
+          val img = new java.awt.image.BufferedImage(W, H,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          for (y <- 0 until H; x <- 0 until W)
+            img.getRaster.setSample(x, y, 0, pix(src, f, x, y, bright, tweak))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val whole = gif(1L, 0, dropFirst = false, tweak = false)
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 6L).map(i => (i, gif(i, 0, dropFirst = false,
+          tweak = false))) ++
+        (1L to 3L).map(i => (500L + i, gif(i, 4, dropFirst = false,
+          tweak = false))) ++
+        (1L to 3L).map(i => (510L + i, gif(i, 0, dropFirst = true,
+          tweak = false))) ++
+        Seq((521L, gif(1L, 0, dropFirst = false, tweak = true))) ++
+        (21L to 22L).map(i => (510L + i, gif(i, 0, dropFirst = false,
+          tweak = false))) ++
+        Seq((9001L, whole.take(whole.length * 3 / 5)),
+          (9002L, "not a video".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val media = s.createDataFrame(rows)
+        .toDF("media_id", "payload").repartition(4)
+      val hashed = operators.Multimodal.perceptualHashes(
+        operators.Multimodal.decodeFrames(media, "payload"),
+        "frame_pixels", "frame_w", "frame_h")
+      val vsigs = operators.Multimodal.videoSignature(hashed,
+        "media_id", "dhash")
+      val pairs = operators.Dedup.hammingNearDups(vsigs, "media_id",
+        "vsig", maxHamming = 6)
+      val partnered = pairs
+        .select($"a".as("media_id"), $"b".as("partner"), $"hamming")
+        .unionByName(pairs
+          .select($"b".as("media_id"), $"a".as("partner"), $"hamming"))
+      val stats = partnered.groupBy($"media_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct($"hamming", $"partner")).as("__best"))
+      media.select($"media_id").join(vsigs, Seq("media_id"), "left")
+        .join(stats, Seq("media_id"), "left")
+        .select($"media_id", $"n_frames", $"vsig",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          col("__best").getField("partner").as("top_partner"),
+          col("__best").getField("hamming").cast("int")
+            .as("top_hamming"))
+        .orderBy($"media_id")
+    }),
+
     // The AUDIO rung of the streaming multimodal admission ladder —
     // q126's sibling for sound, closing the r13 "claimed, not gated"
     // gap: clips arrive as BYTES on the stream, decode
@@ -4160,6 +4251,84 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // the whole temporal chain replayed: planted pixel formulas →
+    // 9×8 grid lumas per frame → every dHash gradient comparison →
+    // per-bit majority vote over the frame sequence → the packed
+    // 64-bit video signature → exhaustive pairwise Hamming truth;
+    // corrupt payloads are explicit null-signature rows
+    "q133_video_temporal_neardup" ->
+      """WITH media AS (
+           SELECT i AS media_id, i AS src, 0 AS bright, 0 AS dropfirst,
+             0 AS tweak FROM range(1, 7) t(i)
+           UNION ALL SELECT 500 + i, i, 4, 0, 0 FROM range(1, 4) t(i)
+           UNION ALL SELECT 510 + i, i, 0, 1, 0 FROM range(1, 4) t(i)
+           UNION ALL SELECT 521, 1, 0, 0, 1
+           UNION ALL SELECT 510 + i, i, 0, 0, 0 FROM range(21, 23) t(i)),
+         frames AS (
+           SELECT m.*, f.f FROM media m, range(0, 8) f(f)
+           WHERE NOT (m.dropfirst = 1 AND f.f = 0)),
+         grid AS (
+           SELECT gx.gx, gy.gy, (gx.gx * 16) // 9 AS sx,
+             (gy.gy * 12) // 8 AS sy
+           FROM range(0, 9) gx(gx), range(0, 8) gy(gy)),
+         lumas AS (
+           SELECT fr.media_id, fr.f, g.gx, g.gy,
+             CASE WHEN fr.tweak = 1 AND g.sx = 3 AND g.sy = 0 THEN 255
+               ELSE (CASE WHEN fr.f < 6
+                 THEN (fr.src*37 + g.sx*(11 + fr.src % 7) + g.sy*23
+                   + g.sx*g.sy*(1 + fr.src % 3)) % 200
+                 ELSE (fr.src*53 + g.sx*29 + g.sy*7
+                   + g.sx*g.sy*2 + 101) % 200 END) + fr.bright
+             END AS v
+           FROM frames fr CROSS JOIN grid g),
+         comps AS (
+           SELECT a.media_id, a.f, a.gy * 8 + a.gx AS bit,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS vote
+           FROM lumas a JOIN lumas b
+             ON b.media_id = a.media_id AND b.f = a.f
+               AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8),
+         votes AS (
+           SELECT media_id, bit, sum(vote) AS nv, count(*) AS nf
+           FROM comps GROUP BY 1, 2),
+         vsigs AS (
+           SELECT media_id,
+             bit_or(CASE WHEN nv * 2 > nf THEN
+                 CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << bit END
+               ELSE 0::BIGINT END) AS vsig,
+             max(nf)::BIGINT AS n_frames
+           FROM votes GROUP BY media_id),
+         pairs AS (
+           SELECT a.media_id AS a, b.media_id AS b,
+             bit_count(xor(a.vsig, b.vsig)) AS hamming
+           FROM vsigs a JOIN vsigs b ON a.media_id < b.media_id
+           WHERE bit_count(xor(a.vsig, b.vsig)) <= 6),
+         partnered AS (
+           SELECT a AS media_id, b AS partner, hamming FROM pairs
+           UNION ALL SELECT b, a, hamming FROM pairs),
+         stats AS (
+           SELECT media_id, count(*)::BIGINT AS n_pairs,
+             min(hamming) AS mh
+           FROM partnered GROUP BY media_id),
+         top AS (
+           SELECT p.media_id, min(p.partner) AS top_partner,
+             s.mh AS top_hamming
+           FROM partnered p JOIN stats s
+             ON s.media_id = p.media_id AND p.hamming = s.mh
+           GROUP BY p.media_id, s.mh),
+         allm AS (
+           SELECT media_id FROM media
+           UNION ALL SELECT media_id
+           FROM (VALUES (9001), (9002), (9003)) t(media_id))
+         SELECT m.media_id, v.n_frames, v.vsig,
+           coalesce(s.n_pairs, 0)::BIGINT AS n_pairs, t.top_partner,
+           t.top_hamming::INTEGER AS top_hamming
+         FROM allm m LEFT JOIN vsigs v USING (media_id)
+           LEFT JOIN stats s USING (media_id)
+           LEFT JOIN top t USING (media_id)
+         ORDER BY m.media_id""",
 
     // both sides of the streamed audio admission replayed: the sample
     // formula (refs AND arrivals — re-encodes and gain copies share a

@@ -615,6 +615,50 @@ object Multimodal {
           .as("decode_failures"))
   }
 
+  /** 64-bit VIDEO signature from per-frame perceptual hashes — the
+    * temporal near-dup bridge for multi-frame media, making the video
+    * modality's near-dup REAL for the container the JDK decodes
+    * ([[decodeFrames]] → [[perceptualHashes]] over `frame_pixels` →
+    * this): bit `b` of the signature is the MAJORITY VOTE of bit `b`
+    * across the media's frame hashes (strict majority — ties vote 0),
+    * i.e. SimHash over the frame sequence with the frame dHashes as
+    * the "tokens". Integer-exact and SQL-replayable from planted
+    * pixel formulas.
+    *
+    * Robustness, honestly stated: a re-encode or uniform brightness
+    * shift leaves every frame hash unchanged (dHash gradients) →
+    * identical signature; dropping/duplicating a few frames or
+    * reordering scenes moves single votes → bits flip only where the
+    * vote was marginal, so near-miss copies land within a small
+    * Hamming radius and the [[graft.operators.Dedup.hammingNearDups]]
+    * bands catch them; it is NOT a per-frame alignment (a clip
+    * sharing half its scenes scores mid-range, not 0) — that finer
+    * tier is the per-frame hash table itself, which this signature
+    * gates cheaply at corpus scale.
+    *
+    * Scale shape: one 64-sum-buffer hash aggregate over the frame
+    * table (the [[graft.operators.Dedup.simhash]] aggregate form —
+    * frames per media are unbounded, so a collect-to-array per media
+    * would not hold; partial aggregation keeps it one shuffle of
+    * 64-long rows). Null frame hashes (corrupt rows from the
+    * all-or-nothing decode) are excluded; media whose every frame is
+    * null are ABSENT from the output — callers joining back treat a
+    * missing signature as unprovable (admit), the P6 discipline. */
+  def videoSignature(frames: DataFrame, idCol: String,
+                     sigCol: String): DataFrame = {
+    val s = col(sigCol).cast("long")
+    val votes = (0 until 64).map(b =>
+      sum(shiftrightunsigned(s, b).bitwiseAND(lit(1L))).as(s"__v$b"))
+    frames.filter(col(sigCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), votes: _*)
+      .select(col(idCol), col("__n").as("n_frames"),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") * 2 > col("__n"), shiftleft(lit(1L), b))
+            .otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("vsig"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk of the binary becomes a frame row (posexplode — the real
     * shape of a frame-sampling pipeline; the chunking stands in for

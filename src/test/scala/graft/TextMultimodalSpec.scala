@@ -878,6 +878,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoSignature: strict per-bit majority over frame hashes; ties vote 0; null frames excluded") {
+    import graft.operators.Multimodal
+    // media 1: bits 0 and 63 carried by 2 of 3 frames (strict
+    // majority → set), bit 1 by 1 of 3 (→ 0); media 2: an exact
+    // 2-of-4 TIE on bit 5 votes 0, and the null frame hash is
+    // excluded from the count (else 2-of-5 would also be 0 — the
+    // distinction shows on bit 4, set in 3 of the 4 non-null frames);
+    // media 3: every frame null → ABSENT from the output
+    val msb = Long.MinValue // bit 63
+    val rows: Seq[(Long, java.lang.Long)] = Seq(
+      (1L, 1L | msb), (1L, 1L | 2L | msb), (1L, 0L),
+      (2L, 32L | 16L), (2L, 32L), (2L, 16L), (2L, 16L), (2L, null),
+      (3L, null), (3L, null))
+    val out = Multimodal.videoSignature(
+        rows.toDF("media_id", "dhash"), "media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ((3L, 1L | msb)),
+      s"2-of-3 majority carries bits 0 and 63: ${out(1L)}")
+    assert(out(2L) == ((4L, 16L)),
+      s"2-of-4 tie votes 0, 3-of-4 sets, null frame excluded: ${out(2L)}")
+    assert(!out.contains(3L),
+      "media whose every frame hash is null must be absent")
+  }
+
   test("multimodal: audio fingerprint is gain-invariant, integer-exact; short/corrupt clips null") {
     import graft.operators.Multimodal
     // 130-frame mono PCM with a known energy staircase: quiet first
