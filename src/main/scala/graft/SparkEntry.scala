@@ -2162,6 +2162,87 @@ object SparkEntry {
       out
     }),
 
+    // TAKEDOWN for the perceptual reference corpus — the fourth face
+    // of the compliance lifecycle (vector q127, exact q128, near-dup
+    // q129), closing the one rung q126 left static: removing accepted
+    // reference images must flip their streamed look-alikes
+    // reject → admit IMMEDIATELY (logical: the removed ids leave the
+    // member arrays via one broadcast array-filter — never a re-hash
+    // of the reference corpus), while every other decision holds
+    // bit-for-bit. The q126 fixture with refs 1 and 3 tombstoned; the
+    // same arrival set (BMP re-encodes, brightness variants, novels,
+    // corrupt payloads) streams against the full members PRE and the
+    // tombstoned members POST; the oracle replays both sides' pixel
+    // formulas, the dHash construction and BOTH exhaustive argmin
+    // decisions (vs refs, and vs refs minus the tombstones).
+    "q134_phash_takedown_stream" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y, shift)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame(
+          (1L to 10L).map(i => (i, enc(i, 0, "png"))))
+        .toDF("media_id", "payload")
+      val refSigs = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(refMedia, "payload"),
+          "pixels", "img_width", "img_height")
+        .select($"media_id", $"dhash")
+      val members = operators.Dedup.hammingBandMembers(refSigs,
+        "media_id", "dhash", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val live = operators.Dedup.tombstoneFromHammingMembers(members,
+        s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L))).toDF("media_id"))
+      live.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 5L).map(i => (500L + i, enc(i, 0, "bmp"))) ++
+        (1L to 5L).map(i => (510L + i, enc(i, 4, "png"))) ++
+        (21L to 23L).map(i => (500L + i, enc(i, 0, "png"))) ++
+        Seq((9001L, "not an image".getBytes("UTF-8")),
+          (9002L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q134_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def run(m: DataFrame, tag: String): DataFrame = {
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+        val hashed = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(stream, "payload"),
+          "pixels", "img_width", "img_height")
+        runStreamToTable(s,
+          streaming.StreamingParse.hammingAdmissionStream(
+            hashed, "media_id", "dhash", m, maxHamming = 6),
+          "append", s"phash_td_$tag")
+          .select($"media_id", $"dhash",
+            col("admitted").as(s"admitted_$tag"),
+            col("match_id").as(s"match_$tag"))
+      }
+      val pre = run(members, "pre")
+      val post = run(live, "post").drop("dhash")
+      val out = pre.join(post, Seq("media_id"))
+        .select($"media_id", $"dhash", $"admitted_pre", $"match_pre",
+          $"admitted_post", $"match_post")
+        .orderBy($"media_id")
+      val materialized = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      members.unpersist(); live.unpersist()
+      materialized
+    }),
+
     // TEMPORAL near-dup for multi-frame media — the video modality's
     // REAL near-dup for the one container the JDK decodes: animated
     // GIFs decode frame-by-frame (decodeFrames), each frame
@@ -4251,6 +4332,75 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // both sides' pixel formulas and dHash constructions replayed,
+    // then BOTH exhaustive argmin admission decisions — against the
+    // full reference set (pre) and against the set minus the
+    // tombstoned ids (post); corrupt arrivals are admitted
+    // null-signature rows in both worlds
+    "q134_phash_takedown_stream" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src, 0 AS shift FROM range(1, 11) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift FROM range(1, 6) t(i)
+           UNION ALL SELECT 510 + i, i, 4 FROM range(1, 6) t(i)
+           UNION ALL SELECT 500 + i, i, 0 FROM range(21, 24) t(i)),
+         rg AS (
+           SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         rh AS (
+           SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM arrivals, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         sigs AS (
+           SELECT media_id, dhash FROM ah
+           UNION ALL SELECT media_id, NULL
+           FROM (VALUES (9001), (9002)) t(media_id)),
+         best_pre AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_pre
+           FROM sigs s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           WHERE s.dhash IS NOT NULL
+           GROUP BY s.media_id),
+         best_post AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_post
+           FROM sigs s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+             AND r.ref_id NOT IN (1, 3)
+           WHERE s.dhash IS NOT NULL
+           GROUP BY s.media_id)
+         SELECT s.media_id, s.dhash,
+           bp.match_pre IS NULL AS admitted_pre, bp.match_pre,
+           bq.match_post IS NULL AS admitted_post, bq.match_post
+         FROM sigs s
+           LEFT JOIN best_pre bp ON bp.media_id = s.media_id
+           LEFT JOIN best_post bq ON bq.media_id = s.media_id
+         ORDER BY s.media_id""",
 
     // the whole temporal chain replayed: planted pixel formulas →
     // 9×8 grid lumas per frame → every dHash gradient comparison →

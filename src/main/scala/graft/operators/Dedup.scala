@@ -458,6 +458,38 @@ object Dedup {
       .filter(size(col("members")) <= maxBucket)
   }
 
+  /** TAKEDOWN for a Hamming-banded reference set — the perceptual
+    * face of the compliance lifecycle
+    * ([[tombstoneFromExactIndex]] / [[tombstoneFromNgramIndex]] /
+    * [[graft.operators.Similarity.tombstoneIvfPq]]): a reference
+    * image/clip removed from the accepted corpus must stop REJECTING
+    * streamed look-alikes, immediately. Logical delete = filter the
+    * removed ids out of every member ARRAY in place — the removed-id
+    * set rides ONE broadcast row as an array column (the q117/q120
+    * literal→join graduation: takedown lists are bounded, and a plan
+    * literal would re-canonicalize per micro-batch when the result
+    * serves a stream), so the whole edit is a broadcast join plus a
+    * pure array filter, never a re-hash of the reference corpus.
+    * Buckets whose members all leave DROP (an empty bucket can match
+    * nothing). Physical purge = the next
+    * [[hammingBandMembers]] rebuild from the purged reference set —
+    * the members table is derived state, so the rebuild IS the
+    * compaction. Pass the result persisted when serving a stream,
+    * exactly as with the underlying members table. */
+  def tombstoneFromHammingMembers(members: DataFrame,
+                                  ids: DataFrame): DataFrame = {
+    val removed = ids
+      .select(col(ids.columns.head).cast("long").as("__rid")).distinct()
+      .agg(collect_list(col("__rid")).as("__removed"))
+      .withColumn("__gk", lit(1))
+    members.withColumn("__gk", lit(1))
+      .join(broadcast(removed), Seq("__gk"))
+      .withColumn("members", filter(col("members"),
+        m => !array_contains(col("__removed"), m.getField("neighbor_id"))))
+      .filter(size(col("members")) > 0)
+      .drop("__gk", "__removed")
+  }
+
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
                       maxHamming: Int = 3,
                       maxBucket: Int = 200): DataFrame = {

@@ -1000,6 +1000,32 @@ class DedupSpec extends SparkSpec {
       "the untainted component re-admits exactly its min-id rep")
   }
 
+  test("tombstoneFromHammingMembers: removed ids leave every member array; emptied buckets drop; empty takedown is a no-op") {
+    val sigs: Seq[(Long, java.lang.Long)] = Seq(
+      (10L, 0x5A5A5A5A5A5A5A5AL), (20L, 0x5A5A5A5A5A5A5A5BL),
+      (30L, 0x0123456789ABCDEFL))
+    val members = Dedup.hammingBandMembers(sigs.toDF("ref_id", "sig"),
+      "ref_id", "sig", maxHamming = 3)
+    def idsIn(m: org.apache.spark.sql.DataFrame): Set[Long] =
+      m.select(explode(col("members")).as("m"))
+        .select(col("m.neighbor_id")).as[Long].collect().toSet
+    assert(idsIn(members) == Set(10L, 20L, 30L))
+    val live = Dedup.tombstoneFromHammingMembers(members,
+      Seq(30L).toDF("media_id"))
+    assert(idsIn(live) == Set(10L, 20L),
+      "the removed id must leave every member array")
+    // ref 30 shares no band hash with 10/20 (distant signature), so
+    // its buckets empty out and must DROP rather than linger as
+    // zero-member rows a stream-side broadcast would still carry
+    assert(live.filter(size(col("members")) === 0).count() == 0L)
+    assert(live.count() < members.count(),
+      "emptied buckets must drop from the member table")
+    val noop = Dedup.tombstoneFromHammingMembers(members,
+      spark.emptyDataFrame.select(lit(0L).as("media_id")).limit(0))
+    assert(idsIn(noop) == Set(10L, 20L, 30L),
+      "an empty takedown list must change nothing")
+  }
+
   test("hammingNearDups: pigeonhole banding is exact-recall at the threshold; nulls never match") {
     val base = 0x0F0F0F0F0F0F0F0FL
     def flip(s: Long, bits: Seq[Int]): Long =
