@@ -490,6 +490,100 @@ object Dedup {
       .drop("__gk", "__removed")
   }
 
+  /** Persist a [[hammingBandMembers]] reference table DURABLY — the
+    * build-once/serve-many face of the perceptual admission tier,
+    * with the family crash discipline: the members write to an A/B
+    * generation table, a fresh epoch token stamps it, and the one-row
+    * `${table}_meta` (epoch + generation pointer) written LAST is the
+    * atomic commit — a torn same-name rebuild refuses at
+    * [[readHammingMembers]] instead of serving one generation's
+    * buckets as another's. Reference sets are bounded (the
+    * cellMembers regime), so a plain table suffices — the serving
+    * side broadcasts it whole. */
+  def writeHammingMembers(spark: org.apache.spark.sql.SparkSession,
+                          members: DataFrame, table: String): Unit = {
+    import spark.implicits._
+    val gen = s"${table}_members"
+    graft.sources.Sinks.writeTable(members, gen)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, gen)).toDF("epoch", "members_table"), s"${table}_meta")
+  }
+
+  /** Reopen a durable members table (epoch-validated — mixed or torn
+    * generations refuse loudly). */
+  def readHammingMembers(spark: org.apache.spark.sql.SparkSession,
+                         table: String): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect()(0)
+    val gen = meta.getAs[String]("members_table")
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen),
+      meta.getAs[String]("epoch"))
+    spark.table(gen)
+  }
+
+  /** File media takedowns against a durable members table — the
+    * ledger face of [[tombstoneFromHammingMembers]], riding
+    * [[graft.sources.Sinks.appendLedger]] (frame-path distinct-union,
+    * A/B + meta-last commit: a crash can never leave a missing ledger
+    * that reads as "no takedowns"). Serve through
+    * [[readHammingMembersLive]]; purge physically with
+    * [[compactHammingMembers]]. */
+  def tombstoneHammingMembers(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${table}_tombstones",
+      ids.select(col(ids.columns.head).cast("long").as("media_id")))
+
+  /** Reopen a durable members table with its takedown ledger applied
+    * — the serving entry point after [[tombstoneHammingMembers]]:
+    * removed ids leave every member array via the one-broadcast-row
+    * array filter before the table ever reaches a stream. */
+  def readHammingMembersLive(spark: org.apache.spark.sql.SparkSession,
+                             table: String): DataFrame = {
+    val members = readHammingMembers(spark, table)
+    graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
+      .map { case (_, ids) => tombstoneFromHammingMembers(members, ids) }
+      .getOrElse(members)
+  }
+
+  /** PHYSICAL purge + re-band of a durable members table — the
+    * maintenance window of the perceptual family (the
+    * [[compactExactIndex]] analogue): the live (ledger-applied)
+    * members table IS the reference set — its distinct
+    * (neighbor_id, sig) pairs reconstruct every surviving signature —
+    * so the rebuild needs no external corpus re-read. The fresh
+    * banding writes to the OTHER A/B generation, gets a fresh epoch,
+    * the meta pointer flips atomically, the superseded generation
+    * drops and the ledger clears (both best-effort — a crash there
+    * leaves dead files / already-purged tombstones that re-filter
+    * harmlessly, never a wrong read). Also the remediation for a
+    * changed `maxHamming`/`maxBucket` policy. */
+  def compactHammingMembers(spark: org.apache.spark.sql.SparkSession,
+                            table: String, maxHamming: Int,
+                            maxBucket: Int = 1000): Unit = {
+    import spark.implicits._
+    val meta = spark.table(s"${table}_meta").collect()(0)
+    val liveGen = meta.getAs[String]("members_table")
+    val otherGen =
+      if (liveGen == s"${table}_members") s"${table}_members_b"
+      else s"${table}_members"
+    val sigs = readHammingMembersLive(spark, table)
+      .select(explode(col("members")).as("m"))
+      .select(col("m.neighbor_id").as("media_id"), col("m.sig").as("sig"))
+      .distinct()
+    val hadLedger =
+      graft.sources.Sinks.readLedger(spark, s"${table}_tombstones").nonEmpty
+    graft.sources.Sinks.writeTable(
+      hammingBandMembers(sigs, "media_id", "sig", maxHamming, maxBucket),
+      otherGen)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(otherGen))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, otherGen)).toDF("epoch", "members_table"),
+      s"${table}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS $liveGen")
+    if (hadLedger)
+      graft.sources.Sinks.clearLedger(spark, s"${table}_tombstones")
+  }
+
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
                       maxHamming: Int = 3,
                       maxBucket: Int = 200): DataFrame = {

@@ -1026,6 +1026,56 @@ class DedupSpec extends SparkSpec {
       "an empty takedown list must change nothing")
   }
 
+  test("durable hamming members: write/read parity, ledgered takedown, compaction purges and flips the epoch") {
+    val base = 0x5A5A5A5A5A5A5A5AL
+    def flip(s: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(s)((x, b) => x ^ (1L << b))
+    val sigs: Seq[(Long, java.lang.Long)] = Seq(
+      (10L, base), (20L, flip(base, Seq(0))),
+      (30L, 0x0123456789ABCDEFL))
+    val members = Dedup.hammingBandMembers(sigs.toDF("ref_id", "sig"),
+      "ref_id", "sig", maxHamming = 3)
+    Dedup.writeHammingMembers(spark, members, "hm_spec")
+    def idsIn(m: org.apache.spark.sql.DataFrame): Set[Long] =
+      m.select(explode(col("members")).as("m"))
+        .select(col("m.neighbor_id")).as[Long].collect().toSet
+    // reopened table serves the identical bucket map
+    val reopened = Dedup.readHammingMembers(spark, "hm_spec")
+    assert(reopened.collect().toSet == members.collect().toSet)
+    // ledgered takedown: removed id leaves the live view immediately;
+    // idempotent re-file converges
+    Dedup.tombstoneHammingMembers(spark, "hm_spec", Seq(30L).toDF("id"))
+    Dedup.tombstoneHammingMembers(spark, "hm_spec", Seq(30L).toDF("id"))
+    assert(idsIn(Dedup.readHammingMembersLive(spark, "hm_spec"))
+      == Set(10L, 20L))
+    // compaction: physical purge from the members table's own
+    // distinct signatures (no external corpus), A/B flip, fresh
+    // epoch, ledger cleared
+    val epochBefore = spark.table("hm_spec_meta").collect()(0).getString(0)
+    Dedup.compactHammingMembers(spark, "hm_spec", maxHamming = 3)
+    val metaAfter = spark.table("hm_spec_meta").collect()(0)
+    assert(metaAfter.getString(0) != epochBefore, "epoch must advance")
+    assert(metaAfter.getString(1) == "hm_spec_members_b",
+      "the generation pointer must flip")
+    assert(!spark.catalog.tableExists("hm_spec_members"),
+      "the superseded generation drops")
+    assert(graft.sources.Sinks.readLedger(spark, "hm_spec_tombstones")
+      .isEmpty, "the ledger clears once deletes are physical")
+    val compacted = Dedup.readHammingMembers(spark, "hm_spec")
+    assert(idsIn(compacted) == Set(10L, 20L),
+      "the purged signature must not re-band")
+    assert(compacted.collect().toSet ==
+      Dedup.hammingBandMembers(
+          sigs.filter(_._1 != 30L).toDF("ref_id", "sig"),
+          "ref_id", "sig", maxHamming = 3).collect().toSet,
+      "compacted table ≡ a fresh build on the purged reference set")
+    // torn window: wiping the live generation's epoch token refuses
+    graft.sources.Sinks.clearEpochTokens(spark, "hm_spec_members_b")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.readHammingMembers(spark, "hm_spec")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("hammingNearDups: pigeonhole banding is exact-recall at the threshold; nulls never match") {
     val base = 0x0F0F0F0F0F0F0F0FL
     def flip(s: Long, bits: Seq[Int]): Long =
