@@ -206,6 +206,38 @@ object Layout {
       .select(col("n_files"), col("span_ratio"),
         (col("span_ratio") > lit(maxSpanRatio)).as("compact"))
 
+  /** The ONE-CALL maintenance window for a pointer-rooted z-ordered
+    * table — the layout analogue of
+    * [[graft.operators.Similarity.maintainIvfPqIndex]]: measure the
+    * fragmentation signal, fold the [[compactionDecision]], and ONLY
+    * if it fires run [[compactZOrderedLive]] and re-measure. Returns
+    * one report row `(n_files, span_ratio, compacted,
+    * post_span_ratio, epoch_changed)`. An unfragmented table is a
+    * no-op by construction — no epoch write, the live pointer
+    * untouched, and `post_span_ratio ≡ span_ratio` without paying a
+    * second signal scan (nothing moved). Cost discipline mirrors the
+    * vector window: the signal is one column-pruned scan of the z
+    * column, the O(table) re-layout happens only when the decision
+    * fires. */
+  def maintainZOrderedLive(spark: org.apache.spark.sql.SparkSession,
+                           root: String, cols: Seq[String], bits: Int,
+                           numPartitions: Int,
+                           maxSpanRatio: Double): DataFrame = {
+    import spark.implicits._
+    def decide(): (Long, Double, Boolean) = {
+      val d = compactionDecision(spark, root, maxSpanRatio).collect()(0)
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+    }
+    val epochBefore = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    val (nFiles, ratio, fire) = decide()
+    if (fire) compactZOrderedLive(spark, root, cols, bits, numPartitions)
+    val postRatio = if (fire) decide()._2 else ratio
+    val epochAfter = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    Seq((nFiles, ratio, fire, postRatio, epochAfter != epochBefore))
+      .toDF("n_files", "span_ratio", "compacted", "post_span_ratio",
+        "epoch_changed")
+  }
+
   /** OPTIMIZE-style compaction of a pointer-rooted table, crash-safe
     * end to end: the clean epoch writes to a fresh directory BESIDE
     * the live one, the pointer swap is the atomic commit (readers see

@@ -919,13 +919,19 @@ class PlanSpec extends SparkSpec {
       .collect()(0)
     assert(drifted.getBoolean(2) && drifted.getDouble(1) > 2.0,
       s"span ratio must climb with append layers: ${drifted.getDouble(1)}")
-    // the remediation the signal points at restores ratio ≈ 1
-    Layout.compactZOrderedLive(spark, root, Seq("dx", "dy"), bits = 5,
-      numPartitions = 8)
-    val compacted = Layout.compactionDecision(spark, root,
-      maxSpanRatio = 2.0).collect()(0)
-    assert(!compacted.getBoolean(2),
-      s"compaction must clear the signal: ${compacted.getDouble(1)}")
+    // the ONE-CALL window: fires, compacts, reports the recovery, and
+    // the immediate second call is a no-op with the pointer untouched
+    val heal = Layout.maintainZOrderedLive(spark, root, Seq("dx", "dy"),
+      bits = 5, numPartitions = 8, maxSpanRatio = 2.0).collect()(0)
+    assert(heal.getBoolean(2) && heal.getDouble(1) > 2.0 &&
+      heal.getDouble(3) <= 2.0 && heal.getBoolean(4),
+      s"fragmented table must heal through the one call: $heal")
+    val ptr = graft.sources.Sinks.resolveEpochPointer(spark, root)
+    val noop = Layout.maintainZOrderedLive(spark, root, Seq("dx", "dy"),
+      bits = 5, numPartitions = 8, maxSpanRatio = 2.0).collect()(0)
+    assert(!noop.getBoolean(2) && !noop.getBoolean(4) &&
+      graft.sources.Sinks.resolveEpochPointer(spark, root) == ptr,
+      s"unfragmented table must be a no-op with the pointer untouched: $noop")
     assert(Layout.readZOrderedLive(spark, root).count() == 1600L)
   }
 
