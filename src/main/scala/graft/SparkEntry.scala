@@ -2162,6 +2162,102 @@ object SparkEntry {
       out
     }),
 
+    // The VIDEO rung of the streaming multimodal admission ladder —
+    // completing the modality trio (image q126, audio q132): animated
+    // payloads arrive as BYTES on the stream and the WHOLE temporal
+    // chain (decode every frame, per-frame dHash, per-bit majority
+    // vote) runs as ONE per-row codec op (videoSignatures — every
+    // frame originates from one input row, so no frame explode and no
+    // relational aggregation is needed; stream-legal by construction
+    // and bit-identical to the q133 batch route, whose shared helpers
+    // it calls). Admission = the same maxHamming+1 broadcast band
+    // joins against a reference corpus signed through the BATCH route
+    // — so the gate also pins the two routes against each other:
+    // brightness re-renders and first-frame-dropped copies of
+    // accepted videos reject at hamming 0, the single-pixel edit
+    // rejects within the radius, novel videos and corrupt payloads
+    // admit. The oracle replays both sides' pixel formulas, the grid,
+    // every gradient comparison, the vote, the packing and the
+    // exhaustive argmin decision.
+    "q136_stream_video_admission" -> ((s, d) => {
+      val W = 16; val H = 12
+      def pix(src: Long, f: Int, x: Int, y: Int, bright: Int,
+              tweak: Boolean): Int = {
+        val base =
+          if (f < 6) ((src * 37 + x * (11 + src % 7) + y * 23 +
+            x.toLong * y * (1 + src % 3)) % 200).toInt
+          else ((src * 53 + x * 29 + y * 7 +
+            x.toLong * y * 2 + 101) % 200).toInt
+        if (tweak && x == 3 && y == 0) 255 else base + bright
+      }
+      val cmap = (0 until 256)
+        .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      def gif(src: Long, bright: Int, dropFirst: Boolean,
+              tweak: Boolean): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- (if (dropFirst) 1 else 0) until 8) {
+          val img = new java.awt.image.BufferedImage(W, H,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          for (y <- 0 until H; x <- 0 until W)
+            img.getRaster.setSample(x, y, 0, pix(src, f, x, y, bright, tweak))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame((1L to 6L).map(i =>
+          (i, gif(i, 0, dropFirst = false, tweak = false))))
+        .toDF("media_id", "payload")
+      // the BATCH route signs the reference corpus — the stream side
+      // must land identical bits through the per-row route
+      val refSigs = operators.Multimodal.videoSignature(
+          operators.Multimodal.perceptualHashes(
+            operators.Multimodal.decodeFrames(refMedia, "payload"),
+            "frame_pixels", "frame_w", "frame_h"),
+          "media_id", "dhash")
+        .select($"media_id", $"vsig")
+      val members = operators.Dedup.hammingBandMembers(refSigs,
+        "media_id", "vsig", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val whole = gif(1L, 0, dropFirst = false, tweak = false)
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i, gif(i, 4, dropFirst = false,
+          tweak = false))) ++
+        (1L to 3L).map(i => (510L + i, gif(i, 0, dropFirst = true,
+          tweak = false))) ++
+        Seq((521L, gif(1L, 0, dropFirst = false, tweak = true))) ++
+        (21L to 22L).map(i => (510L + i, gif(i, 0, dropFirst = false,
+          tweak = false))) ++
+        Seq((9001L, whole.take(whole.length * 3 / 5)),
+          (9002L, "not a video".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q136_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val signed = operators.Multimodal.videoSignatures(stream, "payload")
+      val admitted = streaming.StreamingParse.hammingAdmissionStream(
+        signed, "media_id", "vsig", members, maxHamming = 6)
+      val out = runStreamToTable(s, admitted, "append", "video_admission")
+        .select($"media_id", $"n_frames", $"vsig", $"admitted",
+          $"match_id", $"match_hamming")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     // TAKEDOWN for the perceptual reference corpus — the fourth face
     // of the compliance lifecycle (vector q127, exact q128, near-dup
     // q129), closing the one rung q126 left static: removing accepted
@@ -4332,6 +4428,72 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // the q133 temporal replay split into reference and arrival
+    // sides, then the exhaustive argmin admission decision at the
+    // threshold; corrupt arrivals are admitted null-signature rows
+    "q136_stream_video_admission" ->
+      """WITH media AS (
+           SELECT i AS media_id, i AS src, 0 AS bright, 0 AS dropfirst,
+             0 AS tweak, 1 AS is_ref FROM range(1, 7) t(i)
+           UNION ALL SELECT 500 + i, i, 4, 0, 0, 0 FROM range(1, 4) t(i)
+           UNION ALL SELECT 510 + i, i, 0, 1, 0, 0 FROM range(1, 4) t(i)
+           UNION ALL SELECT 521, 1, 0, 0, 1, 0
+           UNION ALL SELECT 510 + i, i, 0, 0, 0, 0 FROM range(21, 23) t(i)),
+         frames AS (
+           SELECT m.*, f.f FROM media m, range(0, 8) f(f)
+           WHERE NOT (m.dropfirst = 1 AND f.f = 0)),
+         grid AS (
+           SELECT gx.gx, gy.gy, (gx.gx * 16) // 9 AS sx,
+             (gy.gy * 12) // 8 AS sy
+           FROM range(0, 9) gx(gx), range(0, 8) gy(gy)),
+         lumas AS (
+           SELECT fr.media_id, fr.is_ref, fr.f, g.gx, g.gy,
+             CASE WHEN fr.tweak = 1 AND g.sx = 3 AND g.sy = 0 THEN 255
+               ELSE (CASE WHEN fr.f < 6
+                 THEN (fr.src*37 + g.sx*(11 + fr.src % 7) + g.sy*23
+                   + g.sx*g.sy*(1 + fr.src % 3)) % 200
+                 ELSE (fr.src*53 + g.sx*29 + g.sy*7
+                   + g.sx*g.sy*2 + 101) % 200 END) + fr.bright
+             END AS v
+           FROM frames fr CROSS JOIN grid g),
+         comps AS (
+           SELECT a.media_id, a.is_ref, a.f, a.gy * 8 + a.gx AS bit,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS vote
+           FROM lumas a JOIN lumas b
+             ON b.media_id = a.media_id AND b.f = a.f
+               AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8),
+         votes AS (
+           SELECT media_id, is_ref, bit, sum(vote) AS nv, count(*) AS nf
+           FROM comps GROUP BY 1, 2, 3),
+         vsigs AS (
+           SELECT media_id, is_ref,
+             bit_or(CASE WHEN nv * 2 > nf THEN
+                 CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << bit END
+               ELSE 0::BIGINT END) AS vsig,
+             max(nf)::BIGINT AS n_frames
+           FROM votes GROUP BY media_id, is_ref),
+         sigs AS (
+           SELECT media_id, n_frames, vsig FROM vsigs WHERE is_ref = 0
+           UNION ALL SELECT media_id, NULL, NULL
+           FROM (VALUES (9001), (9002), (9003)) t(media_id)),
+         best AS (
+           SELECT s.media_id,
+             min_by(r.media_id,
+               bit_count(xor(s.vsig, r.vsig))::BIGINT * 1000 + r.media_id)
+               AS match_id,
+             min(bit_count(xor(s.vsig, r.vsig))) AS match_hamming
+           FROM sigs s JOIN vsigs r
+             ON r.is_ref = 1 AND bit_count(xor(s.vsig, r.vsig)) <= 6
+           WHERE s.vsig IS NOT NULL
+           GROUP BY s.media_id)
+         SELECT s.media_id, s.n_frames, s.vsig,
+           b.match_id IS NULL AS admitted, b.match_id,
+           b.match_hamming::INTEGER AS match_hamming
+         FROM sigs s LEFT JOIN best b ON b.media_id = s.media_id
+         ORDER BY s.media_id""",
 
     // both sides' pixel formulas and dHash constructions replayed,
     // then BOTH exhaustive argmin admission decisions — against the

@@ -174,6 +174,38 @@ object Multimodal {
     * the P6 admission discipline; a null signature can never enter a
     * near-dup band. Pure per-row integer arithmetic in the codec
     * boundary: no shuffle, no driver state. */
+  /** Integer ITU-R 601 luma of pixel (x, y) in a row-major W×H×C
+    * buffer — the one sampling formula every perceptual construction
+    * here shares. */
+  private def lumaAt(px: Array[Byte], w: Int, channels: Int,
+                     x: Int, y: Int): Int = {
+    val base = (y * w + x) * channels
+    if (channels == 1) px(base) & 0xFF
+    else (299 * (px(base) & 0xFF) + 587 * (px(base + 1) & 0xFF) +
+      114 * (px(base + 2) & 0xFF)) / 1000
+  }
+
+  /** The dHash construction over one raw buffer (9×8 luma grid,
+    * gradient-sign bits) — shared by [[perceptualHashes]] (per image
+    * row) and [[videoSignatures]] (per frame inside one payload
+    * row), so the two routes are bit-identical by construction. */
+  private[graft] def dhashOf(px: Array[Byte], w: Int, h: Int,
+                             channels: Int): Long = {
+    val g = Array.tabulate(8, 9)((gy, gx) =>
+      lumaAt(px, w, channels, gx * w / 9, gy * h / 8))
+    var dh = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (g(gy)(gx + 1) > g(gy)(gx)) dh |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    dh
+  }
+
   def perceptualHashes(df: DataFrame, pixelsCol: String, wCol: String,
                        hCol: String, channels: Int = 3): DataFrame = {
     require(channels == 1 || channels == 3,
@@ -203,31 +235,13 @@ object Multimodal {
           if (!ok) (null, null)
           else {
             val w = row.getInt(wIdx); val h = row.getInt(hIdx)
-            def luma(x: Int, y: Int): Int = {
-              val base = (y * w + x) * channels
-              if (channels == 1) px(base) & 0xFF
-              else (299 * (px(base) & 0xFF) + 587 * (px(base + 1) & 0xFF) +
-                114 * (px(base + 2) & 0xFF)) / 1000
-            }
-            // 9×8 grid for dhash (8 horizontal comparisons per row)
-            val g = Array.tabulate(8, 9)((gy, gx) =>
-              luma(gx * w / 9, gy * h / 8))
-            var dh = 0L
-            var gy = 0
-            while (gy < 8) {
-              var gx = 0
-              while (gx < 8) {
-                if (g(gy)(gx + 1) > g(gy)(gx)) dh |= 1L << (gy * 8 + gx)
-                gx += 1
-              }
-              gy += 1
-            }
+            def luma(x: Int, y: Int): Int = lumaAt(px, w, channels, x, y)
             // 8×8 grid for ahash (its own sample lattice: gx·W div 8)
             val a = Array.tabulate(8, 8)((gy, gx) =>
               luma(gx * w / 8, gy * h / 8))
             val mean = a.map(_.map(_.toLong).sum).sum / 64L
             var ah = 0L
-            gy = 0
+            var gy = 0
             while (gy < 8) {
               var gx = 0
               while (gx < 8) {
@@ -236,7 +250,7 @@ object Multimodal {
               }
               gy += 1
             }
-            (dh, ah)
+            (dhashOf(px, w, h, channels), ah)
           }
         Row.fromSeq(row.toSeq ++ Seq(hashes._1, hashes._2))
       }
@@ -538,6 +552,64 @@ object Multimodal {
     -1
   }
 
+  /** The all-or-nothing multi-frame decode shared by [[decodeFrames]]
+    * (one row per frame) and [[videoSignatures]] (one signature per
+    * payload): every frame as (frame_no, w, h, row-major W×H×RGB),
+    * Nil for null/corrupt/torn payloads — including the GIF
+    * trailer-walk guard against silent between-frame prefixes. */
+  private[graft] def decodeAllFrames(bytes: Array[Byte])
+      : Seq[(Int, Int, Int, Array[Byte])] =
+    if (bytes == null || bytes.isEmpty) Nil
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val reader = readers.next()
+          try {
+            // container-integrity guard: a GIF cut cleanly
+            // BETWEEN frames decodes as a silent prefix (the
+            // reader just finds fewer images — measured), so
+            // walk the block structure to the spec's mandatory
+            // 0x3B trailer and require it to be the FINAL byte
+            // before trusting the frame count; mid-frame cuts
+            // throw on their own below
+            val gifTorn =
+              reader.getFormatName.equalsIgnoreCase("gif") &&
+              gifTrailerOffset(bytes) != bytes.length
+            if (gifTorn) Nil
+            else {
+            // seekForwardOnly=false so getNumImages may search
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              val out = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val base = (y * w + x) * 3
+                  out(base) = ((rgb >> 16) & 0xFF).toByte
+                  out(base + 1) = ((rgb >> 8) & 0xFF).toByte
+                  out(base + 2) = (rgb & 0xFF).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              (f, w, h, out)
+            }
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException => Nil
+              case _: RuntimeException => Nil }
+
   def decodeFrames(df: DataFrame, binaryCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("frame_no", IntegerType),
@@ -549,58 +621,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { it =>
       it.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](idx)
-        val frames: Seq[(Int, Int, Int, Array[Byte])] =
-          if (bytes == null || bytes.isEmpty) Nil
-          else try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) Nil
-              else {
-                val reader = readers.next()
-                try {
-                  // container-integrity guard: a GIF cut cleanly
-                  // BETWEEN frames decodes as a silent prefix (the
-                  // reader just finds fewer images — measured), so
-                  // walk the block structure to the spec's mandatory
-                  // 0x3B trailer and require it to be the FINAL byte
-                  // before trusting the frame count; mid-frame cuts
-                  // throw on their own below
-                  val gifTorn =
-                    reader.getFormatName.equalsIgnoreCase("gif") &&
-                    gifTrailerOffset(bytes) != bytes.length
-                  if (gifTorn) Nil
-                  else {
-                  // seekForwardOnly=false so getNumImages may search
-                  reader.setInput(iis, false, true)
-                  val n = reader.getNumImages(true)
-                  (0 until n).map { f =>
-                    val img = reader.read(f)
-                    val w = img.getWidth; val h = img.getHeight
-                    val out = new Array[Byte](w * h * 3)
-                    var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) {
-                        val rgb = img.getRGB(x, y)
-                        val base = (y * w + x) * 3
-                        out(base) = ((rgb >> 16) & 0xFF).toByte
-                        out(base + 1) = ((rgb >> 8) & 0xFF).toByte
-                        out(base + 2) = (rgb & 0xFF).toByte
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    (f, w, h, out)
-                  }
-                  }
-                } finally reader.dispose()
-              }
-            } finally iis.close()
-          } catch { case _: java.io.IOException => Nil
-                    case _: RuntimeException => Nil }
+        val frames = decodeAllFrames(row.getAs[Array[Byte]](idx))
         if (frames.isEmpty)
           Iterator.single(Row.fromSeq(row.toSeq ++
             Seq(null, null, null, null, null)))
@@ -612,6 +633,52 @@ object Multimodal {
       .observe(s"graft_frame_decode_${Dedup.obsId.incrementAndGet()}",
         count(lit(1)).as("rows"),
         sum(when(col("frame_no").isNull, 1L).otherwise(0L))
+          .as("decode_failures"))
+  }
+
+  /** The temporal signature as a PER-ROW codec op — the stream-legal
+    * face of the [[decodeFrames]] → [[perceptualHashes]] →
+    * [[videoSignature]] batch route: every frame of a multi-frame
+    * payload originates from ONE input row, so the whole chain
+    * (decode all frames, per-frame dHash, per-bit strict-majority
+    * vote) is a closed per-row computation — no frame explode, no
+    * relational aggregation, legal in a plain append-mode stream.
+    * Bit-identical to the batch route by construction (the decode
+    * loop and the dHash math are the SAME shared helpers;
+    * parity-spec'd). Appends `n_frames` and `vsig`; null/corrupt/torn
+    * payloads (and payloads whose every frame fails) yield null in
+    * both — the P6 admission discipline, with the same observe
+    * counter as the frame tier. */
+  def videoSignatures(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", LongType),
+      StructField("vsig", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val frames = decodeAllFrames(row.getAs[Array[Byte]](idx))
+        if (frames.isEmpty)
+          Row.fromSeq(row.toSeq ++ Seq(null, null))
+        else {
+          val hashes = frames.map { case (_, w, h, px) =>
+            dhashOf(px, w, h, 3) }
+          val n = hashes.length
+          var sig = 0L
+          var b = 0
+          while (b < 64) {
+            var votes = 0
+            hashes.foreach(hs => if (((hs >>> b) & 1L) == 1L) votes += 1)
+            if (votes * 2 > n) sig |= 1L << b
+            b += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(n.toLong, sig))
+        }
+      }
+    }(enc)
+      .observe(s"graft_video_sig_${Dedup.obsId.incrementAndGet()}",
+        count(lit(1)).as("rows"),
+        sum(when(col("vsig").isNull, 1L).otherwise(0L))
           .as("decode_failures"))
   }
 

@@ -903,6 +903,57 @@ class TextMultimodalSpec extends SparkSpec {
       "media whose every frame hash is null must be absent")
   }
 
+  test("videoSignatures: the per-row codec route equals the batch decodeFrames route, corrupt payloads null") {
+    import graft.operators.Multimodal
+    val cmap = (0 until 256)
+      .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+      false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    def gif(id: Long, nf: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(16, 12,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until 12; x <- 0 until 16)
+          img.getRaster.setSample(x, y, 0,
+            ((id * 31 + f * 17 + y * 16 + x) % 256).toInt)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val whole = gif(1L, 4)
+    val media = (Seq((1L, gif(1L, 4)), (2L, gif(2L, 3)), (3L, gif(3L, 1))) ++
+      Seq((9001L, whole.take(whole.length / 2)),
+        (9002L, "junk".getBytes("UTF-8"))))
+      .toDF("media_id", "payload")
+    val perRow = Multimodal.videoSignatures(media, "payload")
+      .select("media_id", "n_frames", "vsig").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getLong(1), r.getLong(2))))).toMap
+    val batch = Multimodal.videoSignature(
+        Multimodal.perceptualHashes(
+          Multimodal.decodeFrames(media, "payload"),
+          "frame_pixels", "frame_w", "frame_h"),
+        "media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(perRow(i) == Some(batch(i)),
+        s"routes must agree on $i: ${perRow(i)} vs ${batch(i)}")
+    }
+    Seq(9001L, 9002L).foreach { i =>
+      assert(perRow(i).isEmpty, s"corrupt payload $i must sign null")
+      assert(!batch.contains(i), "batch route drops all-null media")
+    }
+  }
+
   test("multimodal: audio fingerprint is gain-invariant, integer-exact; short/corrupt clips null") {
     import graft.operators.Multimodal
     // 130-frame mono PCM with a known energy staircase: quiet first
