@@ -2162,6 +2162,97 @@ object SparkEntry {
       out
     }),
 
+    // The DURABLE face of the perceptual admission reference set —
+    // q134 proved the logical takedown on an in-memory members table;
+    // this drives the full durable lifecycle the way a long-running
+    // admission service operates it: the banded members PERSIST
+    // (A/B generation + epoch + meta-last), takedowns file through
+    // the crash-safe frame ledger, the LIVE read applies them before
+    // the table reaches the stream, and compactHammingMembers purges
+    // physically (rebuilding the banding from the live table's own
+    // distinct signatures — no corpus re-read), flips the generation
+    // pointer and clears the ledger. Three stream passes over the
+    // same arrivals: the freshly-written full set (pre), the
+    // ledger-applied live set, and the post-compaction set — the
+    // last two must agree decision-for-decision (logical ≡ physical),
+    // and the oracle replays both argmin worlds.
+    "q137_durable_members_lifecycle" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y, shift)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame(
+          (1L to 10L).map(i => (i, enc(i, 0, "png"))))
+        .toDF("media_id", "payload")
+      val refSigs = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(refMedia, "payload"),
+          "pixels", "img_width", "img_height")
+        .select($"media_id", $"dhash")
+      operators.Dedup.writeHammingMembers(s,
+        operators.Dedup.hammingBandMembers(refSigs, "media_id", "dhash",
+          maxHamming = 6),
+        "q137_members")
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 5L).map(i => (500L + i, enc(i, 0, "bmp"))) ++
+        (1L to 5L).map(i => (510L + i, enc(i, 4, "png"))) ++
+        (21L to 23L).map(i => (500L + i, enc(i, 0, "png"))) ++
+        Seq((9001L, "not an image".getBytes("UTF-8")))
+      val dir = java.nio.file.Files.createTempDirectory("q137_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def run(m: DataFrame, tag: String): DataFrame = {
+        val cached = m.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+        cached.count()
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+        val hashed = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(stream, "payload"),
+          "pixels", "img_width", "img_height")
+        val res = runStreamToTable(s,
+          streaming.StreamingParse.hammingAdmissionStream(
+            hashed, "media_id", "dhash", cached, maxHamming = 6),
+          "append", s"members_lc_$tag")
+          .select($"media_id", $"dhash",
+            col("admitted").as(s"admitted_$tag"),
+            col("match_id").as(s"match_$tag"))
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        cached.unpersist()
+        local
+      }
+      val pre = run(
+        operators.Dedup.readHammingMembers(s, "q137_members"), "pre")
+      operators.Dedup.tombstoneHammingMembers(s, "q137_members",
+        s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L))).toDF("media_id"))
+      val live = run(
+        operators.Dedup.readHammingMembersLive(s, "q137_members"), "live")
+        .drop("dhash")
+      operators.Dedup.compactHammingMembers(s, "q137_members",
+        maxHamming = 6)
+      val comp = run(
+        operators.Dedup.readHammingMembers(s, "q137_members"), "post")
+        .drop("dhash")
+      pre.join(live, Seq("media_id")).join(comp, Seq("media_id"))
+        .select($"media_id", $"dhash", $"admitted_pre", $"match_pre",
+          $"admitted_live", $"match_live", $"admitted_post",
+          $"match_post")
+        .orderBy($"media_id")
+    }),
+
     // The VIDEO rung of the streaming multimodal admission ladder —
     // completing the modality trio (image q126, audio q132): animated
     // payloads arrive as BYTES on the stream and the WHOLE temporal
@@ -4428,6 +4519,75 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // the q134 replay with THREE decision worlds: the full reference
+    // set (pre), and the set minus the tombstoned ids twice — the
+    // ledger-applied live table and the post-compaction table must
+    // produce the SAME argmin decisions (logical ≡ physical delete)
+    "q137_durable_members_lifecycle" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src, 0 AS shift FROM range(1, 11) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift FROM range(1, 6) t(i)
+           UNION ALL SELECT 510 + i, i, 4 FROM range(1, 6) t(i)
+           UNION ALL SELECT 500 + i, i, 0 FROM range(21, 24) t(i)),
+         rg AS (
+           SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         rh AS (
+           SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM arrivals, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         sigs AS (
+           SELECT media_id, dhash FROM ah
+           UNION ALL SELECT 9001, NULL),
+         best_pre AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_pre
+           FROM sigs s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           WHERE s.dhash IS NOT NULL
+           GROUP BY s.media_id),
+         best_live AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_live
+           FROM sigs s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+             AND r.ref_id NOT IN (1, 3)
+           WHERE s.dhash IS NOT NULL
+           GROUP BY s.media_id)
+         SELECT s.media_id, s.dhash,
+           bp.match_pre IS NULL AS admitted_pre, bp.match_pre,
+           bl.match_live IS NULL AS admitted_live, bl.match_live,
+           bl.match_live IS NULL AS admitted_post,
+           bl.match_live AS match_post
+         FROM sigs s
+           LEFT JOIN best_pre bp ON bp.media_id = s.media_id
+           LEFT JOIN best_live bl ON bl.media_id = s.media_id
+         ORDER BY s.media_id""",
 
     // the q133 temporal replay split into reference and arrival
     // sides, then the exhaustive argmin admission decision at the
