@@ -510,6 +510,51 @@ object Similarity {
     spark.sql(s"DROP TABLE IF EXISTS $liveCells")
   }
 
+  /** The ONE-CALL maintenance window for a durable IVF index —
+    * [[maintainIvfPqIndex]]'s coarse-family sibling, fully
+    * SELF-CONTAINED: the brute-force truth derives from the index's
+    * own durable float rows (`corpusCells` — the
+    * [[graft.operators.Dedup.compactExactIndex]] no-external-corpus
+    * discipline), so the window needs nothing but the prefix, a query
+    * sample and the fit-sample policy. Probe → [[driftDecision]] →
+    * (conditional) [[retrainIvfIndexBucketed]] → re-probe; one
+    * bounded report row `(n_queries, pre_mean_recall, retrain_fired,
+    * post_mean_recall, post_retrain, epoch_changed)`. An undrifted
+    * index is a no-op — no generation write, meta row untouched,
+    * `post ≡ pre` without a second probe. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       minRecall: Double,
+                       sampleFilter: DataFrame => DataFrame,
+                       lloydIters: Int = 1, nProbe: Int = 2,
+                       numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
+      .getAs[String]("epoch")
+    def decide(): (Long, Double, Boolean) = {
+      val index = readIvfIndex(spark, prefix)
+      val corpus = index.corpusCells
+        .select(col("neighbor_id").as(idCol), col("__cv").as(vecCol))
+      val ann = searchIvf(index, queries, idCol, vecCol, k, nProbe)
+      val d = driftDecision(
+        recallProbe(ann, corpus, queries, idCol, vecCol, k), minRecall)
+        .collect()(0)
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+    }
+    val epochBefore = epoch()
+    val (nQ, preMean, fired) = decide()
+    if (fired)
+      retrainIvfIndexBucketed(spark, prefix, sampleFilter, lloydIters,
+        numBuckets)
+    val (_, postMean, postRetrain) = if (fired) decide()
+      else (nQ, preMean, fired)
+    Seq((nQ, preMean, fired, postMean, postRetrain,
+        epoch() != epochBefore))
+      .toDF("n_queries", "pre_mean_recall", "retrain_fired",
+        "post_mean_recall", "post_retrain", "epoch_changed")
+  }
+
   /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
     * probe-join key; [[searchIvf]] over a reopened index leaves the
     * corpus side unshuffled), the small `centroids` as a plain table,

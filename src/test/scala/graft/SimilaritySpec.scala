@@ -823,6 +823,29 @@ class SimilaritySpec extends SparkSpec {
       s"tombstoned truth must not read as drift: $tombed")
   }
 
+  test("maintainIvfIndex: self-contained window heals from the index's own rows; no-op untouched") {
+    val (base, drift, queries) = plantedDrift
+    val built = Similarity.buildIvf(base, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    val grown = Similarity.appendToIvf(built, drift, "vec_id", "embedding")
+    Similarity.writeIvfIndexBucketed(grown, "ivf_maint", numBuckets = 2)
+    def maintain(): org.apache.spark.sql.Row =
+      Similarity.maintainIvfIndex(spark, "ivf_maint", queries,
+        "vec_id", "embedding", k = 1, minRecall = 0.9,
+        sampleFilter = s => s.filter($"__rid" % 2 === 1),
+        lloydIters = 1, nProbe = 1, numBuckets = 2).collect()(0)
+    val heal = maintain()
+    assert(heal.getDouble(1) == 0.0 && heal.getBoolean(2) &&
+      heal.getDouble(3) == 1.0 && heal.getBoolean(5),
+      s"drifted index must heal from its own durable rows: $heal")
+    val metaBefore = spark.table("ivf_maint_meta").collect().toSeq
+    val noop = maintain()
+    assert(!noop.getBoolean(2) && noop.getDouble(1) == 1.0 &&
+      !noop.getBoolean(5), s"undrifted index must be a no-op: $noop")
+    assert(spark.table("ivf_maint_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the commit record")
+  }
+
   test("IVF×SQ drift retrain: warm centroids recover recall; SQ stats re-cover the grown range") {
     val (base, drift, queries) = plantedDrift
     val corpus = base.unionByName(drift)
