@@ -2162,6 +2162,60 @@ object SparkEntry {
       out
     }),
 
+    // The TEXT modality's semantic admission rung made end-to-end —
+    // the composition a 100 TB text ingest runs IN FLIGHT: raw text
+    // arrives on the stream, feature-hashes to a fixed-dim vector
+    // (hashEmbed — the NATIVE projection, which is what makes the
+    // bytes→vector step stream-legal at all), and admits/rejects
+    // against an IVF of the hash-embedded accepted corpus through
+    // annAdmissionStream's broadcast probe joins. Near-copies of
+    // accepted docs (three appended tokens) must REJECT with their
+    // source as the match; novel docs admit; empty text embeds as
+    // the zero vector and ADMITS (the zero-norm discipline — an
+    // ungated 0/0 would NaN-reject); null text admits. nProbe equals
+    // nCells, so the streamed decision is exactly the max-cosine-vs-
+    // accepted rule and the oracle replays it with integer-exact
+    // sparse dots (the hashEmbed md5 chain end to end) — probe-WIDTH
+    // selection is q120's planted-geometry gate; this one pins the
+    // text composition.
+    "q138_stream_text_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0)
+      val accepted = docs.filter($"doc_id" < 40)
+      val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
+          dim = 64)
+        .select($"doc_id", $"embedding")
+      val index = operators.Similarity.buildIvf(emb, "doc_id",
+        "embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val arrivals = accepted.filter($"doc_id" < 10)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"text", lit(" zq zq qz")).as("text"))
+        .unionByName(docs.filter($"doc_id" >= 200 && $"doc_id" < 205)
+          .select(($"doc_id" + 600000L).as("doc_id"), $"text"))
+        .unionByName(s.createDataFrame(Seq(
+            (900001L, ""), (900002L, null.asInstanceOf[String])))
+          .toDF("doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("q138_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val embedded = operators.TextAnalysis.hashEmbed(stream, "text",
+        dim = 64)
+      val admitted = streaming.StreamingParse.annAdmissionStream(
+        embedded, "doc_id", "embedding", index, members,
+        tau = 0.9, nProbe = 2)
+      val out = runStreamToTable(s, admitted, "append", "text_admission")
+        .select($"doc_id", $"admitted", $"match_id")
+        .orderBy($"doc_id")
+      members.unpersist()
+      out
+    }),
+
     // The DURABLE face of the perceptual admission reference set —
     // q134 proved the logical takedown on an in-memory members table;
     // this drives the full durable lifecycle the way a long-running
@@ -4519,6 +4573,62 @@ object SparkEntry {
          FROM documents d LEFT JOIN stats s USING (doc_id)
          WHERE d.text IS NOT NULL
          ORDER BY d.doc_id""",
+
+    // the full text→vector→admission chain replayed with
+    // integer-exact sparse dots: tokenize → md5 bucket/sign → sparse
+    // vectors for BOTH corpora → cosine vs every accepted doc →
+    // max-(cosine, smaller-id) decision at tau (nProbe = nCells, so
+    // the streamed probe equals the brute-force rule); empty/null
+    // arrivals are explicit admit rows
+    "q138_stream_text_admission" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         acc AS (SELECT doc_id, text, 1 AS is_acc FROM base
+           WHERE doc_id < 40),
+         arr AS (
+           SELECT doc_id + 500000 AS doc_id, text || ' zq zq qz' AS text,
+             0 AS is_acc
+           FROM base WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 600000, text, 0 FROM base
+           WHERE doc_id >= 200 AND doc_id < 205),
+         alltexts AS (SELECT * FROM acc UNION ALL SELECT * FROM arr),
+         toks AS (SELECT is_acc, doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> t != '')) AS t
+           FROM alltexts),
+         vecs AS (SELECT is_acc, doc_id,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS v
+           FROM toks GROUP BY 1, 2, 3
+           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) != 0),
+         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
+           FROM vecs GROUP BY 1, 2),
+         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
+             sum(q.v * c.v) AS dp
+           FROM vecs q JOIN vecs c
+             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
+           GROUP BY 1, 2),
+         cosr AS (SELECT d.doc_id, d.acc_id,
+             d.dp / (qn.n * cn.n) AS cosv
+           FROM dots d
+             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
+             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
+         best AS (SELECT doc_id, acc_id, cosv FROM (
+           SELECT doc_id, acc_id, cosv, row_number() OVER
+             (PARTITION BY doc_id ORDER BY cosv DESC, acc_id) AS rn
+           FROM cosr) WHERE rn = 1),
+         decided AS (
+           SELECT a.doc_id,
+             coalesce(b.cosv < 0.9, TRUE) AS admitted,
+             CASE WHEN b.cosv >= 0.9 THEN b.acc_id END AS match_id
+           FROM arr a LEFT JOIN best b ON b.doc_id = a.doc_id
+           UNION ALL SELECT doc_id, TRUE, NULL
+           FROM (VALUES (900001), (900002)) t(doc_id))
+         SELECT doc_id, admitted, match_id
+         FROM decided ORDER BY doc_id""",
 
     // the q134 replay with THREE decision worlds: the full reference
     // set (pre), and the set minus the tombstoned ids twice — the
