@@ -2162,6 +2162,194 @@ object SparkEntry {
       out
     }),
 
+    // ONE-CALL maintenance window for the ROOTED exact-dedup index —
+    // maintainExactIndex completes the cron-shaped lifecycle the
+    // vector family got in q131: the q128 takedown fixture driven
+    // through the durable pointer face (writeExactIndexRooted /
+    // readExactIndexRootedLive) and healed by the SINGLE call —
+    // pending ledger rows fire the window, the live hash table
+    // re-sketches under fresh geometry to the alternate generation,
+    // the meta pointer flips, the ledger clears — and the admission
+    // decisions before (logical delete) and after (physical purge)
+    // must agree bit-for-bit. The second call is a quiet no-op: no
+    // pending debt, generation untouched. fpp never fires here by
+    // geometry (2^17 bits/shard over ≤ thousands of accepted texts —
+    // est_fpp stays orders of magnitude under the 0.5 bar at any
+    // driver sf), so every flag is replayable set algebra.
+    "q139_exact_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val accepted = docs.filter($"doc_id" % 3 === 0)
+      val batch = accepted.filter($"doc_id" % 6 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" % 6 === 3)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 3 === 1)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" % 3 === 1 && $"doc_id" % 5 === 1)
+          .select(($"doc_id" + 3500000L).as("doc_id"), $"text"))
+      val root = s"${seasonOutDir("q139")}/exact_idx"
+      operators.Dedup.writeExactIndexRooted(s, "q139_idx", root,
+        operators.Dedup.buildExactIndex(accepted, "text",
+          expectedItems = 1L << 14, numBits = 1L << 17, shards = 4))
+      operators.Dedup.tombstoneExactIndex(s, "q139_idx",
+        accepted.filter($"doc_id" % 6 === 0), "text")
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      // materialize decisions BEFORE the window runs — the window
+      // drops the generation this plan reads
+      def flags(tag: String): DataFrame = loc {
+        val ix = operators.Dedup.readExactIndexRootedLive(s, "q139_idx")
+        batch.join(
+          operators.Dedup.incrementalDropExactDups(ix, batch, "doc_id",
+              "text")
+            .select($"doc_id", lit(true).as(tag)),
+          Seq("doc_id"), "left")
+          .select($"doc_id", coalesce(col(tag), lit(false)).as(tag))
+      }
+      def maintain(): DataFrame = loc(
+        operators.Dedup.maintainExactIndex(s, "q139_idx", root,
+          maxFpp = 0.5))
+      val pre = flags("admitted_pre")
+      val m1 = maintain()
+      val post = flags("admitted_post")
+      val m2 = maintain()
+      pre.join(post, Seq("doc_id"))
+        .crossJoin(broadcast(m1.select(
+          $"pending_tombstones".as("pending_1"),
+          $"fpp_fired".as("fpp_fired_1"),
+          $"purge_fired".as("fired_1"),
+          $"post_pending".as("post_pending_1"),
+          $"gen_changed".as("gen_changed_1"))))
+        .crossJoin(broadcast(m2.select(
+          $"purge_fired".as("fired_2"),
+          $"gen_changed".as("gen_changed_2"))))
+        .orderBy($"doc_id")
+    }),
+
+    // ONE-CALL maintenance window for the ROOTED near-dup index —
+    // the q129 taint-takedown fixture driven through the durable
+    // pointer face (writeNgramIndexRooted / readNgramIndexRootedLive)
+    // and purged by the SINGLE call: pending tombstones fire the
+    // window, the live (ledger-applied) gram frame rewrites bucketed
+    // to the alternate generation — one shuffle over surviving grams,
+    // never a corpus re-shingle — the meta pointer flips and the
+    // ledger clears; the incremental admission decisions before
+    // (logical) and after (physical) must agree bit-for-bit,
+    // component closure included. Second call: quiet no-op. The
+    // oracle replays the FULL incremental contract once against
+    // accepted-minus-tombstoned (pre ≡ post by construction) plus the
+    // lifecycle flags as set algebra.
+    "q140_ngram_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 14 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(docs.filter($"doc_id" % 14 === 7)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" plugh tail")).as("text")))
+      operators.Dedup.writeNgramIndexRooted(s, "q140_idx",
+        operators.Dedup.buildNgramIndex(
+          docs.filter($"doc_id" % 2 === 0), "doc_id", "text", n = 4))
+      operators.Dedup.tombstoneNgramIndex(s, "q140_idx",
+        docs.filter($"doc_id" % 6 === 0).select($"doc_id"))
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def flags(tag: String): DataFrame = loc {
+        val ix = operators.Dedup.readNgramIndexRootedLive(s, "q140_idx",
+          "doc_id", n = 4)
+        batch.join(
+          operators.Dedup.incrementalDropNearDups(ix, batch, "text",
+              threshold = 0.5)
+            .select($"doc_id", lit(true).as(tag)),
+          Seq("doc_id"), "left")
+          .select($"doc_id", coalesce(col(tag), lit(false)).as(tag))
+      }
+      def maintain(): DataFrame = loc(
+        operators.Dedup.maintainNgramIndex(s, "q140_idx", "doc_id", n = 4))
+      val pre = flags("admitted_pre")
+      val m1 = maintain()
+      val post = flags("admitted_post")
+      val m2 = maintain()
+      pre.join(post, Seq("doc_id"))
+        .crossJoin(broadcast(m1.select(
+          $"pending_tombstones".as("pending_1"),
+          $"fired".as("fired_1"),
+          $"post_pending".as("post_pending_1"),
+          $"gen_changed".as("gen_changed_1"))))
+        .crossJoin(broadcast(m2.select(
+          $"fired".as("fired_2"),
+          $"gen_changed".as("gen_changed_2"))))
+        .orderBy($"doc_id")
+    }),
+
+    // ONE-CALL maintenance window for the durable PERCEPTUAL members
+    // table — maintainHammingMembers completes the matrix: every
+    // durable family (exact q139, ngram q140, vector q131, layout,
+    // members here) now heals through a single cron-shaped call.
+    // Signatures are md5-derived 60-bit values (replayable — the
+    // banding machinery is signature-agnostic; the DECODE path is
+    // q126/q137's job), arrivals mix exact copies of tombstoned refs
+    // (admit through the live read, and STILL admit after the purge),
+    // copies of kept refs (always reject at hamming 0), one-bit
+    // flips (reject at hamming 1) and novel signatures (admit). The
+    // admission operator is the same stateless hammingAdmissionStream
+    // the streams run — batch-legal by construction. The oracle
+    // replays the md5 signatures, the XOR flips and the exhaustive
+    // argmin decision, plus the lifecycle flags as set algebra.
+    "q141_members_maintain" -> ((s, d) => {
+      def sigOf(salt: String, id: Column): Column =
+        conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15),
+          16, 10).cast("long")
+      val refs = s.range(1, 41).select($"id".as("media_id"),
+        sigOf("q141:", $"id").as("sig"))
+      operators.Dedup.writeHammingMembers(s,
+        operators.Dedup.hammingBandMembers(refs, "media_id", "sig",
+          maxHamming = 3),
+        "q141_members")
+      operators.Dedup.tombstoneHammingMembers(s, "q141_members",
+        s.range(1, 6).select($"id".as("media_id")))
+      val arrivals = s.range(1, 11)
+          .select(($"id" + 500L).as("media_id"),
+            sigOf("q141:", $"id").as("sig"))
+        .unionByName(s.range(11, 16)
+          .select(($"id" + 520L).as("media_id"),
+            sigOf("q141:", $"id")
+              .bitwiseXOR(expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(id % 60 AS INT))"))
+              .as("sig")))
+        .unionByName(s.range(1, 9)
+          .select(($"id" + 540L).as("media_id"),
+            sigOf("q141n:", $"id").as("sig")))
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def decide(members: DataFrame, tag: String): DataFrame = loc(
+        streaming.StreamingParse.hammingAdmissionStream(arrivals,
+            "media_id", "sig", members, maxHamming = 3)
+          .select($"media_id",
+            col("admitted").as(s"admitted_$tag"),
+            col("match_id").as(s"match_$tag")))
+      def maintain(): DataFrame = loc(
+        operators.Dedup.maintainHammingMembers(s, "q141_members",
+          maxHamming = 3))
+      val pre = decide(
+        operators.Dedup.readHammingMembersLive(s, "q141_members"), "pre")
+      val m1 = maintain()
+      val post = decide(
+        operators.Dedup.readHammingMembersLive(s, "q141_members"), "post")
+      val m2 = maintain()
+      pre.join(post, Seq("media_id"))
+        .crossJoin(broadcast(m1.select(
+          $"pending_tombstones".as("pending_1"),
+          $"fired".as("fired_1"),
+          $"post_pending".as("post_pending_1"),
+          $"gen_changed".as("gen_changed_1"))))
+        .crossJoin(broadcast(m2.select(
+          $"fired".as("fired_2"),
+          $"gen_changed".as("gen_changed_2"))))
+        .orderBy($"media_id")
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -4580,6 +4768,146 @@ object SparkEntry {
     // max-(cosine, smaller-id) decision at tau (nProbe = nCells, so
     // the streamed probe equals the brute-force rule); empty/null
     // arrivals are explicit admit rows
+    // the q128 decision algebra (admission vs accepted-minus-
+    // tombstoned texts, per-text min-id rule) + the window's
+    // lifecycle flags: fired = pending ledger rows exist, the
+    // generation flips iff fired, the ledger clears
+    "q139_exact_maintain" ->
+      """WITH accepted AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM accepted WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id + 2000000, text FROM accepted WHERE doc_id % 6 = 3
+           UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 1
+           UNION ALL SELECT doc_id + 3500000, text FROM documents
+             WHERE doc_id % 3 = 1 AND doc_id % 5 = 1),
+         firsts AS (
+           SELECT doc_id, text,
+             doc_id = min(doc_id) OVER (PARTITION BY text) AS is_first
+           FROM batch),
+         acc_texts AS (SELECT DISTINCT text FROM accepted),
+         tomb_texts AS (SELECT DISTINCT text FROM accepted WHERE doc_id % 6 = 0),
+         live_texts AS (SELECT text FROM acc_texts
+           EXCEPT SELECT text FROM tomb_texts),
+         pend AS (SELECT count(*) AS c FROM tomb_texts)
+         SELECT f.doc_id,
+           f.is_first AND l.text IS NULL AS admitted_pre,
+           f.is_first AND l.text IS NULL AS admitted_post,
+           (SELECT c FROM pend) AS pending_1,
+           FALSE AS fpp_fired_1,
+           (SELECT c FROM pend) > 0 AS fired_1,
+           0::BIGINT AS post_pending_1,
+           (SELECT c FROM pend) > 0 AS gen_changed_1,
+           FALSE AS fired_2,
+           FALSE AS gen_changed_2
+         FROM firsts f
+         LEFT JOIN live_texts l ON l.text = f.text
+         ORDER BY f.doc_id""",
+
+    // the q129 incremental contract replayed ONCE against
+    // accepted-minus-tombstoned (the window's pre and post decisions
+    // are both ledger-applied, so they replay identically) + the
+    // lifecycle flags
+    "q140_ngram_maintain" ->
+      """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
+             FROM documents WHERE doc_id % 2 = 0),
+          batch AS (
+            SELECT doc_id, lower(trim(text)) tx
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
+            FROM documents WHERE doc_id % 14 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
+            FROM documents WHERE doc_id % 14 = 7),
+          bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
+          bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+            FROM bt, LATERAL (SELECT unnest(generate_series(1,
+              greatest(len(t)-3, 1))) AS i)),
+          ot AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM olds),
+          osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+            FROM ot, LATERAL (SELECT unnest(generate_series(1,
+              greatest(len(t)-3, 1))) AS i)),
+          bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+          osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+          hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+            FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+          hits AS (SELECT DISTINCT hx.bid AS doc_id FROM hx
+            JOIN bsz ON bsz.doc_id = hx.bid
+            JOIN osz ON osz.doc_id = hx.oid
+            WHERE hx.oid % 6 != 0
+              AND hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+          wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+            JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          wpairs AS (SELECT a, b FROM wx
+            JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+            WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+          edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+          reach AS (
+            WITH RECURSIVE r(x, y) AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+            SELECT x, y FROM r),
+          comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+            FROM reach GROUP BY x),
+          labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+            FROM batch b LEFT JOIN comp USING (doc_id)),
+          tainted AS (SELECT DISTINCT l.comp FROM labeled l
+            JOIN hits h ON l.doc_id = h.doc_id),
+          pend AS (SELECT count(DISTINCT doc_id) AS c FROM documents
+            WHERE doc_id % 6 = 0)
+         SELECT l.doc_id,
+           l.comp = l.doc_id AND l.comp NOT IN (SELECT comp FROM tainted)
+             AS admitted_pre,
+           l.comp = l.doc_id AND l.comp NOT IN (SELECT comp FROM tainted)
+             AS admitted_post,
+           (SELECT c FROM pend) AS pending_1,
+           (SELECT c FROM pend) > 0 AS fired_1,
+           0::BIGINT AS post_pending_1,
+           (SELECT c FROM pend) > 0 AS gen_changed_1,
+           FALSE AS fired_2,
+           FALSE AS gen_changed_2
+         FROM labeled l
+         ORDER BY l.doc_id""",
+
+    // md5-derived signatures, XOR bit flips and the exhaustive
+    // argmin admission decision vs refs-minus-tombstoned (the
+    // window's pre and post are both ledger-applied), + lifecycle
+    // flags
+    "q141_members_maintain" ->
+      """WITH refs AS (SELECT id AS media_id,
+            ('0x' || substring(md5('q141:' || id), 1, 15))::BIGINT AS sig
+           FROM range(1, 41) t(id)),
+          kept AS (SELECT * FROM refs WHERE media_id > 5),
+          arr AS (
+            SELECT id + 500 AS media_id,
+              ('0x' || substring(md5('q141:' || id), 1, 15))::BIGINT AS sig
+            FROM range(1, 11) t(id)
+            UNION ALL
+            SELECT id + 520,
+              xor(('0x' || substring(md5('q141:' || id), 1, 15))::BIGINT,
+                1::BIGINT << (id % 60))
+            FROM range(11, 16) t(id)
+            UNION ALL
+            SELECT id + 540,
+              ('0x' || substring(md5('q141n:' || id), 1, 15))::BIGINT
+            FROM range(1, 9) t(id)),
+          best AS (
+            SELECT a.media_id,
+              min_by(k.media_id,
+                bit_count(xor(a.sig, k.sig))::BIGINT * 1000 + k.media_id)
+                AS match_id
+            FROM arr a JOIN kept k ON bit_count(xor(a.sig, k.sig)) <= 3
+            GROUP BY a.media_id)
+         SELECT a.media_id,
+           b.match_id IS NULL AS admitted_pre, b.match_id AS match_pre,
+           b.match_id IS NULL AS admitted_post, b.match_id AS match_post,
+           5::BIGINT AS pending_1, TRUE AS fired_1,
+           0::BIGINT AS post_pending_1, TRUE AS gen_changed_1,
+           FALSE AS fired_2, FALSE AS gen_changed_2
+         FROM arr a LEFT JOIN best b USING (media_id)
+         ORDER BY a.media_id""",
+
     "q138_stream_text_admission" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents

@@ -584,6 +584,37 @@ object Dedup {
       graft.sources.Sinks.clearLedger(spark, s"${table}_tombstones")
   }
 
+  /** ONE-CALL maintenance window for a durable members table — the
+    * perceptual face of [[maintainExactIndex]] /
+    * [[maintainNgramIndex]], completing the matrix (every durable
+    * family now has a single cron-shaped call: measure → decide →
+    * conditional compaction → report). Fires on purge debt (pending
+    * `${table}_tombstones` rows): logical deletes already serve
+    * correctly through [[readHammingMembersLive]]'s broadcast array
+    * filter; the window is where the filter leaves the serving plan
+    * and emptied buckets drop physically. `maxHamming`/`maxBucket`
+    * are the rebuild policy [[compactHammingMembers]] re-bands under
+    * — pass the serving tier's values (a changed policy is also a
+    * valid reason to force a compaction, but that path is the direct
+    * compact call, not this window). A quiet window leaves the meta
+    * row, generation and ledger untouched bit-for-bit. */
+  def maintainHammingMembers(spark: org.apache.spark.sql.SparkSession,
+                             table: String, maxHamming: Int,
+                             maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    def epoch(): String =
+      spark.table(s"${table}_meta").collect()(0).getAs[String]("epoch")
+    def pendingCount(): Long =
+      graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
+        .map(_._2.count()).getOrElse(0L)
+    val epochBefore = epoch()
+    val pending = pendingCount()
+    val fired = pending > 0L
+    if (fired) compactHammingMembers(spark, table, maxHamming, maxBucket)
+    Seq((pending, fired, pendingCount(), epoch() != epochBefore))
+      .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
+  }
+
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
                       maxHamming: Int = 3,
                       maxBucket: Int = 200): DataFrame = {
@@ -1137,6 +1168,101 @@ object Dedup {
       .getOrElse(index)
   }
 
+  /** Pointer-rooted durable face of the n-gram index — the
+    * "fresh epoch, the family discipline" that
+    * [[tombstoneFromNgramIndex]]'s physical-purge contract points at,
+    * made concrete: generations alternate between
+    * `${prefix}_grams_a` / `_b` (both bucketed on `gram`, so the
+    * build-once/search-many shuffle shape survives the flip), each
+    * stamped with a fresh epoch token, and the one-row
+    * `${prefix}_meta` (gen, grams_table, epoch) written LAST is the
+    * atomic commit. A crash before the meta rewrite leaves the old
+    * generation serving; a generation torn after its commit refuses
+    * at [[readNgramIndexRooted]]'s epoch validation. The superseded
+    * generation drops after the flip, best-effort. */
+  def writeNgramIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String, index: NgramIndex,
+                            numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur =
+      if (spark.catalog.tableExists(metaTable))
+        Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+      else None
+    val next = if (cur.contains("a")) "b" else "a"
+    val genTable = s"${prefix}_grams_$next"
+    // a compaction's grams frame lazily READS the current generation
+    // (minus the ledger) — the alternate table name makes that legal
+    writeNgramIndexBucketed(index, genTable, numBuckets)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(genTable))
+    graft.sources.Sinks.writeTable(
+      Seq((next, genTable, epoch)).toDF("gen", "grams_table", "epoch"),
+      metaTable)
+    cur.filter(_ != next).foreach { old =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_grams_$old")
+    }
+  }
+
+  /** Reopen the live generation of a [[writeNgramIndexRooted]] index
+    * (raw — takedowns not applied). `idCol`/`n` must match the build,
+    * as with [[readNgramIndex]]. */
+  def readNgramIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, idCol: String,
+                           n: Int): NgramIndex = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val genTable = meta.getAs[String]("grams_table")
+    graft.sources.Sinks.requireEpoch(spark, Seq(genTable),
+      meta.getAs[String]("epoch"))
+    NgramIndex(spark.table(genTable), idCol, n)
+  }
+
+  /** [[readNgramIndexRooted]] with the `${prefix}_tombstones` ledger
+    * applied — the serving entry point of the rooted face (file
+    * takedowns via [[tombstoneNgramIndex]] against the PREFIX, so the
+    * ledger survives generation flips until [[maintainNgramIndex]]
+    * purges physically). */
+  def readNgramIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
+                               prefix: String, idCol: String,
+                               n: Int): NgramIndex = {
+    val index = readNgramIndexRooted(spark, prefix, idCol, n)
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map { case (_, ids) => tombstoneFromNgramIndex(index, ids) }
+      .getOrElse(index)
+  }
+
+  /** ONE-CALL maintenance window for a rooted n-gram index — the
+    * near-dup face of [[maintainExactIndex]]: pending takedowns are
+    * already CORRECT forever through the live read's anti join; the
+    * window is where they become FREE (the anti join leaves the
+    * serving plan) and where the ledger stops accumulating. Fires on
+    * purge debt only — gram tables carry no fpp-style drift; growth
+    * is handled by [[appendToIndex]] at admission time. When fired:
+    * rewrite the live (ledger-applied) gram frame to the alternate
+    * bucketed generation — one shuffle over the SURVIVING grams,
+    * never a corpus re-shingle — flip the meta pointer, clear the
+    * ledger. A quiet window leaves meta, generation and ledger
+    * untouched bit-for-bit. */
+  def maintainNgramIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, idCol: String, n: Int,
+                         numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def gen(): String =
+      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
+    def pendingCount(): Long =
+      graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+        .map(_._2.count()).getOrElse(0L)
+    val genBefore = gen()
+    val pending = pendingCount()
+    val fired = pending > 0L
+    if (fired) {
+      writeNgramIndexRooted(spark, prefix,
+        readNgramIndexRootedLive(spark, prefix, idCol, n), numBuckets)
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
+    }
+    Seq((pending, fired, pendingCount(), gen() != genBefore))
+      .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an indexed
     * corpus: a batch doc survives iff (a) its within-batch component —
     * over batch-vs-batch near-dup pairs — contains NO doc that
@@ -1444,6 +1570,140 @@ object Dedup {
       .map { case (_, rows) =>
         tombstoneFromExactIndex(index, rows.select(col("__t")), "__t") }
       .getOrElse(index)
+  }
+
+  /** Pointer-rooted durable face of the exact index — the missing
+    * half of [[writeExactIndexBucketed]]'s own epoch advice ("a
+    * LOADED index's append union lazily READS `table`; alternate
+    * epochs and flip a pointer"): generations alternate between
+    * `${prefix}_a` / `${prefix}_b` (tables) rooted at
+    * `indexRoot/gen_a` / `gen_b` (dirs), and the one-row
+    * `${prefix}_meta` (gen, index_dir) written LAST is the atomic
+    * commit — the
+    * [[graft.operators.Similarity.retrainIvfPqIndexBucketed]]
+    * discipline. A crash anywhere before the meta rewrite leaves the
+    * old generation serving untouched (the new one writes to the
+    * OTHER name/dir); a generation torn AFTER its commit refuses at
+    * [[readExactIndex]]'s manifest/epoch validation rather than
+    * serving mixed halves. The superseded generation drops after the
+    * flip, best-effort (a crash there leaves dead files, never a
+    * wrong read). */
+  def writeExactIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String, indexRoot: String,
+                            index: ExactIndex,
+                            numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur =
+      if (spark.catalog.tableExists(metaTable))
+        Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+      else None
+    val next = if (cur.contains("a")) "b" else "a"
+    // the write plan may lazily READ the current generation (a
+    // compaction's hashes frame is the old gen's table minus the
+    // ledger) — writing to the alternate name/dir is what makes that
+    // legal
+    writeExactIndexBucketed(index, s"${prefix}_$next",
+      s"$indexRoot/gen_$next", numBuckets)
+    graft.sources.Sinks.writeTable(
+      Seq((next, s"$indexRoot/gen_$next")).toDF("gen", "index_dir"),
+      metaTable)
+    cur.filter(_ != next).foreach { old =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$old")
+      val p = new org.apache.hadoop.fs.Path(s"$indexRoot/gen_$old")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Reopen the live generation of a [[writeExactIndexRooted]] index
+    * (raw — the serving sketches and the full hash table; takedowns
+    * NOT applied). Refusal semantics ride [[readExactIndex]]'s
+    * manifest/epoch validation of the generation the meta names. */
+  def readExactIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String): ExactIndex = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val gen = meta.getAs[String]("gen")
+    readExactIndex(spark, s"${prefix}_$gen",
+      meta.getAs[String]("index_dir"))
+  }
+
+  /** [[readExactIndexRooted]] with the `${prefix}_tombstones` ledger
+    * applied — the serving entry point of the rooted face. The ledger
+    * name is rooted at the PREFIX, not the generation table, so filed
+    * takedowns survive generation flips until
+    * [[maintainExactIndex]]'s physical purge clears them. */
+  def readExactIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
+                               prefix: String): ExactIndex = {
+    val index = readExactIndexRooted(spark, prefix)
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map { case (_, rows) =>
+        tombstoneFromExactIndex(index, rows.select(col("__t")), "__t") }
+      .getOrElse(index)
+  }
+
+  /** ONE-CALL maintenance window for a rooted exact index — the
+    * [[graft.operators.Similarity.maintainIvfPqIndex]] /
+    * [[graft.operators.Layout.maintainZOrderedLive]] shape applied to
+    * the dedup family: measure → decide → conditional compaction →
+    * re-measure, returning one bounded report row. Two independent
+    * triggers, both the signals this file already exposes:
+    *
+    *   - FPP DRIFT ([[estimatedFpp]] over the serving generation —
+    *     the raw fill, since the sketches in service still hold every
+    *     tombstoned text): fires when the worst shard's estimate
+    *     crosses `maxFpp`.
+    *   - PURGE DEBT: any pending `${prefix}_tombstones` rows. Logical
+    *     deletes are already correct forever
+    *     ([[readExactIndexRootedLive]]); the window is WHERE they
+    *     become free — the same [[compactExactIndex]] re-sketch that
+    *     remediates fpp also forgets the purged texts.
+    *
+    * When either fires: re-sketch the LIVE (ledger-applied) hash
+    * table under fresh geometry sized to the grown corpus —
+    * `expectedItems = ceil(n × headroom)`, `numBits =`
+    * `BloomFilter.optimalNumOfBits(expectedItems, targetFpp)` (the
+    * published `-n·ln p / ln²2` optimum, shard count unchanged) —
+    * write it to the alternate generation, flip the meta pointer, and
+    * clear the ledger. Cost is one grouped aggregate over the durable
+    * hash table (never a corpus re-read). A quiet window is a true
+    * no-op: the meta row, generation and ledger are untouched
+    * bit-for-bit. */
+  def maintainExactIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, indexRoot: String,
+                         maxFpp: Double, targetFpp: Double = 0.01,
+                         headroom: Double = 2.0,
+                         numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def gen(): String =
+      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
+    def worstFpp(index: ExactIndex): Double =
+      estimatedFpp(index)
+        .agg(coalesce(max(col("est_fpp")), lit(0.0))).collect()(0)
+        .getDouble(0)
+    def pendingCount(): Long =
+      graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+        .map(_._2.count()).getOrElse(0L)
+    val genBefore = gen()
+    val preFpp = worstFpp(readExactIndexRooted(spark, prefix))
+    val pending = pendingCount()
+    val fppFired = preFpp > maxFpp
+    val purgeFired = pending > 0L
+    if (fppFired || purgeFired) {
+      val live = readExactIndexRootedLive(spark, prefix)
+      val n = live.hashes.count()
+      val expected = math.max(1L, math.ceil(n * headroom).toLong)
+      val bits = math.max(64L, org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expected, targetFpp))
+      writeExactIndexRooted(spark, prefix, indexRoot,
+        compactExactIndex(live, expected, bits, live.shards), numBuckets)
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
+    }
+    val postFpp = worstFpp(readExactIndexRooted(spark, prefix))
+    Seq((pending, preFpp, fppFired, purgeFired, postFpp, pendingCount(),
+        gen() != genBefore))
+      .toDF("pending_tombstones", "pre_worst_fpp", "fpp_fired",
+        "purge_fired", "post_worst_fpp", "post_pending", "gen_changed")
   }
 
   /** Total sketch bytes above which [[mightContainIndexCol]] stops

@@ -1110,4 +1110,142 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hammingNearDups(flood, "id", "sig", maxHamming = 3,
       maxBucket = 50).count() == 31L * 30L / 2L)
   }
+
+  test("maintainExactIndex: fpp drift fires and the resized geometry recovers; purge debt purges; quiet no-op leaves meta bit-identical") {
+    val corpus = (0L until 400L).map(i => (i, s"maintain corpus doc $i"))
+      .toDF("doc_id", "text")
+    // deliberately starved geometry (400 texts into 256 bits/shard,
+    // k=11) — est fpp ≈ 1, the drift signal MUST fire
+    val root = java.nio.file.Files.createTempDirectory("exact_maint")
+      .toString
+    Dedup.writeExactIndexRooted(spark, "exact_maint", s"$root/idx",
+      Dedup.buildExactIndex(corpus, "text", expectedItems = 16L,
+        numBits = 256L, shards = 2),
+      numBuckets = 2)
+    val r1 = Dedup.maintainExactIndex(spark, "exact_maint", s"$root/idx",
+      maxFpp = 0.05, targetFpp = 0.01, numBuckets = 2).collect()(0)
+    assert(r1.getAs[Boolean]("fpp_fired"), "starved geometry must fire")
+    assert(!r1.getAs[Boolean]("purge_fired"))
+    assert(r1.getAs[Boolean]("gen_changed"))
+    assert(r1.getAs[Double]("pre_worst_fpp") > 0.5)
+    assert(r1.getAs[Double]("post_worst_fpp") <= 0.05,
+      "the optimalNumOfBits re-size must bring fpp under the target")
+    assert(spark.table("exact_maint_meta").collect()(0).getString(0)
+      == "b", "generation a -> b")
+    val batch = Seq((9000L, "maintain corpus doc 7"),
+      (9001L, "entirely novel text")).toDF("doc_id", "text")
+    def kept(): Seq[Long] = Dedup.incrementalDropExactDups(
+        Dedup.readExactIndexRootedLive(spark, "exact_maint"),
+        batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept() == Seq(9001L), "decisions unchanged through the resize")
+    // quiet window: true no-op, meta row bit-identical
+    val metaBefore = spark.table("exact_maint_meta").collect()(0)
+    val r2 = Dedup.maintainExactIndex(spark, "exact_maint", s"$root/idx",
+      maxFpp = 0.05, numBuckets = 2).collect()(0)
+    assert(!r2.getAs[Boolean]("fpp_fired")
+      && !r2.getAs[Boolean]("purge_fired")
+      && !r2.getAs[Boolean]("gen_changed"))
+    assert(spark.table("exact_maint_meta").collect()(0) == metaBefore)
+    // purge debt: the filed takedown fires the window, copies
+    // re-admit, the ledger clears, the generation flips back b -> a
+    Dedup.tombstoneExactIndex(spark, "exact_maint",
+      Seq(Tuple1("maintain corpus doc 7")).toDF("text"), "text")
+    assert(kept() == Seq(9000L, 9001L), "logical delete re-admits")
+    val r3 = Dedup.maintainExactIndex(spark, "exact_maint", s"$root/idx",
+      maxFpp = 0.05, numBuckets = 2).collect()(0)
+    assert(r3.getAs[Boolean]("purge_fired")
+      && r3.getAs[Long]("pending_tombstones") == 1L
+      && r3.getAs[Long]("post_pending") == 0L
+      && r3.getAs[Boolean]("gen_changed"))
+    assert(spark.table("exact_maint_meta").collect()(0).getString(0)
+      == "a", "generation b -> a")
+    assert(kept() == Seq(9000L, 9001L),
+      "physical purge must not move any decision")
+    assert(graft.sources.Sinks.readLedger(spark,
+      "exact_maint_tombstones").isEmpty, "ledger clears after the purge")
+    val stale = Seq(Tuple1("maintain corpus doc 7")).toDF("text")
+      .select(Dedup.mightContainIndexCol(
+        Dedup.readExactIndexRooted(spark, "exact_maint"),
+        xxhash64(col("text"))).as("p"))
+      .collect()(0).getBoolean(0)
+    assert(!stale, "the re-sketched Bloom must forget the purged text")
+  }
+
+  test("maintainNgramIndex: purge debt rewrites a ledger-free generation with decisions held; quiet no-op leaves meta bit-identical") {
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    Dedup.writeNgramIndexRooted(spark, "ngram_maint",
+      Dedup.buildNgramIndex(corpus, "doc_id", "text", n = 4),
+      numBuckets = 2)
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta"),
+      (103L, "one two three four five six seven eight"),
+      (104L, "completely unrelated novel words here entirely"))
+      .toDF("doc_id", "text")
+    def kept(): Seq[Long] = Dedup.incrementalDropNearDups(
+        Dedup.readNgramIndexRootedLive(spark, "ngram_maint", "doc_id", 4),
+        batch, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept() == Seq(104L))
+    // quiet window first: nothing pending, true no-op
+    val metaBefore = spark.table("ngram_maint_meta").collect()(0)
+    val r0 = Dedup.maintainNgramIndex(spark, "ngram_maint", "doc_id",
+      n = 4, numBuckets = 2).collect()(0)
+    assert(!r0.getAs[Boolean]("fired")
+      && !r0.getAs[Boolean]("gen_changed"))
+    assert(spark.table("ngram_maint_meta").collect()(0) == metaBefore)
+    // filed takedown: logical untaint immediately, then the window
+    // purges physically and decisions hold
+    Dedup.tombstoneNgramIndex(spark, "ngram_maint", Seq(2L).toDF("doc_id"))
+    assert(kept() == Seq(101L, 104L))
+    val r1 = Dedup.maintainNgramIndex(spark, "ngram_maint", "doc_id",
+      n = 4, numBuckets = 2).collect()(0)
+    assert(r1.getAs[Boolean]("fired")
+      && r1.getAs[Long]("pending_tombstones") == 1L
+      && r1.getAs[Long]("post_pending") == 0L
+      && r1.getAs[Boolean]("gen_changed"))
+    assert(spark.table("ngram_maint_meta").collect()(0).getString(0)
+      == "b", "generation a -> b")
+    assert(kept() == Seq(101L, 104L),
+      "physical purge must not move any decision")
+    assert(Dedup.readNgramIndexRooted(spark, "ngram_maint", "doc_id", 4)
+      .grams.filter($"doc_id" === 2L).count() == 0L,
+      "the purged generation carries no grams of the removed doc")
+    assert(!spark.catalog.tableExists("ngram_maint_grams_a"),
+      "the superseded generation drops")
+    assert(graft.sources.Sinks.readLedger(spark,
+      "ngram_maint_tombstones").isEmpty)
+  }
+
+  test("maintainHammingMembers: purge debt compacts through the one call; quiet no-op leaves meta bit-identical") {
+    val sigs: Seq[(Long, java.lang.Long)] = Seq(
+      (10L, 0x5A5A5A5A5A5A5A5AL), (20L, 0x5A5A5A5A5A5A5A5BL),
+      (30L, 0x0123456789ABCDEFL))
+    Dedup.writeHammingMembers(spark,
+      Dedup.hammingBandMembers(sigs.toDF("ref_id", "sig"),
+        "ref_id", "sig", maxHamming = 3),
+      "hm_maint")
+    def idsIn(m: org.apache.spark.sql.DataFrame): Set[Long] =
+      m.select(explode(col("members")).as("m"))
+        .select(col("m.neighbor_id")).as[Long].collect().toSet
+    val metaBefore = spark.table("hm_maint_meta").collect()(0)
+    val r0 = Dedup.maintainHammingMembers(spark, "hm_maint",
+      maxHamming = 3).collect()(0)
+    assert(!r0.getAs[Boolean]("fired")
+      && !r0.getAs[Boolean]("gen_changed"))
+    assert(spark.table("hm_maint_meta").collect()(0) == metaBefore)
+    Dedup.tombstoneHammingMembers(spark, "hm_maint", Seq(30L).toDF("id"))
+    val r1 = Dedup.maintainHammingMembers(spark, "hm_maint",
+      maxHamming = 3).collect()(0)
+    assert(r1.getAs[Boolean]("fired")
+      && r1.getAs[Long]("pending_tombstones") == 1L
+      && r1.getAs[Long]("post_pending") == 0L
+      && r1.getAs[Boolean]("gen_changed"))
+    assert(idsIn(Dedup.readHammingMembers(spark, "hm_maint"))
+      == Set(10L, 20L), "the purged id must not re-band")
+    assert(graft.sources.Sinks.readLedger(spark,
+      "hm_maint_tombstones").isEmpty)
+  }
 }
