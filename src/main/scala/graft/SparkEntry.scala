@@ -2350,6 +2350,93 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // DEAD-LETTER QUARANTINE for a streaming codec ingest — the
+    // multi-sink pattern every 100 TB pipeline runs at its decode
+    // boundary, done as ONE routed pass (foreachBatch: the micro-batch
+    // persists once, healthy rows flow through the admission transform
+    // into the main table, corrupt rows land VERBATIM in the
+    // quarantine with a DETERMINISTIC reason — null_payload /
+    // empty_payload / undecodable, derived from the row itself, never
+    // an exception message). Until now corrupt payloads null-admitted
+    // silently; here they leave the healthy path entirely and keep
+    // their forensics. Arrivals: BMP re-encodes of accepted PNGs
+    // (decode ok → reject at hamming 0), novel PNGs (decode ok →
+    // admit), garbage bytes / zero bytes / null payload (each to
+    // quarantine under its own reason). The oracle replays the pixel
+    // formulas, the dHash grid, the argmin admission AND the reason
+    // classification.
+    "q142_stream_quarantine" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y, shift)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame(
+          (1L to 8L).map(i => (i, enc(i, 0, "png"))))
+        .toDF("media_id", "payload")
+      val members = operators.Dedup.hammingBandMembers(
+        operators.Multimodal.perceptualHashes(
+            operators.Multimodal.decodeImages(refMedia, "payload"),
+            "pixels", "img_width", "img_height")
+          .select($"media_id", $"dhash"),
+        "media_id", "dhash", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i, enc(i, 0, "bmp"))) ++
+        (21L to 22L).map(i => (500L + i, enc(i, 0, "png"))) ++
+        Seq((9001L, "definitely not an image".getBytes("UTF-8")),
+          (9002L, Array.empty[Byte]),
+          (9003L, null.asInstanceOf[Array[Byte]]))
+      val dir = java.nio.file.Files.createTempDirectory("q142_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(3).write.parquet(s"$dir/in")
+      def withStatus(df: DataFrame): DataFrame =
+        operators.Multimodal.perceptualHashes(
+            operators.Multimodal.decodeImages(df, "payload"),
+            "pixels", "img_width", "img_height")
+          .withColumn("decode_status",
+            operators.Multimodal.decodeStatus($"payload", $"img_width"))
+      def healthy(b: DataFrame): DataFrame =
+        streaming.StreamingParse.hammingAdmissionStream(b, "media_id",
+            "dhash", members, maxHamming = 6)
+          .select($"media_id", $"dhash", $"admitted", $"match_id")
+      // hard-reset both sinks: the gate must be re-runnable in-session
+      // (Bench runs it twice) and across JVMs (stale managed location)
+      Seq("q142_main", "q142_quarantine").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        sources.Sinks.dropStaleManagedLocation(refMedia, tbl)
+      }
+      val sch = s.read.parquet(s"$dir/in").schema
+      streaming.StreamingParse.quarantineStream(
+        withStatus(s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")),
+        "decode_status", healthy, "q142_main", "q142_quarantine")
+      members.unpersist()
+      s.table("q142_main")
+        .select($"media_id", lit("main").as("routed"), $"dhash",
+          $"admitted", $"match_id",
+          lit(null).cast("string").as("reason"))
+        .unionByName(s.table("q142_quarantine")
+          .select($"media_id", lit("quarantine").as("routed"),
+            lit(null).cast("long").as("dhash"),
+            lit(null).cast("boolean").as("admitted"),
+            lit(null).cast("long").as("match_id"),
+            $"decode_status".as("reason")))
+        .orderBy($"media_id")
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -4768,6 +4855,61 @@ object SparkEntry {
     // max-(cosine, smaller-id) decision at tau (nProbe = nCells, so
     // the streamed probe equals the brute-force rule); empty/null
     // arrivals are explicit admit rows
+    // pixel formulas → dHash grid → argmin admission for the healthy
+    // route; explicit VALUES rows with the deterministic reason
+    // classification for the quarantined route
+    "q142_stream_quarantine" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src, 0 AS shift FROM range(1, 9) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift FROM range(1, 4) t(i)
+           UNION ALL SELECT 500 + i, i, 0 FROM range(21, 23) t(i)),
+         rg AS (
+           SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         rh AS (
+           SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM arrivals, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         best AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_id
+           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           GROUP BY s.media_id)
+         SELECT a.media_id, 'main' AS routed, a.dhash,
+           b.match_id IS NULL AS admitted, b.match_id,
+           NULL::VARCHAR AS reason
+         FROM ah a LEFT JOIN best b USING (media_id)
+         UNION ALL
+         SELECT media_id, 'quarantine', NULL::BIGINT, NULL::BOOLEAN,
+           NULL::BIGINT, reason
+         FROM (VALUES (9001, 'undecodable'), (9002, 'empty_payload'),
+           (9003, 'null_payload')) t(media_id, reason)
+         ORDER BY media_id""",
+
     // the q128 decision algebra (admission vs accepted-minus-
     // tombstoned texts, per-text min-id rule) + the window's
     // lifecycle flags: fired = pending ledger rows exist, the

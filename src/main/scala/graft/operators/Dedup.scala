@@ -1689,7 +1689,8 @@ object Dedup {
     val pending = pendingCount()
     val fppFired = preFpp > maxFpp
     val purgeFired = pending > 0L
-    if (fppFired || purgeFired) {
+    val fired = fppFired || purgeFired
+    if (fired) {
       val live = readExactIndexRootedLive(spark, prefix)
       val n = live.hashes.count()
       val expected = math.max(1L, math.ceil(n * headroom).toLong)
@@ -1699,8 +1700,13 @@ object Dedup {
         compactExactIndex(live, expected, bits, live.shards), numBuckets)
       graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
     }
-    val postFpp = worstFpp(readExactIndexRooted(spark, prefix))
-    Seq((pending, preFpp, fppFired, purgeFired, postFpp, pendingCount(),
+    // a quiet window pays no second measure: nothing moved, so
+    // post ≡ pre by construction (and the sketch bytes aren't
+    // re-pulled to the driver on the common every-cron-tick no-op)
+    val postFpp =
+      if (fired) worstFpp(readExactIndexRooted(spark, prefix)) else preFpp
+    val postPending = if (fired) pendingCount() else pending
+    Seq((pending, preFpp, fppFired, purgeFired, postFpp, postPending,
         gen() != genBefore))
       .toDF("pending_tombstones", "pre_worst_fpp", "fpp_fired",
         "purge_fired", "post_worst_fpp", "post_pending", "gen_changed")

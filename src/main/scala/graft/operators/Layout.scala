@@ -259,4 +259,35 @@ object Layout {
       .delete(liveP, true)
     epoch
   }
+
+  /** Garbage-collect UNREFERENCED epoch directories under a pointer
+    * root — the cleanup rung the crash story leaves open: a
+    * compaction or epoch write that dies mid-write leaves its partial
+    * `epoch_<uuid>` directory "unreferenced beside the still-serving
+    * old one", and because every retry writes a FRESH uuid, the
+    * debris accumulates forever at 100 TB scale. The sweep resolves
+    * the live pointer FIRST (and so refuses to run at all on a root
+    * with no committed epoch — with no pointer there is no safe
+    * notion of garbage), then deletes every `epoch_*` sibling except
+    * the live one. Safe by the lifecycle's own invariants: only the
+    * pointer makes an epoch readable, the pointer is swapped only to
+    * complete directories, and nothing else under the root is
+    * touched (the pointer file itself, temp files, foreign names all
+    * survive). Returns the deleted directory names for the
+    * maintenance log. Single-writer discipline applies as everywhere
+    * in the family: don't sweep while another driver is mid-write of
+    * a new epoch it has yet to swap in. */
+  def gcEpochs(spark: org.apache.spark.sql.SparkSession,
+               root: String): Seq[String] = {
+    val live = new org.apache.hadoop.fs.Path(
+      graft.sources.Sinks.resolveEpochPointer(spark, root)).getName
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory
+        && st.getPath.getName.startsWith("epoch_")
+        && st.getPath.getName != live)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      .sorted
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,28 @@ object Multimodal {
         sum(when(col("img_width").isNull, 1L).otherwise(0L))
           .as("decode_failures"))
   }
+
+  /** Deterministic dead-letter classification for a codec stage —
+    * the column the quarantine split routes on. The decode family's
+    * corrupt-row discipline (null output columns, never a task
+    * failure) is right for keeping a 100 TB scan alive, but a
+    * silently-null row carries no forensics; this derives the reason
+    * purely from what the row already shows (payload bytes + the
+    * stage's null-on-failure output column), so it is a pure
+    * projection — stream-legal, codegen'd, and REPLAYABLE (no
+    * exception messages, which vary by JDK codec):
+    *   - `null_payload`  — the payload column itself is null
+    *   - `empty_payload` — zero bytes
+    *   - `undecodable`   — bytes present, the codec returned nothing
+    *   - `ok`            — the stage produced output
+    * Works unchanged across the modality family: pass
+    * `img_width` ([[decodeImages]]), `au_rate` ([[decodeWav]]) or
+    * the frames/signature column as `ok`. */
+  def decodeStatus(payload: Column, ok: Column): Column =
+    when(payload.isNull, lit("null_payload"))
+      .when(length(payload) === 0, lit("empty_payload"))
+      .when(ok.isNull, lit("undecodable"))
+      .otherwise(lit("ok"))
 
   /** 64-bit PERCEPTUAL image hashes over a raw row-major W×H×C
     * buffer — the real bytes→signature bridge from [[decodeImages]]

@@ -404,6 +404,51 @@ object StreamingParse {
         (0 until b).flatMap(i => Seq(s"__bh$i", s"__mm$i"))): _*)
   }
 
+  /** Dead-letter split for a streaming ingest — the multi-sink
+    * pattern a 100 TB pipeline runs around every codec boundary: the
+    * decode family deliberately yields NULL output columns on corrupt
+    * payloads (a poison byte string must never kill the stream), but
+    * silently-null rows pollute the healthy path and carry no
+    * forensics. This routes each micro-batch ONCE (persisted, so the
+    * decode work upstream of the split is not paid twice) into two
+    * appends: rows whose `statusCol` is `"ok"` flow through the
+    * caller's `healthy` transform (e.g. [[hammingAdmissionStream]] —
+    * its stateless body is batch-legal) into `mainTable`; the rest
+    * land VERBATIM in `quarantineTable` (full original row — the
+    * forensic record) with the status as the reason. Derive
+    * `statusCol` with [[graft.operators.Multimodal.decodeStatus]].
+    *
+    * Delivery semantics, stated honestly: foreachBatch is
+    * at-least-once — a batch that crashes between the two appends
+    * replays, so a failure can duplicate rows. Every row therefore
+    * carries `batch_id`; downstream consumers that need exactly-once
+    * dedup on (batch_id, key), or replace the appends with
+    * batchId-partitioned dynamic overwrites. Blocks until the
+    * AvailableNow trigger drains the source. */
+  def quarantineStream(df: DataFrame, statusCol: String,
+                       healthy: DataFrame => DataFrame,
+                       mainTable: String,
+                       quarantineTable: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          healthy(b.filter(col(statusCol) === "ok"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").format("parquet")
+            .saveAsTable(mainTable)
+          b.filter(col(statusCol) =!= "ok")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").format("parquet")
+            .saveAsTable(quarantineTable)
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-dup pre-drop for document ingestion: sketch every
     * doc with the native single-pass SimHash
     * ([[graft.operators.Dedup.simhashCol]] — a pure projection, which

@@ -898,6 +898,45 @@ class PlanSpec extends SparkSpec {
     assert(Layout.readZOrderedLive(spark, root).count() == 350L)
   }
 
+  test("gcEpochs: crash debris sweeps; the live epoch and foreign names survive; a pointerless root refuses") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zgc").toString
+    val df = (1L to 100L).map(i => (i, i % 17, i % 5)).toDF("id", "dx", "dy")
+    // no committed epoch: there is no safe notion of garbage yet
+    assert(intercept[IllegalArgumentException] {
+      Layout.gcEpochs(spark, root)
+    }.getMessage.contains("live-epoch pointer"))
+    Layout.writeZOrderedEpoch(df, root, Seq("dx", "dy"), bits = 4,
+      numPartitions = 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash debris: a torn epoch (marker deleted) and a complete one
+    // that was never swapped in — both unreferenced, both garbage
+    df.limit(5).write.parquet(s"$root/epoch_dead_torn")
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$root/epoch_dead_torn/_SUCCESS"),
+      false)
+    df.limit(5).write.parquet(s"$root/epoch_dead_unswapped")
+    // foreign content under the root must survive the sweep
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/not_an_epoch"))
+    val notes = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/notes.txt"), true)
+    notes.write("keep".getBytes("UTF-8")); notes.close()
+    val live = new org.apache.hadoop.fs.Path(
+      graft.sources.Sinks.resolveEpochPointer(spark, root)).getName
+    val deleted = Layout.gcEpochs(spark, root)
+    assert(deleted == Seq("epoch_dead_torn", "epoch_dead_unswapped"),
+      s"exactly the unreferenced epochs sweep, got $deleted")
+    assert(Layout.readZOrderedLive(spark, root).count() == 100L,
+      "the live epoch serves untouched")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$live")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/not_an_epoch")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/notes.txt")))
+    assert(Layout.gcEpochs(spark, root).isEmpty,
+      "a second sweep finds nothing")
+  }
+
   test("layout drift signal: full-range appends fire the compaction decision; compaction clears it") {
     import graft.operators.Layout
     import spark.implicits._

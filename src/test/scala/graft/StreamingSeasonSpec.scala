@@ -1158,4 +1158,65 @@ class StreamingSeasonSpec extends SparkSpec {
       }
     }
   }
+
+  test("quarantine split: corrupt payloads land verbatim with deterministic reasons; healthy rows flow through the transform once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def png(seed: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(10, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 10) {
+        val g = (seed * 13 + x * 7 + y * 3) % 256
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, png(1)), (2L, png(2)),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val dir = Files.createTempDirectory("quarantine").toString
+    rows.toDF("media_id", "payload").repartition(2)
+      .write.parquet(s"$dir/in")
+    // decodeStatus classification, batch-side first
+    val statuses = graft.operators.Multimodal.decodeImages(
+        spark.read.parquet(s"$dir/in"), "payload")
+      .select(col("media_id"),
+        graft.operators.Multimodal.decodeStatus(
+          col("payload"), col("img_width")).as("st"))
+      .as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "ok", 2L -> "ok", 3L -> "undecodable",
+      4L -> "empty_payload", 5L -> "null_payload"))
+    // the streaming split: healthy rows through a visible transform,
+    // corrupt rows verbatim with the reason; batch_id stamped on both
+    Seq("quar_spec_main", "quar_spec_dead").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val sch = spark.read.parquet(s"$dir/in").schema
+    StreamingParse.quarantineStream(
+      graft.operators.Multimodal.decodeImages(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(s"$dir/in"), "payload")
+        .withColumn("st", graft.operators.Multimodal.decodeStatus(
+          col("payload"), col("img_width"))),
+      "st",
+      b => b.select(col("media_id"),
+        (col("img_width") * col("img_height")).as("npx")),
+      "quar_spec_main", "quar_spec_dead")
+    val main = spark.table("quar_spec_main")
+      .select("media_id", "npx").as[(Long, Int)].collect().toMap
+    assert(main == Map(1L -> 80, 2L -> 80),
+      "exactly the decodable rows flow to the main table")
+    assert(spark.table("quar_spec_main").columns.contains("batch_id"))
+    val dead = spark.table("quar_spec_dead")
+    assert(dead.select("media_id", "st").as[(Long, String)].collect()
+      .toMap == Map(3L -> "undecodable", 4L -> "empty_payload",
+        5L -> "null_payload"))
+    // verbatim: the original payload bytes survive for forensics
+    val g = dead.filter(col("media_id") === 3L)
+      .select("payload").as[Array[Byte]].collect()(0)
+    assert(new String(g, "UTF-8") == "garbage")
+  }
 }
