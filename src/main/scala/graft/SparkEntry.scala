@@ -2437,6 +2437,49 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // Image RESIZE as a VALUE gate — the feature-prep verb between
+    // decode and any fixed-input model stage, done nearest-neighbor
+    // with floor sampling so every output byte is integer-exact and
+    // the WHOLE resized buffer is pinned: the gate folds the resized
+    // bytes into a position-weighted checksum + plain sum via pure
+    // SQL byte extraction (hex of each 1-byte substring), and the
+    // oracle regenerates both from the planted pixel formula and the
+    // same integer sampling rule ((x*srcW)//outW). A corrupt payload
+    // follows the corrupt-row discipline: null dims, null checksum,
+    // never a task failure.
+    "q143_image_resize" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3)) % 256).toInt
+      def enc(src: Long): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      }
+      val media = s.createDataFrame(
+          (1L to 6L).map(i => (i, enc(i))) :+
+            ((9001L, "not an image".getBytes("UTF-8"))))
+        .toDF("media_id", "payload")
+      val byteAt = "CAST(conv(hex(substring(resized, i, 1)), 16, 10) " +
+        "AS BIGINT)"
+      operators.Multimodal.resizeImages(
+          operators.Multimodal.decodeImages(media, "payload"),
+          "pixels", "img_width", "img_height", outW = 7, outH = 5)
+        .select($"media_id", $"resized_width", $"resized_height",
+          expr("aggregate(sequence(1, length(resized)), 0L, " +
+            s"(a, i) -> a + $byteAt * i)").as("checksum"),
+          expr("aggregate(sequence(1, length(resized)), 0L, " +
+            s"(a, i) -> a + $byteAt)").as("total"))
+        .orderBy($"media_id")
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -4855,6 +4898,27 @@ object SparkEntry {
     // max-(cosine, smaller-id) decision at tau (nProbe = nCells, so
     // the streamed probe equals the brute-force rule); empty/null
     // arrivals are explicit admit rows
+    // the planted pixel formula sampled through the SAME integer
+    // floor rule ((x*16)//7, (y*12)//5), every byte position-weighted
+    // — one disagreeing output byte anywhere in the resized buffer
+    // breaks the checksum
+    "q143_image_resize" ->
+      """WITH media AS (SELECT i AS media_id, i AS src FROM range(1, 7) t(i)),
+         px AS (
+           SELECT media_id,
+             (src*31 + ((x*16)//7)*(11 + src % 7) + ((y*12)//5)*29
+               + ((x*16)//7)*((y*12)//5)*(1 + src % 3)) % 256 AS v,
+             ((y*7 + x)*3 + c) + 1 AS pos
+           FROM media, range(0, 5) ty(y), range(0, 7) tx(x),
+             range(0, 3) tc(c))
+         SELECT media_id, 7::INTEGER AS resized_width,
+           5::INTEGER AS resized_height,
+           sum(v * pos)::BIGINT AS checksum, sum(v)::BIGINT AS total
+         FROM px GROUP BY media_id
+         UNION ALL
+         SELECT 9001, NULL, NULL, NULL, NULL
+         ORDER BY media_id""",
+
     // pixel formulas → dHash grid → argmin admission for the healthy
     // route; explicit VALUES rows with the deterministic reason
     // classification for the quarantined route

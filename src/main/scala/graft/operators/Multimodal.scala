@@ -172,6 +172,67 @@ object Multimodal {
       .when(ok.isNull, lit("undecodable"))
       .otherwise(lit("ok"))
 
+  /** Nearest-neighbor image RESIZE over decoded RGB buffers — the
+    * feature-prep step between [[decodeImages]] and any fixed-input
+    * model stage (embedding extractors want one canonical WxH; a
+    * 100 TB image corpus arrives at every size). Deliberately
+    * nearest-neighbor with floor sampling (`sx = x*srcW / outW` in
+    * integer arithmetic — the same rule [[perceptualHashes]]' grid
+    * uses), so the op is integer-EXACT and replayable in plain SQL,
+    * unlike interpolating kernels whose float rounding is
+    * implementation-defined. Runs at the family's mapPartitions
+    * buffer boundary; corrupt inputs follow the corrupt-row
+    * discipline (null pixels/dims in → null resized out, and a
+    * buffer shorter than `w*h*3` — checked in LONG, metadata dims
+    * can overflow an Int product — yields null, never a task
+    * failure). Appends `resized`/`resized_width`/`resized_height`,
+    * leaving the source buffer in place for downstream stages that
+    * want both. */
+  def resizeImages(df: DataFrame, pixelsCol: String, wCol: String,
+                   hCol: String, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0 && outW.toLong * outH * 3 < Int.MaxValue,
+      s"bad target geometry ${outW}x$outH")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val pi = df.schema.fieldIndex(pixelsCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val px =
+          if (row.isNullAt(pi)) null else row.getAs[Array[Byte]](pi)
+        val bad = px == null || row.isNullAt(wi) || row.isNullAt(hi) || {
+          val w = row.getInt(wi); val h = row.getInt(hi)
+          w <= 0 || h <= 0 || px.length < w.toLong * h * 3
+        }
+        if (bad) Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+        else {
+          val w = row.getInt(wi); val h = row.getInt(hi)
+          val out = new Array[Byte](outW * outH * 3)
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x.toLong * w / outW).toInt
+              val sb = (sy * w + sx) * 3
+              val ob = (y * outW + x) * 3
+              out(ob) = px(sb); out(ob + 1) = px(sb + 1)
+              out(ob + 2) = px(sb + 2)
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(out, outW, outH))
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit PERCEPTUAL image hashes over a raw row-major W×H×C
     * buffer — the real bytes→signature bridge from [[decodeImages]]
     * into the Hamming-banded near-dup machinery
@@ -778,32 +839,41 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val resized =
-          if (bytes == null || bytes.length < inW * inH * channels) null
-          else {
-            val out = new Array[Byte](outW * outH * channels)
-            var y = 0
-            while (y < outH) {
-              val sy = y * inH / outH
-              var x = 0
-              while (x < outW) {
-                val sx = x * inW / outW
-                var c = 0
-                while (c < channels) {
-                  out((y * outW + x) * channels + c) =
-                    bytes((sy * inW + sx) * channels + c)
-                  c += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
-            out
-          }
+        val resized = nnResize(bytes, inW, inH, channels, outW, outH)
         Row.fromSeq(row.toSeq ++ Seq(resized, outW, outH))
       }
     }(enc)
   }
+
+  /** The shared nearest-neighbor kernel of [[resizeRaw]] (fixed-dims
+    * face) and [[resizeImages]] (per-row-dims face): floor sampling
+    * `sx = x*inW / outW` in integer arithmetic, length guard in LONG
+    * (metadata-sized dims can overflow an Int product — the
+    * [[perceptualHashes]] lesson), null in → null out. */
+  private def nnResize(bytes: Array[Byte], inW: Int, inH: Int,
+                       channels: Int, outW: Int, outH: Int): Array[Byte] =
+    if (bytes == null || inW <= 0 || inH <= 0 || channels <= 0 ||
+        bytes.length < inW.toLong * inH * channels) null
+    else {
+      val out = new Array[Byte](outW * outH * channels)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * inH / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * inW / outW).toInt
+          var c = 0
+          while (c < channels) {
+            out((y * outW + x) * channels + c) =
+              bytes((sy * inW + sx) * channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   /** Build a synthetic media table from the documents table (text
     * bytes as payload) — used by tests and the bench to exercise the

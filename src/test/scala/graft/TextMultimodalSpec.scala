@@ -1058,4 +1058,50 @@ class TextMultimodalSpec extends SparkSpec {
       .select("resized").collect()(0).getAs[Array[Byte]](0)
     assert(up.toSeq == Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30, 10, 20, 30))
   }
+
+  test("resizeImages: per-row dims from columns, exact NN sampling, corrupt/overflow rows null") {
+    // 4x2 RGB buffer with bytes 0..23; downsample to 2x1:
+    // sx = x*4/2 -> {0, 2}, sy = 0 -> pixels (0,0) and (2,0)
+    val px: Array[Byte] = (0 until 24).map(_.toByte).toArray
+    val rows = Seq(
+      (1L, px, Integer.valueOf(4), Integer.valueOf(2)),
+      (2L, null.asInstanceOf[Array[Byte]], Integer.valueOf(4),
+        Integer.valueOf(2)),                        // null buffer
+      (3L, px, null.asInstanceOf[Integer], Integer.valueOf(2)), // null dim
+      // metadata claims huge dims over a short buffer: the w*h*c
+      // product overflows Int — the LONG guard must null, not throw
+      (4L, px, Integer.valueOf(1 << 20), Integer.valueOf(1 << 20)),
+      (5L, px, Integer.valueOf(0), Integer.valueOf(2))) // degenerate dim
+    val df = rows.toDF("media_id", "pixels", "w", "h")
+    val out = Multimodal.resizeImages(df, "pixels", "w", "h",
+        outW = 2, outH = 1)
+      .select("media_id", "resized", "resized_width", "resized_height")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Array[Byte]](1)).map(_.toSeq), r.get(2))).toMap
+    assert(out(1L)._1.get == Seq[Byte](0, 1, 2, 6, 7, 8),
+      s"NN bytes wrong: ${out(1L)._1}")
+    assert(out(1L)._2 == 2)
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id)._1.isEmpty && out(id)._2 == null,
+        s"row $id must null through, got ${out(id)}")
+    }
+    // composes with the real decoder: a decoded PNG resizes to the
+    // source pixels the sampling rule names
+    val im = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = 10 * (y * 4 + x)
+      im.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val dec = Multimodal.resizeImages(
+        Multimodal.decodeImages(
+          Seq((1L, bos.toByteArray)).toDF("media_id", "payload"),
+          "payload"),
+        "pixels", "img_width", "img_height", outW = 2, outH = 1)
+      .select("resized").collect()(0).getAs[Array[Byte]](0)
+    // sampled pixels (0,0)=0 and (2,0)=20, three equal channels each
+    assert(dec.toSeq == Seq[Byte](0, 0, 0, 20, 20, 20))
+  }
 }
