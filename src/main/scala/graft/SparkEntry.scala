@@ -2437,6 +2437,105 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // EXACTLY-ONCE output for the dead-letter ingest — q142's routing
+    // under a SIMULATED CRASH-REDELIVERY: the same decode→route split
+    // runs through quarantineStreamIdempotent (batch_id-partitioned
+    // dynamic overwrite instead of blind appends), then the gate
+    // replays the LAST batch verbatim — same rows, same batch id,
+    // exactly what the checkpoint re-delivers after a crash between
+    // the two sink writes — by calling the public per-batch body
+    // directly. Under q142's documented at-least-once appends the
+    // replay would DUPLICATE every row of that batch (and the
+    // oracle's row counts would catch it); under the dynamic
+    // partition overwrite the batch rewrites its own partition
+    // byte-for-byte and every other batch is untouched, so the final
+    // output equals the no-crash run exactly. Oracle: q142's full
+    // pixel→dHash→argmin + reason-classification replay, row counts
+    // binding.
+    "q146_stream_idempotent_sink" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def enc(src: Long, shift: Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y, shift)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      val refMedia = s.createDataFrame(
+          (1L to 8L).map(i => (i, enc(i, 0, "png"))))
+        .toDF("media_id", "payload")
+      val members = operators.Dedup.hammingBandMembers(
+        operators.Multimodal.perceptualHashes(
+            operators.Multimodal.decodeImages(refMedia, "payload"),
+            "pixels", "img_width", "img_height")
+          .select($"media_id", $"dhash"),
+        "media_id", "dhash", maxHamming = 6)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i, enc(i, 0, "bmp"))) ++
+        (21L to 22L).map(i => (500L + i, enc(i, 0, "png"))) ++
+        Seq((9001L, "definitely not an image".getBytes("UTF-8")),
+          (9002L, Array.empty[Byte]),
+          (9003L, null.asInstanceOf[Array[Byte]]))
+      val dir = java.nio.file.Files.createTempDirectory("q146_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(3).write.parquet(s"$dir/in")
+      def withStatus(df: DataFrame): DataFrame =
+        operators.Multimodal.perceptualHashes(
+            operators.Multimodal.decodeImages(df, "payload"),
+            "pixels", "img_width", "img_height")
+          .withColumn("decode_status",
+            operators.Multimodal.decodeStatus($"payload", $"img_width"))
+      def healthy(b: DataFrame): DataFrame =
+        streaming.StreamingParse.hammingAdmissionStream(b, "media_id",
+            "dhash", members, maxHamming = 6)
+          .select($"media_id", $"dhash", $"admitted", $"match_id")
+      val mainPath = s"$dir/main"; val qPath = s"$dir/quarantine"
+      val sch = s.read.parquet(s"$dir/in").schema
+      streaming.StreamingParse.quarantineStreamIdempotent(
+        withStatus(s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")),
+        "decode_status", healthy, mainPath, qPath)
+      // the crash-redelivery: the LAST batch arrives AGAIN with the
+      // same id and the same rows (reconstructed exactly from the
+      // batch's own committed output — media ids are unique)
+      val lastBatch = s.read.parquet(mainPath).select($"batch_id")
+        .unionByName(s.read.parquet(qPath).select($"batch_id"))
+        .agg(max($"batch_id".cast("long"))).collect()(0).getLong(0)
+      val replayIds = s.read.parquet(mainPath)
+        .filter($"batch_id".cast("long") === lastBatch)
+        .select($"media_id")
+        .unionByName(s.read.parquet(qPath)
+          .filter($"batch_id".cast("long") === lastBatch)
+          .select($"media_id"))
+      val replayRows = s.read.parquet(s"$dir/in")
+        .join(broadcast(replayIds), Seq("media_id"), "left_semi")
+      streaming.StreamingParse.applyQuarantineBatchIdempotent(
+        withStatus(replayRows), lastBatch, "decode_status", healthy,
+        mainPath, qPath)
+      members.unpersist()
+      s.read.parquet(mainPath)
+        .select($"media_id", lit("main").as("routed"), $"dhash",
+          $"admitted", $"match_id",
+          lit(null).cast("string").as("reason"))
+        .unionByName(s.read.parquet(qPath)
+          .select($"media_id", lit("quarantine").as("routed"),
+            lit(null).cast("long").as("dhash"),
+            lit(null).cast("boolean").as("admitted"),
+            lit(null).cast("long").as("match_id"),
+            $"decode_status".as("reason")))
+        .orderBy($"media_id")
+    }),
+
     // Image RESIZE as a VALUE gate — the feature-prep verb between
     // decode and any fixed-input model stage, done nearest-neighbor
     // with floor sampling so every output byte is integer-exact and
@@ -2534,6 +2633,70 @@ object SparkEntry {
       out
     }),
 
+    // The streaming ingestion ladder as ONE composed pass
+    // (admissionCascadeStream): exact → quality → semantic with
+    // first-reject precedence, each rung individually gated elsewhere
+    // (q114/q138) and here pinned THROUGH the composition. Planted
+    // strata, one per outcome: verbatim re-crawls of accepted docs
+    // reject 'exact' (even though their cosine is 1.0 — precedence
+    // decides, with the accepted min-id as the audit pointer);
+    // symbol-soup arrivals reject 'quality' (non-alphanumeric ratio,
+    // evaluated multiplicatively — ANSI-safe on empties) along with
+    // the planted empty and null texts; suffixed near-copies pass
+    // both cheap tiers and reject 'semantic' with their source as
+    // match; novel clean docs admit. nCells = nProbe, so the streamed
+    // semantic probe IS the brute-force rule and the oracle replays
+    // the whole cascade: the md5 bucket/sign embedding, every cosine,
+    // the argmax tie rule, both cheap tiers' exact predicates and the
+    // precedence fold.
+    "q147_stream_admission_cascade" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0)
+      val accepted = docs.filter($"doc_id" < 40)
+      val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
+          dim = 64)
+        .select($"doc_id", $"embedding")
+      val index = operators.Similarity.buildIvf(emb, "doc_id",
+        "embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val acceptedTexts = accepted.groupBy($"text")
+        .agg(min($"doc_id").as("exact_id"))
+      acceptedTexts.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val arrivals = accepted.filter($"doc_id" < 10)
+          .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" < 10)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat($"text", lit(" zq zq qz")).as("text")))
+        .unionByName(docs.filter($"doc_id" >= 200 && $"doc_id" < 205)
+          .select(($"doc_id" + 600000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" >= 200 && $"doc_id" < 205)
+          .select(($"doc_id" + 700000L).as("doc_id"),
+            concat(lit("@@ ## $$ %% !! ?? ;; :: "),
+              $"doc_id".cast("string")).as("text")))
+        .unionByName(s.createDataFrame(Seq(
+            (900001L, ""), (900002L, null.asInstanceOf[String])))
+          .toDF("doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("q147_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val decided = streaming.StreamingParse.admissionCascadeStream(
+        stream, "doc_id", "text", acceptedTexts, minLen = 20,
+        maxNonAlphaRatio = 0.3, index = index, members = members,
+        tau = 0.9, dim = 64, nProbe = 2)
+      val out = runStreamToTable(s, decided, "append", "cascade")
+        .select($"doc_id", $"cascade_admitted".as("admitted"),
+          $"reason", $"exact_match_id", $"semantic_match_id")
+        .orderBy($"doc_id")
+      members.unpersist(); acceptedTexts.unpersist()
+      out
+    }),
+
     // The DURABLE face of the perceptual admission reference set —
     // q134 proved the logical takedown on an in-memory members table;
     // this drives the full durable lifecycle the way a long-running
@@ -2623,6 +2786,68 @@ object SparkEntry {
           $"admitted_live", $"match_live", $"admitted_post",
           $"match_post")
         .orderBy($"media_id")
+    }),
+
+    // Streaming ANN admission under TAKEDOWN — the VECTOR rung of the
+    // durable compliance lifecycle (q137's discipline applied to the
+    // IVF tier, q127's three-phase shape applied to the stream): the
+    // accepted embeddings build a DURABLE bucketed IVF index; the
+    // admission stream runs three times against its evolving live
+    // view. PRE: every %3==1 re-embed rejects with its source as
+    // match_id (the q120 contract). Then the %15==0 accepted sources
+    // file into the tombstone ledger (tombstoneIvf — crash-safe
+    // distinct-union, no driver collect) and the LIVE pass reads
+    // cellMembers over readIvfIndexLive: re-embeds of tombstoned
+    // sources flip reject → admit IMMEDIATELY (logical delete — the
+    // member arrays simply never carry the row), everything else
+    // holds. Finally retrainIvfIndexBucketed purges PHYSICALLY (the
+    // re-assignment pass skips tombstoned rows, the A/B generation
+    // swaps, the ledger clears) and the POST pass over the new
+    // generation must reproduce the live decisions bit-for-bit —
+    // logical and physical deletion are observationally equal, and
+    // the gate ends with a clean ledger (re-runnable). The oracle
+    // replays the exhaustive brute-force argmax decision vs the full
+    // accepted set AND vs the tombstone-excluded set.
+    "q144_stream_ann_takedown" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val emb = t(s, d, "embeddings")
+      val accepted = emb.filter($"vec_id" % 3 === 0)
+      val index = operators.Similarity.buildIvf(accepted, "vec_id",
+        "embedding", nCells = 8, lloydIters = 3)
+      operators.Similarity.writeIvfIndexBucketed(index, "q144_idx",
+        numBuckets = 8)
+      val sch = s.read.parquet(s"$fix/embeddings_stream").schema
+      def run(tag: String): DataFrame = {
+        val live = operators.Similarity.readIvfIndexLive(s, "q144_idx")
+        val members = operators.Similarity.cellMembers(live)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        members.count()
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$fix/embeddings_stream")
+        val res = runStreamToTable(s,
+          streaming.StreamingParse.annAdmissionStream(stream, "vec_id",
+            "embedding", live, members, tau = 0.9, nProbe = 2),
+          "append", s"ann_takedown_$tag")
+          .select($"vec_id", col("admitted").as(s"admitted_$tag"),
+            col("match_id").as(s"match_$tag"))
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        members.unpersist()
+        local
+      }
+      val pre = run("pre")
+      operators.Similarity.tombstoneIvf(s, "q144_idx",
+        emb.filter($"vec_id" % 15 === 0), "vec_id")
+      val live = run("live")
+      operators.Similarity.retrainIvfIndexBucketed(s, "q144_idx",
+        v => v.filter(col("__rid") % 2 === 0), lloydIters = 1,
+        numBuckets = 8)
+      val post = run("post")
+      pre.join(live, Seq("vec_id")).join(post, Seq("vec_id"))
+        .select($"vec_id", $"admitted_pre", $"match_pre",
+          $"admitted_live", $"match_live", $"admitted_post",
+          $"match_post")
+        .orderBy($"vec_id")
     }),
 
     // The VIDEO rung of the streaming multimodal admission ladder —
@@ -3211,6 +3436,69 @@ object SparkEntry {
           .select($"query_id", $"neighbor_id".as(tag)))
       def maintain(): DataFrame = loc(
         operators.Similarity.maintainIvfPqIndex(s, "q131_idx", corpus,
+          "vec_id", "embedding", queries, k = 1, minRecall = 0.9,
+          sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+          nProbe = 1, oversample = 32, numBuckets = 2))
+      val pre = top1("pre_top1")
+      val heal = maintain()
+      val post = top1("post_top1")
+      val noop = maintain()
+      pre.join(post, Seq("query_id"))
+        .crossJoin(broadcast(heal.select(
+          $"pre_mean_recall".as("pre_mean"), $"retrain_fired",
+          $"post_mean_recall".as("post_mean"),
+          $"epoch_changed".as("heal_epoch_changed"))))
+        .crossJoin(broadcast(noop.select(
+          $"retrain_fired".as("noop_fired"),
+          $"post_mean_recall".as("noop_mean"),
+          $"epoch_changed".as("noop_epoch_changed"))))
+        .select($"query_id", $"pre_top1", $"post_top1", $"pre_mean",
+          $"retrain_fired", $"post_mean", $"heal_epoch_changed",
+          $"noop_fired", $"noop_mean", $"noop_epoch_changed")
+        .orderBy($"query_id")
+    }),
+
+    // The IVF×SQ rung of the one-call maintenance matrix — with q131
+    // (IVF×PQ) and the q139-q141 windows this makes EVERY durable
+    // index family cron-operable through a single composition. Same
+    // planted drift geometry and replay discipline as q131; the SQ
+    // int8 layer is outcome-neutral under the gate's oversample
+    // (every probed cell's members reach the exact float rerank), so
+    // the oracle replays coarse probe + exact argmax + both
+    // maintenance decisions without the quantizer arithmetic — which
+    // q60/q66 value-pin separately. The heal call must swap the A/B
+    // generation (epoch_changed), the no-op call must leave the meta
+    // pointer untouched.
+    "q145_ivfsq_maintain" -> ((s, d) => {
+      val base = s.range(1, 21).select($"id".as("vec_id"),
+        expr("CASE WHEN id % 2 = 1 THEN array(1.0D, 0.0D, 0.0D, " +
+          "0.1D * CAST((id + 1) DIV 2 AS DOUBLE)) " +
+          "ELSE array(0.0D, 1.0D, 0.0D, 0.1D * CAST(id DIV 2 AS DOUBLE)) " +
+          "END").as("embedding"))
+      val drift = s.range(1, 11).select(($"id" + 100L).as("vec_id"),
+        expr("array(0.05D, 0.0D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val queries = s.range(1, 11).select(($"id" + 1000L).as("vec_id"),
+        expr("array(0.0D, 0.05D, 1.0D, 0.1D * CAST(id AS DOUBLE))")
+          .as("embedding"))
+      val corpus = base.unionByName(drift)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val built = operators.Similarity.buildIvfSq(base, "vec_id",
+        "embedding", nCells = 2, lloydIters = 1)
+      val grown = operators.Similarity.appendToIvfSq(built, drift,
+        "vec_id", "embedding")
+      operators.Similarity.writeIvfSqIndexBucketed(grown, "q145_idx",
+        numBuckets = 2)
+      def top1(tag: String): DataFrame = loc(
+        operators.Similarity.searchIvfSq(
+            operators.Similarity.readIvfSqIndex(s, "q145_idx"), corpus,
+            queries, "vec_id", "embedding", k = 1, nProbe = 1,
+            oversample = 32)
+          .filter($"rank" === 1)
+          .select($"query_id", $"neighbor_id".as(tag)))
+      def maintain(): DataFrame = loc(
+        operators.Similarity.maintainIvfSqIndex(s, "q145_idx", corpus,
           "vec_id", "embedding", queries, k = 1, minRecall = 0.9,
           sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
           nProbe = 1, oversample = 32, numBuckets = 2))
@@ -4974,6 +5262,62 @@ object SparkEntry {
            (9003, 'null_payload')) t(media_id, reason)
          ORDER BY media_id""",
 
+    // q146: q142's replay verbatim — the idempotent sink under a
+    // simulated crash-redelivery must produce EXACTLY the no-crash
+    // output (an append sink would duplicate the replayed batch's
+    // rows, breaking the oracle's row counts)
+    "q146_stream_idempotent_sink" ->
+      """WITH refs AS (
+           SELECT i AS ref_id, i AS src, 0 AS shift FROM range(1, 9) t(i)),
+         arrivals AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift FROM range(1, 4) t(i)
+           UNION ALL SELECT 500 + i, i, 0 FROM range(21, 23) t(i)),
+         rg AS (
+           SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         rh AS (
+           SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM arrivals, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         best AS (
+           SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS match_id
+           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           GROUP BY s.media_id)
+         SELECT a.media_id, 'main' AS routed, a.dhash,
+           b.match_id IS NULL AS admitted, b.match_id,
+           NULL::VARCHAR AS reason
+         FROM ah a LEFT JOIN best b USING (media_id)
+         UNION ALL
+         SELECT media_id, 'quarantine', NULL::BIGINT, NULL::BOOLEAN,
+           NULL::BIGINT, reason
+         FROM (VALUES (9001, 'undecodable'), (9002, 'empty_payload'),
+           (9003, 'null_payload')) t(media_id, reason)
+         ORDER BY media_id""",
+
     // the q128 decision algebra (admission vs accepted-minus-
     // tombstoned texts, per-text min-id rule) + the window's
     // lifecycle flags: fired = pending ledger rows exist, the
@@ -5162,6 +5506,80 @@ object SparkEntry {
            UNION ALL SELECT doc_id, TRUE, NULL
            FROM (VALUES (900001), (900002)) t(doc_id))
          SELECT doc_id, admitted, match_id
+         FROM decided ORDER BY doc_id""",
+
+    // q147: the whole cascade replayed — exact text match (with the
+    // min-id audit pointer), the multiplicative quality rule, the
+    // q138 md5-bucket/sign embedding + cosine argmax for the semantic
+    // tier, and the first-reject precedence fold on top
+    "q147_stream_admission_cascade" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         acc AS (SELECT doc_id, text FROM base WHERE doc_id < 40),
+         accx AS (SELECT text, min(doc_id) AS exact_id FROM acc
+           GROUP BY text),
+         arr AS (
+           SELECT doc_id + 400000 AS doc_id, text FROM base
+           WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 500000, text || ' zq zq qz'
+           FROM base WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 600000, text FROM base
+           WHERE doc_id >= 200 AND doc_id < 205
+           UNION ALL SELECT doc_id + 700000,
+             '@@ ## $$ %% !! ?? ;; :: ' || CAST(doc_id AS VARCHAR)
+           FROM base WHERE doc_id >= 200 AND doc_id < 205
+           UNION ALL SELECT doc_id, text
+           FROM (VALUES (900001, ''), (900002, NULL)) t(doc_id, text)),
+         alltexts AS (
+           SELECT 1 AS is_acc, doc_id, text FROM acc
+           UNION ALL SELECT 0, doc_id, text FROM arr
+           WHERE length(trim(coalesce(text, ''))) > 0),
+         toks AS (SELECT is_acc, doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> t != '')) AS t
+           FROM alltexts),
+         vecs AS (SELECT is_acc, doc_id,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS v
+           FROM toks GROUP BY 1, 2, 3
+           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) != 0),
+         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
+           FROM vecs GROUP BY 1, 2),
+         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
+             sum(q.v * c.v) AS dp
+           FROM vecs q JOIN vecs c
+             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
+           GROUP BY 1, 2),
+         cosr AS (SELECT d.doc_id, d.acc_id,
+             d.dp / (qn.n * cn.n) AS cosv
+           FROM dots d
+             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
+             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
+         best AS (SELECT doc_id, acc_id, cosv FROM (
+           SELECT doc_id, acc_id, cosv, row_number() OVER
+             (PARTITION BY doc_id ORDER BY cosv DESC, acc_id) AS rn
+           FROM cosr) WHERE rn = 1),
+         qual AS (SELECT doc_id,
+           coalesce(length(trim(text)) >= 20 AND
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               <= 0.3 * length(text), FALSE) AS qok
+           FROM arr),
+         decided AS (
+           SELECT a.doc_id,
+             CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN b.cosv >= 0.9 THEN 'semantic' END AS reason,
+             x.exact_id, b.acc_id
+           FROM arr a
+           LEFT JOIN accx x ON x.text = a.text
+           JOIN qual q ON q.doc_id = a.doc_id
+           LEFT JOIN best b ON b.doc_id = a.doc_id)
+         SELECT doc_id, reason IS NULL AS admitted, reason,
+           CASE WHEN reason = 'exact' THEN exact_id END AS exact_match_id,
+           CASE WHEN reason = 'semantic' THEN acc_id END AS semantic_match_id
          FROM decided ORDER BY doc_id""",
 
     // the q134 replay with THREE decision worlds: the full reference
@@ -5869,6 +6287,145 @@ object SparkEntry {
          FROM rec r CROSS JOIN dec d
          ORDER BY r.query_id""",
 
+    // q145: the q131 replay verbatim — the planted geometry and the
+    // maintenance-report semantics are IDENTICAL for the IVF×SQ rung
+    // (the int8 layer is outcome-neutral under the gate's oversample:
+    // every probed cell's members reach the exact float rerank, so
+    // coarse probe + exact argmax decide every value; the quantizer
+    // arithmetic itself is value-pinned by q60/q66)
+    "q145_ivfsq_maintain" ->
+      """WITH corpus_base AS (
+           SELECT i AS vec_id,
+             CASE WHEN i % 2 = 1
+               THEN [1.0, 0.0, 0.0, 0.1 * ((i + 1) // 2)]
+               ELSE [0.0, 1.0, 0.0, 0.1 * (i // 2)] END::DOUBLE[] AS v
+           FROM range(1, 21) t(i)),
+         drift AS (
+           SELECT 100 + i AS vec_id,
+             [0.05, 0.0, 1.0, 0.1 * i]::DOUBLE[] AS v
+           FROM range(1, 11) t(i)),
+         queries AS (
+           SELECT 1000 + i AS query_id,
+             [0.0, 0.05, 1.0, 0.1 * i]::DOUBLE[] AS qv
+           FROM range(1, 11) t(i)),
+         seeds AS (SELECT vec_id AS cell, v AS cvec FROM corpus_base
+           WHERE vec_id <= 2),
+         assign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT b.vec_id, s.cell, row_number() OVER
+               (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, s.cvec) /
+                  (sqrt(list_dot_product(b.v, b.v)) *
+                   sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                  s.cell) AS rn
+             FROM corpus_base b CROSS JOIN seeds s) WHERE rn = 1),
+         cents AS (
+           SELECT a.cell, [avg(b.v[1]), avg(b.v[2]), avg(b.v[3]),
+             avg(b.v[4])]::DOUBLE[] AS cvec
+           FROM corpus_base b JOIN assign0 a USING (vec_id)
+           GROUP BY a.cell),
+         corpus AS (SELECT * FROM corpus_base UNION ALL
+           SELECT * FROM drift),
+         pre_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+         pre_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN cents ct) WHERE rn = 1),
+         pre_top AS (
+           SELECT query_id, vec_id AS pre_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN pre_probe p USING (query_id)
+               JOIN pre_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         sample_assign AS (
+           SELECT vec_id, cell FROM pre_assign WHERE vec_id % 2 = 1),
+         refit AS (
+           SELECT sa.cell, [avg(c.v[1]), avg(c.v[2]), avg(c.v[3]),
+             avg(c.v[4])]::DOUBLE[] AS cvec
+           FROM corpus c JOIN sample_assign sa USING (vec_id)
+           GROUP BY sa.cell),
+         new_cents AS (
+           SELECT ct.cell, coalesce(r.cvec, ct.cvec) AS cvec
+           FROM cents ct LEFT JOIN refit r ON r.cell = ct.cell),
+         post_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT c.vec_id, ct.cell, row_number() OVER
+               (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, ct.cvec) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM corpus c CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, ct.cell, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, ct.cvec) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                  ct.cell) AS rn
+             FROM queries q CROSS JOIN new_cents ct) WHERE rn = 1),
+         post_top AS (
+           SELECT query_id, vec_id AS post_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q JOIN post_probe p USING (query_id)
+               JOIN post_assign a ON a.cell = p.cell
+               JOIN corpus c ON c.vec_id = a.vec_id) WHERE rn = 1),
+         truth AS (
+           SELECT query_id, vec_id AS true_top1 FROM (
+             SELECT q.query_id, c.vec_id, row_number() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v))) DESC,
+                  c.vec_id) AS rn
+             FROM queries q CROSS JOIN corpus c) WHERE rn = 1),
+         rec AS (
+           SELECT t.query_id, pr.pre_top1, po.post_top1,
+             CASE WHEN pr.pre_top1 = t.true_top1 THEN 1.0 ELSE 0.0 END
+               AS pre_recall,
+             CASE WHEN po.post_top1 = t.true_top1 THEN 1.0 ELSE 0.0 END
+               AS post_recall
+           FROM truth t JOIN pre_top pr USING (query_id)
+             JOIN post_top po USING (query_id)),
+         dec AS (
+           SELECT round(avg(pre_recall), 6)::DOUBLE AS pre_mean,
+             round(avg(post_recall), 6)::DOUBLE AS post_mean,
+             avg(pre_recall) < 0.9 AS retrain_fired,
+             avg(pre_recall) < 0.9 AS heal_epoch_changed,
+             avg(post_recall) < 0.9 AS noop_fired,
+             round(avg(post_recall), 6)::DOUBLE AS noop_mean,
+             avg(post_recall) < 0.9 AS noop_epoch_changed
+           FROM rec)
+         SELECT r.query_id, r.pre_top1, r.post_top1, d.pre_mean,
+           d.retrain_fired, d.post_mean, d.heal_epoch_changed,
+           d.noop_fired, d.noop_mean, d.noop_epoch_changed
+         FROM rec r CROSS JOIN dec d
+         ORDER BY r.query_id""",
+
     // the engine's entire translate+regexp normalization chain,
     // replayed stage-for-stage (chr() codes stand in for the planted
     // typographic/control characters); the trailing key_md5 replays
@@ -6124,6 +6681,49 @@ object SparkEntry {
            CASE WHEN cos_raw >= 0.9 THEN aid END AS match_id
          FROM r WHERE rk = 1
          ORDER BY vec_id""",
+
+    // q144: the q120 brute-force decision replayed TWICE — once vs
+    // the full accepted set (pre) and once vs the tombstone-excluded
+    // set (live), with the post-retrain decisions pinned EQUAL to the
+    // live ones (physical purge must be observationally identical to
+    // the logical delete). Re-embeds of %15==0 sources flip
+    // reject → admit across the takedown; everything else holds.
+    "q144_stream_ann_takedown" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         acc AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+         liveacc AS (SELECT * FROM acc WHERE vec_id % 15 <> 0),
+         cand AS (SELECT c.vec_id,
+             CASE WHEN c.vec_id % 3 = 1 AND src.v IS NOT NULL
+               THEN list_transform(src.v, x -> x * 1.001 + 0.0005)
+               ELSE c.v END AS v
+           FROM e c LEFT JOIN e src ON src.vec_id = c.vec_id - 1
+           WHERE c.vec_id % 3 <> 0),
+         s1 AS (SELECT cand.vec_id, acc.vec_id AS aid,
+             list_dot_product(cand.v, acc.v) /
+               (sqrt(list_dot_product(cand.v, cand.v)) *
+                sqrt(list_dot_product(acc.v, acc.v))) AS cos_raw
+           FROM cand CROSS JOIN acc),
+         r1 AS (SELECT vec_id, aid, cos_raw, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cos_raw DESC, aid) AS rk
+           FROM s1),
+         s2 AS (SELECT cand.vec_id, liveacc.vec_id AS aid,
+             list_dot_product(cand.v, liveacc.v) /
+               (sqrt(list_dot_product(cand.v, cand.v)) *
+                sqrt(list_dot_product(liveacc.v, liveacc.v))) AS cos_raw
+           FROM cand CROSS JOIN liveacc),
+         r2 AS (SELECT vec_id, aid, cos_raw, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cos_raw DESC, aid) AS rk
+           FROM s2)
+         SELECT a.vec_id,
+           a.cos_raw < 0.9 AS admitted_pre,
+           CASE WHEN a.cos_raw >= 0.9 THEN a.aid END AS match_pre,
+           b.cos_raw < 0.9 AS admitted_live,
+           CASE WHEN b.cos_raw >= 0.9 THEN b.aid END AS match_live,
+           b.cos_raw < 0.9 AS admitted_post,
+           CASE WHEN b.cos_raw >= 0.9 THEN b.aid END AS match_post
+         FROM (SELECT * FROM r1 WHERE rk = 1) a
+         JOIN (SELECT * FROM r2 WHERE rk = 1) b ON a.vec_id = b.vec_id
+         ORDER BY a.vec_id""",
 
     "q10_asof" ->
       """WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS rv

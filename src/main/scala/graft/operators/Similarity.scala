@@ -492,7 +492,12 @@ object Similarity {
                               numBuckets: Int = 64): Unit = {
     import spark.implicits._
     val (index, liveCells) = readIvfIndexResolved(spark, prefix)
+    // PHYSICAL PURGE of filed takedowns ([[tombstoneIvf]]): the
+    // re-assignment pass skips tombstoned rows, so the new generation
+    // never contains them — an empty ledger is a no-op anti-join
     val vecs = index.corpusCells
+      .join(broadcast(readIvfTombstones(spark, prefix)),
+        Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id").as("__rid"), col("__cv").as("__rvec"))
     val newCents = retrainIvfCentroids(index.centroids,
       sampleFilter(vecs), "__rid", "__rvec", lloydIters)
@@ -508,6 +513,10 @@ object Similarity {
       Seq((epoch, other)).toDF("epoch", "cells_table"),
       s"${prefix}_meta")
     spark.sql(s"DROP TABLE IF EXISTS $liveCells")
+    // the purge is in the committed generation — clear the ledger
+    // (crash between commit and clear re-purges harmlessly: the
+    // anti-join finds nothing to drop)
+    graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
   }
 
   /** The ONE-CALL maintenance window for a durable IVF index —
@@ -533,7 +542,11 @@ object Similarity {
     def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
       .getAs[String]("epoch")
     def decide(): (Long, Double, Boolean) = {
-      val index = readIvfIndex(spark, prefix)
+      // the LIVE view on both sides (tombstones applied): the served
+      // search can't return a taken-down id, and the brute-force
+      // truth never counts one as a miss — an empty ledger reads as
+      // an empty broadcast anti-join, a no-op
+      val index = readIvfIndexLive(spark, prefix)
       val corpus = index.corpusCells
         .select(col("neighbor_id").as(idCol), col("__cv").as(vecCol))
       val ann = searchIvf(index, queries, idCol, vecCol, k, nProbe)
@@ -641,6 +654,70 @@ object Similarity {
     index.corpusCells.groupBy("cell")
       .agg(collect_list(struct(col("neighbor_id"),
         asDouble(col("__cv")).as("mv"), col("__cn"))).as("members"))
+
+  /** TAKEDOWN support for a durable IVF index — [[tombstoneIvfPq]]'s
+    * coarse-family sibling, the same O(new)-never-O(corpus) contract:
+    * ids file into a `${prefix}_tombstones` ledger (crash-safe
+    * distinct-union via [[graft.sources.Sinks.appendLedger]] — A/B
+    * generation + meta-last commit, no driver collect), every LIVE
+    * read path drops them logically ([[readIvfIndexLive]] /
+    * [[cellMembersLive]] / [[searchIvfLive]]), and the next
+    * [[retrainIvfIndexBucketed]] purges them PHYSICALLY (the
+    * re-assignment pass skips tombstoned rows and the ledger clears
+    * after the generation swap). Centroids are NOT retouched by a
+    * takedown — geometry fitted over since-deleted rows is a model
+    * artifact, not retained content; the rows themselves leave the
+    * serving tables. Idempotent and re-runnable. */
+  def tombstoneIvf(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String, ids: DataFrame,
+                   idCol: String): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      ids.select(col(idCol).cast("long").as("neighbor_id")))
+
+  /** The live tombstone set of a durable IVF index (empty frame if
+    * none were ever COMMITTED; a torn ledger refuses loudly — see
+    * [[graft.sources.Sinks.readLedger]]). */
+  def readIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map(_._2).getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+  }
+
+  /** Reopen a durable IVF index with its tombstones applied
+    * LOGICALLY: the cells side anti-joins the (broadcast, bounded)
+    * ledger, so a taken-down vector can no longer match anything —
+    * a search whose deleted top-1 falls away reveals the live
+    * runner-up, and [[cellMembersLive]]'s streaming member arrays
+    * simply never carry the row. Centroids pass through unchanged
+    * (probe geometry is unaffected by logical deletes; it refreshes
+    * at the next retrain, where the purge also becomes physical). */
+  def readIvfIndexLive(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String): IvfIndex = {
+    val idx = readIvfIndex(spark, prefix)
+    IvfIndex(idx.centroids,
+      idx.corpusCells.join(broadcast(readIvfTombstones(spark, prefix)),
+        Seq("neighbor_id"), "left_anti"))
+  }
+
+  /** Search a DURABLE IVF index with its tombstones applied — the
+    * serving entry point after takedowns ([[searchIvfPqLive]]'s
+    * coarse-family sibling). */
+  def searchIvfLive(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nProbe: Int = 4): DataFrame =
+    searchIvf(readIvfIndexLive(spark, prefix), queries, idCol, vecCol,
+      k, nProbe)
+
+  /** [[cellMembers]] over the LIVE view of a durable IVF index — the
+    * streaming admission tier's reference arrays with takedowns
+    * applied: a tombstoned vector leaves the member arrays logically
+    * NOW (this read) and physically at the next retrain. Callers
+    * persist the result once before starting the stream (the
+    * stream-static contract re-plans every micro-batch). */
+  def cellMembersLive(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String): DataFrame =
+    cellMembers(readIvfIndexLive(spark, prefix))
 
   /** Cluster-balanced (diversity-preserving) downsampling over an
     * embedding column — the SEMANTIC sibling of
@@ -975,17 +1052,117 @@ object Similarity {
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeIvfSqIndexBucketed]]; refuses a
-    * torn same-prefix rebuild (epoch-token mismatch). */
-  def readIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
-                     prefix: String): IvfSqIndex = {
-    val epoch = spark.table(s"${prefix}_meta").collect()(0).getString(0)
+  /** [[readIvfSqIndex]] plus the resolved live codes-table name (meta
+    * rows written by [[writeIvfSqIndexBucketed]] predate the A/B
+    * retrain and carry no pointer column — those resolve to the
+    * original `_cell_codes` name). */
+  private def readIvfSqIndexResolved(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (IvfSqIndex, String) = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val codesTable =
+      if (meta.schema.fieldNames.contains("codes_table"))
+        meta.getAs[String]("codes_table")
+      else s"${prefix}_cell_codes"
     graft.sources.Sinks.requireEpoch(spark,
-      Seq(s"${prefix}_centroids", s"${prefix}_stats",
-        s"${prefix}_cell_codes"), epoch)
-    IvfSqIndex(spark.table(s"${prefix}_centroids"),
+      Seq(s"${prefix}_centroids", s"${prefix}_stats", codesTable),
+      meta.getAs[String]("epoch"))
+    (IvfSqIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_stats"),
-      spark.table(s"${prefix}_cell_codes"))
+      spark.table(codesTable)), codesTable)
+  }
+
+  /** Reopen an index written by [[writeIvfSqIndexBucketed]] (or
+    * swapped in place by [[retrainIvfSqIndexBucketed]] — the meta's
+    * pointer column resolves the live A/B generation); refuses a torn
+    * same-prefix rebuild (epoch-token mismatch). */
+  def readIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): IvfSqIndex =
+    readIvfSqIndexResolved(spark, prefix)._1
+
+  /** Retrain a DURABLE IVF×SQ index in place — the SQ rung of the
+    * durable drift-remediation matrix ([[retrainIvfIndexBucketed]] /
+    * [[retrainIvfPqIndexBucketed]] siblings). The coarse centroids
+    * warm-start over the bounded `sample` (O(sample) Lloyd); the SQ
+    * stats row and code words recompute inside the one O(corpus)
+    * re-encode pass every retrain already pays (min/max stats are a
+    * scan, not an iterative fit — see [[retrainIvfSq]]). The corpus
+    * is EXTERNAL by necessity: the durable index stores int8 codes
+    * only, and re-quantizing needs the floats.
+    *
+    * GENERATION SWAP, crash-stated (the [[retrainIvfIndexBucketed]]
+    * discipline): the re-encoded cell codes write to the ALTERNATE
+    * table of the A/B pair (a bucketed table cannot be overwritten
+    * from a plan still serving readers); the centroids/stats
+    * Overwrites wipe the old epoch tokens, so a crash from there
+    * until the meta commit refuses loudly at [[readIvfSqIndex]];
+    * the one-row meta rewrite is the atomic pointer+epoch flip; the
+    * superseded generation drops last, best-effort. */
+  def retrainIvfSqIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                sample: DataFrame, lloydIters: Int = 1,
+                                numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val (index, liveCodes) = readIvfSqIndexResolved(spark, prefix)
+    val otherCodes =
+      if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
+      else s"${prefix}_cell_codes"
+    val retrained = retrainIvfSq(index, corpus, idCol, vecCol, sample,
+      lloydIters)
+    graft.sources.Sinks.writeBucketed(retrained.cellCodes, otherCodes,
+      Seq("cell"), numBuckets)
+    graft.sources.Sinks.writeTable(retrained.centroids,
+      s"${prefix}_centroids")
+    graft.sources.Sinks.writeTable(retrained.stats, s"${prefix}_stats")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats", otherCodes))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, otherCodes)).toDF("epoch", "codes_table"),
+      s"${prefix}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
+  }
+
+  /** The ONE-CALL maintenance window for a durable IVF×SQ index —
+    * completing the vector maintenance matrix with [[maintainIvfIndex]]
+    * and [[maintainIvfPqIndex]]: probe recall on the served index
+    * ([[searchIvfSq]] over the reopened tables vs the brute-force
+    * truth on `corpus`), fold the [[driftDecision]], and ONLY if it
+    * fires run the warm A/B retrain ([[retrainIvfSqIndexBucketed]])
+    * and re-probe. One bounded report row `(n_queries,
+    * pre_mean_recall, retrain_fired, post_mean_recall, post_retrain,
+    * epoch_changed)`; an undrifted index is a no-op by construction —
+    * no generation write, meta untouched, `post ≡ pre` without a
+    * second probe. */
+  def maintainIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         queries: DataFrame, k: Int, minRecall: Double,
+                         sample: DataFrame, lloydIters: Int = 1,
+                         nProbe: Int = 4, oversample: Int = 4,
+                         numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
+      .getAs[String]("epoch")
+    def decide(): (Long, Double, Boolean) = {
+      val ann = searchIvfSq(readIvfSqIndex(spark, prefix), corpus,
+        queries, idCol, vecCol, k, nProbe, oversample)
+      val d = driftDecision(
+        recallProbe(ann, corpus, queries, idCol, vecCol, k), minRecall)
+        .collect()(0)
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+    }
+    val epochBefore = epoch()
+    val (nQ, preMean, fired) = decide()
+    if (fired)
+      retrainIvfSqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
+        sample, lloydIters, numBuckets)
+    val (_, postMean, postRetrain) = if (fired) decide()
+      else (nQ, preMean, fired)
+    Seq((nQ, preMean, fired, postMean, postRetrain,
+        epoch() != epochBefore))
+      .toDF("n_queries", "pre_mean_recall", "retrain_fired",
+        "post_mean_recall", "post_retrain", "epoch_changed")
   }
 
   /** A built product-quantization (PQ) ANN index (Jégou, Douze,

@@ -916,4 +916,117 @@ class SimilaritySpec extends SparkSpec {
     assert(top1() == runnerUp,
       "the served answer must not move across the purge")
   }
+
+  test("IVF takedown: live view excludes pre-rank; retrain purges physically and clears the ledger") {
+    val (base, drift, _) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvf(corpus, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    Similarity.writeIvfIndexBucketed(built, "ivf_td", numBuckets = 2)
+    val q = drift.filter($"vec_id" === 105L)
+      .select(lit(9105L).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001 + 0.0001)")
+          .as("embedding"))
+    def top1(): Long = Similarity.searchIvfLive(spark, "ivf_td", q,
+        "vec_id", "embedding", k = 1)
+      .filter($"rank" === 1).collect()(0).getLong(1)
+    assert(top1() == 105L)
+    // idempotent ledger filing (a crashed batch re-runs, converges)
+    Similarity.tombstoneIvf(spark, "ivf_td", Seq(105L).toDF("vec_id"),
+      "vec_id")
+    Similarity.tombstoneIvf(spark, "ivf_td",
+      Seq(105L, 104L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readIvfTombstones(spark, "ivf_td")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(104L, 105L))
+    val runnerUp = top1()
+    assert(runnerUp != 105L && runnerUp != 104L,
+      s"tombstoned ids must be invisible pre-rank: got $runnerUp")
+    // the streaming member arrays see the same live view
+    val liveIds = Similarity.cellMembersLive(spark, "ivf_td")
+      .select(explode(col("members")).as("m"))
+      .select(col("m.neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(!liveIds.contains(105L) && !liveIds.contains(104L) &&
+      liveIds.size == 28,
+      s"cellMembersLive must drop exactly the tombstoned rows: ${liveIds.size}")
+    // retrain = the physical purge point: rows leave the scan side,
+    // the ledger clears, the served answer does not move
+    Similarity.retrainIvfIndexBucketed(spark, "ivf_td",
+      s => s.filter($"__rid" % 2 === 1), lloydIters = 1, numBuckets = 2)
+    val ids = Similarity.readIvfIndex(spark, "ivf_td").corpusCells
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(105L) && !ids.contains(104L) && ids.size == 28,
+      s"purge must remove exactly the tombstoned rows: ${ids.size}")
+    assert(Similarity.readIvfTombstones(spark, "ivf_td").count() == 0L,
+      "the tombstone ledger clears once deletes are physical")
+    assert(top1() == runnerUp,
+      "the served answer must not move across the purge")
+  }
+
+  test("durable IVF×SQ retrain: A/B swap from a legacy meta, recall recovers, torn window refuses") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val grown = Similarity.appendToIvfSq(
+      Similarity.buildIvfSq(base, "vec_id", "embedding", nCells = 2,
+        lloydIters = 1), drift, "vec_id", "embedding")
+    // written by the PRE-retrain writer: the meta carries no pointer
+    // column — the resolver must default to the original codes table
+    Similarity.writeIvfSqIndexBucketed(grown, "ivfsq_retrain",
+      numBuckets = 2)
+    val preAnn = Similarity.searchIvfSq(
+      Similarity.readIvfSqIndex(spark, "ivfsq_retrain"), corpus, queries,
+      "vec_id", "embedding", k = 1, nProbe = 1, oversample = 32)
+      .localCheckpoint()
+    assert(meanRecall(preAnn, corpus, queries) == 0.0,
+      "frozen coarse geometry must miss every drifted twin")
+    Similarity.retrainIvfSqIndexBucketed(spark, "ivfsq_retrain", corpus,
+      "vec_id", "embedding",
+      sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+      numBuckets = 2)
+    assert(spark.catalog.tableExists("ivfsq_retrain_cell_codes_b"))
+    assert(!spark.catalog.tableExists("ivfsq_retrain_cell_codes"))
+    val postAnn = Similarity.searchIvfSq(
+      Similarity.readIvfSqIndex(spark, "ivfsq_retrain"), corpus, queries,
+      "vec_id", "embedding", k = 1, nProbe = 1, oversample = 32)
+    assert(meanRecall(postAnn, corpus, queries) == 1.0,
+      "one sampled warm Lloyd step must recover every drifted twin")
+    // a second retrain flips back to the A side (the pair alternates)
+    Similarity.retrainIvfSqIndexBucketed(spark, "ivfsq_retrain", corpus,
+      "vec_id", "embedding",
+      sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+      numBuckets = 2)
+    assert(spark.catalog.tableExists("ivfsq_retrain_cell_codes"))
+    assert(!spark.catalog.tableExists("ivfsq_retrain_cell_codes_b"))
+    // crash inside the swap window: stats rewritten, meta not flipped
+    // ≡ old epoch wiped → reopen refuses loudly
+    graft.sources.Sinks.clearEpochTokens(spark, "ivfsq_retrain_stats")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfSqIndex(spark, "ivfsq_retrain")
+    }.getMessage.contains("epoch token"))
+  }
+
+  test("maintainIvfSqIndex: heal swaps once, no-op leaves the meta row untouched") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val grown = Similarity.appendToIvfSq(
+      Similarity.buildIvfSq(base, "vec_id", "embedding", nCells = 2,
+        lloydIters = 1), drift, "vec_id", "embedding")
+    Similarity.writeIvfSqIndexBucketed(grown, "ivfsq_maint",
+      numBuckets = 2)
+    def maintain(): org.apache.spark.sql.Row =
+      Similarity.maintainIvfSqIndex(spark, "ivfsq_maint", corpus,
+        "vec_id", "embedding", queries, k = 1, minRecall = 0.9,
+        sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+        nProbe = 1, oversample = 32, numBuckets = 2).collect()(0)
+    val heal = maintain()
+    assert(heal.getDouble(1) == 0.0 && heal.getBoolean(2) &&
+      heal.getDouble(3) == 1.0 && !heal.getBoolean(4) &&
+      heal.getBoolean(5),
+      s"drifted index must heal through the one call: $heal")
+    val metaBefore = spark.table("ivfsq_maint_meta").collect().toSeq
+    val noop = maintain()
+    assert(!noop.getBoolean(2) && noop.getDouble(1) == 1.0 &&
+      !noop.getBoolean(5), s"undrifted index must be a no-op: $noop")
+    assert(spark.table("ivfsq_maint_meta").collect().toSeq == metaBefore,
+      "a quiet maintenance window must not touch the commit record")
+  }
 }
