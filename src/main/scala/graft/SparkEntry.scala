@@ -2579,6 +2579,140 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // The IMAGE bytes→vector bridge (imageEmbed — the tiny-image luma
+    // thumbnail as an array<double>) through the BATCH vector tier:
+    // where the Hamming rung (q124) answers "re-encode within radius
+    // h?", the cosine rung RANKS look-alikes and composes with every
+    // vector operator. Strata: BMP re-encodes of reference PNGs embed
+    // IDENTICALLY (cosine exactly 1 — the codec boundary is lossless
+    // on these pixels, pinned by q118) and reject; integer
+    // gain-scaled copies ((9·v) div 10 per pixel — floor noise only)
+    // still reject near 1; novel-formula images sit in the
+    // positive-luma cosine floor (≈0.75 — raw luma grids never
+    // decorrelate to 0) well under tau and admit; corrupt and null
+    // payloads embed null and admit. The oracle replays pixel
+    // formula → ITU-601 luma (= v on gray pixels) → the 8×8 sample
+    // lattice → integer-exact dots → the argmax tie rule → the tau
+    // decision.
+    "q148_image_embed_neardup" -> ((s, d) => {
+      val W = 16; val H = 12
+      def vRef(src: Long, x: Int, y: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3)) % 256).toInt
+      def vNovel(src: Long, x: Int, y: Int): Int =
+        ((src * 53 + x * 29 + y * 7 + x.toLong * y * 2 + 101) % 256).toInt
+      def enc(px: (Int, Int) => Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = px(x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      def embed(df: DataFrame): DataFrame =
+        operators.Multimodal.imageEmbed(
+          operators.Multimodal.decodeImages(df, "payload"),
+          "pixels", "img_width", "img_height")
+      val refs = s.createDataFrame((1L to 10L).map(i =>
+          (i, enc((x, y) => vRef(i, x, y), "png"))))
+        .toDF("media_id", "payload")
+      val refEmb = embed(refs).select($"media_id", $"img_embedding")
+      val arrivals = s.createDataFrame(
+          (1L to 5L).map(i => (500L + i,
+            enc((x, y) => vRef(i, x, y), "bmp"))) ++
+          (1L to 5L).map(i => (510L + i,
+            enc((x, y) => 9 * vRef(i, x, y) / 10, "png"))) ++
+          (1L to 3L).map(i => (520L + i,
+            enc((x, y) => vNovel(i, x, y), "png"))) ++
+          Seq((9001L, "not an image".getBytes("UTF-8")),
+            (9002L, null.asInstanceOf[Array[Byte]])))
+        .toDF("media_id", "payload")
+      val arrEmb = embed(arrivals).select($"media_id", $"img_embedding")
+      val top1 = operators.Similarity.bruteForceTopK(refEmb,
+          arrEmb.filter($"img_embedding".isNotNull),
+          "media_id", "img_embedding", k = 1)
+        .filter($"rank" === 1)
+      arrEmb.select($"media_id")
+        .join(top1.select($"query_id".as("media_id"), $"neighbor_id",
+          $"cosine"), Seq("media_id"), "left")
+        .select($"media_id",
+          coalesce($"cosine" < 0.9, lit(true)).as("admitted"),
+          when($"cosine" >= 0.9, $"neighbor_id").as("match_id"))
+        .orderBy($"media_id")
+    }),
+
+    // The IMAGE modality's semantic admission rung IN FLIGHT — q138's
+    // composition with imageEmbed in hashEmbed's seat, completing the
+    // "every modality reaches the vector tier, streaming" story:
+    // image bytes arrive on the stream, decode and embed per row
+    // (both pure codec-boundary ops), and admit/reject against an IVF
+    // of the embedded reference corpus through annAdmissionStream's
+    // broadcast probe joins. Same strata and SAME ORACLE as q148 —
+    // nProbe equals nCells, so the streamed IVF decision must equal
+    // the batch brute-force rule decision-for-decision, pinning the
+    // two routes against each other; corrupt/null payloads embed null
+    // and ADMIT through the zero-probe path (never a crash, never a
+    // false reject).
+    "q149_stream_image_semantic" -> ((s, d) => {
+      val W = 16; val H = 12
+      def vRef(src: Long, x: Int, y: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3)) % 256).toInt
+      def vNovel(src: Long, x: Int, y: Int): Int =
+        ((src * 53 + x * 29 + y * 7 + x.toLong * y * 2 + 101) % 256).toInt
+      def enc(px: (Int, Int) => Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = px(x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      def embed(df: DataFrame): DataFrame =
+        operators.Multimodal.imageEmbed(
+          operators.Multimodal.decodeImages(df, "payload"),
+          "pixels", "img_width", "img_height")
+      val refs = s.createDataFrame((1L to 10L).map(i =>
+          (i, enc((x, y) => vRef(i, x, y), "png"))))
+        .toDF("media_id", "payload")
+      val refEmb = embed(refs).select($"media_id", $"img_embedding")
+      val index = operators.Similarity.buildIvf(refEmb, "media_id",
+        "img_embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 5L).map(i => (500L + i,
+          enc((x, y) => vRef(i, x, y), "bmp"))) ++
+        (1L to 5L).map(i => (510L + i,
+          enc((x, y) => 9 * vRef(i, x, y) / 10, "png"))) ++
+        (1L to 3L).map(i => (520L + i,
+          enc((x, y) => vNovel(i, x, y), "png"))) ++
+        Seq((9001L, "not an image".getBytes("UTF-8")),
+          (9002L, null.asInstanceOf[Array[Byte]]))
+      val dir = java.nio.file.Files.createTempDirectory("q149_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(arrivals).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val admitted = streaming.StreamingParse.annAdmissionStream(
+        embed(stream), "media_id", "img_embedding", index, members,
+        tau = 0.9, nProbe = 2)
+      val out = runStreamToTable(s, admitted, "append", "image_semantic")
+        .select($"media_id", $"admitted", $"match_id")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -5205,6 +5339,92 @@ object SparkEntry {
          FROM px GROUP BY media_id
          UNION ALL
          SELECT 9001, NULL, NULL, NULL, NULL
+         ORDER BY media_id""",
+
+    // q148: pixel formulas → gray luma (= v) → the 8×8 embed lattice
+    // → integer-exact dots → cosine argmax (ties to the smaller ref)
+    // → the tau decision; corrupt/null payloads are explicit admit
+    // rows. q149 runs the SAME oracle against the streamed IVF route.
+    "q148_image_embed_neardup" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src FROM range(1, 11) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src, 'copy' AS kind
+           FROM range(1, 6) t(i)
+           UNION ALL SELECT 510 + i, i, 'gain' FROM range(1, 6) t(i)
+           UNION ALL SELECT 520 + i, i, 'novel' FROM range(1, 4) t(i)),
+         rg AS (SELECT ref_id, gy*8 + gx AS i,
+             (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256 AS v
+           FROM refs, range(0, 8) a(gy), range(0, 8) b(gx)),
+         ag AS (SELECT media_id, gy*8 + gx AS i,
+             CASE kind
+               WHEN 'novel' THEN (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 256
+               WHEN 'gain' THEN (9 * ((src*31 + (gx*16//8)*(11 + src % 7)
+                 + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256)) // 10
+               ELSE (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256
+             END AS v
+           FROM arr, range(0, 8) a(gy), range(0, 8) b(gx)),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
+           FROM ag a JOIN rg r ON a.i = r.i GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM ag GROUP BY 1),
+         rn AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM rg GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn USING (ref_id)),
+         best AS (SELECT media_id, ref_id, cosv FROM (
+           SELECT media_id, ref_id, cosv, row_number() OVER
+             (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+           FROM cosr) WHERE rk = 1)
+         SELECT m.media_id,
+           coalesce(b.cosv < 0.9, TRUE) AS admitted,
+           CASE WHEN b.cosv >= 0.9 THEN b.ref_id END AS match_id
+         FROM (SELECT media_id FROM arr
+               UNION ALL SELECT 9001 UNION ALL SELECT 9002) m
+         LEFT JOIN best b USING (media_id)
+         ORDER BY media_id""",
+
+    // q149: identical decisions through the streamed IVF route
+    // (nProbe = nCells — the probe IS the brute-force rule)
+    "q149_stream_image_semantic" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src FROM range(1, 11) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src, 'copy' AS kind
+           FROM range(1, 6) t(i)
+           UNION ALL SELECT 510 + i, i, 'gain' FROM range(1, 6) t(i)
+           UNION ALL SELECT 520 + i, i, 'novel' FROM range(1, 4) t(i)),
+         rg AS (SELECT ref_id, gy*8 + gx AS i,
+             (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256 AS v
+           FROM refs, range(0, 8) a(gy), range(0, 8) b(gx)),
+         ag AS (SELECT media_id, gy*8 + gx AS i,
+             CASE kind
+               WHEN 'novel' THEN (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 256
+               WHEN 'gain' THEN (9 * ((src*31 + (gx*16//8)*(11 + src % 7)
+                 + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256)) // 10
+               ELSE (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 256
+             END AS v
+           FROM arr, range(0, 8) a(gy), range(0, 8) b(gx)),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
+           FROM ag a JOIN rg r ON a.i = r.i GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM ag GROUP BY 1),
+         rn AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM rg GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn USING (ref_id)),
+         best AS (SELECT media_id, ref_id, cosv FROM (
+           SELECT media_id, ref_id, cosv, row_number() OVER
+             (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+           FROM cosr) WHERE rk = 1)
+         SELECT m.media_id,
+           coalesce(b.cosv < 0.9, TRUE) AS admitted,
+           CASE WHEN b.cosv >= 0.9 THEN b.ref_id END AS match_id
+         FROM (SELECT media_id FROM arr
+               UNION ALL SELECT 9001 UNION ALL SELECT 9002) m
+         LEFT JOIN best b USING (media_id)
          ORDER BY media_id""",
 
     // pixel formulas → dHash grid → argmin admission for the healthy

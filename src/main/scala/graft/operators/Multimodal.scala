@@ -340,6 +340,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** The IMAGE bytes→vector bridge — [[graft.operators.TextAnalysis.hashEmbed]]'s
+    * sibling for the visual modality, completing the "every modality
+    * reaches the vector tier" story: a decoded raw buffer samples
+    * down to a `grid`×`grid` integer luma thumbnail (the classic
+    * tiny-image embedding; Torralba et al. 2008's 80-million-tiny-
+    * images representation at thumbnail scale) emitted as an
+    * `array<double>` ready for every vector operator here — brute
+    * cosine, the IVF/SQ/PQ index families, SemDeDup, and the
+    * streaming [[graft.streaming.StreamingParse.annAdmissionStream]]
+    * tier. Pure per-row integer sampling (the [[perceptualHashes]]
+    * aHash lattice `gx·W div grid`, same ITU-R 601 luma), so the
+    * whole chain is replayable in SQL and stream-legal; where the
+    * Hamming tier answers "is this a re-encode?" at radius ≤ h, the
+    * cosine tier RANKS look-alikes and composes with top-k search,
+    * cluster-balanced sampling and drift-maintained indexes.
+    *
+    * Null/short/degenerate rows yield a null vector and SURVIVE (the
+    * corrupt-row discipline; a null vector admits through the ANN
+    * tier's null path, never crashes it). Length/dims guarded in
+    * LONG exactly as [[perceptualHashes]]. */
+  def imageEmbed(df: DataFrame, pixelsCol: String, wCol: String,
+                 hCol: String, grid: Int = 8, channels: Int = 3,
+                 out: String = "img_embedding"): DataFrame = {
+    require(channels == 1 || channels == 3,
+      s"imageEmbed supports gray (1) or RGB (3) buffers, got $channels")
+    require(grid >= 1 && grid <= 64,
+      s"grid must be in [1, 64], got $grid")
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = df.schema.fieldIndex(pixelsCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val px = row.getAs[Array[Byte]](pIdx)
+        val ok = px != null && !row.isNullAt(wIdx) && !row.isNullAt(hIdx) &&
+          row.getInt(wIdx) > 0 && row.getInt(hIdx) > 0 &&
+          row.getInt(wIdx) <= (1 << 20) && row.getInt(hIdx) <= (1 << 20) &&
+          px.length >= row.getInt(wIdx).toLong * row.getInt(hIdx) * channels
+        val vec: Array[Double] =
+          if (!ok) null
+          else {
+            val w = row.getInt(wIdx); val h = row.getInt(hIdx)
+            Array.tabulate(grid * grid) { i =>
+              lumaAt(px, w, channels,
+                (i % grid) * w / grid, (i / grid) * h / grid).toDouble
+            }
+          }
+        Row.fromSeq(row.toSeq :+ vec)
+      }
+    }(enc)
+  }
+
   /** REAL audio decode through the same codec boundary as
     * [[decodeImages]]: `javax.sound.sampled` (JDK-native — WAV, AIFF
     * and AU containers) turns each binary payload into its stream

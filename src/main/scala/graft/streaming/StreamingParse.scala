@@ -357,6 +357,19 @@ object StreamingParse {
     *                  [[annAdmissionStream]] vs the accepted corpus's
     *                  IVF members at `tau`.
     *
+    * Regime, honestly stated (the [[graft.operators.Similarity.cellMembers]]
+    * contract): `acceptedTexts` and the IVF members are BROADCAST
+    * reference sets — a curated accepted corpus, a blocklist, a
+    * recent window — not an unbounded history. An unbounded accepted
+    * corpus takes the foreachBatch route for the exact tier (sharded
+    * Bloom + verify join, the [[bloomDedupStream]] shape) and the
+    * batch searchIvf route for the semantic tier. The exact tier
+    * compares RAW text (never a 64-bit digest — a collision must not
+    * reject a novel doc); shrinking broadcast bytes with an
+    * md5-prefilter-plus-exact-verify pair is sound, hash-ONLY
+    * equality is not (the value-keyed-collapse discipline,
+    * [[graft.operators.Dedup]]).
+    *
     * Every tier is a broadcast join or a pure projection — no state,
     * no stream-side aggregation; append mode survives. All three tier
     * signals are computed for every row (one scan, full per-tier

@@ -878,6 +878,59 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: imageEmbed samples the exact luma lattice; corrupt buffers yield null vectors") {
+    import graft.operators.Multimodal
+    def gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => f((i / 3) % w, i / 3 / w).toByte)
+    val rows = Seq(
+      // 16×12 ramp pixel(x, y) = x + y: lattice x = gx·16 div 8 = 2gx,
+      // y = gy·12 div 8 — every sample value computable by hand
+      (1L, gray(16, 12, (x, y) => (x + y) min 255), 16, 12),
+      (91L, null.asInstanceOf[Array[Byte]], 16, 12),
+      (92L, gray(16, 12, (x, y) => x + y).take(10), 16, 12),
+      (93L, gray(16, 12, (x, y) => x + y), 0, 12),
+      // the Int-overflow metadata trap (w·h·c ≡ 0 mod 2^32) must null,
+      // never index out of bounds — the perceptualHashes guard shared
+      (94L, gray(16, 12, (x, y) => x + y), 1 << 17, 1 << 16))
+      .toDF("media_id", "pixels", "img_width", "img_height")
+    val out = Multimodal.imageEmbed(rows, "pixels", "img_width",
+        "img_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else r.getSeq[Double](4)))
+      .toMap
+    val expect = for (gy <- 0 until 8; gx <- 0 until 8)
+      yield (2 * gx + gy * 12 / 8).toDouble
+    assert(out(1L) == expect,
+      s"lattice mismatch: ${out(1L)}")
+    Seq(91L, 92L, 93L, 94L).foreach { i =>
+      assert(out(i) == null,
+        s"corrupt buffer $i must yield a null vector, not a task failure")
+    }
+    // a re-encode with identical pixels embeds IDENTICALLY through
+    // the real codec boundary (the property the q148/q149 cosine
+    // tier rides): png and bmp of the same buffer → equal vectors
+    def enc(fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val g = (x * 7 + y * 11) % 256
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val both = Multimodal.imageEmbed(
+        Multimodal.decodeImages(
+          Seq((1L, enc("png")), (2L, enc("bmp")))
+            .toDF("media_id", "payload"), "payload"),
+        "pixels", "img_width", "img_height")
+      .select("media_id", "img_embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(both(1L) == both(2L),
+      "identical pixels must embed identically across containers")
+  }
+
   test("videoSignature: strict per-bit majority over frame hashes; ties vote 0; null frames excluded") {
     import graft.operators.Multimodal
     // media 1: bits 0 and 63 carried by 2 of 3 frames (strict
