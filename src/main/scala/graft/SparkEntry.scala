@@ -2713,6 +2713,95 @@ object SparkEntry {
       out
     }),
 
+    // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
+    // energy envelope as array<double>) through the batch vector
+    // tier, completing the cosine rung across ALL THREE modalities
+    // (text q130/q138, image q148/q149, audio here). The star
+    // property: gain-invariance comes out EXACT — a 2× gain scales
+    // every window energy by 4 uniformly and cosine is scale-free, so
+    // the gained copies reject at cosine exactly 1 alongside the
+    // container re-encodes (where the Hamming fingerprint q125 needed
+    // its gradient-sign trick for the same robustness). Novel clips
+    // sit in the positive-energy cosine floor under tau and admit;
+    // truncated/garbage payloads decode null and a too-short clip
+    // (fewer frames than windows) embeds null — all admit, never
+    // crash. The fixture keeps samples small (±63) so every window
+    // energy, dot and norm is integer-exact in doubles on BOTH
+    // engines — the oracle replays the PCM formula, the channel mix,
+    // the k·frames div 64 window spans, and the cosine argmax + tau.
+    "q150_audio_embed_neardup" -> ((s, d) => {
+      def pcmBytes(src: Long, ch: Int, frames: Int,
+                   scale: Int): Array[Byte] = {
+        val out = new Array[Byte](frames * ch * 2)
+        for (i <- 0 until frames; c <- 0 until ch) {
+          val v = (((src * 2654435761L + i.toLong * i * 40503L +
+            i * 977L + c * 997L) % 128L) - 64L).toInt * scale
+          val base = (i * ch + c) * 2
+          out(base) = (v & 0xFF).toByte
+          out(base + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        out
+      }
+      def clip(src: Long, ch: Int, frames: Int, scale: Int,
+               tpe: javax.sound.sampled.AudioFileFormat.Type,
+               bigEndian: Boolean): Array[Byte] = {
+        val raw = pcmBytes(src, ch, frames, scale)
+        val le = new javax.sound.sampled.AudioFormat(
+          8000f, 16, ch, true, false)
+        val pcm = if (!bigEndian) raw else {
+          val sw = new Array[Byte](raw.length)
+          var i = 0
+          while (i < raw.length) {
+            sw(i) = raw(i + 1); sw(i + 1) = raw(i); i += 2
+          }
+          sw
+        }
+        val fmt = if (!bigEndian) le
+          else new javax.sound.sampled.AudioFormat(8000f, 16, ch, true, true)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+        bos.toByteArray
+      }
+      val WAVE = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val AIFF = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      def chOf(i: Long): Int = if (i <= 4) 1 else 2
+      val whole = clip(2L, 1, 200, 1, WAVE, bigEndian = false)
+      val refs = s.createDataFrame((1L to 8L).map(i =>
+          (i, clip(i, chOf(i), 200, 1, WAVE, bigEndian = false))))
+        .toDF("media_id", "payload")
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 4L).map(i => (500L + i,
+          clip(i, chOf(i), 200, 1, AIFF, bigEndian = true))) ++
+        (5L to 8L).map(i => (510L + i,
+          clip(i, 2, 200, 2, WAVE, bigEndian = false))) ++
+        (1L to 3L).map(i => (520L + i,
+          clip(20L + i, 1, 200, 1, WAVE, bigEndian = false))) ++
+        Seq((9001L, whole.take(whole.length - 3)),
+          (9002L, "not audio at all".getBytes("UTF-8")),
+          (9003L, clip(1L, 1, 40, 1, WAVE, bigEndian = false)))
+      def embed(df: DataFrame): DataFrame =
+        operators.Multimodal.audioEmbed(
+          operators.Multimodal.decodeWav(df, "payload"),
+          "pcm", "au_channels")
+      val refEmb = embed(refs).select($"media_id", $"audio_embedding")
+      val arrEmb = embed(s.createDataFrame(arrivals)
+          .toDF("media_id", "payload"))
+        .select($"media_id", $"audio_embedding")
+      val top1 = operators.Similarity.bruteForceTopK(refEmb,
+          arrEmb.filter($"audio_embedding".isNotNull),
+          "media_id", "audio_embedding", k = 1)
+        .filter($"rank" === 1)
+      arrEmb.select($"media_id")
+        .join(top1.select($"query_id".as("media_id"), $"neighbor_id",
+          $"cosine"), Seq("media_id"), "left")
+        .select($"media_id",
+          coalesce($"cosine" < 0.95, lit(true)).as("admitted"),
+          when($"cosine" >= 0.95, $"neighbor_id").as("match_id"))
+        .orderBy($"media_id")
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -5382,6 +5471,55 @@ object SparkEntry {
            CASE WHEN b.cosv >= 0.9 THEN b.ref_id END AS match_id
          FROM (SELECT media_id FROM arr
                UNION ALL SELECT 9001 UNION ALL SELECT 9002) m
+         LEFT JOIN best b USING (media_id)
+         ORDER BY media_id""",
+
+    // q150: PCM formula → channel mix → k·frames div 64 window
+    // energies (all integer-exact in doubles — the fixture bounds
+    // samples at ±128 so dots stay far under 2^53) → cosine argmax +
+    // tau; gained copies land at cosine exactly 1, corrupt/short
+    // clips are explicit admit rows
+    "q150_audio_embed_neardup" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src,
+             CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale
+           FROM range(1, 9) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src,
+             CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale
+           FROM range(1, 5) t(i)
+           UNION ALL SELECT 510 + i, i, 2, 2 FROM range(5, 9) t(i)
+           UNION ALL SELECT 520 + i, 20 + i, 1, 1 FROM range(1, 4) t(i)),
+         rmix AS (SELECT ref_id, i,
+             sum((((src*2654435761 + i*i*40503 + i*977 + c*997) % 128)
+               - 64) * scale) AS m
+           FROM refs, range(0, 200) s(i), range(0, 2) cc(c)
+           WHERE c < ch GROUP BY 1, 2),
+         re AS (SELECT ref_id, k, sum(m*m) AS e
+           FROM rmix, range(0, 64) w(k)
+           WHERE i >= k*200//64 AND i < (k+1)*200//64 GROUP BY 1, 2),
+         amix AS (SELECT media_id, i,
+             sum((((src*2654435761 + i*i*40503 + i*977 + c*997) % 128)
+               - 64) * scale) AS m
+           FROM arr, range(0, 200) s(i), range(0, 2) cc(c)
+           WHERE c < ch GROUP BY 1, 2),
+         ae AS (SELECT media_id, k, sum(m*m) AS e
+           FROM amix, range(0, 64) w(k)
+           WHERE i >= k*200//64 AND i < (k+1)*200//64 GROUP BY 1, 2),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.e * r.e) AS dp
+           FROM ae a JOIN re r ON a.k = r.k GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(e*e)) AS n FROM ae GROUP BY 1),
+         rn AS (SELECT ref_id, sqrt(sum(e*e)) AS n FROM re GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn USING (ref_id)),
+         best AS (SELECT media_id, ref_id, cosv FROM (
+           SELECT media_id, ref_id, cosv, row_number() OVER
+             (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+           FROM cosr) WHERE rk = 1)
+         SELECT m.media_id,
+           coalesce(b.cosv < 0.95, TRUE) AS admitted,
+           CASE WHEN b.cosv >= 0.95 THEN b.ref_id END AS match_id
+         FROM (SELECT media_id FROM arr UNION ALL SELECT 9001
+               UNION ALL SELECT 9002 UNION ALL SELECT 9003) m
          LEFT JOIN best b USING (media_id)
          ORDER BY media_id""",
 

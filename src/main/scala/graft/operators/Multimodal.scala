@@ -585,6 +585,73 @@ object Multimodal {
     }(enc)
   }
 
+  /** The AUDIO bytes→vector bridge — [[imageEmbed]]'s sibling for the
+    * acoustic modality, completing the vector tier across all three
+    * modalities (text [[graft.operators.TextAnalysis.hashEmbed]],
+    * image [[imageEmbed]], audio here): the channel-mixed PCM stream
+    * folds into `windows` equal-span ENERGY-ENVELOPE sums
+    * (sum-of-squares per window — [[audioFingerprint]]'s `e` array,
+    * emitted as the vector instead of collapsed to gradient signs)
+    * as an `array<double>`, ready for brute cosine, every index
+    * family and the streaming ANN rung. Where the fingerprint's
+    * Hamming tier answers "same recording within radius h?", the
+    * cosine tier RANKS: and gain-invariance comes out EXACT — a g×
+    * gain scales every energy by g² uniformly, and cosine is
+    * scale-free (the fingerprint needed its sign trick for the same
+    * property). All window sums are integer-exact in Long (bounded
+    * far below 2^53), so the whole chain replays in SQL.
+    *
+    * Null/short/degenerate rows (null pcm, bad channel count, fewer
+    * frames than windows) yield a null vector and SURVIVE — the
+    * codec-boundary discipline shared by the whole decode family. */
+  def audioEmbed(df: DataFrame, pcmCol: String, channelsCol: String,
+                 windows: Int = 64,
+                 out: String = "audio_embedding"): DataFrame = {
+    require(windows >= 1 && windows <= 4096,
+      s"windows must be in [1, 4096], got $windows")
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = df.schema.fieldIndex(pcmCol)
+    val cIdx = df.schema.fieldIndex(channelsCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val pcm = row.getAs[Array[Byte]](pIdx)
+        val vec: Array[Double] =
+          if (pcm == null || row.isNullAt(cIdx) || row.getInt(cIdx) <= 0)
+            null
+          else {
+            val ch = row.getInt(cIdx)
+            val frames = pcm.length / 2 / ch
+            if (frames < windows) null
+            else {
+              val mix = new Array[Long](frames)
+              var j = 0
+              while (j < frames) {
+                var c = 0
+                var s = 0L
+                while (c < ch) {
+                  val b = (j * ch + c) * 2
+                  s += ((pcm(b) & 0xFF) | (pcm(b + 1) << 8)).toShort
+                  c += 1
+                }
+                mix(j) = s
+                j += 1
+              }
+              Array.tabulate(windows) { k =>
+                var f = k * frames / windows
+                val hi = (k + 1) * frames / windows
+                var acc = 0L
+                while (f < hi) { acc += mix(f) * mix(f); f += 1 }
+                acc.toDouble
+              }
+            }
+          }
+        Row.fromSeq(row.toSeq :+ vec)
+      }
+    }(enc)
+  }
+
   /** Per-channel byte sums over a raw row-major W×H×C buffer — the
     * minimal REAL feature-extract step after [[decodeImages]] (the
     * shape a mean-color / brightness / histogram feature takes):

@@ -1123,6 +1123,44 @@ object Similarity {
     spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
   }
 
+  /** Grow a DURABLE IVF×SQ index O(new) — the SQ rung of the durable
+    * append matrix ([[appendToIvfPqIndexBucketed]]'s sibling): the
+    * batch assigns to the FROZEN centroids, quantizes against the
+    * FROZEN stats row (out-of-range dims saturate — the
+    * [[appendToIvfSq]] contract; [[recallProbe]]/[[driftDecision]]
+    * and the [[maintainIvfSqIndex]] window are the remedy when
+    * saturation accumulates) and APPENDS into the live codes table's
+    * existing bucket layout — the corpus-scale side never rewrites.
+    * Crash discipline as the PQ sibling: the epoch token clears
+    * FIRST (any crash mid-append refuses loudly at read — a
+    * half-appended generation must never serve), the fresh stamp +
+    * meta rewrite commit at the end. */
+  def appendToIvfSqIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                                 prefix: String, newVecs: DataFrame,
+                                 idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val (index, codesTable) = readIvfSqIndexResolved(spark, prefix)
+    val cells = assignCells(newVecs, idCol, vecCol, index.centroids)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val newCodes = sqEncode(newVecs, idCol, vecCol, index.stats)
+      .join(cells, Seq("neighbor_id"))
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(codesTable))
+    val numBuckets = tableMeta.bucketSpec
+      .getOrElse(sys.error(s"$codesTable is not bucketed")).numBuckets
+    graft.sources.Sinks.clearEpochTokens(spark, codesTable)
+    newCodes.select(spark.table(codesTable).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(codesTable)
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats", codesTable))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, codesTable)).toDF("epoch", "codes_table"),
+      s"${prefix}_meta")
+  }
+
   /** The ONE-CALL maintenance window for a durable IVF×SQ index —
     * completing the vector maintenance matrix with [[maintainIvfIndex]]
     * and [[maintainIvfPqIndex]]: probe recall on the served index

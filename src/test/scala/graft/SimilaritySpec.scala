@@ -1004,6 +1004,38 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("appendToIvfSqIndexBucketed: O(new) growth equals the in-memory append; torn mid-append refuses") {
+    val (base, drift, queries) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfSq(base, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    Similarity.writeIvfSqIndexBucketed(built, "ivfsq_app", numBuckets = 2)
+    Similarity.appendToIvfSqIndexBucketed(spark, "ivfsq_app", drift,
+      "vec_id", "embedding")
+    val reopened = Similarity.readIvfSqIndex(spark, "ivfsq_app")
+    assert(reopened.cellCodes.count() == 30,
+      "appended batch must land beside the built rows")
+    // durable route ≡ in-memory appendToIvfSq, code-for-code
+    val mem = Similarity.appendToIvfSq(built, drift, "vec_id", "embedding")
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "cell", "codes").collect()
+        .map(r => r.getLong(0) ->
+          ((r.get(1), r.getSeq[Byte](2).toList))).toMap
+    assert(codeMap(reopened.cellCodes) == codeMap(mem.cellCodes),
+      "durable append must quantize and assign exactly like the in-memory path")
+    // search over the reopened grown index matches the in-memory one
+    val d1 = Similarity.searchIvfSq(reopened, corpus, queries, "vec_id",
+      "embedding", k = 1, nProbe = 2, oversample = 32).collect().toSet
+    val d2 = Similarity.searchIvfSq(mem, corpus, queries, "vec_id",
+      "embedding", k = 1, nProbe = 2, oversample = 32).collect().toSet
+    assert(d1 == d2)
+    // crash mid-append ≡ cleared epoch on the codes table → refuse
+    graft.sources.Sinks.clearEpochTokens(spark, "ivfsq_app_cell_codes")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfSqIndex(spark, "ivfsq_app")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("maintainIvfSqIndex: heal swaps once, no-op leaves the meta row untouched") {
     val (base, drift, queries) = plantedDrift
     val corpus = base.unionByName(drift)
