@@ -2802,6 +2802,93 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // The AUDIO modality's semantic admission rung IN FLIGHT — with
+    // q138 (text) and q149 (image) this closes the streaming cosine
+    // matrix: every modality now has BOTH streaming rungs (Hamming:
+    // q126/q132/q136, cosine: q138/q149/here). Audio bytes arrive on
+    // the stream, decode and embed per row (decodeWav → audioEmbed,
+    // both pure codec-boundary ops), and admit/reject against an IVF
+    // of the embedded reference corpus. Same strata and SAME ORACLE
+    // as q150 — nProbe = nCells pins the streamed probe to the batch
+    // brute-force rule; corrupt, garbage and too-short clips embed
+    // null and ADMIT through the zero-probe path.
+    "q151_stream_audio_semantic" -> ((s, d) => {
+      def pcmBytes(src: Long, ch: Int, frames: Int,
+                   scale: Int): Array[Byte] = {
+        val out = new Array[Byte](frames * ch * 2)
+        for (i <- 0 until frames; c <- 0 until ch) {
+          val v = (((src * 2654435761L + i.toLong * i * 40503L +
+            i * 977L + c * 997L) % 128L) - 64L).toInt * scale
+          val base = (i * ch + c) * 2
+          out(base) = (v & 0xFF).toByte
+          out(base + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        out
+      }
+      def clip(src: Long, ch: Int, frames: Int, scale: Int,
+               tpe: javax.sound.sampled.AudioFileFormat.Type,
+               bigEndian: Boolean): Array[Byte] = {
+        val raw = pcmBytes(src, ch, frames, scale)
+        val pcm = if (!bigEndian) raw else {
+          val sw = new Array[Byte](raw.length)
+          var i = 0
+          while (i < raw.length) {
+            sw(i) = raw(i + 1); sw(i + 1) = raw(i); i += 2
+          }
+          sw
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, ch, true, bigEndian)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+        bos.toByteArray
+      }
+      val WAVE = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val AIFF = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      def chOf(i: Long): Int = if (i <= 4) 1 else 2
+      def embed(df: DataFrame): DataFrame =
+        operators.Multimodal.audioEmbed(
+          operators.Multimodal.decodeWav(df, "payload"),
+          "pcm", "au_channels")
+      val refs = s.createDataFrame((1L to 8L).map(i =>
+          (i, clip(i, chOf(i), 200, 1, WAVE, bigEndian = false))))
+        .toDF("media_id", "payload")
+      val refEmb = embed(refs).select($"media_id", $"audio_embedding")
+      val index = operators.Similarity.buildIvf(refEmb, "media_id",
+        "audio_embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val whole = clip(2L, 1, 200, 1, WAVE, bigEndian = false)
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 4L).map(i => (500L + i,
+          clip(i, chOf(i), 200, 1, AIFF, bigEndian = true))) ++
+        (5L to 8L).map(i => (510L + i,
+          clip(i, 2, 200, 2, WAVE, bigEndian = false))) ++
+        (1L to 3L).map(i => (520L + i,
+          clip(20L + i, 1, 200, 1, WAVE, bigEndian = false))) ++
+        Seq((9001L, whole.take(whole.length - 3)),
+          (9002L, "not audio at all".getBytes("UTF-8")),
+          (9003L, clip(1L, 1, 40, 1, WAVE, bigEndian = false)))
+      val dir = java.nio.file.Files.createTempDirectory("q151_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(arrivals).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val admitted = streaming.StreamingParse.annAdmissionStream(
+        embed(stream), "media_id", "audio_embedding", index, members,
+        tau = 0.95, nProbe = 2)
+      val out = runStreamToTable(s, admitted, "append", "audio_semantic")
+        .select($"media_id", $"admitted", $"match_id")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     // The TEXT modality's semantic admission rung made end-to-end —
     // the composition a 100 TB text ingest runs IN FLIGHT: raw text
     // arrives on the stream, feature-hashes to a fixed-dim vector
@@ -5479,6 +5566,52 @@ object SparkEntry {
     // samples at ±128 so dots stay far under 2^53) → cosine argmax +
     // tau; gained copies land at cosine exactly 1, corrupt/short
     // clips are explicit admit rows
+    // q151: identical decisions through the streamed IVF route
+    // (nProbe = nCells — the probe IS the brute-force rule)
+    "q151_stream_audio_semantic" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src,
+             CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale
+           FROM range(1, 9) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src,
+             CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale
+           FROM range(1, 5) t(i)
+           UNION ALL SELECT 510 + i, i, 2, 2 FROM range(5, 9) t(i)
+           UNION ALL SELECT 520 + i, 20 + i, 1, 1 FROM range(1, 4) t(i)),
+         rmix AS (SELECT ref_id, i,
+             sum((((src*2654435761 + i*i*40503 + i*977 + c*997) % 128)
+               - 64) * scale) AS m
+           FROM refs, range(0, 200) s(i), range(0, 2) cc(c)
+           WHERE c < ch GROUP BY 1, 2),
+         re AS (SELECT ref_id, k, sum(m*m) AS e
+           FROM rmix, range(0, 64) w(k)
+           WHERE i >= k*200//64 AND i < (k+1)*200//64 GROUP BY 1, 2),
+         amix AS (SELECT media_id, i,
+             sum((((src*2654435761 + i*i*40503 + i*977 + c*997) % 128)
+               - 64) * scale) AS m
+           FROM arr, range(0, 200) s(i), range(0, 2) cc(c)
+           WHERE c < ch GROUP BY 1, 2),
+         ae AS (SELECT media_id, k, sum(m*m) AS e
+           FROM amix, range(0, 64) w(k)
+           WHERE i >= k*200//64 AND i < (k+1)*200//64 GROUP BY 1, 2),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.e * r.e) AS dp
+           FROM ae a JOIN re r ON a.k = r.k GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(e*e)) AS n FROM ae GROUP BY 1),
+         rn AS (SELECT ref_id, sqrt(sum(e*e)) AS n FROM re GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn USING (ref_id)),
+         best AS (SELECT media_id, ref_id, cosv FROM (
+           SELECT media_id, ref_id, cosv, row_number() OVER
+             (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+           FROM cosr) WHERE rk = 1)
+         SELECT m.media_id,
+           coalesce(b.cosv < 0.95, TRUE) AS admitted,
+           CASE WHEN b.cosv >= 0.95 THEN b.ref_id END AS match_id
+         FROM (SELECT media_id FROM arr UNION ALL SELECT 9001
+               UNION ALL SELECT 9002 UNION ALL SELECT 9003) m
+         LEFT JOIN best b USING (media_id)
+         ORDER BY media_id""",
+
     "q150_audio_embed_neardup" ->
       """WITH refs AS (SELECT i AS ref_id, i AS src,
              CASE WHEN i <= 4 THEN 1 ELSE 2 END AS ch, 1 AS scale

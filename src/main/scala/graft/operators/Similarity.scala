@@ -1108,8 +1108,18 @@ object Similarity {
     val otherCodes =
       if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
       else s"${prefix}_cell_codes"
-    val retrained = retrainIvfSq(index, corpus, idCol, vecCol, sample,
-      lloydIters)
+    // PHYSICAL PURGE of filed takedowns ([[tombstoneIvfSq]]): the
+    // re-encode pass skips tombstoned corpus rows, the fit sample
+    // purges too (a deleted vector must not even shape the new
+    // geometry), and the ledger clears after the swap
+    val tombstones = readIvfSqTombstones(spark, prefix)
+      .select(col("neighbor_id").as(idCol)).localCheckpoint()
+    val hasTombstones = !tombstones.isEmpty
+    def purge(df: DataFrame): DataFrame =
+      if (!hasTombstones) df
+      else df.join(broadcast(tombstones), Seq(idCol), "left_anti")
+    val retrained = retrainIvfSq(index, purge(corpus), idCol, vecCol,
+      purge(sample), lloydIters)
     graft.sources.Sinks.writeBucketed(retrained.cellCodes, otherCodes,
       Seq("cell"), numBuckets)
     graft.sources.Sinks.writeTable(retrained.centroids,
@@ -1121,7 +1131,56 @@ object Similarity {
       Seq((epoch, otherCodes)).toDF("epoch", "codes_table"),
       s"${prefix}_meta")
     spark.sql(s"DROP TABLE IF EXISTS $liveCodes")
+    if (hasTombstones)
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
   }
+
+  /** TAKEDOWN support for a durable IVF×SQ index — completing the
+    * compliance matrix across all three durable vector families
+    * ([[tombstoneIvf]] / this / [[tombstoneIvfPq]], all riding the
+    * crash-safe [[graft.sources.Sinks.appendLedger]] discipline):
+    * O(new) ledger filing, logical exclusion at every live read, and
+    * physical purge + ledger clear at the next
+    * [[retrainIvfSqIndexBucketed]]. */
+  def tombstoneIvfSq(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String, ids: DataFrame,
+                     idCol: String): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      ids.select(col(idCol).cast("long").as("neighbor_id")))
+
+  /** The live tombstone set of a durable IVF×SQ index (empty frame if
+    * none were ever committed; a torn ledger refuses loudly). */
+  def readIvfSqTombstones(spark: org.apache.spark.sql.SparkSession,
+                          prefix: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map(_._2).getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+  }
+
+  /** Reopen a durable IVF×SQ index with tombstones applied LOGICALLY:
+    * the codes side anti-joins the (broadcast, bounded) ledger, so a
+    * taken-down vector never becomes a candidate — exclusion is
+    * pre-rank by construction ([[searchIvfSq]]'s rerank only sees ids
+    * the codes scan surfaced), and a deleted top-1 reveals the live
+    * runner-up. Stats/centroids pass through; they refresh at the
+    * next retrain, where the purge becomes physical. */
+  def readIvfSqIndexLive(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): IvfSqIndex = {
+    val idx = readIvfSqIndex(spark, prefix)
+    IvfSqIndex(idx.centroids, idx.stats,
+      idx.cellCodes.join(broadcast(readIvfSqTombstones(spark, prefix)),
+        Seq("neighbor_id"), "left_anti"))
+  }
+
+  /** Search a DURABLE IVF×SQ index with its tombstones applied — the
+    * serving entry point after takedowns. */
+  def searchIvfSqLive(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int = 4,
+                      oversample: Int = 4): DataFrame =
+    searchIvfSq(readIvfSqIndexLive(spark, prefix), corpus, queries,
+      idCol, vecCol, k, nProbe, oversample)
 
   /** Grow a DURABLE IVF×SQ index O(new) — the SQ rung of the durable
     * append matrix ([[appendToIvfPqIndexBucketed]]'s sibling): the
@@ -1183,10 +1242,15 @@ object Similarity {
     def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
       .getAs[String]("epoch")
     def decide(): (Long, Double, Boolean) = {
-      val ann = searchIvfSq(readIvfSqIndex(spark, prefix), corpus,
+      // LIVE view on both sides (the maintainIvfPqIndex discipline):
+      // the served search can't return a taken-down id and the
+      // brute-force truth never counts one as a miss
+      val live = corpus.join(broadcast(readIvfSqTombstones(spark, prefix)
+          .select(col("neighbor_id").as(idCol))), Seq(idCol), "left_anti")
+      val ann = searchIvfSq(readIvfSqIndexLive(spark, prefix), corpus,
         queries, idCol, vecCol, k, nProbe, oversample)
       val d = driftDecision(
-        recallProbe(ann, corpus, queries, idCol, vecCol, k), minRecall)
+        recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
         .collect()(0)
       (d.getLong(0), d.getDouble(1), d.getBoolean(2))
     }

@@ -1036,6 +1036,43 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("IVF×SQ takedown: pre-rank exclusion serves the runner-up; retrain purges and clears the ledger") {
+    val (base, drift, _) = plantedDrift
+    val corpus = base.unionByName(drift)
+    val built = Similarity.buildIvfSq(corpus, "vec_id", "embedding",
+      nCells = 2, lloydIters = 1)
+    Similarity.writeIvfSqIndexBucketed(built, "ivfsq_td", numBuckets = 2)
+    val q = drift.filter($"vec_id" === 105L)
+      .select(lit(9105L).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001 + 0.0001)")
+          .as("embedding"))
+    def top1(): Long = Similarity.searchIvfSqLive(spark, "ivfsq_td",
+        corpus, q, "vec_id", "embedding", k = 1, oversample = 32)
+      .filter($"rank" === 1).collect()(0).getLong(1)
+    assert(top1() == 105L)
+    Similarity.tombstoneIvfSq(spark, "ivfsq_td",
+      Seq(105L).toDF("vec_id"), "vec_id")
+    Similarity.tombstoneIvfSq(spark, "ivfsq_td",
+      Seq(105L, 104L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readIvfSqTombstones(spark, "ivfsq_td")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(104L, 105L))
+    val runnerUp = top1()
+    assert(runnerUp != 105L && runnerUp != 104L,
+      s"tombstoned ids must be invisible pre-rank: got $runnerUp")
+    Similarity.retrainIvfSqIndexBucketed(spark, "ivfsq_td", corpus,
+      "vec_id", "embedding",
+      sample = corpus.filter($"vec_id" % 2 === 1), lloydIters = 1,
+      numBuckets = 2)
+    val ids = Similarity.readIvfSqIndex(spark, "ivfsq_td").cellCodes
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(105L) && !ids.contains(104L) && ids.size == 28,
+      s"purge must remove exactly the tombstoned rows: ${ids.size}")
+    assert(Similarity.readIvfSqTombstones(spark, "ivfsq_td").count() == 0L,
+      "the tombstone ledger clears once deletes are physical")
+    assert(top1() == runnerUp,
+      "the served answer must not move across the purge")
+  }
+
   test("maintainIvfSqIndex: heal swaps once, no-op leaves the meta row untouched") {
     val (base, drift, queries) = plantedDrift
     val corpus = base.unionByName(drift)
