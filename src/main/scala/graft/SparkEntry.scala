@@ -3160,6 +3160,52 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // The UNBOUNDED-corpus tier of the streaming ANN rung — the
+    // foreachBatch route annAdmissionStream's scaladoc promises for
+    // an accepted corpus too big for broadcast member arrays: each
+    // micro-batch runs the relational searchIvf against the DURABLE
+    // bucketed index (corpus side reopens shuffle-free; only the
+    // small batch shuffles), decisions land via the q146 exactly-once
+    // discipline (batch_id-partitioned dynamic overwrite), and the
+    // gate replays the LAST batch verbatim — append semantics would
+    // duplicate its rows. Decisions must equal q120's brute-force
+    // oracle exactly (same fixture, same probe geometry, same tie
+    // rule) — the two streaming tiers (broadcast-members and batched)
+    // are pinned to the SAME truth.
+    "q152_stream_ann_batched" -> ((s, d) => {
+      val fix = streamFixtures(s, d)
+      val emb = t(s, d, "embeddings")
+      val accepted = emb.filter($"vec_id" % 3 === 0)
+      val index = operators.Similarity.buildIvf(accepted, "vec_id",
+        "embedding", nCells = 8, lloydIters = 3)
+      operators.Similarity.writeIvfIndexBucketed(index, "q152_idx",
+        numBuckets = 8)
+      val dir = java.nio.file.Files.createTempDirectory("q152_out")
+      dir.toFile.deleteOnExit()
+      val outPath = s"$dir/decisions"
+      val sch = s.read.parquet(s"$fix/embeddings_stream").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$fix/embeddings_stream")
+      streaming.StreamingParse.annAdmissionBatchedStream(stream,
+        "vec_id", "embedding", "q152_idx", tau = 0.9, nProbe = 2,
+        outPath)
+      // crash-redelivery of the last batch: same rows, same id — the
+      // dynamic overwrite must leave the output byte-identical
+      val outDf = s.read.parquet(outPath)
+      val lastBatch = outDf.agg(max($"batch_id".cast("long")))
+        .collect()(0).getLong(0)
+      val replayIds = outDf.filter($"batch_id".cast("long") === lastBatch)
+        .select($"vec_id")
+      val replayRows = s.read.parquet(s"$fix/embeddings_stream")
+        .join(broadcast(replayIds), Seq("vec_id"), "left_semi")
+      streaming.StreamingParse.applyAnnAdmissionBatch(s, replayRows,
+        lastBatch, "q152_idx", "vec_id", "embedding", tau = 0.9,
+        nProbe = 2, outPath)
+      s.read.parquet(outPath)
+        .select($"vec_id", $"admitted", $"match_id")
+        .orderBy($"vec_id")
+    }),
+
     // The VIDEO rung of the streaming multimodal admission ladder —
     // completing the modality trio (image q126, audio q132): animated
     // payloads arrive as BYTES on the stream and the WHOLE temporal
@@ -7151,6 +7197,31 @@ object SparkEntry {
     // set, admit strictly below tau — planted re-embeds sit at
     // cos ≈ 0.99999 and the novel tail below 0.6, so both regimes
     // bind with margin
+    // q152: identical decisions through the batched (foreachBatch
+    // searchIvf) route against the durable index — same fixture,
+    // same brute-force rule
+    "q152_stream_ann_batched" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         acc AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+         cand AS (SELECT c.vec_id,
+             CASE WHEN c.vec_id % 3 = 1 AND src.v IS NOT NULL
+               THEN list_transform(src.v, x -> x * 1.001 + 0.0005)
+               ELSE c.v END AS v
+           FROM e c LEFT JOIN e src ON src.vec_id = c.vec_id - 1
+           WHERE c.vec_id % 3 <> 0),
+         s AS (SELECT cand.vec_id, acc.vec_id AS aid,
+             list_dot_product(cand.v, acc.v) /
+               (sqrt(list_dot_product(cand.v, cand.v)) *
+                sqrt(list_dot_product(acc.v, acc.v))) AS cos_raw
+           FROM cand CROSS JOIN acc),
+         r AS (SELECT vec_id, aid, cos_raw, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cos_raw DESC, aid) AS rk
+           FROM s)
+         SELECT vec_id, cos_raw < 0.9 AS admitted,
+           CASE WHEN cos_raw >= 0.9 THEN aid END AS match_id
+         FROM r WHERE rk = 1
+         ORDER BY vec_id""",
+
     "q120_stream_ann_admission" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          acc AS (SELECT * FROM e WHERE vec_id % 3 = 0),

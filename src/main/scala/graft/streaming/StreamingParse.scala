@@ -337,6 +337,70 @@ object StreamingParse {
         (1 to probes).flatMap(j => Seq(s"__pc$j", s"__mm$j"))): _*)
   }
 
+  /** The per-batch body of [[annAdmissionBatchedStream]], public so a
+    * crash replay is drivable and gated directly (the
+    * [[applyQuarantineBatchIdempotent]] discipline): search ONE
+    * micro-batch of vectors against the DURABLE live IVF index
+    * ([[graft.operators.Similarity.searchIvfLive]] — reopened
+    * bucketed cells, tombstones excluded pre-rank, so takedowns are
+    * visible to the stream at the next micro-batch with no restart),
+    * fold the top-1 into the admission decision (below `tau` or no
+    * candidate → admit; zero-norm/null vectors score null cosines
+    * throughout and admit — never a NaN reject), and write the
+    * decisions as a DYNAMIC OVERWRITE of the batch's own
+    * `batch_id=<id>` partition — replayed batches rewrite, never
+    * duplicate. */
+  def applyAnnAdmissionBatch(spark: SparkSession, batch: DataFrame,
+                             batchId: Long, prefix: String,
+                             idCol: String, vecCol: String, tau: Double,
+                             nProbe: Int, outPath: String): Unit = {
+    val ann = graft.operators.Similarity.searchIvfLive(spark, prefix,
+        batch, idCol, vecCol, k = 1, nProbe = nProbe)
+      .filter(col("rank") === 1)
+      .select(col("query_id").as(idCol), col("neighbor_id"),
+        col("cosine"))
+    batch.select(col(idCol))
+      .join(ann, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cosine") < lit(tau), lit(true)).as("admitted"),
+        when(col("cosine") >= lit(tau), col("neighbor_id"))
+          .as("match_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+  }
+
+  /** The UNBOUNDED-corpus tier of the streaming ANN admission ladder
+    * — the route [[annAdmissionStream]]'s scaladoc promises when the
+    * accepted corpus outgrows the broadcast member arrays: each
+    * micro-batch runs a RELATIONAL [[graft.operators.Similarity.searchIvf]]
+    * against the durable bucketed index (the corpus side reopens
+    * shuffle-free and never materializes a cell in one row — only
+    * the small batch side shuffles), so the reference set is bounded
+    * by DISK, not by a row's array capacity. The trade, honestly
+    * stated: a per-batch join pipeline instead of a stateless
+    * projection — higher per-batch latency, unbounded capacity.
+    * Reads the index LIVE each batch (takedowns apply at the next
+    * micro-batch) and writes through the batch_id-partitioned dynamic
+    * overwrite, so output is exactly-once under crash-redelivery
+    * ([[applyQuarantineBatchIdempotent]]'s delivery ladder). Blocks
+    * until AvailableNow drains the source. */
+  def annAdmissionBatchedStream(vecs: DataFrame, idCol: String,
+                                vecCol: String, prefix: String,
+                                tau: Double, nProbe: Int,
+                                outPath: String): Unit = {
+    val spark = vecs.sparkSession
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnnAdmissionBatch(spark, batch, batchId, prefix, idCol,
+          vecCol, tau, nProbe, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The streaming ingestion ladder composed into ONE pass — the
     * cascade a 100 TB text-ingest front door actually runs, with the
     * tiers the individual rungs gate separately (exact q114-style,
