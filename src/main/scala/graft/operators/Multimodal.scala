@@ -886,6 +886,55 @@ object Multimodal {
           .as("decode_failures"))
   }
 
+  /** The VIDEO bytes→vector bridge — the last cell of the modality ×
+    * vector-tier matrix (text [[graft.operators.TextAnalysis.hashEmbed]],
+    * image [[imageEmbed]], audio [[audioEmbed]], video here): every
+    * frame samples onto [[imageEmbed]]'s `grid`×`grid` integer luma
+    * lattice and the vector is the PER-CELL SUM across frames — a
+    * temporal-pooled tiny-video embedding as `array<double>`. Like
+    * [[videoSignatures]] this is a closed PER-ROW codec op (every
+    * frame originates from one payload row — no frame explode, no
+    * relational aggregation, stream-legal), and like the other
+    * bridges it feeds every vector operator. Sum pooling keeps the
+    * chain integer-exact and SQL-replayable; cosine gives the scale
+    * freeness (uniform re-encodes land at exactly 1; a dropped or
+    * lightly-edited frame moves the sum by one frame's share, so
+    * near-copies rank just under 1 — the RANKING face of the vsig
+    * majority vote's radius-h face). Null/corrupt/torn payloads →
+    * null vector, same observe counter discipline. */
+  def videoEmbed(df: DataFrame, binaryCol: String, grid: Int = 8,
+                 out: String = "video_embedding"): DataFrame = {
+    require(grid >= 1 && grid <= 64, s"grid must be in [1, 64], got $grid")
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val frames = decodeAllFrames(row.getAs[Array[Byte]](idx))
+        val vec: Array[Double] =
+          if (frames.isEmpty) null
+          else {
+            val acc = new Array[Long](grid * grid)
+            frames.foreach { case (_, w, h, px) =>
+              var i = 0
+              while (i < grid * grid) {
+                acc(i) += lumaAt(px, w, 3,
+                  (i % grid) * w / grid, (i / grid) * h / grid)
+                i += 1
+              }
+            }
+            acc.map(_.toDouble)
+          }
+        Row.fromSeq(row.toSeq :+ vec)
+      }
+    }(enc)
+      .observe(s"graft_video_embed_${Dedup.obsId.incrementAndGet()}",
+        count(lit(1)).as("rows"),
+        sum(when(col(out).isNull, 1L).otherwise(0L))
+          .as("decode_failures"))
+  }
+
   /** 64-bit VIDEO signature from per-frame perceptual hashes — the
     * temporal near-dup bridge for multi-frame media, making the video
     * modality's near-dup REAL for the container the JDK decodes
