@@ -409,8 +409,10 @@ object StreamingParse {
     *
     *   1. `exact`   — the raw text already exists in the accepted
     *                  corpus (broadcast equi-join on the text;
-    *                  `exact_id` = the accepted set's min doc id for
-    *                  that text, the takedown-friendly audit pointer);
+    *                  `acceptedTexts` must carry exactly the columns
+    *                  `text` and `exact_id` — the accepted set's min
+    *                  doc id per distinct text, the takedown-friendly
+    *                  audit pointer);
     *   2. `quality` — trimmed length below `minLen`, or non-[A-Za-z0-9
     *                  whitespace] characters exceed `maxNonAlphaRatio`
     *                  of the raw length (the ratio is evaluated as a

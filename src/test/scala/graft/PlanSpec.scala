@@ -474,6 +474,34 @@ class PlanSpec extends SparkSpec {
         "embedding", k = 3)))
   }
 
+  test("live IVF view: tombstone anti-join broadcasts; bucketed layout still reads shuffle-free") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = (1L to 200L).map(i =>
+      (i, Array(i.toDouble, (i % 7).toDouble))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndexBucketed(
+      Similarity.buildIvf(corpus, "vec_id", "embedding", nCells = 4),
+      "ivf_live_plan", numBuckets = 4)
+    Similarity.tombstoneIvf(spark, "ivf_live_plan",
+      Seq(3L, 7L).toDF("vec_id"), "vec_id")
+    val live = Similarity.readIvfIndexLive(spark, "ivf_live_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (0 to 3).map(c => (c.toLong, c.toLong))
+        .toDF("cell", "query_id")
+      val p = live.corpusCells.join(probe, "cell")
+        .queryExecution.executedPlan.toString
+      // the exclusion must cost a BROADCAST anti join (the ledger is
+      // bounded), never a shuffle of the corpus-scale cells side —
+      // and the bucketed layout still feeds the probe join directly,
+      // so the ONLY hash exchange is the small probe side
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"tombstone exclusion must broadcast:\n${p.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected only the probe-side shuffle:\n${p.take(2000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("durable IVF×PQ in-place append: O(new) files, ledger advances, torn append refuses") {
     import spark.implicits._
     import graft.operators.Similarity
