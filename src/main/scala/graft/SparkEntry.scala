@@ -2718,6 +2718,83 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // The VIDEO modality's semantic admission rung IN FLIGHT — the
+    // final cell of the streaming cosine matrix (text q138, image
+    // q149, audio q151, video here): multi-frame payloads arrive as
+    // bytes, the WHOLE temporal chain (decode every frame, per-frame
+    // lattice, sum-pool) runs as ONE per-row codec op (videoEmbed —
+    // stream-legal by the q136 argument), and admission rides the
+    // same annAdmissionStream broadcast probes. Same strata and SAME
+    // ORACLE as q153 — nProbe = nCells pins the streamed probe to the
+    // batch brute-force rule; torn/garbage/empty payloads embed null
+    // and ADMIT.
+    "q154_stream_video_semantic" -> ((s, d) => {
+      val W = 16; val H = 12
+      def pix(src: Long, f: Int, x: Int, y: Int, bright: Int): Int = {
+        val base =
+          if (f < 6) ((src * 37 + x * (11 + src % 7) + y * 23 +
+            x.toLong * y * (1 + src % 3)) % 200).toInt
+          else ((src * 53 + x * 29 + y * 7 +
+            x.toLong * y * 2 + 101) % 200).toInt
+        base + bright
+      }
+      val cmap = (0 until 256)
+        .map(v => (0xFF << 24) | (v << 16) | (v << 8) | v).toArray
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      def gif(src: Long, bright: Int, dropFirst: Boolean): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- (if (dropFirst) 1 else 0) until 8) {
+          val img = new java.awt.image.BufferedImage(W, H,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          for (y <- 0 until H; x <- 0 until W)
+            img.getRaster.setSample(x, y, 0, pix(src, f, x, y, bright))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val refs = s.createDataFrame((1L to 6L).map(i =>
+          (i, gif(i, 0, dropFirst = false))))
+        .toDF("media_id", "payload")
+      val refEmb = operators.Multimodal.videoEmbed(refs, "payload")
+        .select($"media_id", $"video_embedding")
+      val index = operators.Similarity.buildIvf(refEmb, "media_id",
+        "video_embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val whole = gif(1L, 0, dropFirst = false)
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i, gif(i, 4, dropFirst = false))) ++
+        (1L to 3L).map(i => (510L + i, gif(i, 0, dropFirst = true))) ++
+        (21L to 23L).map(i => (500L + i, gif(i, 0, dropFirst = false))) ++
+        Seq((9001L, whole.take(whole.length * 3 / 5)),
+          (9002L, "not a video".getBytes("UTF-8")),
+          (9003L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q154_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(arrivals).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val admitted = streaming.StreamingParse.annAdmissionStream(
+        operators.Multimodal.videoEmbed(stream, "payload"), "media_id",
+        "video_embedding", index, members, tau = 0.98, nProbe = 2)
+      val out = runStreamToTable(s, admitted, "append", "video_semantic")
+        .select($"media_id", $"admitted", $"match_id")
+        .orderBy($"media_id")
+      members.unpersist()
+      out
+    }),
+
     // The IMAGE modality's semantic admission rung IN FLIGHT — q138's
     // composition with imageEmbed in hashEmbed's seat, completing the
     // "every modality reaches the vector tier, streaming" story:
@@ -5642,6 +5719,59 @@ object SparkEntry {
     // the first-frame-dropped stratum drops f = 0 from its sum, the
     // brightness stratum adds the shift inside every frame's term;
     // torn/garbage/empty payloads are explicit admit rows
+    // q154: identical decisions through the streamed IVF route
+    // (nProbe = nCells — the probe IS the brute-force rule)
+    "q154_stream_video_semantic" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src, 0 AS bright,
+             0 AS drop0 FROM range(1, 7) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src, 4 AS bright, 0 AS drop0
+           FROM range(1, 4) t(i)
+           UNION ALL SELECT 510 + i, i, 0, 1 FROM range(1, 4) t(i)
+           UNION ALL SELECT 520 + i, 20 + i, 0, 0 FROM range(1, 4) t(i)),
+         rcell AS (SELECT ref_id, gy*8 + gx AS i, sum(
+             CASE WHEN f < 6 THEN
+               (src*37 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*23
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 200
+             ELSE
+               (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 200
+             END + bright) AS v
+           FROM refs, range(0, 8) ff(f), range(0, 8) a(gy),
+             range(0, 8) b(gx)
+           GROUP BY 1, 2),
+         acell AS (SELECT media_id, gy*8 + gx AS i, sum(
+             CASE WHEN f < 6 THEN
+               (src*37 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*23
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3)) % 200
+             ELSE
+               (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 200
+             END + bright) AS v
+           FROM arr, range(0, 8) ff(f), range(0, 8) a(gy),
+             range(0, 8) b(gx)
+           WHERE f >= drop0
+           GROUP BY 1, 2),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
+           FROM acell a JOIN rcell r ON a.i = r.i GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM acell
+           GROUP BY 1),
+         rn AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM rcell
+           GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn USING (ref_id)),
+         best AS (SELECT media_id, ref_id, cosv FROM (
+           SELECT media_id, ref_id, cosv, row_number() OVER
+             (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+           FROM cosr) WHERE rk = 1)
+         SELECT m.media_id,
+           coalesce(b.cosv < 0.98, TRUE) AS admitted,
+           CASE WHEN b.cosv >= 0.98 THEN b.ref_id END AS match_id
+         FROM (SELECT media_id FROM arr UNION ALL SELECT 9001
+               UNION ALL SELECT 9002 UNION ALL SELECT 9003) m
+         LEFT JOIN best b USING (media_id)
+         ORDER BY media_id""",
+
     "q153_video_embed_neardup" ->
       """WITH refs AS (SELECT i AS ref_id, i AS src, 0 AS bright,
              0 AS drop0 FROM range(1, 7) t(i)),

@@ -568,6 +568,42 @@ object Similarity {
         "post_mean_recall", "post_retrain", "epoch_changed")
   }
 
+  /** Grow a DURABLE IVF index O(new) — completing the durable append
+    * matrix across all three vector families
+    * ([[appendToIvfSqIndexBucketed]] / [[appendToIvfPqIndexBucketed]]
+    * siblings): the batch assigns to the FROZEN centroids (the
+    * [[appendToIvf]] contract — recall drift under distribution shift
+    * is the [[maintainIvfIndex]] window's job) and APPENDS into the
+    * live cells table's existing bucket layout. Crash discipline
+    * shared with the siblings: epoch token clears FIRST (a
+    * half-appended generation refuses loudly at read), fresh stamp +
+    * meta rewrite commit last. `newVecs`' vector column must carry
+    * the same element type the index was built from (same source,
+    * same type — the bucketed table's schema is the contract). */
+  def appendToIvfIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                               prefix: String, newVecs: DataFrame,
+                               idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val (index, cellsTable) = readIvfIndexResolved(spark, prefix)
+    val newRows = cellRows(newVecs, idCol, vecCol,
+      assignCells(newVecs, idCol, vecCol, index.centroids))
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(cellsTable))
+    val numBuckets = tableMeta.bucketSpec
+      .getOrElse(sys.error(s"$cellsTable is not bucketed")).numBuckets
+    graft.sources.Sinks.clearEpochTokens(spark, cellsTable)
+    newRows.select(spark.table(cellsTable).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(cellsTable)
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      Seq(cellsTable, s"${prefix}_centroids"))
+    graft.sources.Sinks.writeTable(
+      Seq((epoch, cellsTable)).toDF("epoch", "cells_table"),
+      s"${prefix}_meta")
+  }
+
   /** Persist an [[IvfIndex]] — `corpusCells` BUCKETED on `cell` (the
     * probe-join key; [[searchIvf]] over a reopened index leaves the
     * corpus side unshuffled), the small `centroids` as a plain table,

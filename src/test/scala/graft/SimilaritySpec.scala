@@ -962,6 +962,35 @@ class SimilaritySpec extends SparkSpec {
       "the served answer must not move across the purge")
   }
 
+  test("appendToIvfIndexBucketed: O(new) growth equals the in-memory append; torn mid-append refuses") {
+    val (base, drift, queries) = plantedDrift
+    Similarity.writeIvfIndexBucketed(
+      Similarity.buildIvf(base, "vec_id", "embedding", nCells = 2,
+        lloydIters = 1), "ivf_app", numBuckets = 2)
+    Similarity.appendToIvfIndexBucketed(spark, "ivf_app", drift,
+      "vec_id", "embedding")
+    val reopened = Similarity.readIvfIndex(spark, "ivf_app")
+    assert(reopened.corpusCells.count() == 30,
+      "appended batch must land beside the built rows")
+    val mem = Similarity.appendToIvf(
+      Similarity.buildIvf(base, "vec_id", "embedding", nCells = 2,
+        lloydIters = 1), drift, "vec_id", "embedding")
+    def cellMap(idx: Similarity.IvfIndex) =
+      idx.corpusCells.select("neighbor_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(cellMap(reopened) == cellMap(mem),
+      "durable append must assign exactly like the in-memory path")
+    val d1 = Similarity.searchIvf(reopened, queries, "vec_id",
+      "embedding", k = 1, nProbe = 2).collect().toSet
+    val d2 = Similarity.searchIvf(mem, queries, "vec_id",
+      "embedding", k = 1, nProbe = 2).collect().toSet
+    assert(d1 == d2)
+    graft.sources.Sinks.clearEpochTokens(spark, "ivf_app_cells")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, "ivf_app")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("durable IVF×SQ retrain: A/B swap from a legacy meta, recall recovers, torn window refuses") {
     val (base, drift, queries) = plantedDrift
     val corpus = base.unionByName(drift)
