@@ -3357,6 +3357,60 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // The MULTIMODAL corpus datasheet — the media face of the text
+    // tier's q91 profile / q102 release gates: per-payload container
+    // format (magic bytes, DECODER-INDEPENDENT — a WAV payload in an
+    // image corpus reads 'wav' even though the image tier rejects
+    // it), dead-letter classification, decoded pixel count, and the
+    // exact-perceptual dup pointer (smallest media id sharing the
+    // dHash — PNG/BMP/GIF re-encodes of identical pixels collapse to
+    // one group, the group's first member stays canonical with a
+    // null pointer). The oracle replays the magic-byte table, the
+    // dims, the planted-formula dHash construction and the min-id
+    // group fold.
+    "q155_media_datasheet" -> ((s, d) => {
+      val W = 16; val H = 12
+      def v(src: Long, x: Int, y: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3)) % 256).toInt
+      def enc(src: Long, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = v(src, x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      def wav(): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val pcm = Array.tabulate[Byte](200)(i => (i % 100).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] =
+        (1L to 6L).map(i => (i, enc(i, "png"))) ++
+        (1L to 3L).map(i => (500L + i, enc(i, "bmp"))) ++
+        Seq((504L, enc(1L, "gif")),
+          (601L, wav()),
+          (9001L, "garbage bytes here".getBytes("UTF-8")),
+          (9002L, Array.empty[Byte]),
+          (9003L, null.asInstanceOf[Array[Byte]]))
+      val media = s.createDataFrame(rows).toDF("media_id", "payload")
+        .repartition(3)
+      operators.Multimodal.mediaDatasheet(media, "media_id", "payload")
+        .select($"media_id", $"format", $"decode_status", $"n_px",
+          $"dup_of")
+        .orderBy($"media_id")
+    }),
+
     // The VIDEO rung of the streaming multimodal admission ladder —
     // completing the modality trio (image q126, audio q132): animated
     // payloads arrive as BYTES on the stream and the WHOLE temporal
@@ -5821,6 +5875,53 @@ object SparkEntry {
          FROM (SELECT media_id FROM arr UNION ALL SELECT 9001
                UNION ALL SELECT 9002 UNION ALL SELECT 9003) m
          LEFT JOIN best b USING (media_id)
+         ORDER BY media_id""",
+
+    // q155: magic-byte format table + dead-letter classification from
+    // planted knowledge; dims from the fixture; dup pointers from the
+    // q142 dHash construction over the planted formulas (re-encodes
+    // share a src → share a signature; the min-id member is canonical)
+    "q155_media_datasheet" ->
+      """WITH ok AS (
+           SELECT media_id, src, fmt FROM (VALUES
+             (1, 1, 'png'), (2, 2, 'png'), (3, 3, 'png'),
+             (4, 4, 'png'), (5, 5, 'png'), (6, 6, 'png'),
+             (501, 1, 'bmp'), (502, 2, 'bmp'), (503, 3, 'bmp'),
+             (504, 1, 'gif')) t(media_id, src, fmt)),
+         g AS (
+           SELECT media_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3)) % 256 AS v
+           FROM ok, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         h AS (
+           SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM g a JOIN g b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         firsts AS (
+           SELECT dhash, count(*) AS n, min(media_id) AS first_id
+           FROM h GROUP BY dhash),
+         okrows AS (
+           SELECT o.media_id, o.fmt AS format, 'ok' AS decode_status,
+             192::BIGINT AS n_px,
+             CASE WHEN f.n > 1 AND o.media_id <> f.first_id
+               THEN f.first_id END AS dup_of
+           FROM ok o JOIN h USING (media_id) JOIN firsts f
+             ON f.dhash = h.dhash)
+         SELECT media_id, format, decode_status, n_px, dup_of
+         FROM okrows
+         UNION ALL
+         SELECT media_id, format, decode_status, NULL, NULL
+         FROM (VALUES
+           (601, 'wav', 'undecodable'),
+           (9001, 'unknown', 'undecodable'),
+           (9002, 'empty', 'empty_payload'),
+           (9003, 'null', 'null_payload'))
+           t(media_id, format, decode_status)
          ORDER BY media_id""",
 
     // q148: pixel formulas → gray luma (= v) → the 8×8 embed lattice

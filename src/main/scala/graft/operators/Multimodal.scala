@@ -172,6 +172,60 @@ object Multimodal {
       .when(ok.isNull, lit("undecodable"))
       .otherwise(lit("ok"))
 
+  /** Container format from MAGIC BYTES — a pure (codegen'd) column
+    * projection, independent of any decoder, so a corpus profile can
+    * count formats even for payloads the decode tier rejects. Covers
+    * the containers this codec boundary handles (PNG / JPEG / BMP /
+    * GIF images; WAV/RIFF, AIFF/FORM, AU audio) plus `unknown` /
+    * `empty` / `null`. Magic-byte sniffing identifies the CONTAINER
+    * only — a truncated PNG still says `png` (its decode_status says
+    * the rest), which is exactly what a dead-letter forensics view
+    * wants. */
+  def mediaFormat(payload: Column): Column = {
+    def begins(hexPrefix: String): Column =
+      hex(substring(payload, 1, hexPrefix.length / 2)) === lit(hexPrefix)
+    when(payload.isNull, lit("null"))
+      .when(length(payload) === 0, lit("empty"))
+      .when(begins("89504E47"), lit("png"))
+      .when(begins("FFD8FF"), lit("jpeg"))
+      .when(begins("424D"), lit("bmp"))
+      .when(begins("47494638"), lit("gif"))
+      .when(begins("52494646"), lit("wav"))
+      .when(begins("464F524D"), lit("aiff"))
+      .when(begins("2E736E64"), lit("au"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** The MULTIMODAL corpus datasheet — the media face of the text
+    * tier's q91 profile / q102 release gates: one row per payload
+    * with everything an operator triages a 100 TB media corpus by:
+    * `format` (magic bytes, decoder-independent), `decode_status`
+    * (the dead-letter classification), `n_px` (decoded pixel count;
+    * null for non-ok rows) and `dup_of` (the smallest media id
+    * sharing this row's dHash — the exact-perceptual dup pointer;
+    * null for unique or undecodable rows). Downstream `groupBy
+    * (format, decode_status)` + dup-rate aggregation is the release
+    * report; this keeps the per-row evidence. One decode pass, one
+    * self-join on the 64-bit signature — no pairwise work. */
+  def mediaDatasheet(df: DataFrame, idCol: String,
+                     binaryCol: String): DataFrame = {
+    val decoded = perceptualHashes(decodeImages(df, binaryCol),
+      "pixels", "img_width", "img_height")
+    val rows = decoded.select(col(idCol),
+      mediaFormat(col(binaryCol)).as("format"),
+      decodeStatus(col(binaryCol), col("img_width")).as("decode_status"),
+      (col("img_width").cast("long") * col("img_height")).as("n_px"),
+      col("dhash"))
+    val firsts = rows.filter(col("dhash").isNotNull)
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__first"))
+    rows.join(firsts, Seq("dhash"), "left")
+      .select(col(idCol), col("format"), col("decode_status"),
+        col("n_px"),
+        when(col("__n") > 1 && col(idCol) =!= col("__first"),
+          col("__first")).as("dup_of"))
+  }
+
   /** Nearest-neighbor image RESIZE over decoded RGB buffers — the
     * feature-prep step between [[decodeImages]] and any fixed-input
     * model stage (embedding extractors want one canonical WxH; a
