@@ -2864,6 +2864,82 @@ object SparkEntry {
       out
     }),
 
+    // TAKEDOWNS THROUGH THE COMPOSED FRONT DOOR — the compliance
+    // lifecycle (q144's vector rung, q128's exact rung) reaching the
+    // one-pass cascade (q147) with NO restart: the accepted corpus's
+    // first five docs file into the durable index's tombstone ledger
+    // and leave the exact-tier reference view, and the very next
+    // stream pass flips exactly their arrivals — verbatim re-crawls
+    // of removed docs fall through the exact tier, pass quality, find
+    // no ≥tau live neighbor and ADMIT; near-copies of removed docs
+    // flip semantic → admit; every other row's decision and reason
+    // hold bit-for-bit. The oracle replays the whole cascade TWICE
+    // (full accepted set, then minus the tombstoned docs).
+    "q156_cascade_takedown" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0)
+      val accepted = docs.filter($"doc_id" < 40)
+      val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
+          dim = 64)
+        .select($"doc_id", $"embedding")
+      // gate hygiene: the ledger survives re-runs (the index tables
+      // rewrite below but appendLedger accumulates) — reset so the
+      // PRE pass always sees a clean slate
+      sources.Sinks.clearLedger(s, "q156_idx_tombstones")
+      operators.Similarity.writeIvfIndexBucketed(
+        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+          nCells = 2, lloydIters = 1), "q156_idx", numBuckets = 2)
+      def acceptedTextsOf(acc: DataFrame): DataFrame =
+        acc.groupBy($"text").agg(min($"doc_id").as("exact_id"))
+      val arrivals = accepted.filter($"doc_id" < 10)
+          .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" < 10)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat($"text", lit(" zq zq qz")).as("text")))
+        .unionByName(docs.filter($"doc_id" >= 200 && $"doc_id" < 205)
+          .select(($"doc_id" + 600000L).as("doc_id"), $"text"))
+        .unionByName(s.createDataFrame(Seq(
+            (900001L, ""), (900002L, null.asInstanceOf[String])))
+          .toDF("doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("q156_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def run(tag: String, accTexts: DataFrame): DataFrame = {
+        val idx = operators.Similarity.readIvfIndexLive(s, "q156_idx")
+        val members = operators.Similarity.cellMembers(idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        members.count()
+        val at = accTexts
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        at.count()
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+        val res = runStreamToTable(s,
+          streaming.StreamingParse.admissionCascadeStream(stream,
+            "doc_id", "text", at, minLen = 20, maxNonAlphaRatio = 0.3,
+            index = idx, members = members, tau = 0.9, dim = 64,
+            nProbe = 2),
+          "append", s"cascade_td_$tag")
+          .select($"doc_id",
+            col("cascade_admitted").as(s"admitted_$tag"),
+            col("reason").as(s"reason_$tag"))
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        members.unpersist(); at.unpersist()
+        local
+      }
+      val pre = run("pre", acceptedTextsOf(accepted))
+      operators.Similarity.tombstoneIvf(s, "q156_idx",
+        accepted.filter($"doc_id" < 5).select($"doc_id"), "doc_id")
+      val live = run("live",
+        acceptedTextsOf(accepted.filter($"doc_id" >= 5)))
+      pre.join(live, Seq("doc_id"))
+        .select($"doc_id", $"admitted_pre", $"reason_pre",
+          $"admitted_live", $"reason_live")
+        .orderBy($"doc_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6478,6 +6554,88 @@ object SparkEntry {
          SELECT doc_id, reason IS NULL AS admitted, reason,
            CASE WHEN reason = 'exact' THEN exact_id END AS exact_match_id,
            CASE WHEN reason = 'semantic' THEN acc_id END AS semantic_match_id
+         FROM decided ORDER BY doc_id""",
+
+    // q156: the q147 cascade replayed in TWO decision worlds — the
+    // full accepted set (pre) and the set minus the tombstoned docs
+    // (live): exact via the live text view, semantic via the argmax
+    // over surviving accepted vectors; quality and precedence
+    // unchanged
+    "q156_cascade_takedown" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         acc AS (SELECT doc_id, text FROM base WHERE doc_id < 40),
+         accx_pre AS (SELECT text, min(doc_id) AS exact_id FROM acc
+           GROUP BY text),
+         accx_live AS (SELECT text, min(doc_id) AS exact_id FROM acc
+           WHERE doc_id >= 5 GROUP BY text),
+         arr AS (
+           SELECT doc_id + 400000 AS doc_id, text FROM base
+           WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 500000, text || ' zq zq qz'
+           FROM base WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 600000, text FROM base
+           WHERE doc_id >= 200 AND doc_id < 205
+           UNION ALL SELECT doc_id, text
+           FROM (VALUES (900001, ''), (900002, NULL)) t(doc_id, text)),
+         alltexts AS (
+           SELECT 1 AS is_acc, doc_id, text FROM acc
+           UNION ALL SELECT 0, doc_id, text FROM arr
+           WHERE length(trim(coalesce(text, ''))) > 0),
+         toks AS (SELECT is_acc, doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> t != '')) AS t
+           FROM alltexts),
+         vecs AS (SELECT is_acc, doc_id,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS v
+           FROM toks GROUP BY 1, 2, 3
+           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) != 0),
+         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
+           FROM vecs GROUP BY 1, 2),
+         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
+             sum(q.v * c.v) AS dp
+           FROM vecs q JOIN vecs c
+             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
+           GROUP BY 1, 2),
+         cosr AS (SELECT d.doc_id, d.acc_id,
+             d.dp / (qn.n * cn.n) AS cosv
+           FROM dots d
+             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
+             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
+         best_pre AS (SELECT doc_id, acc_id, cosv FROM (
+           SELECT doc_id, acc_id, cosv, row_number() OVER
+             (PARTITION BY doc_id ORDER BY cosv DESC, acc_id) AS rn
+           FROM cosr) WHERE rn = 1),
+         best_live AS (SELECT doc_id, acc_id, cosv FROM (
+           SELECT doc_id, acc_id, cosv, row_number() OVER
+             (PARTITION BY doc_id ORDER BY cosv DESC, acc_id) AS rn
+           FROM cosr WHERE acc_id >= 5) WHERE rn = 1),
+         qual AS (SELECT doc_id,
+           coalesce(length(trim(text)) >= 20 AND
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               <= 0.3 * length(text), FALSE) AS qok
+           FROM arr),
+         decided AS (
+           SELECT a.doc_id,
+             CASE WHEN xp.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN bp.cosv >= 0.9 THEN 'semantic' END AS reason_pre,
+             CASE WHEN xl.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN bl.cosv >= 0.9 THEN 'semantic' END AS reason_live
+           FROM arr a
+           LEFT JOIN accx_pre xp ON xp.text = a.text
+           LEFT JOIN accx_live xl ON xl.text = a.text
+           JOIN qual q ON q.doc_id = a.doc_id
+           LEFT JOIN best_pre bp ON bp.doc_id = a.doc_id
+           LEFT JOIN best_live bl ON bl.doc_id = a.doc_id)
+         SELECT doc_id,
+           reason_pre IS NULL AS admitted_pre, reason_pre,
+           reason_live IS NULL AS admitted_live, reason_live
          FROM decided ORDER BY doc_id""",
 
     // the q134 replay with THREE decision worlds: the full reference

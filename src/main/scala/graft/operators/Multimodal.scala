@@ -182,16 +182,24 @@ object Multimodal {
     * the rest), which is exactly what a dead-letter forensics view
     * wants. */
   def mediaFormat(payload: Column): Column = {
-    def begins(hexPrefix: String): Column =
-      hex(substring(payload, 1, hexPrefix.length / 2)) === lit(hexPrefix)
+    def at(pos: Int, hexBytes: String): Column =
+      hex(substring(payload, pos, hexBytes.length / 2)) === lit(hexBytes)
+    def begins(hexPrefix: String): Column = at(1, hexPrefix)
     when(payload.isNull, lit("null"))
       .when(length(payload) === 0, lit("empty"))
       .when(begins("89504E47"), lit("png"))
       .when(begins("FFD8FF"), lit("jpeg"))
       .when(begins("424D"), lit("bmp"))
       .when(begins("47494638"), lit("gif"))
-      .when(begins("52494646"), lit("wav"))
-      .when(begins("464F524D"), lit("aiff"))
+      // RIFF and FORM are generic containers (RIFF also wraps AVI and
+      // WebP, FORM any IFF type) — require the type tag at offset 8
+      // ("WAVE" / "AIFF" or "AIFC") before claiming an audio format,
+      // and report the bare container otherwise rather than guessing
+      .when(begins("52494646") && at(9, "57415645"), lit("wav"))
+      .when(begins("52494646"), lit("riff"))
+      .when(begins("464F524D") &&
+        (at(9, "41494646") || at(9, "41494643")), lit("aiff"))
+      .when(begins("464F524D"), lit("iff"))
       .when(begins("2E736E64"), lit("au"))
       .otherwise(lit("unknown"))
   }

@@ -931,6 +931,36 @@ class TextMultimodalSpec extends SparkSpec {
       "identical pixels must embed identically across containers")
   }
 
+  test("multimodal: mediaFormat sniffs containers decoder-independently; generic RIFF/FORM never claim audio") {
+    import graft.operators.Multimodal
+    def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+      (3L, b("BM") ++ Array[Byte](0, 0, 0, 0)),
+      (4L, b("GIF89a")),
+      (5L, b("RIFF") ++ Array[Byte](4, 0, 0, 0) ++ b("WAVE")),
+      // RIFF wrapping something ELSE (AVI) must NOT read as wav
+      (6L, b("RIFF") ++ Array[Byte](4, 0, 0, 0) ++ b("AVI ")),
+      (7L, b("FORM") ++ Array[Byte](0, 0, 0, 4) ++ b("AIFF")),
+      (8L, b("FORM") ++ Array[Byte](0, 0, 0, 4) ++ b("AIFC")),
+      (9L, b("FORM") ++ Array[Byte](0, 0, 0, 4) ++ b("ILBM")),
+      (10L, b(".snd") ++ Array[Byte](0, 0, 0, 24)),
+      (11L, b("random stuff")),
+      (12L, Array.empty[Byte]),
+      (13L, null.asInstanceOf[Array[Byte]]),
+      // payload shorter than the longest magic: must classify, not throw
+      (14L, Array[Byte]('R')))
+      .toDF("media_id", "payload")
+    val out = rows.select(col("media_id"),
+        Multimodal.mediaFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "png", 2L -> "jpeg", 3L -> "bmp",
+      4L -> "gif", 5L -> "wav", 6L -> "riff", 7L -> "aiff",
+      8L -> "aiff", 9L -> "iff", 10L -> "au", 11L -> "unknown",
+      12L -> "empty", 13L -> "null", 14L -> "unknown"), s"got $out")
+  }
+
   test("videoSignature: strict per-bit majority over frame hashes; ties vote 0; null frames excluded") {
     import graft.operators.Multimodal
     // media 1: bits 0 and 63 carried by 2 of 3 frames (strict
