@@ -2940,6 +2940,56 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // TAKEDOWN lifecycle for the LSH family — closing the compliance
+    // matrix across ALL FOUR durable vector families (exact q128,
+    // ngram q129, IVF q144, IVF×PQ q127, IVF×SQ spec, LSH here): the
+    // q127 three-world shape with EXACT twins (identical vectors →
+    // identical hyperplane signatures → bucket recovery is certain
+    // and the cosine-1.0 tie resolves by the deterministic id
+    // tie-break, so every world's answer is value-pinned, never
+    // probabilistic). Pre: original wins the tie (smaller id). File
+    // the originals into the ledger → the live search serves the
+    // exact twin (pre-rank exclusion: the row never enters a probe
+    // bucket). purgeLshIndex — the LSH maintenance call is PURGE-ONLY
+    // because frozen hyperplanes cannot drift — rewrites the
+    // surviving signature rows once (bucketed A/B generation swap,
+    // meta-last, ledger cleared; never a re-hash of the corpus) and
+    // the served answer must not move. The oracle replays brute-force
+    // cosine argmax over both worlds.
+    "q157_lsh_takedown" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+          .as("embedding"))
+      val twins = corpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + 20000L).as("vec_id"), $"embedding")
+      val full = corpus.unionByName(twins)
+      val queries = corpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      // gate hygiene: the ledger survives re-runs — reset so the PRE
+      // pass always sees a clean slate
+      sources.Sinks.clearLedger(s, "q157_idx_tombstones")
+      operators.Similarity.writeLshIndexBucketed(
+        operators.Similarity.buildLsh(full, "vec_id", "embedding",
+          planes = 10), "q157_idx", numBuckets = 2)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def top1(tag: String): DataFrame = loc(
+        operators.Similarity.searchLshLive(s, "q157_idx", queries,
+            "vec_id", "embedding", k = 1)
+          .filter($"rank" === 1)
+          .select($"query_id", $"neighbor_id".as(tag)))
+      val pre = top1("pre_top1")
+      operators.Similarity.tombstoneLsh(s, "q157_idx",
+        emb.filter($"vec_id" < 10).select($"vec_id"), "vec_id")
+      val live = top1("live_top1")
+      operators.Similarity.purgeLshIndex(s, "q157_idx", numBuckets = 2)
+      val post = top1("post_top1")
+      pre.join(live, Seq("query_id")).join(post, Seq("query_id"))
+        .select($"query_id", $"pre_top1", $"live_top1", $"post_top1")
+        .orderBy($"query_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6637,6 +6687,36 @@ object SparkEntry {
            reason_pre IS NULL AS admitted_pre, reason_pre,
            reason_live IS NULL AS admitted_live, reason_live
          FROM decided ORDER BY doc_id""",
+
+    // q157: brute-force cosine argmax replayed over both decision
+    // worlds. EXACT twins make every rank deterministic: the query's
+    // own vector appears twice (original id < 10, twin id + 20000),
+    // both tie at cosine 1.0 and the id tie-break picks the original
+    // pre-takedown and the twin after; post ≡ live pins that the
+    // physical purge moves cost, never answers
+    "q157_lsh_takedown" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         twins AS (SELECT vec_id + 20000 AS vec_id, v
+           FROM c0 WHERE vec_id < 10),
+         corpus AS (SELECT * FROM c0 UNION ALL SELECT * FROM twins),
+         q AS (SELECT vec_id + 10000 AS query_id, v AS qv
+           FROM c0 WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN corpus c),
+         pre AS (SELECT query_id, neighbor_id AS pre_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn FROM s) WHERE rn = 1),
+         alive AS (SELECT query_id, neighbor_id AS live_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn
+             FROM s WHERE neighbor_id >= 10) WHERE rn = 1)
+         SELECT p.query_id, p.pre_top1, a.live_top1, a.live_top1 AS post_top1
+         FROM pre p JOIN alive a USING (query_id)
+         ORDER BY p.query_id""",
 
     // the q134 replay with THREE decision worlds: the full reference
     // set (pre), and the set minus the tombstoned ids twice — the

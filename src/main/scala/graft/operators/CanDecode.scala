@@ -92,11 +92,16 @@ object CanDecode {
     * dropped by the explode, matching the reference's silent drops
     * (lib/canparser.py:135-145, :81-90).
     */
-  def decodeLong(frames: DataFrame, schema: Schema,
-                 mab20Workaround: Boolean = false,
-                 carryCols: Seq[String] = Nil): DataFrame = {
-    val (payload, sig) = effectivePayloadSig(mab20Workaround)
-
+  /** The full decode expression over (payload, signature) columns:
+    * one `when` branch per (module, topic), flattened with `coalesce`
+    * (shallow codegen vs. a 136-deep CaseWhen chain). Callers on the
+    * wide-schema path MUST pass pre-materialized `__pl`/`__sig`
+    * attribute references, never the raw mab20 CASE expressions —
+    * inlined, the CASE replicates into every one of the ~400 branches
+    * and the Project blows janino's 64 KB method limit even when
+    * barrier-isolated (observed: the streamed 2020-season decode ran
+    * INTERPRETED, ~20× slower). */
+  private def decodedExpr(schema: Schema, payload: Column, sig: Column): Column = {
     val branches: Seq[Column] = schema.allTopics.map { case (m, t) =>
       val cond = sig === m.signature && col("topic") === t.id &&
         length(payload) === t.declaredSize * 2
@@ -107,38 +112,54 @@ object CanDecode {
         fieldValue(payload, f).as("value"),
         lit(f.unitLabel).as("unit"))): _*))
     }
-    // flat coalesce keeps codegen shallow vs. a 136-deep CaseWhen chain
-    val decoded = coalesce(branches: _*)
+    coalesce(branches: _*)
+  }
+
+  def decodeLong(frames: DataFrame, schema: Schema,
+                 mab20Workaround: Boolean = false,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val (payload, sig) = effectivePayloadSig(mab20Workaround)
     // Wide schemas (see BarrierFieldCount): isolate the giant decode
-    // expression in its OWN Project between two codegen barriers. A
+    // expression in its OWN Project between codegen barriers. A
     // generator expression cannot be method-split, so explode(decoded)
     // inlined anywhere blows janino's 64 KB limit and the whole fused
     // stage degrades to INTERPRETED generator eval; a standalone
     // ProjectExec, by contrast, compiles the same expression as many
-    // small methods. The lower barrier keeps the regex-generate stage
-    // fused and stops projection collapse from re-deriving
-    // topic/payload inline per branch; the upper barrier stops the
-    // explode from collapsing back onto the decode Project.
+    // small methods — but ONLY when it reads its input from a ROW
+    // (InputAdapter): fused after another Project its inputs arrive as
+    // method parameters, which splitExpressions cannot split around.
+    // Hence THREE barriers: one ending the regex-generate stage, one
+    // between the tiny __pl/__sig prep Project and the decode Project
+    // (materializing the mab20 CASE exactly once — inlined, projection
+    // collapse replicates it into every branch and the decode Project
+    // blows 64 KB even isolated, the round-14 found defect), and one
+    // stopping the explode from collapsing back onto the decode.
+    // Barriers are logical Repartition nodes, so CollapseProject
+    // cannot merge across them.
     // explode_outer + post-generate null filter, NOT explode: the
     // inner explode makes InferFiltersFromGenerate clone the whole
     // generator expression into a `size(...) > 0` filter, which
     // predicate pushdown then substitutes through the __dec alias and
-    // sinks below both barriers — re-inflating the generate stage the
+    // sinks below the barriers — re-inflating the generate stage the
     // barriers exist to protect. The rule skips OUTER generates; the
     // explicit isNotNull on the generator OUTPUT cannot sink below
     // the generate, and undecodable frames drop exactly as before.
     val src =
-      if (wideSchema(schema))
+      if (wideSchema(schema)) {
+        val prepped = codegenBarrier(frames)
+          .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+            col("topic") :+ payload.as("__pl") :+ sig.as("__sig")): _*)
+        val decoded = decodedExpr(schema, col("__pl"), col("__sig"))
         codegenBarrier(
-          codegenBarrier(frames)
-            .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+          codegenBarrier(prepped)
+            .select((carryCols.map(col) :+ col("timestamp") :+
               decoded.as("__dec")): _*))
           .select((carryCols.map(col) :+ col("timestamp") :+
             explode_outer(col("__dec")).as("f")): _*)
           .filter(col("f").isNotNull)
-      else frames
+      } else frames
         .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
-          explode(decoded).as("f")): _*)
+          explode(decodedExpr(schema, payload, sig)).as("f")): _*)
     src.select((carryCols.map(col) :+ col("timestamp") :+
       col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
       col("f.value") :+ col("f.unit")): _*)

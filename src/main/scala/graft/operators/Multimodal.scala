@@ -626,8 +626,10 @@ object Multimodal {
               val e = new Array[Long](65)
               var k = 0
               while (k < 65) {
-                var f = k * frames / 65
-                val hi = (k + 1) * frames / 65
+                // Long span math: k * frames overflows Int past
+                // ~33 M frames (a long recording), garbling bounds
+                var f = (k.toLong * frames / 65).toInt
+                val hi = ((k + 1).toLong * frames / 65).toInt
                 var acc = 0L
                 while (f < hi) { acc += mix(f) * mix(f); f += 1 }
                 e(k) = acc
@@ -701,8 +703,13 @@ object Multimodal {
                 j += 1
               }
               Array.tabulate(windows) { k =>
-                var f = k * frames / windows
-                val hi = (k + 1) * frames / windows
+                // Long span math: k * frames overflows Int for clips
+                // beyond ~2^31/windows frames (seconds of 44.1 kHz
+                // audio at windows=4096) — worst case a negative
+                // bound indexes out of mix() and KILLS the task,
+                // violating the null-and-survive contract
+                var f = (k.toLong * frames / windows).toInt
+                val hi = ((k + 1).toLong * frames / windows).toInt
                 var acc = 0L
                 while (f < hi) { acc += mix(f) * mix(f); f += 1 }
                 acc.toDouble

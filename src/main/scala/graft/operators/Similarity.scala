@@ -234,14 +234,123 @@ object Similarity {
       s"${prefix}_meta")
   }
 
-  /** Reopen an index written by [[writeLshIndexBucketed]]; refuses a
-    * torn same-prefix rebuild (epoch-token mismatch). */
+  /** Reopen an index written by [[writeLshIndexBucketed]] (or swapped
+    * in place by [[purgeLshIndex]] — the meta's pointer column
+    * resolves the live A/B generation); refuses a torn same-prefix
+    * rebuild (epoch-token mismatch). */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
-                   prefix: String): LshIndex = {
+                   prefix: String): LshIndex =
+    readLshIndexResolved(spark, prefix)._1
+
+  /** [[readLshIndex]] plus the resolved live hashed-table name (meta
+    * rows written by [[writeLshIndexBucketed]] predate the A/B purge
+    * and carry no pointer column — those resolve to the original
+    * `_hashed` name). */
+  private def readLshIndexResolved(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (LshIndex, String) = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
-    graft.sources.Sinks.requireEpoch(spark, Seq(s"${prefix}_hashed"),
-      meta.getString(1))
-    LshIndex(spark.table(s"${prefix}_hashed"), meta.getInt(0))
+    val hashedTable =
+      if (meta.schema.fieldNames.contains("hashed_table"))
+        meta.getAs[String]("hashed_table")
+      else s"${prefix}_hashed"
+    graft.sources.Sinks.requireEpoch(spark, Seq(hashedTable),
+      meta.getAs[String]("epoch"))
+    (LshIndex(spark.table(hashedTable), meta.getAs[Int]("planes")),
+      hashedTable)
+  }
+
+  /** TAKEDOWN support for a durable LSH index — closing the compliance
+    * matrix across ALL four durable vector families ([[tombstoneIvf]]
+    * / [[tombstoneIvfSq]] / [[tombstoneIvfPq]] / this, all riding the
+    * crash-safe [[graft.sources.Sinks.appendLedger]] discipline):
+    * O(new) ledger filing, logical exclusion at every live read
+    * ([[readLshIndexLive]] / [[searchLshLive]]), and physical purge +
+    * ledger clear at the next [[purgeLshIndex]]. Unlike the IVF
+    * families there is NO drift dimension here — hyperplanes are
+    * data-oblivious (derived from xxhash64 seeds, never fitted), so
+    * no retrain ever fires and the maintenance call is purge-only:
+    * takedown is orthogonal to drift. */
+  def tombstoneLsh(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String, ids: DataFrame,
+                   idCol: String): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      tombstoneIds(ids, idCol))
+
+  /** The live tombstone set of a durable LSH index (empty frame if
+    * none were ever COMMITTED; a torn ledger refuses loudly — see
+    * [[graft.sources.Sinks.readLedger]]). */
+  def readLshTombstones(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map(_._2).getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+  }
+
+  /** Reopen a durable LSH index with tombstones applied LOGICALLY:
+    * the hashed-corpus side anti-joins the (broadcast, bounded)
+    * ledger, so a taken-down vector never enters a probe bucket —
+    * exclusion is pre-rank by construction, and a deleted top-1
+    * reveals the live runner-up. The plane count passes through
+    * unchanged (geometry is data-oblivious). */
+  def readLshIndexLive(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String): LshIndex = {
+    val idx = readLshIndex(spark, prefix)
+    LshIndex(idx.hashedCorpus.join(
+        broadcast(readLshTombstones(spark, prefix)),
+        Seq("neighbor_id"), "left_anti"),
+      idx.planes)
+  }
+
+  /** Search a DURABLE LSH index with its tombstones applied — the
+    * serving entry point after takedowns ([[searchIvfLive]]'s
+    * hyperplane-family sibling). */
+  def searchLshLive(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame =
+    searchLsh(readLshIndexLive(spark, prefix), queries, idCol, vecCol, k)
+
+  /** The ONE-CALL maintenance window for a durable LSH index — purge
+    * only, because frozen hyperplanes cannot drift (no recall probe,
+    * no refit: an appended batch buckets exactly as a full rebuild
+    * would, so the only state that rots is UNDELETED tombstoned rows).
+    * If the ledger is empty the call is a quiet no-op — no table
+    * write, meta bit-identical. Otherwise the surviving hashed rows
+    * rewrite ONCE, bucketed, into the ALTERNATE table of the A/B pair
+    * (a bucketed table cannot be overwritten from a plan still
+    * serving readers), the fresh epoch stamps, the one-row meta
+    * rewrite is the atomic pointer+epoch flip, the superseded
+    * generation drops last and the ledger clears — the
+    * [[retrainIvfSqIndexBucketed]] crash discipline. Cost is one
+    * bucketed shuffle over the SURVIVING signature rows — never a
+    * re-hash of the corpus (signatures are already materialized).
+    * Returns one bounded report row
+    * `(pending_tombstones, purged, epoch_changed)`. */
+  def purgeLshIndex(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String, numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (index, liveHashed) = readLshIndexResolved(spark, prefix)
+    val tombstones = readLshTombstones(spark, prefix).localCheckpoint()
+    val pending = tombstones.count()
+    if (pending == 0L)
+      return Seq((0L, false, false))
+        .toDF("pending_tombstones", "purged", "epoch_changed")
+    val otherHashed =
+      if (liveHashed == s"${prefix}_hashed") s"${prefix}_hashed_b"
+      else s"${prefix}_hashed"
+    val survivors = index.hashedCorpus.join(broadcast(tombstones),
+      Seq("neighbor_id"), "left_anti")
+    graft.sources.Sinks.writeBucketed(survivors, otherHashed,
+      Seq("bucket"), numBuckets)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(otherHashed))
+    graft.sources.Sinks.writeTable(
+      Seq((index.planes, epoch, otherHashed))
+        .toDF("planes", "epoch", "hashed_table"),
+      s"${prefix}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS $liveHashed")
+    graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
+    Seq((pending, true, true))
+      .toDF("pending_tombstones", "purged", "epoch_changed")
   }
 
   /** Search a built LSH index: each query probes its own bucket plus
@@ -708,7 +817,23 @@ object Similarity {
                    prefix: String, ids: DataFrame,
                    idCol: String): Unit =
     graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
-      ids.select(col(idCol).cast("long").as("neighbor_id")))
+      tombstoneIds(ids, idCol))
+
+  /** Canonicalize takedown ids to the ledger's long key, REFUSING
+    * loudly when the cast silently nulls (a string/typo id column):
+    * a null never anti-joins anything, so the "deletion" would no-op
+    * while reporting success — the one failure mode a compliance
+    * ledger must not have. The scan is one pass over the bounded
+    * takedown batch (never the corpus). */
+  private def tombstoneIds(ids: DataFrame, idCol: String): DataFrame = {
+    val cast = ids.select(col(idCol).cast("long").as("neighbor_id"))
+    val bad = cast.filter(col("neighbor_id").isNull).count()
+    require(bad == 0L,
+      s"graft takedown REFUSED: $bad id(s) in '$idCol' are null or not " +
+        "castable to long — a silently-nulled tombstone would never " +
+        "match the index and the deletion would not happen")
+    cast
+  }
 
   /** The live tombstone set of a durable IVF index (empty frame if
     * none were ever COMMITTED; a torn ledger refuses loudly — see
@@ -1182,7 +1307,7 @@ object Similarity {
                      prefix: String, ids: DataFrame,
                      idCol: String): Unit =
     graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
-      ids.select(col(idCol).cast("long").as("neighbor_id")))
+      tombstoneIds(ids, idCol))
 
   /** The live tombstone set of a durable IVF×SQ index (empty frame if
     * none were ever committed; a torn ledger refuses loudly). */
@@ -1277,30 +1402,45 @@ object Similarity {
     import spark.implicits._
     def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
       .getAs[String]("epoch")
-    def decide(): (Long, Double, Boolean) = {
-      // LIVE view on both sides (the maintainIvfPqIndex discipline):
-      // the served search can't return a taken-down id and the
-      // brute-force truth never counts one as a miss
-      val live = corpus.join(broadcast(readIvfSqTombstones(spark, prefix)
-          .select(col("neighbor_id").as(idCol))), Seq(idCol), "left_anti")
-      val ann = searchIvfSq(readIvfSqIndexLive(spark, prefix), corpus,
-        queries, idCol, vecCol, k, nProbe, oversample)
-      val d = driftDecision(
-        recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
-        .collect()(0)
-      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
-    }
-    val epochBefore = epoch()
-    val (nQ, preMean, fired) = decide()
-    if (fired)
-      retrainIvfSqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
-        sample, lloydIters, numBuckets)
-    val (_, postMean, postRetrain) = if (fired) decide()
-      else (nQ, preMean, fired)
-    Seq((nQ, preMean, fired, postMean, postRetrain,
-        epoch() != epochBefore))
-      .toDF("n_queries", "pre_mean_recall", "retrain_fired",
-        "post_mean_recall", "post_retrain", "epoch_changed")
+    // Capture the tombstone set ONCE, before any retrain, and PIN it:
+    // the retrain purges tombstoned rows physically and CLEARS the
+    // ledger, so a post-retrain re-read would return empty and the
+    // brute-force truth would revert to the full caller-supplied
+    // corpus — counting just-purged rows as misses and making
+    // post_mean_recall spuriously pessimistic (they can never be
+    // returned again, by design). persist + count materializes the
+    // bounded compliance ledger so the lazy plan cannot re-read the
+    // cleared tables.
+    val tombs = readIvfSqTombstones(spark, prefix)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tombs.count()
+    try {
+      def decide(): (Long, Double, Boolean) = {
+        // LIVE view on both sides (the maintainIvfPqIndex discipline):
+        // the served search can't return a taken-down id and the
+        // brute-force truth never counts one as a miss
+        val live = corpus.join(broadcast(
+            tombs.select(col("neighbor_id").as(idCol))),
+          Seq(idCol), "left_anti")
+        val ann = searchIvfSq(readIvfSqIndexLive(spark, prefix), corpus,
+          queries, idCol, vecCol, k, nProbe, oversample)
+        val d = driftDecision(
+          recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
+          .collect()(0)
+        (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+      }
+      val epochBefore = epoch()
+      val (nQ, preMean, fired) = decide()
+      if (fired)
+        retrainIvfSqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
+          sample, lloydIters, numBuckets)
+      val (_, postMean, postRetrain) = if (fired) decide()
+        else (nQ, preMean, fired)
+      Seq((nQ, preMean, fired, postMean, postRetrain,
+          epoch() != epochBefore))
+        .toDF("n_queries", "pre_mean_recall", "retrain_fired",
+          "post_mean_recall", "post_retrain", "epoch_changed")
+    } finally tombs.unpersist()
   }
 
   /** A built product-quantization (PQ) ANN index (Jégou, Douze,
@@ -1842,7 +1982,7 @@ object Similarity {
                      prefix: String, ids: DataFrame,
                      idCol: String): Unit =
     graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
-      ids.select(col(idCol).cast("long").as("neighbor_id")))
+      tombstoneIds(ids, idCol))
 
   /** The live tombstone set of a durable IVF×PQ index (empty frame if
     * none were ever COMMITTED; a torn ledger — meta present but its

@@ -197,4 +197,54 @@ class ParseStageSpec extends SparkSpec {
       "the regex-generate stage de-fused — the decode expression " +
         s"leaked back into it:\n${defusedGenerate.headOption.map(_.take(800))}")
   }
+
+  test("schema-width x mab20 matrix: decodeLong/decodeWide never hit the 64 KB fallback") {
+    // The round-14 found defect: with mab20Workaround=true, decodeLong's
+    // wide path inlined effectivePayloadSig's CASE into every one of the
+    // ~400 branches (CollapseProject substitutes through the alias; no
+    // CSE across `when` branches), so even the barrier-isolated decode
+    // Project blew janino's 64 KB limit and ran INTERPRETED (~20x
+    // slower) — hit by the streamed 2020-season decode
+    // (StreamingParse.parsedFrames). Fixed by materializing __pl/__sig
+    // ONCE in their own barrier-separated prep Project (the decodeWide
+    // discipline). Pinned here across the full matrix the prior probes
+    // missed: {decodeLong, decodeWide} x {mab20 on, off} on the real
+    // wide 2020 schema — zero CodeGenerator compile errors AND the
+    // regex-generate stage stays fused.
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val s20 = graft.sources.CanSchema.load("/root/reference/can_ids_2020.json")
+    val dir = Files.createTempDirectory("cgprobe_mab20")
+    Files.write(dir.resolve("s.log"), ((0 until 40).map { i =>
+      f"(${1580515200L + i}%d.000000) can0 011#E4360F0000780216"
+    } ++ (0 until 10).map { i =>
+      // topic 0x41=65: only decodable under the mab20 resignature+truncate
+      f"(${1580515240L + i}%d.000000) can0 041#000400"
+    }).mkString("\n").getBytes)
+    val lines = spark.read.text(dir.toString + "/*.log")
+      .select(col("value").as("line"), input_file_name().as("file"))
+    for (mab <- Seq(false, true)) {
+      val frames = graft.sources.Candump.framesFromLines(lines)
+      val (errL, disL) = codegenProbe {
+        val n = graft.operators.CanDecode
+          .decodeLong(frames, s20, mab20Workaround = mab).count()
+        assert(n == (if (mab) 40 * 5 + 10 * 2 else 40 * 5))
+      }
+      assert(errL.isEmpty,
+        s"decodeLong(mab20=$mab) hit codegen fallback:\n${errL.headOption.map(_.take(800))}")
+      val defusedL = disL.filter(_.contains("Generate "))
+      assert(defusedL.isEmpty,
+        s"decodeLong(mab20=$mab) de-fused the generate stage:\n${defusedL.headOption.map(_.take(800))}")
+      val (errW, disW) = codegenProbe {
+        val n = graft.operators.CanDecode
+          .decodeWide(frames, s20, mab20Workaround = mab,
+            keys = Seq("file")).count()
+        assert(n == (if (mab) 50 else 40))
+      }
+      assert(errW.isEmpty,
+        s"decodeWide(mab20=$mab) hit codegen fallback:\n${errW.headOption.map(_.take(800))}")
+      val defusedW = disW.filter(_.contains("Generate "))
+      assert(defusedW.isEmpty,
+        s"decodeWide(mab20=$mab) de-fused the generate stage:\n${defusedW.headOption.map(_.take(800))}")
+    }
+  }
 }

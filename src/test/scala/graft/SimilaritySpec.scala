@@ -1127,4 +1127,72 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.table("ivfsq_maint_meta").collect().toSeq == metaBefore,
       "a quiet maintenance window must not touch the commit record")
   }
+
+  test("LSH takedown: pre-rank exclusion, physical purge via one call, quiet no-op, torn refusal") {
+    // EXACT twins (identical vectors → identical signatures) make
+    // bucket recovery certain and the top-1 tie (cosine 1.0) resolve
+    // by the deterministic id tie-break — so every world's answer is
+    // pinned, not probabilistic
+    val twins = emb.filter($"vec_id" < 5).select(
+      ($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    Similarity.writeLshIndexBucketed(
+      Similarity.buildLsh(corpus, "vec_id", "embedding", planes = 8),
+      "lsh_td", numBuckets = 2)
+    def top1(): Map[Long, Long] = Similarity.searchLshLive(spark,
+        "lsh_td", queries, "vec_id", "embedding", k = 1)
+      .filter($"rank" === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre: original and twin tie at cosine 1.0 → smaller id wins
+    assert(top1() == (0L until 5L).map(i => (i + 10000L) -> i).toMap)
+    // idempotent ledger filing (a crashed half-applied batch re-runs)
+    Similarity.tombstoneLsh(spark, "lsh_td",
+      Seq(0L, 1L).toDF("vec_id"), "vec_id")
+    Similarity.tombstoneLsh(spark, "lsh_td",
+      (0L until 5L).toDF("vec_id"), "vec_id")
+    assert(Similarity.readLshTombstones(spark, "lsh_td")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L).toSeq)
+    // live: exclusion is pre-rank — the exact twin serves, not a
+    // shortened result
+    val twinTop = (0L until 5L).map(i => (i + 10000L) -> (i + 100000L)).toMap
+    assert(top1() == twinTop,
+      "tombstoned rows must leave the probe buckets logically NOW")
+    // the one-call purge: fires, swaps the A/B generation, clears
+    val rep = Similarity.purgeLshIndex(spark, "lsh_td", numBuckets = 2)
+      .collect()(0)
+    assert(rep.getLong(0) == 5L && rep.getBoolean(1) && rep.getBoolean(2),
+      s"pending tombstones must fire the purge: $rep")
+    val ids = Similarity.readLshIndex(spark, "lsh_td").hashedCorpus
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).forall(i => !ids.contains(i)),
+      "purged rows must leave the signature table PHYSICALLY")
+    assert(ids.size == corpus.count().toInt - 5)
+    assert(Similarity.readLshTombstones(spark, "lsh_td").count() == 0L,
+      "the ledger clears once deletes are physical")
+    assert(top1() == twinTop,
+      "the served answer must not move across the purge")
+    // quiet no-op: no pending debt → meta row bit-identical
+    val metaBefore = spark.table("lsh_td_meta").collect().toSeq
+    val noop = Similarity.purgeLshIndex(spark, "lsh_td", numBuckets = 2)
+      .collect()(0)
+    assert(noop.getLong(0) == 0L && !noop.getBoolean(1) &&
+      !noop.getBoolean(2), s"empty ledger must be a no-op: $noop")
+    assert(spark.table("lsh_td_meta").collect().toSeq == metaBefore,
+      "a quiet purge must not touch the commit record")
+    // a mistyped takedown REFUSES loudly instead of silently no-oping:
+    // null ids survive any cast and would never anti-join anything
+    assert(intercept[IllegalArgumentException] {
+      Similarity.tombstoneLsh(spark, "lsh_td",
+        Seq(Option.empty[Long], Some(7L)).toDF("vec_id"), "vec_id")
+    }.getMessage.contains("REFUSED"))
+    // torn purge (crash after the swap wipes the old epoch, before
+    // the meta flip): simulated by clearing the live epoch token —
+    // the read face must refuse, never serve the wrong generation
+    graft.sources.Sinks.clearEpochTokens(spark, "lsh_td_hashed_b")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readLshIndex(spark, "lsh_td")
+    }.getMessage.contains("epoch token"))
+  }
 }
