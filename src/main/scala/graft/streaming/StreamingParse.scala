@@ -480,6 +480,131 @@ object StreamingParse {
       .drop("__cemb", "__xid", "admitted", "match_id")
   }
 
+  /** The per-batch body of [[admissionCascadeBatchedStream]], public
+    * so a crash replay is drivable and gated directly (the
+    * [[applyAnnAdmissionBatch]] discipline). Computes all FOUR tier
+    * signals for the batch and writes the decisions as a dynamic
+    * overwrite of the batch's own `batch_id=<id>` partition:
+    *
+    *   1. `exact`    — raw-text join against `acceptedTexts`
+    *                   (columns `text`, `exact_id`);
+    *   2. `quality`  — the [[admissionCascadeStream]] length +
+    *                   non-alpha-ratio formula;
+    *   3. `fuzzy`    — the [[graft.operators.Dedup.incrementalDropNearDups]]
+    *                   contract against the LIVE rooted n-gram index
+    *                   (reopened per batch, so n-gram takedowns apply
+    *                   at the next micro-batch with no restart) over
+    *                   the batch's non-null texts — within-batch
+    *                   near-dup components and index taint included,
+    *                   so the streamed decision ≡ the batch replay of
+    *                   the q56 contract by shared code;
+    *   4. `semantic` — [[graft.operators.TextAnalysis.hashEmbed]] →
+    *                   [[graft.operators.Similarity.searchIvfLive]]
+    *                   against the DURABLE bucketed IVF index (the
+    *                   unbounded [[applyAnnAdmissionBatch]] tier —
+    *                   vector takedowns live at the next batch too).
+    *
+    * `reason` is the FIRST failing tier; all four signals are
+    * computed for every row (full observability, as the one-pass
+    * cascade). Null/degenerate texts reject at `quality` and embed
+    * null vectors (no candidates → the semantic signal never fires on
+    * them). */
+  def applyCascadeBatch(spark: SparkSession, batch: DataFrame,
+                        batchId: Long, idCol: String, textCol: String,
+                        acceptedTexts: DataFrame, minLen: Int,
+                        maxNonAlphaRatio: Double, ngramPrefix: String,
+                        n: Int, threshold: Double, maxBucket: Int,
+                        annPrefix: String, tau: Double, dim: Int,
+                        nProbe: Int, outPath: String): Unit = {
+    val fuzzyIdx = graft.operators.Dedup.readNgramIndexRootedLive(
+      spark, ngramPrefix, idCol, n)
+    val fuzzySurv = graft.operators.Dedup.incrementalDropNearDups(
+        fuzzyIdx, batch.filter(col(textCol).isNotNull), textCol,
+        threshold, maxBucket)
+      .select(col(idCol), lit(true).as("__fz"))
+    val emb = graft.operators.TextAnalysis.hashEmbed(batch, textCol,
+      dim, out = "__cemb")
+    val ann = graft.operators.Similarity.searchIvfLive(spark, annPrefix,
+        emb.select(col(idCol), col("__cemb")), idCol, "__cemb",
+        k = 1, nProbe = nProbe)
+      .filter(col("rank") === 1)
+      .select(col("query_id").as(idCol), col("neighbor_id"),
+        col("cosine"))
+    val len = length(trim(col(textCol)))
+    val nonAlpha = length(regexp_replace(col(textCol),
+      "[A-Za-z0-9\\s]", ""))
+    val qualityOk = col(textCol).isNotNull && len >= lit(minLen) &&
+      nonAlpha.cast("double") <=
+        lit(maxNonAlphaRatio) * length(col(textCol)).cast("double")
+    batch
+      .join(acceptedTexts.select(col("text").as(textCol),
+        col("exact_id").as("__xid")), Seq(textCol), "left")
+      .join(fuzzySurv, Seq(idCol), "left")
+      .join(ann, Seq(idCol), "left")
+      .withColumn("reason",
+        when(col("__xid").isNotNull, lit("exact"))
+          .when(!coalesce(qualityOk, lit(false)), lit("quality"))
+          .when(!coalesce(col("__fz"), lit(false)), lit("fuzzy"))
+          .when(col("cosine") >= lit(tau), lit("semantic")))
+      .withColumn("cascade_admitted", col("reason").isNull)
+      .select(col(idCol),
+        col("cascade_admitted"),
+        col("reason"),
+        when(col("reason") === "exact", col("__xid"))
+          .as("exact_match_id"),
+        when(col("reason") === "semantic", col("neighbor_id"))
+          .as("semantic_match_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+  }
+
+  /** The UNBOUNDED-corpus, FOUR-tier streaming admission cascade —
+    * [[admissionCascadeStream]]'s foreachBatch twin, adding the rung
+    * the one-pass shape cannot express: the FUZZY (n-gram Jaccard)
+    * near-dup tier, whose within-batch connected components and
+    * capped bucket joins are relational computations no stateless
+    * stream projection can run. Tiers run per micro-batch under
+    * first-reject precedence exact → quality → fuzzy → semantic, and
+    * EVERY reference face is durable and takedown-aware: the exact
+    * view is caller-supplied (derive it from the live accepted set),
+    * the fuzzy tier reopens the rooted n-gram index LIVE
+    * ([[graft.operators.Dedup.readNgramIndexRootedLive]] — ledger
+    * applied), the semantic tier reopens the bucketed IVF LIVE — so
+    * a takedown filed against ANY tier flips decisions at the next
+    * stream pass with no restart. A lightly-edited re-crawl that
+    * evades the exact tier and sits below the semantic tau but above
+    * Jaccard `threshold` — the hole the three-tier cascade left —
+    * rejects here with reason `fuzzy`.
+    *
+    * Per-batch cost ∝ batch (the q56 incremental contract: the index
+    * side is never re-shingled, the IVF side never re-shuffles);
+    * output is exactly-once under crash-redelivery via the
+    * batch_id-partitioned dynamic overwrite. Blocks until
+    * AvailableNow drains the source. */
+  def admissionCascadeBatchedStream(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    acceptedTexts: DataFrame,
+                                    minLen: Int,
+                                    maxNonAlphaRatio: Double,
+                                    ngramPrefix: String, n: Int,
+                                    threshold: Double, maxBucket: Int,
+                                    annPrefix: String, tau: Double,
+                                    dim: Int, nProbe: Int,
+                                    outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCascadeBatch(spark, batch, batchId, idCol, textCol,
+          acceptedTexts, minLen, maxNonAlphaRatio, ngramPrefix, n,
+          threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PERCEPTUAL near-dup admission — the MULTIMODAL rung of
     * the ingestion ladder: reject a streamed payload whose 64-bit
     * perceptual signature sits within `maxHamming` of a STATIC

@@ -1262,4 +1262,86 @@ class StreamingSeasonSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(2L),
       "the quarantine side replays idempotently too")
   }
+
+  test("four-tier batched cascade: per-tier reasons, takedowns flip next pass, idempotent replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val accepted = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      (3L, "uniform victor whiskey xray yankee zulu apple banana cherry dates"))
+      .toDF("doc_id", "text")
+    graft.sources.Sinks.clearLedger(spark, "casc_ng_tombstones")
+    graft.sources.Sinks.clearLedger(spark, "casc_idx_tombstones")
+    Dedup.writeNgramIndexRooted(spark, "casc_ng",
+      Dedup.buildNgramIndex(accepted, "doc_id", "text", n = 4),
+      numBuckets = 2)
+    Similarity.writeIvfIndexBucketed(
+      Similarity.buildIvf(
+        TextAnalysis.hashEmbed(accepted, "text", dim = 64)
+          .select($"doc_id", $"embedding"),
+        "doc_id", "embedding", nCells = 2, lloydIters = 1),
+      "casc_idx", numBuckets = 2)
+    val acceptedTexts = accepted
+      .groupBy($"text").agg(min($"doc_id").as("exact_id"))
+    val dir = Files.createTempDirectory("casc4").toString
+    Seq(
+      (101L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      // tail-token paraphrase: evades exact, Jaccard 7/9 > 0.5, and
+      // its cosine sqrt(10/12) ≈ 0.913 sits BELOW tau 0.92 — the row
+      // only the fuzzy tier can reject
+      (102L, "kilo lima mike november oscar papa quebec romeo sierra tango junk tail"),
+      // reversed token order: 4-gram Jaccard ~0 (sails through
+      // fuzzy), bag-of-words embedding identical (cosine 1.0)
+      (103L, "dates cherry banana apple zulu yankee xray whiskey victor uniform"),
+      (104L, "short"),
+      (105L, "completely different words entirely novel content here okay then"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    val sch = spark.read.parquet(s"$dir/in").schema
+    def run(out: String, accTexts: org.apache.spark.sql.DataFrame): Map[Long, (Boolean, String)] = {
+      StreamingParse.admissionCascadeBatchedStream(
+        spark.readStream.schema(sch).parquet(s"$dir/in"),
+        "doc_id", "text", accTexts, minLen = 20,
+        maxNonAlphaRatio = 0.3, ngramPrefix = "casc_ng", n = 4,
+        threshold = 0.5, maxBucket = 50, annPrefix = "casc_idx",
+        tau = 0.92, dim = 64, nProbe = 2, outPath = s"$dir/$out")
+      spark.read.parquet(s"$dir/$out")
+        .select("doc_id", "cascade_admitted", "reason").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2)))
+        .toMap
+    }
+    val pre = run("pre", acceptedTexts)
+    assert(pre(101L) == (false, "exact"))
+    assert(pre(102L) == (false, "fuzzy"),
+      s"the paraphrase must reject at the FUZZY tier: ${pre(102L)}")
+    assert(pre(103L) == (false, "semantic"),
+      s"the reversed copy must reach the semantic tier: ${pre(103L)}")
+    assert(pre(104L)._2 == "quality")
+    assert(pre(105L) == (true, null))
+    // takedowns against the fuzzy + semantic durable faces: the next
+    // stream pass must flip exactly the removed sources' arrivals
+    Dedup.tombstoneNgramIndex(spark, "casc_ng",
+      Seq(2L, 3L).toDF("doc_id"))
+    Similarity.tombstoneIvf(spark, "casc_idx",
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val post = run("post", acceptedTexts)
+    assert(post(102L) == (true, null),
+      s"ngram takedown must admit the paraphrase in-stream: ${post(102L)}")
+    assert(post(103L) == (true, null),
+      s"vector takedown must admit the reversed copy: ${post(103L)}")
+    assert(post(101L) == (false, "exact") && post(104L)._2 == "quality" &&
+      post(105L) == (true, null), "untouched rows must hold")
+    // crash-redelivery: replaying the batch must leave the output
+    // byte-identical (dynamic overwrite of its own partition)
+    val outDf = spark.read.parquet(s"$dir/post")
+    val bId = outDf.agg(max($"batch_id".cast("long"))).collect()(0).getLong(0)
+    val once = outDf.collect().toSet
+    StreamingParse.applyCascadeBatch(spark,
+      spark.read.parquet(s"$dir/in"), bId, "doc_id", "text",
+      acceptedTexts, 20, 0.3, "casc_ng", 4, 0.5, 50, "casc_idx",
+      0.92, 64, 2, s"$dir/post")
+    assert(spark.read.parquet(s"$dir/post").collect().toSet == once,
+      "a replayed batch must leave the sink byte-identical")
+  }
 }
