@@ -3084,6 +3084,98 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The composed MEDIA admission cascade — q147's multimodal twin,
+    // in ONE stateless stream pass: dead_letter (decodeStatus) →
+    // perceptual (dHash Hamming bands, recall-exact by pigeonhole) →
+    // semantic (imageEmbed cosine vs the IVF members), first-reject
+    // precedence, per-tier pointers, ONE decode feeding both signal
+    // tiers. The two reference sets deliberately DIFFER — the
+    // perceptual window holds refs 1–6, the vector corpus refs 1–10 —
+    // so exact copies of refs 7–9 sail through the Hamming tier and
+    // land `semantic` at cosine 1.0 (the stratum only the vector tier
+    // can catch), while BMP re-encodes and brightness shifts of refs
+    // 1–3 land `perceptual` at hamming 0 (what no byte hash sees),
+    // corrupt payloads land `dead_letter` WITH their forensic reason
+    // (they carry null signatures/vectors, so the signal tiers could
+    // never have rejected them), and novel images admit. nCells=2 +
+    // nProbe=2 keeps the probe exhaustive so the oracle's brute force
+    // replays the served argmax exactly (both pixel formulas, the
+    // 9×8 gradient grid, the 8×8 embed lattice, the min/argmax folds
+    // and the precedence, all in SQL).
+    "q159_media_cascade_stream" -> ((s, d) => {
+      val W = 16; val H = 12
+      def vRef(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def vNovel(src: Long, x: Int, y: Int): Int =
+        ((src * 53 + x * 29 + y * 7 + x.toLong * y * 2 + 101) % 256).toInt
+      def enc(px: (Int, Int) => Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = px(x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      def prep(df: DataFrame): DataFrame = {
+        val sig = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(df, "payload"),
+          "pixels", "img_width", "img_height")
+        operators.Multimodal.imageEmbed(sig, "pixels", "img_width",
+            "img_height")
+          .withColumn("decode_status",
+            operators.Multimodal.decodeStatus($"payload", $"img_width"))
+      }
+      val refs = s.createDataFrame((1L to 10L).map(i =>
+          (i, enc((x, y) => vRef(i, x, y, 0), "png"))))
+        .toDF("media_id", "payload")
+      val refPrep = prep(refs)
+      val hamMembers = operators.Dedup.hammingBandMembers(
+        refPrep.filter($"media_id" <= 6).select($"media_id", $"dhash"),
+        "media_id", "dhash", maxHamming = 6)
+      hamMembers.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val index = operators.Similarity.buildIvf(
+        refPrep.select($"media_id", $"img_embedding"), "media_id",
+        "img_embedding", nCells = 2, lloydIters = 1)
+      val members = operators.Similarity.cellMembers(index)
+      members.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK).count()
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i,
+          enc((x, y) => vRef(i, x, y, 0), "bmp"))) ++
+        (1L to 3L).map(i => (510L + i,
+          enc((x, y) => vRef(i, x, y, 4), "png"))) ++
+        (7L to 9L).map(i => (520L + i,
+          enc((x, y) => vRef(i, x, y, 0), "png"))) ++
+        (1L to 3L).map(i => (530L + i,
+          enc((x, y) => vNovel(i, x, y), "png"))) ++
+        Seq((9001L, "not an image".getBytes("UTF-8")),
+          (9002L, null.asInstanceOf[Array[Byte]]),
+          (9003L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q159_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(arrivals).toDF("media_id", "payload")
+        .repartition(4).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val out = streaming.StreamingParse.mediaAdmissionCascadeStream(
+        prep(stream), "media_id", "decode_status", "dhash", hamMembers,
+        maxHamming = 6, "img_embedding", index, members, tau = 0.9,
+        nProbe = 2)
+      val res = runStreamToTable(s, out, "append", "media_cascade")
+        .select($"media_id", $"cascade_admitted", $"reason",
+          $"perceptual_match_id", $"perceptual_hamming",
+          $"semantic_match_id")
+        .orderBy($"media_id")
+      hamMembers.unpersist(); members.unpersist()
+      res
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -5937,6 +6029,103 @@ object SparkEntry {
            reason_pre IS NULL AS admitted_pre, reason_pre,
            reason_live IS NULL AS admitted_live, reason_live
          FROM decided ORDER BY doc_id""",
+
+    // q159: the media cascade replayed tier by tier — both planted
+    // pixel formulas, the 9×8 gradient dHash construction, the
+    // pigeonhole argmin vs the refs-1..6 perceptual window, the 8×8
+    // embed lattice cosine argmax vs the refs-1..10 vector corpus,
+    // the deterministic dead-letter statuses, and the first-reject
+    // precedence with per-tier pointers
+    "q159_media_cascade_stream" ->
+      """WITH refs AS (SELECT i AS ref_id, i AS src, 0 AS shift
+           FROM range(1, 11) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift,
+             'sig' AS kind FROM range(1, 4) t(i)
+           UNION ALL SELECT 510 + i, i, 4, 'sig' FROM range(1, 4) t(i)
+           UNION ALL SELECT 520 + i, i, 0, 'sig' FROM range(7, 10) t(i)
+           UNION ALL SELECT 530 + i, i, 0, 'novel' FROM range(1, 4) t(i)),
+         rg AS (SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)
+           WHERE ref_id <= 6),
+         rh AS (SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (SELECT media_id, gy, gx,
+             CASE WHEN kind = 'novel' THEN
+               (src*53 + (gx*16//9)*29 + (gy*12//8)*7
+                 + (gx*16//9)*(gy*12//8)*2 + 101) % 256
+             ELSE
+               (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256
+             END AS v
+           FROM arr, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         per AS (SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS pmid,
+             min(bit_count(xor(s.dhash, r.sig))) AS pham
+           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           GROUP BY s.media_id),
+         re AS (SELECT ref_id, gy*8 + gx AS i,
+             (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) a(gy), range(0, 8) b(gx)),
+         ae AS (SELECT media_id, gy*8 + gx AS i,
+             CASE WHEN kind = 'novel' THEN
+               (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 256
+             ELSE
+               (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256
+             END AS v
+           FROM arr, range(0, 8) a(gy), range(0, 8) b(gx)),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
+           FROM ae a JOIN re r ON a.i = r.i GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM ae GROUP BY 1),
+         rn2 AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM re GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn2.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn2 USING (ref_id)),
+         sem AS (SELECT media_id, ref_id AS smid, cosv FROM (
+             SELECT media_id, ref_id, cosv, row_number() OVER
+               (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+             FROM cosr) WHERE rk = 1),
+         allm AS (
+           SELECT media_id, 'ok' AS status FROM arr
+           UNION ALL SELECT media_id, status
+           FROM (VALUES (9001, 'undecodable'), (9002, 'null_payload'),
+             (9003, 'empty_payload')) t(media_id, status)),
+         decided AS (SELECT m.media_id,
+             CASE WHEN m.status != 'ok' THEN 'dead_letter'
+                  WHEN p.media_id IS NOT NULL THEN 'perceptual'
+                  WHEN s.cosv >= 0.9 THEN 'semantic' END AS reason,
+             p.pmid, p.pham, s.smid
+           FROM allm m
+           LEFT JOIN per p ON p.media_id = m.media_id
+           LEFT JOIN sem s ON s.media_id = m.media_id)
+         SELECT media_id, reason IS NULL AS cascade_admitted, reason,
+           CASE WHEN reason = 'perceptual' THEN pmid END
+             AS perceptual_match_id,
+           (CASE WHEN reason = 'perceptual' THEN pham END)::INTEGER
+             AS perceptual_hamming,
+           CASE WHEN reason = 'semantic' THEN smid END
+             AS semantic_match_id
+         FROM decided ORDER BY media_id""",
 
     // set-level replay of all three admission decisions: accepted
     // texts, accepted EXCEPT the tombstoned texts, and the per-text

@@ -672,6 +672,72 @@ object StreamingParse {
         (0 until b).flatMap(i => Seq(s"__bh$i", s"__mm$i"))): _*)
   }
 
+  /** The composed MEDIA admission cascade — the multimodal twin of
+    * [[admissionCascadeStream]], the operational ladder a media
+    * ingest front door actually runs, in ONE stateless stream pass
+    * with first-reject precedence and per-tier pointers:
+    *
+    *   1. `dead_letter` — the payload failed its codec
+    *                      ([[graft.operators.Multimodal.decodeStatus]]
+    *                      != "ok": null/empty/undecodable bytes; the
+    *                      status itself is the forensic pointer);
+    *   2. `perceptual`  — the 64-bit signature sits within
+    *                      `maxHamming` of an accepted member
+    *                      ([[hammingAdmissionStream]] unchanged —
+    *                      recall-EXACT at the threshold by
+    *                      pigeonhole), catching container re-encodes
+    *                      and brightness variants no byte hash sees;
+    *   3. `semantic`    — the embedding's best probed cosine reaches
+    *                      `tau` ([[annAdmissionStream]] unchanged),
+    *                      catching near-copies that evade the
+    *                      gradient signature (e.g. a copy absent from
+    *                      the perceptual window but present in the
+    *                      full vector corpus).
+    *
+    * The caller decodes + signs + embeds upstream (all stateless
+    * per-row codec ops — [[graft.operators.Multimodal.decodeImages]]
+    * → perceptualHashes / imageEmbed, or the audio/video bridges),
+    * so ONE decode feeds both signal tiers; corrupt rows carry null
+    * signatures/vectors, which both tiers ADMIT (membership
+    * unprovable) — the dead_letter tier is what actually rejects
+    * them, with the reason preserved. All three tier signals are
+    * computed for every row (one pass, full observability — the
+    * q147 discipline); `reason` is the FIRST failing tier,
+    * `cascade_admitted` = no tier fired. Both reference sets ride
+    * broadcast stream-static joins (pass them persisted); zero
+    * state, plain append mode. */
+  def mediaAdmissionCascadeStream(media: DataFrame, idCol: String,
+                                  statusCol: String, sigCol: String,
+                                  hammingMembers: DataFrame,
+                                  maxHamming: Int, vecCol: String,
+                                  index: graft.operators.Similarity.IvfIndex,
+                                  members: DataFrame, tau: Double,
+                                  nProbe: Int = 2): DataFrame = {
+    val per = hammingAdmissionStream(media, idCol, sigCol,
+        hammingMembers, maxHamming)
+      .withColumnRenamed("admitted", "__padm")
+      .withColumnRenamed("match_id", "__pmid")
+      .withColumnRenamed("match_hamming", "__pham")
+    val sem = annAdmissionStream(per, idCol, vecCol, index, members,
+        tau, nProbe)
+      .withColumnRenamed("admitted", "__sadm")
+      .withColumnRenamed("match_id", "__smid")
+    // null-safe status test: a null status is NOT "ok" — it must
+    // dead-letter, never leak into the signal tiers
+    sem.withColumn("reason",
+        when(!(col(statusCol) <=> lit("ok")), lit("dead_letter"))
+          .when(!col("__padm"), lit("perceptual"))
+          .when(!col("__sadm"), lit("semantic")))
+      .withColumn("cascade_admitted", col("reason").isNull)
+      .withColumn("perceptual_match_id",
+        when(col("reason") === "perceptual", col("__pmid")))
+      .withColumn("perceptual_hamming",
+        when(col("reason") === "perceptual", col("__pham")))
+      .withColumn("semantic_match_id",
+        when(col("reason") === "semantic", col("__smid")))
+      .drop("__padm", "__pmid", "__pham", "__sadm", "__smid")
+  }
+
   /** Dead-letter split for a streaming ingest — the multi-sink
     * pattern a 100 TB pipeline runs around every codec boundary: the
     * decode family deliberately yields NULL output columns on corrupt
