@@ -3176,6 +3176,79 @@ object SparkEntry {
       res
     }),
 
+    // ONE-CALL maintenance window for the FITTED-artifact families —
+    // the q139/q131/q141 cron matrix reaching the trigram LM: a model
+    // fitted once rots silently as the corpus moves (every unseen
+    // token scores through the OOV floor), and nothing in the serving
+    // path says so. The window probes the occurrence-weighted OOV
+    // rate of a held-out CURRENT sample vs the fitted unigram
+    // vocabulary, fires the refit over the live corpus when it
+    // exceeds the bar, swaps generations atomically (rooted A/B, the
+    // index-family discipline) and re-probes. The fixture drifts the
+    // odd docs hard (vowels→digits — most tokens leave the fitted
+    // vocabulary), so call 1 fires and the refit recovers OOV to
+    // ZERO (the sample is a subset of the refit corpus — exact by
+    // construction); call 2 is the quiet no-op. The oracle replays
+    // the token set algebra, the fire threshold and both calls'
+    // mechanics — integer counts only, no derived-double rounding.
+    "q160_lm_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0)
+      val evens = docs.filter($"doc_id" % 2 === 0)
+      val drifted = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          translate(lower($"text"), "aeiou", "01234").as("text"))
+      operators.TextAnalysis.writeTrigramLmRooted(s, "q160_lm",
+        operators.TextAnalysis.fitTrigramLm(evens, "text"))
+      val refit = evens.unionByName(drifted)
+      def call(i: Int): DataFrame =
+        operators.TextAnalysis.maintainTrigramLm(s, "q160_lm",
+            drifted, "text", refit, maxOovRate = 0.2)
+          .withColumn("step", lit(i.toLong))
+      call(1).unionByName(call(2))
+        .select($"step", $"n_sample_tokens", $"pre_oov_tokens",
+          $"refit_fired", $"post_oov_tokens", $"epoch_changed")
+        .orderBy($"step")
+    }),
+
+    // The tokenizer face of q160 — maintainBpeVocab closes the
+    // fitted-artifact maintenance matrix: an aging BPE vocabulary
+    // fragments new-domain words through the chars+1 fallback
+    // (silent token-budget inflation), and the window's probe is the
+    // occurrence-weighted OOV-WORD rate vs the fitted word-pieces
+    // table — piece inflation's root cause, O(sample) to measure.
+    // Same two-call shape: drifted odds fire the refit (fitBatched
+    // over the live corpus, rooted A/B dir+table swap via the
+    // meta-last pointer), OOV recovers to zero, the second call is a
+    // quiet no-op with the generation pointer untouched. Oracle:
+    // word-occurrence set algebra in both worlds plus the fire
+    // threshold — no merge replay needed, because OOV is about word
+    // IDENTITY, not segmentation (the segmentation itself is
+    // value-pinned by q110/q112).
+    "q161_bpe_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0)
+      val evens = docs.filter($"doc_id" % 2 === 0)
+      val drifted = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          translate(lower($"text"), "aeiou", "01234").as("text"))
+      val dir = java.nio.file.Files.createTempDirectory("q161_bpe")
+      dir.toFile.deleteOnExit()
+      operators.Bpe.writeBpeVocabRooted(s, "q161_bpe", dir.toString,
+        operators.Bpe.fitBatched(evens, "text", numMerges = 8),
+        numBuckets = 4)
+      val refit = evens.unionByName(drifted)
+      def call(i: Int): DataFrame =
+        operators.Bpe.maintainBpeVocab(s, "q161_bpe", dir.toString,
+            drifted, "text", refit, maxOovRate = 0.2, numMerges = 8,
+            numBuckets = 4)
+          .withColumn("step", lit(i.toLong))
+      call(1).unionByName(call(2))
+        .select($"step", $"n_sample_words", $"pre_oov_words",
+          $"refit_fired", $"post_oov_words", $"gen_changed")
+        .orderBy($"step")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6126,6 +6199,101 @@ object SparkEntry {
            CASE WHEN reason = 'semantic' THEN smid END
              AS semantic_match_id
          FROM decided ORDER BY media_id""",
+
+    // q160: the token set algebra of both maintenance calls — OOV of
+    // the drifted sample vs the original fit vocabulary (call 1's
+    // probe), the fire threshold, OOV vs the refit vocabulary
+    // (call 1's re-probe = call 2's probe), and call 2's quiet-no-op
+    // mechanics — all integer counts
+    "q160_lm_maintain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         ev AS (SELECT lower(trim(text)) AS tx FROM base
+           WHERE doc_id % 2 = 0),
+         dr AS (SELECT translate(lower(trim(text)), 'aeiou', '01234')
+             AS tx
+           FROM base WHERE doc_id % 2 = 1),
+         vocab_a AS (SELECT DISTINCT t FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) AS t FROM ev)),
+         vocab_b AS (SELECT DISTINCT t FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) AS t FROM ev
+           UNION ALL
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) FROM dr)),
+         stoks AS (SELECT unnest(list_filter(
+             regexp_split_to_array(tx, '\s+'), x -> x != '')) AS t
+           FROM dr),
+         pre AS (SELECT count(*) AS n,
+             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM stoks s LEFT JOIN vocab_a v ON v.t = s.t),
+         post AS (SELECT
+             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM stoks s LEFT JOIN vocab_b v ON v.t = s.t),
+         c1 AS (SELECT pre.n, pre.oov AS pre_oov,
+             pre.oov > 0.2 * pre.n AS f1,
+             CASE WHEN pre.oov > 0.2 * pre.n THEN post.oov
+               ELSE pre.oov END AS post1
+           FROM pre CROSS JOIN post),
+         c2 AS (SELECT c1.n, c1.post1 AS pre_oov,
+             c1.post1 > 0.2 * c1.n AS f2,
+             CASE WHEN c1.post1 > 0.2 * c1.n THEN post.oov
+               ELSE c1.post1 END AS post2
+           FROM c1 CROSS JOIN post)
+         SELECT 1 AS step, n AS n_sample_tokens,
+           pre_oov AS pre_oov_tokens, f1 AS refit_fired,
+           post1 AS post_oov_tokens, f1 AS epoch_changed
+         FROM c1
+         UNION ALL
+         SELECT 2, n, pre_oov, f2, post2, f2 FROM c2
+         ORDER BY step""",
+
+    // q161: the same two-call replay over WORD occurrences vs the
+    // fitted word-pieces vocabularies (original and refit)
+    "q161_bpe_maintain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         ev AS (SELECT lower(trim(text)) AS tx FROM base
+           WHERE doc_id % 2 = 0),
+         dr AS (SELECT translate(lower(trim(text)), 'aeiou', '01234')
+             AS tx
+           FROM base WHERE doc_id % 2 = 1),
+         vocab_a AS (SELECT DISTINCT w FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) AS w FROM ev)),
+         vocab_b AS (SELECT DISTINCT w FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) AS w FROM ev
+           UNION ALL
+           SELECT unnest(list_filter(regexp_split_to_array(tx, '\s+'),
+             x -> x != '')) FROM dr)),
+         swords AS (SELECT unnest(list_filter(
+             regexp_split_to_array(tx, '\s+'), x -> x != '')) AS w
+           FROM dr),
+         pre AS (SELECT count(*) AS n,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM swords s LEFT JOIN vocab_a v ON v.w = s.w),
+         post AS (SELECT
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM swords s LEFT JOIN vocab_b v ON v.w = s.w),
+         c1 AS (SELECT pre.n, pre.oov AS pre_oov,
+             pre.oov > 0.2 * pre.n AS f1,
+             CASE WHEN pre.oov > 0.2 * pre.n THEN post.oov
+               ELSE pre.oov END AS post1
+           FROM pre CROSS JOIN post),
+         c2 AS (SELECT c1.n, c1.post1 AS pre_oov,
+             c1.post1 > 0.2 * c1.n AS f2,
+             CASE WHEN c1.post1 > 0.2 * c1.n THEN post.oov
+               ELSE c1.post1 END AS post2
+           FROM c1 CROSS JOIN post)
+         SELECT 1 AS step, n AS n_sample_words,
+           pre_oov AS pre_oov_words, f1 AS refit_fired,
+           post1 AS post_oov_words, f1 AS gen_changed
+         FROM c1
+         UNION ALL
+         SELECT 2, n, pre_oov, f2, post2, f2 FROM c2
+         ORDER BY step""",
 
     // set-level replay of all three admission decisions: accepted
     // texts, accepted EXCEPT the tombstoned texts, and the per-text

@@ -428,4 +428,102 @@ object Bpe {
     }
     BpeVocab(merges, spark.table(table))
   }
+
+  /** Pointer-rooted durable face of the BPE vocabulary —
+    * [[writeBpeVocab]]'s "rebuilds go to a fresh dir + table name"
+    * contract made operational: generations alternate between
+    * `${prefix}_wp_<a|b>` tables over `$dir/gen_<a|b>` directories
+    * (each written through [[writeBpeVocab]]'s own epoch+manifest
+    * discipline), and the one-row `${prefix}_meta` (gen, table_name,
+    * dir) written LAST is the atomic pointer flip. A crash before the
+    * meta rewrite leaves the old generation serving; the superseded
+    * generation's table and directory drop after the flip,
+    * best-effort. */
+  def writeBpeVocabRooted(spark: org.apache.spark.sql.SparkSession,
+                          prefix: String, dir: String, vocab: BpeVocab,
+                          numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+    val next = if (cur.contains("a")) "b" else "a"
+    val genTable = s"${prefix}_wp_$next"
+    val genDir = s"$dir/gen_$next"
+    // clear any debris of a prior crashed write to this generation —
+    // the live generation is the OTHER slot, never touched here
+    val fs = new org.apache.hadoop.fs.Path(genDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gp = new org.apache.hadoop.fs.Path(genDir)
+    if (fs.exists(gp)) fs.delete(gp, true)
+    spark.sql(s"DROP TABLE IF EXISTS $genTable")
+    writeBpeVocab(vocab, genTable, genDir, numBuckets)
+    graft.sources.Sinks.writeTable(
+      Seq((next, genTable, genDir)).toDF("gen", "table_name", "dir"),
+      metaTable)
+    cur.filter(_ != next).foreach { old =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_wp_$old")
+      val op = new org.apache.hadoop.fs.Path(s"$dir/gen_$old")
+      if (fs.exists(op)) fs.delete(op, true)
+    }
+  }
+
+  /** Reopen the live generation of a [[writeBpeVocabRooted]] vocab —
+    * resolves the meta pointer, then rides [[readBpeVocab]]'s torn-
+    * state refusals unchanged. */
+  def readBpeVocabRooted(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): BpeVocab = {
+    val m = spark.table(s"${prefix}_meta").collect()(0)
+    readBpeVocab(spark, m.getAs[String]("table_name"),
+      m.getAs[String]("dir"))
+  }
+
+  /** ONE-CALL maintenance window for a durable BPE vocabulary — the
+    * tokenizer face of [[graft.operators.TextAnalysis.maintainTrigramLm]]:
+    * a tokenizer trained once rots as the corpus moves — every
+    * out-of-vocabulary word falls back to characters
+    * ([[tokenCount]]'s length+1 penalty), silently inflating token
+    * budgets and fragmenting new-domain text. The probe is the
+    * occurrence-weighted OOV-WORD rate of `sample` against the fitted
+    * word-pieces table (one tokenize + broadcast anti-join count,
+    * O(sample) — piece inflation is the downstream effect of exactly
+    * these misses); fire iff oov_words > maxOovRate × n_words; the
+    * refit is [[fitBatched]] over the caller-supplied live `corpus`,
+    * swapped in atomically via [[writeBpeVocabRooted]]; the re-probe
+    * pins recovery. A quiet window is a no-op by construction — no
+    * generation write, meta untouched bit-for-bit, post ≡ pre without
+    * a second probe. Returns one bounded INTEGER report row
+    * (`n_sample_words`, `pre_oov_words`, `refit_fired`,
+    * `post_oov_words`, `gen_changed`). */
+  def maintainBpeVocab(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, dir: String, sample: DataFrame,
+                       textCol: String, corpus: DataFrame,
+                       maxOovRate: Double, numMerges: Int,
+                       numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def gen(): String =
+      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
+    def probe(): (Long, Long) = {
+      val vocab = readBpeVocabRooted(spark, prefix)
+      val words = sample
+        .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val r = words.join(broadcast(vocab.wordPieces
+          .select(col("w"), lit(true).as("__in"))), Seq("w"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val genBefore = gen()
+    val (n, preOov) = probe()
+    val fired = n > 0 && preOov.toDouble > maxOovRate * n
+    if (fired)
+      writeBpeVocabRooted(spark, prefix, dir,
+        fitBatched(corpus, textCol, numMerges), numBuckets)
+    val (_, postOov) = if (fired) probe() else (n, preOov)
+    Seq((n, preOov, fired, postOov, gen() != genBefore))
+      .toDF("n_sample_words", "pre_oov_words", "refit_fired",
+        "post_oov_words", "gen_changed")
+  }
 }

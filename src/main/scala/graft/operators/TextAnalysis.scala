@@ -1089,19 +1089,128 @@ object TextAnalysis {
       s"${prefix}_meta")
   }
 
-  /** Reopen a model written by [[writeTrigramLm]]; refuses a torn
-    * same-prefix rebuild (epoch-token mismatch). The returned tables
-    * broadcast into [[trigramLmScore]]'s joins exactly like the
-    * freshly fitted frames. */
+  /** Reopen a model written by [[writeTrigramLm]] (or swapped in
+    * place by [[writeTrigramLmRooted]] — the meta's `gen` column
+    * resolves the live A/B generation; legacy metas resolve to the
+    * flat table names); refuses a torn same-prefix rebuild
+    * (epoch-token mismatch). The returned tables broadcast into
+    * [[trigramLmScore]]'s joins exactly like the freshly fitted
+    * frames. */
   def readTrigramLm(spark: org.apache.spark.sql.SparkSession,
                     prefix: String): TrigramLm = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
-    graft.sources.Sinks.requireEpoch(spark, trigramLmTables(prefix),
+    val p =
+      if (meta.schema.fieldNames.contains("gen"))
+        s"${prefix}_${meta.getAs[String]("gen")}"
+      else prefix
+    graft.sources.Sinks.requireEpoch(spark, trigramLmTables(p),
       meta.getAs[String]("epoch"))
-    TrigramLm(spark.table(s"${prefix}_c3"), spark.table(s"${prefix}_c12"),
-      spark.table(s"${prefix}_cb"), spark.table(s"${prefix}_cw"),
-      spark.table(s"${prefix}_uni"), meta.getAs[Long]("total"),
+    TrigramLm(spark.table(s"${p}_c3"), spark.table(s"${p}_c12"),
+      spark.table(s"${p}_cb"), spark.table(s"${p}_cw"),
+      spark.table(s"${p}_uni"), meta.getAs[Long]("total"),
       meta.getAs[Long]("min_trigram_count"))
+  }
+
+  /** Pointer-rooted durable face of the trigram LM — the
+    * [[graft.operators.Dedup.writeNgramIndexRooted]] discipline for a
+    * FITTED artifact: the five count tables write to the ALTERNATE
+    * `${prefix}_<a|b>_*` generation (a refit must never overwrite
+    * tables a reader may be serving from), the fresh epoch stamps
+    * them together, the one-row meta rewrite (gen, total,
+    * min_trigram_count, epoch) is the atomic pointer+epoch flip, and
+    * the superseded generation (or the legacy flat tables) drops
+    * last, best-effort. A crash before the meta rewrite leaves the
+    * old generation serving; a generation torn after its commit
+    * refuses at [[readTrigramLm]]'s epoch validation. */
+  def writeTrigramLmRooted(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, model: TrigramLm): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else {
+        val m = spark.table(metaTable).collect()(0)
+        if (m.schema.fieldNames.contains("gen"))
+          Some(m.getAs[String]("gen"))
+        else None
+      }
+    val next = if (cur.contains("a")) "b" else "a"
+    val p = s"${prefix}_$next"
+    graft.sources.Sinks.writeTable(model.c3, s"${p}_c3")
+    graft.sources.Sinks.writeTable(model.c12, s"${p}_c12")
+    graft.sources.Sinks.writeTable(model.cb, s"${p}_cb")
+    graft.sources.Sinks.writeTable(model.cw, s"${p}_cw")
+    graft.sources.Sinks.writeTable(model.uni, s"${p}_uni")
+    val epoch = graft.sources.Sinks.stampEpoch(spark,
+      trigramLmTables(p))
+    graft.sources.Sinks.writeTable(
+      Seq((next, model.total, model.minTrigramCount, epoch))
+        .toDF("gen", "total", "min_trigram_count", "epoch"),
+      metaTable)
+    val old = cur match {
+      case Some(g) if g != next => trigramLmTables(s"${prefix}_$g")
+      case None => trigramLmTables(prefix) // legacy flat generation
+      case _ => Nil
+    }
+    old.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** ONE-CALL maintenance window for a durable trigram LM — the
+    * q139/q131 cron shape reaching the FITTED-artifact families: an
+    * LM fitted once rots silently as the corpus moves (new domains,
+    * new vocabularies — every unseen token scores through the OOV
+    * floor, flattening the fluency signal the CCNet tiering depends
+    * on), and nothing in the serving path ever says so. The window
+    * makes rot measurable and remediation one call:
+    *
+    *   probe  — the occurrence-weighted OOV rate of `sample` (a
+    *            held-out slice of CURRENT arrivals) against the
+    *            fitted unigram vocabulary: one tokenize + broadcast
+    *            anti-join count, O(sample);
+    *   decide — fire iff oov_tokens > maxOovRate × n_tokens;
+    *   refit  — [[fitTrigramLm]] over the caller-supplied `corpus`
+    *            (the live accepted set — the one O(corpus) pass every
+    *            refit inherently costs), swapped in atomically via
+    *            [[writeTrigramLmRooted]];
+    *   re-probe — the post-refit OOV rate, which recovers iff the
+    *            refit corpus actually covers the drifted vocabulary.
+    *
+    * A quiet window (no drift) is a no-op by construction: no table
+    * write, meta untouched bit-for-bit, `post ≡ pre` without a second
+    * probe. Returns one bounded report row of INTEGER counts
+    * (`n_sample_tokens`, `pre_oov_tokens`, `refit_fired`,
+    * `post_oov_tokens`, `epoch_changed`) — rates stay ratios of
+    * longs, engine-replayable exactly. */
+  def maintainTrigramLm(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String, sample: DataFrame,
+                        textCol: String, corpus: DataFrame,
+                        maxOovRate: Double,
+                        minTrigramCount: Long = 2): DataFrame = {
+    import spark.implicits._
+    def epoch(): String =
+      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("epoch")
+    def probe(): (Long, Long) = {
+      val model = readTrigramLm(spark, prefix)
+      val toks = sample
+        .select(split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
+        .select(explode(expr("filter(__tk0, t -> t != '')")).as("w3"))
+      val r = toks.join(broadcast(model.uni.select(col("w3"),
+          lit(true).as("__in"))), Seq("w3"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val epochBefore = epoch()
+    val (n, preOov) = probe()
+    val fired = n > 0 && preOov.toDouble > maxOovRate * n
+    if (fired)
+      writeTrigramLmRooted(spark, prefix,
+        fitTrigramLm(corpus, textCol, minTrigramCount))
+    val (_, postOov) = if (fired) probe() else (n, preOov)
+    Seq((n, preOov, fired, postOov, epoch() != epochBefore))
+      .toDF("n_sample_tokens", "pre_oov_tokens", "refit_fired",
+        "post_oov_tokens", "epoch_changed")
   }
 
   /** Score ANY frame — batch or streaming — against a FITTED

@@ -237,4 +237,39 @@ class BpeSpec extends SparkSpec {
     assert(got(2L) == ((inVocab.toLong + 4L, 2L)))
     vocab.wordPieces.unpersist()
   }
+
+  test("maintainBpeVocab: rooted A/B swap through one call, quiet no-op, pointer face") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_mw").toString
+    val fitCorpus = (1L to 4L).map(i => (i, "the quick brown fox the"))
+      .toDF("doc_id", "text")
+    Bpe.writeBpeVocabRooted(spark, "bpe_mw", dir,
+      Bpe.fit(fitCorpus, "text", numMerges = 3), numBuckets = 2)
+    assert(spark.table("bpe_mw_meta").collect()(0)
+      .getAs[String]("gen") == "a")
+    // rooted read serves the fitted vocab through the pointer
+    assert(Bpe.readBpeVocabRooted(spark, "bpe_mw").merges.size == 3)
+    val drifted = Seq((10L, "zza zzb zzc zzd the"),
+      (11L, "zze zzf zzg zzh zzi")).toDF("doc_id", "text")
+    val corpus = fitCorpus.unionByName(drifted)
+    def window(): org.apache.spark.sql.Row =
+      Bpe.maintainBpeVocab(spark, "bpe_mw", dir, drifted, "text",
+        corpus, maxOovRate = 0.2, numMerges = 3, numBuckets = 2)
+        .collect()(0)
+    val heal = window()
+    // 10 sample words, 9 unseen (only "the" is in-vocab); refit
+    // covers them all
+    assert(heal.getLong(0) == 10L && heal.getLong(1) == 9L &&
+      heal.getBoolean(2) && heal.getLong(3) == 0L && heal.getBoolean(4),
+      s"drifted sample must fire and recover through one call: $heal")
+    assert(spark.table("bpe_mw_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("bpe_mw_wp_a"),
+      "the superseded generation must drop after the flip")
+    val metaBefore = spark.table("bpe_mw_meta").collect().toSeq
+    val noop = window()
+    assert(noop.getLong(1) == 0L && !noop.getBoolean(2) &&
+      !noop.getBoolean(4), s"undrifted sample must be a no-op: $noop")
+    assert(spark.table("bpe_mw_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the pointer record")
+  }
 }

@@ -363,6 +363,47 @@ class TextMultimodalSpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("maintainTrigramLm: drifted sample fires the refit through one call, quiet no-op untouched") {
+    val fitDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox sits under the tall tree now"),
+      (3L, "a slow green turtle walks past the brown fox"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeTrigramLmRooted(spark, "tlm_mw",
+      TextAnalysis.fitTrigramLm(fitDocs, "text"))
+    // rooted read serves through the pointer; generation tables exist
+    assert(TextAnalysis.readTrigramLm(spark, "tlm_mw").total > 0)
+    val drifted = Seq(
+      (10L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 the fox"),
+      (11L, "zq8 zq9 zq10 zq11 zq12 zq13 zq14 zq15 zq16"))
+      .toDF("doc_id", "text")
+    val corpus = fitDocs.unionByName(drifted)
+    def window(): org.apache.spark.sql.Row =
+      TextAnalysis.maintainTrigramLm(spark, "tlm_mw", drifted, "text",
+        corpus, maxOovRate = 0.2).collect()(0)
+    val heal = window()
+    assert(heal.getLong(0) == 18L && heal.getLong(1) == 16L &&
+      heal.getBoolean(2) && heal.getLong(3) == 0L &&
+      heal.getBoolean(4),
+      s"drifted sample must fire and recover through one call: $heal")
+    // the A/B flip happened: generation b serves, a dropped
+    assert(spark.table("tlm_mw_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("tlm_mw_a_c3"),
+      "the superseded generation must drop after the flip")
+    val metaBefore = spark.table("tlm_mw_meta").collect().toSeq
+    val noop = window()
+    assert(noop.getLong(1) == 0L && !noop.getBoolean(2) &&
+      !noop.getBoolean(4), s"undrifted sample must be a no-op: $noop")
+    assert(spark.table("tlm_mw_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the commit record")
+    // torn generation refuses at the rooted read
+    graft.sources.Sinks.clearEpochTokens(spark, "tlm_mw_b_c3")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.readTrigramLm(spark, "tlm_mw")
+    }.getMessage.contains("epoch token"))
+  }
+
   test("applyScoreBucketsLit ≡ applyScoreBuckets (null keys, unseen group, ties)") {
     val cal = (1L to 90L).map(i =>
       (i, if (i % 7 == 0) null else if (i % 2 == 0) "en" else "pt",
