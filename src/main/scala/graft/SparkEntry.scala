@@ -2240,7 +2240,13 @@ object SparkEntry {
     // accepted-minus-tombstoned (pre ≡ post by construction) plus the
     // lifecycle flags as set algebra.
     "q140_ngram_maintain" -> ((s, d) => {
+      // bounded fixture (doc_id < 250): the lifecycle under test —
+      // taint takedown, pointer flip, purge, quiet no-op — is
+      // scale-free, and the contract-TWICE replay was the catalog's
+      // most expensive row at full width (r14 plan audit); q129/q56
+      // keep pinning the contract itself at full width
       val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter($"doc_id" < 250)
       val batch = docs.filter($"doc_id" % 2 === 1)
         .unionByName(docs.filter($"doc_id" % 14 === 0)
           .select(($"doc_id" + 1000000L).as("doc_id"),
@@ -3013,8 +3019,12 @@ object SparkEntry {
     // contract, the q156 md5 hashEmbed cosine, and the precedence
     // fold — each in TWO decision worlds.
     "q158_cascade_fuzzy_stream" -> ((s, d) => {
+      // bounded fixture (doc_id < 300): the cascade wiring, precedence
+      // and takedown flips under test are scale-free, and the gate
+      // runs the q56 contract TWICE plus two IVF searches per pass —
+      // q56/q129 keep pinning the contract itself at full width
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-        .filter(length(trim($"text")) > 0)
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 300)
       val accepted = docs.filter($"doc_id" % 2 === 0)
       sources.Sinks.clearLedger(s, "q158_ng_tombstones")
       sources.Sinks.clearLedger(s, "q158_idx_tombstones")
@@ -3192,8 +3202,10 @@ object SparkEntry {
     // the token set algebra, the fire threshold and both calls'
     // mechanics — integer counts only, no derived-double rounding.
     "q160_lm_maintain" -> ((s, d) => {
+      // doc_id < 1000 bound: a no-op at the sf0.01 gate scale (500
+      // docs), caps the two corpus fits at bench SF
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-        .filter(length(trim($"text")) > 0)
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 1000)
       val evens = docs.filter($"doc_id" % 2 === 0)
       val drifted = docs.filter($"doc_id" % 2 === 1)
         .select($"doc_id",
@@ -3226,8 +3238,10 @@ object SparkEntry {
     // IDENTITY, not segmentation (the segmentation itself is
     // value-pinned by q110/q112).
     "q161_bpe_maintain" -> ((s, d) => {
+      // doc_id < 1000 bound: a no-op at the sf0.01 gate scale, caps
+      // the two tokenizer fits at bench SF
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-        .filter(length(trim($"text")) > 0)
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 1000)
       val evens = docs.filter($"doc_id" % 2 === 0)
       val drifted = docs.filter($"doc_id" % 2 === 1)
         .select($"doc_id",
@@ -5978,7 +5992,7 @@ object SparkEntry {
     // folded under first-reject precedence
     "q158_cascade_fuzzy_stream" ->
       """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE length(trim(text)) > 0),
+           WHERE length(trim(text)) > 0 AND doc_id < 300),
          acc AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
          accx_pre AS (SELECT text, min(doc_id) AS exact_id FROM acc
            GROUP BY text),
@@ -6207,7 +6221,7 @@ object SparkEntry {
     // mechanics — all integer counts
     "q160_lm_maintain" ->
       """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE length(trim(text)) > 0),
+           WHERE length(trim(text)) > 0 AND doc_id < 1000),
          ev AS (SELECT lower(trim(text)) AS tx FROM base
            WHERE doc_id % 2 = 0),
          dr AS (SELECT translate(lower(trim(text)), 'aeiou', '01234')
@@ -6253,7 +6267,7 @@ object SparkEntry {
     // fitted word-pieces vocabularies (original and refit)
     "q161_bpe_maintain" ->
       """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE length(trim(text)) > 0),
+           WHERE length(trim(text)) > 0 AND doc_id < 1000),
          ev AS (SELECT lower(trim(text)) AS tx FROM base
            WHERE doc_id % 2 = 0),
          dr AS (SELECT translate(lower(trim(text)), 'aeiou', '01234')
@@ -6968,16 +6982,16 @@ object SparkEntry {
     // lifecycle flags
     "q140_ngram_maintain" ->
       """WITH olds AS (SELECT doc_id, lower(trim(text)) tx
-             FROM documents WHERE doc_id % 2 = 0),
+             FROM documents WHERE doc_id % 2 = 0 AND doc_id < 250),
           batch AS (
             SELECT doc_id, lower(trim(text)) tx
-            FROM documents WHERE doc_id % 2 = 1
+            FROM documents WHERE doc_id % 2 = 1 AND doc_id < 250
             UNION ALL
             SELECT doc_id + 1000000, lower(trim(text || ' xyzzy qbf'))
-            FROM documents WHERE doc_id % 14 = 0
+            FROM documents WHERE doc_id % 14 = 0 AND doc_id < 250
             UNION ALL
             SELECT doc_id + 2000000, lower(trim(text || ' plugh tail'))
-            FROM documents WHERE doc_id % 14 = 7),
+            FROM documents WHERE doc_id % 14 = 7 AND doc_id < 250),
           bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t FROM batch),
           bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
             FROM bt, LATERAL (SELECT unnest(generate_series(1,
@@ -7014,7 +7028,7 @@ object SparkEntry {
           tainted AS (SELECT DISTINCT l.comp FROM labeled l
             JOIN hits h ON l.doc_id = h.doc_id),
           pend AS (SELECT count(DISTINCT doc_id) AS c FROM documents
-            WHERE doc_id % 6 = 0)
+            WHERE doc_id % 6 = 0 AND doc_id < 250)
          SELECT l.doc_id,
            l.comp = l.doc_id AND l.comp NOT IN (SELECT comp FROM tainted)
              AS admitted_pre,
