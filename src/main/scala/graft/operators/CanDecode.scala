@@ -82,6 +82,64 @@ object CanDecode {
     (payload, sig)
   }
 
+  /** Q5's (payload, signature) SPECIALIZED for one topic id: every
+    * decode branch already pins `topic === t.id`, so the mab20 CASE
+    * partially evaluates per branch — topic 65 truncates and takes
+    * signature 230, topic 64 takes 230, everything else is the plain
+    * payload — and NO conditional ever replicates into the branch
+    * expressions. This matters twice over: the replicated CASE blew
+    * janino's 64 KB method limit on the ~400-branch 2020 decode (the
+    * round-14 found defect — the decode Project silently left
+    * whole-stage codegen), and the first fix candidate (materialize
+    * the CASE once in a prep Project behind an extra barrier)
+    * measured 2.3x SLOWER than even the broken path, because the
+    * extra pipeline stage re-materializes every row (Mab20Sweep over
+    * 2 M lines: 5.13 s prep-stage vs 2.26 s broken vs this shape) —
+    * per-branch specialization is codegen-clean AND stage-free. */
+  private def effectiveForTopic(topicId: Int,
+                                mab20Workaround: Boolean): (Column, Column) = {
+    val p0 = col("payload_hex")
+    if (!mab20Workaround) (p0, byteAt(p0, 0))
+    else if (topicId == 65) (substring(p0, 1, 4), lit(230))
+    else if (topicId == 64) (p0, lit(230))
+    else (p0, byteAt(p0, 0))
+  }
+
+  /** One `when` branch per (module, topic), each over its
+    * topic-specialized (payload, signature) — see
+    * [[effectiveForTopic]]. Callers fold these with `coalesce`
+    * (shallow codegen vs. a 136-deep CaseWhen chain); the wide path
+    * folds them in GROUPS first — see [[decodedGroupExprs]]. */
+  private def decodedBranches(schema: Schema,
+                              mab20Workaround: Boolean): Seq[Column] =
+    schema.allTopics.map { case (m, t) =>
+      val (payload, sig) = effectiveForTopic(t.id, mab20Workaround)
+      val cond = sig === m.signature && col("topic") === t.id &&
+        length(payload) === t.declaredSize * 2
+      when(cond, array(t.fields.map(f => struct(
+        lit(m.name).as("module_name"),
+        lit(t.name).as("topic_name"),
+        lit(f.name).as("byte_name"),
+        fieldValue(payload, f).as("value"),
+        lit(f.unitLabel).as("unit"))): _*))
+    }
+
+  /** Opt the wide decode Project OUT of whole-stage codegen by
+    * wrapping one cheap carried column — see
+    * [[graft.expressions.NoWholeStageCodegen]] for the full measured
+    * rationale: WSCG splits a Project into methods per OUTPUT
+    * expression and cannot split inside the single ~400-branch
+    * coalesce, which sits at janino's 64 KB cliff (the 2020 schema
+    * compiled without mab20 and failed with it — the round-14 found
+    * defect was a CLIFF, not the CASE itself); the non-fused
+    * UnsafeProjection both method-splits the tree AND keeps
+    * coalesce's first-match short-circuit, and measured FASTEST of
+    * every candidate shape. */
+  private def noWscg(c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.NoWholeStageCodegen(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+
   /** Decode a frame table (from [[graft.sources.Candump.frames]]) into
     * the long tidy form: one row per decoded field —
     * (timestamp, module_name, topic_name, byte_name, value, unit),
@@ -92,74 +150,45 @@ object CanDecode {
     * dropped by the explode, matching the reference's silent drops
     * (lib/canparser.py:135-145, :81-90).
     */
-  /** The full decode expression over (payload, signature) columns:
-    * one `when` branch per (module, topic), flattened with `coalesce`
-    * (shallow codegen vs. a 136-deep CaseWhen chain). Callers on the
-    * wide-schema path MUST pass pre-materialized `__pl`/`__sig`
-    * attribute references, never the raw mab20 CASE expressions —
-    * inlined, the CASE replicates into every one of the ~400 branches
-    * and the Project blows janino's 64 KB method limit even when
-    * barrier-isolated (observed: the streamed 2020-season decode ran
-    * INTERPRETED, ~20× slower). */
-  private def decodedExpr(schema: Schema, payload: Column, sig: Column): Column = {
-    val branches: Seq[Column] = schema.allTopics.map { case (m, t) =>
-      val cond = sig === m.signature && col("topic") === t.id &&
-        length(payload) === t.declaredSize * 2
-      when(cond, array(t.fields.map(f => struct(
-        lit(m.name).as("module_name"),
-        lit(t.name).as("topic_name"),
-        lit(f.name).as("byte_name"),
-        fieldValue(payload, f).as("value"),
-        lit(f.unitLabel).as("unit"))): _*))
-    }
-    coalesce(branches: _*)
-  }
-
   def decodeLong(frames: DataFrame, schema: Schema,
                  mab20Workaround: Boolean = false,
                  carryCols: Seq[String] = Nil): DataFrame = {
-    val (payload, sig) = effectivePayloadSig(mab20Workaround)
+
     // Wide schemas (see BarrierFieldCount): isolate the giant decode
-    // expression in its OWN Project between codegen barriers. A
+    // expression in its OWN Project between two codegen barriers. A
     // generator expression cannot be method-split, so explode(decoded)
     // inlined anywhere blows janino's 64 KB limit and the whole fused
     // stage degrades to INTERPRETED generator eval; a standalone
     // ProjectExec, by contrast, compiles the same expression as many
-    // small methods — but ONLY when it reads its input from a ROW
-    // (InputAdapter): fused after another Project its inputs arrive as
-    // method parameters, which splitExpressions cannot split around.
-    // Hence THREE barriers: one ending the regex-generate stage, one
-    // between the tiny __pl/__sig prep Project and the decode Project
-    // (materializing the mab20 CASE exactly once — inlined, projection
-    // collapse replicates it into every branch and the decode Project
-    // blows 64 KB even isolated, the round-14 found defect), and one
-    // stopping the explode from collapsing back onto the decode.
-    // Barriers are logical Repartition nodes, so CollapseProject
-    // cannot merge across them.
+    // small methods. The lower barrier keeps the regex-generate stage
+    // fused and stops projection collapse from re-deriving
+    // topic/payload inline per branch; the upper barrier stops the
+    // explode from collapsing back onto the decode Project. The mab20
+    // payload/signature rewrite is SPECIALIZED per branch (see
+    // effectiveForTopic), so no CASE replicates across the ~400
+    // branches and the isolated Project stays under janino's limit
+    // in every schema-width x mab20 combination (probe-pinned).
     // explode_outer + post-generate null filter, NOT explode: the
     // inner explode makes InferFiltersFromGenerate clone the whole
     // generator expression into a `size(...) > 0` filter, which
     // predicate pushdown then substitutes through the __dec alias and
-    // sinks below the barriers — re-inflating the generate stage the
+    // sinks below both barriers — re-inflating the generate stage the
     // barriers exist to protect. The rule skips OUTER generates; the
     // explicit isNotNull on the generator OUTPUT cannot sink below
     // the generate, and undecodable frames drop exactly as before.
+    val decoded = coalesce(decodedBranches(schema, mab20Workaround): _*)
     val src =
-      if (wideSchema(schema)) {
-        val prepped = codegenBarrier(frames)
-          .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
-            col("topic") :+ payload.as("__pl") :+ sig.as("__sig")): _*)
-        val decoded = decodedExpr(schema, col("__pl"), col("__sig"))
+      if (wideSchema(schema))
         codegenBarrier(
-          codegenBarrier(prepped)
-            .select((carryCols.map(col) :+ col("timestamp") :+
-              decoded.as("__dec")): _*))
+          codegenBarrier(frames)
+            .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
+              noWscg(decoded).as("__dec")): _*))
           .select((carryCols.map(col) :+ col("timestamp") :+
             explode_outer(col("__dec")).as("f")): _*)
           .filter(col("f").isNotNull)
-      } else frames
+      else frames
         .select((carryCols.map(col) :+ col("ts").as("timestamp") :+
-          explode(decodedExpr(schema, payload, sig)).as("f")): _*)
+          explode(decoded).as("f")): _*)
     src.select((carryCols.map(col) :+ col("timestamp") :+
       col("f.module_name") :+ col("f.topic_name") :+ col("f.byte_name") :+
       col("f.value") :+ col("f.unit")): _*)

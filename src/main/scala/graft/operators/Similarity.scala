@@ -338,10 +338,16 @@ object Similarity {
     val otherHashed =
       if (liveHashed == s"${prefix}_hashed") s"${prefix}_hashed_b"
       else s"${prefix}_hashed"
+    // inherit the LIVE generation's bucket count (the
+    // appendToIvfSqIndexBucketed discipline): a purge must never
+    // silently re-layout the index because a caller took the default
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(liveHashed))
+      .bucketSpec.map(_.numBuckets).getOrElse(numBuckets)
     val survivors = index.hashedCorpus.join(broadcast(tombstones),
       Seq("neighbor_id"), "left_anti")
     graft.sources.Sinks.writeBucketed(survivors, otherHashed,
-      Seq("bucket"), numBuckets)
+      Seq("bucket"), buckets)
     val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(otherHashed))
     graft.sources.Sinks.writeTable(
       Seq((index.planes, epoch, otherHashed))
