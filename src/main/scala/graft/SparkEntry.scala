@@ -2996,6 +2996,49 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Durable O(new) APPEND for the LSH family — the last cell of the
+    // durable append matrix (IVF q116's sibling): the batch hashes
+    // with the FROZEN hyperplanes and appends into the live bucket
+    // layout; the corpus side never rewrites, and (unlike the IVF
+    // families) no drift can accumulate — an appended batch buckets
+    // exactly as a full rebuild would. EXACT twins make both worlds
+    // value-pinned: the queries' only cosine-1.0 neighbors in the
+    // BUILT corpus are planted +30000 twins (pre top1), and the
+    // appended batch holds the ORIGINALS, whose smaller ids win the
+    // tie after the append (post top1) — the flip proves the appended
+    // rows serve through the reopened index. Oracle: brute-force
+    // argmax in both worlds.
+    "q162_lsh_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+          .as("embedding"))
+      val twins = corpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + 30000L).as("vec_id"), $"embedding")
+      val base = corpus.filter($"vec_id" >= 10).unionByName(twins)
+      val batch = corpus.filter($"vec_id" < 10)
+      val queries = corpus.filter($"vec_id" < 10)
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      sources.Sinks.clearLedger(s, "q162_idx_tombstones")
+      operators.Similarity.writeLshIndexBucketed(
+        operators.Similarity.buildLsh(base, "vec_id", "embedding",
+          planes = 10), "q162_idx", numBuckets = 2)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def top1(tag: String): DataFrame = loc(
+        operators.Similarity.searchLshLive(s, "q162_idx", queries,
+            "vec_id", "embedding", k = 1)
+          .filter($"rank" === 1)
+          .select($"query_id", $"neighbor_id".as(tag)))
+      val pre = top1("pre_top1")
+      operators.Similarity.appendToLshIndexBucketed(s, "q162_idx",
+        batch, "vec_id", "embedding")
+      val post = top1("post_top1")
+      pre.join(post, Seq("query_id"))
+        .select($"query_id", $"pre_top1", $"post_top1")
+        .orderBy($"query_id")
+    }),
+
     // The FOUR-tier streaming admission cascade — the q147/q156
     // three-tier front door grown the FUZZY rung the one-pass shape
     // cannot express (within-batch near-dup components are
@@ -5981,6 +6024,41 @@ object SparkEntry {
              FROM s WHERE neighbor_id >= 10) WHERE rn = 1)
          SELECT p.query_id, p.pre_top1, a.live_top1, a.live_top1 AS post_top1
          FROM pre p JOIN alive a USING (query_id)
+         ORDER BY p.query_id""",
+
+    // q162: brute-force cosine argmax replayed over the built corpus
+    // (pre: the +30000 exact twin is the only cosine-1.0 row) and the
+    // post-append corpus (the appended original's smaller id wins the
+    // 1.0 tie)
+    "q162_lsh_append" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         twins AS (SELECT vec_id + 30000 AS vec_id, v
+           FROM c0 WHERE vec_id < 10),
+         base AS (SELECT * FROM c0 WHERE vec_id >= 10
+           UNION ALL SELECT * FROM twins),
+         post_corpus AS (SELECT * FROM base
+           UNION ALL SELECT vec_id, v FROM c0 WHERE vec_id < 10),
+         q AS (SELECT vec_id + 10000 AS query_id, v AS qv
+           FROM c0 WHERE vec_id < 10),
+         s_pre AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN base c),
+         s_post AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_raw
+           FROM q CROSS JOIN post_corpus c),
+         pre AS (SELECT query_id, neighbor_id AS pre_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn FROM s_pre) WHERE rn = 1),
+         post AS (SELECT query_id, neighbor_id AS post_top1 FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rn FROM s_post) WHERE rn = 1)
+         SELECT p.query_id, p.pre_top1, o.post_top1
+         FROM pre p JOIN post o USING (query_id)
          ORDER BY p.query_id""",
 
     // q158: all four cascade tiers replayed in SQL, each in two

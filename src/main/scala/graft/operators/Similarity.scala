@@ -260,6 +260,42 @@ object Similarity {
       hashedTable)
   }
 
+  /** Grow a DURABLE LSH index O(new) — the last cell of the durable
+    * append matrix ([[appendToIvfIndexBucketed]] /
+    * [[appendToIvfSqIndexBucketed]] / [[appendToIvfPqIndexBucketed]]
+    * siblings): the batch hashes with the index's FROZEN hyperplanes
+    * (data-oblivious — an appended batch buckets exactly as a full
+    * rebuild would, so unlike the IVF families there is no drift to
+    * watch) and APPENDS into the live hashed table's existing bucket
+    * layout — the corpus-scale side never rewrites. Crash discipline
+    * as the siblings: the epoch token clears FIRST (a crash
+    * mid-append refuses loudly at read — a half-appended generation
+    * must never serve), the fresh stamp + meta rewrite commit at the
+    * end (pointer preserved for rooted metas). */
+  def appendToLshIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                               prefix: String, newVecs: DataFrame,
+                               idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val (index, hashedTable) = readLshIndexResolved(spark, prefix)
+    val newRows = buildLsh(newVecs, idCol, vecCol, index.planes)
+      .hashedCorpus
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(hashedTable))
+    val numBuckets = tableMeta.bucketSpec
+      .getOrElse(sys.error(s"$hashedTable is not bucketed")).numBuckets
+    graft.sources.Sinks.clearEpochTokens(spark, hashedTable)
+    newRows.select(spark.table(hashedTable).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "bucket").sortBy("bucket")
+      .format("parquet")
+      .saveAsTable(hashedTable)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(hashedTable))
+    graft.sources.Sinks.writeTable(
+      Seq((index.planes, epoch, hashedTable))
+        .toDF("planes", "epoch", "hashed_table"),
+      s"${prefix}_meta")
+  }
+
   /** TAKEDOWN support for a durable LSH index — closing the compliance
     * matrix across ALL four durable vector families ([[tombstoneIvf]]
     * / [[tombstoneIvfSq]] / [[tombstoneIvfPq]] / this, all riding the

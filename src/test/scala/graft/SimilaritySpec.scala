@@ -1195,4 +1195,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.readLshIndex(spark, "lsh_td")
     }.getMessage.contains("epoch token"))
   }
+
+  test("appendToLshIndexBucketed: O(new) growth equals the in-memory append; torn mid-append refuses") {
+    val base = emb.filter($"vec_id" >= 10).select("vec_id", "embedding")
+    val batch = emb.filter($"vec_id" < 10).select("vec_id", "embedding")
+    Similarity.writeLshIndexBucketed(
+      Similarity.buildLsh(base, "vec_id", "embedding", planes = 8),
+      "lsh_app", numBuckets = 2)
+    Similarity.appendToLshIndexBucketed(spark, "lsh_app", batch,
+      "vec_id", "embedding")
+    val reopened = Similarity.readLshIndex(spark, "lsh_app")
+    assert(reopened.hashedCorpus.count() == emb.count(),
+      "appended batch must land beside the built rows")
+    // frozen hyperplanes: the durable append buckets exactly like the
+    // in-memory union (and like a full rebuild)
+    val mem = Similarity.appendToLsh(
+      Similarity.buildLsh(base, "vec_id", "embedding", planes = 8),
+      batch, "vec_id", "embedding")
+    def bucketMap(idx: Similarity.LshIndex) =
+      idx.hashedCorpus.select("neighbor_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketMap(reopened) == bucketMap(mem),
+      "durable append must hash exactly like the in-memory path")
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val d1 = Similarity.searchLsh(reopened, queries, "vec_id",
+      "embedding", k = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2 = Similarity.searchLsh(mem, queries, "vec_id",
+      "embedding", k = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d1 == d2)
+    graft.sources.Sinks.clearEpochTokens(spark, "lsh_app_hashed")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.readLshIndex(spark, "lsh_app")
+    }.getMessage.contains("epoch token"))
+  }
 }
