@@ -1032,6 +1032,41 @@ class PlanSpec extends SparkSpec {
         s"1024 cells → $big chars")
   }
 
+  test("mediaAdmissionCascadeStream: zero shuffles, zero state — broadcast joins and projections only") {
+    // the one-pass media cascade's append-mode legality and scale
+    // claim in one probe: BOTH signal tiers (maxHamming+1 band joins
+    // + nProbe member joins) and the precedence fold must plan as
+    // broadcast joins over pure projections — a ShuffleExchange or a
+    // stateful aggregate anywhere would both break append mode and
+    // re-shuffle the stream per micro-batch
+    import graft.operators.{Dedup, Similarity}
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val refs = (1L to 32L).map(i =>
+        (i, rnd.nextLong(), Array.fill(8)(rnd.nextGaussian())))
+      .toDF("media_id", "sig", "vec")
+    val hamMembers = Dedup.hammingBandMembers(
+      refs.select($"media_id", $"sig"), "media_id", "sig", maxHamming = 4)
+    val idx = Similarity.buildIvf(refs.select($"media_id", $"vec"),
+      "media_id", "vec", nCells = 2, lloydIters = 1)
+    val members = Similarity.cellMembers(idx)
+    val arrivals = (100L to 110L).map(i =>
+        (i, "ok", rnd.nextLong(), Array.fill(8)(rnd.nextGaussian())))
+      .toDF("media_id", "status", "sig", "vec")
+    val out = graft.streaming.StreamingParse.mediaAdmissionCascadeStream(
+      arrivals, "media_id", "status", "sig", hamMembers,
+      maxHamming = 4, "vec", idx, members, tau = 0.9, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"),
+      s"the cascade must not shuffle the arrival side:\n${plan.take(800)}")
+    assert(!plan.contains("StateStore"),
+      "the cascade must carry no stream state")
+    assert(plan.contains("BroadcastHashJoin"),
+      "reference sets must ride broadcast joins")
+    // decisions sane on the fixture: novel random rows admit
+    assert(out.filter($"cascade_admitted").count() >= 9)
+  }
+
   test("takedown ledger: frame-path append (no driver collect), torn generations refuse loudly") {
     import graft.sources.Sinks
     import spark.implicits._
