@@ -2996,6 +2996,42 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // INCREMENTAL corpus datasheet — release statistics maintained
+    // O(batch), never O(corpus): each ingest folds one mergeable
+    // partial row per language into the stats table through the q146
+    // batch-keyed dynamic-overwrite sink, and the datasheet folds the
+    // partials without rescanning anything. The gate appends the
+    // corpus in TWO batches AND crash-redelivers the second batch
+    // verbatim — an append-mode stats sink would double-count every
+    // odd doc; the idempotent partition rewrite must leave the fold
+    // equal to the direct one-pass truth. The HLL distinct-texts
+    // estimate is excluded here (estimate by construction;
+    // tolerance-pinned in the spec) — every gated metric is an
+    // integer fold of integer partials, replayed exactly in SQL.
+    "q163_incremental_datasheet" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .withColumn("lang",
+          when($"doc_id" % 3 === 0, "en")
+            .when($"doc_id" % 3 === 1, "pt"))
+      val dir = java.nio.file.Files.createTempDirectory("q163_stats")
+      dir.toFile.deleteOnExit()
+      val path = s"$dir/stats"
+      operators.TextAnalysis.appendCorpusStats(s, path,
+        docs.filter($"doc_id" % 2 === 0), "text", Some("lang"),
+        "batch_a")
+      operators.TextAnalysis.appendCorpusStats(s, path,
+        docs.filter($"doc_id" % 2 === 1), "text", Some("lang"),
+        "batch_b")
+      // crash-redelivery: the same ingest re-runs with the same key —
+      // the stats must not move
+      operators.TextAnalysis.appendCorpusStats(s, path,
+        docs.filter($"doc_id" % 2 === 1), "text", Some("lang"),
+        "batch_b")
+      operators.TextAnalysis.corpusDatasheetFromStats(s, path)
+        .filter($"metric" =!= "distinct_texts_est")
+        .orderBy($"metric")
+    }),
+
     // Durable O(new) APPEND for the LSH family — the last cell of the
     // durable append matrix (IVF q116's sibling): the batch hashes
     // with the FROZEN hyperplanes and appends into the live bucket
@@ -6025,6 +6061,28 @@ object SparkEntry {
          SELECT p.query_id, p.pre_top1, a.live_top1, a.live_top1 AS post_top1
          FROM pre p JOIN alive a USING (query_id)
          ORDER BY p.query_id""",
+
+    // q163: every gated metric is an integer fold over the union of
+    // both batches — doc/token/char/empty counts and per-language
+    // composition, replayed directly
+    "q163_incremental_datasheet" ->
+      """WITH docs AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 0 THEN 'en'
+                WHEN doc_id % 3 = 1 THEN 'pt' END AS lang
+         FROM documents),
+         m AS (
+           SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM docs
+           UNION ALL SELECT 'n_tokens_total',
+             sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+           FROM docs
+           UNION ALL SELECT 'n_empty_docs',
+             sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT
+           FROM docs
+           UNION ALL SELECT 'n_chars', sum(length(text))::BIGINT FROM docs
+           UNION ALL SELECT 'lang_docs:' || coalesce(lang, 'null'),
+             count(*)::BIGINT
+           FROM docs GROUP BY lang)
+         SELECT metric, value FROM m ORDER BY metric""",
 
     // q162: brute-force cosine argmax replayed over the built corpus
     // (pre: the +30000 exact twin is the only cosine-1.0 row) and the

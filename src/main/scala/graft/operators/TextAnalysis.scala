@@ -456,6 +456,72 @@ object TextAnalysis {
       .orderBy(col("metric"))
   }
 
+  /** INCREMENTAL corpus statistics — the O(batch) maintenance face of
+    * [[corpusDatasheet]] for the corpus that never gets rescanned: at
+    * 100 TB a release datasheet cannot re-aggregate the whole corpus
+    * per ingest, so each ingest folds ONE partial row per language
+    * into a stats table (all columns mergeable: counts, integer sums,
+    * and an HLL sketch of the normalized-text hash for the
+    * distinct-texts estimate — Spark's Datasketches `hll_sketch_agg`,
+    * unionable at read), keyed by the caller's `batchKey` and written
+    * as a DYNAMIC OVERWRITE of that batch's own partition — the q146
+    * sink discipline, so a crash-redelivered ingest rewrites its
+    * partial byte-for-byte instead of double-counting. The datasheet
+    * then folds partials in O(#batches × #languages), never O(corpus).
+    *
+    * The trade vs [[corpusDatasheet]], honestly stated: exact medians
+    * and exact dup fractions are not mergeable — the incremental face
+    * carries the mergeable metrics (doc/token/char/empty counts,
+    * per-language composition) exactly, and distinct texts as the HLL
+    * estimate (spec-pinned within tolerance of the exact count). */
+  def appendCorpusStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, textCol: String,
+                        langCol: Option[String],
+                        batchKey: String): Unit = {
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    batch
+      .select(col(textCol).as("__t"), toks.as("__n"),
+        langCol.map(col).getOrElse(lit(null).cast("string")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum((trim(col("__t")) === "").cast("long")).as("n_empty"),
+        sum(length(col("__t")).cast("long")).as("n_chars"),
+        hll_sketch_agg(xxhash64(lower(trim(col("__t"))))).as("text_hll"))
+      .withColumn("batch_key", lit(batchKey))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_key").parquet(path)
+  }
+
+  /** Fold the [[appendCorpusStats]] partials into the long-form
+    * (metric, value) datasheet — O(#batches × #languages), no corpus
+    * scan: exact `n_docs` / `n_tokens_total` / `n_empty_docs` /
+    * `n_chars` / per-language `lang_docs:<l>` counts (integer sums of
+    * integer partials — engine-replayable exactly), plus
+    * `distinct_texts_est` from the unioned HLL sketches (estimate —
+    * exclude it from exact-equality comparisons). */
+  def corpusDatasheetFromStats(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame = {
+    val parts = spark.read.parquet(path)
+    val g = parts.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens_total"),
+      sum(col("n_empty")).as("n_empty_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      hll_sketch_estimate(hll_union_agg(col("text_hll")))
+        .as("distinct_texts_est"))
+    val long = g.select(expr(
+      "stack(5, 'n_docs', n_docs, 'n_tokens_total', n_tokens_total, " +
+        "'n_empty_docs', n_empty_docs, 'n_chars', n_chars, " +
+        "'distinct_texts_est', distinct_texts_est) AS (metric, value)"))
+    val langs = parts.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("value"))
+      .select(concat(lit("lang_docs:"),
+        coalesce(col("lang"), lit("null"))).as("metric"), col("value"))
+    long.unionByName(langs).orderBy(col("metric"))
+  }
+
   /** Per-group score bucketing by percentile thresholds — the CCNet
     * head/middle/tail discipline (Wenzek et al. 2019: documents are
     * split per LANGUAGE into thirds by LM perplexity, and the tiers

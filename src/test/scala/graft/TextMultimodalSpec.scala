@@ -404,6 +404,50 @@ class TextMultimodalSpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
+  test("incremental corpus stats: batched fold = one-pass truth; redelivery idempotent; HLL within 5%") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 300L).map { i =>
+      val txt =
+        if (i % 50 == 0) "" // planted empties
+        else if (i % 7 == 0) s"dup text block shared ${i % 14}" // planted dups
+        else s"doc $i has ${"tok " * (i % 9).toInt}end"
+      (i, txt, if (i % 3 == 0) "en" else if (i % 3 == 1) "pt"
+        else null.asInstanceOf[String])
+    }.toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("inc_stats").toString
+    val path = s"$dir/stats"
+    TextAnalysis.appendCorpusStats(spark, path,
+      docs.filter($"doc_id" <= 150), "text", Some("lang"), "b1")
+    TextAnalysis.appendCorpusStats(spark, path,
+      docs.filter($"doc_id" > 150), "text", Some("lang"), "b2")
+    def sheet(): Map[String, Double] =
+      TextAnalysis.corpusDatasheetFromStats(spark, path).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val once = sheet()
+    // the direct one-pass truth
+    val truth = docs.agg(count(lit(1)),
+        sum(size(split(trim($"text"), "\\s+"))),
+        sum(($"text" === "").cast("long")),
+        sum(length($"text")),
+        countDistinct(lower(trim($"text")))).collect()(0)
+    assert(once("n_docs") == truth.getLong(0).toDouble)
+    assert(once("n_tokens_total") == truth.getLong(1).toDouble)
+    assert(once("n_empty_docs") == truth.getLong(2).toDouble)
+    assert(once("n_chars") == truth.getLong(3).toDouble)
+    assert(once("lang_docs:en") == 100.0 && once("lang_docs:pt") == 100.0 &&
+      once("lang_docs:null") == 100.0)
+    // HLL estimate within 5% of the exact distinct count
+    val exact = truth.getLong(4).toDouble
+    assert(math.abs(once("distinct_texts_est") - exact) <= 0.05 * exact,
+      s"HLL ${once("distinct_texts_est")} vs exact $exact")
+    // crash-redelivery of batch b2: the dynamic overwrite must leave
+    // every metric unchanged (an append sink would double-count)
+    TextAnalysis.appendCorpusStats(spark, path,
+      docs.filter($"doc_id" > 150), "text", Some("lang"), "b2")
+    assert(sheet() == once,
+      "a redelivered ingest must not move the stats")
+  }
+
   test("applyScoreBucketsLit ≡ applyScoreBuckets (null keys, unseen group, ties)") {
     val cal = (1L to 90L).map(i =>
       (i, if (i % 7 == 0) null else if (i % 2 == 0) "en" else "pt",
