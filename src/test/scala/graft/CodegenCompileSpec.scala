@@ -60,6 +60,11 @@ class CodegenCompileSpec extends AnyFunSuite {
       rowStr("the cat and the hat")),
     ("MinhashSignature", MinhashSignature(sarr, 8),
       rowSArr(Array("one", "two", "three"))),
+    // the WSCG opt-out marker must be a pure pass-through on BOTH
+    // paths: its overridden doGenCode delegates to the child (never
+    // the CodegenFallback eval-by-reference body)
+    ("NoWholeStageCodegen", NoWholeStageCodegen(str),
+      rowStr("pass through unchanged")),
     ("MinhashWordGrams", MinhashWordGrams(sarr, 2, 8),
       rowSArr(Array("a", "b", "c", "d", "e", "f", "g"))),
     ("PatternCounts", PatternCounts(str, Seq("\\ba\\b", "[aeiou]")),
