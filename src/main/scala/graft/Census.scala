@@ -111,8 +111,13 @@ object Census {
             false
           }
           // the listener fires asynchronously after the action returns —
-          // settle briefly so the final plans land in this gate's bucket
-          Thread.sleep(300)
+          // drain the bus DETERMINISTICALLY so this gate's final plans
+          // land in its own bucket and a prior gate's late events can't
+          // bleed into the next one (sleeping was load-dependent)
+          if (!org.apache.spark.sql.GraftExpressionBridge
+                .waitListenerBusEmpty(spark))
+            System.err.println(s"[census] $name: listener bus drain " +
+              "TIMED OUT — counts for this gate may be incomplete")
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           val o = drain(ops); val a = drain(actions)

@@ -6376,10 +6376,12 @@ object SparkEntry {
              regexp_split_to_array(tx, '\s+'), x -> x != '')) AS t
            FROM dr),
          pre AS (SELECT count(*) AS n,
-             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS oov
+             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS oov
            FROM stoks s LEFT JOIN vocab_a v ON v.t = s.t),
          post AS (SELECT
-             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS oov
+             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS oov
            FROM stoks s LEFT JOIN vocab_b v ON v.t = s.t),
          c1 AS (SELECT pre.n, pre.oov AS pre_oov,
              pre.oov > 0.2 * pre.n AS f1,
@@ -6391,12 +6393,12 @@ object SparkEntry {
              CASE WHEN c1.post1 > 0.2 * c1.n THEN post.oov
                ELSE c1.post1 END AS post2
            FROM c1 CROSS JOIN post)
-         SELECT 1 AS step, n AS n_sample_tokens,
+         SELECT 1::BIGINT AS step, n AS n_sample_tokens,
            pre_oov AS pre_oov_tokens, f1 AS refit_fired,
            post1 AS post_oov_tokens, f1 AS epoch_changed
          FROM c1
          UNION ALL
-         SELECT 2, n, pre_oov, f2, post2, f2 FROM c2
+         SELECT 2::BIGINT, n, pre_oov, f2, post2, f2 FROM c2
          ORDER BY step""",
 
     // q161: the same two-call replay over WORD occurrences vs the
@@ -6422,10 +6424,12 @@ object SparkEntry {
              regexp_split_to_array(tx, '\s+'), x -> x != '')) AS w
            FROM dr),
          pre AS (SELECT count(*) AS n,
-             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS oov
            FROM swords s LEFT JOIN vocab_a v ON v.w = s.w),
          post AS (SELECT
-             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS oov
            FROM swords s LEFT JOIN vocab_b v ON v.w = s.w),
          c1 AS (SELECT pre.n, pre.oov AS pre_oov,
              pre.oov > 0.2 * pre.n AS f1,
@@ -6437,12 +6441,12 @@ object SparkEntry {
              CASE WHEN c1.post1 > 0.2 * c1.n THEN post.oov
                ELSE c1.post1 END AS post2
            FROM c1 CROSS JOIN post)
-         SELECT 1 AS step, n AS n_sample_words,
+         SELECT 1::BIGINT AS step, n AS n_sample_words,
            pre_oov AS pre_oov_words, f1 AS refit_fired,
            post1 AS post_oov_words, f1 AS gen_changed
          FROM c1
          UNION ALL
-         SELECT 2, n, pre_oov, f2, post2, f2 FROM c2
+         SELECT 2::BIGINT, n, pre_oov, f2, post2, f2 FROM c2
          ORDER BY step""",
 
     // set-level replay of all three admission decisions: accepted

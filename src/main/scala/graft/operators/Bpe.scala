@@ -435,10 +435,15 @@ object Bpe {
     * `${prefix}_wp_<a|b>` tables over `$dir/gen_<a|b>` directories
     * (each written through [[writeBpeVocab]]'s own epoch+manifest
     * discipline), and the one-row `${prefix}_meta` (gen, table_name,
-    * dir) written LAST is the atomic pointer flip. A crash before the
-    * meta rewrite leaves the old generation serving; the superseded
-    * generation's table and directory drop after the flip,
-    * best-effort. */
+    * dir) written LAST is the meta-LAST pointer flip. Crash
+    * semantics, stated precisely: the meta rewrite is an Overwrite
+    * saveAsTable (drop + rewrite), so a crash BEFORE it starts leaves
+    * the old generation serving, a crash MID-rewrite leaves no
+    * resolvable meta — readers fail with a loud missing-table error
+    * (recovery: re-run the write; both generations' artifacts are
+    * intact on disk), and in no interleaving do readers see a MIXED
+    * generation. The superseded generation's table and directory drop
+    * after the flip, best-effort. */
   def writeBpeVocabRooted(spark: org.apache.spark.sql.SparkSession,
                           prefix: String, dir: String, vocab: BpeVocab,
                           numBuckets: Int = 64): Unit = {

@@ -1183,11 +1183,16 @@ object TextAnalysis {
     * `${prefix}_<a|b>_*` generation (a refit must never overwrite
     * tables a reader may be serving from), the fresh epoch stamps
     * them together, the one-row meta rewrite (gen, total,
-    * min_trigram_count, epoch) is the atomic pointer+epoch flip, and
-    * the superseded generation (or the legacy flat tables) drops
-    * last, best-effort. A crash before the meta rewrite leaves the
-    * old generation serving; a generation torn after its commit
-    * refuses at [[readTrigramLm]]'s epoch validation. */
+    * min_trigram_count, epoch) is the meta-LAST pointer+epoch flip,
+    * and the superseded generation (or the legacy flat tables) drops
+    * last, best-effort. Crash semantics, stated precisely: the meta
+    * rewrite itself is an Overwrite saveAsTable (drop + rewrite), so
+    * a crash BEFORE it starts leaves the old generation serving, a
+    * crash MID-rewrite leaves no resolvable meta — readers fail with
+    * a loud missing-table error (recovery: re-run the write; both
+    * generations' data tables are intact), and in no interleaving do
+    * readers see a MIXED generation; a generation torn after its
+    * commit refuses at [[readTrigramLm]]'s epoch validation. */
   def writeTrigramLmRooted(spark: org.apache.spark.sql.SparkSession,
                            prefix: String, model: TrigramLm): Unit = {
     import spark.implicits._

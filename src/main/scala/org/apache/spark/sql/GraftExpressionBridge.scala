@@ -38,4 +38,19 @@ object GraftExpressionBridge {
   def defaultManagedTablePath(spark: SparkSession, table: String): java.net.URI =
     spark.sessionState.catalog.defaultTablePath(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
+
+  /** Block until the async listener bus has delivered every queued
+    * event (`QueryExecutionListener` fires on this bus), up to
+    * `timeoutMillis`. Returns false on timeout instead of throwing —
+    * callers that attribute listener-delivered metrics to a unit of
+    * work (e.g. [[graft.Census]]) use this to drain DETERMINISTICALLY
+    * between units rather than sleeping and hoping. The accessor is
+    * `private[spark]`, hence this bridge. */
+  def waitListenerBusEmpty(spark: SparkSession,
+                           timeoutMillis: Long = 30000L): Boolean =
+    try {
+      spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true
+    } catch {
+      case _: java.util.concurrent.TimeoutException => false
+    }
 }

@@ -21,9 +21,21 @@ for q, sql in sorted(oracle.items()):
     if only and q not in only:
         continue
     try:
-        want = con.sql(sql).df()
+        rel = con.sql(sql)
+        # HUGEINT columns pandas-materialize as float/object, which
+        # the driver's value hash trips on (14019 vs 14019.0) even
+        # when values match — flag them loudly so the local loop
+        # catches what the driver hash catches (r15 q160/q161 bug).
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()]
+        want = rel.df()
     except Exception as e:
         print(f"FAIL {q}: oracle error: {e}")
+        fails += 1
+        continue
+    if huge:
+        print(f"FAIL {q}: oracle HUGEINT cols {huge} — cast ::BIGINT "
+              "(driver hash would mismatch)")
         fails += 1
         continue
     try:
@@ -40,6 +52,18 @@ for q, sql in sorted(oracle.items()):
         continue
     if len(want) != len(got):
         print(f"FAIL {q}: rows want={len(want)} got={len(got)}")
+        fails += 1
+        continue
+    # numeric-kind divergence (float vs int) also breaks the driver
+    # hash even when values compare equal — int width diffs are fine
+    kindbad = [c for c in want.columns
+               if want[c].dtype.kind != got[c].dtype.kind
+               and {want[c].dtype.kind, got[c].dtype.kind} <= {"i", "u", "f"}
+               and "f" in {want[c].dtype.kind, got[c].dtype.kind}]
+    if kindbad:
+        print(f"FAIL {q}: dtype kind diverges (float vs int) on "
+              f"{[(c, str(want[c].dtype), str(got[c].dtype)) for c in kindbad]}"
+              " — driver hash would mismatch")
         fails += 1
         continue
     # row order as produced (both sides ORDER BY deterministically)
