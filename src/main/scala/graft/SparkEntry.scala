@@ -3342,6 +3342,93 @@ object SparkEntry {
         .orderBy($"step")
     }),
 
+    // The DISCRIMINATIVE face of q160 — maintainQualityLr closes the
+    // third of the four rotting fitted-artifact families (LM q160,
+    // BPE q161, LR here, DSIR q165): a quality classifier fitted once
+    // goes blind as the corpus moves, because a fresh-domain feature
+    // hashes to a bucket the fit never touched and contributes weight
+    // EXACTLY 0 to every score — silent, and invisible in the score
+    // distribution precisely because the blind features don't move
+    // it. The window's probe is the occurrence-weighted blind-bucket
+    // rate of a current sample against the persisted fit-time feature
+    // coverage — feature IDENTITY, not weight arithmetic (that stays
+    // pinned by q84/q90), so the oracle replays the whole two-call
+    // decision chain as md5-bucket set algebra, the exact q160 move.
+    // Step 1: drifted odds (vowel→digit translation = a new feature
+    // space) fire the refit, rooted A/B swap, blind recovers to 0.
+    // Step 2: quiet no-op, meta untouched.
+    "q164_lr_maintain" -> ((s, d) => {
+      // doc_id < 1000 bound: a no-op at the sf0.01 gate scale, caps
+      // the two classifier fits at bench SF
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 1000)
+      val evens = docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text",
+          ($"doc_id" % 4 === 0).cast("int").as("y"))
+      val drifted = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          translate(lower($"text"), "aeiou", "01234").as("text"))
+      // iters=1 / plain-sum folds: the window's DECISION never reads
+      // a weight value, so the gate takes the cheap fit path — the
+      // fit arithmetic itself is q84/q90's contract, not this one's
+      operators.Curation.writeQualityLrRooted(s, "q164_lr",
+        operators.Curation.fitQualityLr(evens, "doc_id", "text", "y",
+          buckets = 1 << 16, iters = 1, stepSize = 0.5,
+          hashFn = operators.Dedup.md5Hash60, exactFold = false),
+        evens, "text", operators.Dedup.md5Hash60)
+      val refit = evens.unionByName(drifted
+        .select($"doc_id", $"text",
+          ($"doc_id" % 4 === 0).cast("int").as("y")))
+      def call(i: Int): DataFrame =
+        operators.Curation.maintainQualityLr(s, "q164_lr", drifted,
+            "text", refit, "doc_id", "y", maxBlindRate = 0.2,
+            iters = 1, stepSize = 0.5,
+            hashFn = operators.Dedup.md5Hash60, exactFold = false)
+          .withColumn("step", lit(i.toLong))
+      call(1).unionByName(call(2))
+        .select($"step", $"n_sample_feats", $"pre_blind_feats",
+          $"refit_fired", $"post_blind_feats", $"epoch_changed")
+        .orderBy($"step")
+    }),
+
+    // The GENERATIVE twin of q164 — maintainDsirRatios closes the
+    // LAST rotting fitted-artifact family: a DSIR ratio table fitted
+    // once importance-weights any post-drift arrival by the
+    // uninformative smoothing default (its features hit buckets
+    // neither the fit-time source nor target ever touched), so
+    // resampling quietly degrades to noise. Same blind-bucket probe,
+    // same two-call contract; the refit re-fits source ∪ drifted
+    // against the UNCHANGED target (the judge's "importance-weight
+    // staleness" signal measured directly). Ratio arithmetic stays
+    // pinned by q64/q67.
+    "q165_dsir_maintain" -> ((s, d) => {
+      // doc_id < 1000 bound: a no-op at the sf0.01 gate scale, caps
+      // the two ratio fits at bench SF
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 1000)
+      val evens = docs.filter($"doc_id" % 2 === 0)
+      val target = evens.filter($"doc_id" % 8 === 0)
+        .select($"doc_id", concat($"text", lit(" zz qq zz qq")).as("text"))
+      val drifted = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          translate(lower($"text"), "aeiou", "01234").as("text"))
+      operators.Curation.writeDsirRooted(s, "q165_dsir",
+        operators.Curation.fitDsir(evens, target, "text",
+          buckets = 1 << 16, smoothing = 1.0,
+          hashFn = operators.Dedup.md5Hash60),
+        evens, target, "text", operators.Dedup.md5Hash60)
+      val refitSource = evens.unionByName(drifted)
+      def call(i: Int): DataFrame =
+        operators.Curation.maintainDsirRatios(s, "q165_dsir", drifted,
+            "text", refitSource, target, maxBlindRate = 0.2,
+            smoothing = 1.0, hashFn = operators.Dedup.md5Hash60)
+          .withColumn("step", lit(i.toLong))
+      call(1).unionByName(call(2))
+        .select($"step", $"n_sample_feats", $"pre_blind_feats",
+          $"refit_fired", $"post_blind_feats", $"epoch_changed")
+        .orderBy($"step")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6447,6 +6534,145 @@ object SparkEntry {
          FROM c1
          UNION ALL
          SELECT 2::BIGINT, n, pre_oov, f2, post2, f2 FROM c2
+         ORDER BY step""",
+
+    // q164: the two-call window replayed as md5-bucket SET ALGEBRA
+    // over the shared unigram+bigram feature space (q84's feature
+    // construction verbatim) — known_a = fit-time coverage of the
+    // evens, known_b = coverage of the refit corpus, blind counts are
+    // occurrence-weighted anti-join sums, all counts BIGINT-cast
+    "q164_lr_maintain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0 AND doc_id < 1000),
+         ev AS (SELECT regexp_split_to_array(trim(lower(text)),
+             '\s+') AS t
+           FROM base WHERE doc_id % 2 = 0),
+         dr AS (SELECT regexp_split_to_array(
+             trim(translate(lower(text), 'aeiou', '01234')), '\s+') AS t
+           FROM base WHERE doc_id % 2 = 1),
+         fev AS (
+           SELECT unnest(t) AS feat FROM ev
+           UNION ALL
+           SELECT array_to_string(t[i:i+1], ' ') FROM ev,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         fdr AS (
+           SELECT unnest(t) AS feat FROM dr
+           UNION ALL
+           SELECT array_to_string(t[i:i+1], ' ') FROM dr,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         known_a AS (SELECT DISTINCT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536 AS b
+           FROM fev WHERE feat <> ''),
+         known_b AS (SELECT DISTINCT b FROM (
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+               AS b
+           FROM fev WHERE feat <> ''
+           UNION ALL
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+           FROM fdr WHERE feat <> '')),
+         soccs AS (SELECT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536 AS b
+           FROM fdr WHERE feat <> ''),
+         pre AS (SELECT count(*) AS n,
+             sum(CASE WHEN k.b IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS blind
+           FROM soccs s LEFT JOIN known_a k ON k.b = s.b),
+         post AS (SELECT
+             sum(CASE WHEN k.b IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS blind
+           FROM soccs s LEFT JOIN known_b k ON k.b = s.b),
+         c1 AS (SELECT pre.n, pre.blind AS pre_blind,
+             pre.blind > 0.2 * pre.n AS f1,
+             CASE WHEN pre.blind > 0.2 * pre.n THEN post.blind
+               ELSE pre.blind END AS post1
+           FROM pre CROSS JOIN post),
+         c2 AS (SELECT c1.n, c1.post1 AS pre_blind,
+             c1.post1 > 0.2 * c1.n AS f2,
+             CASE WHEN c1.post1 > 0.2 * c1.n THEN post.blind
+               ELSE c1.post1 END AS post2
+           FROM c1 CROSS JOIN post)
+         SELECT 1::BIGINT AS step, n AS n_sample_feats,
+           pre_blind AS pre_blind_feats, f1 AS refit_fired,
+           post1 AS post_blind_feats, f1 AS epoch_changed
+         FROM c1
+         UNION ALL
+         SELECT 2::BIGINT, n, pre_blind, f2, post2, f2 FROM c2
+         ORDER BY step""",
+
+    // q165: identical chain, but the fit-time coverage is source ∪
+    // TARGET (the evens plus the zz-qq-suffixed target slice) and the
+    // refit coverage adds the drifted sample to the source side
+    "q165_dsir_maintain" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0 AND doc_id < 1000),
+         ev AS (SELECT regexp_split_to_array(trim(lower(text)),
+             '\s+') AS t
+           FROM base WHERE doc_id % 2 = 0),
+         tg AS (SELECT regexp_split_to_array(
+             trim(lower(text) || ' zz qq zz qq'), '\s+') AS t
+           FROM base WHERE doc_id % 2 = 0 AND doc_id % 8 = 0),
+         dr AS (SELECT regexp_split_to_array(
+             trim(translate(lower(text), 'aeiou', '01234')), '\s+') AS t
+           FROM base WHERE doc_id % 2 = 1),
+         fev AS (
+           SELECT unnest(t) AS feat FROM ev
+           UNION ALL
+           SELECT array_to_string(t[i:i+1], ' ') FROM ev,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         ftg AS (
+           SELECT unnest(t) AS feat FROM tg
+           UNION ALL
+           SELECT array_to_string(t[i:i+1], ' ') FROM tg,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         fdr AS (
+           SELECT unnest(t) AS feat FROM dr
+           UNION ALL
+           SELECT array_to_string(t[i:i+1], ' ') FROM dr,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+         known_a AS (SELECT DISTINCT b FROM (
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+               AS b
+           FROM fev WHERE feat <> ''
+           UNION ALL
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+           FROM ftg WHERE feat <> '')),
+         known_b AS (SELECT DISTINCT b FROM (
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+               AS b
+           FROM fev WHERE feat <> ''
+           UNION ALL
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+           FROM ftg WHERE feat <> ''
+           UNION ALL
+           SELECT ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536
+           FROM fdr WHERE feat <> '')),
+         soccs AS (SELECT
+             ('0x' || substring(md5(feat), 1, 15))::BIGINT % 65536 AS b
+           FROM fdr WHERE feat <> ''),
+         pre AS (SELECT count(*) AS n,
+             sum(CASE WHEN k.b IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS blind
+           FROM soccs s LEFT JOIN known_a k ON k.b = s.b),
+         post AS (SELECT
+             sum(CASE WHEN k.b IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS blind
+           FROM soccs s LEFT JOIN known_b k ON k.b = s.b),
+         c1 AS (SELECT pre.n, pre.blind AS pre_blind,
+             pre.blind > 0.2 * pre.n AS f1,
+             CASE WHEN pre.blind > 0.2 * pre.n THEN post.blind
+               ELSE pre.blind END AS post1
+           FROM pre CROSS JOIN post),
+         c2 AS (SELECT c1.n, c1.post1 AS pre_blind,
+             c1.post1 > 0.2 * c1.n AS f2,
+             CASE WHEN c1.post1 > 0.2 * c1.n THEN post.blind
+               ELSE c1.post1 END AS post2
+           FROM c1 CROSS JOIN post)
+         SELECT 1::BIGINT AS step, n AS n_sample_feats,
+           pre_blind AS pre_blind_feats, f1 AS refit_fired,
+           post1 AS post_blind_feats, f1 AS epoch_changed
+         FROM c1
+         UNION ALL
+         SELECT 2::BIGINT, n, pre_blind, f2, post2, f2 FROM c2
          ORDER BY step""",
 
     // set-level replay of all three admission decisions: accepted

@@ -1259,4 +1259,269 @@ object Curation {
           sqrt(size(feats).cast("double"))))))
       .otherwise(lit(null).cast("double"))
   }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Durable rooted faces + ONE-CALL maintenance windows for the two
+  // FITTED curation artifacts — the LR quality weights ([[LrModel]])
+  // and the DSIR importance ratios ([[DsirModel]]). Both rot exactly
+  // the way the trigram LM does ([[TextAnalysis.maintainTrigramLm]]):
+  // a model fitted once goes silently blind as the corpus moves — a
+  // fresh-domain feature hashes to a bucket the fit never saw, so the
+  // LR contributes weight 0 and DSIR contributes the uninformative
+  // smoothing default, and nothing in the serving path ever says so.
+  // The windows make that rot measurable (the occurrence-weighted
+  // BLIND-BUCKET rate of a current sample against the fit-time
+  // feature coverage — feature IDENTITY, not weight values, the same
+  // move that made q160's OOV probe engine-replayable as pure set
+  // algebra) and remediation one call.
+  // ──────────────────────────────────────────────────────────────────
+
+  private def lrGenTables(p: String): Seq[String] =
+    Seq(s"${p}_w", s"${p}_known")
+  private def dsirGenTables(p: String): Seq[String] =
+    Seq(s"${p}_w", s"${p}_known")
+
+  /** The fit-time feature-space coverage of a corpus: the DISTINCT
+    * hashed feature buckets its texts touch under the shared
+    * [[featsCol]] unigram+bigram space. ≤ `buckets` rows by
+    * construction — broadcast-sized at any corpus scale, which is
+    * what makes the staleness probes below one broadcast anti-join. */
+  private def knownBuckets(df: DataFrame, textCol: String, buckets: Int,
+                           hashFn: Column => Column): DataFrame =
+    df.select(explode(featsCol(col(textCol))).as("feat"))
+      .select(pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
+      .distinct()
+
+  /** Occurrence-weighted blind-bucket probe shared by both windows:
+    * how many of `sample`'s feature OCCURRENCES hash to buckets
+    * absent from the persisted `${p}_known` coverage table. One
+    * tokenize + one broadcast anti-join count — O(sample) regardless
+    * of model or corpus size. */
+  private def blindProbe(spark: org.apache.spark.sql.SparkSession,
+                         p: String, sample: DataFrame, textCol: String,
+                         buckets: Int,
+                         hashFn: Column => Column): (Long, Long) = {
+    val occ = sample
+      .select(explode(featsCol(col(textCol))).as("feat"))
+      .select(pmod(hashFn(col("feat")), lit(buckets.toLong)).as("bucket"))
+    val r = occ.join(broadcast(spark.table(s"${p}_known")
+        .withColumn("__in", lit(true))), Seq("bucket"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("blind"))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Pointer-rooted durable face of a fitted [[LrModel]] — the
+    * [[TextAnalysis.writeTrigramLmRooted]] discipline for the quality
+    * classifier: generation tables `${prefix}_<a|b>_w` (the NONZERO
+    * weights — untouched buckets are exactly 0.0 in [[fitQualityLr]]
+    * by construction, so the sparse table reconstructs the dense
+    * model losslessly) and `${prefix}_<a|b>_known` (the fit-time
+    * feature coverage of `train` — the staleness probe's ground
+    * truth; pass the SAME frame the model was fitted on, or a
+    * superset), stamped together with one epoch token; the one-row
+    * meta (gen, bias, buckets, epoch) writes LAST. Crash semantics
+    * are [[TextAnalysis.writeTrigramLmRooted]]'s: a crash before the
+    * meta rewrite leaves the old generation serving, a crash
+    * mid-rewrite a loud missing-meta refusal, never a mixed
+    * generation; a generation torn after its commit refuses at
+    * [[readQualityLr]]'s epoch validation. */
+  def writeQualityLrRooted(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, model: LrModel,
+                           train: DataFrame, textCol: String,
+                           hashFn: Column => Column = xxhash64(_)): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+    val next = if (cur.contains("a")) "b" else "a"
+    val p = s"${prefix}_$next"
+    val sparse = model.table.iterator.zipWithIndex.collect {
+      case (w, b) if w != 0.0 => (b.toLong, w)
+    }.toSeq
+    graft.sources.Sinks.writeTable(sparse.toDF("bucket", "weight"),
+      s"${p}_w")
+    graft.sources.Sinks.writeTable(
+      knownBuckets(train, textCol, model.buckets, hashFn), s"${p}_known")
+    val epoch = graft.sources.Sinks.stampEpoch(spark, lrGenTables(p))
+    graft.sources.Sinks.writeTable(
+      Seq((next, model.bias, model.buckets, epoch))
+        .toDF("gen", "bias", "buckets", "epoch"), metaTable)
+    cur.filter(_ != next).foreach { g =>
+      lrGenTables(s"${prefix}_$g")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  /** Reopen a model written by [[writeQualityLrRooted]]; refuses a
+    * torn same-prefix rebuild (epoch-token mismatch). The collect is
+    * bounded by `buckets` rows — the same driver-side bound
+    * [[fitDsir]] and [[fitQualityLr]] already accept, because the
+    * model IS a plan literal downstream. */
+  def readQualityLr(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String): LrModel = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val p = s"${prefix}_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, lrGenTables(p),
+      meta.getAs[String]("epoch"))
+    val table = Array.fill(meta.getAs[Int]("buckets"))(0.0)
+    spark.table(s"${p}_w").collect().foreach { r =>
+      table(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("weight")
+    }
+    LrModel(meta.getAs[Double]("bias"), table)
+  }
+
+  /** ONE-CALL maintenance window for a durable LR quality classifier
+    * — the q160 shape applied to the discriminative artifact:
+    *
+    *   probe  — the occurrence-weighted BLIND-FEATURE rate of
+    *            `sample` (a held-out slice of CURRENT arrivals)
+    *            against the fit-time feature coverage: a feature
+    *            hashing to a bucket the fit never saw contributes
+    *            weight 0 to every score — the classifier is literally
+    *            blind on it. One tokenize + broadcast anti-join,
+    *            O(sample); the bucket count comes from the persisted
+    *            meta (the fitted artifact defines its own feature
+    *            space).
+    *   decide — fire iff blind_feats > maxBlindRate × n_feats.
+    *   refit  — [[fitQualityLr]] over the caller-supplied labeled
+    *            `corpus` (the one O(corpus) pass every refit
+    *            inherently costs) at the SAME bucket count, swapped
+    *            in via [[writeQualityLrRooted]].
+    *   re-probe — recovers iff the refit corpus actually covers the
+    *            drifted feature space.
+    *
+    * A quiet window (no drift) is a no-op by construction: no table
+    * write, meta untouched bit-for-bit. The probe is feature
+    * IDENTITY, not weight arithmetic — so an external engine replays
+    * the full decision as set algebra over hashed buckets (the score
+    * arithmetic itself stays pinned by q84/q90). Returns one bounded
+    * row of integer counts. */
+  def maintainQualityLr(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String, sample: DataFrame,
+                        textCol: String, corpus: DataFrame,
+                        idCol: String, labelCol: String,
+                        maxBlindRate: Double, iters: Int = 2,
+                        stepSize: Double = 2.0,
+                        hashFn: Column => Column = xxhash64(_),
+                        exactFold: Boolean = true): DataFrame = {
+    import spark.implicits._
+    def meta() = spark.table(s"${prefix}_meta").collect()(0)
+    def probe(): (Long, Long) = {
+      val m = meta()
+      val p = s"${prefix}_${m.getAs[String]("gen")}"
+      graft.sources.Sinks.requireEpoch(spark, lrGenTables(p),
+        m.getAs[String]("epoch"))
+      blindProbe(spark, p, sample, textCol, m.getAs[Int]("buckets"),
+        hashFn)
+    }
+    val m0 = meta()
+    val epochBefore = m0.getAs[String]("epoch")
+    val bucketsFit = m0.getAs[Int]("buckets")
+    val (n, pre) = probe()
+    val fired = n > 0 && pre.toDouble > maxBlindRate * n
+    if (fired)
+      writeQualityLrRooted(spark, prefix,
+        fitQualityLr(corpus, idCol, textCol, labelCol, bucketsFit,
+          iters, stepSize, hashFn, exactFold),
+        corpus, textCol, hashFn)
+    val (_, post) = if (fired) probe() else (n, pre)
+    Seq((n, pre, fired, post, meta().getAs[String]("epoch") != epochBefore))
+      .toDF("n_sample_feats", "pre_blind_feats", "refit_fired",
+        "post_blind_feats", "epoch_changed")
+  }
+
+  /** Pointer-rooted durable face of a fitted [[DsirModel]] — same
+    * discipline as [[writeQualityLrRooted]]: `${prefix}_<a|b>_w`
+    * persists the ratio table DENSE (every bucket has a meaningful
+    * value — untouched buckets carry the smoothing default, not
+    * zero; ≤ `buckets` rows ≈ 1 MB at 2¹⁶, trivially bounded) and
+    * `${prefix}_<a|b>_known` the fit-time coverage of source ∪
+    * target; meta (gen, buckets, epoch) writes LAST. */
+  def writeDsirRooted(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String, model: DsirModel,
+                      source: DataFrame, target: DataFrame,
+                      textCol: String,
+                      hashFn: Column => Column = xxhash64(_)): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+    val next = if (cur.contains("a")) "b" else "a"
+    val p = s"${prefix}_$next"
+    val dense = model.table.iterator.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toSeq
+    graft.sources.Sinks.writeTable(dense.toDF("bucket", "ratio"),
+      s"${p}_w")
+    val fitted = source.select(col(textCol))
+      .unionByName(target.select(col(textCol)))
+    graft.sources.Sinks.writeTable(
+      knownBuckets(fitted, textCol, model.buckets, hashFn),
+      s"${p}_known")
+    val epoch = graft.sources.Sinks.stampEpoch(spark, dsirGenTables(p))
+    graft.sources.Sinks.writeTable(
+      Seq((next, model.buckets, epoch)).toDF("gen", "buckets", "epoch"),
+      metaTable)
+    cur.filter(_ != next).foreach { g =>
+      dsirGenTables(s"${prefix}_$g")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  /** Reopen a model written by [[writeDsirRooted]]; torn rebuilds
+    * refuse via the epoch tokens. Bounded `buckets`-row collect. */
+  def readDsir(spark: org.apache.spark.sql.SparkSession,
+               prefix: String): DsirModel = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val p = s"${prefix}_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, dsirGenTables(p),
+      meta.getAs[String]("epoch"))
+    val table = Array.fill(meta.getAs[Int]("buckets"))(0.0)
+    spark.table(s"${p}_w").collect().foreach { r =>
+      table(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("ratio")
+    }
+    DsirModel(table)
+  }
+
+  /** ONE-CALL maintenance window for durable DSIR importance ratios
+    * — [[maintainQualityLr]]'s twin for the generative artifact. The
+    * staleness signal is the same blind-bucket rate: a feature in
+    * neither the fit-time source nor target gets the uninformative
+    * smoothing-default ratio, so a sample that drifts off the fitted
+    * feature space is importance-weighted by noise. Probe O(sample),
+    * refit = [[fitDsir]] over the caller-supplied (source, target)
+    * at the persisted bucket count, rooted A/B swap, re-probe. */
+  def maintainDsirRatios(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, sample: DataFrame,
+                         textCol: String, source: DataFrame,
+                         target: DataFrame, maxBlindRate: Double,
+                         smoothing: Double = 1.0,
+                         hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    import spark.implicits._
+    def meta() = spark.table(s"${prefix}_meta").collect()(0)
+    def probe(): (Long, Long) = {
+      val m = meta()
+      val p = s"${prefix}_${m.getAs[String]("gen")}"
+      graft.sources.Sinks.requireEpoch(spark, dsirGenTables(p),
+        m.getAs[String]("epoch"))
+      blindProbe(spark, p, sample, textCol, m.getAs[Int]("buckets"),
+        hashFn)
+    }
+    val m0 = meta()
+    val epochBefore = m0.getAs[String]("epoch")
+    val bucketsFit = m0.getAs[Int]("buckets")
+    val (n, pre) = probe()
+    val fired = n > 0 && pre.toDouble > maxBlindRate * n
+    if (fired)
+      writeDsirRooted(spark, prefix,
+        fitDsir(source, target, textCol, bucketsFit, smoothing, hashFn),
+        source, target, textCol, hashFn)
+    val (_, post) = if (fired) probe() else (n, pre)
+    Seq((n, pre, fired, post, meta().getAs[String]("epoch") != epochBefore))
+      .toDF("n_sample_feats", "pre_blind_feats", "refit_fired",
+        "post_blind_feats", "epoch_changed")
+  }
 }

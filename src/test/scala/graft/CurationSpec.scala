@@ -816,4 +816,80 @@ class CurationSpec extends SparkSpec {
       .as[String].head()
     assert(us == "underscore")
   }
+
+  test("maintainQualityLr: lossless rooted round-trip, drifted sample fires, quiet no-op, torn refusal") {
+    val fit = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1),
+      (2L, "the quick brown fox sits under the tall tree", 0),
+      (3L, "a slow green turtle walks past the brown fox", 1))
+      .toDF("doc_id", "text", "y")
+    val model = Curation.fitQualityLr(fit, "doc_id", "text", "y",
+      buckets = 4096, iters = 2, stepSize = 0.5)
+    Curation.writeQualityLrRooted(spark, "lr_mw", model, fit, "text")
+    val disk = Curation.readQualityLr(spark, "lr_mw")
+    // sparse persistence reconstructs the dense model LOSSLESSLY
+    // (untouched buckets are exactly 0.0 in the fit by construction)
+    assert(disk.bias == model.bias &&
+      disk.table.toSeq == model.table.toSeq,
+      "reopened model must be bit-identical to the fitted one")
+    val drifted = Seq((10L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9"))
+      .toDF("doc_id", "text")
+    val corpus = fit.unionByName(drifted.withColumn("y", lit(1)))
+    def window(): org.apache.spark.sql.Row =
+      Curation.maintainQualityLr(spark, "lr_mw", drifted, "text",
+        corpus, "doc_id", "y", maxBlindRate = 0.2).collect()(0)
+    val heal = window()
+    assert(heal.getLong(0) == 17L && heal.getBoolean(2) &&
+      heal.getLong(3) == 0L && heal.getBoolean(4),
+      s"drifted sample must fire and recover through one call: $heal")
+    assert(spark.table("lr_mw_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("lr_mw_a_w"),
+      "the superseded generation must drop after the flip")
+    val metaBefore = spark.table("lr_mw_meta").collect().toSeq
+    val noop = window()
+    assert(noop.getLong(1) == 0L && !noop.getBoolean(2) &&
+      !noop.getBoolean(4), s"undrifted sample must be a no-op: $noop")
+    assert(spark.table("lr_mw_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the commit record")
+    graft.sources.Sinks.clearEpochTokens(spark, "lr_mw_b_w")
+    assert(intercept[IllegalArgumentException] {
+      Curation.readQualityLr(spark, "lr_mw")
+    }.getMessage.contains("epoch token"))
+  }
+
+  test("maintainDsirRatios: dense rooted round-trip, drifted sample fires, quiet no-op, torn refusal") {
+    val source = Seq((1L, "aa bb cc dd ee"), (2L, "bb cc dd ee ff"))
+      .toDF("doc_id", "text")
+    val target = Seq((3L, "cc dd ee ff gg")).toDF("doc_id", "text")
+    val model = Curation.fitDsir(source, target, "text", buckets = 4096)
+    Curation.writeDsirRooted(spark, "dsir_mw", model, source, target,
+      "text")
+    val disk = Curation.readDsir(spark, "dsir_mw")
+    assert(disk.table.toSeq == model.table.toSeq,
+      "reopened ratio table must be bit-identical to the fitted one")
+    val drifted = Seq((10L, "zq1 zq2 zq3 zq4 zq5")).toDF("doc_id", "text")
+    val refitSource = source.unionByName(drifted)
+    def window(): org.apache.spark.sql.Row =
+      Curation.maintainDsirRatios(spark, "dsir_mw", drifted, "text",
+        refitSource, target, maxBlindRate = 0.2).collect()(0)
+    val heal = window()
+    assert(heal.getLong(0) == 9L && heal.getBoolean(2) &&
+      heal.getLong(3) == 0L && heal.getBoolean(4),
+      s"drifted sample must fire and recover through one call: $heal")
+    assert(spark.table("dsir_mw_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("dsir_mw_a_w"),
+      "the superseded generation must drop after the flip")
+    val metaBefore = spark.table("dsir_mw_meta").collect().toSeq
+    val noop = window()
+    assert(noop.getLong(1) == 0L && !noop.getBoolean(2) &&
+      !noop.getBoolean(4), s"undrifted sample must be a no-op: $noop")
+    assert(spark.table("dsir_mw_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the commit record")
+    graft.sources.Sinks.clearEpochTokens(spark, "dsir_mw_b_w")
+    assert(intercept[IllegalArgumentException] {
+      Curation.readDsir(spark, "dsir_mw")
+    }.getMessage.contains("epoch token"))
+  }
 }
