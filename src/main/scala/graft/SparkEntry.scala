@@ -3429,6 +3429,100 @@ object SparkEntry {
         .orderBy($"step")
     }),
 
+    // q158's decision contract with the exact tier moved onto the
+    // DURABLE rooted exact index (applyCascadeBatchDurable): at
+    // unbounded-corpus scale the accepted set is neither
+    // broadcastable nor cheap to re-join on a raw-text key per batch
+    // — here it Bloom-prefilters as a pure projection and only the
+    // positives pay the bucketed verify join, and the exact tier
+    // becomes takedown-aware IN-FLIGHT like tiers 3/4 (the
+    // `_tombstones` ledger applies at the next micro-batch, no
+    // restart). Same planted strata, same thresholds, same oracle
+    // body as q158 — swapping the exact tier's face must move NO
+    // other tier's decision; the one deliberate delta is live-view
+    // semantics (content-keyed takedown: the q166 oracle's accx_live
+    // drops a text even when a surviving accepted doc holds an
+    // identical copy). PlanSpec pins that the accepted side never
+    // broadcasts or re-shuffles.
+    "q166_cascade_exact_durable" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 300)
+      val accepted = docs.filter($"doc_id" % 2 === 0)
+      sources.Sinks.clearLedger(s, "q166_xidx_tombstones")
+      sources.Sinks.clearLedger(s, "q166_ng_tombstones")
+      sources.Sinks.clearLedger(s, "q166_idx_tombstones")
+      val idxRoot = java.nio.file.Files.createTempDirectory("q166_xidx")
+      idxRoot.toFile.deleteOnExit()
+      // gate-sized sketch geometry (150 accepted texts): the probe
+      // path (plan-literal CASE vs broadcast) is tier-parity-spec'd
+      operators.Dedup.writeExactIndexRooted(s, "q166_xidx",
+        idxRoot.toString,
+        operators.Dedup.buildExactIndex(accepted, "text",
+          expectedItems = 4096, numBits = 1L << 15),
+        numBuckets = 4)
+      operators.Dedup.writeNgramIndexRooted(s, "q166_ng",
+        operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
+          n = 4), numBuckets = 4)
+      val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
+          dim = 64)
+        .select($"doc_id", $"embedding")
+      operators.Similarity.writeIvfIndexBucketed(
+        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+          nCells = 2, lloydIters = 1), "q166_idx", numBuckets = 2)
+      val revText = array_join(reverse(filter(
+        split(trim($"text"), "\\s+"), t => t =!= lit(""))), " ")
+      val arrivals = accepted.filter($"doc_id" % 20 === 0)
+          .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" % 20 === 4)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(accepted.filter($"doc_id" % 20 === 8)
+          .select(($"doc_id" + 600000L).as("doc_id"),
+            revText.as("text")))
+        .unionByName(docs.filter($"doc_id" % 20 === 1)
+          .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+        .unionByName(s.createDataFrame(Seq(
+            (900001L, ""), (900002L, null.asInstanceOf[String]),
+            (900003L, "too short")))
+          .toDF("doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("q166_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(1).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def run(tag: String): DataFrame = {
+        val stream = s.readStream.schema(sch).parquet(s"$dir/in")
+        streaming.StreamingParse.admissionCascadeBatchedStreamDurable(
+          stream, "doc_id", "text", exactPrefix = "q166_xidx",
+          minLen = 20, maxNonAlphaRatio = 0.3,
+          ngramPrefix = "q166_ng", n = 4, threshold = 0.5,
+          maxBucket = 50, annPrefix = "q166_idx", tau = 0.92,
+          dim = 64, nProbe = 2, outPath = s"$dir/out_$tag")
+        loc(s.read.parquet(s"$dir/out_$tag")
+          .select($"doc_id",
+            col("cascade_admitted").as(s"admitted_$tag"),
+            col("reason").as(s"reason_$tag")))
+      }
+      val pre = run("pre")
+      val isTomb = $"doc_id" % 40 === 0 || $"doc_id" % 40 === 4 ||
+        $"doc_id" % 40 === 8
+      val tomb = accepted.filter(isTomb)
+      // takedowns file against every durable face at once: the exact
+      // ledger keys on CONTENT (the texts), the gram/vector ledgers
+      // on the doc ids
+      operators.Dedup.tombstoneExactIndex(s, "q166_xidx", tomb, "text")
+      operators.Dedup.tombstoneNgramIndex(s, "q166_ng",
+        tomb.select($"doc_id"))
+      operators.Similarity.tombstoneIvf(s, "q166_idx",
+        tomb.select($"doc_id"), "doc_id")
+      val live = run("live")
+      pre.join(live, Seq("doc_id"))
+        .select($"doc_id", $"admitted_pre", $"reason_pre",
+          $"admitted_live", $"reason_live")
+        .orderBy($"doc_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6213,132 +6307,22 @@ object SparkEntry {
     // within-batch pairs, recursive closure, taint), semantic via the
     // q156 md5 hashEmbed cosine max vs full/surviving vectors —
     // folded under first-reject precedence
-    "q158_cascade_fuzzy_stream" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE length(trim(text)) > 0 AND doc_id < 300),
-         acc AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
-         accx_pre AS (SELECT text, min(doc_id) AS exact_id FROM acc
-           GROUP BY text),
-         accx_live AS (SELECT text, min(doc_id) AS exact_id FROM acc
-           WHERE doc_id % 40 NOT IN (0, 4, 8) GROUP BY text),
-         arr AS (
-           SELECT doc_id + 400000 AS doc_id, text FROM acc
-           WHERE doc_id % 20 = 0
-           UNION ALL SELECT doc_id + 500000, text || ' xyzzy qbf'
-           FROM acc WHERE doc_id % 20 = 4
-           UNION ALL SELECT doc_id + 600000,
-             array_to_string(list_reverse(list_filter(
-               regexp_split_to_array(trim(text), '\s+'), t -> t != '')), ' ')
-           FROM acc WHERE doc_id % 20 = 8
-           UNION ALL SELECT doc_id + 700000, text FROM base
-           WHERE doc_id % 20 = 1
-           UNION ALL SELECT doc_id, text FROM (VALUES (900001, ''),
-             (900002, NULL), (900003, 'too short')) t(doc_id, text)),
-         qual AS (SELECT doc_id,
-           coalesce(length(trim(text)) >= 20 AND
-             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
-               <= 0.3 * length(text), FALSE) AS qok
-           FROM arr),
-         batchn AS (SELECT doc_id, lower(trim(text)) tx FROM arr
-           WHERE text IS NOT NULL),
-         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t
-           FROM batchn),
-         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
-           FROM bt, LATERAL (SELECT unnest(generate_series(1,
-             greatest(len(t)-3, 1))) AS i)),
-         ot AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') t FROM acc),
-         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
-           FROM ot, LATERAL (SELECT unnest(generate_series(1,
-             greatest(len(t)-3, 1))) AS i)),
-         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
-         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
-         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
-           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
-         hitsx AS (SELECT hx.bid, hx.oid FROM hx
-           JOIN bsz ON bsz.doc_id = hx.bid
-           JOIN osz ON osz.doc_id = hx.oid
-           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
-         hits_pre AS (SELECT DISTINCT bid AS doc_id FROM hitsx),
-         hits_live AS (SELECT DISTINCT bid AS doc_id FROM hitsx
-           WHERE oid % 40 NOT IN (0, 4, 8)),
-         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
-           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         wpairs AS (SELECT a, b FROM wx
-           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
-           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
-         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
-         reach AS (
-           WITH RECURSIVE r(x, y) AS (
-             SELECT x, y FROM edges
-             UNION
-             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
-           SELECT x, y FROM r),
-         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
-           FROM reach GROUP BY x),
-         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
-           FROM batchn b LEFT JOIN comp USING (doc_id)),
-         tainted_pre AS (SELECT DISTINCT l.comp FROM labeled l
-           JOIN hits_pre h ON l.doc_id = h.doc_id),
-         tainted_live AS (SELECT DISTINCT l.comp FROM labeled l
-           JOIN hits_live h ON l.doc_id = h.doc_id),
-         fz AS (SELECT l.doc_id,
-             l.comp = l.doc_id AND
-               l.comp NOT IN (SELECT comp FROM tainted_pre) AS fz_pre,
-             l.comp = l.doc_id AND
-               l.comp NOT IN (SELECT comp FROM tainted_live) AS fz_live
-           FROM labeled l),
-         alltexts AS (
-           SELECT 1 AS is_acc, doc_id, text FROM acc
-           UNION ALL SELECT 0, doc_id, text FROM arr
-           WHERE length(trim(coalesce(text, ''))) > 0),
-         toks AS (SELECT is_acc, doc_id,
-           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-             t -> t != '')) AS t
-           FROM alltexts),
-         vecs AS (SELECT is_acc, doc_id,
-           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
-           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
-             THEN 1.0 ELSE -1.0 END) AS v
-           FROM toks GROUP BY 1, 2, 3
-           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
-             THEN 1.0 ELSE -1.0 END) != 0),
-         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
-           FROM vecs GROUP BY 1, 2),
-         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
-             sum(q.v * c.v) AS dp
-           FROM vecs q JOIN vecs c
-             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
-           GROUP BY 1, 2),
-         cosr AS (SELECT d.doc_id, d.acc_id,
-             d.dp / (qn.n * cn.n) AS cosv
-           FROM dots d
-             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
-             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
-         sem AS (SELECT doc_id, max(cosv) AS best_pre,
-             max(CASE WHEN acc_id % 40 NOT IN (0, 4, 8) THEN cosv END)
-               AS best_live
-           FROM cosr GROUP BY doc_id),
-         decided AS (
-           SELECT a.doc_id,
-             CASE WHEN xp.exact_id IS NOT NULL THEN 'exact'
-                  WHEN NOT q.qok THEN 'quality'
-                  WHEN NOT coalesce(f.fz_pre, FALSE) THEN 'fuzzy'
-                  WHEN s.best_pre >= 0.92 THEN 'semantic' END AS reason_pre,
-             CASE WHEN xl.exact_id IS NOT NULL THEN 'exact'
-                  WHEN NOT q.qok THEN 'quality'
-                  WHEN NOT coalesce(f.fz_live, FALSE) THEN 'fuzzy'
-                  WHEN s.best_live >= 0.92 THEN 'semantic' END AS reason_live
-           FROM arr a
-           LEFT JOIN accx_pre xp ON xp.text = a.text
-           LEFT JOIN accx_live xl ON xl.text = a.text
-           JOIN qual q ON q.doc_id = a.doc_id
-           LEFT JOIN fz f ON f.doc_id = a.doc_id
-           LEFT JOIN sem s ON s.doc_id = a.doc_id)
-         SELECT doc_id,
-           reason_pre IS NULL AS admitted_pre, reason_pre,
-           reason_live IS NULL AS admitted_live, reason_live
-         FROM decided ORDER BY doc_id""",
+    "q158_cascade_fuzzy_stream" -> cascadeFourTierOracleSql(
+      // caller-frame exact tier: doc-keyed takedown — a text survives
+      // the live view if ANY non-tombstoned accepted doc holds it
+      """SELECT text, min(doc_id) AS exact_id FROM acc
+           WHERE doc_id % 40 NOT IN (0, 4, 8) GROUP BY text"""),
+
+    // q166: the SAME four-tier decision contract with the exact tier
+    // served by the durable rooted exact index — one semantic
+    // difference, deliberate: the index's takedown ledger keys on
+    // CONTENT (hash, text), so a tombstoned text vanishes even if a
+    // surviving accepted doc holds an identical copy (the compliance
+    // semantics a content takedown actually wants)
+    "q166_cascade_exact_durable" -> cascadeFourTierOracleSql(
+      """SELECT text, min(doc_id) AS exact_id FROM acc
+           WHERE text NOT IN (SELECT text FROM acc
+             WHERE doc_id % 40 IN (0, 4, 8)) GROUP BY text"""),
 
     // q159: the media cascade replayed tier by tier — both planted
     // pixel formulas, the 9×8 gradient dHash construction, the
@@ -10979,6 +10963,142 @@ object SparkEntry {
     * hits + within-batch recursive closure; survivors are untainted
     * min-id representatives. q74 runs the SAME decision over an index
     * round-tripped through a bucketed parquet table. */
+  /** The q158 four-tier cascade oracle, parameterized on the LIVE
+    * exact-tier view: the caller-frame path (q158) removes a text
+    * only when NO surviving accepted doc holds it (doc-keyed), while
+    * the durable-index path (q166) removes by CONTENT via the
+    * takedown ledger. Everything else -- the shingle/closure fuzzy
+    * contract, the md5 hashEmbed cosine, quality thresholds and the
+    * precedence fold -- is byte-identical between the two gates,
+    * which is the point: swapping the exact tier's face must not
+    * move any other tier's decision. Plain concatenation (no
+    * interpolator) keeps the SQL's regex backslashes raw. */
+  private def cascadeFourTierOracleSql(accxLive: String): String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0 AND doc_id < 300),
+         acc AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+         accx_pre AS (SELECT text, min(doc_id) AS exact_id FROM acc
+           GROUP BY text),
+         accx_live AS (""" + accxLive + """),
+         arr AS (
+           SELECT doc_id + 400000 AS doc_id, text FROM acc
+           WHERE doc_id % 20 = 0
+           UNION ALL SELECT doc_id + 500000, text || ' xyzzy qbf'
+           FROM acc WHERE doc_id % 20 = 4
+           UNION ALL SELECT doc_id + 600000,
+             array_to_string(list_reverse(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), t -> t != '')), ' ')
+           FROM acc WHERE doc_id % 20 = 8
+           UNION ALL SELECT doc_id + 700000, text FROM base
+           WHERE doc_id % 20 = 1
+           UNION ALL SELECT doc_id, text FROM (VALUES (900001, ''),
+             (900002, NULL), (900003, 'too short')) t(doc_id, text)),
+         qual AS (SELECT doc_id,
+           coalesce(length(trim(text)) >= 20 AND
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               <= 0.3 * length(text), FALSE) AS qok
+           FROM arr),
+         batchn AS (SELECT doc_id, lower(trim(text)) tx FROM arr
+           WHERE text IS NOT NULL),
+         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t
+           FROM batchn),
+         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM bt, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         ot AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') t FROM acc),
+         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM ot, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+         hitsx AS (SELECT hx.bid, hx.oid FROM hx
+           JOIN bsz ON bsz.doc_id = hx.bid
+           JOIN osz ON osz.doc_id = hx.oid
+           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+         hits_pre AS (SELECT DISTINCT bid AS doc_id FROM hitsx),
+         hits_live AS (SELECT DISTINCT bid AS doc_id FROM hitsx
+           WHERE oid % 40 NOT IN (0, 4, 8)),
+         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         wpairs AS (SELECT a, b FROM wx
+           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x),
+         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+           FROM batchn b LEFT JOIN comp USING (doc_id)),
+         tainted_pre AS (SELECT DISTINCT l.comp FROM labeled l
+           JOIN hits_pre h ON l.doc_id = h.doc_id),
+         tainted_live AS (SELECT DISTINCT l.comp FROM labeled l
+           JOIN hits_live h ON l.doc_id = h.doc_id),
+         fz AS (SELECT l.doc_id,
+             l.comp = l.doc_id AND
+               l.comp NOT IN (SELECT comp FROM tainted_pre) AS fz_pre,
+             l.comp = l.doc_id AND
+               l.comp NOT IN (SELECT comp FROM tainted_live) AS fz_live
+           FROM labeled l),
+         alltexts AS (
+           SELECT 1 AS is_acc, doc_id, text FROM acc
+           UNION ALL SELECT 0, doc_id, text FROM arr
+           WHERE length(trim(coalesce(text, ''))) > 0),
+         toks AS (SELECT is_acc, doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> t != '')) AS t
+           FROM alltexts),
+         vecs AS (SELECT is_acc, doc_id,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS v
+           FROM toks GROUP BY 1, 2, 3
+           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) != 0),
+         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
+           FROM vecs GROUP BY 1, 2),
+         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
+             sum(q.v * c.v) AS dp
+           FROM vecs q JOIN vecs c
+             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
+           GROUP BY 1, 2),
+         cosr AS (SELECT d.doc_id, d.acc_id,
+             d.dp / (qn.n * cn.n) AS cosv
+           FROM dots d
+             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
+             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
+         sem AS (SELECT doc_id, max(cosv) AS best_pre,
+             max(CASE WHEN acc_id % 40 NOT IN (0, 4, 8) THEN cosv END)
+               AS best_live
+           FROM cosr GROUP BY doc_id),
+         decided AS (
+           SELECT a.doc_id,
+             CASE WHEN xp.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN NOT coalesce(f.fz_pre, FALSE) THEN 'fuzzy'
+                  WHEN s.best_pre >= 0.92 THEN 'semantic' END AS reason_pre,
+             CASE WHEN xl.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN NOT coalesce(f.fz_live, FALSE) THEN 'fuzzy'
+                  WHEN s.best_live >= 0.92 THEN 'semantic' END AS reason_live
+           FROM arr a
+           LEFT JOIN accx_pre xp ON xp.text = a.text
+           LEFT JOIN accx_live xl ON xl.text = a.text
+           JOIN qual q ON q.doc_id = a.doc_id
+           LEFT JOIN fz f ON f.doc_id = a.doc_id
+           LEFT JOIN sem s ON s.doc_id = a.doc_id)
+         SELECT doc_id,
+           reason_pre IS NULL AS admitted_pre, reason_pre,
+           reason_live IS NULL AS admitted_live, reason_live
+         FROM decided ORDER BY doc_id"""
+
   private def substringDedupOracleSql: String =
     """WITH d AS (SELECT doc_id,
            CASE WHEN doc_id % 5 = 0

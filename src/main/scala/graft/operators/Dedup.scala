@@ -1990,15 +1990,32 @@ object Dedup {
     // callers probing precomputed nullable hash columns.
     val fresh = probed.filter(!coalesce(col("__mc"), lit(false)))
       .drop("__mc")
-    // hash-keyed equi join + text-equality residual: the hash key is
-    // what a bucketed index table co-locates on; the residual keeps
-    // the decision collision-free
+    // hash-ONLY equi key + post-join text verification: putting the
+    // text equality INSIDE the join condition (or in a post-join
+    // filter, which the optimizer pushes right back in) makes the
+    // planner extract it as a second join key, disable the bucketed
+    // scan ("Bucketed: false (disabled by query planner)") and
+    // re-shuffle the accepted corpus on (__h, __t) per batch — the
+    // exact cost the __h bucket layout exists to eliminate. With the
+    // single key the index side reads its bucket layout unshuffled;
+    // the verification is a PROJECTION marker folded by a per-id
+    // aggregate (an optimization barrier nothing can push through),
+    // so a 64-bit collision against a DIFFERENT text never matches
+    // and its row still admits; the anti join on the row id then
+    // removes exactly the verified matches. Both extra hops (the
+    // aggregate and the anti join) are batch-sized.
     val positives = probed.filter(coalesce(col("__mc"), lit(false)))
       .drop("__mc")
       .withColumn("__h", xxhash64(col(textCol)))
-    val survivors = positives.join(index.hashes,
-        positives("__h") === index.hashes("__h") &&
-          positives(textCol) === index.hashes("__t"), "left_anti")
+    val matchedIds = positives.join(index.hashes,
+        positives("__h") === index.hashes("__h"))
+      .select(positives(idCol),
+        when(positives(textCol) === index.hashes("__t"), lit(true))
+          .as("__tm"))
+      .groupBy(col(idCol)).agg(max(col("__tm")).as("__tm"))
+      .filter(coalesce(col("__tm"), lit(false)))
+      .select(col(idCol))
+    val survivors = positives.join(matchedIds, Seq(idCol), "left_anti")
       .drop("__h")
     fresh.unionByName(survivors)
   }

@@ -516,13 +516,103 @@ object StreamingParse {
                         n: Int, threshold: Double, maxBucket: Int,
                         annPrefix: String, tau: Double, dim: Int,
                         nProbe: Int, outPath: String): Unit = {
+    // uniqueness ENFORCED, not assumed: a caller frame with duplicate
+    // texts would fan each arrival into duplicate decision rows in
+    // the exactly-once output — collapse to the min exact_id (the
+    // deterministic representative, the Dedup.exact discipline)
+    val accepted = acceptedTexts
+      .groupBy(col("text"))
+      .agg(min(col("exact_id")).as("exact_id"))
+    val withXid = batch
+      .join(accepted.select(col("text").as(textCol),
+        col("exact_id").as("__xid")), Seq(textCol), "left")
+    cascadeBatchTail(spark, withXid, batchId, idCol, textCol, minLen,
+      maxNonAlphaRatio, ngramPrefix, n, threshold, maxBucket,
+      annPrefix, tau, dim, nProbe, outPath)
+  }
+
+  /** [[applyCascadeBatch]] with the exact tier served by the DURABLE
+    * rooted exact index ([[graft.operators.Dedup.readExactIndexRootedLive]]
+    * — the q94/q128 family) instead of a caller-supplied raw-text
+    * frame: the batch's texts Bloom-prefilter as a pure projection
+    * (broadcast sketches, the only bytes that ever ship), and only
+    * the Bloom-POSITIVE rows pay the verification join against the
+    * hash-bucketed table — so the accepted corpus never broadcasts,
+    * never re-shuffles per batch, and is never scanned for the
+    * (dominant) Bloom-negative arrivals. With this, the exact tier is
+    * takedown-aware IN-FLIGHT like tiers 3 and 4: the rooted read
+    * applies the `${exactPrefix}_tombstones` ledger per micro-batch,
+    * so a text removed from the accepted corpus admits again at the
+    * very next batch, no restart.
+    *
+    * Decision parity with the caller-frame path, stated precisely:
+    * admit/reason decisions are IDENTICAL on any batch (Bloom is a
+    * prefilter; the hash-equi + text-equality residual join keeps the
+    * decision collision-free — the value-keyed-collapse discipline),
+    * but `exact_match_id` carries the matched text's 64-bit content
+    * hash (the identity the index and its takedown ledger actually
+    * key on) rather than a caller-assigned doc id — the audit pointer
+    * a compliance flow resolves through the index's own hash table. */
+  def applyCascadeBatchDurable(spark: SparkSession, batch: DataFrame,
+                               batchId: Long, idCol: String,
+                               textCol: String, exactPrefix: String,
+                               minLen: Int, maxNonAlphaRatio: Double,
+                               ngramPrefix: String, n: Int,
+                               threshold: Double, maxBucket: Int,
+                               annPrefix: String, tau: Double,
+                               dim: Int, nProbe: Int,
+                               outPath: String): Unit = {
+    val exactIdx = graft.operators.Dedup.readExactIndexRootedLive(
+      spark, exactPrefix)
+    val probed = batch.withColumn("__mc",
+      graft.operators.Dedup.mightContainIndexCol(exactIdx,
+        xxhash64(col(textCol))))
+    val neg = probed.filter(!coalesce(col("__mc"), lit(false)))
+      .withColumn("__xid", lit(null).cast("long"))
+    val pos = probed.filter(coalesce(col("__mc"), lit(false)))
+      .withColumn("__h", xxhash64(col(textCol)))
+    // hash-ONLY equi key so the index side reads its __h bucket
+    // layout unshuffled (a text-equality second join key makes the
+    // planner disable the bucketed scan — and a post-join FILTER gets
+    // pushed back into the join condition, recreating the compound
+    // key, so the verification rides a PROJECTION marker folded by a
+    // per-id aggregate instead: nothing for the optimizer to push).
+    // The match stays collision-free — a 64-bit collision against a
+    // DIFFERENT text yields a null marker, and the batch-sized
+    // id-keyed aggregate + left join re-attach the verified pointer.
+    val hits = pos
+      .join(exactIdx.hashes.select(col("__h").as("__ih"), col("__t")),
+        pos("__h") === col("__ih"))
+      .select(pos(idCol),
+        when(pos(textCol) === col("__t"), col("__ih")).as("__xm"))
+      .groupBy(col(idCol)).agg(max(col("__xm")).as("__xid"))
+    val posVerified = pos.join(hits, Seq(idCol), "left").drop("__h")
+    cascadeBatchTail(spark, neg.unionByName(posVerified).drop("__mc"),
+      batchId, idCol, textCol, minLen, maxNonAlphaRatio, ngramPrefix,
+      n, threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
+  }
+
+  /** Shared tiers 2–4 + precedence fold + exactly-once sink of the
+    * batched cascades: `withXid` is the batch with the exact tier's
+    * `__xid` audit column already attached (non-null = exact reject).
+    * Kept private so the two exact-tier faces can never drift in
+    * quality/fuzzy/semantic semantics. */
+  private def cascadeBatchTail(spark: SparkSession, withXid: DataFrame,
+                               batchId: Long, idCol: String,
+                               textCol: String, minLen: Int,
+                               maxNonAlphaRatio: Double,
+                               ngramPrefix: String, n: Int,
+                               threshold: Double, maxBucket: Int,
+                               annPrefix: String, tau: Double,
+                               dim: Int, nProbe: Int,
+                               outPath: String): Unit = {
     val fuzzyIdx = graft.operators.Dedup.readNgramIndexRootedLive(
       spark, ngramPrefix, idCol, n)
     val fuzzySurv = graft.operators.Dedup.incrementalDropNearDups(
-        fuzzyIdx, batch.filter(col(textCol).isNotNull), textCol,
+        fuzzyIdx, withXid.filter(col(textCol).isNotNull), textCol,
         threshold, maxBucket)
       .select(col(idCol), lit(true).as("__fz"))
-    val emb = graft.operators.TextAnalysis.hashEmbed(batch, textCol,
+    val emb = graft.operators.TextAnalysis.hashEmbed(withXid, textCol,
       dim, out = "__cemb")
     val ann = graft.operators.Similarity.searchIvfLive(spark, annPrefix,
         emb.select(col(idCol), col("__cemb")), idCol, "__cemb",
@@ -536,9 +626,7 @@ object StreamingParse {
     val qualityOk = col(textCol).isNotNull && len >= lit(minLen) &&
       nonAlpha.cast("double") <=
         lit(maxNonAlphaRatio) * length(col(textCol)).cast("double")
-    batch
-      .join(acceptedTexts.select(col("text").as(textCol),
-        col("exact_id").as("__xid")), Seq(textCol), "left")
+    withXid
       .join(fuzzySurv, Seq(idCol), "left")
       .join(ann, Seq(idCol), "left")
       .withColumn("reason",
@@ -568,7 +656,10 @@ object StreamingParse {
     * stream projection can run. Tiers run per micro-batch under
     * first-reject precedence exact → quality → fuzzy → semantic, and
     * EVERY reference face is durable and takedown-aware: the exact
-    * view is caller-supplied (derive it from the live accepted set),
+    * view is caller-supplied (derive it from the live accepted set —
+    * a BOUNDED frame; an unbounded accepted corpus takes
+    * [[admissionCascadeBatchedStreamDurable]], whose exact tier
+    * reopens the rooted exact index instead),
     * the fuzzy tier reopens the rooted n-gram index LIVE
     * ([[graft.operators.Dedup.readNgramIndexRootedLive]] — ledger
     * applied), the semantic tier reopens the bucketed IVF LIVE — so
@@ -598,6 +689,44 @@ object StreamingParse {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCascadeBatch(spark, batch, batchId, idCol, textCol,
           acceptedTexts, minLen, maxNonAlphaRatio, ngramPrefix, n,
+          threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[admissionCascadeBatchedStream]] with ALL FOUR tiers on durable
+    * takedown-aware faces — the caller-frame exact view replaced by
+    * the rooted exact index ([[applyCascadeBatchDurable]]): at
+    * unbounded-corpus scale the accepted set is neither broadcastable
+    * nor cheap to re-join on a raw-text key per batch, and the
+    * caller-frame tier was the one rung takedowns could not reach
+    * without re-deriving the frame. Here every tier reopens its own
+    * durable face per micro-batch — exact (Bloom + bucketed hash
+    * table + `${exactPrefix}_tombstones` ledger), fuzzy (rooted
+    * n-gram index + ledger), semantic (bucketed IVF + ledger) — so a
+    * takedown filed against ANY tier flips decisions at the next
+    * micro-batch with no restart, and the per-batch exact cost is a
+    * projection plus a join of only the Bloom-positive rows. */
+  def admissionCascadeBatchedStreamDurable(docs: DataFrame,
+                                           idCol: String,
+                                           textCol: String,
+                                           exactPrefix: String,
+                                           minLen: Int,
+                                           maxNonAlphaRatio: Double,
+                                           ngramPrefix: String, n: Int,
+                                           threshold: Double,
+                                           maxBucket: Int,
+                                           annPrefix: String,
+                                           tau: Double, dim: Int,
+                                           nProbe: Int,
+                                           outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCascadeBatchDurable(spark, batch, batchId, idCol, textCol,
+          exactPrefix, minLen, maxNonAlphaRatio, ngramPrefix, n,
           threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
       }
       .trigger(Trigger.AvailableNow())

@@ -1143,4 +1143,150 @@ class PlanSpec extends SparkSpec {
     Sinks.clearLedger(spark, "ledger_spec_td")
     assert(Sinks.readLedger(spark, "ledger_spec_td").isEmpty)
   }
+
+  test("cascade durable exact tier: decisions ≡ caller-frame path, dup caller rows don't fan out, index never broadcast/shuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = (1L to 120L).map(i =>
+      (i, s"spec doc $i body w${i % 9} w${i % 7} w${i % 5} filler tail token block"))
+      .toDF("doc_id", "text")
+    val accepted = docs.filter($"doc_id" % 2 === 0)
+    graft.sources.Sinks.clearLedger(spark, "pin_xidx_tombstones")
+    graft.sources.Sinks.clearLedger(spark, "pin_ng_tombstones")
+    graft.sources.Sinks.clearLedger(spark, "pin_ivf_tombstones")
+    val root = java.nio.file.Files.createTempDirectory("pin_xidx").toString
+    Dedup.writeExactIndexRooted(spark, "pin_xidx", root,
+      Dedup.buildExactIndex(accepted, "text", expectedItems = 1024,
+        numBits = 1L << 14), numBuckets = 4)
+    Dedup.writeNgramIndexRooted(spark, "pin_ng",
+      Dedup.buildNgramIndex(accepted, "doc_id", "text", n = 3),
+      numBuckets = 4)
+    val emb = TextAnalysis.hashEmbed(accepted, "text", dim = 16)
+      .select($"doc_id", $"embedding")
+    Similarity.writeIvfIndexBucketed(
+      Similarity.buildIvf(emb, "doc_id", "embedding", nCells = 2,
+        lloydIters = 1), "pin_ivf", numBuckets = 2)
+    val batch = accepted.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 10 === 1)
+        .select(($"doc_id" + 2000L).as("doc_id"), $"text"))
+      .unionByName(Seq((9001L, ""), (9002L, null.asInstanceOf[String]),
+        (9003L, "short")).toDF("doc_id", "text"))
+    val nBatch = batch.count()
+    val dir = java.nio.file.Files.createTempDirectory("pin_casc").toString
+    // caller-frame path fed DUPLICATE rows per text with CONFLICTING
+    // ids — the internal min-collapse must both dedupe the fan-out
+    // and pick the deterministic representative
+    val accTexts = accepted.groupBy($"text")
+      .agg(min($"doc_id").as("exact_id"))
+    val accTextsDup = accTexts.unionByName(
+      accTexts.withColumn("exact_id", $"exact_id" + 5000L))
+    graft.streaming.StreamingParse.applyCascadeBatch(spark, batch, 0L,
+      "doc_id", "text", accTextsDup, minLen = 20,
+      maxNonAlphaRatio = 0.3, ngramPrefix = "pin_ng", n = 3,
+      threshold = 0.5, maxBucket = 50, annPrefix = "pin_ivf",
+      tau = 0.9, dim = 16, nProbe = 2, outPath = s"$dir/legacy")
+    // durable path under plan capture; sort-merge forced so the tiny
+    // spec-scale index can't hide behind an auto-broadcast (at corpus
+    // scale the planner could never broadcast it — the pin is that
+    // OUR plan never asks it to)
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SparkPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.streaming.StreamingParse.applyCascadeBatchDurable(spark,
+        batch, 0L, "doc_id", "text", "pin_xidx", minLen = 20,
+        maxNonAlphaRatio = 0.3, ngramPrefix = "pin_ng", n = 3,
+        threshold = 0.5, maxBucket = 50, annPrefix = "pin_ivf",
+        tau = 0.9, dim = 16, nProbe = 2, outPath = s"$dir/durable")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      org.apache.spark.sql.GraftExpressionBridge
+        .waitListenerBusEmpty(spark)
+      spark.listenerManager.unregister(listener)
+    }
+    def decisions(path: String): Seq[(Long, Boolean, String)] =
+      spark.read.parquet(path)
+        .select($"doc_id", $"cascade_admitted",
+          coalesce($"reason", lit("")))
+        .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    val legacy = decisions(s"$dir/legacy")
+    val durable = decisions(s"$dir/durable")
+    assert(legacy.size == nBatch,
+      s"dup caller rows must not fan out decision rows: ${legacy.size} vs $nBatch")
+    assert(durable == legacy,
+      "durable exact tier must reproduce the caller-frame decisions")
+    // the accepted side's scale contract: the exact index table is
+    // read through its bucket layout — never broadcast, never behind
+    // a shuffle (only the batch-side probe exchanges)
+    def scansXidx(p: SparkPlan): Boolean = {
+      var found = false
+      def go(q: SparkPlan): Unit = {
+        q match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.tableIdentifier.exists(_.table.contains("pin_xidx")) =>
+            found = true
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case s: QueryStageExec => go(s.plan)
+          case _ => ()
+        }
+        q.children.foreach(go)
+      }
+      go(p); found
+    }
+    // an exchange is an offender only when it moves the BARE index
+    // data (no join beneath it): downstream of the verify join the
+    // cascade legitimately shuffles the batch-sized decision frame on
+    // doc_id, and the index scan sits inside that subtree — what must
+    // never appear is an exchange whose input is the index table
+    // itself (that's the per-batch corpus re-shuffle/broadcast the
+    // bucketed layout exists to eliminate)
+    def hasJoinBelow(p: SparkPlan): Boolean = {
+      var found = false
+      def go(q: SparkPlan): Unit = {
+        q match {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            found = true
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case s: QueryStageExec => go(s.plan)
+          case _ => ()
+        }
+        q.children.foreach(go)
+      }
+      go(p); found
+    }
+    val offenders = scala.collection.mutable.Buffer[String]()
+    def audit(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => audit(a.executedPlan)
+        case s: QueryStageExec => audit(s.plan)
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          if (scansXidx(b) && !hasJoinBelow(b)) offenders += "broadcast"
+          b.children.foreach(audit)
+        case sh: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          if (scansXidx(sh) && !hasJoinBelow(sh))
+            offenders += s"shuffle:\n${sh.treeString.take(1500)}"
+          sh.children.foreach(audit)
+        case other => other.children.foreach(audit)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val planSeq = plans.asScala.toSeq
+    assert(planSeq.exists(scansXidx),
+      "expected at least one captured plan to scan the exact index")
+    planSeq.foreach(audit)
+    assert(offenders.isEmpty,
+      s"exact index side must never broadcast or re-shuffle: $offenders")
+  }
 }
