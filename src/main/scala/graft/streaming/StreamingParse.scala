@@ -867,6 +867,109 @@ object StreamingParse {
       .drop("__padm", "__pmid", "__pham", "__sadm", "__smid")
   }
 
+  /** The per-batch body of [[mediaAdmissionCascadeBatchedStream]] —
+    * [[applyCascadeBatchDurable]]'s MEDIA twin, public so a crash
+    * replay is drivable and gated directly. The one-pass
+    * [[mediaAdmissionCascadeStream]] captures its reference sets at
+    * plan time (right for bounded windows, blind to takedowns until
+    * restart); here BOTH signal tiers reopen durable takedown-aware
+    * faces per micro-batch:
+    *
+    *   1. `dead_letter` — decode status != "ok" (null-safe, the
+    *                      one-pass formula verbatim);
+    *   2. `perceptual`  — [[hammingAdmissionStream]]'s stateless body
+    *                      (batch-legal) against
+    *                      [[graft.operators.Dedup.readHammingMembersLive]]
+    *                      — the `${membersTable}_tombstones` ledger
+    *                      applies per batch;
+    *   3. `semantic`    — [[graft.operators.Similarity.searchIvfLive]]
+    *                      against the durable bucketed IVF, vector
+    *                      ledger applied per batch.
+    *
+    * First-reject precedence, per-tier pointers, batch_id-partitioned
+    * dynamic overwrite = exactly-once under crash-redelivery. Corrupt
+    * rows carry null signatures/vectors, which both signal tiers
+    * ADMIT (membership unprovable) — dead_letter is what rejects
+    * them, forensic reason preserved. The members table is bounded
+    * (the cellMembers regime) and rides the band broadcasts; the IVF
+    * corpus never broadcasts — its probe is the bucketed cell join. */
+  def applyMediaCascadeBatch(spark: SparkSession, batch: DataFrame,
+                             batchId: Long, idCol: String,
+                             statusCol: String, sigCol: String,
+                             membersTable: String, maxHamming: Int,
+                             vecCol: String, annPrefix: String,
+                             tau: Double, nProbe: Int,
+                             outPath: String): Unit = {
+    val members = graft.operators.Dedup
+      .readHammingMembersLive(spark, membersTable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val per = hammingAdmissionStream(batch, idCol, sigCol, members,
+          maxHamming)
+        .withColumnRenamed("admitted", "__padm")
+        .withColumnRenamed("match_id", "__pmid")
+        .withColumnRenamed("match_hamming", "__pham")
+      val ann = graft.operators.Similarity.searchIvfLive(spark,
+          annPrefix, batch.select(col(idCol), col(vecCol)), idCol,
+          vecCol, k = 1, nProbe = nProbe)
+        .filter(col("rank") === 1)
+        .select(col("query_id").as(idCol), col("neighbor_id"),
+          col("cosine"))
+      per.join(ann, Seq(idCol), "left")
+        .withColumn("reason",
+          when(!(col(statusCol) <=> lit("ok")), lit("dead_letter"))
+            .when(!col("__padm"), lit("perceptual"))
+            .when(col("cosine") >= lit(tau), lit("semantic")))
+        .withColumn("cascade_admitted", col("reason").isNull)
+        .select(col(idCol),
+          col("cascade_admitted"),
+          col("reason"),
+          when(col("reason") === "perceptual", col("__pmid"))
+            .as("perceptual_match_id"),
+          when(col("reason") === "perceptual", col("__pham"))
+            .as("perceptual_hamming"),
+          when(col("reason") === "semantic", col("neighbor_id"))
+            .as("semantic_match_id"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+    } finally members.unpersist(blocking = false)
+  }
+
+  /** The UNBOUNDED-corpus streaming MEDIA admission cascade —
+    * [[mediaAdmissionCascadeStream]]'s foreachBatch twin (the q152/
+    * q158 discipline applied to media): the caller still decodes +
+    * signs + embeds ON the stream (stateless per-row codec ops), but
+    * the reference faces are DURABLE — perceptual members + ledger,
+    * bucketed IVF + ledger — reopened per micro-batch by
+    * [[applyMediaCascadeBatch]], so a takedown against either tier
+    * flips decisions at the next micro-batch with no restart, and an
+    * unbounded vector corpus probes relationally instead of riding a
+    * broadcast. Exactly-once output via the batch_id sink. Blocks
+    * until AvailableNow drains the source. */
+  def mediaAdmissionCascadeBatchedStream(media: DataFrame,
+                                         idCol: String,
+                                         statusCol: String,
+                                         sigCol: String,
+                                         membersTable: String,
+                                         maxHamming: Int,
+                                         vecCol: String,
+                                         annPrefix: String,
+                                         tau: Double, nProbe: Int,
+                                         outPath: String): Unit = {
+    val spark = media.sparkSession
+    val q = media.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMediaCascadeBatch(spark, batch, batchId, idCol, statusCol,
+          sigCol, membersTable, maxHamming, vecCol, annPrefix, tau,
+          nProbe, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Dead-letter split for a streaming ingest — the multi-sink
     * pattern a 100 TB pipeline runs around every codec boundary: the
     * decode family deliberately yields NULL output columns on corrupt

@@ -1344,4 +1344,103 @@ class StreamingSeasonSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/post").collect().toSet == once,
       "a replayed batch must leave the sink byte-identical")
   }
+
+  test("media batched cascade: decisions ≡ one-pass on the live faces, takedowns flip next pass, idempotent replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    // codec-free fixture: signatures and vectors fed directly — the
+    // bytes→signal bridges are pinned elsewhere (q118/q125/q148); this
+    // pins the CASCADE algebra across the two execution shapes
+    val refs = Seq(
+      (1L, 0x0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0x00FFL, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, 0x0F0F0F0F0F0F0F0FL, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("media_id", "sig", "vec")
+    graft.sources.Sinks.clearLedger(spark, "mcasc_ham_tombstones")
+    graft.sources.Sinks.clearLedger(spark, "mcasc_ivf_tombstones")
+    // perceptual window = refs 1-2 only; vector corpus = refs 1-3
+    Dedup.writeHammingMembers(spark,
+      Dedup.hammingBandMembers(refs.filter($"media_id" <= 2)
+          .select($"media_id", $"sig"),
+        "media_id", "sig", maxHamming = 2), "mcasc_ham")
+    Similarity.writeIvfIndexBucketed(
+      Similarity.buildIvf(refs.select($"media_id", $"vec"), "media_id",
+        "vec", nCells = 2, lloydIters = 1), "mcasc_ivf", numBuckets = 2)
+    val batch = Seq(
+      (101L, "ok", Some(1L), Some(Seq(0.9, 0.1, 0.0, 0.0))),
+      (102L, "ok", Some(0x7777777777777777L),
+        Some(Seq(0.0, 0.0, 1.0, 0.0))),
+      (103L, "ok", Some(0x7777777777777777L ^ 0xF0F0L),
+        Some(Seq(0.0, 0.0, 0.0, 1.0))),
+      (104L, "undecodable", None: Option[Long],
+        None: Option[Seq[Double]]))
+      .toDF("media_id", "status", "sig", "vec")
+    val dir = Files.createTempDirectory("mcasc").toString
+    batch.coalesce(1).write.parquet(s"$dir/in")
+    val sch = spark.read.parquet(s"$dir/in").schema
+    type D = Map[Long, (Boolean, String, Option[Long], Option[Long])]
+    def decode(df: org.apache.spark.sql.DataFrame): D =
+      df.select($"media_id", $"cascade_admitted", $"reason",
+          $"perceptual_match_id", $"semantic_match_id").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+    def runBatched(out: String): D = {
+      StreamingParse.mediaAdmissionCascadeBatchedStream(
+        spark.readStream.schema(sch).parquet(s"$dir/in"),
+        "media_id", "status", "sig", membersTable = "mcasc_ham",
+        maxHamming = 2, vecCol = "vec", annPrefix = "mcasc_ivf",
+        tau = 0.9, nProbe = 2, outPath = s"$dir/$out")
+      decode(spark.read.parquet(s"$dir/$out"))
+    }
+    def runOnePass(tag: String): D = {
+      val members = Dedup.readHammingMembersLive(spark, "mcasc_ham")
+        .persist()
+      val index = Similarity.readIvfIndexLive(spark, "mcasc_ivf")
+      val cm = Similarity.cellMembersLive(spark, "mcasc_ivf").persist()
+      members.count(); cm.count()
+      val q = StreamingParse.mediaAdmissionCascadeStream(
+          spark.readStream.schema(sch).parquet(s"$dir/in"),
+          "media_id", "status", "sig", members, maxHamming = 2,
+          "vec", index, cm, tau = 0.9, nProbe = 2)
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        decode(spark.table(tag))
+      } finally { q.stop(); members.unpersist(); cm.unpersist() }
+    }
+    val pre = runBatched("pre")
+    assert(pre(101L) == (false, "perceptual", Some(1L), None), s"${pre(101L)}")
+    assert(pre(102L) == (false, "semantic", None, Some(3L)), s"${pre(102L)}")
+    assert(pre(103L) == (true, null, None, None), s"${pre(103L)}")
+    assert(pre(104L)._2 == "dead_letter", s"${pre(104L)}")
+    assert(runOnePass("mcasc_pre") == pre,
+      "batched decisions must equal the one-pass cascade on the same live faces")
+    // takedowns against both durable faces: the next pass flips
+    // exactly the removed refs' dependents, no restart
+    Dedup.tombstoneHammingMembers(spark, "mcasc_ham",
+      Seq(1L).toDF("media_id"))
+    Similarity.tombstoneIvf(spark, "mcasc_ivf",
+      Seq(1L, 3L).toDF("media_id"), "media_id")
+    val live = runBatched("live")
+    assert(live(101L) == (true, null, None, None),
+      s"perceptual takedown must admit ref 1's look-alike: ${live(101L)}")
+    assert(live(102L) == (true, null, None, None),
+      s"vector takedown must admit ref 3's copy: ${live(102L)}")
+    assert(live(103L) == pre(103L) && live(104L) == pre(104L),
+      "untouched rows must hold")
+    assert(runOnePass("mcasc_live") == live,
+      "one-pass over the re-read live faces must agree post-takedown")
+    // crash-redelivery: replaying the batch rewrites its own
+    // partition byte-identically
+    val once = spark.read.parquet(s"$dir/live").collect().toSet
+    StreamingParse.applyMediaCascadeBatch(spark,
+      spark.read.parquet(s"$dir/in"), 0L, "media_id", "status", "sig",
+      "mcasc_ham", 2, "vec", "mcasc_ivf", 0.9, 2, s"$dir/live")
+    assert(spark.read.parquet(s"$dir/live").collect().toSet == once,
+      "a replayed batch must leave the sink byte-identical")
+  }
 }
