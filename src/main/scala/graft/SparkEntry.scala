@@ -3098,12 +3098,14 @@ object SparkEntry {
     // contract, the q156 md5 hashEmbed cosine, and the precedence
     // fold — each in TWO decision worlds.
     "q158_cascade_fuzzy_stream" -> ((s, d) => {
-      // bounded fixture (doc_id < 300): the cascade wiring, precedence
-      // and takedown flips under test are scale-free, and the gate
-      // runs the q56 contract TWICE plus two IVF searches per pass —
-      // q56/q129 keep pinning the contract itself at full width
+      // bounded fixture (doc_id < 150, thinned from 300 in r16: the
+      // catalog's most expensive row at 21 s was pure fixture width):
+      // the cascade wiring, precedence and takedown flips under test
+      // are scale-free, and the gate runs the q56 contract TWICE plus
+      // two IVF searches per pass — q56/q129 keep pinning the
+      // contract itself at full width
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-        .filter(length(trim($"text")) > 0 && $"doc_id" < 300)
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 150)
       val accepted = docs.filter($"doc_id" % 2 === 0)
       sources.Sinks.clearLedger(s, "q158_ng_tombstones")
       sources.Sinks.clearLedger(s, "q158_idx_tombstones")
@@ -3445,8 +3447,9 @@ object SparkEntry {
     // identical copy). PlanSpec pins that the accepted side never
     // broadcasts or re-shuffles.
     "q166_cascade_exact_durable" -> ((s, d) => {
+      // doc_id < 150: the q158 bound (shared oracle body)
       val docs = t(s, d, "documents").select($"doc_id", $"text")
-        .filter(length(trim($"text")) > 0 && $"doc_id" < 300)
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 150)
       val accepted = docs.filter($"doc_id" % 2 === 0)
       sources.Sinks.clearLedger(s, "q166_xidx_tombstones")
       sources.Sinks.clearLedger(s, "q166_ng_tombstones")
@@ -11204,7 +11207,7 @@ object SparkEntry {
     * interpolator) keeps the SQL's regex backslashes raw. */
   private def cascadeFourTierOracleSql(accxLive: String): String =
     """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE length(trim(text)) > 0 AND doc_id < 300),
+           WHERE length(trim(text)) > 0 AND doc_id < 150),
          acc AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
          accx_pre AS (SELECT text, min(doc_id) AS exact_id FROM acc
            GROUP BY text),
