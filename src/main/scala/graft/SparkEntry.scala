@@ -3631,6 +3631,109 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // q167's decision contract with the perceptual tier on the
+    // RELATIONAL banded-signature index (applyMediaCascadeBatchUnbounded)
+    // — the UNBOUNDED perceptual-corpus path: the broadcast members
+    // table is the bounded-window tier (arrays, capped buckets,
+    // fails open on floods); here the accepted corpus lives as
+    // (band, bh, member) rows bucketed on exactly the probe keys, the
+    // per-batch probe is one equi-join whose index side reads its
+    // bucket layout unshuffled (PlanSpec-pinned), recall stays
+    // pigeonhole-exact with NO fail-open cap, and the banding
+    // threshold rides the index meta. Same fixture, same thresholds,
+    // SAME oracle as q167 — swapping the perceptual face must move no
+    // decision; takedowns file against the band ledger instead of the
+    // members ledger and flip the same three dependents.
+    "q168_media_cascade_unbounded" -> ((s, d) => {
+      val W = 16; val H = 12
+      def vRef(src: Long, x: Int, y: Int, shift: Int): Int =
+        ((src * 31 + x * (11 + src % 7) + y * 29 +
+          x.toLong * y * (1 + src % 3) + shift) % 256).toInt
+      def vNovel(src: Long, x: Int, y: Int): Int =
+        ((src * 53 + x * 29 + y * 7 + x.toLong * y * 2 + 101) % 256).toInt
+      def enc(px: (Int, Int) => Int, fmt: String): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until H; x <- 0 until W) {
+          val g = px(x, y)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, fmt, bos)
+        bos.toByteArray
+      }
+      def prep(df: DataFrame): DataFrame = {
+        val sig = operators.Multimodal.perceptualHashes(
+          operators.Multimodal.decodeImages(df, "payload"),
+          "pixels", "img_width", "img_height")
+        operators.Multimodal.imageEmbed(sig, "pixels", "img_width",
+            "img_height")
+          .withColumn("decode_status",
+            operators.Multimodal.decodeStatus($"payload", $"img_width"))
+      }
+      val refs = s.createDataFrame((1L to 10L).map(i =>
+          (i, enc((x, y) => vRef(i, x, y, 0), "png"))))
+        .toDF("media_id", "payload")
+      val refPrep = prep(refs)
+      sources.Sinks.clearLedger(s, "q168_band_tombstones")
+      sources.Sinks.clearLedger(s, "q168_ivf_tombstones")
+      operators.Dedup.writeHammingBandIndexRooted(s, "q168_band",
+        refPrep.filter($"media_id" <= 6).select($"media_id", $"dhash"),
+        "media_id", "dhash", maxHamming = 6, numBuckets = 4)
+      operators.Similarity.writeIvfIndexBucketed(
+        operators.Similarity.buildIvf(
+          refPrep.select($"media_id", $"img_embedding"), "media_id",
+          "img_embedding", nCells = 2, lloydIters = 1), "q168_ivf",
+        numBuckets = 2)
+      val arrivals: Seq[(Long, Array[Byte])] =
+        (1L to 3L).map(i => (500L + i,
+          enc((x, y) => vRef(i, x, y, 0), "bmp"))) ++
+        (1L to 3L).map(i => (510L + i,
+          enc((x, y) => vRef(i, x, y, 4), "png"))) ++
+        (7L to 9L).map(i => (520L + i,
+          enc((x, y) => vRef(i, x, y, 0), "png"))) ++
+        (1L to 3L).map(i => (530L + i,
+          enc((x, y) => vNovel(i, x, y), "png"))) ++
+        Seq((9001L, "not an image".getBytes("UTF-8")),
+          (9002L, null.asInstanceOf[Array[Byte]]),
+          (9003L, Array.empty[Byte]))
+      val dir = java.nio.file.Files.createTempDirectory("q168_stream")
+      dir.toFile.deleteOnExit()
+      s.createDataFrame(arrivals).toDF("media_id", "payload")
+        .repartition(1).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def run(tag: String): DataFrame = {
+        val stream = s.readStream.schema(sch).parquet(s"$dir/in")
+        streaming.StreamingParse
+          .mediaAdmissionCascadeBatchedStreamUnbounded(
+            prep(stream), "media_id", "decode_status", "dhash",
+            bandPrefix = "q168_band", vecCol = "img_embedding",
+            annPrefix = "q168_ivf", tau = 0.9, nProbe = 2,
+            outPath = s"$dir/out_$tag")
+        loc(s.read.parquet(s"$dir/out_$tag")
+          .select($"media_id",
+            col("cascade_admitted").as(s"admitted_$tag"),
+            col("reason").as(s"reason_$tag"),
+            col("perceptual_match_id").as(s"pmid_$tag"),
+            col("perceptual_hamming").as(s"pham_$tag"),
+            col("semantic_match_id").as(s"smid_$tag")))
+      }
+      val pre = run("pre")
+      val tomb = s.createDataFrame(Seq(Tuple1(2L), Tuple1(8L)))
+        .toDF("media_id")
+      operators.Dedup.tombstoneHammingBandIndex(s, "q168_band", tomb)
+      operators.Similarity.tombstoneIvf(s, "q168_ivf", tomb, "media_id")
+      val live = run("live")
+      pre.join(live, Seq("media_id"))
+        .select($"media_id", $"admitted_pre", $"reason_pre",
+          $"pmid_pre", $"pham_pre", $"smid_pre",
+          $"admitted_live", $"reason_live",
+          $"pmid_live", $"pham_live", $"smid_live")
+        .orderBy($"media_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6534,126 +6637,16 @@ object SparkEntry {
     // (both faces) and 8 (vector corpus) taken down; per-world argmin
     // (hamming, id) and argmax (cosine, id) tie-breaks and the
     // dead_letter → perceptual → semantic precedence
-    "q167_media_cascade_batched" ->
-      """WITH refs AS (SELECT i AS ref_id, i AS src, 0 AS shift
-           FROM range(1, 11) t(i)),
-         arr AS (
-           SELECT 500 + i AS media_id, i AS src, 0 AS shift,
-             'sig' AS kind FROM range(1, 4) t(i)
-           UNION ALL SELECT 510 + i, i, 4, 'sig' FROM range(1, 4) t(i)
-           UNION ALL SELECT 520 + i, i, 0, 'sig' FROM range(7, 10) t(i)
-           UNION ALL SELECT 530 + i, i, 0, 'novel' FROM range(1, 4) t(i)),
-         rg AS (SELECT ref_id, gy, gx,
-             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
-               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
-           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)
-           WHERE ref_id <= 6),
-         rh AS (SELECT a.ref_id,
-             bit_or(CASE WHEN b.v > a.v THEN
-                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
-                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
-               ELSE 0::BIGINT END) AS sig
-           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
-             AND b.gy = a.gy AND b.gx = a.gx + 1
-           WHERE a.gx < 8 GROUP BY a.ref_id),
-         ag AS (SELECT media_id, gy, gx,
-             CASE WHEN kind = 'novel' THEN
-               (src*53 + (gx*16//9)*29 + (gy*12//8)*7
-                 + (gx*16//9)*(gy*12//8)*2 + 101) % 256
-             ELSE
-               (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
-                 + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256
-             END AS v
-           FROM arr, range(0, 8) t1(gy), range(0, 9) t2(gx)),
-         ah AS (SELECT a.media_id,
-             bit_or(CASE WHEN b.v > a.v THEN
-                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
-                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
-               ELSE 0::BIGINT END) AS dhash
-           FROM ag a JOIN ag b ON a.media_id = b.media_id
-             AND b.gy = a.gy AND b.gx = a.gx + 1
-           WHERE a.gx < 8 GROUP BY a.media_id),
-         per_pre AS (SELECT s.media_id,
-             min_by(r.ref_id,
-               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
-               AS pmid,
-             min(bit_count(xor(s.dhash, r.sig))) AS pham
-           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
-           GROUP BY s.media_id),
-         per_live AS (SELECT s.media_id,
-             min_by(r.ref_id,
-               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
-               AS pmid,
-             min(bit_count(xor(s.dhash, r.sig))) AS pham
-           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
-             AND r.ref_id NOT IN (2, 8)
-           GROUP BY s.media_id),
-         re AS (SELECT ref_id, gy*8 + gx AS i,
-             (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
-               + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
-           FROM refs, range(0, 8) a(gy), range(0, 8) b(gx)),
-         ae AS (SELECT media_id, gy*8 + gx AS i,
-             CASE WHEN kind = 'novel' THEN
-               (src*53 + (gx*16//8)*29 + (gy*12//8)*7
-                 + (gx*16//8)*(gy*12//8)*2 + 101) % 256
-             ELSE
-               (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
-                 + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256
-             END AS v
-           FROM arr, range(0, 8) a(gy), range(0, 8) b(gx)),
-         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
-           FROM ae a JOIN re r ON a.i = r.i GROUP BY 1, 2),
-         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM ae GROUP BY 1),
-         rn2 AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM re GROUP BY 1),
-         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn2.n) AS cosv
-           FROM dots d JOIN an USING (media_id) JOIN rn2 USING (ref_id)),
-         sem_pre AS (SELECT media_id, ref_id AS smid, cosv FROM (
-             SELECT media_id, ref_id, cosv, row_number() OVER
-               (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
-             FROM cosr) WHERE rk = 1),
-         sem_live AS (SELECT media_id, ref_id AS smid, cosv FROM (
-             SELECT media_id, ref_id, cosv, row_number() OVER
-               (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
-             FROM cosr WHERE ref_id NOT IN (2, 8)) WHERE rk = 1),
-         allm AS (
-           SELECT media_id, 'ok' AS status FROM arr
-           UNION ALL SELECT media_id, status
-           FROM (VALUES (9001, 'undecodable'), (9002, 'null_payload'),
-             (9003, 'empty_payload')) t(media_id, status)),
-         decided AS (SELECT m.media_id,
-             CASE WHEN m.status != 'ok' THEN 'dead_letter'
-                  WHEN pp.media_id IS NOT NULL THEN 'perceptual'
-                  WHEN sp.cosv >= 0.9 THEN 'semantic' END AS reason_pre,
-             pp.pmid AS pmid_pre, pp.pham AS pham_pre,
-             sp.smid AS smid_pre,
-             CASE WHEN m.status != 'ok' THEN 'dead_letter'
-                  WHEN pl.media_id IS NOT NULL THEN 'perceptual'
-                  WHEN sl.cosv >= 0.9 THEN 'semantic' END AS reason_live,
-             pl.pmid AS pmid_live, pl.pham AS pham_live,
-             sl.smid AS smid_live
-           FROM allm m
-           LEFT JOIN per_pre pp ON pp.media_id = m.media_id
-           LEFT JOIN per_live pl ON pl.media_id = m.media_id
-           LEFT JOIN sem_pre sp ON sp.media_id = m.media_id
-           LEFT JOIN sem_live sl ON sl.media_id = m.media_id)
-         SELECT media_id,
-           reason_pre IS NULL AS admitted_pre, reason_pre,
-           CASE WHEN reason_pre = 'perceptual' THEN pmid_pre END
-             AS pmid_pre,
-           (CASE WHEN reason_pre = 'perceptual' THEN pham_pre
-             END)::INTEGER AS pham_pre,
-           CASE WHEN reason_pre = 'semantic' THEN smid_pre END
-             AS smid_pre,
-           reason_live IS NULL AS admitted_live, reason_live,
-           CASE WHEN reason_live = 'perceptual' THEN pmid_live END
-             AS pmid_live,
-           (CASE WHEN reason_live = 'perceptual' THEN pham_live
-             END)::INTEGER AS pham_live,
-           CASE WHEN reason_live = 'semantic' THEN smid_live END
-             AS smid_live
-         FROM decided ORDER BY media_id""",
+    "q167_media_cascade_batched" -> mediaCascadeTwoWorldOracleSql,
 
-    // q160: the token set algebra of both maintenance calls — OOV of
+    // q168: the SAME two-world decision contract with the perceptual
+    // tier served by the RELATIONAL banded index — identical oracle
+    // by design (pigeonhole recall-exact on both faces, identical
+    // argmin/argmax tie-breaks): swapping the perceptual tier's face
+    // must move no decision
+    "q168_media_cascade_unbounded" -> mediaCascadeTwoWorldOracleSql,
+
+    // q160: the token set algebra    // q160: the token set algebra of both maintenance calls — OOV of
     // the drifted sample vs the original fit vocabulary (call 1's
     // probe), the fire threshold, OOV vs the refit vocabulary
     // (call 1's re-probe = call 2's probe), and call 2's quiet-no-op
@@ -11330,6 +11323,131 @@ object SparkEntry {
            reason_pre IS NULL AS admitted_pre, reason_pre,
            reason_live IS NULL AS admitted_live, reason_live
          FROM decided ORDER BY doc_id"""
+
+  /** q167/q168's shared two-world media-cascade oracle (the q74
+    * identical-decision-contract discipline): both gates run the same
+    * fixture and thresholds; only the perceptual tier's FACE differs
+    * (broadcast members vs relational banded index), and both faces
+    * are pigeonhole recall-exact with the same (hamming, id) argmin —
+    * so one oracle pins that the swap moves no decision. */
+  private def mediaCascadeTwoWorldOracleSql: String =
+      """WITH refs AS (SELECT i AS ref_id, i AS src, 0 AS shift
+           FROM range(1, 11) t(i)),
+         arr AS (
+           SELECT 500 + i AS media_id, i AS src, 0 AS shift,
+             'sig' AS kind FROM range(1, 4) t(i)
+           UNION ALL SELECT 510 + i, i, 4, 'sig' FROM range(1, 4) t(i)
+           UNION ALL SELECT 520 + i, i, 0, 'sig' FROM range(7, 10) t(i)
+           UNION ALL SELECT 530 + i, i, 0, 'novel' FROM range(1, 4) t(i)),
+         rg AS (SELECT ref_id, gy, gx,
+             (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) t1(gy), range(0, 9) t2(gx)
+           WHERE ref_id <= 6),
+         rh AS (SELECT a.ref_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS sig
+           FROM rg a JOIN rg b ON a.ref_id = b.ref_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.ref_id),
+         ag AS (SELECT media_id, gy, gx,
+             CASE WHEN kind = 'novel' THEN
+               (src*53 + (gx*16//9)*29 + (gy*12//8)*7
+                 + (gx*16//9)*(gy*12//8)*2 + 101) % 256
+             ELSE
+               (src*31 + (gx*16//9)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//9)*(gy*12//8)*(1 + src % 3) + shift) % 256
+             END AS v
+           FROM arr, range(0, 8) t1(gy), range(0, 9) t2(gx)),
+         ah AS (SELECT a.media_id,
+             bit_or(CASE WHEN b.v > a.v THEN
+                 CASE WHEN a.gy*8 + a.gx = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (a.gy*8 + a.gx) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM ag a JOIN ag b ON a.media_id = b.media_id
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8 GROUP BY a.media_id),
+         per_pre AS (SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS pmid,
+             min(bit_count(xor(s.dhash, r.sig))) AS pham
+           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+           GROUP BY s.media_id),
+         per_live AS (SELECT s.media_id,
+             min_by(r.ref_id,
+               bit_count(xor(s.dhash, r.sig))::BIGINT * 1000 + r.ref_id)
+               AS pmid,
+             min(bit_count(xor(s.dhash, r.sig))) AS pham
+           FROM ah s JOIN rh r ON bit_count(xor(s.dhash, r.sig)) <= 6
+             AND r.ref_id NOT IN (2, 8)
+           GROUP BY s.media_id),
+         re AS (SELECT ref_id, gy*8 + gx AS i,
+             (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+               + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256 AS v
+           FROM refs, range(0, 8) a(gy), range(0, 8) b(gx)),
+         ae AS (SELECT media_id, gy*8 + gx AS i,
+             CASE WHEN kind = 'novel' THEN
+               (src*53 + (gx*16//8)*29 + (gy*12//8)*7
+                 + (gx*16//8)*(gy*12//8)*2 + 101) % 256
+             ELSE
+               (src*31 + (gx*16//8)*(11 + src % 7) + (gy*12//8)*29
+                 + (gx*16//8)*(gy*12//8)*(1 + src % 3) + shift) % 256
+             END AS v
+           FROM arr, range(0, 8) a(gy), range(0, 8) b(gx)),
+         dots AS (SELECT a.media_id, r.ref_id, sum(a.v * r.v) AS dp
+           FROM ae a JOIN re r ON a.i = r.i GROUP BY 1, 2),
+         an AS (SELECT media_id, sqrt(sum(v*v)) AS n FROM ae GROUP BY 1),
+         rn2 AS (SELECT ref_id, sqrt(sum(v*v)) AS n FROM re GROUP BY 1),
+         cosr AS (SELECT d.media_id, d.ref_id, d.dp / (an.n * rn2.n) AS cosv
+           FROM dots d JOIN an USING (media_id) JOIN rn2 USING (ref_id)),
+         sem_pre AS (SELECT media_id, ref_id AS smid, cosv FROM (
+             SELECT media_id, ref_id, cosv, row_number() OVER
+               (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+             FROM cosr) WHERE rk = 1),
+         sem_live AS (SELECT media_id, ref_id AS smid, cosv FROM (
+             SELECT media_id, ref_id, cosv, row_number() OVER
+               (PARTITION BY media_id ORDER BY cosv DESC, ref_id) AS rk
+             FROM cosr WHERE ref_id NOT IN (2, 8)) WHERE rk = 1),
+         allm AS (
+           SELECT media_id, 'ok' AS status FROM arr
+           UNION ALL SELECT media_id, status
+           FROM (VALUES (9001, 'undecodable'), (9002, 'null_payload'),
+             (9003, 'empty_payload')) t(media_id, status)),
+         decided AS (SELECT m.media_id,
+             CASE WHEN m.status != 'ok' THEN 'dead_letter'
+                  WHEN pp.media_id IS NOT NULL THEN 'perceptual'
+                  WHEN sp.cosv >= 0.9 THEN 'semantic' END AS reason_pre,
+             pp.pmid AS pmid_pre, pp.pham AS pham_pre,
+             sp.smid AS smid_pre,
+             CASE WHEN m.status != 'ok' THEN 'dead_letter'
+                  WHEN pl.media_id IS NOT NULL THEN 'perceptual'
+                  WHEN sl.cosv >= 0.9 THEN 'semantic' END AS reason_live,
+             pl.pmid AS pmid_live, pl.pham AS pham_live,
+             sl.smid AS smid_live
+           FROM allm m
+           LEFT JOIN per_pre pp ON pp.media_id = m.media_id
+           LEFT JOIN per_live pl ON pl.media_id = m.media_id
+           LEFT JOIN sem_pre sp ON sp.media_id = m.media_id
+           LEFT JOIN sem_live sl ON sl.media_id = m.media_id)
+         SELECT media_id,
+           reason_pre IS NULL AS admitted_pre, reason_pre,
+           CASE WHEN reason_pre = 'perceptual' THEN pmid_pre END
+             AS pmid_pre,
+           (CASE WHEN reason_pre = 'perceptual' THEN pham_pre
+             END)::INTEGER AS pham_pre,
+           CASE WHEN reason_pre = 'semantic' THEN smid_pre END
+             AS smid_pre,
+           reason_live IS NULL AS admitted_live, reason_live,
+           CASE WHEN reason_live = 'perceptual' THEN pmid_live END
+             AS pmid_live,
+           (CASE WHEN reason_live = 'perceptual' THEN pham_live
+             END)::INTEGER AS pham_live,
+           CASE WHEN reason_live = 'semantic' THEN smid_live END
+             AS smid_live
+         FROM decided ORDER BY media_id"""
 
   private def substringDedupOracleSql: String =
     """WITH d AS (SELECT doc_id,

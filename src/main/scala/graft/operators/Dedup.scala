@@ -615,6 +615,188 @@ object Dedup {
       .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // UNBOUNDED perceptual reference face: the banded-signature index.
+  // [[hammingBandMembers]] is the bounded-window tier — one row per
+  // bucket carrying its members as an ARRAY, served by broadcast, with
+  // a drop-and-fail-open cap because a hot bucket would otherwise grow
+  // a row without limit inside the broadcast. At 100 TB the accepted
+  // perceptual corpus is neither broadcastable nor array-packable;
+  // this family is its relational twin — the rooted n-gram-index
+  // discipline applied to Hamming space: one ROW per (band, band-hash,
+  // member), hash-bucketed on the probe key, so a batch probe is one
+  // equi-join whose index side reads its bucket layout unshuffled and
+  // whose cost is ∝ batch (the corpus is never re-banded, never
+  // broadcast, never re-shuffled). Pigeonhole keeps the probe
+  // RECALL-EXACT at the threshold, and — unlike the broadcast tier —
+  // there is NO bucket cap to fail open: a hot bucket costs candidate
+  // rows (batch-side fan-out), never recall.
+  // ──────────────────────────────────────────────────────────────────
+
+  private def bandedSigRows(reference: DataFrame, idCol: String,
+                            sigCol: String, maxHamming: Int): DataFrame =
+    reference.filter(col(sigCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(sigCol).cast("long").as("sig"))
+      .select(col("neighbor_id"), col("sig"),
+        posexplode(array(hammingBands(col("sig"), maxHamming): _*))
+          .as(Seq("band", "bh")))
+
+  /** Pointer-rooted durable face of the banded-signature index:
+    * generations alternate between `${prefix}_bands_<a|b>` tables
+    * bucketed on BOTH probe keys (band, bh) — the join below keys on
+    * exactly the bucket columns, which is what lets the planner keep
+    * the bucketed scan (a subset- or superset-keyed join disables it;
+    * the q166 lesson) — with the family crash discipline: epoch token
+    * after the table commit, one-row meta (gen, max_hamming, epoch)
+    * written LAST, superseded generation dropped best-effort. The
+    * banding threshold is persisted IN the meta: the artifact defines
+    * its own probe geometry (the q164 discipline), so a caller can
+    * never probe with a different `maxHamming` than the index was
+    * banded for (pigeonhole exactness only holds at the banded
+    * threshold). */
+  def writeHammingBandIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                                  prefix: String, reference: DataFrame,
+                                  idCol: String, sigCol: String,
+                                  maxHamming: Int,
+                                  numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+    val next = if (cur.contains("a")) "b" else "a"
+    val gen = s"${prefix}_bands_$next"
+    graft.sources.Sinks.writeBucketed(
+      bandedSigRows(reference, idCol, sigCol, maxHamming), gen,
+      Seq("band", "bh"), numBuckets)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+    graft.sources.Sinks.writeTable(
+      Seq((next, maxHamming, epoch)).toDF("gen", "max_hamming", "epoch"),
+      metaTable)
+    cur.filter(_ != next).foreach(g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands_$g"))
+  }
+
+  /** Reopen a rooted banded index (raw — takedowns not applied):
+    * returns the banded threshold and the band rows, epoch-validated
+    * (a torn same-prefix rebuild refuses loudly). */
+  def readHammingBandIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                                 prefix: String): (Int, DataFrame) = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val gen = s"${prefix}_bands_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen),
+      meta.getAs[String]("epoch"))
+    (meta.getAs[Int]("max_hamming"), spark.table(gen))
+  }
+
+  /** File takedowns against a banded index — the
+    * [[tombstoneHammingMembers]] ledger shape (idempotent
+    * distinct-union of media ids, A/B + meta-last commit). */
+  def tombstoneHammingBandIndex(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String, ids: DataFrame): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      ids.select(col(ids.columns.head).cast("long").as("media_id")))
+
+  /** The serving entry point: rooted read with the
+    * `${prefix}_tombstones` ledger applied — removed ids leave the
+    * candidate space via ONE broadcast anti-join on the member id
+    * (the ledger is bounded, and a broadcast join preserves the
+    * streamed side's partitioning, so the index's bucket layout
+    * survives through it into the downstream probe join). */
+  def readHammingBandIndexRootedLive(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (Int, DataFrame) = {
+    val (maxHamming, rows) = readHammingBandIndexRooted(spark, prefix)
+    val live = graft.sources.Sinks
+      .readLedger(spark, s"${prefix}_tombstones")
+      .map { case (_, ids) =>
+        rows.join(broadcast(ids.select(col("media_id")
+          .as("neighbor_id")).distinct()), Seq("neighbor_id"),
+          "left_anti")
+      }
+      .getOrElse(rows)
+    (maxHamming, live)
+  }
+
+  /** Relational batch probe of a banded index — the admission
+    * decision of [[graft.streaming.StreamingParse.hammingAdmissionStream]]
+    * computed against an UNBOUNDED reference corpus: explode the
+    * batch's signatures into their pigeonhole bands (maxHamming + 1
+    * rows per doc), ONE equi-join on exactly (band, bh) — the index
+    * side reads its bucket layout, only the batch side shuffles —
+    * verify true hamming on the candidates, and fold the argmin
+    * (hamming, neighbor_id) struct per doc (the broadcast tier's
+    * tie-break, bit-for-bit). Null signatures ADMIT (membership
+    * unprovable — the q94 discipline). Output: the batch columns plus
+    * `admitted` / `match_id` / `match_hamming`. */
+  def searchHammingBandIndex(indexRows: DataFrame, maxHamming: Int,
+                             batch: DataFrame, idCol: String,
+                             sigCol: String): DataFrame = {
+    val probed = batch
+      .select(col(idCol), col(sigCol).cast("long").as("__bsig"))
+      .filter(col("__bsig").isNotNull)
+      .select(col(idCol), col("__bsig"),
+        posexplode(array(hammingBands(col("__bsig"), maxHamming): _*))
+          .as(Seq("band", "bh")))
+    val best = probed.join(indexRows, Seq("band", "bh"))
+      .select(col(idCol),
+        struct(hamming(col("__bsig"), col("sig")).cast("int")
+            .as("hamming"),
+          col("neighbor_id").as("nid")).as("__cand"))
+      .filter(col("__cand.hamming") <= lit(maxHamming))
+      .groupBy(col(idCol)).agg(min(col("__cand")).as("__best"))
+    batch.join(best, Seq(idCol), "left")
+      .withColumn("admitted", col("__best").isNull)
+      .withColumn("match_id",
+        when(!col("admitted"), col("__best.nid")))
+      .withColumn("match_hamming",
+        when(!col("admitted"), col("__best.hamming")))
+      .drop("__best")
+  }
+
+  /** Purge-only maintenance window for a banded index — the q157 LSH
+    * argument transfers verbatim: the pigeonhole banding of a 64-bit
+    * signature is a FIXED decomposition (no fitted state, nothing to
+    * drift), so the only maintenance a banded index ever needs is
+    * making logical deletes physical. Fires on purge debt; the
+    * rewrite is one bucketed shuffle over the SURVIVING band rows
+    * (never a re-band of the source corpus — the band rows are the
+    * reference set), generation flip + ledger clear; a quiet window
+    * leaves meta, generation and ledger untouched bit-for-bit. */
+  def purgeHammingBandIndex(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String,
+                            numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def meta() = spark.table(s"${prefix}_meta").collect()(0)
+    def pendingCount(): Long =
+      graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+        .map(_._2.count()).getOrElse(0L)
+    val m0 = meta()
+    val epochBefore = m0.getAs[String]("epoch")
+    val pending = pendingCount()
+    val fired = pending > 0L
+    if (fired) {
+      val (maxHamming, live) =
+        readHammingBandIndexRootedLive(spark, prefix)
+      val cur = m0.getAs[String]("gen")
+      val next = if (cur == "a") "b" else "a"
+      val gen = s"${prefix}_bands_$next"
+      graft.sources.Sinks.writeBucketed(live, gen, Seq("band", "bh"),
+        numBuckets)
+      val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+      graft.sources.Sinks.writeTable(
+        Seq((next, maxHamming, epoch))
+          .toDF("gen", "max_hamming", "epoch"), s"${prefix}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands_$cur")
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
+    }
+    Seq((pending, fired, pendingCount(),
+        meta().getAs[String]("epoch") != epochBefore))
+      .toDF("pending_tombstones", "fired", "post_pending",
+        "gen_changed")
+  }
+
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
                       maxHamming: Int = 3,
                       maxBucket: Int = 200): DataFrame = {

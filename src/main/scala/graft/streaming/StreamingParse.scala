@@ -909,32 +909,81 @@ object StreamingParse {
         .withColumnRenamed("admitted", "__padm")
         .withColumnRenamed("match_id", "__pmid")
         .withColumnRenamed("match_hamming", "__pham")
-      val ann = graft.operators.Similarity.searchIvfLive(spark,
-          annPrefix, batch.select(col(idCol), col(vecCol)), idCol,
-          vecCol, k = 1, nProbe = nProbe)
-        .filter(col("rank") === 1)
-        .select(col("query_id").as(idCol), col("neighbor_id"),
-          col("cosine"))
-      per.join(ann, Seq(idCol), "left")
-        .withColumn("reason",
-          when(!(col(statusCol) <=> lit("ok")), lit("dead_letter"))
-            .when(!col("__padm"), lit("perceptual"))
-            .when(col("cosine") >= lit(tau), lit("semantic")))
-        .withColumn("cascade_admitted", col("reason").isNull)
-        .select(col(idCol),
-          col("cascade_admitted"),
-          col("reason"),
-          when(col("reason") === "perceptual", col("__pmid"))
-            .as("perceptual_match_id"),
-          when(col("reason") === "perceptual", col("__pham"))
-            .as("perceptual_hamming"),
-          when(col("reason") === "semantic", col("neighbor_id"))
-            .as("semantic_match_id"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(outPath)
+      mediaCascadeBatchTail(spark, per, batchId, idCol, statusCol,
+        vecCol, annPrefix, tau, nProbe, outPath)
     } finally members.unpersist(blocking = false)
+  }
+
+  /** [[applyMediaCascadeBatch]] with the perceptual tier served by
+    * the RELATIONAL banded-signature index
+    * ([[graft.operators.Dedup.searchHammingBandIndex]] over
+    * [[graft.operators.Dedup.readHammingBandIndexRootedLive]]) — the
+    * UNBOUNDED-reference-corpus path: the broadcast members table is
+    * the bounded-window tier (arrays, capped buckets, fails open on
+    * floods); here the accepted perceptual corpus lives as bucketed
+    * (band, bh, member) ROWS, the per-batch probe is one equi-join
+    * whose index side reads its bucket layout unshuffled, recall
+    * stays pigeonhole-exact with NO fail-open cap, and the banding
+    * threshold comes from the index meta (the artifact defines its
+    * own probe geometry — a caller cannot desynchronize it). The
+    * `${bandPrefix}_tombstones` ledger applies per micro-batch, so
+    * perceptual takedowns flip at the next batch like every other
+    * tier. */
+  def applyMediaCascadeBatchUnbounded(spark: SparkSession,
+                                      batch: DataFrame, batchId: Long,
+                                      idCol: String, statusCol: String,
+                                      sigCol: String,
+                                      bandPrefix: String,
+                                      vecCol: String, annPrefix: String,
+                                      tau: Double, nProbe: Int,
+                                      outPath: String): Unit = {
+    val (maxHamming, rows) = graft.operators.Dedup
+      .readHammingBandIndexRootedLive(spark, bandPrefix)
+    val per = graft.operators.Dedup.searchHammingBandIndex(rows,
+        maxHamming, batch, idCol, sigCol)
+      .withColumnRenamed("admitted", "__padm")
+      .withColumnRenamed("match_id", "__pmid")
+      .withColumnRenamed("match_hamming", "__pham")
+    mediaCascadeBatchTail(spark, per, batchId, idCol, statusCol,
+      vecCol, annPrefix, tau, nProbe, outPath)
+  }
+
+  /** Shared semantic tier + precedence fold + exactly-once sink of
+    * the batched media cascades: `per` is the batch with the
+    * perceptual tier's `__padm`/`__pmid`/`__pham` columns attached.
+    * Private so the two perceptual faces can never drift in
+    * dead-letter/semantic semantics. */
+  private def mediaCascadeBatchTail(spark: SparkSession,
+                                    per: DataFrame, batchId: Long,
+                                    idCol: String, statusCol: String,
+                                    vecCol: String, annPrefix: String,
+                                    tau: Double, nProbe: Int,
+                                    outPath: String): Unit = {
+    val ann = graft.operators.Similarity.searchIvfLive(spark,
+        annPrefix, per.select(col(idCol), col(vecCol)), idCol,
+        vecCol, k = 1, nProbe = nProbe)
+      .filter(col("rank") === 1)
+      .select(col("query_id").as(idCol), col("neighbor_id"),
+        col("cosine"))
+    per.join(ann, Seq(idCol), "left")
+      .withColumn("reason",
+        when(!(col(statusCol) <=> lit("ok")), lit("dead_letter"))
+          .when(!col("__padm"), lit("perceptual"))
+          .when(col("cosine") >= lit(tau), lit("semantic")))
+      .withColumn("cascade_admitted", col("reason").isNull)
+      .select(col(idCol),
+        col("cascade_admitted"),
+        col("reason"),
+        when(col("reason") === "perceptual", col("__pmid"))
+          .as("perceptual_match_id"),
+        when(col("reason") === "perceptual", col("__pham"))
+          .as("perceptual_hamming"),
+        when(col("reason") === "semantic", col("neighbor_id"))
+          .as("semantic_match_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
   }
 
   /** The UNBOUNDED-corpus streaming MEDIA admission cascade —
@@ -963,6 +1012,35 @@ object StreamingParse {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyMediaCascadeBatch(spark, batch, batchId, idCol, statusCol,
           sigCol, membersTable, maxHamming, vecCol, annPrefix, tau,
+          nProbe, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[mediaAdmissionCascadeBatchedStream]] with the perceptual tier
+    * on the RELATIONAL banded index ([[applyMediaCascadeBatchUnbounded]])
+    * — the variant for an accepted perceptual corpus too large to
+    * broadcast or array-pack: every tier's per-batch cost is ∝ batch,
+    * every face durable and takedown-aware, no fail-open bucket cap
+    * on the perceptual rung. The banded threshold rides the index
+    * meta; exactly-once output via the batch_id sink. */
+  def mediaAdmissionCascadeBatchedStreamUnbounded(media: DataFrame,
+                                                  idCol: String,
+                                                  statusCol: String,
+                                                  sigCol: String,
+                                                  bandPrefix: String,
+                                                  vecCol: String,
+                                                  annPrefix: String,
+                                                  tau: Double,
+                                                  nProbe: Int,
+                                                  outPath: String): Unit = {
+    val spark = media.sparkSession
+    val q = media.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMediaCascadeBatchUnbounded(spark, batch, batchId, idCol,
+          statusCol, sigCol, bandPrefix, vecCol, annPrefix, tau,
           nProbe, outPath)
       }
       .trigger(Trigger.AvailableNow())

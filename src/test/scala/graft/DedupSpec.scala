@@ -1248,4 +1248,77 @@ class DedupSpec extends SparkSpec {
     assert(graft.sources.Sinks.readLedger(spark,
       "hm_maint_tombstones").isEmpty)
   }
+
+  test("banded-signature index: relational probe ≡ broadcast members, takedown flips, purge window, torn refusal") {
+    import org.apache.spark.sql.functions._
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val refs = Seq(
+      (1L, base), (2L, base ^ 0xFFL), (3L, 0x0123456789ABCDEFL))
+      .toDF("media_id", "sig")
+    graft.sources.Sinks.clearLedger(spark, "bsi_tombstones")
+    Dedup.writeHammingBandIndexRooted(spark, "bsi", refs, "media_id",
+      "sig", maxHamming = 2, numBuckets = 4)
+    val (mh, rows) = Dedup.readHammingBandIndexRootedLive(spark, "bsi")
+    assert(mh == 2, "the banded threshold must ride the index meta")
+    val batch = Seq(
+      (101L, Some(base ^ 1L)),              // hamming 1 of ref 1
+      (102L, Some(base ^ 0xFFL)),           // exact copy of ref 2
+      (103L, Some(0x7777777777777777L)),    // novel
+      (104L, None: Option[Long]))           // null sig → admit
+      .toDF("media_id", "sig")
+    def decisions(out: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Boolean, Option[Long], Option[Int])] =
+      out.select("media_id", "admitted", "match_id", "match_hamming")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3))))).toMap
+    val rel = decisions(
+      Dedup.searchHammingBandIndex(rows, mh, batch, "media_id", "sig"))
+    assert(rel(101L) == (false, Some(1L), Some(1)), s"${rel(101L)}")
+    assert(rel(102L) == (false, Some(2L), Some(0)), s"${rel(102L)}")
+    assert(rel(103L) == (true, None, None))
+    assert(rel(104L) == (true, None, None), "null signature must admit")
+    // parity: the broadcast members face makes the same decisions
+    val members = Dedup.hammingBandMembers(refs, "media_id", "sig",
+      maxHamming = 2)
+    val bc = decisions(graft.streaming.StreamingParse
+      .hammingAdmissionStream(batch, "media_id", "sig", members, 2))
+    assert(bc == rel,
+      "relational and broadcast faces must make identical decisions")
+    // takedown flips at the next read; untouched members hold
+    Dedup.tombstoneHammingBandIndex(spark, "bsi",
+      Seq(1L).toDF("media_id"))
+    val (_, liveRows) = Dedup.readHammingBandIndexRootedLive(spark, "bsi")
+    val live = decisions(
+      Dedup.searchHammingBandIndex(liveRows, mh, batch, "media_id", "sig"))
+    assert(live(101L) == (true, None, None),
+      s"takedown must admit ref 1's look-alike: ${live(101L)}")
+    assert(live(102L) == rel(102L) && live(103L) == rel(103L))
+    // purge window: fires on debt, flips the generation, clears the
+    // ledger; decisions unchanged from the live view
+    val purge = Dedup.purgeHammingBandIndex(spark, "bsi",
+      numBuckets = 4).collect()(0)
+    assert(purge.getLong(0) == 1L && purge.getBoolean(1) &&
+      purge.getLong(2) == 0L && purge.getBoolean(3), s"$purge")
+    assert(spark.table("bsi_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("bsi_bands_a"),
+      "the superseded generation must drop after the purge flip")
+    val (mh2, purgedRows) = Dedup.readHammingBandIndexRootedLive(spark, "bsi")
+    assert(decisions(Dedup.searchHammingBandIndex(purgedRows, mh2,
+      batch, "media_id", "sig")) == live,
+      "physical purge must not move any decision")
+    // quiet window: no debt → meta untouched bit-for-bit
+    val metaBefore = spark.table("bsi_meta").collect().toSeq
+    val quiet = Dedup.purgeHammingBandIndex(spark, "bsi",
+      numBuckets = 4).collect()(0)
+    assert(!quiet.getBoolean(1) && !quiet.getBoolean(3))
+    assert(spark.table("bsi_meta").collect().toSeq == metaBefore,
+      "a quiet window must not touch the commit record")
+    // torn generation refuses at the rooted read
+    graft.sources.Sinks.clearEpochTokens(spark, "bsi_bands_b")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.readHammingBandIndexRooted(spark, "bsi")
+    }.getMessage.contains("epoch token"))
+  }
 }

@@ -1289,4 +1289,34 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"exact index side must never broadcast or re-shuffle: $offenders")
   }
+
+  test("banded-signature index: probe join reads the (band, bh) bucket layout — index side unshuffled, never broadcast") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    val refs = (1L to 400L).map(i => (i, rnd.nextLong()))
+      .toDF("media_id", "sig")
+    graft.sources.Sinks.clearLedger(spark, "bsi_plan_tombstones")
+    Dedup.writeHammingBandIndexRooted(spark, "bsi_plan", refs,
+      "media_id", "sig", maxHamming = 3, numBuckets = 4)
+    val (mh, rows) = Dedup.readHammingBandIndexRootedLive(spark,
+      "bsi_plan")
+    val batch = (1000L to 1020L).map(i => (i, rnd.nextLong()))
+      .toDF("media_id", "sig")
+    // force sort-merge so the tiny spec-scale index can't hide behind
+    // an auto-broadcast (the q166 discipline)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.searchHammingBandIndex(rows, mh, batch,
+        "media_id", "sig")
+      val p = out.queryExecution.executedPlan.toString
+      // the index scan keeps its bucket layout: the probe-side
+      // explode exchanges, the index side reads buckets directly
+      assert(p.contains("Bucketed: true"),
+        s"band index scan must read its bucket layout:\n${p.take(1500)}")
+      assert(!p.contains("Bucketed: false (disabled by query planner)"),
+        "the probe join's keys must be exactly the bucket columns " +
+          s"(a subset/superset disables the bucketed scan):\n${p.take(1500)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
