@@ -755,6 +755,47 @@ object Dedup {
       .drop("__best")
   }
 
+  /** O(new) APPEND into the live generation of a banded index — the
+    * [[graft.operators.Similarity.appendToLshIndexBucketed]]
+    * discipline, and the same data-obliviousness argument makes it
+    * sound: the pigeonhole band decomposition is a FIXED function of
+    * the signature bits (nothing fitted, nothing drifts), so a new
+    * batch's band rows bucket exactly as a full rebuild would —
+    * appending bucket-for-bucket into the live table is
+    * decision-identical to rebuilding from the union (spec-pinned).
+    * Crash discipline is epoch-poison-FIRST: the generation's epoch
+    * tokens clear before any row lands, so a crash mid-append leaves
+    * a table that REFUSES at the rooted read (loud, re-runnable via a
+    * fresh [[writeHammingBandIndexRooted]]) rather than serving a
+    * half-appended batch; the meta re-stamp commits LAST. Cost is one
+    * bucketed write of the NEW rows only — the corpus is never
+    * re-banded, never rewritten. */
+  def appendToHammingBandIndexRooted(
+      spark: org.apache.spark.sql.SparkSession, prefix: String,
+      reference: DataFrame, idCol: String, sigCol: String): Unit = {
+    import spark.implicits._
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val gen = s"${prefix}_bands_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen),
+      meta.getAs[String]("epoch"))
+    val maxHamming = meta.getAs[Int]("max_hamming")
+    val numBuckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(gen))
+      .bucketSpec.getOrElse(sys.error(s"$gen is not bucketed"))
+      .numBuckets
+    graft.sources.Sinks.clearEpochTokens(spark, gen)
+    bandedSigRows(reference, idCol, sigCol, maxHamming)
+      .select(spark.table(gen).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "band", "bh").sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(gen)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+    graft.sources.Sinks.writeTable(
+      Seq((meta.getAs[String]("gen"), maxHamming, epoch))
+        .toDF("gen", "max_hamming", "epoch"), s"${prefix}_meta")
+  }
+
   /** Purge-only maintenance window for a banded index — the q157 LSH
     * argument transfers verbatim: the pigeonhole banding of a 64-bit
     * signature is a FIXED decomposition (no fitted state, nothing to

@@ -1321,4 +1321,52 @@ class DedupSpec extends SparkSpec {
       Dedup.readHammingBandIndexRooted(spark, "bsi")
     }.getMessage.contains("epoch token"))
   }
+
+  test("banded-signature index: O(new) append ≡ full rebuild, torn mid-append refuses") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val base = (1L to 60L).map(i => (i, rnd.nextLong()))
+      .toDF("media_id", "sig")
+    val extra = (61L to 90L).map(i => (i, rnd.nextLong()))
+      .toDF("media_id", "sig")
+    graft.sources.Sinks.clearLedger(spark, "bsa_tombstones")
+    graft.sources.Sinks.clearLedger(spark, "bsa_rb_tombstones")
+    Dedup.writeHammingBandIndexRooted(spark, "bsa", base, "media_id",
+      "sig", maxHamming = 3, numBuckets = 4)
+    Dedup.appendToHammingBandIndexRooted(spark, "bsa", extra,
+      "media_id", "sig")
+    // the rebuilt-from-union control
+    Dedup.writeHammingBandIndexRooted(spark, "bsa_rb",
+      base.unionByName(extra), "media_id", "sig", maxHamming = 3,
+      numBuckets = 4)
+    // band rows identical set-wise (banding is data-oblivious)
+    val (mhA, rowsA) = Dedup.readHammingBandIndexRootedLive(spark, "bsa")
+    val (mhB, rowsB) = Dedup.readHammingBandIndexRootedLive(spark, "bsa_rb")
+    assert(mhA == mhB)
+    assert(rowsA.collect().toSet == rowsB.collect().toSet,
+      "appended band rows must equal the full rebuild's")
+    // and search decisions are identical — appended members serve
+    val batch = ((1L to 5L) ++ (61L to 65L) ++ Seq(9001L))
+      .map(i => (1000L + i, if (i == 9001L) rnd.nextLong()
+        else { // exact copies of base/appended members
+          val all = (base.collect() ++ extra.collect())
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          all(i)
+        }))
+      .toDF("media_id", "sig")
+    def dec(rows: org.apache.spark.sql.DataFrame, mh: Int) =
+      Dedup.searchHammingBandIndex(rows, mh, batch, "media_id", "sig")
+        .select("media_id", "admitted", "match_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+    assert(dec(rowsA, mhA) == dec(rowsB, mhB),
+      "append and rebuild must make identical decisions (appended " +
+        "members must serve)")
+    // crash mid-append = poisoned epoch → loud refusal, never a
+    // half-appended serve
+    graft.sources.Sinks.clearEpochTokens(spark, "bsa_bands_a")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.readHammingBandIndexRooted(spark, "bsa")
+    }.getMessage.contains("epoch token"))
+  }
 }
