@@ -3734,6 +3734,103 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // The durable winnowing-index lifecycle in THREE decision worlds:
+    // world 1 screens the corpus against suite A (the q89 benchmark
+    // fixture — 12-word interior slices of every 13th doc), world 2
+    // after an O(new) APPEND of suite B (different slice offset,
+    // every 11th doc, disjoint bench_id space — the "new eval suite
+    // lands" event), world 3 after RETIRING half of suite A through
+    // the tombstone ledger (bench_id % 26 = 0 — the "deprecated
+    // suite" event). The oracle replays all three worlds as pure
+    // fingerprint SET ALGEBRA (the q89 winnowing CTE machinery per
+    // corpus, three LEFT joins against the three live fingerprint
+    // sets) — a wrong append bucketing, a takedown that leaks
+    // fingerprints, or a live face that drops suite-B rows all move
+    // integer (n_fp, n_hits) counts. Purge/quiet-window/torn-crash
+    // mechanics are spec-pinned (TextMultimodalSpec), decisions here.
+    "q169_winnow_index_lifecycle" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val benchA = benchSliceFixture(docs)
+      val benchB = docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 5, 12))
+            .as("text"))
+      sources.Sinks.clearLedger(s, "q169_widx_tombstones")
+      operators.TextAnalysis.writeWinnowIndexRooted(s, "q169_widx",
+        benchA, "doc_id", "text", k = 4, w = 4, hashName = "md5",
+        numBuckets = 4)
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      // each world MATERIALIZES before the next mutates the live
+      // generation (the append lands in the same physical table)
+      def probe(world: Long): DataFrame = loc {
+        val face = operators.TextAnalysis
+          .readWinnowIndexRootedLive(s, "q169_widx")
+        operators.TextAnalysis.containmentVsWinnowIndex(face, docs,
+            "doc_id", "text")
+          .select(lit(world).as("world"), $"doc_id", $"n_fp",
+            $"n_hits", round($"containment", 6).as("containment"))
+      }
+      val w1 = probe(1L)
+      operators.TextAnalysis.appendToWinnowIndexRooted(s, "q169_widx",
+        benchB, "doc_id", "text")
+      val w2 = probe(2L)
+      operators.TextAnalysis.tombstoneWinnowIndex(s, "q169_widx",
+        benchA.filter($"doc_id" % 26 === 0).select($"doc_id"))
+      val w3 = probe(3L)
+      w1.union(w2).union(w3).orderBy($"world", $"doc_id")
+    }),
+
+    // Streaming decontamination against the durable face, in two
+    // decision worlds split by a MID-STREAM suite append — the event
+    // the one-pass broadcast screen is structurally blind to (its
+    // benchmark side is captured at plan time; a suite landing
+    // mid-run screens nothing until restart). Pass 1 admits
+    // everything suite A misses; suite B lands via the O(new)
+    // append; pass 2 rejects the arrivals whose winnow fingerprints
+    // hit B — with NO restart and NO re-winnow of suite A (the face
+    // reopens per micro-batch). The exactly-once batch_id sink is
+    // the q152 discipline; the oracle replays both worlds' hit
+    // counts and the containment-threshold admission as set algebra.
+    "q170_decontam_stream" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val arrivals = docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text")
+      val benchA = benchSliceFixture(docs)
+      val benchB = docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 5, 12))
+            .as("text"))
+      sources.Sinks.clearLedger(s, "q170_widx_tombstones")
+      operators.TextAnalysis.writeWinnowIndexRooted(s, "q170_widx",
+        benchA, "doc_id", "text", k = 4, w = 4, hashName = "md5",
+        numBuckets = 4)
+      val dir = java.nio.file.Files.createTempDirectory("q170_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(1).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def run(tag: String): DataFrame = {
+        val stream = s.readStream.schema(sch).parquet(s"$dir/in")
+        streaming.StreamingParse.decontamAdmissionBatchedStream(
+          stream, "doc_id", "text", prefix = "q170_widx",
+          maxContainment = 0.0, outPath = s"$dir/out_$tag")
+        loc(s.read.parquet(s"$dir/out_$tag")
+          .select($"doc_id", $"n_fp",
+            col("n_hits").as(s"n_hits_$tag"),
+            col("admitted").as(s"admitted_$tag")))
+      }
+      val pre = run("pre")
+      operators.TextAnalysis.appendToWinnowIndexRooted(s, "q170_widx",
+        benchB, "doc_id", "text")
+      val live = run("live")
+      pre.join(live.drop("n_fp"), Seq("doc_id"))
+        .select($"doc_id", $"n_fp", $"n_hits_pre", $"admitted_pre",
+          $"n_hits_live", $"admitted_live")
+        .orderBy($"doc_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6645,6 +6742,155 @@ object SparkEntry {
     // argmin/argmax tie-breaks): swapping the perceptual tier's face
     // must move no decision
     "q168_media_cascade_unbounded" -> mediaCascadeTwoWorldOracleSql,
+
+    // q169: the q89 winnowing CTE machinery replayed for the train
+    // corpus and BOTH benchmark suites, then the three worlds as
+    // pure fingerprint set algebra — world 1 joins suite A's
+    // distinct fingerprints, world 2 the union after the append,
+    // world 3 the union minus the retired A-half (bench_id % 26 = 0).
+    // Integer counts only (count(*) / count(fp) — BIGINT native, the
+    // q160 HUGEINT lesson), world literals BIGINT-cast.
+    "q169_winnow_index_lifecycle" ->
+      """WITH tk AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') t,
+           regexp_split_to_array(trim(text), '\s+') traw
+         FROM documents),
+         hs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM tk),
+         sel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM hs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         tfp AS (SELECT DISTINCT s.doc_id, hs.h[s.pos] AS fp
+           FROM sel s JOIN hs USING (doc_id)),
+         btka AS (SELECT doc_id AS bench_id,
+             [lower(x) for x in traw[3:14]] AS t
+           FROM tk WHERE doc_id % 13 = 0),
+         bhsa AS (SELECT bench_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM btka),
+         bsela AS (SELECT DISTINCT bench_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT bench_id, h, least(4, len(h)) AS win FROM bhsa) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         bfpa AS (SELECT DISTINCT s.bench_id, bhsa.h[s.pos] AS fp
+           FROM bsela s JOIN bhsa USING (bench_id)),
+         btkb AS (SELECT doc_id + 1000000 AS bench_id,
+             [lower(x) for x in traw[5:16]] AS t
+           FROM tk WHERE doc_id % 11 = 0),
+         bhsb AS (SELECT bench_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM btkb),
+         bselb AS (SELECT DISTINCT bench_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT bench_id, h, least(4, len(h)) AS win FROM bhsb) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         bfpb AS (SELECT DISTINCT s.bench_id, bhsb.h[s.pos] AS fp
+           FROM bselb s JOIN bhsb USING (bench_id)),
+         w1 AS (SELECT DISTINCT fp FROM bfpa),
+         w2 AS (SELECT DISTINCT fp FROM
+           (SELECT fp FROM bfpa UNION ALL SELECT fp FROM bfpb)),
+         w3 AS (SELECT DISTINCT fp FROM
+           (SELECT fp FROM bfpa WHERE bench_id % 26 <> 0
+            UNION ALL SELECT fp FROM bfpb)),
+         a1 AS (SELECT t.doc_id, count(*) AS n_fp, count(w.fp) AS n_hits
+           FROM tfp t LEFT JOIN w1 w ON t.fp = w.fp GROUP BY 1),
+         a2 AS (SELECT t.doc_id, count(*) AS n_fp, count(w.fp) AS n_hits
+           FROM tfp t LEFT JOIN w2 w ON t.fp = w.fp GROUP BY 1),
+         a3 AS (SELECT t.doc_id, count(*) AS n_fp, count(w.fp) AS n_hits
+           FROM tfp t LEFT JOIN w3 w ON t.fp = w.fp GROUP BY 1)
+         SELECT world, doc_id, n_fp, n_hits,
+           round(n_hits::DOUBLE / n_fp::DOUBLE, 6) AS containment
+         FROM (SELECT 1::BIGINT AS world, * FROM a1
+           UNION ALL SELECT 2::BIGINT AS world, * FROM a2
+           UNION ALL SELECT 3::BIGINT AS world, * FROM a3)
+         ORDER BY world, doc_id""",
+
+    // q170: two worlds of the same set algebra over the even-id
+    // arrival slice — world 1 vs suite A, world 2 vs A ∪ B after the
+    // mid-stream append; admitted ⇔ zero hits (containment ≤ 0 with
+    // n_fp ≥ 1 by the winnowing short-doc floor)
+    "q170_decontam_stream" ->
+      """WITH tk AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') t,
+           regexp_split_to_array(trim(text), '\s+') traw
+         FROM documents),
+         hs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM tk),
+         sel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM hs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         tfp AS (SELECT DISTINCT s.doc_id, hs.h[s.pos] AS fp
+           FROM sel s JOIN hs USING (doc_id)
+           WHERE s.doc_id % 2 = 0),
+         btka AS (SELECT doc_id AS bench_id,
+             [lower(x) for x in traw[3:14]] AS t
+           FROM tk WHERE doc_id % 13 = 0),
+         bhsa AS (SELECT bench_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM btka),
+         bsela AS (SELECT DISTINCT bench_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT bench_id, h, least(4, len(h)) AS win FROM bhsa) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         bfpa AS (SELECT DISTINCT bhsa.h[s.pos] AS fp
+           FROM bsela s JOIN bhsa USING (bench_id)),
+         btkb AS (SELECT doc_id + 1000000 AS bench_id,
+             [lower(x) for x in traw[5:16]] AS t
+           FROM tk WHERE doc_id % 11 = 0),
+         bhsb AS (SELECT bench_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM btkb),
+         bselb AS (SELECT DISTINCT bench_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT bench_id, h, least(4, len(h)) AS win FROM bhsb) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         bfpb AS (SELECT DISTINCT bhsb.h[s.pos] AS fp
+           FROM bselb s JOIN bhsb USING (bench_id)),
+         w1 AS (SELECT DISTINCT fp FROM bfpa),
+         w2 AS (SELECT DISTINCT fp FROM
+           (SELECT fp FROM bfpa UNION ALL SELECT fp FROM bfpb)),
+         a1 AS (SELECT t.doc_id, count(*) AS n_fp, count(w.fp) AS n_hits
+           FROM tfp t LEFT JOIN w1 w ON t.fp = w.fp GROUP BY 1),
+         a2 AS (SELECT t.doc_id, count(*) AS n_fp, count(w.fp) AS n_hits
+           FROM tfp t LEFT JOIN w2 w ON t.fp = w.fp GROUP BY 1)
+         SELECT a1.doc_id, a1.n_fp, a1.n_hits AS n_hits_pre,
+           a1.n_hits = 0 AS admitted_pre,
+           a2.n_hits AS n_hits_live, a2.n_hits = 0 AS admitted_live
+         FROM a1 JOIN a2 USING (doc_id) ORDER BY doc_id""",
 
     // q160: the token set algebra    // q160: the token set algebra of both maintenance calls — OOV of
     // the drifted sample vs the original fit vocabulary (call 1's

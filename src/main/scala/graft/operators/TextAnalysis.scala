@@ -389,6 +389,223 @@ object TextAnalysis {
         col("n_hits").cast("double") / col("n_fp").cast("double"))
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // DURABLE benchmark-fingerprint face: the rooted winnowing index.
+  // [[winnowContainment]] is the two-sided batch screen — it
+  // re-fingerprints the BENCHMARK corpus on every call, which is fine
+  // for a one-shot audit and wrong for the shape decontamination
+  // actually takes at 100 TB: eval suites accrete continuously (a new
+  // benchmark lands → every future arrival must screen against it,
+  // with no restart), old suites retire (a leaked or deprecated eval's
+  // fingerprints must STOP rejecting novel docs), and the training
+  // corpus is a stream. This family persists the benchmark side once
+  // as (bench_id, fingerprint) ROWS hash-bucketed on the probe key,
+  // so a batch probe is ONE equi-join whose index side reads its
+  // bucket layout unshuffled — per-batch cost ∝ batch, the benchmark
+  // corpus is never re-winnowed — with the full lifecycle every
+  // durable face here carries: write / O(new) append (a new suite) /
+  // takedown (a retired suite) / live face / purge-only window.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** The two engine-reproducible gram hashers, by META name — the
+    * probe geometry (k, w, hash) rides the index meta (the q164/q168
+    * discipline: the artifact defines its own probe geometry), and a
+    * NAME persists where a Scala function value can't, so a reader
+    * resolves the exact hasher the index was built with instead of
+    * trusting the caller to re-supply it. */
+  private val WinnowHashers: Map[String, Column => Column] = Map(
+    "native" -> Dedup.DefaultTokenHash,
+    "md5" -> Dedup.md5Hash60)
+
+  /** A reopened winnowing index: the banded geometry it was built
+    * with plus its (bench_id, fingerprint) rows. */
+  final case class WinnowIndexFace(k: Int, w: Int, hashName: String,
+                                   rows: DataFrame) {
+    def tokenHash: Column => Column = WinnowHashers(hashName)
+  }
+
+  private def winnowIndexRows(benchmark: DataFrame, idCol: String,
+                              textCol: String, k: Int, w: Int,
+                              hashName: String): DataFrame =
+    winnowFingerprints(benchmark, idCol, textCol, k, w,
+        WinnowHashers(hashName))
+      .select(col(idCol).cast("long").as("bench_id"), col("fingerprint"))
+      .distinct()
+
+  /** Pointer-rooted durable face of the benchmark winnowing index:
+    * generations alternate between `${prefix}_fps_<a|b>` tables
+    * bucketed on `fingerprint` — the ONE probe key, which is what
+    * lets the planner keep the bucketed scan under the probe join
+    * (the q166 lesson: a join keyed on a subset or superset of the
+    * bucket columns disables it) — with the family crash discipline:
+    * epoch token after the table commit, one-row meta
+    * (gen, k, w, hash, epoch) written LAST, superseded generation
+    * dropped best-effort. */
+  def writeWinnowIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                             prefix: String, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 4, w: Int = 4,
+                             hashName: String = "native",
+                             numBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    require(WinnowHashers.contains(hashName),
+      s"unknown winnow hash '$hashName' (have: ${WinnowHashers.keys.mkString(", ")})")
+    val metaTable = s"${prefix}_meta"
+    val cur: Option[String] =
+      if (!spark.catalog.tableExists(metaTable)) None
+      else Some(spark.table(metaTable).collect()(0).getAs[String]("gen"))
+    val next = if (cur.contains("a")) "b" else "a"
+    val gen = s"${prefix}_fps_$next"
+    graft.sources.Sinks.writeBucketed(
+      winnowIndexRows(benchmark, idCol, textCol, k, w, hashName), gen,
+      Seq("fingerprint"), numBuckets)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+    graft.sources.Sinks.writeTable(
+      Seq((next, k, w, hashName, epoch))
+        .toDF("gen", "k", "w", "hash", "epoch"), metaTable)
+    cur.filter(_ != next).foreach(g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_fps_$g"))
+  }
+
+  /** Reopen a rooted winnowing index (raw — takedowns not applied),
+    * epoch-validated: a torn same-prefix rebuild refuses loudly. */
+  def readWinnowIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String): WinnowIndexFace = {
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val gen = s"${prefix}_fps_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen),
+      meta.getAs[String]("epoch"))
+    WinnowIndexFace(meta.getAs[Int]("k"), meta.getAs[Int]("w"),
+      meta.getAs[String]("hash"), spark.table(gen))
+  }
+
+  /** Retire benchmark docs (a deprecated suite, a leaked eval) — the
+    * family ledger shape: idempotent distinct-union of bench ids,
+    * A/B + meta-last commit, applied at the live read. */
+  def tombstoneWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, ids: DataFrame): Unit =
+    graft.sources.Sinks.appendLedger(spark, s"${prefix}_tombstones",
+      ids.select(col(ids.columns.head).cast("long").as("bench_id")))
+
+  /** The serving entry point: rooted read with the
+    * `${prefix}_tombstones` ledger applied — retired suites leave the
+    * fingerprint space via ONE broadcast anti-join on `bench_id` (the
+    * ledger is bounded, and a broadcast join preserves the streamed
+    * side's partitioning, so the index's bucket layout survives
+    * through it into the probe join). */
+  def readWinnowIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String): WinnowIndexFace = {
+    val face = readWinnowIndexRooted(spark, prefix)
+    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+      .map { case (_, ids) =>
+        face.copy(rows = face.rows.join(
+          broadcast(ids.select(col("bench_id")).distinct()),
+          Seq("bench_id"), "left_anti"))
+      }
+      .getOrElse(face)
+  }
+
+  /** [[winnowContainment]] computed against a durable face — the
+    * decision is bit-identical (spec-pinned: every (n_fp, n_hits)
+    * pair equals the two-sided screen's), the cost is not: the
+    * benchmark side reopens through its bucket layout unshuffled and
+    * is never re-fingerprinted; only the batch side hashes, winnows
+    * and shuffles. The fan-out join (one row per train-fp ×
+    * bench-doc hit) collapses through a (doc, fingerprint) pre-
+    * aggregate before the per-doc count — two narrow aggregates
+    * instead of an Expand over double-distinct. */
+  def containmentVsWinnowIndex(face: WinnowIndexFace, docs: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val tfp = winnowFingerprints(docs, idCol, textCol, face.k, face.w,
+        face.tokenHash)
+      .select(col(idCol), col("fingerprint")).distinct()
+    tfp.join(face.rows, Seq("fingerprint"), "left")
+      .groupBy(col(idCol), col("fingerprint"))
+      .agg(max(col("bench_id").isNotNull).as("__hit"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("__hit").cast("long")).as("n_hits"))
+      .withColumn("containment",
+        col("n_hits").cast("double") / col("n_fp").cast("double"))
+  }
+
+  /** O(new) APPEND of a freshly-landed benchmark suite into the live
+    * generation — the data-obliviousness argument of the LSH/banded
+    * appends transfers verbatim: winnowing is a FIXED function of the
+    * text (nothing fitted, nothing drifts), so a new suite's
+    * (bench_id, fingerprint) rows bucket exactly as a full rebuild
+    * from the union would (spec-pinned decision- and set-identical).
+    * Crash discipline is epoch-poison-FIRST: the generation's epoch
+    * tokens clear before any row lands, so a crash mid-append refuses
+    * loudly at the rooted read instead of serving half a suite; the
+    * meta re-stamp commits LAST. Cost is one bucketed write of the
+    * NEW suite's fingerprints only. Within-suite duplicates collapse
+    * here; a (bench_id, fingerprint) pair re-appended across calls is
+    * harmless probe fan-out, never a decision change. */
+  def appendToWinnowIndexRooted(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String, benchmark: DataFrame,
+                                idCol: String, textCol: String): Unit = {
+    import spark.implicits._
+    val meta = spark.table(s"${prefix}_meta").collect()(0)
+    val gen = s"${prefix}_fps_${meta.getAs[String]("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen),
+      meta.getAs[String]("epoch"))
+    val (k, w, hashName) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"),
+      meta.getAs[String]("hash"))
+    val numBuckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(gen))
+      .bucketSpec.getOrElse(sys.error(s"$gen is not bucketed"))
+      .numBuckets
+    graft.sources.Sinks.clearEpochTokens(spark, gen)
+    winnowIndexRows(benchmark, idCol, textCol, k, w, hashName)
+      .select(spark.table(gen).columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "fingerprint").sortBy("fingerprint")
+      .format("parquet")
+      .saveAsTable(gen)
+    val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+    graft.sources.Sinks.writeTable(
+      Seq((meta.getAs[String]("gen"), k, w, hashName, epoch))
+        .toDF("gen", "k", "w", "hash", "epoch"), s"${prefix}_meta")
+  }
+
+  /** Purge-only maintenance window for a winnowing index — the q157
+    * argument transfers: winnowing geometry is a fixed decomposition
+    * (no fitted state, no drift dimension), so the only maintenance
+    * this face ever needs is making logical deletes physical. Fires
+    * on purge debt; the rewrite is one bucketed shuffle over the
+    * SURVIVING fingerprint rows (never a re-winnow of any corpus),
+    * generation flip + ledger clear; a quiet window leaves meta,
+    * generation and ledger untouched bit-for-bit. */
+  def purgeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    def meta() = spark.table(s"${prefix}_meta").collect()(0)
+    def pendingCount(): Long =
+      graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
+        .map(_._2.count()).getOrElse(0L)
+    val m0 = meta()
+    val epochBefore = m0.getAs[String]("epoch")
+    val pending = pendingCount()
+    val fired = pending > 0L
+    if (fired) {
+      val live = readWinnowIndexRootedLive(spark, prefix)
+      val cur = m0.getAs[String]("gen")
+      val next = if (cur == "a") "b" else "a"
+      val gen = s"${prefix}_fps_$next"
+      graft.sources.Sinks.writeBucketed(live.rows, gen,
+        Seq("fingerprint"), numBuckets)
+      val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
+      graft.sources.Sinks.writeTable(
+        Seq((next, live.k, live.w, live.hashName, epoch))
+          .toDF("gen", "k", "w", "hash", "epoch"), s"${prefix}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_fps_$cur")
+      graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
+    }
+    Seq((pending, fired, pendingCount(), meta().getAs[String]("epoch") != epochBefore))
+      .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
+  }
+
   /** One-call corpus datasheet: the corpus-level summary a
     * training-data release documents (Gebru et al.'s "Datasheets for
     * Datasets" discipline applied to the numbers this engine can

@@ -371,6 +371,60 @@ object StreamingParse {
       .partitionBy("batch_id").parquet(outPath)
   }
 
+  /** One micro-batch of the streaming DECONTAMINATION rung: winnow
+    * the batch's texts and screen them against the live rooted
+    * benchmark-fingerprint index
+    * ([[graft.operators.TextAnalysis.containmentVsWinnowIndex]]) —
+    * a doc whose winnow-containment exceeds `maxContainment` rejects
+    * with its (n_fp, n_hits) evidence attached. The face reopens
+    * LIVE each batch, which is the whole point of the durable shape:
+    * a benchmark suite APPENDED mid-stream
+    * ([[graft.operators.TextAnalysis.appendToWinnowIndexRooted]])
+    * screens from the very next micro-batch with no restart, and a
+    * RETIRED suite's fingerprints stop rejecting at the next batch
+    * the same way. Output is exactly-once under crash-redelivery via
+    * the batch_id-partitioned dynamic overwrite. */
+  def applyDecontamBatch(spark: SparkSession, batch: DataFrame,
+                         batchId: Long, prefix: String,
+                         idCol: String, textCol: String,
+                         maxContainment: Double,
+                         outPath: String): Unit = {
+    val face =
+      graft.operators.TextAnalysis.readWinnowIndexRootedLive(spark, prefix)
+    graft.operators.TextAnalysis
+      .containmentVsWinnowIndex(face, batch, idCol, textCol)
+      .select(col(idCol), col("n_fp"), col("n_hits"),
+        (col("containment") <= lit(maxContainment)).as("admitted"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+  }
+
+  /** Streaming decontamination against a durable benchmark face —
+    * the admission-time shape eval-set hygiene actually needs at
+    * 100 TB: suites accrete and retire continuously, so the screen
+    * must reopen the index per micro-batch rather than capture it at
+    * plan time (the one-pass broadcast cascade is blind to a suite
+    * landing mid-run until restart). Per-batch cost ∝ batch: only
+    * the batch side hashes, winnows and shuffles — the index side
+    * reads its bucket layout unshuffled and is never re-winnowed.
+    * Blocks until AvailableNow drains the source. */
+  def decontamAdmissionBatchedStream(docs: DataFrame, idCol: String,
+                                     textCol: String, prefix: String,
+                                     maxContainment: Double,
+                                     outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDecontamBatch(spark, batch, batchId, prefix, idCol,
+          textCol, maxContainment, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The UNBOUNDED-corpus tier of the streaming ANN admission ladder
     * — the route [[annAdmissionStream]]'s scaladoc promises when the
     * accepted corpus outgrows the broadcast member arrays: each

@@ -1319,4 +1319,34 @@ class PlanSpec extends SparkSpec {
           s"(a subset/superset disables the bucketed scan):\n${p.take(1500)}")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("winnow index: probe join reads the fingerprint bucket layout — benchmark side unshuffled, never re-winnowed") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+    val rnd = new scala.util.Random(17)
+    def doc(): String =
+      (1 to 12).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val bench = (1L to 120L).map(i => (i, doc())).toDF("doc_id", "text")
+    graft.sources.Sinks.clearLedger(spark, "widx_plan_tombstones")
+    TextAnalysis.writeWinnowIndexRooted(spark, "widx_plan", bench,
+      "doc_id", "text", k = 4, w = 4, numBuckets = 4)
+    val face = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_plan")
+    val batch = (1000L to 1010L).map(i => (i, doc()))
+      .toDF("doc_id", "text")
+    // force sort-merge so the tiny spec-scale index can't hide behind
+    // an auto-broadcast (the q166 discipline)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = TextAnalysis.containmentVsWinnowIndex(face, batch,
+        "doc_id", "text")
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"winnow index scan must read its bucket layout:\n${p.take(1500)}")
+      assert(!p.contains("Bucketed: false (disabled by query planner)"),
+        "the probe join's key must be exactly the bucket column " +
+          s"(a subset/superset disables the bucketed scan):\n${p.take(1500)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

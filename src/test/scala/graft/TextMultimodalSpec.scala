@@ -627,6 +627,123 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.forall { case (_, (nfp, hits)) => hits <= nfp })
   }
 
+  private val WQuoteA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val WQuoteB =
+    "nu xi omicron pi rho sigma tau upsilon phi chi"
+  private def winnowTrain = Seq(
+    (1L, s"unrelated training prose here $WQuoteA more filler text"),
+    (2L, s"other words entirely then $WQuoteB trailing content"),
+    (3L, "entirely different content with no overlap at all whatsoever"))
+    .toDF("doc_id", "text")
+
+  test("winnow index: durable face ≡ two-sided screen, append ≡ rebuild, takedown flips, purge window, torn refusal") {
+    val benchA = Seq((100L, WQuoteA)).toDF("doc_id", "text")
+    val benchB = Seq((200L, WQuoteB)).toDF("doc_id", "text")
+    val train = winnowTrain
+    def shots(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long)] =
+      df.select("doc_id", "n_fp", "n_hits").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.sources.Sinks.clearLedger(spark, "widx_spec_tombstones")
+    TextAnalysis.writeWinnowIndexRooted(spark, "widx_spec", benchA,
+      "doc_id", "text", k = 4, w = 4, numBuckets = 4)
+    val face = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_spec")
+    assert(face.k == 4 && face.w == 4 && face.hashName == "native",
+      "probe geometry must ride the index meta")
+    // the durable face makes the two-sided screen's exact decisions
+    val gotA = shots(TextAnalysis.containmentVsWinnowIndex(face, train,
+      "doc_id", "text"))
+    assert(gotA == shots(TextAnalysis.winnowContainment(train, benchA,
+      "doc_id", "text", k = 4, w = 4)), s"face ≠ two-sided: $gotA")
+    assert(gotA(1L)._2 >= 1 && gotA(2L)._2 == 0 && gotA(3L)._2 == 0)
+    // O(new) append of suite B screens like a rebuild from the union
+    TextAnalysis.appendToWinnowIndexRooted(spark, "widx_spec", benchB,
+      "doc_id", "text")
+    val face2 = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_spec")
+    val gotAB = shots(TextAnalysis.containmentVsWinnowIndex(face2, train,
+      "doc_id", "text"))
+    assert(gotAB == shots(TextAnalysis.winnowContainment(train,
+      benchA.union(benchB), "doc_id", "text", k = 4, w = 4)))
+    assert(gotAB(2L)._2 >= 1, "the appended suite must screen")
+    TextAnalysis.writeWinnowIndexRooted(spark, "widx_spec_rb",
+      benchA.union(benchB), "doc_id", "text", k = 4, w = 4,
+      numBuckets = 4)
+    val rebuilt = TextAnalysis.readWinnowIndexRooted(spark, "widx_spec_rb")
+    assert(face2.rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet ==
+      rebuilt.rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "append must land the exact rows a rebuild from the union lands")
+    // retiring suite A stops its fingerprints from screening
+    TextAnalysis.tombstoneWinnowIndex(spark, "widx_spec",
+      Seq(100L).toDF("bench_id"))
+    val face3 = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_spec")
+    val gotB = shots(TextAnalysis.containmentVsWinnowIndex(face3, train,
+      "doc_id", "text"))
+    assert(gotB(1L)._2 == 0,
+      s"retired suite must stop screening doc 1: $gotB")
+    assert(gotB(2L) == gotAB(2L) && gotB(3L) == gotAB(3L))
+    // purge window: fires on debt, flips the generation, clears the
+    // ledger; decisions unchanged from the live view
+    val purge = TextAnalysis.purgeWinnowIndex(spark, "widx_spec",
+      numBuckets = 4).collect()(0)
+    assert(purge.getLong(0) == 1L && purge.getBoolean(1) &&
+      purge.getLong(2) == 0L && purge.getBoolean(3), s"$purge")
+    assert(spark.table("widx_spec_meta").collect()(0)
+      .getAs[String]("gen") == "b")
+    assert(!spark.catalog.tableExists("widx_spec_fps_a"),
+      "the superseded generation must drop after the purge flip")
+    val face4 = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_spec")
+    assert(shots(TextAnalysis.containmentVsWinnowIndex(face4, train,
+      "doc_id", "text")) == gotB,
+      "physical purge must not move any decision")
+    // quiet window: no debt → the commit record untouched bit-for-bit
+    val metaBefore = spark.table("widx_spec_meta").collect().toSeq
+    val quiet = TextAnalysis.purgeWinnowIndex(spark, "widx_spec",
+      numBuckets = 4).collect()(0)
+    assert(!quiet.getBoolean(1) && !quiet.getBoolean(3))
+    assert(spark.table("widx_spec_meta").collect().toSeq == metaBefore)
+    // torn generation (the crash the epoch-poison-first append leaves
+    // behind) refuses at the rooted read
+    graft.sources.Sinks.clearEpochTokens(spark, "widx_spec_fps_b")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.readWinnowIndexRooted(spark, "widx_spec")
+    }.getMessage.contains("epoch token"))
+  }
+
+  test("applyDecontamBatch: admission ≡ face containment at the threshold; crash redelivery idempotent") {
+    val benchA = Seq((100L, WQuoteA)).toDF("doc_id", "text")
+    val train = winnowTrain
+    graft.sources.Sinks.clearLedger(spark, "widx_batch_tombstones")
+    TextAnalysis.writeWinnowIndexRooted(spark, "widx_batch", benchA,
+      "doc_id", "text", k = 4, w = 4, numBuckets = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("decontam_batch").toString
+    def rows(): Seq[(Long, Long, Long, Boolean, Long)] =
+      spark.read.parquet(dir)
+        .select(col("doc_id"), col("n_fp"), col("n_hits"),
+          col("admitted"),
+          // partition-column type inference reads small batch ids as int
+          col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4))).toSeq.sorted
+    graft.streaming.StreamingParse.applyDecontamBatch(spark, train, 7L,
+      "widx_batch", "doc_id", "text", maxContainment = 0.0, dir)
+    val first = rows()
+    val face = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_batch")
+    val expect = TextAnalysis.containmentVsWinnowIndex(face, train,
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) == 0L)).toMap
+    assert(first.map(t => t._1 -> t._4).toMap == expect,
+      "admission must be the face containment at the threshold")
+    assert(first.forall(_._5 == 7L))
+    // crash redelivery of the SAME batch id rewrites its own
+    // partition byte-for-byte — never duplicates
+    graft.streaming.StreamingParse.applyDecontamBatch(spark, train, 7L,
+      "widx_batch", "doc_id", "text", maxContainment = 0.0, dir)
+    assert(rows() == first, "redelivery must be idempotent")
+  }
+
   test("multimodal: real PNG decode round-trips pixels exactly; garbage yields null rows") {
     import graft.operators.Multimodal
     // deterministic pixel ramp → PNG (lossless) → decodeImages must
