@@ -3831,6 +3831,100 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The FIVE-tier durable cascade: q166's front door with the
+    // CONTAMINATION rung armed — every admission threat a 100 TB
+    // text ingest faces (exact dup, quality, benchmark contamination,
+    // fuzzy dup, semantic dup) now screens in ONE micro-batch pass
+    // against durable takedown-aware faces. The benchmark suite is
+    // 12-word interior slices of the odd strata docs (% 20 = 1) whose
+    // full texts also ARRIVE (+700000): those arrivals pass exact /
+    // quality / fuzzy / semantic and reject only at the new rung,
+    // with first-reject precedence placing 'contaminated' between
+    // quality and fuzzy (a contaminated doc is named, never laundered
+    // out as a dup). Two decision worlds split by RETIRING half the
+    // suite (bench_id % 40 = 21) through the winnow ledger — the
+    // retired slices' dependents flip to their un-contaminated fate
+    // at the very next pass with no restart, every other decision
+    // byte-identical (no other ledger is touched, isolating the
+    // rung). The oracle replays all five tiers in SQL: the q166
+    // set algebra plus the q89 winnowing chains for both worlds.
+    "q171_cascade_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+        .filter(length(trim($"text")) > 0 && $"doc_id" < 150)
+      val accepted = docs.filter($"doc_id" % 2 === 0)
+      sources.Sinks.clearLedger(s, "q171_xidx_tombstones")
+      sources.Sinks.clearLedger(s, "q171_ng_tombstones")
+      sources.Sinks.clearLedger(s, "q171_idx_tombstones")
+      sources.Sinks.clearLedger(s, "q171_widx_tombstones")
+      val idxRoot = java.nio.file.Files.createTempDirectory("q171_xidx")
+      idxRoot.toFile.deleteOnExit()
+      operators.Dedup.writeExactIndexRooted(s, "q171_xidx",
+        idxRoot.toString,
+        operators.Dedup.buildExactIndex(accepted, "text",
+          expectedItems = 4096, numBits = 1L << 15),
+        numBuckets = 4)
+      operators.Dedup.writeNgramIndexRooted(s, "q171_ng",
+        operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
+          n = 4), numBuckets = 4)
+      val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
+          dim = 64)
+        .select($"doc_id", $"embedding")
+      operators.Similarity.writeIvfIndexBucketed(
+        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+          nCells = 2, lloydIters = 1), "q171_idx", numBuckets = 2)
+      val bench = docs.filter($"doc_id" % 20 === 1)
+        .select($"doc_id",
+          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
+            .as("text"))
+      operators.TextAnalysis.writeWinnowIndexRooted(s, "q171_widx",
+        bench, "doc_id", "text", k = 4, w = 4, hashName = "md5",
+        numBuckets = 4)
+      val revText = array_join(reverse(filter(
+        split(trim($"text"), "\\s+"), t => t =!= lit(""))), " ")
+      val arrivals = accepted.filter($"doc_id" % 20 === 0)
+          .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+        .unionByName(accepted.filter($"doc_id" % 20 === 4)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat($"text", lit(" xyzzy qbf")).as("text")))
+        .unionByName(accepted.filter($"doc_id" % 20 === 8)
+          .select(($"doc_id" + 600000L).as("doc_id"),
+            revText.as("text")))
+        .unionByName(docs.filter($"doc_id" % 20 === 1)
+          .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+        .unionByName(s.createDataFrame(Seq(
+            (900001L, ""), (900002L, null.asInstanceOf[String]),
+            (900003L, "too short")))
+          .toDF("doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("q171_stream")
+      dir.toFile.deleteOnExit()
+      arrivals.repartition(1).write.parquet(s"$dir/in")
+      val sch = s.read.parquet(s"$dir/in").schema
+      def loc(df: DataFrame): DataFrame = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def run(tag: String): DataFrame = {
+        val stream = s.readStream.schema(sch).parquet(s"$dir/in")
+        streaming.StreamingParse.admissionCascadeBatchedStreamDurable(
+          stream, "doc_id", "text", exactPrefix = "q171_xidx",
+          minLen = 20, maxNonAlphaRatio = 0.3,
+          ngramPrefix = "q171_ng", n = 4, threshold = 0.5,
+          maxBucket = 50, annPrefix = "q171_idx", tau = 0.92,
+          dim = 64, nProbe = 2, outPath = s"$dir/out_$tag",
+          decontam = Some(("q171_widx", 0.0)))
+        loc(s.read.parquet(s"$dir/out_$tag")
+          .select($"doc_id",
+            col("cascade_admitted").as(s"admitted_$tag"),
+            col("reason").as(s"reason_$tag")))
+      }
+      val pre = run("pre")
+      operators.TextAnalysis.tombstoneWinnowIndex(s, "q171_widx",
+        bench.filter($"doc_id" % 40 === 21).select($"doc_id"))
+      val live = run("live")
+      pre.join(live, Seq("doc_id"))
+        .select($"doc_id", $"admitted_pre", $"reason_pre",
+          $"admitted_live", $"reason_live")
+        .orderBy($"doc_id")
+    }),
+
     // The AUDIO bytes→vector bridge (audioEmbed — the 64-window
     // energy envelope as array<double>) through the batch vector
     // tier, completing the cosine rung across ALL THREE modalities
@@ -6891,6 +6985,11 @@ object SparkEntry {
            a1.n_hits = 0 AS admitted_pre,
            a2.n_hits AS n_hits_live, a2.n_hits = 0 AS admitted_live
          FROM a1 JOIN a2 USING (doc_id) ORDER BY doc_id""",
+
+    // q171: the five-tier front door — the q166 algebra with the
+    // contamination rung's two winnowing worlds folded into the
+    // precedence chain
+    "q171_cascade_decontam" -> cascadeFiveTierOracleSql,
 
     // q160: the token set algebra    // q160: the token set algebra of both maintenance calls — OOV of
     // the drifted sample vs the original fit vocabulary (call 1's
@@ -11563,6 +11662,172 @@ object SparkEntry {
            LEFT JOIN accx_pre xp ON xp.text = a.text
            LEFT JOIN accx_live xl ON xl.text = a.text
            JOIN qual q ON q.doc_id = a.doc_id
+           LEFT JOIN fz f ON f.doc_id = a.doc_id
+           LEFT JOIN sem s ON s.doc_id = a.doc_id)
+         SELECT doc_id,
+           reason_pre IS NULL AS admitted_pre, reason_pre,
+           reason_live IS NULL AS admitted_live, reason_live
+         FROM decided ORDER BY doc_id"""
+
+  /** q171's five-tier oracle: the q166 fixture and set algebra with a
+    * SINGLE world for exact/quality/fuzzy/semantic (no ledger but the
+    * winnow ledger is touched between the passes — isolating the new
+    * rung) and TWO worlds for the CONTAMINATION tier (the q89
+    * winnowing chains over the arrivals and the benchmark slices,
+    * pre = full suite, live = suite minus the retired bench_id % 40 =
+    * 21 half), folded under first-reject precedence exact → quality →
+    * contaminated → fuzzy → semantic. */
+  private def cascadeFiveTierOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0 AND doc_id < 150),
+         acc AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+         accx AS (SELECT text, min(doc_id) AS exact_id FROM acc
+           GROUP BY text),
+         arr AS (
+           SELECT doc_id + 400000 AS doc_id, text FROM acc
+           WHERE doc_id % 20 = 0
+           UNION ALL SELECT doc_id + 500000, text || ' xyzzy qbf'
+           FROM acc WHERE doc_id % 20 = 4
+           UNION ALL SELECT doc_id + 600000,
+             array_to_string(list_reverse(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), t -> t != '')), ' ')
+           FROM acc WHERE doc_id % 20 = 8
+           UNION ALL SELECT doc_id + 700000, text FROM base
+           WHERE doc_id % 20 = 1
+           UNION ALL SELECT doc_id, text FROM (VALUES (900001, ''),
+             (900002, NULL), (900003, 'too short')) t(doc_id, text)),
+         qual AS (SELECT doc_id,
+           coalesce(length(trim(text)) >= 20 AND
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               <= 0.3 * length(text), FALSE) AS qok
+           FROM arr),
+         wtk AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') t
+           FROM arr WHERE text IS NOT NULL),
+         whs AS (SELECT doc_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM wtk),
+         wsel AS (SELECT DISTINCT doc_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT doc_id, h, least(4, len(h)) AS win FROM whs) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         wfp AS (SELECT DISTINCT s.doc_id, whs.h[s.pos] AS fp
+           FROM wsel s JOIN whs USING (doc_id)),
+         wbt AS (SELECT doc_id AS bench_id,
+             [lower(x) for x in
+               regexp_split_to_array(trim(text), '\s+')[3:14]] AS t
+           FROM base WHERE doc_id % 20 = 1),
+         wbh AS (SELECT bench_id,
+             [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
+                 1, 15))::BIGINT
+               for p in generate_series(1, greatest(len(t) - 3, 1))] AS h
+           FROM wbt),
+         wbsel AS (SELECT DISTINCT bench_id,
+             s - 1 + list_max([i for i in generate_series(1, len(sl))
+               if sl[i] = list_min(sl)]) AS pos
+           FROM (SELECT bench_id, h, least(4, len(h)) AS win FROM wbh) x,
+             LATERAL (SELECT unnest(generate_series(1, len(h) - win + 1))
+               AS s),
+             LATERAL (SELECT h[s : s + win - 1] AS sl)),
+         wbfp AS (SELECT DISTINCT s.bench_id, wbh.h[s.pos] AS fp
+           FROM wbsel s JOIN wbh USING (bench_id)),
+         wpre AS (SELECT DISTINCT f.doc_id FROM wfp f
+           JOIN (SELECT DISTINCT fp FROM wbfp) b ON f.fp = b.fp),
+         wlive AS (SELECT DISTINCT f.doc_id FROM wfp f
+           JOIN (SELECT DISTINCT fp FROM wbfp
+             WHERE bench_id % 40 <> 21) b ON f.fp = b.fp),
+         batchn AS (SELECT doc_id, lower(trim(text)) tx FROM arr
+           WHERE text IS NOT NULL),
+         bt AS (SELECT doc_id, regexp_split_to_array(tx, '\s+') t
+           FROM batchn),
+         bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM bt, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         ot AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') t FROM acc),
+         osh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') s
+           FROM ot, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(t)-3, 1))) AS i)),
+         bsz AS (SELECT doc_id, count(*) sz FROM bsh GROUP BY 1),
+         osz AS (SELECT doc_id, count(*) sz FROM osh GROUP BY 1),
+         hx AS (SELECT b.doc_id bid, o.doc_id oid, count(*) i
+           FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2),
+         hits AS (SELECT DISTINCT hx.bid AS doc_id FROM hx
+           JOIN bsz ON bsz.doc_id = hx.bid
+           JOIN osz ON osz.doc_id = hx.oid
+           WHERE hx.i*1.0/(bsz.sz + osz.sz - hx.i) >= 0.5),
+         wx AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM bsh a
+           JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         wpairs AS (SELECT a, b FROM wx
+           JOIN bsz sa ON sa.doc_id = a JOIN bsz sb ON sb.doc_id = b
+           WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.5),
+         edges AS (SELECT a x, b y FROM wpairs UNION SELECT b, a FROM wpairs),
+         reach AS (
+           WITH RECURSIVE r(x, y) AS (
+             SELECT x, y FROM edges
+             UNION
+             SELECT r.x, e.y FROM r JOIN edges e ON r.y = e.x)
+           SELECT x, y FROM r),
+         comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp
+           FROM reach GROUP BY x),
+         labeled AS (SELECT b.doc_id, coalesce(comp.comp, b.doc_id) AS comp
+           FROM batchn b LEFT JOIN comp USING (doc_id)),
+         tainted AS (SELECT DISTINCT l.comp FROM labeled l
+           JOIN hits h ON l.doc_id = h.doc_id),
+         fz AS (SELECT l.doc_id,
+             l.comp = l.doc_id AND
+               l.comp NOT IN (SELECT comp FROM tainted) AS fzok
+           FROM labeled l),
+         alltexts AS (
+           SELECT 1 AS is_acc, doc_id, text FROM acc
+           UNION ALL SELECT 0, doc_id, text FROM arr
+           WHERE length(trim(coalesce(text, ''))) > 0),
+         toks AS (SELECT is_acc, doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             t -> t != '')) AS t
+           FROM alltexts),
+         vecs AS (SELECT is_acc, doc_id,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+           sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS v
+           FROM toks GROUP BY 1, 2, 3
+           HAVING sum(CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT // 64) % 2 = 0
+             THEN 1.0 ELSE -1.0 END) != 0),
+         norms AS (SELECT is_acc, doc_id, sqrt(sum(v * v)) AS n
+           FROM vecs GROUP BY 1, 2),
+         dots AS (SELECT q.doc_id AS doc_id, c.doc_id AS acc_id,
+             sum(q.v * c.v) AS dp
+           FROM vecs q JOIN vecs c
+             ON q.b = c.b AND q.is_acc = 0 AND c.is_acc = 1
+           GROUP BY 1, 2),
+         cosr AS (SELECT d.doc_id, d.acc_id,
+             d.dp / (qn.n * cn.n) AS cosv
+           FROM dots d
+             JOIN norms qn ON qn.doc_id = d.doc_id AND qn.is_acc = 0
+             JOIN norms cn ON cn.doc_id = d.acc_id AND cn.is_acc = 1),
+         sem AS (SELECT doc_id, max(cosv) AS best FROM cosr GROUP BY 1),
+         decided AS (
+           SELECT a.doc_id,
+             CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN wp.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN NOT coalesce(f.fzok, FALSE) THEN 'fuzzy'
+                  WHEN s.best >= 0.92 THEN 'semantic' END AS reason_pre,
+             CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+                  WHEN NOT q.qok THEN 'quality'
+                  WHEN wl.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN NOT coalesce(f.fzok, FALSE) THEN 'fuzzy'
+                  WHEN s.best >= 0.92 THEN 'semantic' END AS reason_live
+           FROM arr a
+           LEFT JOIN accx x ON x.text = a.text
+           JOIN qual q ON q.doc_id = a.doc_id
+           LEFT JOIN wpre wp ON wp.doc_id = a.doc_id
+           LEFT JOIN wlive wl ON wl.doc_id = a.doc_id
            LEFT JOIN fz f ON f.doc_id = a.doc_id
            LEFT JOIN sem s ON s.doc_id = a.doc_id)
          SELECT doc_id,

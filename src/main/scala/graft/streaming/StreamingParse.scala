@@ -615,7 +615,9 @@ object StreamingParse {
                                threshold: Double, maxBucket: Int,
                                annPrefix: String, tau: Double,
                                dim: Int, nProbe: Int,
-                               outPath: String): Unit = {
+                               outPath: String,
+                               decontam: Option[(String, Double)] = None)
+      : Unit = {
     val exactIdx = graft.operators.Dedup.readExactIndexRootedLive(
       spark, exactPrefix)
     val probed = batch.withColumn("__mc",
@@ -643,7 +645,8 @@ object StreamingParse {
     val posVerified = pos.join(hits, Seq(idCol), "left").drop("__h")
     cascadeBatchTail(spark, neg.unionByName(posVerified).drop("__mc"),
       batchId, idCol, textCol, minLen, maxNonAlphaRatio, ngramPrefix,
-      n, threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
+      n, threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath,
+      decontam)
   }
 
   /** Shared tiers 2–4 + precedence fold + exactly-once sink of the
@@ -659,7 +662,25 @@ object StreamingParse {
                                threshold: Double, maxBucket: Int,
                                annPrefix: String, tau: Double,
                                dim: Int, nProbe: Int,
-                               outPath: String): Unit = {
+                               outPath: String,
+                               decontam: Option[(String, Double)] = None)
+      : Unit = {
+    // optional fifth rung — CONTAMINATION: winnow-screen the batch
+    // against the durable benchmark-fingerprint face (the q169
+    // family), reopened LIVE per micro-batch so a suite appended or
+    // retired mid-stream flips decisions at the next batch like every
+    // other tier. Precedence slot: after quality (an eligibility
+    // screen belongs with the cheap text tiers), before the dedup
+    // rungs — a benchmark-contaminated doc must never be LAUNDERED
+    // into the corpus as a "fuzzy dup" of an accepted doc.
+    val contam = decontam.map { case (prefix, maxContainment) =>
+      val face = graft.operators.TextAnalysis
+        .readWinnowIndexRootedLive(spark, prefix)
+      graft.operators.TextAnalysis.containmentVsWinnowIndex(face,
+          withXid.filter(col(textCol).isNotNull), idCol, textCol)
+        .select(col(idCol),
+          (col("containment") > lit(maxContainment)).as("__ct"))
+    }
     val fuzzyIdx = graft.operators.Dedup.readNgramIndexRootedLive(
       spark, ngramPrefix, idCol, n)
     val fuzzySurv = graft.operators.Dedup.incrementalDropNearDups(
@@ -680,12 +701,14 @@ object StreamingParse {
     val qualityOk = col(textCol).isNotNull && len >= lit(minLen) &&
       nonAlpha.cast("double") <=
         lit(maxNonAlphaRatio) * length(col(textCol)).cast("double")
-    withXid
+    contam.fold(withXid.withColumn("__ct", lit(false)))(ct =>
+        withXid.join(ct, Seq(idCol), "left"))
       .join(fuzzySurv, Seq(idCol), "left")
       .join(ann, Seq(idCol), "left")
       .withColumn("reason",
         when(col("__xid").isNotNull, lit("exact"))
           .when(!coalesce(qualityOk, lit(false)), lit("quality"))
+          .when(coalesce(col("__ct"), lit(false)), lit("contaminated"))
           .when(!coalesce(col("__fz"), lit(false)), lit("fuzzy"))
           .when(col("cosine") >= lit(tau), lit("semantic")))
       .withColumn("cascade_admitted", col("reason").isNull)
@@ -762,7 +785,17 @@ object StreamingParse {
     * n-gram index + ledger), semantic (bucketed IVF + ledger) — so a
     * takedown filed against ANY tier flips decisions at the next
     * micro-batch with no restart, and the per-batch exact cost is a
-    * projection plus a join of only the Bloom-positive rows. */
+    * projection plus a join of only the Bloom-positive rows.
+    *
+    * `decontam = Some((winnowPrefix, maxContainment))` arms the FIFTH
+    * rung — benchmark CONTAMINATION, screened against the durable
+    * rooted winnowing index (the q169 family) reopened live per
+    * micro-batch: an eval suite appended or retired mid-stream flips
+    * admissions at the very next batch. Precedence exact → quality →
+    * contaminated → fuzzy → semantic: the contamination screen sits
+    * with the cheap text tiers, BEFORE the dedup rungs, so a
+    * benchmark-contaminated doc is named for what it is rather than
+    * laundered out as a fuzzy dup of an accepted doc. */
   def admissionCascadeBatchedStreamDurable(docs: DataFrame,
                                            idCol: String,
                                            textCol: String,
@@ -775,13 +808,16 @@ object StreamingParse {
                                            annPrefix: String,
                                            tau: Double, dim: Int,
                                            nProbe: Int,
-                                           outPath: String): Unit = {
+                                           outPath: String,
+                                           decontam: Option[(String, Double)] = None)
+      : Unit = {
     val spark = docs.sparkSession
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCascadeBatchDurable(spark, batch, batchId, idCol, textCol,
           exactPrefix, minLen, maxNonAlphaRatio, ngramPrefix, n,
-          threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath)
+          threshold, maxBucket, annPrefix, tau, dim, nProbe, outPath,
+          decontam)
       }
       .trigger(Trigger.AvailableNow())
       .start()
