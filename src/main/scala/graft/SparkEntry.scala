@@ -66,6 +66,14 @@ object SparkEntry {
         concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
           .as("text"))
 
+  // the second-suite sibling (q169/q170's "new eval suite lands"
+  // fixture): different stride, offset and a disjoint bench_id space
+  private def benchSliceFixtureB(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 5, 12))
+          .as("text"))
+
   // ---- the per-operator query catalog --------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3751,10 +3759,7 @@ object SparkEntry {
     "q169_winnow_index_lifecycle" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val benchA = benchSliceFixture(docs)
-      val benchB = docs.filter($"doc_id" % 11 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 5, 12))
-            .as("text"))
+      val benchB = benchSliceFixtureB(docs)
       sources.Sinks.clearLedger(s, "q169_widx_tombstones")
       operators.TextAnalysis.writeWinnowIndexRooted(s, "q169_widx",
         benchA, "doc_id", "text", k = 4, w = 4, hashName = "md5",
@@ -3797,10 +3802,7 @@ object SparkEntry {
       val arrivals = docs.filter($"doc_id" % 2 === 0)
         .select($"doc_id", $"text")
       val benchA = benchSliceFixture(docs)
-      val benchB = docs.filter($"doc_id" % 11 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(split(trim($"text"), "\\s+"), 5, 12))
-            .as("text"))
+      val benchB = benchSliceFixtureB(docs)
       sources.Sinks.clearLedger(s, "q170_widx_tombstones")
       operators.TextAnalysis.writeWinnowIndexRooted(s, "q170_widx",
         benchA, "doc_id", "text", k = 4, w = 4, hashName = "md5",
@@ -6863,9 +6865,9 @@ object SparkEntry {
              LATERAL (SELECT h[s : s + win - 1] AS sl)),
          tfp AS (SELECT DISTINCT s.doc_id, hs.h[s.pos] AS fp
            FROM sel s JOIN hs USING (doc_id)),
-         btka AS (SELECT doc_id AS bench_id,
+         btka AS (SELECT * FROM (SELECT doc_id AS bench_id,
              [lower(x) for x in traw[3:14]] AS t
-           FROM tk WHERE doc_id % 13 = 0),
+           FROM tk WHERE doc_id % 13 = 0) WHERE len(t) > 0),
          bhsa AS (SELECT bench_id,
              [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
                  1, 15))::BIGINT
@@ -6880,9 +6882,9 @@ object SparkEntry {
              LATERAL (SELECT h[s : s + win - 1] AS sl)),
          bfpa AS (SELECT DISTINCT s.bench_id, bhsa.h[s.pos] AS fp
            FROM bsela s JOIN bhsa USING (bench_id)),
-         btkb AS (SELECT doc_id + 1000000 AS bench_id,
+         btkb AS (SELECT * FROM (SELECT doc_id + 1000000 AS bench_id,
              [lower(x) for x in traw[5:16]] AS t
-           FROM tk WHERE doc_id % 11 = 0),
+           FROM tk WHERE doc_id % 11 = 0) WHERE len(t) > 0),
          bhsb AS (SELECT bench_id,
              [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
                  1, 15))::BIGINT
@@ -6940,9 +6942,9 @@ object SparkEntry {
          tfp AS (SELECT DISTINCT s.doc_id, hs.h[s.pos] AS fp
            FROM sel s JOIN hs USING (doc_id)
            WHERE s.doc_id % 2 = 0),
-         btka AS (SELECT doc_id AS bench_id,
+         btka AS (SELECT * FROM (SELECT doc_id AS bench_id,
              [lower(x) for x in traw[3:14]] AS t
-           FROM tk WHERE doc_id % 13 = 0),
+           FROM tk WHERE doc_id % 13 = 0) WHERE len(t) > 0),
          bhsa AS (SELECT bench_id,
              [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
                  1, 15))::BIGINT
@@ -6957,9 +6959,9 @@ object SparkEntry {
              LATERAL (SELECT h[s : s + win - 1] AS sl)),
          bfpa AS (SELECT DISTINCT bhsa.h[s.pos] AS fp
            FROM bsela s JOIN bhsa USING (bench_id)),
-         btkb AS (SELECT doc_id + 1000000 AS bench_id,
+         btkb AS (SELECT * FROM (SELECT doc_id + 1000000 AS bench_id,
              [lower(x) for x in traw[5:16]] AS t
-           FROM tk WHERE doc_id % 11 = 0),
+           FROM tk WHERE doc_id % 11 = 0) WHERE len(t) > 0),
          bhsb AS (SELECT bench_id,
              [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
                  1, 15))::BIGINT
@@ -11718,10 +11720,10 @@ object SparkEntry {
              LATERAL (SELECT h[s : s + win - 1] AS sl)),
          wfp AS (SELECT DISTINCT s.doc_id, whs.h[s.pos] AS fp
            FROM wsel s JOIN whs USING (doc_id)),
-         wbt AS (SELECT doc_id AS bench_id,
+         wbt AS (SELECT * FROM (SELECT doc_id AS bench_id,
              [lower(x) for x in
                regexp_split_to_array(trim(text), '\s+')[3:14]] AS t
-           FROM base WHERE doc_id % 20 = 1),
+           FROM base WHERE doc_id % 20 = 1) WHERE len(t) > 0),
          wbh AS (SELECT bench_id,
              [('0x' || substring(md5(array_to_string(t[p : p + 3], ' ')),
                  1, 15))::BIGINT

@@ -823,8 +823,15 @@ object Dedup {
       val cur = m0.getAs[String]("gen")
       val next = if (cur == "a") "b" else "a"
       val gen = s"${prefix}_bands_$next"
+      // inherit the LIVE generation's bucket count (the purgeLshIndex
+      // discipline): a purge must never silently re-layout the index
+      // because a caller took the default
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            s"${prefix}_bands_$cur"))
+        .bucketSpec.map(_.numBuckets).getOrElse(numBuckets)
       graft.sources.Sinks.writeBucketed(live, gen, Seq("band", "bh"),
-        numBuckets)
+        buckets)
       val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
       graft.sources.Sinks.writeTable(
         Seq((next, maxHamming, epoch))

@@ -427,8 +427,15 @@ object TextAnalysis {
   private def winnowIndexRows(benchmark: DataFrame, idCol: String,
                               textCol: String, k: Int, w: Int,
                               hashName: String): DataFrame =
-    winnowFingerprints(benchmark, idCol, textCol, k, w,
-        WinnowHashers(hashName))
+    // degenerate suite entries (null/empty/whitespace text) are
+    // DROPPED, not fingerprinted: an empty doc's one short-gram
+    // fingerprint is hash("") — persisting it would brand every
+    // subsequent empty arrival as benchmark-contaminated, a spurious
+    // rejection driven purely by the degenerate-slice artifact (and
+    // one no suite takedown could cleanly remove if several bench
+    // docs shared it)
+    winnowFingerprints(benchmark.filter(length(trim(col(textCol))) > 0),
+        idCol, textCol, k, w, WinnowHashers(hashName))
       .select(col(idCol).cast("long").as("bench_id"), col("fingerprint"))
       .distinct()
 
@@ -593,8 +600,15 @@ object TextAnalysis {
       val cur = m0.getAs[String]("gen")
       val next = if (cur == "a") "b" else "a"
       val gen = s"${prefix}_fps_$next"
+      // inherit the LIVE generation's bucket count (the purgeLshIndex
+      // discipline): a purge must never silently re-layout the index
+      // because a caller took the default
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            s"${prefix}_fps_$cur"))
+        .bucketSpec.map(_.numBuckets).getOrElse(numBuckets)
       graft.sources.Sinks.writeBucketed(live.rows, gen,
-        Seq("fingerprint"), numBuckets)
+        Seq("fingerprint"), buckets)
       val epoch = graft.sources.Sinks.stampEpoch(spark, Seq(gen))
       graft.sources.Sinks.writeTable(
         Seq((next, live.k, live.w, live.hashName, epoch))

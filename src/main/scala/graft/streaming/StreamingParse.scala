@@ -391,10 +391,20 @@ object StreamingParse {
                          outPath: String): Unit = {
     val face =
       graft.operators.TextAnalysis.readWinnowIndexRootedLive(spark, prefix)
-    graft.operators.TextAnalysis
-      .containmentVsWinnowIndex(face, batch, idCol, textCol)
+    // null text ADMITS with zero counts (membership unprovable — the
+    // q94 discipline) and stays PRESENT in the exactly-once output:
+    // left on the screen, a null doc either vanishes (the native
+    // hasher emits no fingerprint rows for it) or is judged on the
+    // empty-gram artifact fingerprint — both wrong
+    val screened = graft.operators.TextAnalysis
+      .containmentVsWinnowIndex(face,
+        batch.filter(col(textCol).isNotNull), idCol, textCol)
       .select(col(idCol), col("n_fp"), col("n_hits"),
         (col("containment") <= lit(maxContainment)).as("admitted"))
+    val nulls = batch.filter(col(textCol).isNull)
+      .select(col(idCol), lit(0L).as("n_fp"), lit(0L).as("n_hits"),
+        lit(true).as("admitted"))
+    screened.unionByName(nulls)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -665,6 +675,12 @@ object StreamingParse {
                                outPath: String,
                                decontam: Option[(String, Double)] = None)
       : Unit = {
+    val len = length(trim(col(textCol)))
+    val nonAlpha = length(regexp_replace(col(textCol),
+      "[A-Za-z0-9\\s]", ""))
+    val qualityOk = col(textCol).isNotNull && len >= lit(minLen) &&
+      nonAlpha.cast("double") <=
+        lit(maxNonAlphaRatio) * length(col(textCol)).cast("double")
     // optional fifth rung — CONTAMINATION: winnow-screen the batch
     // against the durable benchmark-fingerprint face (the q169
     // family), reopened LIVE per micro-batch so a suite appended or
@@ -672,12 +688,19 @@ object StreamingParse {
     // other tier. Precedence slot: after quality (an eligibility
     // screen belongs with the cheap text tiers), before the dedup
     // rungs — a benchmark-contaminated doc must never be LAUNDERED
-    // into the corpus as a "fuzzy dup" of an accepted doc.
+    // into the corpus as a "fuzzy dup" of an accepted doc. Unlike the
+    // fuzzy tier (cross-doc — every row shapes the within-batch
+    // components), this screen is strictly per-doc, so rows already
+    // decided at exact or quality are EXCLUDED from the winnow +
+    // probe join: decision-identical (the precedence fold consults
+    // __ct only after both), and a re-delivered exact-dup flood pays
+    // nothing here.
     val contam = decontam.map { case (prefix, maxContainment) =>
       val face = graft.operators.TextAnalysis
         .readWinnowIndexRootedLive(spark, prefix)
       graft.operators.TextAnalysis.containmentVsWinnowIndex(face,
-          withXid.filter(col(textCol).isNotNull), idCol, textCol)
+          withXid.filter(col(textCol).isNotNull &&
+            col("__xid").isNull && qualityOk), idCol, textCol)
         .select(col(idCol),
           (col("containment") > lit(maxContainment)).as("__ct"))
     }
@@ -695,12 +718,6 @@ object StreamingParse {
       .filter(col("rank") === 1)
       .select(col("query_id").as(idCol), col("neighbor_id"),
         col("cosine"))
-    val len = length(trim(col(textCol)))
-    val nonAlpha = length(regexp_replace(col(textCol),
-      "[A-Za-z0-9\\s]", ""))
-    val qualityOk = col(textCol).isNotNull && len >= lit(minLen) &&
-      nonAlpha.cast("double") <=
-        lit(maxNonAlphaRatio) * length(col(textCol)).cast("double")
     contam.fold(withXid.withColumn("__ct", lit(false)))(ct =>
         withXid.join(ct, Seq(idCol), "left"))
       .join(fuzzySurv, Seq(idCol), "left")

@@ -711,9 +711,15 @@ class TextMultimodalSpec extends SparkSpec {
     }.getMessage.contains("epoch token"))
   }
 
-  test("applyDecontamBatch: admission ≡ face containment at the threshold; crash redelivery idempotent") {
-    val benchA = Seq((100L, WQuoteA)).toDF("doc_id", "text")
-    val train = winnowTrain
+  test("applyDecontamBatch: admission ≡ face containment at the threshold; null/degenerate edges; crash redelivery idempotent") {
+    // a degenerate suite entry (whitespace text) must contribute NO
+    // fingerprint — persisting hash("") would brand every empty
+    // arrival as benchmark-contaminated
+    val benchA = Seq((100L, WQuoteA), (101L, "   "))
+      .toDF("doc_id", "text")
+    val train = winnowTrain.unionByName(Seq(
+      (4L, null.asInstanceOf[String]), (5L, ""))
+      .toDF("doc_id", "text"))
     graft.sources.Sinks.clearLedger(spark, "widx_batch_tombstones")
     TextAnalysis.writeWinnowIndexRooted(spark, "widx_batch", benchA,
       "doc_id", "text", k = 4, w = 4, numBuckets = 4)
@@ -730,11 +736,19 @@ class TextMultimodalSpec extends SparkSpec {
     graft.streaming.StreamingParse.applyDecontamBatch(spark, train, 7L,
       "widx_batch", "doc_id", "text", maxContainment = 0.0, dir)
     val first = rows()
+    val byId = first.map(t => t._1 -> t).toMap
+    // null text admits with zero counts and STAYS PRESENT in the
+    // exactly-once output (membership unprovable, the q94 discipline)
+    assert(byId(4L) == ((4L, 0L, 0L, true, 7L)), s"${byId(4L)}")
+    // an empty arrival admits: the degenerate suite entry was never
+    // fingerprinted, so hash("") is not in the index
+    assert(byId(5L)._4, s"empty arrival must admit: ${byId(5L)}")
     val face = TextAnalysis.readWinnowIndexRootedLive(spark, "widx_batch")
-    val expect = TextAnalysis.containmentVsWinnowIndex(face, train,
-        "doc_id", "text").collect()
+    val expect = TextAnalysis.containmentVsWinnowIndex(face,
+        train.filter(col("text").isNotNull), "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(2) == 0L)).toMap
-    assert(first.map(t => t._1 -> t._4).toMap == expect,
+    assert(first.filterNot(_._1 == 4L).map(t => t._1 -> t._4).toMap
+        == expect,
       "admission must be the face containment at the threshold")
     assert(first.forall(_._5 == 7L))
     // crash redelivery of the SAME batch id rewrites its own
