@@ -34,6 +34,19 @@ object Bench {
       // text/parquet splits sized so a single big file still fans out
       // across all cores (the corpus is few large .log files)
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // One sorted spill file per map task instead of the bypass
+      // writer's R files per map task (guide §2.3 "shuffle fewer
+      // bytes"/file churn): CommitProbe measured the bypass writer at
+      // ~220 ms/map task for a 32-reduce control-plane shuffle (32
+      // file creates + concat per map) vs ~20 ms with the sort
+      // writer — a 10× task-time cut on every small-R shuffle. At
+      // production scale (R in the thousands) the bypass path never
+      // fires (R > 200), so this only changes the low-R regime where
+      // per-reduce payload is too small to amortise one file per
+      // reduce. Env-overridable for deployments whose low-R shuffles
+      // carry fat rows (the one case bypass wins).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

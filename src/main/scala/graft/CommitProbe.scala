@@ -28,24 +28,80 @@ object CommitProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         algo)
+      // "bypass1" arg: force SortShuffleWriter (ONE spill file per map
+      // task) instead of BypassMergeSortShuffleWriter (R files per map
+      // task) for low-R shuffles — the suspected tiny-shuffle floor
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        if (args.contains("bypass1")) "1" else "200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
     val N = 12
+    // stage-level attribution: count stages/tasks and sum task run time
+    // per timed op, so "where do the ms go" is mechanical, not guessed
+    val stCount = new java.util.concurrent.atomic.AtomicInteger
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val stageWallMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stCount.incrementAndGet()
+          taskCount.addAndGet(e.stageInfo.numTasks)
+          for (s <- e.stageInfo.submissionTime; c <- e.stageInfo.completionTime)
+            stageWallMs.addAndGet(c - s)
+        }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            taskMs.addAndGet(e.taskMetrics.executorRunTime)
+      })
     def timed(tag: String)(f: Int => Unit): Unit = {
       // one warm pass outside the mean
       f(9999)
+      org.apache.spark.sql.GraftExpressionBridge.waitListenerBusEmpty(spark)
+      stCount.set(0); taskCount.set(0); taskMs.set(0); stageWallMs.set(0)
       val t0 = System.nanoTime()
       (1 to N).foreach(f)
+      org.apache.spark.sql.GraftExpressionBridge.waitListenerBusEmpty(spark)
       val ms = (System.nanoTime() - t0) / 1e6 / N
-      println(f"[commitprobe][algo=$algo] $tag%-34s ${ms}%8.1f ms/op")
+      println(f"[commitprobe][algo=$algo] $tag%-34s ${ms}%8.1f ms/op  " +
+        f"(${stCount.get / N.toDouble}%.1f stages, " +
+        f"${taskCount.get / N.toDouble}%.1f tasks, " +
+        f"${taskMs.get / N.toDouble}%.1f taskms, " +
+        f"${stageWallMs.get / N.toDouble}%.1f stagewallms per op)")
     }
     val one = Seq(("gen-a", "epoch-x", 1L)).toDF("gen", "epoch", "k")
     val wide = spark.range(0, 100000).select($"id",
         pmod(xxhash64($"id"), lit(97L)).as("k"))
       .groupBy($"k").agg(count(lit(1)).as("n"), sum($"id").as("s"))
 
+    timed("noop 1-row")(_ =>
+      one.write.mode("overwrite").format("noop").save())
+    timed("noop 97-row shuffled")(_ =>
+      wide.write.mode("overwrite").format("noop").save())
+    timed("count 97-row shuffled")(_ => wide.count())
+    timed("collect 97-row shuffled")(_ => wide.collect())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timed("noop 97-row AQE-off")(_ =>
+      wide.write.mode("overwrite").format("noop").save())
+    timed("collect 1-row agg AQE-off")(_ => wide.agg(sum($"n")).collect())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    timed("noop 97-row shufpart=4")(_ =>
+      wide.write.mode("overwrite").format("noop").save())
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    timed("noop 97-row parallelismFirst=off")(_ =>
+      wide.write.mode("overwrite").format("noop").save())
+    timed("count 97-row parallelismFirst=off")(_ => wide.count())
+    timed("writeTable 97-row parFirst=off")(i =>
+      graft.sources.Sinks.writeTable(wide, s"cp_pf_$i"))
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     timed("writeTable 1-row")(i =>
       graft.sources.Sinks.writeTable(one, s"cp_meta_$i"))
     timed("writeTable 97-row shuffled")(i =>
