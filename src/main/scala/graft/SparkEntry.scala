@@ -3117,18 +3117,20 @@ object SparkEntry {
       val accepted = docs.filter($"doc_id" % 2 === 0)
       sources.Sinks.clearLedger(s, "q158_ng_tombstones")
       sources.Sinks.clearLedger(s, "q158_idx_tombstones")
-      operators.Dedup.writeNgramIndexRooted(s, "q158_ng",
-        operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
-          n = 4), numBuckets = 4)
       val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
           dim = 64)
         .select($"doc_id", $"embedding")
       // nCells=2 + nProbe=2 → the probe is exhaustive, so the served
       // semantic argmax equals the oracle's brute force (the q156
-      // discipline)
-      operators.Similarity.writeIvfIndexBucketed(
-        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
-          nCells = 2, lloydIters = 1), "q158_idx", numBuckets = 2)
+      // discipline). The two faces are independent — build
+      // concurrently (guide §2.6)
+      sources.Sinks.inParallel(
+        () => operators.Dedup.writeNgramIndexRooted(s, "q158_ng",
+          operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
+            n = 4), numBuckets = 4),
+        () => operators.Similarity.writeIvfIndexBucketed(
+          operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+            nCells = 2, lloydIters = 1), "q158_idx", numBuckets = 2))
       def acceptedTextsOf(acc: DataFrame): DataFrame =
         acc.groupBy($"text").agg(min($"doc_id").as("exact_id"))
       val revText = array_join(reverse(filter(
@@ -3174,8 +3176,10 @@ object SparkEntry {
       val isTomb = $"doc_id" % 40 === 0 || $"doc_id" % 40 === 4 ||
         $"doc_id" % 40 === 8
       val tomb = accepted.filter(isTomb).select($"doc_id")
-      operators.Dedup.tombstoneNgramIndex(s, "q158_ng", tomb)
-      operators.Similarity.tombstoneIvf(s, "q158_idx", tomb, "doc_id")
+      sources.Sinks.inParallel(
+        () => operators.Dedup.tombstoneNgramIndex(s, "q158_ng", tomb),
+        () => operators.Similarity.tombstoneIvf(s, "q158_idx", tomb,
+          "doc_id"))
       val live = run("live", acceptedTextsOf(accepted.filter(!isTomb)))
       pre.join(live, Seq("doc_id"))
         .select($"doc_id", $"admitted_pre", $"reason_pre",
@@ -3464,22 +3468,26 @@ object SparkEntry {
       sources.Sinks.clearLedger(s, "q166_idx_tombstones")
       val idxRoot = java.nio.file.Files.createTempDirectory("q166_xidx")
       idxRoot.toFile.deleteOnExit()
-      // gate-sized sketch geometry (150 accepted texts): the probe
-      // path (plan-literal CASE vs broadcast) is tier-parity-spec'd
-      operators.Dedup.writeExactIndexRooted(s, "q166_xidx",
-        idxRoot.toString,
-        operators.Dedup.buildExactIndex(accepted, "text",
-          expectedItems = 4096, numBits = 1L << 15),
-        numBuckets = 4)
-      operators.Dedup.writeNgramIndexRooted(s, "q166_ng",
-        operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
-          n = 4), numBuckets = 4)
       val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
           dim = 64)
         .select($"doc_id", $"embedding")
-      operators.Similarity.writeIvfIndexBucketed(
-        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
-          nCells = 2, lloydIters = 1), "q166_idx", numBuckets = 2)
+      // gate-sized sketch geometry (150 accepted texts): the probe
+      // path (plan-literal CASE vs broadcast) is tier-parity-spec'd.
+      // The three durable faces are independent — build them
+      // concurrently (guide §2.6); each keeps its own data→epoch→meta
+      // commit order internally
+      sources.Sinks.inParallel(
+        () => operators.Dedup.writeExactIndexRooted(s, "q166_xidx",
+          idxRoot.toString,
+          operators.Dedup.buildExactIndex(accepted, "text",
+            expectedItems = 4096, numBits = 1L << 15),
+          numBuckets = 4),
+        () => operators.Dedup.writeNgramIndexRooted(s, "q166_ng",
+          operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
+            n = 4), numBuckets = 4),
+        () => operators.Similarity.writeIvfIndexBucketed(
+          operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+            nCells = 2, lloydIters = 1), "q166_idx", numBuckets = 2))
       val revText = array_join(reverse(filter(
         split(trim($"text"), "\\s+"), t => t =!= lit(""))), " ")
       val arrivals = accepted.filter($"doc_id" % 20 === 0)
@@ -3521,12 +3529,15 @@ object SparkEntry {
       val tomb = accepted.filter(isTomb)
       // takedowns file against every durable face at once: the exact
       // ledger keys on CONTENT (the texts), the gram/vector ledgers
-      // on the doc ids
-      operators.Dedup.tombstoneExactIndex(s, "q166_xidx", tomb, "text")
-      operators.Dedup.tombstoneNgramIndex(s, "q166_ng",
-        tomb.select($"doc_id"))
-      operators.Similarity.tombstoneIvf(s, "q166_idx",
-        tomb.select($"doc_id"), "doc_id")
+      // on the doc ids. The three ledgers are independent — file
+      // concurrently (guide §2.6)
+      sources.Sinks.inParallel(
+        () => operators.Dedup.tombstoneExactIndex(s, "q166_xidx", tomb,
+          "text"),
+        () => operators.Dedup.tombstoneNgramIndex(s, "q166_ng",
+          tomb.select($"doc_id")),
+        () => operators.Similarity.tombstoneIvf(s, "q166_idx",
+          tomb.select($"doc_id"), "doc_id"))
       val live = run("live")
       pre.join(live, Seq("doc_id"))
         .select($"doc_id", $"admitted_pre", $"reason_pre",
@@ -3581,16 +3592,18 @@ object SparkEntry {
       val refPrep = prep(refs)
       sources.Sinks.clearLedger(s, "q167_ham_tombstones")
       sources.Sinks.clearLedger(s, "q167_ivf_tombstones")
-      operators.Dedup.writeHammingMembers(s,
-        operators.Dedup.hammingBandMembers(
-          refPrep.filter($"media_id" <= 6)
-            .select($"media_id", $"dhash"),
-          "media_id", "dhash", maxHamming = 6), "q167_ham")
-      operators.Similarity.writeIvfIndexBucketed(
-        operators.Similarity.buildIvf(
-          refPrep.select($"media_id", $"img_embedding"), "media_id",
-          "img_embedding", nCells = 2, lloydIters = 1), "q167_ivf",
-        numBuckets = 2)
+      // independent faces: build concurrently (guide §2.6)
+      sources.Sinks.inParallel(
+        () => operators.Dedup.writeHammingMembers(s,
+          operators.Dedup.hammingBandMembers(
+            refPrep.filter($"media_id" <= 6)
+              .select($"media_id", $"dhash"),
+            "media_id", "dhash", maxHamming = 6), "q167_ham"),
+        () => operators.Similarity.writeIvfIndexBucketed(
+          operators.Similarity.buildIvf(
+            refPrep.select($"media_id", $"img_embedding"), "media_id",
+            "img_embedding", nCells = 2, lloydIters = 1), "q167_ivf",
+          numBuckets = 2))
       val arrivals: Seq[(Long, Array[Byte])] =
         (1L to 3L).map(i => (500L + i,
           enc((x, y) => vRef(i, x, y, 0), "bmp"))) ++
@@ -3628,8 +3641,10 @@ object SparkEntry {
       val pre = run("pre")
       val tomb = s.createDataFrame(Seq(Tuple1(2L), Tuple1(8L)))
         .toDF("media_id")
-      operators.Dedup.tombstoneHammingMembers(s, "q167_ham", tomb)
-      operators.Similarity.tombstoneIvf(s, "q167_ivf", tomb, "media_id")
+      sources.Sinks.inParallel(
+        () => operators.Dedup.tombstoneHammingMembers(s, "q167_ham", tomb),
+        () => operators.Similarity.tombstoneIvf(s, "q167_ivf", tomb,
+          "media_id"))
       val live = run("live")
       pre.join(live, Seq("media_id"))
         .select($"media_id", $"admitted_pre", $"reason_pre",
@@ -3685,14 +3700,16 @@ object SparkEntry {
       val refPrep = prep(refs)
       sources.Sinks.clearLedger(s, "q168_band_tombstones")
       sources.Sinks.clearLedger(s, "q168_ivf_tombstones")
-      operators.Dedup.writeHammingBandIndexRooted(s, "q168_band",
-        refPrep.filter($"media_id" <= 6).select($"media_id", $"dhash"),
-        "media_id", "dhash", maxHamming = 6, numBuckets = 4)
-      operators.Similarity.writeIvfIndexBucketed(
-        operators.Similarity.buildIvf(
-          refPrep.select($"media_id", $"img_embedding"), "media_id",
-          "img_embedding", nCells = 2, lloydIters = 1), "q168_ivf",
-        numBuckets = 2)
+      // independent faces: build concurrently (guide §2.6)
+      sources.Sinks.inParallel(
+        () => operators.Dedup.writeHammingBandIndexRooted(s, "q168_band",
+          refPrep.filter($"media_id" <= 6).select($"media_id", $"dhash"),
+          "media_id", "dhash", maxHamming = 6, numBuckets = 4),
+        () => operators.Similarity.writeIvfIndexBucketed(
+          operators.Similarity.buildIvf(
+            refPrep.select($"media_id", $"img_embedding"), "media_id",
+            "img_embedding", nCells = 2, lloydIters = 1), "q168_ivf",
+          numBuckets = 2))
       val arrivals: Seq[(Long, Array[Byte])] =
         (1L to 3L).map(i => (500L + i,
           enc((x, y) => vRef(i, x, y, 0), "bmp"))) ++
@@ -3731,8 +3748,11 @@ object SparkEntry {
       val pre = run("pre")
       val tomb = s.createDataFrame(Seq(Tuple1(2L), Tuple1(8L)))
         .toDF("media_id")
-      operators.Dedup.tombstoneHammingBandIndex(s, "q168_band", tomb)
-      operators.Similarity.tombstoneIvf(s, "q168_ivf", tomb, "media_id")
+      sources.Sinks.inParallel(
+        () => operators.Dedup.tombstoneHammingBandIndex(s, "q168_band",
+          tomb),
+        () => operators.Similarity.tombstoneIvf(s, "q168_ivf", tomb,
+          "media_id"))
       val live = run("live")
       pre.join(live, Seq("media_id"))
         .select($"media_id", $"admitted_pre", $"reason_pre",
@@ -3860,27 +3880,31 @@ object SparkEntry {
       sources.Sinks.clearLedger(s, "q171_widx_tombstones")
       val idxRoot = java.nio.file.Files.createTempDirectory("q171_xidx")
       idxRoot.toFile.deleteOnExit()
-      operators.Dedup.writeExactIndexRooted(s, "q171_xidx",
-        idxRoot.toString,
-        operators.Dedup.buildExactIndex(accepted, "text",
-          expectedItems = 4096, numBits = 1L << 15),
-        numBuckets = 4)
-      operators.Dedup.writeNgramIndexRooted(s, "q171_ng",
-        operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
-          n = 4), numBuckets = 4)
       val emb = operators.TextAnalysis.hashEmbed(accepted, "text",
           dim = 64)
         .select($"doc_id", $"embedding")
-      operators.Similarity.writeIvfIndexBucketed(
-        operators.Similarity.buildIvf(emb, "doc_id", "embedding",
-          nCells = 2, lloydIters = 1), "q171_idx", numBuckets = 2)
       val bench = docs.filter($"doc_id" % 20 === 1)
         .select($"doc_id",
           concat_ws(" ", slice(split(trim($"text"), "\\s+"), 3, 12))
             .as("text"))
-      operators.TextAnalysis.writeWinnowIndexRooted(s, "q171_widx",
-        bench, "doc_id", "text", k = 4, w = 4, hashName = "md5",
-        numBuckets = 4)
+      // the four durable faces are independent of each other — build
+      // them concurrently (guide §2.6): each face's own write keeps
+      // its data→epoch→meta commit order internally
+      sources.Sinks.inParallel(
+        () => operators.Dedup.writeExactIndexRooted(s, "q171_xidx",
+          idxRoot.toString,
+          operators.Dedup.buildExactIndex(accepted, "text",
+            expectedItems = 4096, numBits = 1L << 15),
+          numBuckets = 4),
+        () => operators.Dedup.writeNgramIndexRooted(s, "q171_ng",
+          operators.Dedup.buildNgramIndex(accepted, "doc_id", "text",
+            n = 4), numBuckets = 4),
+        () => operators.Similarity.writeIvfIndexBucketed(
+          operators.Similarity.buildIvf(emb, "doc_id", "embedding",
+            nCells = 2, lloydIters = 1), "q171_idx", numBuckets = 2),
+        () => operators.TextAnalysis.writeWinnowIndexRooted(s, "q171_widx",
+          bench, "doc_id", "text", k = 4, w = 4, hashName = "md5",
+          numBuckets = 4))
       val revText = array_join(reverse(filter(
         split(trim($"text"), "\\s+"), t => t =!= lit(""))), " ")
       val arrivals = accepted.filter($"doc_id" % 20 === 0)

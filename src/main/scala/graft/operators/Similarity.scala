@@ -769,9 +769,11 @@ object Similarity {
                             numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
-    graft.sources.Sinks.writeBucketed(index.corpusCells,
-      s"${prefix}_cells", Seq("cell"), numBuckets)
-    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeBucketed(index.corpusCells,
+        s"${prefix}_cells", Seq("cell"), numBuckets),
+      () => graft.sources.Sinks.writeTable(index.centroids,
+        s"${prefix}_centroids"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       Seq(s"${prefix}_cells", s"${prefix}_centroids"))
     graft.sources.Sinks.writeTable(
@@ -1089,8 +1091,9 @@ object Similarity {
   def writeSqIndex(index: SqIndex, prefix: String): Unit = {
     val spark = index.stats.sparkSession
     import spark.implicits._
-    graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats")
-    graft.sources.Sinks.writeTable(index.codes, s"${prefix}_codes")
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats"),
+      () => graft.sources.Sinks.writeTable(index.codes, s"${prefix}_codes"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       Seq(s"${prefix}_stats", s"${prefix}_codes"))
     graft.sources.Sinks.writeTable(Seq(epoch).toDF("epoch"),
@@ -1242,10 +1245,12 @@ object Similarity {
                               numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
-    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
-    graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats")
-    graft.sources.Sinks.writeBucketed(index.cellCodes,
-      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeTable(index.centroids,
+        s"${prefix}_centroids"),
+      () => graft.sources.Sinks.writeTable(index.stats, s"${prefix}_stats"),
+      () => graft.sources.Sinks.writeBucketed(index.cellCodes,
+        s"${prefix}_cell_codes", Seq("cell"), numBuckets))
     // epoch meta LAST — the torn-rebuild refusal shared by every index
     // writer here (see writeLshIndexBucketed / Sinks.stampEpoch)
     val epoch = graft.sources.Sinks.stampEpoch(spark,
@@ -1875,22 +1880,25 @@ object Similarity {
                               numBuckets: Int = 64): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
-    graft.sources.Sinks.writeBucketed(index.cellCodes,
-      s"${prefix}_cell_codes", Seq("cell"), numBuckets)
-    graft.sources.Sinks.writeTable(index.codebooks, s"${prefix}_codebooks")
-    graft.sources.Sinks.writeTable(index.centroids, s"${prefix}_centroids")
-    // per-cell growth ledger: how many vectors the BUILD assigned per
-    // cell, and how many in-place appends added since ([[
-    // appendToIvfPqIndexBucketed]]). One nCells-row aggregate at write
-    // time; the drift signal a served index exposes without a probe —
-    // a cell whose appended count dwarfs its build count is absorbing
-    // a distribution the codebook never saw, the cue to run
-    // [[recallProbe]] and re-train before recall quietly sags.
-    graft.sources.Sinks.writeTable(
-      index.cellCodes.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_built"))
-        .withColumn("n_appended", lit(0L)),
-      s"${prefix}_cell_stats")
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeBucketed(index.cellCodes,
+        s"${prefix}_cell_codes", Seq("cell"), numBuckets),
+      () => graft.sources.Sinks.writeTable(index.codebooks,
+        s"${prefix}_codebooks"),
+      () => graft.sources.Sinks.writeTable(index.centroids,
+        s"${prefix}_centroids"),
+      // per-cell growth ledger: how many vectors the BUILD assigned per
+      // cell, and how many in-place appends added since ([[
+      // appendToIvfPqIndexBucketed]]). One nCells-row aggregate at write
+      // time; the drift signal a served index exposes without a probe —
+      // a cell whose appended count dwarfs its build count is absorbing
+      // a distribution the codebook never saw, the cue to run
+      // [[recallProbe]] and re-train before recall quietly sags.
+      () => graft.sources.Sinks.writeTable(
+        index.cellCodes.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_built"))
+          .withColumn("n_appended", lit(0L)),
+        s"${prefix}_cell_stats"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       ivfPqTables(prefix, s"${prefix}_cell_codes"))
     graft.sources.Sinks.writeTable(

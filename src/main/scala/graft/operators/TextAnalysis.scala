@@ -337,6 +337,16 @@ object TextAnalysis {
     val tk = split(lower(trim(col(textCol))), "\\s+")
     val hashes =
       if (tokenHash eq Dedup.DefaultTokenHash) Dedup.gramHashesCol(tk, k)
+      else if (tokenHash eq Dedup.md5Hash60)
+        // recognized-by-reference like the simhash entry points: the
+        // engine-neutral md5 gram hash runs as ONE native projection
+        // ([[graft.expressions.GramHashesMd5]]) instead of an
+        // interpreted transform lambda allocating slice/String/hex
+        // per gram — value-identical (oracle-replayable), ~an order
+        // of magnitude less per-gram work
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.expressions.GramHashesMd5(
+            org.apache.spark.sql.GraftExpressionBridge.expression(tk), k))
       else
         // coalesce makes the ELEMENT provably non-null (WinnowSelect
         // rejects array<long> with containsNull at plan time; a

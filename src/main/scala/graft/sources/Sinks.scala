@@ -160,6 +160,34 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** Run INDEPENDENT write/DDL units concurrently (optimization-guide
+    * §2.6 "overlap independent jobs"): Spark happily schedules several
+    * jobs at once inside one application — actions are only sequential
+    * because caller code invokes them sequentially, so each unit's
+    * driver-side latency (job submit, commit protocol, catalog DDL)
+    * overlaps the others' instead of adding up. CommitProbe measured
+    * 4 concurrent 1-row managed-table writes at the wall cost of ONE
+    * (~165 ms vs ~150 ms each sequential). ONLY for units with no
+    * ordering between them — an index's data tables, never the
+    * epoch-stamp/meta-commit steps, whose write-order IS the crash
+    * discipline. Exceptions propagate (first failure rethrown);
+    * callers must treat any throw as "the whole write failed", which
+    * every index writer here already does (re-run converges via the
+    * Overwrite / A-B-generation semantics). */
+  def inParallel(units: (() => Unit)*): Unit =
+    if (units.sizeIs <= 1) units.foreach(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(units.size, 4))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(units.map(u => Future(u()))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Resolve a table's data location through the session catalog. */
   private def tableLocation(spark: org.apache.spark.sql.SparkSession,
                             table: String): Path =

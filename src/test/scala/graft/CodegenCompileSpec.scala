@@ -51,6 +51,8 @@ class CodegenCompileSpec extends AnyFunSuite {
       rowSArr(Array("alpha", "beta", "gamma"))),
     ("GramHashes", GramHashes(sarr, 3),
       rowSArr(Array("the", "quick", "brown", "fox", "jumps"))),
+    ("GramHashesMd5", GramHashesMd5(sarr, 3),
+      rowSArr(Array("the", "quick", "brown", "fox", "jumps"))),
     ("HashEmbedMd5", HashEmbedMd5(sarr, 16),
       rowSArr(Array("alpha", "beta", "alpha", "gamma"))),
     ("HyperplaneSignature", HyperplaneSignature(darr, 16),

@@ -680,6 +680,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native md5 gram hashes match the transform+conv column form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and  trailing   whitespace "), // tokenizer fold
+      (3L, "short doc"),                             // < n tokens: ONE gram
+      (4L, "päneln 電池 ünïcode tökens here"),        // multi-byte UTF-8
+      (5L, "x")                                      // single token
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 4)) {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val viaColumns = docs.select(col("doc_id"), toks.as("__tk"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, greatest(size(__tk)-${n - 1}, 1)), " +
+            s"i -> cast(conv(substring(md5(concat_ws(' ', slice(__tk, i, " +
+            s"$n))), 1, 15), 16, 10) as long))")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val viaNative = docs.select(col("doc_id"),
+          explode(org.apache.spark.sql.GraftExpressionBridge.column(
+            graft.expressions.GramHashesMd5(
+              org.apache.spark.sql.GraftExpressionBridge.expression(toks),
+              n))).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(viaNative === viaColumns, s"n=$n")
+    }
+  }
+
   test("native rolling fingerprint matches the HOF fold bit-for-bit") {
     val docs = Seq(
       (1L, "  the quick  brown fox "), // whitespace-normalized fold
