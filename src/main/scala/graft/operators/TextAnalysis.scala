@@ -1383,11 +1383,13 @@ object TextAnalysis {
   def writeTrigramLm(model: TrigramLm, prefix: String): Unit = {
     val spark = model.c3.sparkSession
     import spark.implicits._
-    graft.sources.Sinks.writeTable(model.c3, s"${prefix}_c3")
-    graft.sources.Sinks.writeTable(model.c12, s"${prefix}_c12")
-    graft.sources.Sinks.writeTable(model.cb, s"${prefix}_cb")
-    graft.sources.Sinks.writeTable(model.cw, s"${prefix}_cw")
-    graft.sources.Sinks.writeTable(model.uni, s"${prefix}_uni")
+    // five independent count tables — write concurrently (guide §2.6)
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeTable(model.c3, s"${prefix}_c3"),
+      () => graft.sources.Sinks.writeTable(model.c12, s"${prefix}_c12"),
+      () => graft.sources.Sinks.writeTable(model.cb, s"${prefix}_cb"),
+      () => graft.sources.Sinks.writeTable(model.cw, s"${prefix}_cw"),
+      () => graft.sources.Sinks.writeTable(model.uni, s"${prefix}_uni"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       trigramLmTables(prefix))
     graft.sources.Sinks.writeTable(
@@ -1448,11 +1450,14 @@ object TextAnalysis {
       }
     val next = if (cur.contains("a")) "b" else "a"
     val p = s"${prefix}_$next"
-    graft.sources.Sinks.writeTable(model.c3, s"${p}_c3")
-    graft.sources.Sinks.writeTable(model.c12, s"${p}_c12")
-    graft.sources.Sinks.writeTable(model.cb, s"${p}_cb")
-    graft.sources.Sinks.writeTable(model.cw, s"${p}_cw")
-    graft.sources.Sinks.writeTable(model.uni, s"${p}_uni")
+    // five independent count tables of the non-serving generation —
+    // write concurrently (guide §2.6); epoch + meta stay strictly after
+    graft.sources.Sinks.inParallel(
+      () => graft.sources.Sinks.writeTable(model.c3, s"${p}_c3"),
+      () => graft.sources.Sinks.writeTable(model.c12, s"${p}_c12"),
+      () => graft.sources.Sinks.writeTable(model.cb, s"${p}_cb"),
+      () => graft.sources.Sinks.writeTable(model.cw, s"${p}_cw"),
+      () => graft.sources.Sinks.writeTable(model.uni, s"${p}_uni"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       trigramLmTables(p))
     graft.sources.Sinks.writeTable(

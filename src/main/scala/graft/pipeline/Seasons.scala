@@ -157,10 +157,16 @@ object Seasons {
     val (refSets, mainSets) = cfg.datasets.partition(_.isReferenceDb)
     require(mainSets.nonEmpty,
       s"season ${cfg.name} has no non-reference datasets to process")
-    val mainParsed = mainSets.zipWithIndex.map { case (d, i) =>
-      d -> parse(d, s"d$i") }
-    val refParsed = refSets.zipWithIndex.map { case (d, i) =>
-      d -> parse(d, s"db$i") }
+    // the datasets' parse+write stages are independent of each other
+    // (each owns its parsed_<name>_<tag> output dir) — run them
+    // concurrently (optimization guide §2.6: overlap independent
+    // jobs), exactly as the reference parses dataset files in a pool
+    val parsedAll = graft.sources.Sinks.inParallelMap(
+      mainSets.zipWithIndex.map { case (d, i) =>
+        () => d -> parse(d, s"d$i") } ++
+      refSets.zipWithIndex.map { case (d, i) =>
+        () => d -> parse(d, s"db$i") })
+    val (mainParsed, refParsed) = parsedAll.splitAt(mainSets.size)
     reportSink.foreach { sink =>
       sink((mainParsed ++ refParsed).flatMap { case (d, wide) =>
         ParseStage.report(spark, d.candumpGlob, wide,

@@ -174,8 +174,15 @@ object Sinks {
     * callers must treat any throw as "the whole write failed", which
     * every index writer here already does (re-run converges via the
     * Overwrite / A-B-generation semantics). */
-  def inParallel(units: (() => Unit)*): Unit =
-    if (units.sizeIs <= 1) units.foreach(_())
+  def inParallel(units: (() => Unit)*): Unit = {
+    inParallelMap(units)
+    ()
+  }
+
+  /** [[inParallel]] with results: run independent units concurrently
+    * and return their values in input order. */
+  def inParallelMap[T](units: Seq[() => T]): Seq[T] =
+    if (units.sizeIs <= 1) units.map(_())
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
