@@ -1999,8 +1999,14 @@ object SparkEntry {
             .select($"doc_id", lit(true).as(tag)),
           Seq("doc_id"), "left")
           .select($"doc_id", coalesce(col(tag), lit(false)).as(tag))
-      val out = flags(idx, "admitted_pre")
-        .join(flags(live, "admitted_post"), Seq("doc_id"))
+      // the two contract runs (vs the full index, vs the tombstoned
+      // face) are independent — their construction is EAGER (the
+      // within-batch closure localCheckpoints per round), so run them
+      // concurrently (guide §2.6); both share the persisted grams
+      val Seq(preF, postF) = sources.Sinks.inParallelMap(Seq(
+        () => flags(idx, "admitted_pre"),
+        () => flags(live, "admitted_post")))
+      val out = preF.join(postF, Seq("doc_id"))
         .orderBy($"doc_id")
       val materialized = s.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
