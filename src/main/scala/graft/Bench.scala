@@ -264,13 +264,18 @@ object Bench {
     val total = finalResults.map(_._2).sum
     val msPerLine =
       if (nLines > 0) parseSec * 1000.0 / nLines else -1.0
+    // the contract's cpus is the parallelism the bench actually ran at
+    // (local[$SPARK_GRAFT_CPUS]) — availableProcessors() reports the
+    // host's core count, which made the round-16 c8 artifact claim
+    // "cpus":32 and poisoned the driver's scaling comparison
+    val loadEnd = loadAvg()
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"gc_ms":$gcJson,""" +
       s""""unstable":$unstableJson,"spread":$spreadJson,""" +
-      s""""load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
       s""""quiet":$quietStart,""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""cpus":$cpus,""" +
       s""""parse_ms_per_line":$msPerLine,"parse_lines":$nLines,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: the driver captures the stdout tail, which
@@ -285,6 +290,21 @@ object Bench {
     // preserves — round-over-round comparison survives the truncation.
     if (only.isEmpty)
       Files.write(Paths.get("BENCH_FULL_latest.json"), json.getBytes("UTF-8"))
+    // FINAL compact summary line (no per-query maps, <500 bytes): the
+    // driver keeps only a ~2,000-char stdout TAIL, and at 172 catalog
+    // entries the full line above is >10 KB — two rounds running it
+    // truncated mid-JSON and left PERF_r{15,16} with no bench data at
+    // all. Printing this digest LAST guarantees any sane tail ends with
+    // one complete, parseable JSON object carrying the headline numbers
+    // (total seconds, parse rate, quiet flag, loads, true cpus, sf);
+    // the per-query map lives in the full line above and in
+    // bench_out.json / BENCH_FULL_latest.json.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalResults.size},""" +
+      s""""parse_ms_per_line":$msPerLine,"quiet":$quietStart,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""cpus":$cpus,"queries_file":"$outFile","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 

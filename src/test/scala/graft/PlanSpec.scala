@@ -813,13 +813,17 @@ class PlanSpec extends SparkSpec {
 
   test("z-order layout: a 2-D box scan reads a fraction of the single-sort rows") {
     // q121 gates the z-VALUES; this measures what the layout is FOR —
-    // actual parquet rows READ (post row-group pruning) for a
-    // two-column box predicate, z-ordered vs the single-column sort a
-    // naive pipeline would write. Each output file is one row group,
-    // so pushed min/max filters skip whole files' worth of IO; on the
-    // x-sorted control every row group is tight on x but spans all of
-    // y, forcing the full x-slab to be read.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // parquet rows a reader MUST read (post row-group min/max pruning)
+    // for a two-column box predicate, z-ordered vs the single-column
+    // sort a naive pipeline would write. Each output file is one row
+    // group, so pushed min/max filters skip whole files' worth of IO;
+    // on the x-sorted control every row group is tight on x but spans
+    // all of y, forcing the full x-slab to be read.
+    // Measured from the parquet FOOTER STATISTICS directly (the same
+    // min/max a pushed filter prunes on) instead of a TaskEnd-listener
+    // recordsRead sum: the listener bus is async and its sleep-poll
+    // drain flaked under a loaded 20-minute test run (round-16 verdict
+    // item 2); footer math is deterministic.
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // golden interleave first: bx=0b101, by=0b011 → 27
@@ -839,34 +843,42 @@ class PlanSpec extends SparkSpec {
     df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
       .write.parquet(dir.resolve("linear").toString)
     def rowsRead(path: String): (Long, Long) = {
-      val read = new java.util.concurrent.atomic.AtomicLong(0)
-      val l = new SparkListener {
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) read.addAndGet(m.inputMetrics.recordsRead)
-          ()
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        val hits = spark.read.parquet(path)
-          .filter($"x".between(0, 31) && $"y".between(0, 31)).count()
-        // drain the async listener bus (no public waitUntilEmpty)
-        var last = -1L; var stable = 0
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (stable < 3 && System.nanoTime() < deadline) {
-          val v = read.get()
-          if (v == last) stable += 1 else { stable = 0; last = v }
-          Thread.sleep(100)
-        }
-        (hits, read.get())
-      } finally spark.sparkContext.removeSparkListener(l)
+      val hits = spark.read.parquet(path)
+        .filter($"x".between(0, 31) && $"y".between(0, 31)).count()
+      // rows a reader must fetch = total rows of every row group whose
+      // [min,max] on BOTH columns overlaps the box — exactly the set a
+      // pushed min/max filter cannot prune
+      import scala.jdk.CollectionConverters._
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val mustRead = fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getFooter.getBlocks.asScala.map { block =>
+            val st = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def overlaps(name: String): Boolean = {
+              val s = st(name)
+              val mn = s.genericGetMin.asInstanceOf[Number].longValue
+              val mx = s.genericGetMax.asInstanceOf[Number].longValue
+              mx >= 0L && mn <= 31L
+            }
+            if (overlaps("x") && overlaps("y")) block.getRowCount else 0L
+          }.sum
+          finally r.close()
+        }.sum
+      (hits, mustRead)
     }
     val (zHits, zRead) = rowsRead(dir.resolve("z").toString)
     val (lHits, lRead) = rowsRead(dir.resolve("linear").toString)
     assert(zHits == lHits && zHits == 32L * 32L,
       s"both layouts must return the same box: z=$zHits linear=$lHits")
-    assert(zRead > 0 && lRead > 0, s"listener captured nothing")
+    assert(zRead > 0 && lRead > 0, s"footer stats captured nothing")
     assert(zRead < lRead / 2,
       f"z-order should read < 0.5x the x-sorted rows for a 2-D box: " +
         f"z=$zRead%d linear=$lRead%d (ratio ${zRead.toDouble / lRead}%.2f)")
