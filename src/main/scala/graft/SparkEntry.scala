@@ -4371,11 +4371,8 @@ object SparkEntry {
       operators.Similarity.writeIvfIndexBucketed(index, "q144_idx",
         numBuckets = 8)
       val sch = s.read.parquet(s"$fix/embeddings_stream").schema
-      def run(tag: String): DataFrame = {
-        val live = operators.Similarity.readIvfIndexLive(s, "q144_idx")
-        val members = operators.Similarity.cellMembers(live)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        members.count()
+      def run(tag: String, live: operators.Similarity.IvfIndex,
+              members: DataFrame): DataFrame = {
         val stream = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(s"$fix/embeddings_stream")
         val res = runStreamToTable(s,
@@ -4384,19 +4381,54 @@ object SparkEntry {
           "append", s"ann_takedown_$tag")
           .select($"vec_id", col("admitted").as(s"admitted_$tag"),
             col("match_id").as(s"match_$tag"))
-        val local = s.createDataFrame(
+        s.createDataFrame(
           java.util.Arrays.asList(res.collect(): _*), res.schema)
-        members.unpersist()
-        local
       }
-      val pre = run("pre")
+      def mkMembers(idx: operators.Similarity.IvfIndex): DataFrame = {
+        val m = operators.Similarity.cellMembers(idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        m
+      }
+      val idx0 = operators.Similarity.readIvfIndexLive(s, "q144_idx")
+      val members0 = mkMembers(idx0)
+      val pre = run("pre", idx0, members0)
       operators.Similarity.tombstoneIvf(s, "q144_idx",
         emb.filter($"vec_id" % 15 === 0), "vec_id")
-      val live = run("live")
+      // the LIVE member arrays are the PRE arrays minus the tombstoned
+      // ids (a takedown only removes rows; centroids pass through
+      // unchanged — readIvfIndexLive's contract), so reuse the already
+      // persisted pre arrays with a higher-order filter instead of
+      // paying a second O(corpus) cellMembers groupBy (guide §2.4).
+      // Value-identical: the stream's per-cell fold is array_max over
+      // (sim, −id) structs — member ORDER is irrelevant — and a cell
+      // whose members all died is dropped, matching the groupBy-after-
+      // anti-join shape (an absent cell and an empty array both fold
+      // to null → admit). The ledger is the bounded takedown set (the
+      // same rows readIvfIndexLive broadcasts for its anti-join).
+      val tombIds = operators.Similarity.readIvfTombstones(s, "q144_idx")
+        .collect().map(_.getLong(0)).sorted
+      def tombstoned(id: Column): Column =
+        if (tombIds.isEmpty) lit(false) else id.isin(tombIds: _*)
+      val members1 = members0.select(col("cell"),
+          filter(col("members"),
+            m => !tombstoned(m.getField("neighbor_id"))).as("members"))
+        .filter(size(col("members")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      members1.count()
+      members0.unpersist()
+      val live = run("live", idx0, members1)
+      members1.unpersist()
       operators.Similarity.retrainIvfIndexBucketed(s, "q144_idx",
         v => v.filter(col("__rid") % 2 === 0), lloydIters = 1,
         numBuckets = 8)
-      val post = run("post")
+      // the retrain DOES invalidate the arrays (new centroids, new
+      // cell assignment, physical purge) — rebuild from the swapped
+      // generation
+      val idx2 = operators.Similarity.readIvfIndexLive(s, "q144_idx")
+      val members2 = mkMembers(idx2)
+      val post = run("post", idx2, members2)
+      members2.unpersist()
       pre.join(live, Seq("vec_id")).join(post, Seq("vec_id"))
         .select($"vec_id", $"admitted_pre", $"match_pre",
           $"admitted_live", $"match_live", $"admitted_post",

@@ -539,9 +539,17 @@ object Dedup {
     * array filter before the table ever reaches a stream. */
   def readHammingMembersLive(spark: org.apache.spark.sql.SparkSession,
                              table: String): DataFrame = {
-    val members = readHammingMembers(spark, table)
-    graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
-      .map { case (_, ids) => tombstoneFromHammingMembers(members, ids) }
+    // members meta + ledger meta in ONE driver action (the
+    // reopen-floor merge — see [[readExactIndexRootedLive]])
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${table}_meta", s"${table}_tombstones")
+    val gen = meta("members_table")
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen), meta("epoch"))
+    val members = spark.table(gen)
+    ledMeta.map { case (lgen, lepoch) =>
+      tombstoneFromHammingMembers(members,
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${table}_tombstones", lgen, lepoch)) }
       .getOrElse(members)
   }
 
@@ -602,16 +610,28 @@ object Dedup {
                              table: String, maxHamming: Int,
                              maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    def epoch(): String =
-      spark.table(s"${table}_meta").collect()(0).getAs[String]("epoch")
     def pendingCount(): Long =
       graft.sources.Sinks.readLedger(spark, s"${table}_tombstones")
         .map(_._2.count()).getOrElse(0L)
-    val epochBefore = epoch()
-    val pending = pendingCount()
+    // epoch + ledger meta in ONE driver action; quiet windows pay one
+    // count action and zero further round-trips (was 4 sequential
+    // collects — optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${table}_meta", s"${table}_tombstones")
+    val epochBefore = meta("epoch")
+    val pending = ledMeta.map { case (lgen, lepoch) =>
+      graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${table}_tombstones", lgen, lepoch).count() }.getOrElse(0L)
     val fired = pending > 0L
     if (fired) compactHammingMembers(spark, table, maxHamming, maxBucket)
-    Seq((pending, fired, pendingCount(), epoch() != epochBefore))
+    // a quiet window left meta and ledger untouched bit-for-bit — no
+    // re-read; a fired one re-measures (the cleared ledger's count is
+    // collect-free) and re-reads the flipped epoch
+    val (postPending, epochAfter) =
+      if (fired) (pendingCount(),
+        spark.table(s"${table}_meta").collect()(0).getAs[String]("epoch"))
+      else (pending, epochBefore)
+    Seq((pending, fired, postPending, epochAfter != epochBefore))
       .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
   }
 
@@ -1454,9 +1474,16 @@ object Dedup {
   def readNgramIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
                                prefix: String, idCol: String,
                                n: Int): NgramIndex = {
-    val index = readNgramIndexRooted(spark, prefix, idCol, n)
-    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
-      .map { case (_, ids) => tombstoneFromNgramIndex(index, ids) }
+    // index meta + ledger meta in ONE driver action (the reopen-floor
+    // merge — see [[readExactIndexRootedLive]])
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val genTable = meta("grams_table")
+    graft.sources.Sinks.requireEpoch(spark, Seq(genTable), meta("epoch"))
+    val index = NgramIndex(spark.table(genTable), idCol, n)
+    ledMeta.map { case (lgen, lepoch) =>
+      tombstoneFromNgramIndex(index, graft.sources.Sinks.resolveLedgerGen(
+        spark, s"${prefix}_tombstones", lgen, lepoch)) }
       .getOrElse(index)
   }
 
@@ -1476,20 +1503,40 @@ object Dedup {
                          prefix: String, idCol: String, n: Int,
                          numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def gen(): String =
-      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
     def pendingCount(): Long =
       graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
         .map(_._2.count()).getOrElse(0L)
-    val genBefore = gen()
-    val pending = pendingCount()
+    // gen + ledger meta in ONE driver action; the quiet (every-cron-
+    // tick) window then pays exactly one count action when a ledger
+    // exists and zero further round-trips — it was 4 sequential
+    // collects (optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val genBefore = meta("gen")
+    val ledgerRows = ledMeta.map { case (lgen, lepoch) =>
+      graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${prefix}_tombstones", lgen, lepoch) }
+    val pending = ledgerRows.map(_.count()).getOrElse(0L)
     val fired = pending > 0L
     if (fired) {
-      writeNgramIndexRooted(spark, prefix,
-        readNgramIndexRootedLive(spark, prefix, idCol, n), numBuckets)
+      // the live view reuses the meta/ledger already resolved above
+      // (single-writer window — nothing moved since the merged read)
+      val genTable = meta("grams_table")
+      graft.sources.Sinks.requireEpoch(spark, Seq(genTable), meta("epoch"))
+      val index = NgramIndex(spark.table(genTable), idCol, n)
+      val live = ledgerRows.map(ids => tombstoneFromNgramIndex(index, ids))
+        .getOrElse(index)
+      writeNgramIndexRooted(spark, prefix, live, numBuckets)
       graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
     }
-    Seq((pending, fired, pendingCount(), gen() != genBefore))
+    // post state: a fired window cleared the ledger (post_pending
+    // re-measures — collect-free, the meta is gone) and flipped gen
+    // (one re-read); a quiet window left both untouched bit-for-bit
+    val (postPending, genAfter) =
+      if (fired) (pendingCount(),
+        spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen"))
+      else (pending, genBefore)
+    Seq((pending, fired, postPending, genAfter != genBefore))
       .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
   }
 
@@ -1865,10 +1912,18 @@ object Dedup {
     * [[maintainExactIndex]]'s physical purge clears them. */
   def readExactIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
                                prefix: String): ExactIndex = {
-    val index = readExactIndexRooted(spark, prefix)
-    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
-      .map { case (_, rows) =>
-        tombstoneFromExactIndex(index, rows.select(col("__t")), "__t") }
+    // index meta + ledger meta fetched in ONE driver action (they are
+    // two sequential 1-row collects otherwise — the reopen floor every
+    // lifecycle step pays); refusal semantics identical to the
+    // readExactIndexRooted + readLedger composition
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val index = readExactIndex(spark, s"${prefix}_${meta("gen")}",
+      meta("index_dir"))
+    ledMeta.map { case (lgen, lepoch) =>
+      val rows = graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${prefix}_tombstones", lgen, lepoch)
+      tombstoneFromExactIndex(index, rows.select(col("__t")), "__t") }
       .getOrElse(index)
   }
 
@@ -1905,8 +1960,6 @@ object Dedup {
                          headroom: Double = 2.0,
                          numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def gen(): String =
-      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
     def worstFpp(index: ExactIndex): Double =
       estimatedFpp(index)
         .agg(coalesce(max(col("est_fpp")), lit(0.0))).collect()(0)
@@ -1914,14 +1967,37 @@ object Dedup {
     def pendingCount(): Long =
       graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
         .map(_._2.count()).getOrElse(0L)
-    val genBefore = gen()
-    val preFpp = worstFpp(readExactIndexRooted(spark, prefix))
-    val pending = pendingCount()
+    // ONE meta action resolves gen + ledger state; the fpp aggregate
+    // and the pending count fold in ONE further action (a crossJoin of
+    // two 1-row aggregates) — the window's measure phase was 5
+    // sequential driver round-trips, each ~100 ms of fixed floor
+    // (optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val genBefore = meta("gen")
+    val index = readExactIndex(spark, s"${prefix}_$genBefore",
+      meta("index_dir"))
+    val ledgerRows = ledMeta.map { case (lgen, lepoch) =>
+      graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${prefix}_tombstones", lgen, lepoch) }
+    val fppAgg = estimatedFpp(index)
+      .agg(coalesce(max(col("est_fpp")), lit(0.0)).as("__fpp"))
+    val measured = ledgerRows
+      .map(rows => fppAgg.crossJoin(rows.agg(count(lit(1)).as("__p"))))
+      .getOrElse(fppAgg.withColumn("__p", lit(0L)))
+      .collect()(0)
+    val preFpp = measured.getDouble(0)
+    val pending = measured.getLong(1)
     val fppFired = preFpp > maxFpp
     val purgeFired = pending > 0L
     val fired = fppFired || purgeFired
     if (fired) {
-      val live = readExactIndexRootedLive(spark, prefix)
+      // the live view reuses the rows already resolved above — the
+      // tables cannot have moved under a single-writer window
+      val live = ledgerRows
+        .map(rows => tombstoneFromExactIndex(index,
+          rows.select(col("__t")), "__t"))
+        .getOrElse(index)
       val n = live.hashes.count()
       val expected = math.max(1L, math.ceil(n * headroom).toLong)
       val bits = math.max(64L, org.apache.spark.util.sketch.BloomFilter
@@ -1932,12 +2008,18 @@ object Dedup {
     }
     // a quiet window pays no second measure: nothing moved, so
     // post ≡ pre by construction (and the sketch bytes aren't
-    // re-pulled to the driver on the common every-cron-tick no-op)
-    val postFpp =
-      if (fired) worstFpp(readExactIndexRooted(spark, prefix)) else preFpp
-    val postPending = if (fired) pendingCount() else pending
+    // re-pulled to the driver on the common every-cron-tick no-op);
+    // the same argument skips the re-read of gen on the no-op path
+    val (postFpp, postPending, genAfter) =
+      if (fired) {
+        val m2 = spark.table(s"${prefix}_meta").collect()(0)
+        val g2 = m2.getAs[String]("gen")
+        (worstFpp(readExactIndex(spark, s"${prefix}_$g2",
+            m2.getAs[String]("index_dir"))),
+          pendingCount(), g2)
+      } else (preFpp, pending, genBefore)
     Seq((pending, preFpp, fppFired, purgeFired, postFpp, postPending,
-        gen() != genBefore))
+        genAfter != genBefore))
       .toDF("pending_tombstones", "pre_worst_fpp", "fpp_fired",
         "purge_fired", "post_worst_fpp", "post_pending", "gen_changed")
   }

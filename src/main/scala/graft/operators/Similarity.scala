@@ -642,13 +642,24 @@ object Similarity {
                               lloydIters: Int = 1,
                               numBuckets: Int = 64): Unit = {
     import spark.implicits._
-    val (index, liveCells) = readIvfIndexResolved(spark, prefix)
+    // merged one-action reopen: index meta + tombstone-ledger meta
+    // (was two sequential 1-row collects — optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val liveCells = meta.getOrElse("cells_table", s"${prefix}_cells")
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(liveCells, s"${prefix}_centroids"), meta("epoch"))
+    val index = IvfIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(liveCells))
     // PHYSICAL PURGE of filed takedowns ([[tombstoneIvf]]): the
     // re-assignment pass skips tombstoned rows, so the new generation
     // never contains them — an empty ledger is a no-op anti-join
+    val tombstones = ledMeta.map { case (lgen, lepoch) =>
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch) }
+      .getOrElse(Seq.empty[Long].toDF("neighbor_id"))
     val vecs = index.corpusCells
-      .join(broadcast(readIvfTombstones(spark, prefix)),
-        Seq("neighbor_id"), "left_anti")
+      .join(broadcast(tombstones), Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id").as("__rid"), col("__cv").as("__rvec"))
     val newCents = retrainIvfCentroids(index.centroids,
       sampleFilter(vecs), "__rid", "__rvec", lloydIters)
@@ -690,31 +701,33 @@ object Similarity {
                        lloydIters: Int = 1, nProbe: Int = 2,
                        numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
-      .getAs[String]("epoch")
-    def decide(): (Long, Double, Boolean) = {
+    def decide(): (Long, Double, Boolean, String) = {
       // the LIVE view on both sides (tombstones applied): the served
       // search can't return a taken-down id, and the brute-force
       // truth never counts one as a miss — an empty ledger reads as
-      // an empty broadcast anti-join, a no-op
-      val index = readIvfIndexLive(spark, prefix)
+      // an empty broadcast anti-join, a no-op. The reopen is the
+      // merged one-action read, and the epoch for the change flag
+      // rides it (the window paid 3 sequential 1-row collects per
+      // decision point before; the no-op path also skips the closing
+      // epoch re-read — nothing fired, nothing moved under this
+      // single-writer window)
+      val (index, epoch) = readIvfIndexLiveWithEpoch(spark, prefix)
       val corpus = index.corpusCells
         .select(col("neighbor_id").as(idCol), col("__cv").as(vecCol))
       val ann = searchIvf(index, queries, idCol, vecCol, k, nProbe)
       val d = driftDecision(
         recallProbe(ann, corpus, queries, idCol, vecCol, k), minRecall)
         .collect()(0)
-      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2), epoch)
     }
-    val epochBefore = epoch()
-    val (nQ, preMean, fired) = decide()
+    val (nQ, preMean, fired, epochBefore) = decide()
     if (fired)
       retrainIvfIndexBucketed(spark, prefix, sampleFilter, lloydIters,
         numBuckets)
-    val (_, postMean, postRetrain) = if (fired) decide()
-      else (nQ, preMean, fired)
+    val (_, postMean, postRetrain, epochAfter) = if (fired) decide()
+      else (nQ, preMean, fired, epochBefore)
     Seq((nQ, preMean, fired, postMean, postRetrain,
-        epoch() != epochBefore))
+        epochAfter != epochBefore))
       .toDF("n_queries", "pre_mean_recall", "retrain_fired",
         "post_mean_recall", "post_retrain", "epoch_changed")
   }
@@ -898,11 +911,31 @@ object Similarity {
     * (probe geometry is unaffected by logical deletes; it refreshes
     * at the next retrain, where the purge also becomes physical). */
   def readIvfIndexLive(spark: org.apache.spark.sql.SparkSession,
-                       prefix: String): IvfIndex = {
-    val idx = readIvfIndex(spark, prefix)
-    IvfIndex(idx.centroids,
-      idx.corpusCells.join(broadcast(readIvfTombstones(spark, prefix)),
-        Seq("neighbor_id"), "left_anti"))
+                       prefix: String): IvfIndex =
+    readIvfIndexLiveWithEpoch(spark, prefix)._1
+
+  /** [[readIvfIndexLive]] with the index meta + tombstone-ledger meta
+    * fetched in ONE driver action (two sequential 1-row collects
+    * otherwise — the reopen floor; optimization-guide §5), also
+    * returning the serving epoch for callers that would re-collect the
+    * meta just to read it. Refusal semantics identical to the
+    * readIvfIndex + readLedger composition. */
+  private def readIvfIndexLiveWithEpoch(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (IvfIndex, String) = {
+    import spark.implicits._
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val cellsTable = meta.getOrElse("cells_table", s"${prefix}_cells")
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(cellsTable, s"${prefix}_centroids"), meta("epoch"))
+    val tombstones = ledMeta.map { case (lgen, lepoch) =>
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch) }
+      .getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+    (IvfIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(cellsTable).join(broadcast(tombstones),
+        Seq("neighbor_id"), "left_anti")), meta("epoch"))
   }
 
   /** Search a DURABLE IVF index with its tombstones applied — the
@@ -1894,10 +1927,13 @@ object Similarity {
       // a cell whose appended count dwarfs its build count is absorbing
       // a distribution the codebook never saw, the cue to run
       // [[recallProbe]] and re-train before recall quietly sags.
+      // nCells-row frame: coalesce the final aggregate stage to one
+      // task/file (guide §2.4/§6 — a 32-task, 32-file write for a
+      // handful of rows that every reopen re-lists)
       () => graft.sources.Sinks.writeTable(
         index.cellCodes.groupBy(col("cell"))
           .agg(count(lit(1)).as("n_built"))
-          .withColumn("n_appended", lit(0L)),
+          .withColumn("n_appended", lit(0L)).coalesce(1),
         s"${prefix}_cell_stats"))
     val epoch = graft.sources.Sinks.stampEpoch(spark,
       ivfPqTables(prefix, s"${prefix}_cell_codes"))
@@ -1916,12 +1952,50 @@ object Similarity {
                      prefix: String): IvfPqIndex = {
     val meta = spark.table(s"${prefix}_meta").collect()(0)
     val codesTable = ivfPqCodesTable(meta, prefix)
+    ivfPqIndexValidated(spark, prefix, codesTable,
+      meta.getAs[String]("epoch"), meta.getAs[Int]("n_sub"),
+      meta.getAs[Int]("n_centroids"))
+  }
+
+  /** Assemble + epoch-validate an [[IvfPqIndex]] from already-fetched
+    * meta values — the shared tail of [[readIvfPqIndex]] and the
+    * merged one-action reopen below. */
+  private def ivfPqIndexValidated(spark: org.apache.spark.sql.SparkSession,
+                                  prefix: String, codesTable: String,
+                                  epoch: String, nSub: Int,
+                                  nCentroids: Int): IvfPqIndex = {
     graft.sources.Sinks.requireEpoch(spark, ivfPqTables(prefix, codesTable),
-      meta.getAs[String]("epoch"))
-    IvfPqIndex(meta.getAs[Int]("n_sub"), meta.getAs[Int]("n_centroids"),
+      epoch)
+    IvfPqIndex(nSub, nCentroids,
       spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_codebooks"),
       spark.table(codesTable))
+  }
+
+  /** Reopen a durable IVF×PQ index AND its tombstone ledger with ONE
+    * driver action (index meta + ledger meta union-collected — each
+    * 1-row collect is ~100 ms of fixed floor and the serving/maintain
+    * paths reopen 3-6 times per lifecycle; optimization-guide §5).
+    * Identical refusal semantics to readIvfPqIndex + readLedger; the
+    * n_sub/n_centroids ints round-trip losslessly through their
+    * string cast. */
+  private case class IvfPqReopen(index: IvfPqIndex, tombstones: DataFrame,
+                                 epoch: String, codesTable: String)
+
+  private def readIvfPqIndexAndTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): IvfPqReopen = {
+    import spark.implicits._
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val codesTable = meta.getOrElse("codes_table", s"${prefix}_cell_codes")
+    val idx = ivfPqIndexValidated(spark, prefix, codesTable, meta("epoch"),
+      meta("n_sub").toInt, meta("n_centroids").toInt)
+    val tombs = ledMeta.map { case (lgen, lepoch) =>
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch) }
+      .getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+    IvfPqReopen(idx, tombs, meta("epoch"), codesTable)
   }
 
   /** The per-cell growth ledger of a durable index (`cell`, `n_built`,
@@ -1959,21 +2033,34 @@ object Similarity {
                                  prefix: String, newVecs: DataFrame,
                                  idCol: String, vecCol: String): Unit = {
     import spark.implicits._
-    val index = readIvfPqIndex(spark, prefix) // validates current epoch
+    // the merged reopen validates the current epoch AND resolves the
+    // live codes-table name — this path re-collected the 1-row meta a
+    // second time just for the name (optimization-guide §5)
+    val reopen = readIvfPqIndexAndTombstones(spark, prefix)
+    val index = reopen.index
+    val codesTable = reopen.codesTable
     val cells = assignCells(newVecs, idCol, vecCol, index.centroids)
       .select(col(idCol).as("neighbor_id"), col("cell"))
     val newCodes = pqEncode(newVecs, idCol, vecCol, index.codebooks,
         index.nSub)
       .join(cells, Seq("neighbor_id"))
     // ledger math on driver-local rows (nCells-sized): the stats
-    // table can't be overwritten from a plan that reads itself
-    val batchCounts = newCodes.groupBy(col("cell"))
+    // table can't be overwritten from a plan that reads itself. The
+    // batch counts and the old stats fold into ONE driver action (a
+    // null-padded union of the two tiny frames — two sequential
+    // collects before)
+    val statsRows = newCodes.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"))
-      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    val oldStats = spark.table(s"${prefix}_cell_stats")
-      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    val codesTable = ivfPqCodesTable(
-      spark.table(s"${prefix}_meta").collect()(0), prefix)
+      .select(lit("b").as("__src"), col("cell"),
+        col("n_new"), lit(null).cast("long").as("n_appended"))
+      .unionAll(spark.table(s"${prefix}_cell_stats")
+        .select(lit("o").as("__src"), col("cell"),
+          col("n_built"), col("n_appended")))
+      .collect()
+    val batchCounts = statsRows.filter(_.getString(0) == "b")
+      .map(r => r.get(1) -> r.getLong(2)).toMap
+    val oldStats = statsRows.filter(_.getString(0) == "o")
+      .map(r => (r.get(1), r.getLong(2), r.getLong(3)))
     val tableMeta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(codesTable))
     val numBuckets = tableMeta.bucketSpec
@@ -2051,10 +2138,11 @@ object Similarity {
   def searchIvfPqLive(spark: org.apache.spark.sql.SparkSession,
                       prefix: String, corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      nProbe: Int = 4, oversample: Int = 4): DataFrame =
-    searchIvfPq(readIvfPqIndex(spark, prefix), corpus, queries, idCol,
-      vecCol, k, nProbe, oversample,
-      exclude = Some(readIvfPqTombstones(spark, prefix)))
+                      nProbe: Int = 4, oversample: Int = 4): DataFrame = {
+    val r = readIvfPqIndexAndTombstones(spark, prefix)
+    searchIvfPq(r.index, corpus, queries, idCol, vecCol, k, nProbe,
+      oversample, exclude = Some(r.tombstones))
+  }
 
   /** The ONE-CALL maintenance window for a durable IVF×PQ index — the
     * composition a cron-driven maintenance job runs, closing the loop
@@ -2089,27 +2177,32 @@ object Similarity {
                          nProbe: Int = 4, oversample: Int = 4,
                          numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
-      .getAs[String]("epoch")
-    def decide(): (Long, Double, Boolean) = {
-      val live = corpus.join(broadcast(readIvfPqTombstones(spark, prefix)
+    // one merged reopen (index meta + ledger meta, a single driver
+    // action) feeds BOTH the probe's exclude side and the truth side's
+    // anti-join per decision point — the window paid 5 sequential
+    // 1-row collects per decide before (optimization-guide §5); the
+    // epoch for the change flag rides the same fetch. The no-op path
+    // skips the closing epoch re-read outright: nothing fired, so the
+    // meta row is untouched by this (single-writer) window.
+    def decide(): (Long, Double, Boolean, String) = {
+      val r = readIvfPqIndexAndTombstones(spark, prefix)
+      val live = corpus.join(broadcast(r.tombstones
           .select(col("neighbor_id").as(idCol))), Seq(idCol), "left_anti")
-      val ann = searchIvfPqLive(spark, prefix, corpus, queries, idCol,
-        vecCol, k, nProbe, oversample)
+      val ann = searchIvfPq(r.index, corpus, queries, idCol, vecCol, k,
+        nProbe, oversample, exclude = Some(r.tombstones))
       val d = driftDecision(
         recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
         .collect()(0)
-      (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+      (d.getLong(0), d.getDouble(1), d.getBoolean(2), r.epoch)
     }
-    val epochBefore = epoch()
-    val (nQ, preMean, fired) = decide()
+    val (nQ, preMean, fired, epochBefore) = decide()
     if (fired)
       retrainIvfPqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
         sample, lloydIters, numBuckets)
-    val (_, postMean, postRetrain) = if (fired) decide()
-      else (nQ, preMean, fired)
+    val (_, postMean, postRetrain, epochAfter) = if (fired) decide()
+      else (nQ, preMean, fired, epochBefore)
     Seq((nQ, preMean, fired, postMean, postRetrain,
-        epoch() != epochBefore))
+        epochAfter != epochBefore))
       .toDF("n_queries", "pre_mean_recall", "retrain_fired",
         "post_mean_recall", "post_retrain", "epoch_changed")
   }
@@ -2204,9 +2297,12 @@ object Similarity {
                                 sample: DataFrame, lloydIters: Int = 1,
                                 numBuckets: Int = 64): Unit = {
     import spark.implicits._
-    val index = readIvfPqIndex(spark, prefix) // validates current epoch
-    val liveCodes = ivfPqCodesTable(
-      spark.table(s"${prefix}_meta").collect()(0), prefix)
+    // one merged reopen (validates the current epoch) supplies the
+    // index, the live codes-table name AND the tombstone ledger — this
+    // was three sequential 1-row collects (optimization-guide §5)
+    val reopen = readIvfPqIndexAndTombstones(spark, prefix)
+    val index = reopen.index
+    val liveCodes = reopen.codesTable
     val otherCodes =
       if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
       else s"${prefix}_cell_codes"
@@ -2217,7 +2313,7 @@ object Similarity {
     // is a broadcast anti-join against the ledger FRAME (never a
     // driver collect — the ledger can outgrow any driver Set); the
     // one bounded action is the isEmpty probe gating the clear.
-    val tombstones = readIvfPqTombstones(spark, prefix)
+    val tombstones = reopen.tombstones
       .select(col("neighbor_id").as(idCol)).localCheckpoint()
     val hasTombstones = !tombstones.isEmpty
     def purge(df: DataFrame): DataFrame =
@@ -2238,7 +2334,7 @@ object Similarity {
     graft.sources.Sinks.writeTable(
       spark.table(otherCodes).groupBy(col("cell"))
         .agg(count(lit(1)).as("n_built"))
-        .withColumn("n_appended", lit(0L)),
+        .withColumn("n_appended", lit(0L)).coalesce(1),
       s"${prefix}_cell_stats")
     // 3–4. fresh epoch on the new generation, then the pointer flip
     val epoch = graft.sources.Sinks.stampEpoch(spark,

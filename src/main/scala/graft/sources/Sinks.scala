@@ -348,8 +348,22 @@ object Sinks {
       case Some("a") => "b"
       case _ => "a"
     }
+    // coalesce the merged generation to few partitions BEFORE the
+    // write (guide §2.4 — removing the fan-out beats making it
+    // cheaper, §6 — output file sizing): the distinct otherwise
+    // leaves one shuffle-partition-count write (32 tasks, 32 files)
+    // for a frame that is a bounded takedown set in every serving
+    // path, and every later ledger READ (each lifecycle reopen)
+    // re-lists and re-opens those files. coalesce folds the final
+    // distinct stage to N tasks without an extra shuffle; the default
+    // 1 is right for control-plane-sized ledgers and conf-overridable
+    // for deployments whose ledgers genuinely outgrow one task
+    // (spark.graft.sinks.ledgerWritePartitions).
+    val ledgerParts = spark.conf
+      .getOption("spark.graft.sinks.ledgerWritePartitions")
+      .map(_.toInt).getOrElse(1)
     val merged = live.map(_._2.unionByName(incoming)).getOrElse(incoming)
-      .distinct()
+      .distinct().coalesce(ledgerParts)
     writeTable(merged, s"${ledger}_$nextGen")
     val epoch = stampEpoch(spark, Seq(s"${ledger}_$nextGen"))
     writeTable(spark.createDataFrame(
@@ -378,15 +392,66 @@ object Sinks {
       val meta = spark.table(metaTable).collect()
       require(meta.length == 1, s"$metaTable must hold exactly one row")
       val gen = meta(0).getString(0)
-      val genTable = s"${ledger}_$gen"
-      require(spark.catalog.tableExists(genTable),
-        s"ledger meta $metaTable names generation '$gen' but $genTable " +
-          "does not exist — the ledger was torn out from under its " +
-          "commit record; restore the table or re-file the takedowns " +
-          "(serving an empty ledger would silently re-admit " +
-          "taken-down content)")
-      requireEpoch(spark, Seq(genTable), meta(0).getString(1))
-      Some((gen, spark.table(genTable)))
+      Some((gen,
+        resolveLedgerGen(spark, ledger, gen, meta(0).getString(1))))
+    }
+  }
+
+  /** The validation/resolution half of [[readLedger]] given an
+    * already-collected meta row — lets a caller that fetched the
+    * ledger meta alongside another 1-row meta in ONE driver action
+    * (the lifecycle gates' collect-floor merge, optimization-guide §5)
+    * reuse the exact same torn-ledger refusal semantics. */
+  private[graft] def resolveLedgerGen(spark: org.apache.spark.sql.SparkSession,
+                                      ledger: String, gen: String,
+                                      epoch: String): DataFrame = {
+    val genTable = s"${ledger}_$gen"
+    require(spark.catalog.tableExists(genTable),
+      s"ledger meta ${ledger}_meta names generation '$gen' but $genTable " +
+        "does not exist — the ledger was torn out from under its " +
+        "commit record; restore the table or re-file the takedowns " +
+        "(serving an empty ledger would silently re-admit " +
+        "taken-down content)")
+    requireEpoch(spark, Seq(genTable), epoch)
+    spark.table(genTable)
+  }
+
+  /** ONE driver action for the "reopen an index live" read shape: the
+    * index's 1-row meta table plus, when present, its sibling takedown
+    * ledger's 1-row meta — a union job with two parallel 1-file scan
+    * tasks instead of two sequential collect jobs. Each collect is
+    * ~100 ms of fixed driver floor (CommitProbe), and every composed
+    * lifecycle gate reopens its index 3-6 times, so the halved job
+    * count is real wall time (optimization-guide §5: the driver should
+    * do almost no data work — including queueing sequential 1-row
+    * jobs). Values ride as strings (every meta column here is a
+    * string; numeric meta columns round-trip losslessly through
+    * Double/Long.toString semantics). Returns the meta's first row as
+    * column-name→value, plus the ledger meta's (gen, epoch) when the
+    * ledger exists. */
+  private[graft] def metaWithLedgerMeta(
+      spark: org.apache.spark.sql.SparkSession, metaTable: String,
+      ledger: String): (Map[String, String], Option[(String, String)]) = {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val meta = spark.table(metaTable)
+    val metaCols = array(meta.columns.map(c => col(c).cast("string")): _*)
+    if (!spark.catalog.tableExists(s"${ledger}_meta")) {
+      val r = meta.select(metaCols.as("__v")).collect()
+      (meta.columns.zip(r(0).getSeq[String](0)).toMap, None)
+    } else {
+      val rows = meta.select(lit("m").as("__src"), metaCols.as("__v"))
+        .unionAll(spark.table(s"${ledger}_meta")
+          .select(lit("l").as("__src"),
+            array(col("gen").cast("string"),
+              col("epoch").cast("string")).as("__v")))
+        .collect()
+      val l = rows.filter(_.getString(0) == "l")
+      require(l.length == 1, s"${ledger}_meta must hold exactly one row")
+      val mv = rows.find(_.getString(0) == "m")
+        .getOrElse(sys.error(s"$metaTable holds no rows"))
+        .getSeq[String](1)
+      val lv = l(0).getSeq[String](1)
+      (meta.columns.zip(mv).toMap, Some((lv(0), lv(1))))
     }
   }
 
