@@ -506,10 +506,13 @@ object Bpe {
                        maxOovRate: Double, numMerges: Int,
                        numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def gen(): String =
-      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("gen")
-    def probe(): (Long, Long) = {
-      val vocab = readBpeVocabRooted(spark, prefix)
+    def metaRow() = spark.table(s"${prefix}_meta").collect()(0)
+    // meta-row reuse per probe + quiet-path skip of the closing meta
+    // re-read (single-writer window) — was 4 sequential 1-row collects
+    // per quiet tick (optimization-guide §5)
+    def probe(m: org.apache.spark.sql.Row): (Long, Long) = {
+      val vocab = readBpeVocab(spark, m.getAs[String]("table_name"),
+        m.getAs[String]("dir"))
       val words = sample
         .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
         .filter(col("w") =!= "")
@@ -520,14 +523,19 @@ object Bpe {
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val genBefore = gen()
-    val (n, preOov) = probe()
+    val m0 = metaRow()
+    val genBefore = m0.getAs[String]("gen")
+    val (n, preOov) = probe(m0)
     val fired = n > 0 && preOov.toDouble > maxOovRate * n
     if (fired)
       writeBpeVocabRooted(spark, prefix, dir,
         fitBatched(corpus, textCol, numMerges), numBuckets)
-    val (_, postOov) = if (fired) probe() else (n, preOov)
-    Seq((n, preOov, fired, postOov, gen() != genBefore))
+    val (postOov, genAfter) =
+      if (fired) {
+        val m2 = metaRow()
+        (probe(m2)._2, m2.getAs[String]("gen"))
+      } else (preOov, genBefore)
+    Seq((n, preOov, fired, postOov, genAfter != genBefore))
       .toDF("n_sample_words", "pre_oov_words", "refit_fired",
         "post_oov_words", "gen_changed")
   }

@@ -1409,8 +1409,11 @@ object Curation {
                         exactFold: Boolean = true): DataFrame = {
     import spark.implicits._
     def meta() = spark.table(s"${prefix}_meta").collect()(0)
-    def probe(): (Long, Long) = {
-      val m = meta()
+    // each probe reuses the meta row its caller already holds, and the
+    // quiet window skips the closing meta re-read (nothing fired,
+    // nothing moved under this single-writer window) — the 1-row meta
+    // was collected 3x per quiet tick before (optimization-guide §5)
+    def probe(m: org.apache.spark.sql.Row): (Long, Long) = {
       val p = s"${prefix}_${m.getAs[String]("gen")}"
       graft.sources.Sinks.requireEpoch(spark, lrGenTables(p),
         m.getAs[String]("epoch"))
@@ -1420,15 +1423,19 @@ object Curation {
     val m0 = meta()
     val epochBefore = m0.getAs[String]("epoch")
     val bucketsFit = m0.getAs[Int]("buckets")
-    val (n, pre) = probe()
+    val (n, pre) = probe(m0)
     val fired = n > 0 && pre.toDouble > maxBlindRate * n
     if (fired)
       writeQualityLrRooted(spark, prefix,
         fitQualityLr(corpus, idCol, textCol, labelCol, bucketsFit,
           iters, stepSize, hashFn, exactFold),
         corpus, textCol, hashFn)
-    val (_, post) = if (fired) probe() else (n, pre)
-    Seq((n, pre, fired, post, meta().getAs[String]("epoch") != epochBefore))
+    val (post, epochAfter) =
+      if (fired) {
+        val m2 = meta()
+        (probe(m2)._2, m2.getAs[String]("epoch"))
+      } else (pre, epochBefore)
+    Seq((n, pre, fired, post, epochAfter != epochBefore))
       .toDF("n_sample_feats", "pre_blind_feats", "refit_fired",
         "post_blind_feats", "epoch_changed")
   }
@@ -1502,8 +1509,8 @@ object Curation {
                          hashFn: Column => Column = xxhash64(_)): DataFrame = {
     import spark.implicits._
     def meta() = spark.table(s"${prefix}_meta").collect()(0)
-    def probe(): (Long, Long) = {
-      val m = meta()
+    // meta-row reuse + quiet-path skip, as [[maintainQualityLr]]
+    def probe(m: org.apache.spark.sql.Row): (Long, Long) = {
       val p = s"${prefix}_${m.getAs[String]("gen")}"
       graft.sources.Sinks.requireEpoch(spark, dsirGenTables(p),
         m.getAs[String]("epoch"))
@@ -1513,14 +1520,18 @@ object Curation {
     val m0 = meta()
     val epochBefore = m0.getAs[String]("epoch")
     val bucketsFit = m0.getAs[Int]("buckets")
-    val (n, pre) = probe()
+    val (n, pre) = probe(m0)
     val fired = n > 0 && pre.toDouble > maxBlindRate * n
     if (fired)
       writeDsirRooted(spark, prefix,
         fitDsir(source, target, textCol, bucketsFit, smoothing, hashFn),
         source, target, textCol, hashFn)
-    val (_, post) = if (fired) probe() else (n, pre)
-    Seq((n, pre, fired, post, meta().getAs[String]("epoch") != epochBefore))
+    val (post, epochAfter) =
+      if (fired) {
+        val m2 = meta()
+        (probe(m2)._2, m2.getAs[String]("epoch"))
+      } else (pre, epochBefore)
+    Seq((n, pre, fired, post, epochAfter != epochBefore))
       .toDF("n_sample_feats", "pre_blind_feats", "refit_fired",
         "post_blind_feats", "epoch_changed")
   }

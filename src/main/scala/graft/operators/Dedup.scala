@@ -569,17 +569,28 @@ object Dedup {
                             table: String, maxHamming: Int,
                             maxBucket: Int = 1000): Unit = {
     import spark.implicits._
-    val meta = spark.table(s"${table}_meta").collect()(0)
-    val liveGen = meta.getAs[String]("members_table")
+    // meta + ledger meta in ONE driver action (was three sequential
+    // 1-row collects: the meta here, then readHammingMembersLive's
+    // meta + ledger pair, then the hadLedger re-read —
+    // optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${table}_meta", s"${table}_tombstones")
+    val liveGen = meta("members_table")
+    graft.sources.Sinks.requireEpoch(spark, Seq(liveGen), meta("epoch"))
     val otherGen =
       if (liveGen == s"${table}_members") s"${table}_members_b"
       else s"${table}_members"
-    val sigs = readHammingMembersLive(spark, table)
+    val members0 = spark.table(liveGen)
+    val membersLive = ledMeta.map { case (lgen, lepoch) =>
+        tombstoneFromHammingMembers(members0,
+          graft.sources.Sinks.resolveLedgerGen(spark,
+            s"${table}_tombstones", lgen, lepoch)) }
+      .getOrElse(members0)
+    val sigs = membersLive
       .select(explode(col("members")).as("m"))
       .select(col("m.neighbor_id").as("media_id"), col("m.sig").as("sig"))
       .distinct()
-    val hadLedger =
-      graft.sources.Sinks.readLedger(spark, s"${table}_tombstones").nonEmpty
+    val hadLedger = ledMeta.nonEmpty
     graft.sources.Sinks.writeTable(
       hammingBandMembers(sigs, "media_id", "sig", maxHamming, maxBucket),
       otherGen)
@@ -727,16 +738,23 @@ object Dedup {
   def readHammingBandIndexRootedLive(
       spark: org.apache.spark.sql.SparkSession,
       prefix: String): (Int, DataFrame) = {
-    val (maxHamming, rows) = readHammingBandIndexRooted(spark, prefix)
-    val live = graft.sources.Sinks
-      .readLedger(spark, s"${prefix}_tombstones")
-      .map { case (_, ids) =>
+    // index meta + ledger meta in ONE driver action (the reopen-floor
+    // merge — see [[readExactIndexRootedLive]])
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val gen = s"${prefix}_bands_${meta("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen), meta("epoch"))
+    val rows = spark.table(gen)
+    val live = ledMeta
+      .map { case (lgen, lepoch) =>
+        val ids = graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch)
         rows.join(broadcast(ids.select(col("media_id")
           .as("neighbor_id")).distinct()), Seq("neighbor_id"),
           "left_anti")
       }
       .getOrElse(rows)
-    (maxHamming, live)
+    (meta("max_hamming").toInt, live)
   }
 
   /** Relational batch probe of a banded index — the admission
@@ -829,18 +847,33 @@ object Dedup {
                             prefix: String,
                             numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def meta() = spark.table(s"${prefix}_meta").collect()(0)
     def pendingCount(): Long =
       graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
         .map(_._2.count()).getOrElse(0L)
-    val m0 = meta()
-    val epochBefore = m0.getAs[String]("epoch")
-    val pending = pendingCount()
+    // meta + ledger meta in ONE driver action; the quiet window pays
+    // one count action and zero further round-trips (was 4 sequential
+    // collects — optimization-guide §5)
+    val (m0, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val epochBefore = m0("epoch")
+    val ledgerRows = ledMeta.map { case (lgen, lepoch) =>
+      graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${prefix}_tombstones", lgen, lepoch) }
+    val pending = ledgerRows.map(_.count()).getOrElse(0L)
     val fired = pending > 0L
     if (fired) {
-      val (maxHamming, live) =
-        readHammingBandIndexRootedLive(spark, prefix)
-      val cur = m0.getAs[String]("gen")
+      // the live view reuses the meta/ledger already resolved above
+      // (single-writer window)
+      val maxHamming = m0("max_hamming").toInt
+      val gen0 = s"${prefix}_bands_${m0("gen")}"
+      graft.sources.Sinks.requireEpoch(spark, Seq(gen0), m0("epoch"))
+      val rows0 = spark.table(gen0)
+      val live = ledgerRows.map(ids =>
+          rows0.join(broadcast(ids.select(col("media_id")
+            .as("neighbor_id")).distinct()), Seq("neighbor_id"),
+            "left_anti"))
+        .getOrElse(rows0)
+      val cur = m0("gen")
       val next = if (cur == "a") "b" else "a"
       val gen = s"${prefix}_bands_$next"
       // inherit the LIVE generation's bucket count (the purgeLshIndex
@@ -859,8 +892,12 @@ object Dedup {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands_$cur")
       graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
     }
-    Seq((pending, fired, pendingCount(),
-        meta().getAs[String]("epoch") != epochBefore))
+    // quiet window: meta and ledger untouched bit-for-bit — no re-read
+    val (postPending, epochAfter) =
+      if (fired) (pendingCount(),
+        spark.table(s"${prefix}_meta").collect()(0).getAs[String]("epoch"))
+      else (pending, epochBefore)
+    Seq((pending, fired, postPending, epochAfter != epochBefore))
       .toDF("pending_tombstones", "fired", "post_pending",
         "gen_changed")
   }

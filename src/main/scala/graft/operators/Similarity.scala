@@ -1345,7 +1345,16 @@ object Similarity {
                                 sample: DataFrame, lloydIters: Int = 1,
                                 numBuckets: Int = 64): Unit = {
     import spark.implicits._
-    val (index, liveCodes) = readIvfSqIndexResolved(spark, prefix)
+    // merged one-action reopen: index meta + tombstone-ledger meta
+    // (was two sequential 1-row collects — optimization-guide §5)
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val liveCodes = meta.getOrElse("codes_table", s"${prefix}_cell_codes")
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats", liveCodes),
+      meta("epoch"))
+    val index = IvfSqIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_stats"), spark.table(liveCodes))
     val otherCodes =
       if (liveCodes == s"${prefix}_cell_codes") s"${prefix}_cell_codes_b"
       else s"${prefix}_cell_codes"
@@ -1353,7 +1362,10 @@ object Similarity {
     // re-encode pass skips tombstoned corpus rows, the fit sample
     // purges too (a deleted vector must not even shape the new
     // geometry), and the ledger clears after the swap
-    val tombstones = readIvfSqTombstones(spark, prefix)
+    val tombstones = ledMeta.map { case (lgen, lepoch) =>
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch) }
+      .getOrElse(Seq.empty[Long].toDF("neighbor_id"))
       .select(col("neighbor_id").as(idCol)).localCheckpoint()
     val hasTombstones = !tombstones.isEmpty
     def purge(df: DataFrame): DataFrame =
@@ -1406,11 +1418,31 @@ object Similarity {
     * runner-up. Stats/centroids pass through; they refresh at the
     * next retrain, where the purge becomes physical. */
   def readIvfSqIndexLive(spark: org.apache.spark.sql.SparkSession,
-                         prefix: String): IvfSqIndex = {
-    val idx = readIvfSqIndex(spark, prefix)
-    IvfSqIndex(idx.centroids, idx.stats,
-      idx.cellCodes.join(broadcast(readIvfSqTombstones(spark, prefix)),
-        Seq("neighbor_id"), "left_anti"))
+                         prefix: String): IvfSqIndex =
+    readIvfSqIndexLiveWithEpoch(spark, prefix)._1
+
+  /** [[readIvfSqIndexLive]] with the index meta + tombstone-ledger
+    * meta fetched in ONE driver action (the reopen-floor merge — see
+    * [[readIvfIndexLiveWithEpoch]]), also returning the serving epoch
+    * for callers that would re-collect the meta just to read it. */
+  private def readIvfSqIndexLiveWithEpoch(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (IvfSqIndex, String) = {
+    import spark.implicits._
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val codesTable = meta.getOrElse("codes_table", s"${prefix}_cell_codes")
+    graft.sources.Sinks.requireEpoch(spark,
+      Seq(s"${prefix}_centroids", s"${prefix}_stats", codesTable),
+      meta("epoch"))
+    val tombstones = ledMeta.map { case (lgen, lepoch) =>
+        graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch) }
+      .getOrElse(Seq.empty[Long].toDF("neighbor_id"))
+    (IvfSqIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_stats"),
+      spark.table(codesTable).join(broadcast(tombstones),
+        Seq("neighbor_id"), "left_anti")), meta("epoch"))
   }
 
   /** Search a DURABLE IVF×SQ index with its tombstones applied — the
@@ -1480,8 +1512,6 @@ object Similarity {
                          nProbe: Int = 4, oversample: Int = 4,
                          numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def epoch(): String = spark.table(s"${prefix}_meta").collect()(0)
-      .getAs[String]("epoch")
     // Capture the tombstone set ONCE, before any retrain, and PIN it:
     // the retrain purges tombstoned rows physically and CLEARS the
     // ledger, so a post-retrain re-read would return empty and the
@@ -1495,29 +1525,33 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tombs.count()
     try {
-      def decide(): (Long, Double, Boolean) = {
+      def decide(): (Long, Double, Boolean, String) = {
         // LIVE view on both sides (the maintainIvfPqIndex discipline):
         // the served search can't return a taken-down id and the
-        // brute-force truth never counts one as a miss
+        // brute-force truth never counts one as a miss. The reopen is
+        // the merged one-action read and the epoch for the change flag
+        // rides it; the no-op path skips the closing epoch re-read
+        // (nothing fired, nothing moved under this single-writer
+        // window) — see [[maintainIvfPqIndex]].
         val live = corpus.join(broadcast(
             tombs.select(col("neighbor_id").as(idCol))),
           Seq(idCol), "left_anti")
-        val ann = searchIvfSq(readIvfSqIndexLive(spark, prefix), corpus,
+        val (index, epoch) = readIvfSqIndexLiveWithEpoch(spark, prefix)
+        val ann = searchIvfSq(index, corpus,
           queries, idCol, vecCol, k, nProbe, oversample)
         val d = driftDecision(
           recallProbe(ann, live, queries, idCol, vecCol, k), minRecall)
           .collect()(0)
-        (d.getLong(0), d.getDouble(1), d.getBoolean(2))
+        (d.getLong(0), d.getDouble(1), d.getBoolean(2), epoch)
       }
-      val epochBefore = epoch()
-      val (nQ, preMean, fired) = decide()
+      val (nQ, preMean, fired, epochBefore) = decide()
       if (fired)
         retrainIvfSqIndexBucketed(spark, prefix, corpus, idCol, vecCol,
           sample, lloydIters, numBuckets)
-      val (_, postMean, postRetrain) = if (fired) decide()
-        else (nQ, preMean, fired)
+      val (_, postMean, postRetrain, epochAfter) = if (fired) decide()
+        else (nQ, preMean, fired, epochBefore)
       Seq((nQ, preMean, fired, postMean, postRetrain,
-          epoch() != epochBefore))
+          epochAfter != epochBefore))
         .toDF("n_queries", "pre_mean_recall", "retrain_fired",
           "post_mean_recall", "post_retrain", "epoch_changed")
     } finally tombs.unpersist()

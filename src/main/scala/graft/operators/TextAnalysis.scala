@@ -512,9 +512,17 @@ object TextAnalysis {
     * through it into the probe join). */
   def readWinnowIndexRootedLive(spark: org.apache.spark.sql.SparkSession,
                                 prefix: String): WinnowIndexFace = {
-    val face = readWinnowIndexRooted(spark, prefix)
-    graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
-      .map { case (_, ids) =>
+    // index meta + ledger meta in ONE driver action (the reopen-floor
+    // merge — see [[graft.operators.Dedup.readExactIndexRootedLive]])
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val gen = s"${prefix}_fps_${meta("gen")}"
+    graft.sources.Sinks.requireEpoch(spark, Seq(gen), meta("epoch"))
+    val face = WinnowIndexFace(meta("k").toInt, meta("w").toInt,
+      meta("hash"), spark.table(gen))
+    ledMeta.map { case (lgen, lepoch) =>
+        val ids = graft.sources.Sinks.resolveLedgerGen(spark,
+          s"${prefix}_tombstones", lgen, lepoch)
         face.copy(rows = face.rows.join(
           broadcast(ids.select(col("bench_id")).distinct()),
           Seq("bench_id"), "left_anti"))
@@ -597,17 +605,32 @@ object TextAnalysis {
   def purgeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, numBuckets: Int = 64): DataFrame = {
     import spark.implicits._
-    def meta() = spark.table(s"${prefix}_meta").collect()(0)
     def pendingCount(): Long =
       graft.sources.Sinks.readLedger(spark, s"${prefix}_tombstones")
         .map(_._2.count()).getOrElse(0L)
-    val m0 = meta()
-    val epochBefore = m0.getAs[String]("epoch")
-    val pending = pendingCount()
+    // meta + ledger meta in ONE driver action; the quiet window pays
+    // one count action and zero further round-trips (was 4 sequential
+    // collects — optimization-guide §5)
+    val (m0, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      s"${prefix}_meta", s"${prefix}_tombstones")
+    val epochBefore = m0("epoch")
+    val ledgerRows = ledMeta.map { case (lgen, lepoch) =>
+      graft.sources.Sinks.resolveLedgerGen(spark,
+        s"${prefix}_tombstones", lgen, lepoch) }
+    val pending = ledgerRows.map(_.count()).getOrElse(0L)
     val fired = pending > 0L
     if (fired) {
-      val live = readWinnowIndexRootedLive(spark, prefix)
-      val cur = m0.getAs[String]("gen")
+      // the live view reuses the meta/ledger already resolved above
+      // (single-writer window)
+      val gen0 = s"${prefix}_fps_${m0("gen")}"
+      graft.sources.Sinks.requireEpoch(spark, Seq(gen0), m0("epoch"))
+      val face0 = WinnowIndexFace(m0("k").toInt, m0("w").toInt,
+        m0("hash"), spark.table(gen0))
+      val live = ledgerRows.map(ids => face0.copy(rows = face0.rows.join(
+          broadcast(ids.select(col("bench_id")).distinct()),
+          Seq("bench_id"), "left_anti")))
+        .getOrElse(face0)
+      val cur = m0("gen")
       val next = if (cur == "a") "b" else "a"
       val gen = s"${prefix}_fps_$next"
       // inherit the LIVE generation's bucket count (the purgeLshIndex
@@ -626,7 +649,12 @@ object TextAnalysis {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_fps_$cur")
       graft.sources.Sinks.clearLedger(spark, s"${prefix}_tombstones")
     }
-    Seq((pending, fired, pendingCount(), meta().getAs[String]("epoch") != epochBefore))
+    // quiet window: meta and ledger untouched bit-for-bit — no re-read
+    val (postPending, epochAfter) =
+      if (fired) (pendingCount(),
+        spark.table(s"${prefix}_meta").collect()(0).getAs[String]("epoch"))
+      else (pending, epochBefore)
+    Seq((pending, fired, postPending, epochAfter != epochBefore))
       .toDF("pending_tombstones", "fired", "post_pending", "gen_changed")
   }
 
@@ -1406,8 +1434,17 @@ object TextAnalysis {
     * [[trigramLmScore]]'s joins exactly like the freshly fitted
     * frames. */
   def readTrigramLm(spark: org.apache.spark.sql.SparkSession,
-                    prefix: String): TrigramLm = {
-    val meta = spark.table(s"${prefix}_meta").collect()(0)
+                    prefix: String): TrigramLm =
+    trigramLmFromMeta(spark, prefix,
+      spark.table(s"${prefix}_meta").collect()(0))
+
+  /** Assemble + epoch-validate a [[TrigramLm]] from an
+    * already-collected meta row — lets [[maintainTrigramLm]] reuse the
+    * row it fetched for the epoch flag instead of re-collecting the
+    * 1-row meta per probe (optimization-guide §5). */
+  private def trigramLmFromMeta(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String,
+                                meta: org.apache.spark.sql.Row): TrigramLm = {
     val p =
       if (meta.schema.fieldNames.contains("gen"))
         s"${prefix}_${meta.getAs[String]("gen")}"
@@ -1504,10 +1541,12 @@ object TextAnalysis {
                         maxOovRate: Double,
                         minTrigramCount: Long = 2): DataFrame = {
     import spark.implicits._
-    def epoch(): String =
-      spark.table(s"${prefix}_meta").collect()(0).getAs[String]("epoch")
-    def probe(): (Long, Long) = {
-      val model = readTrigramLm(spark, prefix)
+    def metaRow() = spark.table(s"${prefix}_meta").collect()(0)
+    // meta-row reuse per probe + quiet-path skip of the closing meta
+    // re-read (single-writer window) — was 4 sequential 1-row collects
+    // per quiet tick (optimization-guide §5)
+    def probe(m: org.apache.spark.sql.Row): (Long, Long) = {
+      val model = trigramLmFromMeta(spark, prefix, m)
       val toks = sample
         .select(split(lower(trim(col(textCol))), "\\s+").as("__tk0"))
         .select(explode(expr("filter(__tk0, t -> t != '')")).as("w3"))
@@ -1518,14 +1557,19 @@ object TextAnalysis {
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val epochBefore = epoch()
-    val (n, preOov) = probe()
+    val m0 = metaRow()
+    val epochBefore = m0.getAs[String]("epoch")
+    val (n, preOov) = probe(m0)
     val fired = n > 0 && preOov.toDouble > maxOovRate * n
     if (fired)
       writeTrigramLmRooted(spark, prefix,
         fitTrigramLm(corpus, textCol, minTrigramCount))
-    val (_, postOov) = if (fired) probe() else (n, preOov)
-    Seq((n, preOov, fired, postOov, epoch() != epochBefore))
+    val (postOov, epochAfter) =
+      if (fired) {
+        val m2 = metaRow()
+        (probe(m2)._2, m2.getAs[String]("epoch"))
+      } else (preOov, epochBefore)
+    Seq((n, preOov, fired, postOov, epochAfter != epochBefore))
       .toDF("n_sample_tokens", "pre_oov_tokens", "refit_fired",
         "post_oov_tokens", "epoch_changed")
   }
