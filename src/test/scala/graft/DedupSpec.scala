@@ -1395,4 +1395,38 @@ class DedupSpec extends SparkSpec {
       Dedup.readHammingBandIndexRooted(spark, "bsa")
     }.getMessage.contains("epoch token"))
   }
+
+  test("merged one-action reopen: metaWithLedgerMeta ≡ readLedger + meta read, torn states still refuse") {
+    import spark.implicits._
+    // fixture: a 1-row index-style meta + a committed ledger
+    graft.sources.Sinks.writeTable(
+      Seq(("a", "mlm_idx_dir")).toDF("gen", "index_dir"), "mlm_meta")
+    graft.sources.Sinks.appendLedger(spark, "mlm_tombstones",
+      spark.range(1, 10).select($"id".as("neighbor_id")))
+    // values equal the sequential composition's
+    val (meta, ledMeta) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      "mlm_meta", "mlm_tombstones")
+    assert(meta == Map("gen" -> "a", "index_dir" -> "mlm_idx_dir"))
+    val Some((gen, rows)) =
+      graft.sources.Sinks.readLedger(spark, "mlm_tombstones")
+    assert(ledMeta.map(_._1).contains(gen),
+      "merged read must resolve the same serving generation")
+    val resolved = graft.sources.Sinks.resolveLedgerGen(spark,
+      "mlm_tombstones", ledMeta.get._1, ledMeta.get._2)
+    assert(resolved.collect().map(_.getLong(0)).sorted.toSeq ==
+      rows.collect().map(_.getLong(0)).sorted.toSeq)
+    // absent ledger → None, one action, meta values intact
+    val (meta2, led2) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      "mlm_meta", "mlm_nosuch")
+    assert(meta2("gen") == "a" && led2.isEmpty)
+    // torn ledger (generation table dropped under the meta) must
+    // refuse exactly as readLedger does
+    spark.sql(s"DROP TABLE mlm_tombstones_$gen")
+    val (_, led3) = graft.sources.Sinks.metaWithLedgerMeta(spark,
+      "mlm_meta", "mlm_tombstones")
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Sinks.resolveLedgerGen(spark, "mlm_tombstones",
+        led3.get._1, led3.get._2)
+    }.getMessage.contains("torn"))
+  }
 }
